@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced to full materialization with a count() over the
+result (no collect of wide rows — measures engine time, not driver
+transfer). A warmup run of the flagship absorbs JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wwwision_importservice_spark.entry_queries import QUERIES  # noqa: E402
+from wwwision_importservice_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the diff kernel (flagship), keying/dedup, mapping,
+# aggregation, window, events rollup — the queries a sync run + analytics
+# mix actually exercises.
+HEADLINE = [
+    "j4_changeset",
+    "j5_soft_delete",
+    "k1_keying_dedup",
+    "k11_mapping",
+    "agg_q1_lineitem",
+    "win_topk_orders_per_customer",
+    "events_hourly_rollup",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    sf = None
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        pass
+
+    # Warmup: flagship once (JVM + codegen + parquet footer caches).
+    QUERIES["j4_changeset"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        start = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

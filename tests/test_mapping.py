@@ -1,0 +1,96 @@
+"""Mapper + Eel translator tests (reference README mapping examples)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wwwision_importservice_spark.errors import ConfigurationError
+from wwwision_importservice_spark.functions.eel import (
+    is_eel_expression,
+    register_helper,
+    translate_eel,
+)
+from wwwision_importservice_spark.mapping import Mapper
+
+
+def test_is_eel_expression():
+    assert is_eel_expression("${record.x}")
+    assert not is_eel_expression("plainAttribute")
+    assert not is_eel_expression("${unterminated")
+
+
+def test_attribute_passthrough_and_null_default(spark):
+    # Mapper.php:39-40 — missing attribute maps to NULL
+    df = spark.createDataFrame([("Jane", "Doe")], "firstName string, lastName string")
+    mapper = Mapper({"given_name": "firstName", "missing": "noSuchAttr"})
+    row = mapper.apply(df).collect()[0]
+    assert row["given_name"] == "Jane" and row["missing"] is None
+
+
+def test_arithmetic_expression(spark):
+    # README.md:239 — ${record.priceNet + record.vat}
+    df = spark.createDataFrame([(10.0, 2.5)], "priceNet double, vat double")
+    mapper = Mapper({"price_gross": "${record.priceNet + record.vat}"})
+    assert mapper.apply(df).collect()[0]["price_gross"] == 12.5
+
+
+def test_string_helper(spark):
+    # README.md:240 — ${String.firstLetterToUpperCase(record.firstName)}
+    df = spark.createDataFrame([("jane",)], "firstName string")
+    mapper = Mapper({"name": "${String.firstLetterToUpperCase(record.firstName)}"})
+    assert mapper.apply(df).collect()[0]["name"] == "Jane"
+
+
+def test_string_concat_with_plus(spark):
+    # README.md:240 — ${... record.title + "-" + record.id ...}
+    df = spark.createDataFrame([("t", "1")], "title string, id string")
+    mapper = Mapper({"slug": '${record.title + "-" + record.id}'})
+    assert mapper.apply(df).collect()[0]["slug"] == "t-1"
+
+
+def test_ternary_and_comparison(spark):
+    df = spark.createDataFrame([(5,), (15,)], "n int")
+    mapper = Mapper({"bucket": '${record.n > 10 ? "big" : "small"}'})
+    got = [r["bucket"] for r in mapper.apply(df).collect()]
+    assert got == ["small", "big"]
+
+
+def test_logical_operators():
+    sql = translate_eel("${record.a && record.b || !record.c}")
+    assert "AND" in sql and "OR" in sql and "NOT" in sql and "&&" not in sql
+
+
+def test_nested_helpers(spark):
+    df = spark.createDataFrame([("  ab  ",)], "x string")
+    mapper = Mapper({"out": "${String.toUpperCase(String.trim(record.x))}"})
+    assert mapper.apply(df).collect()[0]["out"] == "AB"
+
+
+def test_custom_helper_via_udf(spark):
+    spark.udf.register("rev_py", lambda s: s[::-1], "string")
+    register_helper("Custom.reverse", "rev_py({0})")
+    df = spark.createDataFrame([("abc",)], "x string")
+    mapper = Mapper({"out": "${Custom.reverse(record.x)}"})
+    assert mapper.apply(df).collect()[0]["out"] == "cba"
+
+
+def test_unknown_helper_raises(spark):
+    df = spark.createDataFrame([("x",)], "x string")
+    mapper = Mapper({"out": "${No.Such.Helper(record.x)}"})
+    with pytest.raises(ConfigurationError, match="No translation"):
+        mapper.apply(df)
+
+
+def test_non_string_rule_raises():
+    with pytest.raises(ConfigurationError, match="have to be strings"):
+        Mapper({"a": 42})
+
+
+def test_extra_context_variables(spark):
+    # target-provided vars (ContentRepositoryTarget.php:296 injects nodeData)
+    df = spark.createDataFrame(
+        [(("n1",), "x")], "node struct<name:string>, attr string"
+    )
+    mapper = Mapper({"out": "${nodeData.name}"}, variables={"nodeData": "node"})
+    assert mapper.apply(df).collect()[0]["out"] == "n1"

@@ -1,0 +1,83 @@
+"""Differential tests: every registered query vs its DuckDB oracle —
+emulates the driver's CORRECTNESS gate (row count + schema-insensitive,
+order-insensitive value comparison) at sf0.001 for speed."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from wwwision_importservice_spark.entry_queries import ORACLES, QUERIES
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(value):
+    if value is None:
+        return None
+    if isinstance(value, float):
+        if math.isnan(value):
+            return None
+        return float(value)
+    return value
+
+
+def frame_to_rows(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t))
+
+
+@pytest.fixture(scope="session")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, sf_dir, oracle):
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    res = oracle.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    left = frame_to_rows(spark_cols, spark_rows)
+    right = frame_to_rows(duck_cols, duck_rows)
+    mismatches = [
+        (i, l, r) for i, (l, r) in enumerate(zip(left, right)) if l != r
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_all_queries_have_callables():
+    for name in ORACLES:
+        assert name in QUERIES
+
+
+def test_entry_smoke(spark):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    entry_mod = importlib.import_module("__spark_entry__")
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "change_type" in df.columns

@@ -1,0 +1,508 @@
+"""Driver-facing query registry: every SURVEY §2 [core] operator bound to
+(spark, sf_dir) → DataFrame, with a DuckDB oracle-SQL twin.
+
+Conventions that make the oracle hash-match deterministic:
+
+- every computed column is aliased identically on both sides;
+- double aggregates go through ``decimal(18,2)`` sums then a single cast
+  to double (exact arithmetic both sides; raw double sums would differ by
+  accumulation order);
+- epoch seconds are ``bigint`` via truncation on both sides (DuckDB's
+  double→bigint cast *rounds*, so oracles use ``floor(epoch(...))``);
+- the Spark session runs with ``spark.sql.session.timeZone=UTC`` to match
+  DuckDB's UTC-naive parquet timestamps.
+
+The synthetic *target state* used by the diff queries is derived
+deterministically from ``orders`` (modular arithmetic on ``o_orderkey``)
+so that every ChangeSet branch is non-empty at every scale factor
+(FIXTURES.md §1 overlap shape) and the oracle can rebuild the identical
+state in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wwwision_importservice_spark.mapping import Mapper
+from wwwision_importservice_spark.operators.diff import (
+    changeset_counts,
+    compute_changes,
+)
+from wwwision_importservice_spark.record import RecordFrame, dedup_last_wins
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def wrap(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------- #
+# Shared fixtures: orders as the sync source, derived stale target state
+# --------------------------------------------------------------------------- #
+
+def orders_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+K1: orders parquet keyed by o_orderkey, versioned from
+    o_orderdate (the timestamp branch of the K2 ladder)."""
+    orders = load(spark, sf_dir, "orders")
+    rf = RecordFrame.from_raw(
+        orders,
+        id_attribute="o_orderkey",
+        version_attribute="o_orderdate",
+        order_by="o_orderkey",
+    )
+    return rf.df.select("_id", "_version", "o_totalprice", "o_orderstatus")
+
+
+# Oracle twin of orders_source
+_SRC_SQL = """
+  SELECT CAST(o_orderkey AS VARCHAR) AS _id,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS _version,
+         o_totalprice, o_orderstatus
+  FROM orders
+"""
+
+
+def target_state(spark: SparkSession, sf_dir: str, id_prefix: str = "") -> DataFrame:
+    """Synthetic target-state (S7 stand-in): orders sans every 7th key,
+    versions skewed by key so add/update/no-op/remove/unversioned branches
+    are all populated, plus ghost rows ('x'+key) absent from the source,
+    half of them hidden (soft-deleted)."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    epoch = F.unix_timestamp("o_orderdate")
+    version = (
+        F.when(k % 11 == 0, F.lit(None).cast("long"))
+        .when(k % 5 == 1, epoch - 86400)
+        .when(k % 5 == 2, epoch + 86400)
+        .otherwise(epoch)
+    )
+    base = orders.filter(k % 7 != 0).select(
+        F.concat(F.lit(id_prefix), k.cast("string")).alias("id"),
+        version.alias("version"),
+        (k % 2 == 0).alias("hidden"),
+    )
+    ghosts = orders.filter(k % 13 == 0).select(
+        F.concat(F.lit(id_prefix), F.lit("x"), k.cast("string")).alias("id"),
+        epoch.alias("version"),
+        (k % 2 == 0).alias("hidden"),
+    )
+    return base.unionByName(ghosts)
+
+
+def _local_sql(id_prefix: str = "") -> str:
+    pfx = f"'{id_prefix}' || " if id_prefix else ""
+    return f"""
+  SELECT {pfx}CAST(o_orderkey AS VARCHAR) AS id,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+              WHEN o_orderkey % 5 = 1 THEN CAST(floor(epoch(o_orderdate)) AS BIGINT) - 86400
+              WHEN o_orderkey % 5 = 2 THEN CAST(floor(epoch(o_orderdate)) AS BIGINT) + 86400
+              ELSE CAST(floor(epoch(o_orderdate)) AS BIGINT) END AS version,
+         (o_orderkey % 2 = 0) AS hidden
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT {pfx}'x' || CAST(o_orderkey AS VARCHAR),
+         CAST(floor(epoch(o_orderdate)) AS BIGINT),
+         (o_orderkey % 2 = 0)
+  FROM orders WHERE o_orderkey % 13 = 0
+"""
+
+
+# The full-outer CDC oracle; {hidden_pred} toggles the J5 refinement.
+def _cdc_sql(
+    with_hidden: bool, id_prefix: str = "", force: bool = False,
+    only: str | None = None,
+) -> str:
+    strip = (
+        f"substr(loc.id, {len(id_prefix) + 1})" if id_prefix else "loc.id"
+    )
+    remove_guard = " AND NOT _local_hidden" if with_hidden else ""
+    upd = (
+        "TRUE"
+        if force
+        else "(_version IS NULL OR _local_version IS NULL OR _version > _local_version)"
+    )
+    hidden_sel = ", loc.hidden AS _local_hidden" if with_hidden else ""
+    hidden_out = ", _local_hidden" if with_hidden else ""
+    only_filter = f" AND change_type = '{only}'" if only else ""
+    # nested subqueries (not CTEs): DuckDB 1.0 can't bind a WITH inside a
+    # derived table, and the a1 oracle wraps this whole query in one.
+    return f"""
+SELECT _id, _version, o_totalprice, o_orderstatus, _local_version{hidden_out}, change_type
+FROM (
+  SELECT *, CASE WHEN l_id IS NULL THEN 'add'
+                 WHEN s_id IS NULL{remove_guard} THEN 'remove'
+                 WHEN s_id IS NOT NULL AND l_id IS NOT NULL AND {upd} THEN 'update'
+            END AS change_type
+  FROM (
+    SELECT coalesce(src._id, {strip}) AS _id,
+           src._id AS s_id, loc.id AS l_id,
+           src._version, src.o_totalprice, src.o_orderstatus,
+           loc.version AS _local_version{hidden_sel}
+    FROM ({_SRC_SQL}) src FULL OUTER JOIN ({_local_sql(id_prefix)}) loc
+      ON src._id = {strip}
+  ) j
+) cdc WHERE change_type IS NOT NULL{only_filter}
+"""
+
+
+# --------------------------------------------------------------------------- #
+# J1-J4: the diff kernel
+# --------------------------------------------------------------------------- #
+
+@_register("j4_changeset", _cdc_sql(with_hidden=False))
+def j4_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — the full CDC frame (flagship; SURVEY §7.2)."""
+    return compute_changes(
+        orders_source(spark, sf_dir),
+        target_state(spark, sf_dir),
+        local_id_col="id",
+        local_version_col="version",
+    )
+
+
+def _only(spark, sf_dir, change_type):
+    cdc = j4_changeset(spark, sf_dir)
+    return cdc.filter(F.col("change_type") == change_type)
+
+
+@_register("j1_removed", _cdc_sql(with_hidden=False, only="remove"))
+def j1_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — removed = local ∖ source (left anti in the split plan;
+    here the remove slice of the single-join CDC)."""
+    return _only(spark, sf_dir, "remove")
+
+
+@_register("j2_added", _cdc_sql(with_hidden=False, only="add"))
+def j2_added(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — added = source ∖ local."""
+    return _only(spark, sf_dir, "add")
+
+
+@_register("j3_updated", _cdc_sql(with_hidden=False, only="update"))
+def j3_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — versioned inner join with the four-branch update predicate."""
+    return _only(spark, sf_dir, "update")
+
+
+@_register("j3_force_updates", _cdc_sql(with_hidden=False, force=True, only="update"))
+def j3_force_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 with forceUpdates: every intersecting record updates."""
+    return compute_changes(
+        orders_source(spark, sf_dir),
+        target_state(spark, sf_dir),
+        local_id_col="id",
+        local_version_col="version",
+        force_updates=True,
+    ).filter(F.col("change_type") == "update")
+
+
+@_register("j5_soft_delete", _cdc_sql(with_hidden=True))
+def j5_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — hidden rows are not removal candidates but still key
+    add/update (re-appearance un-hides via update)."""
+    return compute_changes(
+        orders_source(spark, sf_dir),
+        target_state(spark, sf_dir),
+        local_id_col="id",
+        local_version_col="version",
+        local_hidden_col="hidden",
+    )
+
+
+@_register("j6_id_prefix", _cdc_sql(with_hidden=False, id_prefix="node-"))
+def j6_id_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — target ids carry an idPrefix, stripped on read."""
+    return compute_changes(
+        orders_source(spark, sf_dir),
+        target_state(spark, sf_dir, id_prefix="node-"),
+        local_id_col="id",
+        local_version_col="version",
+        id_prefix="node-",
+    )
+
+
+@_register(
+    "a1_changeset_counts",
+    f"""
+SELECT change_type, count(*) AS n FROM ({_cdc_sql(with_hidden=False)}) GROUP BY change_type
+""",
+)
+def a1_changeset_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — per-change-type cardinality (progress/reporting counts)."""
+    return changeset_counts(j4_changeset(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------- #
+# K1/K2: keying, dedup, version parsing
+# --------------------------------------------------------------------------- #
+
+@_register(
+    "k1_keying_dedup",
+    """
+SELECT CAST(l_orderkey AS VARCHAR) AS _id, l_linenumber, l_partkey, l_quantity
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_orderkey
+    ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC,
+             l_quantity DESC, l_extendedprice DESC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+""",
+)
+def k1_keying_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 — last-write-wins keying: lineitem keyed by l_orderkey with
+    arrival order = (l_linenumber, …full composite tiebreak…) → one row
+    per order. The testdata contains duplicate (orderkey, linenumber)
+    pairs, so the order must be a total order for determinism —
+    max_by on a struct compares lexicographically, exactly like the
+    oracle's multi-key ORDER BY."""
+    li = load(spark, sf_dir, "lineitem")
+    order = F.struct("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    rf = RecordFrame.from_raw(li, "l_orderkey", order_by=order)
+    return rf.df.select("_id", "l_linenumber", "l_partkey", "l_quantity")
+
+
+@_register(
+    "k2_version_parse",
+    """
+SELECT CAST(o_orderkey AS VARCHAR) AS _id,
+       try_cast(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS v_numeric_string,
+       CAST(floor(epoch(try_cast(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP))) AS BIGINT) AS v_date_string,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS v_timestamp
+FROM orders
+""",
+)
+def k2_version_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 — the DataVersion.parse ladder over three input shapes:
+    numeric string, date string, native timestamp."""
+    from wwwision_importservice_spark.functions.versions import version_expr
+
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").cast("string").alias("_id"),
+        version_expr(F.col("o_orderkey").cast("string")).alias("v_numeric_string"),
+        version_expr(F.col("o_orderdate").cast("string")).alias("v_date_string"),
+        version_expr(
+            F.col("o_orderdate"), orders.schema["o_orderdate"].dataType
+        ).alias("v_timestamp"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# K11/M1/M2: mapping, expressions, dataProcessor
+# --------------------------------------------------------------------------- #
+
+@_register(
+    "k11_mapping",
+    """
+SELECT CAST(c_custkey AS VARCHAR) AS _id,
+       upper(c_name) AS name_upper,
+       CASE WHEN c_acctbal > 0 THEN 'positive' ELSE 'non-positive' END AS balance_class,
+       c_acctbal + 10.5 AS acctbal_adjusted,
+       c_mktsegment || '-' || c_custkey AS slug
+FROM customer
+""",
+)
+def k11_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K11+M1 — Mapper projection with Eel expressions compiled to Spark SQL
+    (arithmetic, helper call, ternary, string concat — README.md:239-240)."""
+    customer = load(spark, sf_dir, "customer")
+    rf = RecordFrame.from_raw(customer, "c_custkey", order_by="c_custkey")
+    mapper = Mapper(
+        {
+            "name_upper": "${String.toUpperCase(record.c_name)}",
+            "balance_class": '${record.c_acctbal > 0 ? "positive" : "non-positive"}',
+            "acctbal_adjusted": "${record.c_acctbal + 10.5}",
+            "slug": '${record.c_mktsegment + "-" + record.c_custkey}',
+        }
+    )
+    return mapper.apply(rf.df, keep=["_id"])
+
+
+@_register(
+    "m2_dataprocessor",
+    """
+SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name, c_acctbal, 'overridden' AS title
+FROM customer WHERE c_acctbal > 0
+""",
+)
+def m2_dataprocessor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — whole-collection dataProcessor: filter + withAttribute
+    (the README.md:63-71 example: override an attribute on every record)."""
+    customer = load(spark, sf_dir, "customer")
+    rf = RecordFrame.from_raw(customer, "c_custkey", order_by="c_custkey")
+    processed = (
+        rf.filter(F.col("c_acctbal") > 0)
+        .with_attribute("title", F.lit("overridden"))
+    )
+    return processed.df.select("_id", "c_name", "c_acctbal", "title")
+
+
+# --------------------------------------------------------------------------- #
+# T1/K8: set operations
+# --------------------------------------------------------------------------- #
+
+@_register(
+    "t1_ids_diff",
+    """
+SELECT CAST(c_custkey AS VARCHAR) AS _id FROM customer
+WHERE c_custkey NOT IN (SELECT s_suppkey FROM supplier)
+""",
+)
+def t1_ids_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — DataIds.diff as a left anti join (customer ids ∖ supplier ids)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("_id")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("_id")
+    )
+    return c.join(s, "_id", "left_anti")
+
+
+@_register(
+    "k8_with_record",
+    """
+SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name AS name, c_acctbal AS acctbal,
+       'customer' AS origin
+FROM customer
+UNION ALL
+SELECT CAST(s_suppkey AS VARCHAR), s_name, s_acctbal, 'supplier'
+FROM supplier
+WHERE CAST(s_suppkey AS VARCHAR) NOT IN (SELECT CAST(c_custkey AS VARCHAR) FROM customer)
+""",
+)
+def k8_with_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 — withRecord: add records iff id absent (first-wins union);
+    suppliers merged under customers, colliding keys keep the customer."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("origin"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("origin"),
+    )
+    base = RecordFrame.from_keyed(c, versioned=False)
+    other = RecordFrame.from_keyed(s, versioned=False)
+    return base.with_records(other).df
+
+
+# --------------------------------------------------------------------------- #
+# A3 surface: aggregation / window / top-k (free in Spark, exposed as
+# first-class operators beyond reference parity)
+# --------------------------------------------------------------------------- #
+
+@_register(
+    "agg_q1_lineitem",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_q1_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (decimal-exact sums cast to double
+    so the hash matches DuckDB regardless of accumulation order)."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "win_topk_orders_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def win_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (ranking window; deterministic tiebreak)."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@_register(
+    "events_hourly_rollup",
+    """
+SELECT event_type,
+       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, hour_epoch
+""",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup on the events table (batch form of the
+    streaming windowed agg; SURVEY §2.8).
+
+    events.ts is TIMESTAMP(NANOS) parquet, surfaced as raw nanos
+    (LongType) via nanosAsLong — the hour bucket is computed with exact
+    integer arithmetic (a double division of the raw int64 would lose
+    precision near bucket boundaries)."""
+    ev = load(spark, sf_dir, "events")
+    ns_per_hour = 3600 * 10**9
+    hour_epoch = ((F.col("ts") - F.col("ts") % ns_per_hour) / 10**9).cast("long")
+    return (
+        ev.groupBy("event_type", hour_epoch.alias("hour_epoch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry() — the SURVEY §7.2 end-to-end slice."""
+    return j4_changeset(spark, sf_dir)

@@ -1,0 +1,283 @@
+"""Eel ``${…}`` expression → Spark SQL translation.
+
+The reference's mapping rules are either a plain attribute name or an Eel
+expression, detected by the ``${…}`` wrapper
+(``Classes/EelEvaluator.php:28-31`` using Neos' EelExpressionRecognizer)
+and evaluated per record against a context containing ``record`` plus
+target-provided variables (``Classes/Mapper.php:33-49``).
+
+Here expressions compile **once** to a Spark SQL string handed to
+``F.expr`` — evaluation is JVM-side, whole-stage-codegen'd, zero
+per-row Python. The subset translated:
+
+- ``record.attr``            → the column ``attr``
+- other context variables    → caller-provided column prefixes
+- arithmetic / comparisons   → as-is (``==``→``=``, ``!=``→``<>``)
+- logical ``&&``/``||``/``!``→ ``AND``/``OR``/``NOT``
+- ``+`` with a string operand→ ``||`` (Eel's + concatenates strings)
+- ``cond ? a : b``           → ``CASE WHEN cond THEN a ELSE b END``
+- double-quoted strings      → single-quoted
+- Eel default helpers (String/Math/Date/Array/Json namespaces,
+  docs examples ``README.md:239-240``) → Spark SQL builtins via the
+  registry below; custom helpers are registered with
+  :func:`register_helper` (template or Spark-registered UDF name).
+
+Genuinely untranslatable logic should use the Python-UDF escape hatch:
+register a function with ``spark.udf.register`` and a helper mapping to
+its name.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+# Same shape as Neos' EelExpressionRecognizer: the whole string is ${...}.
+_EEL_RE = re.compile(r"^\$\{(?P<exp>.*)\}$", re.DOTALL)
+
+_STRING_LIT = r"'(?:[^'\\]|\\.)*'"
+
+
+def is_eel_expression(rule: str) -> bool:
+    """``EelEvaluator::isEelExpression`` (``Classes/EelEvaluator.php:28-31``)."""
+    return _EEL_RE.match(rule) is not None
+
+
+def _ucfirst(args: list[str]) -> str:
+    s = args[0]
+    return f"concat(upper(substring({s}, 1, 1)), substring({s}, 2))"
+
+
+def _lcfirst(args: list[str]) -> str:
+    s = args[0]
+    return f"concat(lower(substring({s}, 1, 1)), substring({s}, 2))"
+
+
+def _substr(args: list[str]) -> str:
+    # Eel String.substr is 0-based; Spark substring is 1-based.
+    if len(args) == 3:
+        return f"substring({args[0]}, ({args[1]}) + 1, {args[2]})"
+    return f"substring({args[0]}, ({args[1]}) + 1, 2147483647)"
+
+
+def _indexof(args: list[str]) -> str:
+    return f"(instr({args[0]}, {args[1]}) - 1)"
+
+
+# name → format template ({0},{1},… are the already-translated args) or a
+# callable list[str] -> str for anything positional templates can't say.
+_HELPERS: dict[str, str | Callable[[list[str]], str]] = {
+    "String.toUpperCase": "upper({0})",
+    "String.toLowerCase": "lower({0})",
+    "String.firstLetterToUpperCase": _ucfirst,
+    "String.firstLetterToLowerCase": _lcfirst,
+    "String.trim": "trim({0})",
+    "String.length": "length({0})",
+    "String.replace": "replace({0}, {1}, {2})",
+    "String.split": "split({0}, {1})",
+    "String.substr": _substr,
+    "String.indexOf": _indexof,
+    "String.charAt": "substring({0}, ({1}) + 1, 1)",
+    "String.startsWith": "startswith({0}, {1})",
+    "String.endsWith": "endswith({0}, {1})",
+    "String.toString": "cast({0} as string)",
+    "String.toInteger": "cast({0} as int)",
+    "String.toFloat": "cast({0} as double)",
+    "String.md5": "md5({0})",
+    "String.sha1": "sha1({0})",
+    "String.format": None,  # sentinel: unsupported, raises below
+    "Math.round": "round({0})",
+    "Math.floor": "floor({0})",
+    "Math.ceil": "ceiling({0})",
+    "Math.abs": "abs({0})",
+    "Math.min": "least({0}, {1})",
+    "Math.max": "greatest({0}, {1})",
+    "Math.pow": "power({0}, {1})",
+    "Math.sqrt": "sqrt({0})",
+    "Math.random": "rand()",
+    "Date.now": "current_timestamp()",
+    "Date.format": "date_format({0}, {1})",
+    "Date.parse": "to_timestamp({0})",
+    "Array.join": "array_join({0}, {1})",
+    "Array.length": "size({0})",
+    "Array.first": "element_at({0}, 1)",
+    "Array.last": "element_at({0}, -1)",
+    "Array.concat": "concat({0}, {1})",
+    "Array.indexOf": "(array_position({0}, {1}) - 1)",
+    "Json.stringify": "to_json({0})",
+}
+
+
+def register_helper(name: str, template: str | Callable[[list[str]], str]) -> None:
+    """Register a custom Eel helper (e.g. ``Some.Custom.Eelhelper``).
+
+    ``template`` is a Spark-SQL format string over translated args, or a
+    callable. To back it with Python, ``spark.udf.register("f", fn, rtype)``
+    and pass ``"f({0})"`` — the reference's custom-helper extension point
+    (``README.md:240``) mapped to Spark's UDF registry.
+    """
+    _HELPERS[name] = template
+
+
+class EelTranslationError(ValueError):
+    pass
+
+
+def _protect_strings(expr: str) -> tuple[str, list[str]]:
+    """Pull string literals out so operator rewrites can't touch them.
+
+    Double-quoted Eel strings become single-quoted SQL strings.
+    """
+    literals: list[str] = []
+
+    def grab(match: re.Match) -> str:
+        text = match.group(0)
+        if text.startswith('"'):
+            inner = text[1:-1].replace("\\\"", '"').replace("'", "''")
+            text = f"'{inner}'"
+        literals.append(text)
+        return f"\x00{len(literals) - 1}\x00"
+
+    out = re.sub(_STRING_LIT + r'|"(?:[^"\\]|\\.)*"', grab, expr)
+    return out, literals
+
+
+def _restore_strings(expr: str, literals: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], expr)
+
+
+def _translate_helpers(expr: str) -> str:
+    """Rewrite ``Namespace.helper(args)`` calls via the registry, innermost
+    first so nested calls resolve."""
+    call_re = re.compile(r"\b([A-Z][A-Za-z0-9]*(?:\.[A-Za-z][A-Za-z0-9]*)+)\(")
+
+    def find_call(s: str) -> tuple[int, int, str, list[str]] | None:
+        m = call_re.search(s)
+        if not m:
+            return None
+        name = m.group(1)
+        depth, i = 1, m.end()
+        args, start = [], m.end()
+        while i < len(s) and depth:
+            c = s[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif c == "," and depth == 1:
+                args.append(s[start:i].strip())
+                start = i + 1
+            i += 1
+        if depth:
+            raise EelTranslationError(f"Unbalanced parentheses in: {s}")
+        tail = s[start:i].strip()
+        if tail:
+            args.append(tail)
+        return m.start(), i + 1, name, args
+
+    while True:
+        found = find_call(expr)
+        if found is None:
+            return expr
+        begin, end, name, args = found
+        template = _HELPERS.get(name)
+        if template is None:
+            raise EelTranslationError(
+                f'No translation for Eel helper "{name}" — register one with '
+                f"register_helper(), optionally backed by spark.udf.register()"
+            )
+        args = [_translate_helpers(a) for a in args]
+        rendered = template(args) if callable(template) else template.format(*args)
+        expr = expr[:begin] + rendered + expr[end:]
+
+
+def _rewrite_plus_concat(expr: str) -> str:
+    """Eel ``+`` concatenates when an operand is a string. After string
+    literals are protected as \\x00N\\x00 tokens, any top-level ``+`` chain
+    touching one becomes ``||``. (Attribute-only concat like
+    ``record.a + record.b`` with string columns must use helpers or
+    explicit quotes — type info isn't available at translation time.)"""
+
+    def split_top(s: str, sep: str) -> list[str]:
+        parts, depth, start = [], 0, 0
+        for i, c in enumerate(s):
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif c == sep and depth == 0:
+                parts.append(s[start:i])
+                start = i + 1
+        parts.append(s[start:])
+        return parts
+
+    parts = split_top(expr, "+")
+    if len(parts) > 1 and any("\x00" in p for p in parts):
+        return " || ".join(p.strip() for p in parts)
+    return expr
+
+
+def _rewrite_ternary(expr: str) -> str:
+    q = expr.find("?")
+    if q == -1 or expr.find(":", q) == -1:
+        return expr
+    # split on the first top-level '?' and its matching ':'
+    depth = 0
+    for i, c in enumerate(expr):
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "?" and depth == 0:
+            cond = expr[:i]
+            rest = expr[i + 1 :]
+            d2 = 0
+            for j, c2 in enumerate(rest):
+                if c2 in "([":
+                    d2 += 1
+                elif c2 in ")]":
+                    d2 -= 1
+                elif c2 == ":" and d2 == 0:
+                    then, other = rest[:j], rest[j + 1 :]
+                    return (
+                        f"CASE WHEN {cond.strip()} THEN {then.strip()} "
+                        f"ELSE {other.strip()} END"
+                    )
+            break
+    return expr
+
+
+def translate_eel(rule: str, variables: dict[str, str] | None = None) -> str:
+    """Translate an Eel expression ``${…}`` to a Spark SQL expression string.
+
+    ``variables`` maps extra context-variable names to column prefixes
+    (the reference injects e.g. ``nodeData``,
+    ``ContentRepositoryTarget.php:296``); ``record`` always maps to the
+    bare row, so ``record.foo`` → column ``foo``.
+    """
+    m = _EEL_RE.match(rule)
+    if not m:
+        raise EelTranslationError(f"Not an Eel expression: {rule}")
+    expr = m.group("exp")
+
+    expr, literals = _protect_strings(expr)
+    # logical operators BEFORE '+'→'||' rewriting ('||' means OR in Eel)
+    expr = re.sub(r"&&", " AND ", expr)
+    expr = re.sub(r"\|\|", " OR ", expr)
+    expr = re.sub(r"==", " = ", expr)
+    expr = re.sub(r"!=", " <> ", expr)  # before '!' so it isn't eaten by NOT
+    expr = re.sub(r"!(?![=])", " NOT ", expr)
+    expr = _rewrite_ternary(expr)
+    expr = _translate_helpers(expr)
+    # context variables: record.foo → `foo`; extra vars → prefixed columns
+    expr = re.sub(r"\brecord\.([A-Za-z_][A-Za-z0-9_]*)", r"`\1`", expr)
+    for var, prefix in (variables or {}).items():
+        expr = re.sub(
+            rf"\b{re.escape(var)}\.([A-Za-z_][A-Za-z0-9_]*)",
+            rf"`{prefix}`.\1" if prefix else r"`\1`",
+            expr,
+        )
+    expr = _rewrite_plus_concat(expr)
+    return _restore_strings(expr, literals).strip()
