@@ -1,0 +1,252 @@
+"""End-to-end pipeline runs: preset registry (templates, validation),
+events, skip guards, forceUpdates, prune, setup, fixture mode, CLI."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from wwwision_importservice_spark.errors import ConfigurationError, ImportServiceError
+from wwwision_importservice_spark.plans.pipeline import Events, ImportPipeline
+from wwwision_importservice_spark.plans.preset import (
+    Preset,
+    PresetRegistry,
+    register_processor,
+)
+from wwwision_importservice_spark.sinks.parquet import ParquetTarget
+from wwwision_importservice_spark.sources.memory import CallableSource
+
+
+def make_preset(tmp_path, rows, mapper=None, **kwargs) -> Preset:
+    return Preset(
+        name="test",
+        source=CallableSource(
+            rows=rows, schema="id string, v long, title string, _ord long"
+        ),
+        target=ParquetTarget(
+            path=str(tmp_path / "tgt"), id_column="id", version_column="version"
+        ),
+        id_attribute="id",
+        version_attribute="v",
+        order_attribute="_ord",
+        mapper=mapper,
+        **kwargs,
+    )
+
+
+def test_first_run_adds_second_run_noop_third_updates(spark, tmp_path):
+    rows_v1 = [("a", 1, "t1", 1), ("b", 2, "t2", 2)]
+    preset = make_preset(tmp_path, rows_v1)
+    pipeline = ImportPipeline(preset, spark)
+
+    stats = pipeline.run()
+    assert stats == {"added": 2, "updated": 0, "removed": 0, "errors": 0}
+
+    # identical second run: all no-ops
+    stats = pipeline.run()
+    assert stats == {"added": 0, "updated": 0, "removed": 0, "errors": 0}
+
+    # bump a's version; drop b → update + remove
+    preset.source.rows = [("a", 9, "t1b", 1)]
+    stats = pipeline.run()
+    assert stats == {"added": 0, "updated": 1, "removed": 1, "errors": 0}
+    rows = {r["id"]: (r["version"], r["title"]) for r in spark.read.parquet(str(tmp_path / "tgt")).collect()}
+    assert rows == {"a": (9, "t1b")}
+
+
+def test_force_updates(spark, tmp_path):
+    preset = make_preset(tmp_path, [("a", 1, "t", 1)])
+    pipeline = ImportPipeline(preset, spark)
+    pipeline.run()
+    stats = pipeline.run(force_updates=True)
+    assert stats["updated"] == 1
+
+
+def test_events_fire(spark, tmp_path):
+    preset = make_preset(tmp_path, [("a", 1, "t", 1)])
+    pipeline = ImportPipeline(preset, spark)
+    seen = []
+    pipeline.on(Events.PRE_COMPUTE_CHANGES, lambda rf: seen.append("pre_compute"))
+    pipeline.on(Events.PRE_IMPORT_DATA, lambda cdc: seen.append("pre_import"))
+    pipeline.on(Events.PRE_ADD_DATA, lambda n: seen.append(f"pre_add:{n}"))
+    pipeline.on(Events.POST_ADD_DATA, lambda: seen.append("post_add"))
+    pipeline.run()
+    assert seen == ["pre_compute", "pre_import", "pre_add:1", "post_add"]
+
+
+def test_skip_flags_suppress(spark, tmp_path):
+    preset = make_preset(tmp_path, [("a", 1, "t", 1)])
+    ImportPipeline(preset, spark).run()
+    # new source with an add and an implicit remove, both skipped
+    preset2 = make_preset(tmp_path, [("b", 1, "t", 1)], skip_added=True, skip_removed=True)
+    stats = ImportPipeline(preset2, spark).run()
+    assert stats == {"added": 0, "updated": 0, "removed": 0, "errors": 0}
+
+
+def test_prune_and_guard(spark, tmp_path):
+    preset = make_preset(tmp_path, [("a", 1, "t", 1)])
+    pipeline = ImportPipeline(preset, spark)
+    pipeline.run()
+    assert pipeline.remove_all() == 1
+
+    guarded = make_preset(tmp_path, [("a", 1, "t", 1)], skip_removed=True)
+    with pytest.raises(ImportServiceError, match="no local records must be removed"):
+        ImportPipeline(guarded, spark).remove_all()
+
+
+def test_mapping_applied_at_write(spark, tmp_path):
+    from wwwision_importservice_spark.mapping import Mapper
+
+    mapper = Mapper({"headline": "${String.toUpperCase(record.title)}"})
+    preset = make_preset(tmp_path, [("a", 1, "hello", 1)], mapper=mapper)
+    ImportPipeline(preset, spark).run()
+    rows = spark.read.parquet(str(tmp_path / "tgt")).collect()
+    assert rows[0]["headline"] == "HELLO"
+    assert "title" not in rows[0].asDict()
+
+
+def test_data_processor(spark, tmp_path):
+    register_processor(
+        "only_positive", lambda df: df.filter(F.col("v") > 0)
+    )
+    preset = make_preset(tmp_path, [("a", 1, "t", 1), ("b", -0, "t", 2)])
+    # resolve via registry name like the reference's callable strings
+    from wwwision_importservice_spark.plans.preset import resolve_processor
+
+    preset.data_processor = resolve_processor("only_positive")
+    stats = ImportPipeline(preset, spark).run()
+    assert stats["added"] == 1
+
+
+def test_setup_merges_results(spark, tmp_path):
+    preset = make_preset(tmp_path, [("a", 1, "t", 1)])
+    result = ImportPipeline(preset, spark).setup()
+    assert not result.has_errors
+
+
+# --------------------------------------------------------------------- #
+# Preset registry: templates, validation, fixture mode
+# --------------------------------------------------------------------- #
+
+CONFIG = {
+    "presetTemplates": {
+        "base": {
+            "source": {"type": "file", "options": {"format": "json"}},
+            "options": {"skipRemovedRecords": True},
+        }
+    },
+    "presets": {
+        "users": {
+            "template": "base",
+            "source": {
+                "id_attribute": "id",
+                "options": {"path": "/tmp/users.json"},
+                "fixture": {"path": "/tmp/fixture.json"},
+            },
+            "target": {"type": "parquet", "options": {"path": "/tmp/users_tgt"}},
+            "mapping": {"name": "userName"},
+        },
+        "broken": {
+            "source": {"type": "nope"},
+            "target": {"type": "parquet", "options": {"path": "/x"}},
+        },
+    },
+}
+
+
+def test_template_deep_merge():
+    registry = PresetRegistry(CONFIG)
+    cfg = registry.preset_configuration("users")
+    # template contributes format + skipRemovedRecords; preset wins elsewhere
+    assert cfg["source"]["options"] == {"format": "json", "path": "/tmp/users.json"}
+    assert cfg["options"]["skipRemovedRecords"] is True
+
+
+def test_build_preset_from_config():
+    registry = PresetRegistry(CONFIG)
+    preset = registry.build("users")
+    assert preset.skip_removed is True and preset.skip_added is False
+    assert preset.id_attribute == "id"
+    assert preset.mapper is not None
+
+
+def test_unknown_preset_and_type():
+    registry = PresetRegistry(CONFIG)
+    with pytest.raises(ConfigurationError, match="not configured"):
+        registry.preset_configuration("nope")
+    with pytest.raises(ConfigurationError, match="Unknown source type"):
+        registry.build("broken")
+
+
+def test_fixture_mode(tmp_path):
+    cfg = json.loads(json.dumps(CONFIG))
+    fixture = tmp_path / "fixture.json"
+    fixture.write_text('[{"id": "f1", "userName": "x"}]')
+    cfg["presets"]["users"]["source"]["fixture"] = {"path": str(fixture)}
+    registry = PresetRegistry(cfg)
+    preset = registry.build("users", from_fixture=True)
+    from wwwision_importservice_spark.sources.file import FileSource
+
+    assert isinstance(preset.source, FileSource)
+    assert preset.source.path == str(fixture)
+    # mutually exclusive with source overrides (ImportServiceFactory.php:48-50)
+    with pytest.raises(ConfigurationError, match="mutually exclusive"):
+        registry.build("users", from_fixture=True, source_option_overrides={"path": "/x"})
+
+
+def test_source_option_overrides():
+    registry = PresetRegistry(CONFIG)
+    preset = registry.build("users", source_option_overrides={"path": "/override.json"})
+    assert preset.source.path == "/override.json"
+
+
+# --------------------------------------------------------------------- #
+# CLI (argparse surface; run covered via a real preset file)
+# --------------------------------------------------------------------- #
+
+def test_cli_run_and_presets(tmp_path, capsys):
+    import yaml
+
+    from wwwision_importservice_spark.cli import main
+
+    feed = tmp_path / "feed.json"
+    feed.write_text(json.dumps([{"id": "a", "v": 1, "title": "t"}]))
+    presets_file = tmp_path / "presets.yaml"
+    presets_file.write_text(
+        yaml.safe_dump(
+            {
+                "presets": {
+                    "demo": {
+                        "source": {
+                            "type": "file",
+                            "id_attribute": "id",
+                            "version_attribute": "v",
+                            "options": {"path": str(feed), "format": "json"},
+                        },
+                        "target": {
+                            "type": "parquet",
+                            "options": {
+                                "path": str(tmp_path / "tgt"),
+                                "id_column": "id",
+                                "version_column": "version",
+                            },
+                        },
+                    }
+                }
+            }
+        )
+    )
+    assert main(["--presets-file", str(presets_file), "presets"]) == 0
+    assert "demo" in capsys.readouterr().out
+
+    assert main(["--presets-file", str(presets_file), "preset", "demo"]) == 0
+    assert "file" in capsys.readouterr().out
+
+    assert main(["--presets-file", str(presets_file), "setup", "demo"]) == 0
+    assert main(["--presets-file", str(presets_file), "run", "demo"]) == 0
+    out = capsys.readouterr().out
+    assert "added=1" in out
+    assert main(["--presets-file", str(presets_file), "prune", "demo", "--assume-yes"]) == 0
+    assert "Removed 1" in capsys.readouterr().out

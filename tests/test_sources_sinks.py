@@ -1,0 +1,249 @@
+"""Source readers and sink writers: file/http/memory sources, parquet and
+sqlite (DBAPI) targets with batching, soft delete, and quarantine."""
+
+from __future__ import annotations
+
+import functools
+import json
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+
+from wwwision_importservice_spark.errors import ConfigurationError, DataError
+from wwwision_importservice_spark.operators.diff import compute_changes
+from wwwision_importservice_spark.record import RecordFrame
+from wwwision_importservice_spark.sinks.dbapi import DbapiTarget
+from wwwision_importservice_spark.sinks.parquet import ParquetTarget
+from wwwision_importservice_spark.sources.file import FileSource
+from wwwision_importservice_spark.sources.http import HttpSource
+from wwwision_importservice_spark.sources.memory import CallableSource
+
+
+# --------------------------------------------------------------------- #
+# Sources
+# --------------------------------------------------------------------- #
+
+def test_file_source_json_array(spark, tmp_path):
+    # S1: one JSON file containing an array of objects (FileSource.php:37-41)
+    path = tmp_path / "feed.json"
+    path.write_text(json.dumps([
+        {"id": "a", "title": "first"},
+        {"id": "b", "title": "second"},
+    ]))
+    src = FileSource(path=str(path), format="json")
+    df = src.load(spark)
+    assert df.count() == 2 and set(df.columns) == {"id", "title"}
+    assert not src.setup(spark).has_errors
+
+
+def test_file_source_missing_file_setup(spark):
+    src = FileSource(path="/no/such/file.json")
+    assert src.setup(spark).has_errors
+
+
+def test_file_source_parquet(spark, sf_dir):
+    src = FileSource(path=f"{sf_dir}/orders.parquet", format="parquet")
+    assert src.load(spark).count() > 0
+
+
+def test_callable_source(spark):
+    # S5: closure source (test seam), incl. replaceClosure
+    src = CallableSource(rows=[("a", 1)], schema="id string, v long")
+    assert src.load(spark).count() == 1
+    src.replace_callable(
+        lambda sp, opts: sp.createDataFrame([("x", 1), ("y", 2)], "id string, v long")
+    )
+    assert src.load(spark).count() == 2
+
+
+def test_http_source_parses_and_validates(spark, monkeypatch):
+    # S2: 200 + non-empty JSON array required (HttpSource.php:50-74)
+    import wwwision_importservice_spark.sources.http as http_mod
+
+    monkeypatch.setattr(
+        http_mod, "_fetch", lambda url, headers, timeout: (200, '[{"id": "a", "n": 1}]')
+    )
+    src = HttpSource(endpoint="http://example.test/feed")
+    assert src.load(spark).count() == 1
+
+    monkeypatch.setattr(http_mod, "_fetch", lambda *a: (500, "oops"))
+    with pytest.raises(DataError, match="HTTP 500"):
+        HttpSource(endpoint="http://example.test/feed").load(spark)
+
+    monkeypatch.setattr(http_mod, "_fetch", lambda *a: (200, "[]"))
+    with pytest.raises(DataError, match="empty array"):
+        HttpSource(endpoint="http://example.test/feed").load(spark)
+
+    monkeypatch.setattr(http_mod, "_fetch", lambda *a: (200, '{"not": "array"}'))
+    with pytest.raises(DataError, match="not a JSON array"):
+        HttpSource(endpoint="http://example.test/feed").load(spark)
+
+
+def test_options_schema_on_source():
+    with pytest.raises(ConfigurationError, match="Missing required option"):
+        FileSource.from_options({"format": "json"})
+
+
+# --------------------------------------------------------------------- #
+# Sink helpers
+# --------------------------------------------------------------------- #
+
+def make_cdc(spark, rows):
+    """rows: (id, version, title, change_type)"""
+    return spark.createDataFrame(
+        rows, "_id string, _version long, title string, change_type string"
+    )
+
+
+# --------------------------------------------------------------------- #
+# Parquet target
+# --------------------------------------------------------------------- #
+
+def test_parquet_target_full_lifecycle(spark, tmp_path):
+    path = str(tmp_path / "tgt")
+    target = ParquetTarget(path=path, id_column="id", version_column="version")
+
+    # first run: everything adds
+    stats = target.apply(spark, make_cdc(spark, [("a", 1, "t1", "add"), ("b", 2, "t2", "add")]))
+    assert (stats.added, stats.updated, stats.removed) == (2, 0, 0)
+    state = {r["id"]: r["version"] for r in target.current_state(spark).collect()}
+    assert state == {"a": 1, "b": 2}
+
+    # second run: update a, remove b, add c
+    stats = target.apply(
+        spark,
+        make_cdc(spark, [("a", 5, "t1b", "update"), ("b", None, None, "remove"), ("c", 3, "t3", "add")]),
+    )
+    assert (stats.added, stats.updated, stats.removed) == (1, 1, 1)
+    rows = {r["id"]: (r["version"], r["title"]) for r in spark.read.parquet(path).collect()}
+    assert rows == {"a": (5, "t1b"), "c": (3, "t3")}
+
+    # prune
+    assert target.remove_all(spark) == 2
+    assert not target.exists()
+
+
+def test_parquet_target_soft_delete_and_unhide(spark, tmp_path):
+    path = str(tmp_path / "tgt")
+    target = ParquetTarget(
+        path=path, id_column="id", version_column="version", soft_delete=True
+    )
+    target.apply(spark, make_cdc(spark, [("a", 1, "t", "add"), ("b", 1, "t", "add")]))
+    # remove b → hidden, not deleted (W7)
+    target.apply(spark, make_cdc(spark, [("b", None, None, "remove")]))
+    rows = {r["id"]: r["hidden"] for r in spark.read.parquet(path).collect()}
+    assert rows == {"a": False, "b": True}
+    # b re-appears → update un-hides (W6)
+    target.apply(spark, make_cdc(spark, [("b", 9, "t2", "update")]))
+    rows = {r["id"]: (r["hidden"], r["version"]) for r in spark.read.parquet(path).collect()}
+    assert rows["b"] == (False, 9)
+
+
+def test_parquet_target_id_prefix_roundtrip(spark, tmp_path):
+    # J6: stored ids are prefixed; diff sees stripped ids
+    path = str(tmp_path / "tgt")
+    target = ParquetTarget(path=path, id_column="id", version_column="version", id_prefix="node-")
+    target.apply(spark, make_cdc(spark, [("a", 1, "t", "add")]))
+    stored = [r["id"] for r in spark.read.parquet(path).collect()]
+    assert stored == ["node-a"]
+    # diff against prefixed state: same id should be no-op/update, not add
+    src = RecordFrame.from_raw(
+        spark.createDataFrame([("a", 2, "t2", 1)], "id string, v long, title string, _ord long"),
+        "id", version_attribute="v", order_by="_ord",
+    ).df
+    cdc = compute_changes(
+        src, target.current_state(spark),
+        local_id_col="id", local_version_col="version", id_prefix="node-",
+    )
+    assert {(r["_id"], r["change_type"]) for r in cdc.collect()} == {("a", "update")}
+
+
+# --------------------------------------------------------------------- #
+# DBAPI (sqlite) target — the relational round-trip
+# --------------------------------------------------------------------- #
+
+@pytest.fixture()
+def sqlite_target(tmp_path):
+    db = str(tmp_path / "t.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE records (id TEXT PRIMARY KEY, title TEXT, version INTEGER, hidden INTEGER DEFAULT 0)"
+    )
+    conn.commit()
+    conn.close()
+    factory = functools.partial(sqlite3.connect, db)
+    target = DbapiTarget(
+        connection_factory=factory,
+        table="records",
+        id_column="id",
+        version_column="version",
+        hidden_column="hidden",
+        soft_delete=False,
+        write_partitions=1,  # sqlite: single writer
+    )
+    return target, db
+
+
+def q(db, sql):
+    conn = sqlite3.connect(db)
+    try:
+        return conn.execute(sql).fetchall()
+    finally:
+        conn.close()
+
+
+def test_dbapi_target_insert_update_delete(spark, sqlite_target):
+    target, db = sqlite_target
+    stats = target.apply(spark, make_cdc(spark, [("a", 1, "t1", "add"), ("b", 2, "t2", "add")]))
+    assert stats.added == 2 and stats.errors == 0
+    assert q(db, "SELECT id, title, version FROM records ORDER BY id") == [
+        ("a", "t1", 1),
+        ("b", "t2", 2),
+    ]
+
+    stats = target.apply(
+        spark, make_cdc(spark, [("a", 7, "t1b", "update"), ("b", None, None, "remove")])
+    )
+    assert stats.updated == 1 and stats.removed == 1
+    assert q(db, "SELECT id, title, version FROM records") == [("a", "t1b", 7)]
+
+    # current_state reads narrow columns back
+    state = {r["id"]: r["version"] for r in target.current_state(spark).collect()}
+    assert state == {"a": 7}
+
+    assert target.remove_all(spark) == 1
+    assert q(db, "SELECT count(*) FROM records") == [(0,)]
+
+
+def test_dbapi_target_soft_delete(spark, sqlite_target, tmp_path):
+    target, db = sqlite_target
+    target.soft_delete = True
+    target.apply(spark, make_cdc(spark, [("a", 1, "t", "add"), ("b", 1, "t", "add")]))
+    target.apply(spark, make_cdc(spark, [("b", None, None, "remove")]))
+    assert q(db, "SELECT id, hidden FROM records ORDER BY id") == [("a", 0), ("b", 1)]
+    # update un-hides (W6)
+    target.apply(spark, make_cdc(spark, [("b", 9, "t2", "update")]))
+    assert q(db, "SELECT id, hidden, version FROM records WHERE id='b'") == [("b", 0, 9)]
+
+
+def test_dbapi_target_quarantine_continues(spark, sqlite_target):
+    # O3: one bad row (PK collision) must not sink the batch
+    target, db = sqlite_target
+    target.apply(spark, make_cdc(spark, [("dup", 1, "t", "add")]))
+    stats = target.apply(
+        spark, make_cdc(spark, [("dup", 1, "t", "add"), ("ok", 1, "t", "add")])
+    )
+    assert stats.errors == 1 and stats.added == 1
+    ids = [r[0] for r in q(db, "SELECT id FROM records ORDER BY id")]
+    assert ids == ["dup", "ok"]
+
+
+def test_dbapi_setup(spark, sqlite_target):
+    target, db = sqlite_target
+    assert not target.setup(spark).has_errors
+    bad = DbapiTarget(
+        connection_factory=functools.partial(sqlite3.connect, db),
+        table="no_such_table",
+    )
+    assert bad.setup(spark).has_errors

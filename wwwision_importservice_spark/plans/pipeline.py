@@ -1,0 +1,181 @@
+"""The pipeline runner — ``ImportService`` re-expressed over DataFrames.
+
+Reference: ``Classes/ImportService.php:71-88`` — load → preComputeChanges
+→ diff → preImportData → skip guards → add → update → remove → finalize,
+with a 13-event callback bus (``:17-31``) and per-record error isolation
+(``:140-150``).
+
+Spark shape: the whole run is ONE lazy DataFrame DAG; jobs trigger at the
+guard counts and the sink write. Per-record events become per-phase
+events carrying counts (per-item callbacks would force row-at-a-time
+execution — the exact anti-pattern this engine replaces); the O3 error
+quarantine lives in the sink writers and surfaces through
+``ApplyStats.errors`` + the ``error`` event.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wwwision_importservice_spark.errors import ImportServiceError
+from wwwision_importservice_spark.mapping import Mapper
+from wwwision_importservice_spark.operators.diff import (
+    CHANGE_TYPE_COL,
+    ChangeType,
+    compute_changes,
+)
+from wwwision_importservice_spark.plans.preset import Preset
+from wwwision_importservice_spark.plans.result import Result
+from wwwision_importservice_spark.record import ID_COL, VERSION_COL
+
+
+class Events:
+    """Event names (``ImportService.php:17-31``)."""
+
+    ERROR = "error"
+    PRE_COMPUTE_CHANGES = "preComputeChanges"
+    PRE_IMPORT_DATA = "preImportData"
+    PRE_ADD_DATA = "preAddData"
+    ADD_DATA = "addData"
+    POST_ADD_DATA = "postAddData"
+    PRE_UPDATE_DATA = "preUpdateData"
+    UPDATE_DATA = "updateData"
+    POST_UPDATE_DATA = "postUpdateData"
+    PRE_REMOVE_DATA = "preRemoveData"
+    REMOVE_DATA = "removeData"
+    POST_REMOVE_DATA = "postRemoveData"
+
+
+class ImportPipeline:
+    def __init__(self, preset: Preset, spark: SparkSession) -> None:
+        self.preset = preset
+        self.spark = spark
+        self._callbacks: dict[str, list[Callable[..., Any]]] = {}
+
+    # -- events (ImportService::on / dispatch) --------------------------- #
+    def on(self, event: str, callback: Callable[..., Any]) -> None:
+        self._callbacks.setdefault(event, []).append(callback)
+
+    def _dispatch(self, event: str, *args: Any) -> None:
+        for cb in self._callbacks.get(event, []):
+            cb(*args)
+
+    # -- the run (ImportService::importData) ----------------------------- #
+    def compute_changes(self, force_updates: bool = False) -> DataFrame:
+        """Extract + key + process + diff → CDC frame (lazy)."""
+        records = self.preset.load(self.spark)
+        self._dispatch(Events.PRE_COMPUTE_CHANGES, records)
+        target = self.preset.target
+        local = target.current_state(self.spark)
+        return compute_changes(
+            records.df,
+            local,
+            force_updates=force_updates,
+            skip_added=self.preset.skip_added,
+            skip_removed=self.preset.skip_removed,
+            local_id_col=target.id_column,
+            local_version_col=target.version_column,
+            local_hidden_col=target.hidden_column,
+            id_prefix=target.id_prefix,
+            broadcast_local=self.preset.force_broadcast_state,
+        )
+
+    def run(self, force_updates: bool = False) -> dict[str, int]:
+        cdc = self.compute_changes(force_updates).cache()
+        try:
+            self._dispatch(Events.PRE_IMPORT_DATA, cdc)
+
+            counts = {
+                row[CHANGE_TYPE_COL]: row["n"]
+                for row in cdc.groupBy(CHANGE_TYPE_COL)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            added = counts.get(ChangeType.ADD, 0)
+            updated = counts.get(ChangeType.UPDATE, 0)
+            removed = counts.get(ChangeType.REMOVE, 0)
+
+            # Skip guards (ImportService.php:77-82): with a conforming
+            # target these can't fire (compute_changes already suppressed
+            # the branches); they protect against targets that ignore the
+            # flags.
+            if self.preset.skip_added and added:
+                raise ImportServiceError(
+                    "This preset is configured to skip added records, but the "
+                    "data target returned new records. Check your configuration "
+                    "and consider executing migrations"
+                )
+            if self.preset.skip_removed and removed:
+                raise ImportServiceError(
+                    "This preset is configured to skip removed records, but the "
+                    "data target returned removed records. Check your "
+                    "configuration and consider executing migrations"
+                )
+
+            mapped = self._apply_mapping(cdc)
+
+            if added:
+                self._dispatch(Events.PRE_ADD_DATA, added)
+            if updated:
+                self._dispatch(Events.PRE_UPDATE_DATA, updated, force_updates)
+            if removed:
+                self._dispatch(Events.PRE_REMOVE_DATA, removed)
+
+            stats = self.preset.target.apply(self.spark, mapped)
+            if stats.errors:
+                self._dispatch(
+                    Events.ERROR,
+                    f"{stats.errors} record(s) failed to apply and were quarantined",
+                )
+            if added:
+                self._dispatch(Events.POST_ADD_DATA)
+            if updated:
+                self._dispatch(Events.POST_UPDATE_DATA)
+            if removed:
+                self._dispatch(Events.POST_REMOVE_DATA)
+
+            self.preset.target.finalize(self.spark)
+            return {
+                "added": stats.added,
+                "updated": stats.updated,
+                "removed": stats.removed,
+                "errors": stats.errors,
+            }
+        finally:
+            cdc.unpersist()
+
+    def _apply_mapping(self, cdc: DataFrame) -> DataFrame:
+        """K11 at the set level: map attribute columns, carry engine columns."""
+        mapper = self.preset.mapper
+        if mapper is None:
+            return cdc
+        keep = [c for c in (ID_COL, VERSION_COL, CHANGE_TYPE_COL) if c in cdc.columns]
+        keep += [c for c in cdc.columns if c.startswith("_local_")]
+        return mapper.apply(cdc, keep=keep)
+
+    # -- prune (ImportService::removeAllData) ---------------------------- #
+    def remove_all(self) -> int:
+        if self.preset.skip_added or self.preset.skip_removed:
+            raise ImportServiceError(
+                "This preset is configured to skip added/removed records, so "
+                "no local records must be removed."
+            )
+        try:
+            return self.preset.target.remove_all(self.spark)
+        except ImportServiceError:
+            raise
+        except Exception as exc:
+            raise ImportServiceError(
+                f"Exception while removing all local records: {exc}"
+            ) from exc
+
+    # -- setup (ImportService::setup) ------------------------------------ #
+    def setup(self) -> Result:
+        result = Result()
+        result.merge(self.preset.source.setup(self.spark))
+        result.merge(self.preset.target.setup(self.spark))
+        return result

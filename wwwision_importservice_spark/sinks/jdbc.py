@@ -1,0 +1,132 @@
+"""JDBC target (W1-W4 over spark.read/write.jdbc).
+
+Adds use the native batched JDBC appender (``write.jdbc(mode='append')``
+with ``batchsize`` — W8); updates/removes have no DataFrame-native path,
+so they reuse the DBAPI executemany machinery when a ``connection_factory``
+is provided, else raise with guidance.
+
+No JDBC driver jar ships in this container, so this target is exercised
+structurally; DbapiTarget covers the relational round-trip in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wwwision_importservice_spark.errors import ConfigurationError
+from wwwision_importservice_spark.operators.diff import CHANGE_TYPE_COL, ChangeType
+from wwwision_importservice_spark.plans.result import Result
+from wwwision_importservice_spark.record import ID_COL, VERSION_COL
+from wwwision_importservice_spark.sinks.base import ApplyStats, DataTarget
+from wwwision_importservice_spark.sinks.dbapi import MAXIMUM_BATCH_SIZE, DbapiTarget
+
+
+class JdbcTarget(DataTarget):
+    def __init__(
+        self,
+        url: str,
+        table: str,
+        properties: dict[str, str] | None = None,
+        id_column: str = "id",
+        version_column: str | None = None,
+        hidden_column: str | None = None,
+        soft_delete: bool = False,
+        id_prefix: str | None = None,
+        batch_size: int = MAXIMUM_BATCH_SIZE,
+        connection_factory: Callable[[], Any] | None = None,
+    ) -> None:
+        self.url = url
+        self.table = table
+        self.properties = properties or {}
+        self.id_column = id_column
+        self.version_column = version_column
+        self.hidden_column = hidden_column or ("hidden" if soft_delete else None)
+        self.soft_delete = soft_delete
+        self.id_prefix = id_prefix
+        self.batch_size = batch_size
+        # updates/deletes need a DBAPI path; reuse its writer wholesale
+        self._dbapi = (
+            DbapiTarget(
+                connection_factory=connection_factory,
+                table=table,
+                id_column=id_column,
+                version_column=version_column,
+                hidden_column=self.hidden_column,
+                soft_delete=soft_delete,
+                id_prefix=id_prefix,
+                batch_size=batch_size,
+            )
+            if connection_factory
+            else None
+        )
+
+    def current_state(self, spark: SparkSession) -> DataFrame:
+        cols = [self.id_column]
+        if self.version_column:
+            cols.append(self.version_column)
+        if self.hidden_column:
+            cols.append(self.hidden_column)
+        # Catalyst pushes this projection into the JDBC SELECT.
+        return spark.read.jdbc(
+            self.url, self.table, properties=self.properties
+        ).select(*cols)
+
+    def apply(self, spark: SparkSession, cdc: DataFrame) -> ApplyStats:
+        adds = cdc.filter(F.col(CHANGE_TYPE_COL) == ChangeType.ADD)
+        rest = cdc.filter(F.col(CHANGE_TYPE_COL) != ChangeType.ADD)
+
+        reserved = {ID_COL, VERSION_COL, CHANGE_TYPE_COL, self.id_column,
+                    self.version_column, self.hidden_column}
+        attr_cols = [
+            c
+            for c in cdc.columns
+            if c not in reserved and not c.startswith("_local_")
+        ]
+        write_id = F.col(ID_COL)
+        if self.id_prefix:
+            write_id = F.concat(F.lit(self.id_prefix), write_id)
+        out_cols = [write_id.alias(self.id_column)] + [F.col(c) for c in attr_cols]
+        if self.version_column:
+            src_ver = F.col(VERSION_COL) if VERSION_COL in cdc.columns else F.lit(None)
+            out_cols.append(src_ver.cast("long").alias(self.version_column))
+
+        added = adds.count()
+        if added:
+            # W1 via the native batched appender (one INSERT batch per
+            # partition, `batchsize` rows per round-trip)
+            adds.select(*out_cols).write.option(
+                "batchsize", self.batch_size
+            ).jdbc(self.url, self.table, mode="append", properties=self.properties)
+
+        stats = ApplyStats(added=added)
+        if not rest.isEmpty():
+            if self._dbapi is None:
+                raise ConfigurationError(
+                    "JdbcTarget needs a connection_factory for update/delete "
+                    "(no DataFrame-native UPDATE/DELETE over JDBC)"
+                )
+            sub = self._dbapi.apply(spark, rest)
+            stats.updated, stats.removed, stats.errors = (
+                sub.updated,
+                sub.removed,
+                sub.errors,
+            )
+        return stats
+
+    def remove_all(self, spark: SparkSession) -> int:
+        if self._dbapi is None:
+            raise ConfigurationError("JdbcTarget.remove_all needs a connection_factory")
+        return self._dbapi.remove_all(spark)
+
+    def setup(self, spark: SparkSession) -> Result:
+        result = Result()
+        try:
+            self.current_state(spark).limit(0).schema
+            result.add_notice(f'Target table "{self.table}" is reachable')
+        except Exception as exc:
+            result.add_error(f'Failed to read target table "{self.table}": {exc}')
+        return result
