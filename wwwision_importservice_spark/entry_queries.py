@@ -503,6 +503,340 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------- #
+# X1/X2: dedup extensions (exact, MinHash+LSH, n-gram Jaccard, SimHash)
+# --------------------------------------------------------------------------- #
+
+# shared oracle fragments for the shingle → minhash → band pipeline
+_SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS u(i)
+"""
+
+_MINHASH_SQL = "SELECT doc_id, " + ", ".join(
+    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16)
+) + f" FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
+
+_BUCKETS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(h{4*b} || h{4*b+1} || h{4*b+2} || h{4*b+3}) AS sig "
+    f"FROM ({_MINHASH_SQL})"
+    for b in range(4)
+)
+
+_PAIRS_SQL = f"""
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM ({_BUCKETS_SQL}) l JOIN ({_BUCKETS_SQL}) r
+  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+"""
+
+
+@_register(
+    "x1_exact_dedup",
+    """
+SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — exact dedup by content hash (one representative per distinct
+    text, with multiplicity)."""
+    from wwwision_importservice_spark.operators.dedup import exact_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id")
+
+
+@_register("x2_minhash_lsh_pairs", _PAIRS_SQL)
+def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — near-duplicate candidate pairs via MinHash (16 md5-seeded
+    permutations) + LSH banding (4 bands × 4 rows)."""
+    from wwwision_importservice_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    return lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+
+
+@_register(
+    "x2_ngram_jaccard",
+    f"""
+SELECT p.id_a, p.id_b,
+       round(CAST(o.overlap AS DOUBLE) / (sa.n + sb.n - o.overlap), 6) AS jaccard
+FROM ({_PAIRS_SQL}) p
+JOIN (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
+  FROM ({_SHINGLES_SQL}) a JOIN ({_SHINGLES_SQL}) b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+) o ON o.id_a = p.id_a AND o.id_b = p.id_b
+JOIN (SELECT doc_id, count(*) AS n FROM ({_SHINGLES_SQL}) GROUP BY doc_id) sa
+  ON sa.doc_id = p.id_a
+JOIN (SELECT doc_id, count(*) AS n FROM ({_SHINGLES_SQL}) GROUP BY doc_id) sb
+  ON sb.doc_id = p.id_b
+""",
+)
+def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — exact shingle-set Jaccard on the LSH candidate pairs."""
+    from pyspark.sql import functions as FF
+
+    from wwwision_importservice_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+        word_shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3).cache()
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    out = ngram_jaccard(pairs, sh, "doc_id")
+    return out.withColumn("jaccard", FF.round("jaccard", 6))
+
+
+@_register(
+    "x2_simhash",
+    "SELECT doc_id, ("
+    + " + ".join(
+        f"CASE WHEN sum(CASE WHEN (instr('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) > 0 THEN {2**i} ELSE 0 END"
+        for i in range(16)
+    )
+    + """)::BIGINT AS simhash
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+WHERE tok <> '' GROUP BY doc_id
+""",
+)
+def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — 16-bit SimHash fingerprints (per-token md5 nibbles, majority
+    vote per bit)."""
+    from wwwision_importservice_spark.operators.dedup import simhash
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=16)
+
+
+# --------------------------------------------------------------------------- #
+# X3: similarity search
+# --------------------------------------------------------------------------- #
+
+_COSINE_BASE = """
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS score
+  FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q, embeddings c
+"""
+
+
+@_register(
+    "x3_cosine_topk",
+    f"""
+SELECT q_id, c_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+  FROM ({_COSINE_BASE})
+) WHERE rank <= 5
+""",
+)
+def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — brute-force exact cosine top-5 for every 100th vector as a
+    query against the full corpus."""
+    from wwwision_importservice_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    return cosine_topk(
+        queries, corpus, k=5, query_id="q_id", corpus_id="c_id",
+        broadcast_corpus=True,
+    )
+
+
+def _bucket_expr(prefix: str) -> str:
+    """Sign-LSH bucket over the first 8 dims, as DuckDB SQL."""
+    return "(" + " + ".join(
+        f"CASE WHEN {prefix}.embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END"
+        for i in range(8)
+    ) + ")"
+
+
+@_register(
+    "x3_ann_lsh_topk",
+    f"""
+SELECT q_id, c_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+  FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS score
+    FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+    JOIN embeddings c
+      ON {_bucket_expr('q')} = {_bucket_expr('c')}
+  )
+) WHERE rank <= 5
+""",
+)
+def x3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — ANN variant: sign-LSH bucketing on the first 8 dimensions,
+    exact cosine within the bucket (recall < 1 vs x3_cosine_topk by
+    construction)."""
+    from wwwision_importservice_spark.operators.similarity import cosine_topk_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    return cosine_topk_lsh(
+        queries, corpus, k=5, query_id="q_id", corpus_id="c_id", bits=8
+    )
+
+
+# --------------------------------------------------------------------------- #
+# X5: text analysis
+# --------------------------------------------------------------------------- #
+
+@_register(
+    "x5_text_stats",
+    """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE
+             / greatest(len(toks), 1) AS mean_token_len,
+       len(list_filter(lower_toks, t -> t IN ('the','and','of','to','is')))::DOUBLE
+             / greatest(len(lower_toks), 1) AS stopword_ratio,
+       (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+             / greatest(length(text), 1) AS punct_ratio,
+       least(len(toks) / 64.0, 1.0) * 0.5
+             + (len(list_filter(lower_toks, t -> t IN ('the','and','of','to','is')))::DOUBLE
+                / greatest(len(lower_toks), 1)) * 0.3
+             + (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+                / greatest(length(text), 1)) * 0.2 AS quality_score
+FROM (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS lower_toks
+  FROM documents
+)
+""",
+)
+def x5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — quality-scoring feature frame (lengths, token stats, stopword
+    and punctuation ratios, composite score)."""
+    from wwwision_importservice_spark.operators.text import text_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return text_stats(docs, "doc_id", "text")
+
+
+@_register(
+    "x5_langid",
+    """
+SELECT doc_id,
+       CASE WHEN best_score > 0 THEN best_lang ELSE 'und' END AS detected_lang,
+       best_score AS marker_hits
+FROM (
+  SELECT doc_id,
+    CASE
+      WHEN es > greatest(de, en, fr) THEN 'es'
+      WHEN fr > greatest(de, en) THEN 'fr'
+      WHEN en > de THEN 'en'
+      ELSE 'de' END AS best_lang,
+    greatest(de, en, es, fr) AS best_score
+  FROM (
+    SELECT doc_id,
+      len(list_filter(toks, t -> t IN ('der','die','und','nicht','ist'))) AS de,
+      len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS en,
+      len(list_filter(toks, t -> t IN ('el','la','que','los','es'))) AS es,
+      len(list_filter(toks, t -> t IN ('le','la','et','les','est'))) AS fr
+    FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+          FROM documents)
+  )
+)
+""",
+)
+def x5_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — heuristic language ID by stopword-marker votes (alphabetical
+    tiebreak: later language wins only on strictly greater score)."""
+    from wwwision_importservice_spark.operators.text import detect_language
+
+    docs = load(spark, sf_dir, "documents")
+    return detect_language(docs, "doc_id", "text")
+
+
+@_register(
+    "x5_fingerprint",
+    """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+)
+def x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — normalized-text md5 fingerprint (rolling-hash stand-in) for
+    normalized-exact dup clustering."""
+    from wwwision_importservice_spark.operators.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    return fingerprint(docs, "doc_id", "text")
+
+
+@_register(
+    "x5_token_count",
+    r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens
+FROM documents
+""",
+)
+def x5_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — BPE-ish regex token counting (word / number / punct classes,
+    pattern in the Java-regex ∩ RE2 common subset)."""
+    from wwwision_importservice_spark.operators.text import TOKEN_PATTERN, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+# --------------------------------------------------------------------------- #
+# X4: multimodal plumbing (rows-only check: Pandas-UDF decode path)
+# --------------------------------------------------------------------------- #
+
+@_register(
+    "x4_multimodal_meta",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS content_sha,
+       (64 + ((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+              + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 192)::INT AS width,
+       (64 + ((instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+              + instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) % 192)::INT AS height,
+       'fake' AS format
+FROM documents
+""",
+)
+def x4_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — binary media plumbing: text bytes stand in for media blobs;
+    metadata extraction runs through the Arrow-batched mapInPandas decode
+    path (deterministic fake decoder — the real one is gated on Pillow)."""
+    from wwwision_importservice_spark.operators.multimodal import (
+        attach_blob,
+        decode_metadata,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    blobs = attach_blob(docs, "doc_id", "text")
+    return decode_metadata(blobs, "doc_id")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() — the SURVEY §7.2 end-to-end slice."""
     return j4_changeset(spark, sf_dir)

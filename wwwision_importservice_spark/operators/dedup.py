@@ -1,0 +1,217 @@
+"""Deduplication operators — exact and near-duplicate (SURVEY §2.9 X1/X2).
+
+Driver-mandated extensions beyond the reference surface (the reference's
+only dedup is keyed last-write-wins, K1): the operators a large-scale
+training-data pipeline runs over a ``documents`` table.
+
+Portability invariant: every hash here is **md5 over explicit strings**
+(seeded by concatenation), so a DuckDB oracle reproduces byte-identical
+signatures — no engine-private hash functions.
+
+Scale design:
+- shingling/minhashing is explode → ONE hash aggregate with k ``min``
+  columns (map-side partial mins; a single shuffle on doc id);
+- LSH banding self-joins on (band, signature) — the shuffle key is the
+  band signature, which is uniformly distributed by construction; boiler-
+  plate duplicate clusters (the classic skew case) are handled by AQE
+  skew-join splitting (enabled in the session defaults);
+- exact jaccard runs only on LSH candidate pairs, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str
+) -> DataFrame:
+    """X1 — exact dedup by content hash: one representative (min id) per
+    distinct content; adds ``dup_count``. Single hash aggregate."""
+    fingerprint = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    return (
+        df.withColumn("__fp", fingerprint)
+        .groupBy("__fp")
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .withColumnRenamed("__fp", "content_hash")
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: ``(id, shingle)``.
+
+    Short documents (< n words) contribute their whole text as one
+    shingle so they still participate in similarity."""
+    words = F.split(F.col(text_col), " ")
+    count = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), count)
+    shingle = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i, n), " ")
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per document: ``num_hashes`` permutations
+    emulated as md5 over a seeded string, min-aggregated in one pass
+    (columns ``h0..h{k-1}``)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature (``bands`` × ``num_hashes/bands`` rows), bucket
+    by band signature, emit candidate pairs (id_a < id_b) sharing ≥1
+    bucket. The banding trades recall for candidate count in the standard
+    LSH way (P(candidate) = 1-(1-j^r)^b)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("sig"))
+        )
+    buckets = sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    pairs: DataFrame, shingle_df: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs:
+    ``|A∩B| / (|A|+|B|-|A∩B|)``. Joins stay on (id, shingle) keys; the
+    candidate set bounds the cost."""
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("overlap")
+                / (F.col("n_a") + F.col("n_b") - F.col("overlap"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint: per-token md5, majority vote per bit position,
+    assembled into a ``bits``-wide integer (bit i from hex nibble i of the
+    token hash, +1 when odd / -1 when even).
+
+    One explode + one hash aggregate with ``bits`` sums — the vote is a
+    map-side partial aggregate, so the shuffle carries only per-doc
+    partial sums."""
+    token = F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    toks = df.select(F.col(id_col), token).filter(F.col("tok") != "")
+    h = F.md5(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(
+                (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1) % 2 == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    voted = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    return voted.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    sig_df: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance.
+
+    Block on the signature's low byte halves to avoid all-pairs: two
+    16-bit signatures within hamming ≤ 3 agree exactly on at least one
+    of 4 disjoint 4-bit blocks (pigeonhole); the join key is (block idx,
+    block value)."""
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                ((F.col("simhash") / F.lit(2 ** (4 * i))).cast("long") % 16).alias("val"),
+            )
+            for i in range(4)
+        ]
+    )
+    keyed = sig_df.select(
+        F.col(id_col), F.col("simhash"), F.explode(blocks).alias("bk")
+    ).select(id_col, "simhash", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val"))
+    left = keyed.alias("l")
+    right = keyed.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

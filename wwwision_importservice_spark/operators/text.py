@@ -1,0 +1,138 @@
+"""Text-analysis operators (SURVEY §2.9 X5).
+
+Driver-mandated extensions over the ``documents`` table: language ID
+(n-gram/stopword heuristic), quality scoring, token counting, document
+fingerprinting. All pure ``pyspark.sql.functions`` expressions —
+whole-stage codegen, no Python in the hot path, and each has an exact
+DuckDB-SQL twin for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the heuristic language ID.
+# (A real pipeline would use fastText/cld3 via a Pandas UDF — this is the
+# portable, dependency-free n-gram-style heuristic.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "que", "los", "es"],
+}
+
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"  # BPE-ish word/number/punct split
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_count(text: Column, pattern: str = TOKEN_PATTERN) -> Column:
+    """Regex token count (portable: the pattern stays in the RE2 ∩ Java
+    regex common subset)."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str]) -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    punct = F.length(text) - F.length(
+        F.regexp_replace(text, "[^A-Za-z0-9 ]", "")
+    )
+    return punct / F.greatest(F.length(text), F.lit(1))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality-scoring feature frame: lengths, token stats, ratios, and a
+    composite quality score (length-normalized, punctuation-penalized,
+    stopword-informed) — one narrow projection.
+
+    Outputs are raw doubles, deliberately unrounded: both engines
+    evaluate the identical IEEE expression tree, so values are
+    bit-identical, while ``round()`` implementations disagree on exact
+    half cases (observed: 0.5046875 at 6 digits)."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tokens, F.lit(1))
+    sw_ratio = stopword_ratio(text, LANG_MARKERS["en"])
+    p_ratio = punct_ratio(text)
+    quality = (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * F.lit(0.5)
+        + sw_ratio * F.lit(0.3)
+        + (F.lit(1.0) - p_ratio) * F.lit(0.2)
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(text).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        sw_ratio.alias("stopword_ratio"),
+        p_ratio.alias("punct_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def detect_language(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts, argmax with
+    deterministic (alphabetical) tiebreak; 'und' (undetermined) when no
+    marker hits."""
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def marker_filter(markers: list[str]):
+        # NB: must stay a ONE-argument lambda — F.filter dispatches on
+        # lambda arity, and a second parameter would be bound to the
+        # array index, not the captured marker list.
+        return lambda t: t.isin(markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = None
+    for lang in sorted(scores):  # alphabetical iteration = tiebreak order
+        score = scores[lang]
+        if best is None:
+            best = F.struct(score.alias("s"), F.lit(lang).alias("l"))
+        else:
+            best = F.when(
+                scores[lang] > best.getField("s"),
+                F.struct(score.alias("s"), F.lit(lang).alias("l")),
+            ).otherwise(best)
+    detected = F.when(best.getField("s") > 0, best.getField("l")).otherwise(
+        F.lit("und")
+    )
+    return df.select(
+        F.col(id_col),
+        detected.alias("detected_lang"),
+        best.getField("s").alias("marker_hits"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (lowercase,
+    punctuation stripped, whitespace collapsed) — the key for
+    normalized-exact dup clustering."""
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized).alias("fingerprint"),
+    )

@@ -41,11 +41,6 @@ from wwwision_importservice_spark.sinks.base import ApplyStats, DataTarget
 MAXIMUM_BATCH_SIZE = 1000  # ContentRepositoryTarget.php:43-45
 
 
-def _chunks(rows: list, size: int):
-    for i in range(0, len(rows), size):
-        yield rows[i : i + size]
-
-
 class DbapiTarget(DataTarget):
     def __init__(
         self,
@@ -158,16 +153,24 @@ class DbapiTarget(DataTarget):
         upd_acc = sc.accumulator(0)
         rem_acc = sc.accumulator(0)
 
-        n_attr = len(attr_cols)
         has_ver = ver_col is not None
+        ct_col = CHANGE_TYPE_COL
+        ct_add, ct_update = ChangeType.ADD, ChangeType.UPDATE
 
+        # Self-contained closure (plain-value captures only): cloudpickle
+        # ships it by value so executors don't need this package on their
+        # sys.path.
         def write_partition(rows_iter) -> None:
             conn = factory()
             try:
                 cur = conn.cursor()
 
+                def chunks(rows: list, size: int):
+                    for i in range(0, len(rows), size):
+                        yield rows[i : i + size]
+
                 def run_batch(sql: str, params: list[tuple], acc) -> None:
-                    for chunk in _chunks(params, batch):
+                    for chunk in chunks(params, batch):
                         try:
                             cur.executemany(sql, chunk)
                             conn.commit()
@@ -191,10 +194,10 @@ class DbapiTarget(DataTarget):
                     wid = row["__wid"]
                     attrs = tuple(row[c] for c in attr_cols)
                     ver = (row["__wver"],) if has_ver else ()
-                    ct = row[CHANGE_TYPE_COL]
-                    if ct == ChangeType.ADD:
+                    ct = row[ct_col]
+                    if ct == ct_add:
                         inserts.append((wid,) + attrs + ver)
-                    elif ct == ChangeType.UPDATE:
+                    elif ct == ct_update:
                         updates.append(attrs + ver + (wid,))
                     else:
                         removes.append((wid,))

@@ -100,14 +100,36 @@ class HttpSource(DataSource):
         headers, timeout = self.headers, self.timeout
         url_df = spark.createDataFrame([(u,) for u in self.page_urls], "url string")
 
+        # Self-contained closure (plain-value captures, imports inside):
+        # cloudpickle ships it by value so executors don't need this
+        # package on their sys.path.
         def fetch_pages(iterator):
+            import json as _json
+
             import pandas as pd
+
+            def fetch(url):
+                try:
+                    import requests
+
+                    resp = requests.get(url, headers=headers, timeout=timeout)
+                    return resp.status_code, resp.text
+                except ImportError:
+                    from urllib.request import Request, urlopen
+
+                    req = Request(url, headers=headers)
+                    with urlopen(req, timeout=timeout) as resp:  # noqa: S310
+                        return resp.status, resp.read().decode("utf-8")
 
             for pdf in iterator:
                 frames = []
                 for url in pdf["url"]:
-                    status, body = _fetch(url, headers, timeout)
-                    rows = HttpSource._parse_static(status, body, url)
+                    status, body = fetch(url)
+                    if status != 200:
+                        raise RuntimeError(f'Failed to fetch "{url}": HTTP {status}')
+                    rows = _json.loads(body)
+                    if not isinstance(rows, list):
+                        raise RuntimeError(f'Response of "{url}" is not a JSON array')
                     if rows:
                         frames.append(pd.DataFrame(rows))
                 if frames:
@@ -115,15 +137,6 @@ class HttpSource(DataSource):
 
         n = max(1, min(len(self.page_urls), spark.sparkContext.defaultParallelism))
         return url_df.repartition(n).mapInPandas(fetch_pages, schema=self.schema)
-
-    @staticmethod
-    def _parse_static(status: int, body: str, url: str) -> list[dict[str, Any]]:
-        if status != 200:
-            raise DataError(f'Failed to fetch "{url}": HTTP {status}')
-        rows = json.loads(body)
-        if not isinstance(rows, list):
-            raise DataError(f'Response of "{url}" is not a JSON array')
-        return rows
 
     def setup(self, spark: SparkSession) -> Result:
         """HEAD-style reachability probe (HttpSource.php:35-45)."""
