@@ -1,0 +1,209 @@
+"""Structured Streaming extension tests: foreachBatch diff-sync,
+streaming-vs-batch window equivalence, and cross-batch stateful ops.
+
+File-source streams with ``maxFilesPerTrigger=1`` + ``availableNow``
+give deterministic multi-micro-batch runs from static fixtures.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sqlite3
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from wwwision_importservice_spark.mapping import Mapper
+from wwwision_importservice_spark.sinks.dbapi import DbapiTarget
+from wwwision_importservice_spark.streaming import (
+    first_seen_dedup,
+    nanos_to_timestamp,
+    running_totals,
+    stream_sync,
+    tumbling_rollup,
+)
+
+
+def _write_ordered_parquet(spark, tmp_path, name, frames):
+    """Write each frame as one parquet file in a dir, mtimes ascending so
+    the file stream source picks them up in order."""
+    d = tmp_path / name
+    d.mkdir()
+    now = time.time()
+    for i, df in enumerate(frames):
+        sub = tmp_path / f"__stage_{name}_{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(sub))
+        part = next(p for p in sub.iterdir() if p.name.endswith(".parquet"))
+        dest = d / f"{i:03d}.parquet"
+        part.rename(dest)
+        os.utime(dest, (now + i, now + i))
+    return str(d)
+
+
+def _run_stream(writer, tmp_path, name):
+    q = (
+        writer.option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in time"
+
+
+# --------------------------------------------------------------------- #
+# Windowed rollup: streaming result == batch result (same code path)
+# --------------------------------------------------------------------- #
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_dir = _write_ordered_parquet(spark, tmp_path, "events", [batch])
+
+    stream = spark.readStream.schema(batch.schema).parquet(in_dir)
+    rolled = tumbling_rollup(
+        stream.withColumn("__ts", nanos_to_timestamp("ts")),
+        "__ts",
+        ["event_type"],
+        window="1 hour",
+        value_col="value",
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("tumbling_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tumbling"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    expected = tumbling_rollup(
+        batch.withColumn("__ts", nanos_to_timestamp("ts")),
+        "__ts",
+        ["event_type"],
+        window="1 hour",
+        value_col="value",
+    )
+    got = sorted(tuple(r) for r in spark.table("tumbling_sink").collect())
+    want = sorted(tuple(r) for r in expected.collect())
+    assert got == want
+
+
+# --------------------------------------------------------------------- #
+# stream_sync: micro-batches drive the diff kernel into a sqlite target
+# --------------------------------------------------------------------- #
+
+def test_stream_sync_foreachbatch(spark, tmp_path):
+    db = str(tmp_path / "t.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE items (id TEXT PRIMARY KEY, name TEXT, version INTEGER)")
+    conn.execute("INSERT INTO items VALUES ('3', 'stale', 1), ('9', 'ghost', 1)")
+    conn.commit()
+    conn.close()
+    target = DbapiTarget(
+        connection_factory=functools.partial(sqlite3.connect, db),
+        table="items",
+        id_column="id",
+        version_column="version",
+        write_partitions=1,  # sqlite: single writer
+    )
+
+    batch1 = spark.createDataFrame(
+        [(1, "one", 1), (2, "two", 1), (3, "three", 1), (4, "four", 1)],
+        "item_id long, name string, ver long",
+    )
+    batch2 = spark.createDataFrame(
+        [(3, "three-v2", 2), (5, "five", 1)],
+        "item_id long, name string, ver long",
+    )
+    in_dir = _write_ordered_parquet(spark, tmp_path, "items_in", [batch1, batch2])
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    seen: list[tuple[int, dict]] = []
+    writer = stream_sync(
+        stream,
+        target,
+        id_attribute="item_id",
+        version_attribute="ver",
+        order_by="item_id",
+        mapper=Mapper({"name": "name"}),  # project to the target's columns
+        on_batch=lambda bid, stats: seen.append((bid, stats)),
+    )
+    _run_stream(writer, tmp_path, "sync")
+
+    conn = sqlite3.connect(db)
+    rows = {r[0]: r for r in conn.execute("SELECT id, name, version FROM items")}
+    conn.close()
+    # adds from both batches landed; id3 updated only once its version rose;
+    # id9 untouched (skip_removed defaults to True for streams)
+    assert set(rows) == {"1", "2", "3", "4", "5", "9"}
+    assert rows["3"] == ("3", "three-v2", 2)
+    assert rows["9"] == ("9", "ghost", 1)
+    assert len(seen) == 2
+    total = {k: sum(s[k] for _, s in seen) for k in ("added", "updated", "removed")}
+    assert total == {"added": 4, "updated": 1, "removed": 0}
+
+
+# --------------------------------------------------------------------- #
+# Stateful operators: state carries across micro-batches
+# --------------------------------------------------------------------- #
+
+def test_running_totals_across_batches(spark, tmp_path):
+    b1 = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], "user_id long, value double"
+    )
+    b2 = spark.createDataFrame([(1, 2.0), (3, 4.0)], "user_id long, value double")
+    in_dir = _write_ordered_parquet(spark, tmp_path, "totals_in", [b1, b2])
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        running_totals(stream, "user_id", "value")
+        .writeStream.format("memory")
+        .queryName("totals_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_totals"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    emitted = spark.table("totals_sink").collect()
+    final = {}
+    for r in emitted:  # update mode re-emits a key per batch; keep the max-n row
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final == {1: (3, 17.0), 2: (1, 1.0), 3: (1, 4.0)}
+
+
+def test_first_seen_dedup_across_batches(spark, tmp_path):
+    b1 = spark.createDataFrame([("a",), ("b",), ("a",)], "k string")
+    b2 = spark.createDataFrame([("b",), ("c",)], "k string")
+    in_dir = _write_ordered_parquet(spark, tmp_path, "dedup_in", [b1, b2])
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        first_seen_dedup(stream, "k")
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    rows = [r["k"] for r in spark.table("dedup_sink").collect()]
+    assert sorted(rows) == ["a", "b", "c"]  # each key exactly once, ever

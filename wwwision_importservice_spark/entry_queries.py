@@ -837,6 +837,102 @@ def x4_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_metadata(blobs, "doc_id")
 
 
+# --------------------------------------------------------------------------- #
+# Streaming window operators, oracle-checked in batch mode (the SAME
+# tumbling/sliding/session code path serves readStream frames; SURVEY §2.8)
+# --------------------------------------------------------------------------- #
+
+def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wwwision_importservice_spark.streaming.windows import nanos_to_timestamp
+
+    ev = load(spark, sf_dir, "events")
+    return ev.withColumn("__ts", nanos_to_timestamp("ts"))
+
+
+@_register(
+    "s1_window_tumbling",
+    """
+SELECT event_type,
+       epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+)
+def s1_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type via ``F.window`` — the
+    batch twin of the watermarked streaming rollup."""
+    from wwwision_importservice_spark.streaming.windows import tumbling_rollup
+
+    return tumbling_rollup(
+        _events_ts(spark, sf_dir), "__ts", ["event_type"],
+        window="1 hour", value_col="value",
+    )
+
+
+@_register(
+    "s2_window_sliding",
+    """
+SELECT event_type, window_start_us,
+       window_start_us + CAST(3600 AS BIGINT) * 1000000 AS window_end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT event_type, value,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 1800 - k) * 1800 * 1000000 AS window_start_us
+  FROM events, unnest([0, 1]) AS t(k)
+)
+GROUP BY event_type, window_start_us
+""",
+)
+def s2_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 min: each event lands in exactly
+    window/slide = 2 buckets (the oracle materializes both by cross-
+    joining offsets 0 and 1 slide)."""
+    from wwwision_importservice_spark.streaming.windows import sliding_rollup
+
+    return sliding_rollup(
+        _events_ts(spark, sf_dir), "__ts", ["event_type"],
+        window="1 hour", slide="30 minutes", value_col="value",
+    )
+
+
+@_register(
+    "s3_window_session",
+    """
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + CAST(1800 AS BIGINT) * 1000000 AS session_end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events)
+) GROUP BY user_id, sess
+""",
+)
+def s3_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap): events closer than the gap
+    merge; session_end = last event + gap. The oracle rebuilds Spark's
+    merge semantics as gaps-and-islands (new session iff the gap to the
+    previous event is >= 30 min)."""
+    from wwwision_importservice_spark.streaming.windows import session_rollup
+
+    return session_rollup(
+        _events_ts(spark, sf_dir), "__ts", ["user_id"],
+        gap="30 minutes", value_col="value",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() — the SURVEY §7.2 end-to-end slice."""
     return j4_changeset(spark, sf_dir)

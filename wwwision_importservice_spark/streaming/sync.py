@@ -1,0 +1,99 @@
+"""Streaming diff-sync: each micro-batch = one import run.
+
+The reference's whole lifecycle (``Classes/ImportService.php:71-88``:
+extract → key → process → diff → apply) re-runs per micro-batch via
+``foreachBatch``. The batch kernel is reused verbatim — ``foreachBatch``
+hands us a plain batch DataFrame, so :func:`compute_changes` and the
+sink writers apply unchanged.
+
+Semantics note (this is where streaming differs from batch sync): a
+micro-batch usually carries only *new* records, not the full source
+set, so removed-detection (local ∖ batch) would treat every record
+absent from the batch as deleted. ``skip_removed`` therefore defaults
+to ``True``; pass ``skip_removed=False`` only when each batch is a full
+snapshot of the source (e.g. a periodic full-feed drop directory).
+
+Scale notes: target state is re-read per batch — correct (another
+writer may have touched the target between batches) but at very high
+batch rates a cached state frame refreshed on a period is the cheaper
+choice; ``state_provider`` lets callers swap that in. Checkpointing is
+the caller's standard Spark concern (``option("checkpointLocation",…)``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.streaming import DataStreamWriter
+
+from wwwision_importservice_spark.mapping import Mapper
+from wwwision_importservice_spark.operators.diff import (
+    CHANGE_TYPE_COL,
+    compute_changes,
+)
+from wwwision_importservice_spark.record import ID_COL, VERSION_COL, RecordFrame
+from wwwision_importservice_spark.sinks.base import DataTarget
+
+
+def stream_sync(
+    stream_df: DataFrame,
+    target: DataTarget,
+    *,
+    id_attribute: str,
+    version_attribute: str | None = None,
+    order_by: str | Column | None = None,
+    processor: Callable[[DataFrame], DataFrame] | None = None,
+    mapper: Mapper | None = None,
+    force_updates: bool = False,
+    skip_added: bool = False,
+    skip_removed: bool = True,
+    on_batch: Callable[[int, dict[str, int]], None] | None = None,
+) -> DataStreamWriter:
+    """Wire a streaming source to a sync target; returns the
+    ``DataStreamWriter`` (caller sets trigger/checkpoint and ``start()``\\s).
+
+    Per micro-batch: key by ``id_attribute`` (K1 last-wins dedup within
+    the batch), optional ``processor`` (M2), diff against the target's
+    current state (J1-J5), optional ``mapper`` (K11/M1), apply (W1-W8).
+    ``on_batch(batch_id, stats)`` receives the apply counts — the
+    streaming analogue of the batch event bus.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        rf = RecordFrame.from_raw(
+            batch_df, id_attribute, version_attribute, order_by=order_by
+        )
+        records = processor(rf.df) if processor else rf.df
+        cdc = compute_changes(
+            records,
+            target.current_state(spark),
+            force_updates=force_updates,
+            skip_added=skip_added,
+            skip_removed=skip_removed,
+            local_id_col=target.id_column,
+            local_version_col=target.version_column,
+            local_hidden_col=target.hidden_column,
+            id_prefix=target.id_prefix,
+        )
+        if mapper is not None:
+            keep = [c for c in (ID_COL, VERSION_COL, CHANGE_TYPE_COL) if c in cdc.columns]
+            keep += [c for c in cdc.columns if c.startswith("_local_")]
+            cdc = mapper.apply(cdc, keep=keep)
+        stats = target.apply(spark, cdc)
+        target.finalize(spark)
+        if on_batch is not None:
+            on_batch(
+                batch_id,
+                {
+                    "added": stats.added,
+                    "updated": stats.updated,
+                    "removed": stats.removed,
+                    "errors": stats.errors,
+                },
+            )
+
+    return stream_df.writeStream.foreachBatch(process_batch)
