@@ -23,7 +23,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the diff kernel (flagship), keying/dedup, mapping,
 # aggregation, window, events rollup — the queries a sync run + analytics
-# mix actually exercises.
+# mix actually exercises — plus the scale-extension operators (dedup,
+# similarity, text analysis, streaming windows in batch form).
 HEADLINE = [
     "j4_changeset",
     "j5_soft_delete",
@@ -32,6 +33,12 @@ HEADLINE = [
     "agg_q1_lineitem",
     "win_topk_orders_per_customer",
     "events_hourly_rollup",
+    "x1_exact_dedup",
+    "x2_minhash_lsh_pairs",
+    "x3_cosine_topk",
+    "x5_text_stats",
+    "s1_window_tumbling",
+    "s3_window_session",
 ]
 
 

@@ -47,8 +47,26 @@ def _register(name: str, oracle: str | None = None):
     return wrap
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+def load(
+    spark: SparkSession, sf_dir: str, table: str, spread: bool = False
+) -> DataFrame:
+    """Read a testdata table; ``spread=True`` fans the scan out to all
+    cores first.
+
+    The driver testdata is one single-row-group parquet file per table,
+    so Spark can never split the scan past ONE task — every expression
+    between the scan and the first shuffle (hashing, shingling, text
+    stats) runs on one core of local[32]. A cheap RoundRobin repartition
+    (the inputs are MBs) unlocks the full width. At production scale
+    files have many row groups and the scan parallelizes natively, so
+    the repartition is skipped when the scan already has enough splits.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if spread:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 # --------------------------------------------------------------------------- #
@@ -515,11 +533,13 @@ _SHINGLES_SQL = """
 """
 
 _MINHASH_SQL = "SELECT doc_id, " + ", ".join(
-    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(16)
+    f"min(CAST(('0x' || substr(md5('{i}:' || shingle), 1, 15)) AS BIGINT)) AS h{i}"
+    for i in range(16)
 ) + f" FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
 
 _BUCKETS_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, md5(h{4*b} || h{4*b+1} || h{4*b+2} || h{4*b+3}) AS sig "
+    f"SELECT doc_id, {b} AS band, "
+    f"md5(h{4*b} || ':' || h{4*b+1} || ':' || h{4*b+2} || ':' || h{4*b+3}) AS sig "
     f"FROM ({_MINHASH_SQL})"
     for b in range(4)
 )
@@ -557,7 +577,7 @@ def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     sh = word_shingles(docs, "doc_id", "text", n=3)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     return lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
@@ -592,7 +612,7 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     sh = word_shingles(docs, "doc_id", "text", n=3).cache()
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
@@ -618,7 +638,7 @@ def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote per bit)."""
     from wwwision_importservice_spark.operators.dedup import simhash
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return simhash(docs, "doc_id", "text", bits=16)
 
 

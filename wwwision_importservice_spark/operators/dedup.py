@@ -10,11 +10,18 @@ signatures — no engine-private hash functions.
 
 Scale design:
 - shingling/minhashing is explode → ONE hash aggregate with k ``min``
-  columns (map-side partial mins; a single shuffle on doc id);
-- LSH banding self-joins on (band, signature) — the shuffle key is the
-  band signature, which is uniformly distributed by construction; boiler-
-  plate duplicate clusters (the classic skew case) are handled by AQE
-  skew-join splitting (enabled in the session defaults);
+  columns. The min runs over LONGs (first 60 bits of the md5), not hex
+  strings: Spark's HashAggregate needs mutable fixed-width buffer types,
+  so string mins silently fall back to SortAggregate — a per-group sort
+  of the whole shingle set. Long mins keep the map-side partial-agg hash
+  path (verified via ``.explain``: HashAggregate, one shuffle on doc id).
+- LSH banding does NOT self-join: group by (band, signature), collect
+  the id list per bucket, emit in-array pairs. A self-join would run the
+  whole shingle→minhash pipeline twice (exchange reuse dies once AQE
+  broadcast-converts one side); the group-by form computes it once. The
+  shuffle key is the band signature, uniformly distributed by
+  construction; giant buckets (boilerplate clusters) cost O(k²) pairs in
+  either formulation — that's inherent to LSH.
 - exact jaccard runs only on LSH candidate pairs, never all-pairs.
 """
 
@@ -60,16 +67,22 @@ def word_shingles(
     )
 
 
+def _md5_long(col) -> F.Column:
+    """First 60 bits of md5 as a non-negative long (portable: DuckDB's
+    ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)`` is byte-identical)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     shingle_df: DataFrame,
     id_col: str,
     num_hashes: int = 16,
 ) -> DataFrame:
     """MinHash signature per document: ``num_hashes`` permutations
-    emulated as md5 over a seeded string, min-aggregated in one pass
-    (columns ``h0..h{k-1}``)."""
+    emulated as seeded md5→long, min-aggregated in one pass (columns
+    ``h0..h{k-1}``, LongType so the aggregate stays hash-based)."""
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min(_md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return shingle_df.groupBy(id_col).agg(*aggs)
@@ -84,31 +97,40 @@ def lsh_candidate_pairs(
     """Band the signature (``bands`` × ``num_hashes/bands`` rows), bucket
     by band signature, emit candidate pairs (id_a < id_b) sharing ≥1
     bucket. The banding trades recall for candidate count in the standard
-    LSH way (P(candidate) = 1-(1-j^r)^b)."""
+    LSH way (P(candidate) = 1-(1-j^r)^b).
+
+    Pairs come from grouping ids per bucket and expanding combinations
+    in-array — one pass over the signature pipeline, no self-join.
+    """
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        # ':' separator disambiguates decimal concatenations (1,23 vs 12,3)
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("sig"))
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(":", *parts)).alias("sig"))
         )
     buckets = sig_df.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
 
-    left = buckets.alias("l")
-    right = buckets.alias("r")
+    grouped = (
+        buckets.groupBy("band", "sig")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda a: F.transform(
+                F.filter("ids", lambda b: b > a),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -182,8 +204,9 @@ def simhash_near_pairs(
 
     Block on the signature's low byte halves to avoid all-pairs: two
     16-bit signatures within hamming ≤ 3 agree exactly on at least one
-    of 4 disjoint 4-bit blocks (pigeonhole); the join key is (block idx,
-    block value)."""
+    of 4 disjoint 4-bit blocks (pigeonhole); the bucket key is (block
+    idx, block value). Like :func:`lsh_candidate_pairs`, pairs expand
+    in-array per bucket — no self-join, one pass over the signatures."""
     blocks = F.array(
         *[
             F.struct(
@@ -196,22 +219,32 @@ def simhash_near_pairs(
     keyed = sig_df.select(
         F.col(id_col), F.col("simhash"), F.explode(blocks).alias("bk")
     ).select(id_col, "simhash", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val"))
-    left = keyed.alias("l")
-    right = keyed.alias("r")
+
+    grouped = (
+        keyed.groupBy("blk", "val")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sig"))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            "members",
+            lambda a: F.transform(
+                F.filter("members", lambda b: b["id"] > a["id"]),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    F.bit_count(a["sig"].bitwiseXOR(b["sig"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).alias("hamming"),
-        )
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
