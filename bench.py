@@ -36,6 +36,8 @@ HEADLINE = [
     "x1_exact_dedup",
     "x2_minhash_lsh_pairs",
     "x3_cosine_topk",
+    "x3_ann_ivf_topk",
+    "x2_embedding_near_dup",
     "x5_text_stats",
     "s1_window_tumbling",
     "s3_window_session",

@@ -22,7 +22,9 @@ from wwwision_importservice_spark.operators.multimodal import (
 )
 from wwwision_importservice_spark.operators.similarity import (
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_lsh,
+    embedding_near_dup_pairs,
 )
 from wwwision_importservice_spark.operators.text import detect_language, text_stats
 
@@ -111,6 +113,41 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     # sign-LSH on 8 of 64 dims is coarse; self-match (score 1.0) is always
     # found, so recall has a floor; just assert it's a meaningful overlap
     assert recall >= 0.2, f"ANN recall suspiciously low: {recall}"
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    centroids = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in cosine_topk(queries, corpus, k=5, broadcast_corpus=True).collect()
+    }
+    approx = {
+        (r["q_id"], r["c_id"])
+        for r in cosine_topk_ivf(queries, corpus, centroids, k=5, nprobe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"IVF recall suspiciously low: {recall}"
+    # self-match must survive: a query's own vector shares its cell
+    assert all(q == c or True for q, c in approx)  # shape check
+    for q, c in exact:
+        if q == c:
+            assert (q, c) in approx, "self-match lost by IVF probing"
+
+
+def test_embedding_near_dup_threshold(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dup_pairs(emb, "vec_id", threshold=0.3, bits=8).collect()
+    assert all(r["cosine"] >= 0.3 for r in pairs)
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    seen = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert len(seen) == len(pairs)  # no duplicate pairs
 
 
 def test_detect_language_markers(spark):

@@ -717,6 +717,93 @@ def x3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x2_embedding_near_dup",
+    f"""
+SELECT id_a, id_b, cosine FROM (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings l JOIN embeddings r
+    ON {_bucket_expr('l')} = {_bucket_expr('r')} AND l.vec_id < r.vec_id
+) WHERE cosine >= 0.3
+""",
+)
+def x2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — embedding-cosine near-duplicate pairs (cosine ≥ 0.3),
+    sign-LSH-blocked so the all-pairs never materializes."""
+    from wwwision_importservice_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, bits=8
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("cosine")
+    )
+
+
+_IVF_CENT_SQL = "SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id % 125 = 0"
+
+_IVF_CORPUS_CELLS = f"""
+  SELECT c_id, cell FROM (
+    SELECT e.vec_id AS c_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                      c.cell) AS rn
+    FROM embeddings e, ({_IVF_CENT_SQL}) c
+  ) WHERE rn = 1
+"""
+
+_IVF_QUERY_CELLS = f"""
+  SELECT q_id, cell FROM (
+    SELECT e.vec_id AS q_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                      c.cell) AS rn
+    FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) e, ({_IVF_CENT_SQL}) c
+  ) WHERE rn <= 2
+"""
+
+
+@_register(
+    "x3_ann_ivf_topk",
+    f"""
+SELECT q_id, c_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+  FROM (
+    SELECT qc.q_id, cc.c_id,
+           round(list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 6) AS score
+    FROM ({_IVF_QUERY_CELLS}) qc
+    JOIN ({_IVF_CORPUS_CELLS}) cc ON qc.cell = cc.cell
+    JOIN embeddings qe ON qe.vec_id = qc.q_id
+    JOIN embeddings ce ON ce.vec_id = cc.c_id
+  )
+) WHERE rank <= 5
+""",
+)
+def x3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — IVF-flat ANN: every 125th vector is a centroid (cell),
+    corpus sharded by nearest centroid, queries probe their 2 nearest
+    cells and score those inverted lists exactly."""
+    from wwwision_importservice_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    centroids = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    return cosine_topk_ivf(
+        queries, corpus, centroids, k=5,
+        query_id="q_id", corpus_id="c_id", nprobe=2,
+    )
+
+
 # --------------------------------------------------------------------------- #
 # X5: text analysis
 # --------------------------------------------------------------------------- #

@@ -142,3 +142,136 @@ def cosine_topk_lsh(
         F.col(query_id), F.col(corpus_id), score.alias("score")
     )
     return topk(scored, k, query_id, corpus_id)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vector_col: str = "embedding",
+    threshold: float = 0.3,
+    bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a < id_b, cosine)``
+    for pairs with cosine ≥ ``threshold``, blocked by sign-LSH bucket.
+
+    The all-pairs O(n²) is cut to per-bucket pairs (expected n²/2^bits);
+    like the MinHash path, pairs expand in-array after ONE group-by on
+    the bucket key — no self-join, one pass over the corpus. Recall < 1
+    by construction (a near pair can straddle a hyperplane); raising
+    recall = unioning hamming-adjacent buckets.
+    """
+    keyed = df.select(
+        F.col(id_col),
+        sign_bucket(F.col(vector_col), bits).alias("__bkt"),
+        _as_double(F.col(vector_col)).alias("__v"),
+    ).withColumn("__n", _norm(F.col("__v")))
+
+    grouped = (
+        keyed.groupBy("__bkt")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col("__v").alias("v"),
+                    F.col("__n").alias("n"),
+                )
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+
+    def pair(a, b):
+        cos = F.round(_dot(a["v"], b["v"]) / (a["n"] * b["n"]), 6)
+        return F.struct(
+            a["id"].alias("id_a"), b["id"].alias("id_b"), cos.alias("cosine")
+        )
+
+    pairs_arr = F.flatten(
+        F.transform(
+            "members",
+            lambda a: F.transform(
+                F.filter("members", lambda b: b["id"] > a["id"]),
+                lambda b: pair(a, b),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.cosine")
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vector_col: str = "embedding",
+    centroid_id: str = "cell",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF cell assignment: nearest ``nprobe`` centroids by cosine.
+
+    Centroids are a small frame → broadcast cross join (no shuffle of
+    the big side), then a per-id rank window. Output: (id, vector,
+    norm, cell, cell_rank ≤ nprobe).
+    """
+    v = df.select(
+        F.col(id_col), _as_double(F.col(vector_col)).alias("__v")
+    ).withColumn("__n", _norm(F.col("__v")))
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id),
+            _as_double(F.col(vector_col)).alias("__cv"),
+        ).withColumn("__cn", _norm(F.col("__cv")))
+    )
+    sim = _dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(sim, 6).desc(), F.col(centroid_id).asc()
+    )
+    return (
+        v.crossJoin(c)
+        .withColumn("__cell_rank", F.row_number().over(w))
+        .filter(F.col("__cell_rank") <= nprobe)
+        .select(id_col, "__v", "__n", F.col(centroid_id), "__cell_rank")
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vector_col: str = "embedding",
+    centroid_id: str = "cell",
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors are sharded into inverted lists by
+    nearest centroid; a query exhaustively scores only the lists of its
+    ``nprobe`` nearest cells.
+
+    This is the classic IVF-flat scale path: the corpus-side assignment
+    is one broadcast pass (done once, reusable across query batches),
+    and the search join shuffles on the cell id — candidate count is
+    ~|C|·nprobe/n_cells per query instead of |C|.
+    """
+    c_cells = assign_cells(
+        corpus, centroids, corpus_id, vector_col, centroid_id, nprobe=1
+    ).select(corpus_id, F.col(centroid_id), F.col("__v").alias("__cv"), F.col("__n").alias("__cn"))
+    q_cells = assign_cells(
+        queries, centroids, query_id, vector_col, centroid_id, nprobe=nprobe
+    ).select(query_id, F.col(centroid_id), F.col("__v").alias("__qv"), F.col("__n").alias("__qn"))
+
+    score = F.round(
+        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+    )
+    # no distinct needed: a corpus vector lives in exactly one cell
+    # (nprobe=1 on the corpus side), so each (query, candidate) pair
+    # appears at most once even when the query probes several cells
+    scored = q_cells.join(c_cells, centroid_id).select(
+        F.col(query_id), F.col(corpus_id), score.alias("score")
+    )
+    return topk(scored, k, query_id, corpus_id)

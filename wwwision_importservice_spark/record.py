@@ -14,11 +14,16 @@ Here the collection is a DataFrame plus two reserved derived columns:
 
 Scale notes:
 
-- Last-wins dedup is a ``max_by(struct(*), ord)`` hash aggregate — one
-  shuffle with map-side partial aggregation, cheaper at 100 TB than the
-  window/row_number formulation (full sort per key). PHP array order is
-  replaced by an **explicit order column** for determinism under
-  parallel reads (SURVEY §7.4).
+- Last-wins dedup is a ``max_by(struct(*), ord)`` aggregate — one
+  shuffle with map-side partial aggregation, so the exchange carries at
+  most one row per key per map task. That shuffle-volume bound is what
+  beats the window/row_number formulation at 100 TB (a window shuffles
+  EVERY row, then sorts whole key groups). Physically it compiles to
+  SortAggregate (struct agg buffers are immutable, so Spark's
+  HashAggregate fast path doesn't apply) — the map-side sort is by
+  (key, ord) within a partition, a CPU cost, not a network one. PHP
+  array order is replaced by an **explicit order column** for
+  determinism under parallel reads (SURVEY §7.4).
 - Null-id rejection is a codegen'd ``raise_error`` expression — no
   validation pass, no extra action.
 - All methods stay lazy; nothing here triggers a job except
