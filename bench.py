@@ -31,6 +31,8 @@ HEADLINE = [
     "k1_keying_dedup",
     "k11_mapping",
     "agg_q1_lineitem",
+    "join_q3_revenue",
+    "agg_rollup_orders",
     "win_topk_orders_per_customer",
     "events_hourly_rollup",
     "x1_exact_dedup",

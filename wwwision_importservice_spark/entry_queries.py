@@ -521,6 +521,71 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "join_q3_revenue",
+    """
+SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+""",
+)
+def join_q3_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style three-table join (A3 relational surface): the
+    filtered customer dim broadcasts; the orders⋈lineitem join and the
+    final aggregate share the l_orderkey/o_orderkey shuffle. Filters
+    reach the parquet scans (PushedFilters on mktsegment/dates)."""
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    dec = lambda name: F.col(name).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_register(
+    "agg_rollup_orders",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals + a distinct-agg (A3 surface): subtotals
+    per status, per (status, priority), and the grand total in one pass
+    (Spark expands grouping sets before the hash aggregate; the distinct
+    count adds its own expand+shuffle)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # X1/X2: dedup extensions (exact, MinHash+LSH, n-gram Jaccard, SimHash)
 # --------------------------------------------------------------------------- #
