@@ -597,10 +597,15 @@ _SHINGLES_SQL = """
        unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS u(i)
 """
 
+# affine universal-hash permutations from one md5 base (mirrors
+# operators/dedup.py: a_i = 2i+3, b_i = (i+1)^2+1, p = 2^31-1, 28-bit base)
 _MINHASH_SQL = "SELECT doc_id, " + ", ".join(
-    f"min(CAST(('0x' || substr(md5('{i}:' || shingle), 1, 15)) AS BIGINT)) AS h{i}"
+    f"min((bh * {2 * (i + 1) + 1} + {(i + 1) * (i + 1) + 1}) % 2147483647) AS h{i}"
     for i in range(16)
-) + f" FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
+) + (
+    " FROM (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS bh"
+    f" FROM ({_SHINGLES_SQL})) GROUP BY doc_id"
+)
 
 _BUCKETS_SQL = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, "

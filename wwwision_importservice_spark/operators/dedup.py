@@ -73,19 +73,46 @@ def _md5_long(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+# Universal-hash family for the minhash permutations: h_i(x) = (a_i·x + b_i)
+# mod p over a 31-bit Mersenne prime. The base x is 28 bits (7 md5 nibbles)
+# so a_i·x stays < 2^59 — no int64 overflow, byte-identical in any engine
+# with 64-bit integer arithmetic. Constants are fixed odd multipliers
+# (any a_i ≢ 0 mod p gives a proper permutation of Z_p).
+_MINHASH_PRIME = 2147483647  # 2^31 - 1
+_MINHASH_A = [2 * i + 1 for i in range(1, 65)]  # 3, 5, 7, ... odd
+_MINHASH_B = [i * i + 1 for i in range(1, 65)]  # 2, 5, 10, ...
+
+
+def _base_hash(col) -> F.Column:
+    """28-bit base hash: first 7 md5 nibbles as a long."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
 def minhash_signatures(
     shingle_df: DataFrame,
     id_col: str,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """MinHash signature per document: ``num_hashes`` permutations
-    emulated as seeded md5→long, min-aggregated in one pass (columns
-    ``h0..h{k-1}``, LongType so the aggregate stays hash-based)."""
+    """MinHash signature per document: ``num_hashes`` permutations from
+    ONE md5 base hash via affine universal hashing (columns
+    ``h0..h{k-1}``, LongType).
+
+    One md5 + k multiply-adds per shingle instead of k seeded md5s —
+    the md5 is the dominant per-row cost, so the signature stage is ~k×
+    cheaper. Long mins keep the aggregate on Spark's HashAggregate fast
+    path (map-side partial mins, one shuffle on the doc id).
+    """
+    # materialize the base hash as a column so the md5 runs once per row
+    # (16 inline copies would rely on codegen CSE across agg expressions)
+    hashed = shingle_df.withColumn("__h", _base_hash(F.col("shingle")))
     aggs = [
-        F.min(_md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        F.min(
+            (F.col("__h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]))
+            % F.lit(_MINHASH_PRIME)
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return shingle_df.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
