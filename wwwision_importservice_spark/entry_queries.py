@@ -522,6 +522,81 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "m1_json_extract",
+    """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def m1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/§1.3 — nested JSON passes through opaquely and is queryable:
+    ``get_json_object`` pulls ``props.k`` (the Eel ``Json``-namespace
+    analogue), aggregated per event type. The extraction is a codegen'd
+    JVM path — no Python, no UDF."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+_NARROW_CDC_SQL = f"""
+  SELECT j._id, j.change_type FROM (
+    SELECT coalesce(src._id, loc.id) AS _id,
+           CASE WHEN loc.id IS NULL THEN 'add'
+                WHEN src._id IS NULL THEN 'remove'
+                WHEN (src._version IS NULL OR loc.version IS NULL
+                      OR src._version > loc.version) THEN 'update' END AS change_type
+    FROM (SELECT CAST(o_orderkey AS VARCHAR) AS _id,
+                 CAST(floor(epoch(o_orderdate)) AS BIGINT) AS _version
+          FROM orders) src
+    FULL OUTER JOIN ({_local_sql()}) loc ON src._id = loc.id
+  ) j WHERE j.change_type IN ('add', 'update')
+"""
+
+
+@_register(
+    "s4_lazy_materialization",
+    f"""
+SELECT c._id, c.change_type, o.o_totalprice, o.o_orderstatus, o.o_orderpriority
+FROM ({_NARROW_CDC_SQL}) c
+JOIN orders o ON c._id = CAST(o.o_orderkey AS VARCHAR)
+""",
+)
+def s4_lazy_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — lazy loading as late materialization: the diff runs on a
+    pruned ``(id, version)`` frame (the reference's ``loadLazily``
+    projection scan, ``DbalSource.php:61-80``); full rows are fetched by
+    joining the changed ids back to the wide scan AFTER the diff. At 100
+    TB this keeps the full-outer join's shuffle to two narrow columns —
+    only the (typically small) changed fraction touches wide rows."""
+    orders = load(spark, sf_dir, "orders")
+    narrow = RecordFrame.from_raw(
+        orders.select("o_orderkey", "o_orderdate"),
+        id_attribute="o_orderkey",
+        version_attribute="o_orderdate",
+        order_by="o_orderkey",
+    ).df.select("_id", "_version")
+    cdc = compute_changes(
+        narrow,
+        target_state(spark, sf_dir),
+        local_id_col="id",
+        local_version_col="version",
+    ).filter(F.col("change_type") != "remove")
+    changed = cdc.select("_id", "change_type")
+    full = orders.select(
+        F.col("o_orderkey").cast("string").alias("_id"),
+        "o_totalprice", "o_orderstatus", "o_orderpriority",
+    )
+    return changed.join(full, "_id", "inner")
+
+
+@_register(
     "join_q3_revenue",
     """
 SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
