@@ -1,0 +1,105 @@
+"""Property-based differential testing of the diff kernel.
+
+A pure-Python model implements the reference's semantics literally
+(``DbalTarget.php:66-85`` + the CR hidden-row refinement
+``ContentRepositoryTarget.php:95-119``); hypothesis generates arbitrary
+source/target states — duplicate-free keyed maps with optional versions
+and hidden flags — and every generated case must match
+:func:`compute_changes` exactly, in both the full-outer and the
+broadcast fast-path formulations.
+
+Examples are capped (Spark job per case) but minimized failures still
+shrink to tiny states.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from wwwision_importservice_spark.operators.diff import compute_changes
+
+IDS = st.text(alphabet="abcd", min_size=1, max_size=2)
+VERSIONS = st.one_of(st.none(), st.integers(min_value=0, max_value=5))
+
+
+def model_diff(source, local, force=False, skip_added=False, skip_removed=False):
+    """The reference algorithm, literally (per-record loop over hash maps)."""
+    out = {}
+    for sid, sver in source.items():
+        if sid not in local:
+            if not skip_added:
+                out[sid] = "add"
+        else:
+            lver, _hidden = local[sid]
+            if force or sver is None or lver is None or sver > lver:
+                out[sid] = "update"
+    for lid, (lver, hidden) in local.items():
+        if lid not in source and not hidden:
+            if not skip_removed:
+                out[lid] = "remove"
+    return out
+
+
+STATES = st.tuples(
+    st.dictionaries(IDS, VERSIONS, max_size=6),  # source: id -> version
+    st.dictionaries(  # local: id -> (version, hidden)
+        IDS, st.tuples(VERSIONS, st.booleans()), max_size=6
+    ),
+    st.booleans(),  # force_updates
+    st.booleans(),  # skip_added
+    st.booleans(),  # skip_removed
+)
+
+
+def run_kernel(spark, source, local, force, skip_added, skip_removed, broadcast):
+    src_rows = [(k, v) for k, v in source.items()]
+    loc_rows = [(k, v, h) for k, (v, h) in local.items()]
+    src = spark.createDataFrame(src_rows or [("zz", None)], "_id string, _version long")
+    if not src_rows:
+        src = src.filter("false")
+    loc = spark.createDataFrame(
+        loc_rows or [("zz", None, False)], "id string, version long, hidden boolean"
+    )
+    if not loc_rows:
+        loc = loc.filter("false")
+    cdc = compute_changes(
+        src,
+        loc,
+        force_updates=force,
+        skip_added=skip_added,
+        skip_removed=skip_removed,
+        local_id_col="id",
+        local_version_col="version",
+        local_hidden_col="hidden",
+        broadcast_local=broadcast,
+    )
+    return {r["_id"]: r["change_type"] for r in cdc.collect()}
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,
+)
+@given(STATES)
+def test_diff_matches_reference_model(spark, state):
+    source, local, force, skip_added, skip_removed = state
+    want = model_diff(source, local, force, skip_added, skip_removed)
+    got = run_kernel(spark, source, local, force, skip_added, skip_removed, False)
+    assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,
+)
+@given(STATES)
+def test_diff_broadcast_path_matches_model(spark, state):
+    source, local, force, skip_added, skip_removed = state
+    want = model_diff(source, local, force, skip_added, skip_removed)
+    got = run_kernel(spark, source, local, force, skip_added, skip_removed, True)
+    assert got == want

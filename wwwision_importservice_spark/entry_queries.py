@@ -522,6 +522,35 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "w5_variant_expansion",
+    """
+SELECT CAST(c_custkey AS VARCHAR) || '#' || v AS _id,
+       v AS variant, c_name, c_acctbal
+FROM customer,
+     unnest(CASE WHEN c_nationkey % 3 = 0 THEN ['en','de','fr']
+                 WHEN c_nationkey % 3 = 1 THEN ['en','de']
+                 ELSE ['en'] END) AS t(v)
+""",
+)
+def w5_variant_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — nodeVariantsResolver as expression + explode (the UDTF-like
+    record-to-many expansion, one output row per dimension variant;
+    re-keyed so the id invariant survives the multiplicity change)."""
+    from wwwision_importservice_spark.operators.variants import expand_variants
+
+    customer = load(spark, sf_dir, "customer")
+    rf = RecordFrame.from_raw(customer, "c_custkey", order_by="c_custkey")
+    n = F.col("c_nationkey")
+    variants = (
+        F.when(n % 3 == 0, F.array(F.lit("en"), F.lit("de"), F.lit("fr")))
+        .when(n % 3 == 1, F.array(F.lit("en"), F.lit("de")))
+        .otherwise(F.array(F.lit("en")))
+    )
+    out = expand_variants(rf.df, variants)
+    return out.select("_id", "variant", "c_name", "c_acctbal")
+
+
+@_register(
     "m1_json_extract",
     """
 SELECT event_type,
