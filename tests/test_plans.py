@@ -1,0 +1,130 @@
+"""Physical-plan regression tests.
+
+Every scale property claimed in operator docstrings is pinned here so a
+refactor can't silently regress it: shuffle counts, broadcast choices,
+filter/projection pushdown, no duplicated pipelines. These read
+`.explain`-style plan strings — they run analysis only, no jobs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from wwwision_importservice_spark.entry_queries import QUERIES
+from wwwision_importservice_spark.operators.skew import salted_join
+
+
+def plan_of(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def tree_of(plan: str) -> str:
+    return plan.split("\n\n")[0]
+
+
+def count_exchanges(tree: str) -> int:
+    return len(re.findall(r"\bExchange\b", tree)) - len(
+        re.findall(r"\bReusedExchange\b", tree)
+    )
+
+
+def test_diff_kernel_is_two_exchanges(spark, sf_dir):
+    """J4: source keying agg + local side — the full-outer join reuses
+    the keying agg's partitioning, no third shuffle."""
+    tree = tree_of(plan_of(spark, QUERIES["j4_changeset"](spark, sf_dir)))
+    assert "SortMergeJoin FullOuter" in tree
+    assert count_exchanges(tree) <= 2, tree
+
+
+def test_mapping_prunes_columns(spark, sf_dir):
+    """K11: the mapping projection reaches the parquet scan — unused
+    attribute columns are never read."""
+    plan = plan_of(spark, QUERIES["k11_mapping"](spark, sf_dir))
+    read_schema = re.search(r"ReadSchema: (.+)", plan)
+    assert read_schema and "c_nationkey" not in read_schema.group(1), plan
+
+
+def test_agg_filter_pushdown(spark, sf_dir):
+    """Q1: the shipdate filter is pushed into the parquet scan."""
+    plan = plan_of(spark, QUERIES["agg_q1_lineitem"](spark, sf_dir))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "l_shipdate" in pushed.group(1), plan
+
+
+def test_q3_broadcasts_customer_dim(spark, sf_dir):
+    """Q3: the filtered customer dim broadcasts — the fact side never
+    shuffles for that join."""
+    tree = tree_of(plan_of(spark, QUERIES["join_q3_revenue"](spark, sf_dir)))
+    assert "BroadcastHashJoin" in tree, tree
+
+
+def test_minhash_pipeline_scans_once(spark, sf_dir):
+    """X2: LSH candidate pairs run ONE shingle→signature pipeline (the
+    group-by-bucket formulation), not a self-joined pair of them."""
+    # another test may have cached the shingle frame — clear so the plan
+    # shows the real scan, not an InMemoryTableScan over it
+    spark.catalog.clearCache()
+    tree = tree_of(plan_of(spark, QUERIES["x2_minhash_lsh_pairs"](spark, sf_dir)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert "SortAggregate" not in tree, tree  # signature mins stay hash-based
+
+
+def test_cosine_topk_broadcasts_corpus(spark, sf_dir):
+    """X3 brute force: the corpus broadcasts; scoring needs no shuffle."""
+    tree = tree_of(plan_of(spark, QUERIES["x3_cosine_topk"](spark, sf_dir)))
+    assert "BroadcastNestedLoopJoin" in tree, tree
+
+
+def test_ivf_centroid_join_broadcasts(spark, sf_dir):
+    """X3 IVF: both cell assignments broadcast the centroid table."""
+    tree = tree_of(plan_of(spark, QUERIES["x3_ann_ivf_topk"](spark, sf_dir)))
+    assert tree.count("BroadcastNestedLoopJoin") >= 2, tree
+
+
+def test_diff_broadcast_path_has_no_wide_shuffle(spark, sf_dir):
+    """The broadcast fast path: wide source rows never enter an
+    exchange (only the narrow remove-side anti-join may shuffle)."""
+    from wwwision_importservice_spark.entry_queries import (
+        orders_source,
+        target_state,
+    )
+    from wwwision_importservice_spark.operators.diff import compute_changes
+
+    cdc = compute_changes(
+        orders_source(spark, sf_dir),
+        target_state(spark, sf_dir),
+        local_id_col="id",
+        local_version_col="version",
+        broadcast_local=True,
+    )
+    tree = tree_of(plan_of(spark, cdc))
+    assert "BroadcastHashJoin" in tree, tree
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.range(0, 1000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("payload")
+    )
+    small = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "k long, label string"
+    )
+    plain = {(r["k"], r["payload"], r["label"])
+             for r in big.join(small, ["k"]).collect()}
+    salted = {(r["k"], r["payload"], r["label"])
+              for r in salted_join(big, small, ["k"], num_salts=8).collect()}
+    assert salted == plain
+    # left join keeps unmatched big rows exactly once
+    small_missing = small.filter(F.col("k") < 3)
+    left_plain = sorted(
+        (r["k"], r["payload"], r["label"])
+        for r in big.join(small_missing, ["k"], "left").collect()
+    )
+    left_salted = sorted(
+        (r["k"], r["payload"], r["label"])
+        for r in salted_join(big, small_missing, ["k"], num_salts=8, how="left").collect()
+    )
+    assert left_salted == left_plain

@@ -338,9 +338,10 @@ FROM customer
 )
 def k11_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K11+M1 — Mapper projection with Eel expressions compiled to Spark SQL
-    (arithmetic, helper call, ternary, string concat — README.md:239-240)."""
+    (arithmetic, helper call, ternary, string concat — README.md:239-240).
+    Mapping-aware pruning projects the scan to the referenced columns
+    before the keying dedup (whose struct buffer Catalyst can't prune)."""
     customer = load(spark, sf_dir, "customer")
-    rf = RecordFrame.from_raw(customer, "c_custkey", order_by="c_custkey")
     mapper = Mapper(
         {
             "name_upper": "${String.toUpperCase(record.c_name)}",
@@ -349,6 +350,9 @@ def k11_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slug": '${record.c_mktsegment + "-" + record.c_custkey}',
         }
     )
+    needed = set(mapper.required_source_columns(customer.columns)) | {"c_custkey"}
+    pruned = customer.select(*[c for c in customer.columns if c in needed])
+    rf = RecordFrame.from_raw(pruned, "c_custkey", order_by="c_custkey")
     return mapper.apply(rf.df, keep=["_id"])
 
 

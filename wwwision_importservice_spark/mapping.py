@@ -13,11 +13,15 @@ parquet reader), instead of a per-record PHP loop.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from wwwision_importservice_spark.errors import ConfigurationError
 from wwwision_importservice_spark.functions.eel import is_eel_expression, translate_eel
+
+_RECORD_REF = re.compile(r"\brecord\.([A-Za-z_][A-Za-z0-9_]*)")
 
 
 class Mapper:
@@ -50,6 +54,25 @@ class Mapper:
                 col = F.col(rule) if rule in df.columns else F.lit(None)
             cols.append(col.alias(target))
         return cols
+
+    def required_source_columns(self, df_columns: list[str]) -> list[str]:
+        """The source attributes this mapping actually reads.
+
+        Lets the pipeline project BEFORE the keying dedup: the last-wins
+        ``max_by(struct(all columns))`` is opaque to Catalyst's column
+        pruning (struct-field pruning doesn't reach aggregate buffers),
+        so without this pre-projection the scan reads every column even
+        when the mapping needs three. Attribute-passthrough rules
+        contribute themselves; Eel rules contribute their ``record.x``
+        references.
+        """
+        need: set[str] = set()
+        for rule in self.mapping.values():
+            if is_eel_expression(rule):
+                need.update(_RECORD_REF.findall(rule))
+            elif rule in df_columns:
+                need.add(rule)
+        return [c for c in df_columns if c in need]
 
     def apply(self, df: DataFrame, keep: list[str] | None = None) -> DataFrame:
         """Project ``df`` to the mapped target columns (K11).

@@ -105,6 +105,19 @@ class Preset:
     def load(self, spark: SparkSession) -> RecordFrame:
         """Extract + key + process (``Preset::load``, ``Preset.php:41-52``)."""
         raw = self.source.load(spark)
+        if self.mapper is not None and self.data_processor is None:
+            # Mapping-aware pruning: project to the columns the mapping
+            # reads (plus keying config) BEFORE the dedup aggregate —
+            # max_by's struct buffer is opaque to Catalyst pruning, so
+            # this projection is what reaches the scan. Skipped when a
+            # dataProcessor exists (it may read any column).
+            keep = set(self.mapper.required_source_columns(raw.columns))
+            for col in (self.id_attribute, self.version_attribute, self.order_attribute):
+                if col:
+                    keep.add(col)
+            pruned = [c for c in raw.columns if c in keep]
+            if len(pruned) < len(raw.columns):
+                raw = raw.select(*pruned)
         order = F.col(self.order_attribute) if self.order_attribute else None
         rf = RecordFrame.from_raw(
             raw,
