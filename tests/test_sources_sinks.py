@@ -80,6 +80,50 @@ def test_http_source_parses_and_validates(spark, monkeypatch):
         HttpSource(endpoint="http://example.test/feed").load(spark)
 
 
+def test_http_source_page_urls_executor_fanout(spark):
+    """S2 at scale: many page URLs fetched executor-side via mapInPandas.
+    A real local HTTP server exercises the self-contained worker closure
+    (no monkeypatching possible — the fetch happens in worker processes)."""
+    import http.server
+    import threading
+
+    pages = {
+        "/p1": '[{"id": "a", "n": 1}, {"id": "b", "n": 2}]',
+        "/p2": '[{"id": "c", "n": 3}]',
+    }
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            body = pages.get(self.path, "[]").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # silence
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        src = HttpSource(
+            endpoint=f"http://127.0.0.1:{port}/p1",
+            schema="id string, n long",
+            page_urls=[
+                f"http://127.0.0.1:{port}/p1",
+                f"http://127.0.0.1:{port}/p2",
+            ],
+        )
+        rows = {(r["id"], r["n"]) for r in src.load(spark).collect()}
+        assert rows == {("a", 1), ("b", 2), ("c", 3)}
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_options_schema_on_source():
     with pytest.raises(ConfigurationError, match="Missing required option"):
         FileSource.from_options({"format": "json"})

@@ -21,6 +21,8 @@ from wwwision_importservice_spark.streaming import (
     first_seen_dedup,
     nanos_to_timestamp,
     running_totals,
+    session_rollup,
+    sliding_rollup,
     stream_sync,
     tumbling_rollup,
 )
@@ -87,6 +89,51 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
     got = sorted(tuple(r) for r in spark.table("tumbling_sink").collect())
     want = sorted(tuple(r) for r in expected.collect())
     assert got == want
+
+
+@pytest.mark.parametrize("which", ["sliding", "session"])
+def test_streaming_watermarked_windows_equal_batch(spark, sf_dir, tmp_path, which):
+    """Watermarked sliding/session rollups in APPEND mode: with
+    availableNow every window finalizes once the stream drains, so the
+    emitted rows must equal the batch run of the same code path."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_dir = _write_ordered_parquet(spark, tmp_path, f"ev_{which}", [batch])
+    stream = spark.readStream.schema(batch.schema).parquet(in_dir)
+
+    def build(df, watermark):
+        src = df.withColumn("__ts", nanos_to_timestamp("ts"))
+        if which == "sliding":
+            return sliding_rollup(
+                src, "__ts", ["event_type"],
+                window="1 hour", slide="30 minutes",
+                value_col="value", watermark=watermark,
+            )
+        return session_rollup(
+            src, "__ts", ["user_id"],
+            gap="30 minutes", value_col="value", watermark=watermark,
+        )
+
+    q = (
+        build(stream, "1 hour")
+        .writeStream.format("memory")
+        .queryName(f"wm_{which}_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_wm_{which}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.table(f"wm_{which}_sink").collect()}
+    want_all = {tuple(r) for r in build(batch, None).collect()}
+    # append mode emits a window only once the watermark passes its end;
+    # when the stream drains, the watermark rests at max_ts - 1h, so
+    # windows ending after that stay open (correct semantics, not loss)
+    max_ts_us = batch.agg(F.max("ts")).first()[0] // 1000
+    wm_us = max_ts_us - 3600 * 10**6
+    assert got <= want_all, "stream emitted rows the batch run doesn't have"
+    must_emit = {r for r in want_all if r[2] < wm_us}  # r[2] = *_end_us
+    assert must_emit <= got, "a finalized window was never emitted"
 
 
 # --------------------------------------------------------------------- #
