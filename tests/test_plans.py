@@ -105,6 +105,21 @@ def test_diff_broadcast_path_has_no_wide_shuffle(spark, sf_dir):
     assert "BroadcastHashJoin" in tree, tree
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout: a filter on the partition column reaches
+    the scan as a PartitionFilter — non-matching directories are never
+    read (the file-side analogue of JDBC range partitioning)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_by_status")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = plan_of(spark, df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan
+    assert df.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
 def test_salted_join_matches_plain_join(spark):
     big = spark.range(0, 1000).select(
         (F.col("id") % 5).alias("k"), F.col("id").alias("payload")

@@ -468,6 +468,24 @@ def agg_q1_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rows-only check (no oracle): sketch-based estimates are engine-specific,
+# so DuckDB's HLL/KLL values can't hash-match Spark's — the driver records
+# the weaker row-count/schema check for this one by design.
+@_register("a3_approx_aggregates")
+def a3_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — approximate aggregates (HLL++ distinct count, quantile
+    sketch): constant memory per group regardless of cardinality — the
+    scale substitute for exact distinct/percentile at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 @_register(
     "win_topk_orders_per_customer",
     """
