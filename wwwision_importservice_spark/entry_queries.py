@@ -716,22 +716,34 @@ def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X1/X2: dedup extensions (exact, MinHash+LSH, n-gram Jaccard, SimHash)
 # --------------------------------------------------------------------------- #
 
-# shared oracle fragments for the shingle → minhash → band pipeline
-_SHINGLES_SQL = """
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS u(i)
+# shared oracle fragments for the shingle → minhash → band pipeline;
+# constants imported from the operator module so Spark and oracle can't drift
+from wwwision_importservice_spark.operators.dedup import (  # noqa: E402
+    _MINHASH_A,
+    _MINHASH_B,
+    _MINHASH_PRIME,
+    _SHINGLE_M,
+    _SHINGLE_P,
+)
+
+# hashed shingles: per-word 28-bit md5 base, rolling polynomial per n-gram
+# (mirrors operators/dedup.py hashed_word_shingles, n=3)
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id,
+         ((((COALESCE(wh[i], 0) * {_SHINGLE_P} + COALESCE(wh[i+1], 0)) % {_SHINGLE_M})
+            * {_SHINGLE_P} + COALESCE(wh[i+2], 0)) % {_SHINGLE_M}) AS shingle
+  FROM (SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              x -> CAST(('0x' || substr(md5(x), 1, 7)) AS BIGINT)) AS wh
+        FROM documents),
+       unnest(range(1, greatest(len(wh) - 2, 1) + 1)) AS u(i)
 """
 
-# affine universal-hash permutations from one md5 base (mirrors
-# operators/dedup.py: a_i = 2i+3, b_i = (i+1)^2+1, p = 2^31-1, 28-bit base)
+# affine universal-hash permutations over the shingle hash
 _MINHASH_SQL = "SELECT doc_id, " + ", ".join(
-    f"min((bh * {2 * (i + 1) + 1} + {(i + 1) * (i + 1) + 1}) % 2147483647) AS h{i}"
+    f"min((shingle * {_MINHASH_A[i]} + {_MINHASH_B[i]}) % {_MINHASH_PRIME}) AS h{i}"
     for i in range(16)
-) + (
-    " FROM (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS bh"
-    f" FROM ({_SHINGLES_SQL})) GROUP BY doc_id"
-)
+) + f" FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
 
 _BUCKETS_SQL = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, "
@@ -768,13 +780,13 @@ def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — near-duplicate candidate pairs via MinHash (16 md5-seeded
     permutations) + LSH banding (4 bands × 4 rows)."""
     from wwwision_importservice_spark.operators.dedup import (
+        hashed_word_shingles,
         lsh_candidate_pairs,
         minhash_signatures,
-        word_shingles,
     )
 
     docs = load(spark, sf_dir, "documents", spread=True)
-    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sh = hashed_word_shingles(docs, "doc_id", "text", n=3)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     return lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
 
@@ -798,18 +810,19 @@ JOIN (SELECT doc_id, count(*) AS n FROM ({_SHINGLES_SQL}) GROUP BY doc_id) sb
 """,
 )
 def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 — exact shingle-set Jaccard on the LSH candidate pairs."""
+    """X2 — shingle-set Jaccard on the LSH candidate pairs (hashed
+    shingle sets — equal to string-set Jaccard up to ~2^-28 collisions)."""
     from pyspark.sql import functions as FF
 
     from wwwision_importservice_spark.operators.dedup import (
+        hashed_word_shingles,
         lsh_candidate_pairs,
         minhash_signatures,
         ngram_jaccard,
-        word_shingles,
     )
 
     docs = load(spark, sf_dir, "documents", spread=True)
-    sh = word_shingles(docs, "doc_id", "text", n=3).cache()
+    sh = hashed_word_shingles(docs, "doc_id", "text", n=3).cache()
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
     out = ngram_jaccard(pairs, sh, "doc_id")

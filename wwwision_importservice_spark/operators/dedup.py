@@ -51,7 +51,9 @@ def exact_dedup(
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: ``(id, shingle)``.
+    """Distinct word n-gram shingles per document: ``(id, shingle)``
+    as strings (readable variant; the scale pipeline uses
+    :func:`hashed_word_shingles`).
 
     Short documents (< n words) contribute their whole text as one
     shingle so they still participate in similarity."""
@@ -63,6 +65,52 @@ def word_shingles(
     )
     return (
         df.select(F.col(id_col), F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+# Rolling-polynomial combiner for hashed shingles: each word hash is 28
+# bits, the rolling step is ((acc * P) + wh) % M with M a 31-bit Mersenne
+# prime — acc*P < 2^31+20 bits < 2^52, no int64 overflow, byte-identical
+# in any 64-bit-integer engine.
+_SHINGLE_P = 1000003
+_SHINGLE_M = 2147483647  # 2^31 - 1
+
+
+def hashed_word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document as LONG hashes:
+    ``(id, shingle: long)`` — no shingle strings are ever materialized.
+
+    Each word is md5-hashed once (28-bit base), an n-gram's hash is the
+    rolling polynomial over its word hashes. Versus the string variant
+    this removes the per-shingle slice+join string construction and
+    makes the distinct and every downstream join/group key a fixed-width
+    long — the difference between shuffling strings and shuffling longs
+    at 100 TB. Jaccard over hashed shingle sets equals string-set
+    Jaccard up to hash collisions (~2^-28 per word pair).
+
+    Missing trailing words in short documents hash as 0 (both engines).
+    """
+    words = F.split(F.col(text_col), " ")
+    word_hashes = F.transform(words, lambda w: _base_hash(w))
+
+    def shingle_hash(i):
+        acc = F.coalesce(F.try_element_at(F.col("__wh"), i), F.lit(0))
+        for k in range(1, n):
+            nxt = F.coalesce(F.try_element_at(F.col("__wh"), i + F.lit(k)), F.lit(0))
+            acc = (acc * F.lit(_SHINGLE_P) + nxt) % F.lit(_SHINGLE_M)
+        return acc
+
+    hashed = df.select(F.col(id_col), word_hashes.alias("__wh"))
+    count = F.greatest(F.size(F.col("__wh")) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), count)
+    return (
+        hashed.select(
+            F.col(id_col),
+            F.explode(F.transform(idx, shingle_hash)).alias("shingle"),
+        )
         .distinct()
     )
 
@@ -102,9 +150,13 @@ def minhash_signatures(
     cheaper. Long mins keep the aggregate on Spark's HashAggregate fast
     path (map-side partial mins, one shuffle on the doc id).
     """
-    # materialize the base hash as a column so the md5 runs once per row
-    # (16 inline copies would rely on codegen CSE across agg expressions)
-    hashed = shingle_df.withColumn("__h", _base_hash(F.col("shingle")))
+    # pre-hashed (long) shingles feed the affine family directly; string
+    # shingles get a base md5 first — materialized as a column so the
+    # md5 runs once per row (16 inline copies would rely on codegen CSE)
+    if dict(shingle_df.dtypes).get("shingle") == "bigint":
+        hashed = shingle_df.withColumn("__h", F.col("shingle"))
+    else:
+        hashed = shingle_df.withColumn("__h", _base_hash(F.col("shingle")))
     aggs = [
         F.min(
             (F.col("__h") * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]))
