@@ -32,6 +32,7 @@ HEADLINE = [
     "k11_mapping",
     "agg_q1_lineitem",
     "join_q3_revenue",
+    "join_q5_region_revenue",
     "agg_rollup_orders",
     "win_topk_orders_per_customer",
     "events_hourly_rollup",

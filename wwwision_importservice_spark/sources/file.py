@@ -1,4 +1,4 @@
-"""File source: JSON (array-of-objects), parquet, CSV.
+"""File source: JSON (array-of-objects), parquet, CSV, ORC.
 
 Reference S1: ``Classes/DataSource/File/FileSource.php:37-41`` reads ONE
 JSON file containing an array of objects (``json_decode`` of the whole
@@ -61,6 +61,8 @@ class FileSource(DataSource):
             return reader.options(**self.reader_options).parquet(self.path)
         if self.format == "csv":
             return reader.options(header=True, **self.reader_options).csv(self.path)
+        if self.format == "orc":
+            return reader.options(**self.reader_options).orc(self.path)
         raise ValueError(f"Unsupported file format: {self.format}")
 
     def setup(self, spark: SparkSession) -> Result:
