@@ -398,6 +398,25 @@ def t1_ids_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "t2_membership",
+    """
+SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""",
+)
+def t2_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — DataIds.has as a set-wise membership test: left semi join
+    (customers that placed at least one order)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.col("c_custkey").cast("string").alias("_id"), "c_name")
+    )
+
+
+@_register(
     "k8_with_record",
     """
 SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name AS name, c_acctbal AS acctbal,
@@ -1156,6 +1175,38 @@ def x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return fingerprint(docs, "doc_id", "text")
+
+
+@_register(
+    "x5_top_terms",
+    """
+SELECT tok, n, rank FROM (
+  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+  FROM (
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+    WHERE tok <> '' GROUP BY tok
+  )
+) WHERE rank <= 25
+""",
+)
+def x5_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — corpus vocabulary head: top-25 terms by frequency
+    (explode → hash-agg count with map-side partials → global top-k;
+    the window runs over the tiny aggregated term table, not the
+    corpus)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+    )
 
 
 @_register(
