@@ -19,6 +19,7 @@ from wwwision_importservice_spark.operators.dedup import (
 from wwwision_importservice_spark.operators.multimodal import (
     attach_blob,
     decode_metadata,
+    frame_sample,
 )
 from wwwision_importservice_spark.operators.similarity import (
     cosine_topk,
@@ -185,6 +186,22 @@ def test_multimodal_plumbing(spark):
     # determinism: same payload → same fake dims
     again = {r["doc_id"]: r for r in decode_metadata(blobs, "doc_id").collect()}
     assert again[1]["width"] == rows[1]["width"]
+
+
+def test_frame_sample_one_to_many(spark):
+    df = docs(spark, [(1, "x" * 200), (2, "y" * 10)])
+    blobs = attach_blob(df, "doc_id", "text")
+    frames = frame_sample(blobs, "doc_id", every_n_bytes=64, max_frames=8).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 3  # 200 // 64
+    assert len(by_doc[2]) == 1  # short blob still yields one frame
+    assert [r["frame_index"] for r in sorted(by_doc[1], key=lambda r: r["offset"])] == [0, 1, 2]
+    assert all(len(r["frame_sha"]) == 64 for r in frames)
+    # determinism across runs
+    again = frame_sample(blobs, "doc_id", every_n_bytes=64, max_frames=8).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
 
 
 def test_multimodal_partition_sizing(spark):

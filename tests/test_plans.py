@@ -120,6 +120,39 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert df.count() == orders.filter(F.col("o_orderstatus") == "F").count()
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed tables co-locate the sync join: when both sides are
+    bucketed+sorted on the key with the same bucket count, the diff-shaped
+    join plans with ZERO exchanges — the repeated-sync optimization for a
+    large persistent target state (SURVEY §7.1.8)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = orders.select(
+        F.col("o_orderkey").cast("string").alias("_id"),
+        F.col("o_totalprice"),
+    )
+    loc = orders.select(
+        F.col("o_orderkey").cast("string").alias("_id"),
+        F.unix_timestamp("o_orderdate").alias("version"),
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_src")
+    spark.sql("DROP TABLE IF EXISTS bkt_loc")
+    # external tables at explicit paths: no warehouse-dir dependency
+    src.write.bucketBy(8, "_id").sortBy("_id").option(
+        "path", str(tmp_path / "bkt_src")
+    ).saveAsTable("bkt_src")
+    loc.write.bucketBy(8, "_id").sortBy("_id").option(
+        "path", str(tmp_path / "bkt_loc")
+    ).saveAsTable("bkt_loc")
+    try:
+        joined = spark.table("bkt_src").join(spark.table("bkt_loc"), "_id")
+        tree = tree_of(plan_of(spark, joined))
+        assert count_exchanges(tree) == 0, tree
+        assert joined.count() == orders.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_src")
+        spark.sql("DROP TABLE IF EXISTS bkt_loc")
+
+
 def test_salted_join_matches_plain_join(spark):
     big = spark.range(0, 1000).select(
         (F.col("id") % 5).alias("k"), F.col("id").alias("payload")

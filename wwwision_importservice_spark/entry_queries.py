@@ -1258,6 +1258,30 @@ def x4_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_metadata(blobs, "doc_id")
 
 
+@_register(
+    "x4_frame_sample",
+    """
+SELECT doc_id, CAST(i AS INT) AS frame_index, CAST(i * 64 AS BIGINT) AS offset,
+       sha256(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_sha
+FROM documents,
+     unnest(range(0, least(8, greatest(1, octet_length(encode(text)) // 64)))) AS t(i)
+""",
+)
+def x4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — frame sampling: one media blob fans out to N frame rows
+    through the Arrow batch path (output length ≠ input length in
+    mapInPandas). Deterministic fake: sha256 per 64-byte window (docs
+    are ASCII so the oracle's char windows equal byte windows)."""
+    from wwwision_importservice_spark.operators.multimodal import (
+        attach_blob,
+        frame_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    blobs = attach_blob(docs, "doc_id", "text")
+    return frame_sample(blobs, "doc_id", every_n_bytes=64, max_frames=8)
+
+
 # --------------------------------------------------------------------------- #
 # Streaming window operators, oracle-checked in batch mode (the SAME
 # tumbling/sliding/session code path serves readStream frames; SURVEY §2.8)

@@ -138,6 +138,56 @@ def decode_metadata(
     return src.mapInPandas(batches, schema=out_schema)
 
 
+def frame_sample(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str = "blob",
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Video frame sampling plumbing: one blob row fans out to up to
+    ``max_frames`` frame rows — the one-to-many Arrow batch shape
+    (output length ≠ input length through ``mapInPandas``).
+
+    The real decoder (keyframe extraction) is gated behind the media
+    libraries; the deterministic fake emits one "frame" per
+    ``every_n_bytes`` window of the payload, carrying (frame_index,
+    offset, frame_sha) — so schema, row expansion, and batch handling
+    are fully exercised. Row-size note as in :func:`decode_metadata`:
+    output multiplicity × blob size drives partition memory, so cap
+    ``max_frames`` and size partitions by bytes, not rows.
+    """
+    out_schema = f"{id_col} long, frame_index int, offset long, frame_sha string"
+
+    # self-contained closure: plain-value captures, imports inside
+    def batches(it: Iterator) -> Iterator:
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[blob_col])
+                n = min(max_frames, max(1, len(data) // every_n_bytes))
+                for i in range(n):
+                    off = i * every_n_bytes
+                    window = data[off : off + every_n_bytes]
+                    rows.append(
+                        (
+                            row[id_col],
+                            i,
+                            off,
+                            _hashlib.sha256(window).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_index", "offset", "frame_sha"]
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema=out_schema)
+
+
 def resize_stub(df: DataFrame, id_col: str, blob_col: str = "blob") -> DataFrame:
     """Resize plumbing: passes blobs through the same Arrow path; the
     actual pixel transform raises behind the Pillow gate."""
