@@ -1178,6 +1178,38 @@ def x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x5_quality_filter",
+    """
+SELECT doc_id, text FROM (
+  SELECT doc_id, text,
+         len(toks) AS n_tokens,
+         len(list_filter(lower_toks, t -> t IN ('the','and','of','to','is')))::DOUBLE
+               / greatest(len(lower_toks), 1) AS stopword_ratio,
+         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio
+  FROM (
+    SELECT doc_id, text,
+           list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS lower_toks
+    FROM documents
+  )
+)
+WHERE (least(n_tokens / 64.0, 1.0) * 0.5 + stopword_ratio * 0.3
+       + (1.0 - punct_ratio) * 0.2) >= 0.5
+  AND n_tokens >= 5 AND punct_ratio <= 0.3
+""",
+)
+def x5_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — the C4/Gopher-style rule gate as ONE filter expression:
+    documents surviving the composite quality score + hard floors. No
+    join, no second scan — the condition runs in the scan's codegen."""
+    from wwwision_importservice_spark.operators.text import quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    return quality_filter(docs, "text").select("doc_id", "text")
+
+
+@_register(
     "x5_top_terms",
     """
 SELECT tok, n, rank FROM (

@@ -81,6 +81,45 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_condition(
+    text: Column,
+    min_score: float = 0.5,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+) -> Column:
+    """Boolean quality gate over a text column: composite score plus
+    hard floors/ceilings (the shape of a C4/Gopher-style rule filter).
+    A single expression — composable into any ``.filter`` with no extra
+    scan or join."""
+    n_tokens = F.size(tokens(text))
+    sw_ratio = stopword_ratio(text, LANG_MARKERS["en"])
+    p_ratio = punct_ratio(text)
+    quality = (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * F.lit(0.5)
+        + sw_ratio * F.lit(0.3)
+        + (F.lit(1.0) - p_ratio) * F.lit(0.2)
+    )
+    return (
+        (quality >= min_score)
+        & (n_tokens >= min_tokens)
+        & (p_ratio <= max_punct_ratio)
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    min_score: float = 0.5,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+) -> DataFrame:
+    """Keep documents passing :func:`quality_condition` — one scan, the
+    filter runs inside the scan stage's codegen."""
+    return df.filter(
+        quality_condition(F.col(text_col), min_score, min_tokens, max_punct_ratio)
+    )
+
+
 def detect_language(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

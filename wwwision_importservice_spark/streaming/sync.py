@@ -16,8 +16,10 @@ snapshot of the source (e.g. a periodic full-feed drop directory).
 Scale notes: target state is re-read per batch — correct (another
 writer may have touched the target between batches) but at very high
 batch rates a cached state frame refreshed on a period is the cheaper
-choice; ``state_provider`` lets callers swap that in. Checkpointing is
-the caller's standard Spark concern (``option("checkpointLocation",…)``).
+choice; pass ``state_provider`` (a ``spark → DataFrame`` callable, e.g.
+one returning a periodically-refreshed cached frame) to swap that in.
+Checkpointing is the caller's standard Spark concern
+(``option("checkpointLocation", …)``).
 """
 
 from __future__ import annotations
@@ -48,6 +50,7 @@ def stream_sync(
     force_updates: bool = False,
     skip_added: bool = False,
     skip_removed: bool = True,
+    state_provider: Callable[..., DataFrame] | None = None,
     on_batch: Callable[[int, dict[str, int]], None] | None = None,
 ) -> DataStreamWriter:
     """Wire a streaming source to a sync target; returns the
@@ -68,9 +71,12 @@ def stream_sync(
             batch_df, id_attribute, version_attribute, order_by=order_by
         )
         records = processor(rf.df) if processor else rf.df
+        local_state = (
+            state_provider(spark) if state_provider else target.current_state(spark)
+        )
         cdc = compute_changes(
             records,
-            target.current_state(spark),
+            local_state,
             force_updates=force_updates,
             skip_added=skip_added,
             skip_removed=skip_removed,
