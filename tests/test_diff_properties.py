@@ -103,3 +103,46 @@ def test_diff_broadcast_path_matches_model(spark, state):
     want = model_diff(source, local, force, skip_added, skip_removed)
     got = run_kernel(spark, source, local, force, skip_added, skip_removed, True)
     assert got == want
+
+
+# ------------------------------------------------------------------ #
+# K1 last-write-wins keying vs the assoc-array-overwrite model
+# ------------------------------------------------------------------ #
+
+ROWS = st.lists(
+    st.tuples(IDS, st.integers(min_value=0, max_value=9), st.text(max_size=3)),
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,
+)
+@given(ROWS)
+def test_dedup_last_wins_matches_model(spark, rows):
+    """K1: for every id, the surviving row is the one with the greatest
+    order value (PHP assoc-overwrite with explicit order,
+    ``DataRecords.php:39-41``). Ties on (id, ord) may keep either
+    tied row — the model compares on the deterministic (ord, payload)
+    max, matching the engine's struct-lexicographic tiebreak."""
+    from pyspark.sql import functions as F
+
+    from wwwision_importservice_spark.record import dedup_last_wins
+
+    want = {}
+    for rid, ord_, payload in rows:
+        cur = want.get(rid)
+        if cur is None or (ord_, payload) > cur:
+            want[rid] = (ord_, payload)
+
+    df = spark.createDataFrame(
+        rows or [("z", 0, "")], "_id string, ord long, payload string"
+    )
+    if not rows:
+        df = df.filter("false")
+    out = dedup_last_wins(df, "_id", F.struct("ord", "payload"))
+    got = {r["_id"]: (r["ord"], r["payload"]) for r in out.collect()}
+    assert got == want
