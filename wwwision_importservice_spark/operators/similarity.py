@@ -227,12 +227,41 @@ def assign_cells(
         ).withColumn("__cn", _norm(F.col("__cv")))
     )
     sim = _dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn"))
+    scored = v.crossJoin(c).select(
+        F.col(id_col),
+        F.col("__v"),
+        F.col("__n"),
+        F.col(centroid_id),
+        F.round(sim, 6).alias("__sim"),
+    )
+    if nprobe == 1:
+        # argmax as a max_by aggregate: map-side partial argmax per id,
+        # ONE shuffle row per (map task, id) — no window sort over the
+        # |rows|×|centroids| scored frame. This is the corpus-side path,
+        # the big side at scale. Tiebreak: highest sim, then lowest cell
+        # id (struct compare on (sim, -cell) mirrors the window order).
+        picked = scored.groupBy(id_col).agg(
+            F.max_by(
+                F.struct(
+                    F.col(centroid_id).alias("cell_"),
+                    F.col("__v").alias("v_"),
+                    F.col("__n").alias("n_"),
+                ),
+                F.struct(F.col("__sim"), (-F.col(centroid_id)).alias("__nc")),
+            ).alias("__best")
+        )
+        return picked.select(
+            F.col(id_col),
+            F.col("__best.v_").alias("__v"),
+            F.col("__best.n_").alias("__n"),
+            F.col("__best.cell_").alias(centroid_id),
+            F.lit(1).alias("__cell_rank"),
+        )
     w = Window.partitionBy(id_col).orderBy(
-        F.round(sim, 6).desc(), F.col(centroid_id).asc()
+        F.col("__sim").desc(), F.col(centroid_id).asc()
     )
     return (
-        v.crossJoin(c)
-        .withColumn("__cell_rank", F.row_number().over(w))
+        scored.withColumn("__cell_rank", F.row_number().over(w))
         .filter(F.col("__cell_rank") <= nprobe)
         .select(id_col, "__v", "__n", F.col(centroid_id), "__cell_rank")
     )
