@@ -151,6 +151,34 @@ def test_embedding_near_dup_threshold(spark, sf_dir):
     assert len(seen) == len(pairs)  # no duplicate pairs
 
 
+def test_as_of_join_semantics(spark):
+    from wwwision_importservice_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 200), (3, "u", 50), (4, "v", 100)],
+        "lid long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [(10, "u", 100), (11, "u", 150), (12, "w", 10)],
+        "rid long, k string, ts long",
+    )
+    out = {
+        r["lid"]: r["rid_r"]
+        for r in as_of_join(left, right, ["k"], "ts", "ts", ["rid"]).collect()
+    }
+    # inclusive: equal ts matches (lid=1 ↔ rid=10); latest ≤ ts wins
+    # (lid=2 → rid=11); earlier-than-all and keyless lefts get NULL
+    assert out == {1: 10, 2: 11, 3: None, 4: None}
+
+    strict = {
+        r["lid"]: r["rid_r"]
+        for r in as_of_join(
+            left, right, ["k"], "ts", "ts", ["rid"], strict=True
+        ).collect()
+    }
+    assert strict[1] is None  # equal ts excluded under strict
+
+
 def test_detect_language_markers(spark):
     df = docs(
         spark,

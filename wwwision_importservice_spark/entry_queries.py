@@ -785,6 +785,36 @@ def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "asof_join_events",
+    """
+SELECT v.event_id, v.user_id, p.event_id AS event_id_r, p.value AS value_r
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id AND v.ts >= p.ts
+""",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each view event picks up the user's most recent
+    prior-or-simultaneous purchase (NULL when none). Implemented as
+    union + per-key ordered forward-fill — one shuffle, |L|+|R| rows,
+    never a range-join explosion; checked against DuckDB's native
+    ASOF JOIN."""
+    from wwwision_importservice_spark.operators.asof import as_of_join
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = as_of_join(
+        views, purchases, ["user_id"], "ts", "ts", ["event_id", "value"]
+    )
+    return out.select("event_id", "user_id", "event_id_r", "value_r")
+
+
 # --------------------------------------------------------------------------- #
 # X1/X2: dedup extensions (exact, MinHash+LSH, n-gram Jaccard, SimHash)
 # --------------------------------------------------------------------------- #
