@@ -179,6 +179,27 @@ def test_as_of_join_semantics(spark):
     assert strict[1] is None  # equal ts excluded under strict
 
 
+def test_interval_join_boundaries(spark):
+    from wwwision_importservice_spark.operators.ranges import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 150), (3, "u", 200), (4, "u", 99), (5, "v", 150)],
+        "pid long, k string, ts long",
+    )
+    # interval [100, 200) crossing a bucket boundary at width 64
+    intervals = spark.createDataFrame(
+        [(10, "u", 100, 200)], "iid long, k string, start long, end long"
+    )
+    out = sorted(
+        r["pid"]
+        for r in interval_join(
+            points, intervals, ["k"], "ts", "start", "end", bucket_width=64
+        ).collect()
+    )
+    # start inclusive (100), end exclusive (200), key mismatch excluded
+    assert out == [1, 2]
+
+
 def test_detect_language_markers(spark):
     df = docs(
         spark,

@@ -786,6 +786,41 @@ def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "range_join_events",
+    """
+SELECT v.event_id, v.user_id, p.event_id AS p_event_id
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND epoch_ns(p.ts) <= epoch_ns(v.ts)
+ AND epoch_ns(v.ts) < epoch_ns(p.ts) + CAST(3600 AS BIGINT) * 1000000000
+""",
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: views landing inside the hour after a
+    purchase by the same user. The interval set replicates to ≤2 time
+    buckets and the join is a plain equi-join on (user, bucket) + a
+    residual comparison — never the |P|×|I| theta join the oracle runs."""
+    from wwwision_importservice_spark.operators.ranges import interval_join
+
+    ns_hour = 3600 * 10**9
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + ns_hour).alias("end"),
+    )
+    out = interval_join(
+        views, purchases, ["user_id"], "ts", "start", "end", bucket_width=ns_hour
+    )
+    return out.select("event_id", "user_id", "p_event_id")
+
+
+@_register(
     "asof_join_events",
     """
 SELECT v.event_id, v.user_id, p.event_id AS event_id_r, p.value AS value_r
