@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from wwwision_importservice_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -149,6 +150,17 @@ def test_embedding_near_dup_threshold(spark, sf_dir):
     assert all(r["id_a"] < r["id_b"] for r in pairs)
     seen = {(r["id_a"], r["id_b"]) for r in pairs}
     assert len(seen) == len(pairs)  # no duplicate pairs
+
+
+def test_connected_components_chain_star_isolated(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "id long")
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # star 5-{6,7}, isolated 8, 9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (5, 7)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["cluster_id"] for r in connected_components(nodes, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 9}
 
 
 def test_as_of_join_semantics(spark):

@@ -1065,6 +1065,42 @@ def x3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x2_dedup_clusters",
+    f"""
+WITH RECURSIVE sym AS (
+  SELECT id_a AS a, id_b AS b FROM ({_PAIRS_SQL})
+  UNION
+  SELECT id_b, id_a FROM ({_PAIRS_SQL})
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+""",
+)
+def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — near-dup clusters: connected components over the LSH
+    candidate pairs (min-reachable-id labels via iterative min-label
+    propagation; the oracle runs the equivalent recursive CTE). Keeping
+    ``doc_id == cluster_id`` yields the deduplicated corpus."""
+    from wwwision_importservice_spark.operators.dedup import (
+        connected_components,
+        hashed_word_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    sh = hashed_word_shingles(docs, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    out = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@_register(
     "x2_embedding_near_dup",
     f"""
 SELECT id_a, id_b, cosine FROM (

@@ -214,6 +214,70 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster ids for a near-duplicate pair graph: every node gets
+    ``cluster_id`` = the minimum id reachable through the pairs — the
+    step that turns candidate pairs into dedup groups (keep one doc per
+    cluster, e.g. ``doc_id == cluster_id``).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels — converges in
+    O(graph diameter) rounds (LSH dup clusters are shallow; boilerplate
+    stars converge in 2). Each round is one join + one hash aggregate;
+    lineage is cut per round with ``localCheckpoint`` so the plan stays
+    flat (on a cluster with unreliable executors prefer
+    ``checkpoint()`` + a checkpoint dir). Raises after
+    ``max_iterations`` rounds without convergence rather than looping
+    forever — this is driver-side *control* flow only, the data never
+    leaves executors.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("__nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )
+
+
 def ngram_jaccard(
     pairs: DataFrame, shingle_df: DataFrame, id_col: str
 ) -> DataFrame:
