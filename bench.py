@@ -44,6 +44,9 @@ HEADLINE = [
     "x5_text_stats",
     "s1_window_tumbling",
     "s3_window_session",
+    "asof_join_events",
+    "range_join_events",
+    "x2_dedup_clusters",
 ]
 
 
