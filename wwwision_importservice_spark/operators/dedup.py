@@ -244,8 +244,19 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+    all_nodes = nodes.select(F.col(id_col).alias("id"))
+    # propagate only over nodes that appear in a pair — the pair graph
+    # is orders of magnitude smaller than the corpus (most documents are
+    # isolated and trivially their own cluster), so every iteration's
+    # join/aggregate runs on the small frame
+    edged = all_nodes.join(
+        edges.select(F.col("src").alias("id")).distinct(), "id", "left_semi"
+    )
+    isolated = all_nodes.join(edged, "id", "left_anti").select(
+        F.col("id"), F.col("id").alias("cluster_id")
+    )
+    labels = edged.select(
+        F.col("id"), F.col("id").alias("cluster_id")
     ).localCheckpoint(eager=True)
 
     for _ in range(max_iterations):
@@ -272,7 +283,7 @@ def connected_components(
         )
         labels = new_labels
         if changed.isEmpty():
-            return labels
+            return labels.unionByName(isolated)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )
