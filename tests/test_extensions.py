@@ -152,6 +152,31 @@ def test_embedding_near_dup_threshold(spark, sf_dir):
     assert len(seen) == len(pairs)  # no duplicate pairs
 
 
+def test_hash_split_deterministic_and_partitioned(spark):
+    from wwwision_importservice_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["id"]: r["split"] for r in hash_split(df, "id", fr).collect()}
+    b = {r["id"]: r["split"] for r in hash_split(df, "id", fr).collect()}
+    assert a == b  # re-run stability (the whole point vs rand())
+    counts = {}
+    for v in a.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert None not in counts  # fractions sum to 1 → every row labeled
+    # a sampled subset is exactly the prefix-bucket subset, stable too
+    s1 = {r["id"] for r in deterministic_sample(df, "id", 0.2).collect()}
+    s2 = {r["id"] for r in deterministic_sample(df, "id", 0.2).collect()}
+    assert s1 == s2 and 100 < len(s1) < 300
+    # growing the fraction only ADDS rows (monotone cutoffs — append-safe)
+    s3 = {r["id"] for r in deterministic_sample(df, "id", 0.4).collect()}
+    assert s1 <= s3
+
+
 def test_connected_components_chain_star_isolated(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "id long")
     # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),

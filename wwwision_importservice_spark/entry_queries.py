@@ -1359,6 +1359,37 @@ def x5_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
 
 
+@_register(
+    "x6_train_val_split",
+    """
+SELECT split, count(*) AS n_docs FROM (
+  SELECT CASE
+    WHEN bkt < 8000 THEN 'train'
+    WHEN bkt < 9000 THEN 'val'
+    WHEN bkt < 10000 THEN 'test'
+  END AS split
+  FROM (
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 10000 AS bkt
+    FROM documents
+  )
+) GROUP BY split
+""",
+)
+def x6_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — deterministic train/val/test split (80/10/10) by id-hash
+    bucket: re-runs, retries, and appends route every record to the same
+    split (no leakage), unlike rand()-based sampling. A pure expression —
+    the split is a projection, the counts a hash aggregate."""
+    from wwwision_importservice_spark.operators.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 # --------------------------------------------------------------------------- #
 # X4: multimodal plumbing (rows-only check: Pandas-UDF decode path)
 # --------------------------------------------------------------------------- #

@@ -1,0 +1,70 @@
+"""Deterministic sampling and dataset splitting.
+
+Training-data plumbing (no reference counterpart): train/val/test
+splits and downsampling must be *deterministic functions of the record
+id* — never ``rand()`` — so that re-runs, retries, and incremental
+appends route every record to the same split (no train/test leakage
+when the pipeline re-executes). The split key is an md5 bucket of the
+id: uniform, engine-portable, and stable across runs and engines.
+
+All pure expressions (codegen, no shuffle): a split/sample is a filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, buckets: int = _BUCKETS) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from the id's md5
+    (first 60 bits — same construction DuckDB reproduces byte-for-byte
+    via ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``)."""
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10).cast("long")
+    return h % buckets
+
+
+def split_column(
+    id_col: Column, fractions: dict[str, float], buckets: int = _BUCKETS
+) -> Column:
+    """Label each row with its split name by cumulative bucket ranges.
+
+    ``fractions`` maps split name → fraction (must sum to ≤ 1; the
+    remainder, if any, becomes NULL — useful for "sample 10%, ignore
+    the rest"). Iteration order fixes the ranges, so pass an ordered
+    dict and never reorder it between runs.
+    """
+    bucket = hash_bucket(id_col, buckets)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        lo = int(round(cum * buckets))
+        cum += frac
+        hi = int(round(cum * buckets))
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    if cum > 1.0 + 1e-9:
+        raise ValueError(f"Split fractions sum to {cum} > 1")
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic split label column (NULL = not selected)."""
+    return df.withColumn(split_col, split_column(F.col(id_col), fractions))
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float
+) -> DataFrame:
+    """Keep a stable ~``fraction`` of rows by id hash — unlike
+    ``df.sample()`` this survives re-runs, retries, and appends with the
+    same per-record decisions."""
+    cutoff = int(round(fraction * _BUCKETS))
+    return df.filter(hash_bucket(F.col(id_col)) < cutoff)
