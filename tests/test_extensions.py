@@ -177,6 +177,51 @@ def test_hash_split_deterministic_and_partitioned(spark):
     assert s1 <= s3
 
 
+def test_stratified_sample_per_stratum_fractions(spark):
+    from wwwision_importservice_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i % 2 == 0 else "rare") for i in range(2000)],
+        "id long, lang string",
+    )
+    out = stratified_sample(df, "id", "lang", {"big": 0.1, "rare": 1.0})
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["rare"] == 1000  # keep-all stratum intact
+    assert 50 < counts["big"] < 200  # ~10% of 1000
+    # unknown strata use default_fraction=0 → dropped
+    df2 = df.withColumn("lang", F.lit("other"))
+    assert stratified_sample(df2, "id", "lang", {"big": 0.5}).count() == 0
+
+
+def test_sessionize_matches_session_window(spark, sf_dir):
+    """Per-event labels must reconstruct exactly the session-window
+    aggregate: same (user, session_start), same event counts."""
+    from wwwision_importservice_spark.streaming import (
+        nanos_to_timestamp,
+        session_rollup,
+    )
+    from wwwision_importservice_spark.streaming.sessionize import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", (F.col("ts") - F.col("ts") % 1000).alias("ts")
+    )
+    labeled = sessionize(ev, ["user_id"], "ts", gap=1800 * 10**9)
+    from_labels = {
+        (r["user_id"], r["session_start"] // 1000): r["n"]
+        for r in labeled.groupBy("user_id", "session_start")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    agg = session_rollup(
+        ev.withColumn("__ts", nanos_to_timestamp("ts")), "__ts", ["user_id"],
+        gap="30 minutes",
+    )
+    from_windows = {
+        (r["user_id"], r["session_start_us"]): r["n_events"] for r in agg.collect()
+    }
+    assert from_labels == from_windows
+
+
 def test_connected_components_chain_star_isolated(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "id long")
     # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),

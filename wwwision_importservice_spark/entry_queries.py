@@ -1542,6 +1542,42 @@ def s3_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "s3b_sessionize",
+    """
+SELECT event_id, user_id, sess AS session_seq,
+       min(ns) OVER (PARTITION BY user_id, sess) AS session_start
+FROM (
+  SELECT event_id, user_id, ns,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ns
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM (
+    SELECT event_id, user_id, epoch_ns(ts) AS ns,
+           CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= CAST(1800 AS BIGINT) * 1000000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events)
+)
+""",
+)
+def s3b_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session labels (gaps-and-islands) — the assignment
+    complement of the s3 session-window aggregate: every event tagged
+    with its (user, session_seq) and the session's start."""
+    from wwwision_importservice_spark.streaming.sessionize import sessionize
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        # truncate nanos to µs like DuckDB's parquet read, so the emitted
+        # session_start values compare equal
+        (F.col("ts") - F.col("ts") % 1000).alias("ts"),
+    )
+    out = sessionize(ev, ["user_id"], "ts", gap=1800 * 10**9)
+    return out.select("event_id", "user_id", "session_seq", "session_start")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() — the SURVEY §7.2 end-to-end slice."""
     return j4_changeset(spark, sf_dir)

@@ -68,3 +68,24 @@ def deterministic_sample(
     same per-record decisions."""
     cutoff = int(round(fraction * _BUCKETS))
     return df.filter(hash_bucket(F.col(id_col)) < cutoff)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps its own
+    hash-cutoff fraction (e.g. downsample boilerplate-heavy languages,
+    keep all of rare ones). Strata absent from ``fractions`` keep
+    ``default_fraction``. Still a single filter expression — no shuffle,
+    no per-stratum passes."""
+    bucket = hash_bucket(F.col(id_col))
+    cutoff = F.lit(int(round(default_fraction * _BUCKETS)))
+    for value, frac in fractions.items():
+        cutoff = F.when(
+            F.col(strata_col) == value, F.lit(int(round(frac * _BUCKETS)))
+        ).otherwise(cutoff)
+    return df.filter(bucket < cutoff)
