@@ -1101,6 +1101,74 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x2_canonical_docs",
+    f"""
+WITH RECURSIVE sym AS (
+  SELECT id_a AS a, id_b AS b FROM ({_PAIRS_SQL})
+  UNION
+  SELECT id_b, id_a FROM ({_PAIRS_SQL})
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+),
+clusters AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT cluster_id, doc_id, n_chars, cluster_size FROM (
+  SELECT c.cluster_id, d.doc_id, length(d.text) AS n_chars,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(d.text) DESC, d.doc_id) AS rn
+  FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+) WHERE rn = 1
+""",
+)
+def x2_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — the dedup pipeline end to end: shingle → minhash → LSH pairs
+    → connected components → ONE canonical document per cluster (longest
+    text, smallest id on ties). The output is exactly what a dedup stage
+    feeds downstream: the representative set plus each cluster's size."""
+    from wwwision_importservice_spark.operators.dedup import (
+        connected_components,
+        hashed_word_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    sh = hashed_word_shingles(docs, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    clusters = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+    sized = docs.select("doc_id", F.length("text").alias("n_chars")).join(
+        clusters, "doc_id"
+    )
+    # representative per cluster: one hash aggregate (max_by on the
+    # (n_chars, -doc_id) order), no per-cluster sort
+    return (
+        sized.groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("doc_id"), F.col("n_chars")),
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd")),
+            ).alias("__rep"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select(
+            "cluster_id",
+            F.col("__rep.doc_id").alias("doc_id"),
+            F.col("__rep.n_chars").alias("n_chars"),
+            "cluster_size",
+        )
+    )
+
+
+@_register(
     "x2_embedding_near_dup",
     f"""
 SELECT id_a, id_b, cosine FROM (
