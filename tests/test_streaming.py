@@ -195,6 +195,54 @@ def test_stream_sync_foreachbatch(spark, tmp_path):
     assert total == {"added": 4, "updated": 1, "removed": 0}
 
 
+def test_stream_sync_full_snapshot_mode(spark, tmp_path):
+    """skip_removed=False: each batch is a FULL source snapshot, so ids
+    absent from the latest batch are deleted — the periodic-full-feed
+    drop-directory pattern."""
+    db = str(tmp_path / "snap.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE items (id TEXT PRIMARY KEY, name TEXT, version INTEGER)")
+    conn.commit()
+    conn.close()
+    target = DbapiTarget(
+        connection_factory=functools.partial(sqlite3.connect, db),
+        table="items",
+        id_column="id",
+        version_column="version",
+        write_partitions=1,
+    )
+    snap1 = spark.createDataFrame(
+        [(1, "one", 1), (2, "two", 1), (3, "three", 1)],
+        "item_id long, name string, ver long",
+    )
+    snap2 = spark.createDataFrame(
+        [(1, "one", 1), (3, "three-v2", 2)], "item_id long, name string, ver long"
+    )
+    in_dir = _write_ordered_parquet(spark, tmp_path, "snaps", [snap1, snap2])
+    stream = (
+        spark.readStream.schema(snap1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    writer = stream_sync(
+        stream,
+        target,
+        id_attribute="item_id",
+        version_attribute="ver",
+        order_by="item_id",
+        mapper=Mapper({"name": "name"}),
+        skip_removed=False,  # full-snapshot semantics
+    )
+    _run_stream(writer, tmp_path, "snap")
+
+    conn = sqlite3.connect(db)
+    rows = {r[0]: r for r in conn.execute("SELECT id, name, version FROM items")}
+    conn.close()
+    # id2 was in snapshot 1 but not 2 → removed; id3 version bumped
+    assert set(rows) == {"1", "3"}
+    assert rows["3"] == ("3", "three-v2", 2)
+
+
 # --------------------------------------------------------------------- #
 # Stateful operators: state carries across micro-batches
 # --------------------------------------------------------------------- #

@@ -1411,6 +1411,53 @@ def x5_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x5_top_bigrams",
+    """
+SELECT bigram, n, rank FROM (
+  SELECT bigram, n, row_number() OVER (ORDER BY n DESC, bigram) AS rank
+  FROM (
+    SELECT w[i] || ' ' || w[i+1] AS bigram, count(*) AS n
+    FROM (SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+          FROM documents),
+         unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS u(i)
+    WHERE i < len(w)
+    GROUP BY bigram
+  )
+) WHERE rank <= 25
+""",
+)
+def x5_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — bigram frequency head (the 2-gram LM-count shape): adjacent
+    token pairs via an index transform over the token array, counted in
+    one hash aggregate, top-k over the aggregated bigram table."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark,
+    # so single-token/empty docs get an explicit empty array
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+    )
+
+
+@_register(
     "x5_token_count",
     r"""
 SELECT doc_id,
