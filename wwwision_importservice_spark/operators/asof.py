@@ -69,9 +69,13 @@ def as_of_join(
         .alias("__lrow"),
     )
     unioned = l_tagged.unionByName(r_tagged)
+    # __rpay as the final sort key makes ties among right rows at an
+    # identical (key, ts) deterministic (greatest payload struct wins —
+    # the documented tiebreak); left rows all carry NULL __rpay, so the
+    # key is inert for them
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__rpay").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last(F.col("__rpay"), ignorenulls=True).over(w)
