@@ -301,16 +301,30 @@ def k1_keying_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(o_orderkey AS VARCHAR) AS _id,
        try_cast(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS v_numeric_string,
        CAST(floor(epoch(try_cast(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP))) AS BIGINT) AS v_date_string,
-       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS v_timestamp
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS v_timestamp,
+       CAST(floor(epoch(try_cast(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP))) AS BIGINT) AS v_struct
 FROM orders
 """,
 )
 def k2_version_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2 — the DataVersion.parse ladder over three input shapes:
-    numeric string, date string, native timestamp."""
+    """K2 — the DataVersion.parse ladder over all four input shapes:
+    numeric string, date string, native timestamp, and the Doctrine
+    ``{date, timezone}`` struct serialization."""
+    from pyspark.sql import types as T
+
     from wwwision_importservice_spark.functions.versions import version_expr
 
     orders = load(spark, sf_dir, "orders")
+    doctrine = F.struct(
+        F.col("o_orderdate").cast("string").alias("date"),
+        F.lit("UTC").alias("timezone"),
+    )
+    struct_type = T.StructType(
+        [
+            T.StructField("date", T.StringType()),
+            T.StructField("timezone", T.StringType()),
+        ]
+    )
     return orders.select(
         F.col("o_orderkey").cast("string").alias("_id"),
         version_expr(F.col("o_orderkey").cast("string")).alias("v_numeric_string"),
@@ -318,6 +332,7 @@ def k2_version_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         version_expr(
             F.col("o_orderdate"), orders.schema["o_orderdate"].dataType
         ).alias("v_timestamp"),
+        version_expr(doctrine, struct_type).alias("v_struct"),
     )
 
 
