@@ -94,3 +94,27 @@ def test_extra_context_variables(spark):
     )
     mapper = Mapper({"out": "${nodeData.name}"}, variables={"nodeData": "node"})
     assert mapper.apply(df).collect()[0]["out"] == "n1"
+
+
+def test_date_and_math_helpers(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(2024, 3, 15, 10, 30, 45), 100.0)], "d timestamp, v double"
+    )
+    mapper = Mapper(
+        {
+            "y": "${Date.year(record.d)}",
+            "m": "${Date.month(record.d)}",
+            "dom": "${Date.dayOfMonth(record.d)}",
+            "h": "${Date.hour(record.d)}",
+            "plus2": "${Date.add(record.d, 2)}",
+            "lg": "${Math.log(record.v)}",
+            "tr": "${Math.trunc(record.v / 3)}",
+        }
+    )
+    row = mapper.apply(df).collect()[0]
+    assert (row["y"], row["m"], row["dom"], row["h"]) == (2024, 3, 15, 10)
+    assert row["plus2"].day == 17
+    assert abs(row["lg"] - 4.605170185988092) < 1e-12
+    assert row["tr"] == 33

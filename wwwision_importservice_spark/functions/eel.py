@@ -95,9 +95,21 @@ _HELPERS: dict[str, str | Callable[[list[str]], str]] = {
     "Math.pow": "power({0}, {1})",
     "Math.sqrt": "sqrt({0})",
     "Math.random": "rand()",
+    "Math.log": "ln({0})",
+    "Math.exp": "exp({0})",
+    "Math.sign": "sign({0})",
+    "Math.trunc": "cast({0} as bigint)",
     "Date.now": "current_timestamp()",
     "Date.format": "date_format({0}, {1})",
     "Date.parse": "to_timestamp({0})",
+    "Date.year": "year({0})",
+    "Date.month": "month({0})",
+    "Date.dayOfMonth": "dayofmonth({0})",
+    "Date.hour": "hour({0})",
+    "Date.minute": "minute({0})",
+    "Date.second": "second({0})",
+    "Date.dayOfWeek": "dayofweek({0})",
+    "Date.add": "({0} + make_interval(0, 0, 0, {1}, 0, 0, 0))",  # add days
     "Array.join": "array_join({0}, {1})",
     "Array.length": "size({0})",
     "Array.first": "element_at({0}, 1)",
