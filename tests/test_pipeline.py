@@ -291,3 +291,49 @@ def test_cli_run_and_presets(tmp_path, capsys):
     assert "added=1" in out
     assert main(["--presets-file", str(presets_file), "prune", "demo", "--assume-yes"]) == 0
     assert "Removed 1" in capsys.readouterr().out
+
+
+def test_soft_delete_reappearance_lifecycle(spark, tmp_path):
+    """SURVEY §7.4 hard part, end to end through the pipeline: a record
+    vanishes (hidden, not deleted), stays quiet on the next no-op run
+    (hidden rows are not removal candidates again), then re-appears and
+    is un-hidden via UPDATE — never duplicated as an add."""
+    preset = Preset(
+        name="soft",
+        source=CallableSource(
+            rows=[("a", 1, "ta", 1), ("b", 1, "tb", 2)],
+            schema="id string, v long, title string, _ord long",
+        ),
+        target=ParquetTarget(
+            path=str(tmp_path / "soft_tgt"),
+            id_column="id",
+            version_column="version",
+            soft_delete=True,
+        ),
+        id_attribute="id",
+        version_attribute="v",
+        order_attribute="_ord",
+    )
+    pipeline = ImportPipeline(preset, spark)
+
+    assert pipeline.run() == {"added": 2, "updated": 0, "removed": 0, "errors": 0}
+
+    # b vanishes → hidden, not deleted
+    preset.source.rows = [("a", 1, "ta", 1)]
+    assert pipeline.run() == {"added": 0, "updated": 0, "removed": 1, "errors": 0}
+    rows = {
+        r["id"]: r["hidden"]
+        for r in spark.read.parquet(str(tmp_path / "soft_tgt")).collect()
+    }
+    assert rows == {"a": False, "b": True}
+
+    # identical run: the hidden row must NOT be removed again
+    assert pipeline.run() == {"added": 0, "updated": 0, "removed": 0, "errors": 0}
+
+    # b re-appears with a higher version → un-hidden via update, no dup
+    preset.source.rows = [("a", 1, "ta", 1), ("b", 5, "tb2", 2)]
+    assert pipeline.run() == {"added": 0, "updated": 1, "removed": 0, "errors": 0}
+    out = spark.read.parquet(str(tmp_path / "soft_tgt")).collect()
+    rows = {r["id"]: (r["hidden"], r["version"], r["title"]) for r in out}
+    assert len(out) == 2  # no duplicate b
+    assert rows["b"] == (False, 5, "tb2")
