@@ -118,3 +118,60 @@ def test_date_and_math_helpers(spark):
     assert row["plus2"].day == 17
     assert abs(row["lg"] - 4.605170185988092) < 1e-12
     assert row["tr"] == 33
+
+
+def test_string_format(spark):
+    # Neos StringHelper::format (vsprintf) → format_string; the literal
+    # args array is splatted into Spark's varargs form.
+    df = spark.createDataFrame([("jane", 7)], "name string, id int")
+    mapper = Mapper({"slug": '${String.format("%s-%05d", [record.name, record.id])}'})
+    assert mapper.apply(df).collect()[0]["slug"] == "jane-00007"
+
+
+def test_preg_helpers(spark):
+    # PHP preg patterns keep their delimiters + flags; the translator
+    # strips delimiters and folds flags into inline (?i) groups.
+    df = spark.createDataFrame([("Item 42 of 99",)], "s string")
+    mapper = Mapper(
+        {
+            "digits_gone": '${String.pregReplace(record.s, "/[0-9]+/", "N")}',
+            "first_word": '${String.pregMatch(record.s, "/^[a-z]+/i")}',
+            "second_num": '${String.pregMatchGroup(record.s, "/of ([0-9]+)/", 1)}',
+        }
+    )
+    row = mapper.apply(df).collect()[0]
+    assert row["digits_gone"] == "Item N of N"
+    assert row["first_word"] == "Item"
+    assert row["second_num"] == "99"
+
+
+def test_preg_split_and_array_helpers(spark):
+    df = spark.createDataFrame([("a  b\tc",)], "s string")
+    mapper = Mapper(
+        {
+            "joined": '${Array.join(String.pregSplit(record.s, "/\\\\s+/"), "-")}',
+            "middle": '${Array.join(Array.slice(String.pregSplit(record.s, "/\\\\s+/"), 1, 3), "+")}',
+            "sorted_rev": '${Array.join(Array.reverse(Array.sort(["b", "a", "c"])), ",")}',
+        }
+    )
+    row = mapper.apply(df).collect()[0]
+    assert row["joined"] == "a-b-c"
+    assert row["middle"] == "b+c"
+    assert row["sorted_rev"] == "c,b,a"
+
+
+def test_plus_concat_is_segment_scoped(spark):
+    # the '+'→'||' rewrite must not convert the NUMERIC chain in the same
+    # expression, and must reach INSIDE ternary branches and parens
+    df = spark.createDataFrame([(1, "s")], "n int, s string")
+    mapper = Mapper(
+        {
+            "branch": '${record.n + 1 == 2 ? record.s + "!" : "no"}',
+            "mixed": '${record.n + 1 == 2 && record.s + "!" == "s!" ? "both" : "miss"}',
+            "parens": '${(record.s + "a") + record.s}',
+        }
+    )
+    row = mapper.apply(df).collect()[0]
+    assert row["branch"] == "s!"
+    assert row["mixed"] == "both"
+    assert row["parens"] == "sas"

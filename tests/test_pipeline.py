@@ -243,6 +243,16 @@ def test_source_option_overrides():
     assert preset.source.path == "/override.json"
 
 
+def test_force_broadcast_state_option():
+    # the documented broadcast fast path must be reachable from config,
+    # not only from a hand-built Preset
+    cfg = json.loads(json.dumps(CONFIG))
+    cfg["presets"]["users"]["options"] = {"forceBroadcastState": True}
+    preset = PresetRegistry(cfg).build("users")
+    assert preset.force_broadcast_state is True
+    assert PresetRegistry(CONFIG).build("users").force_broadcast_state is False
+
+
 # --------------------------------------------------------------------- #
 # CLI (argparse surface; run covered via a real preset file)
 # --------------------------------------------------------------------- #

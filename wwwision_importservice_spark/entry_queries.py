@@ -61,6 +61,12 @@ def load(
     files have many row groups and the scan parallelizes natively, so
     the repartition is skipped when the scan already has enough splits.
     """
+    # The driver constructs its OWN SparkSession (it does not go through
+    # session.get_spark), so every session-level conf this package needs at
+    # read time must be (re)applied here. events.parquet carries
+    # TIMESTAMP(NANOS) which Spark cannot read natively — surface it as raw
+    # nanos (LongType); runtime-settable, idempotent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if spread:
         target = spark.sparkContext.defaultParallelism
@@ -505,17 +511,21 @@ def agg_q1_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows-only check (no oracle): sketch-based estimates are engine-specific,
 # so DuckDB's HLL/KLL values can't hash-match Spark's — the driver records
 # the weaker row-count/schema check for this one by design.
+# NOTE: scalar p50/p95/p99 columns, NOT one array column — the driver's
+# canonicalizer sorts the result pandas-side and cannot hash ArrayType.
+# Registry-wide rule: no ArrayType in any query's output schema.
 @_register("a3_approx_aggregates")
 def a3_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 — approximate aggregates (HLL++ distinct count, quantile
     sketch): constant memory per group regardless of cardinality — the
     scale substitute for exact distinct/percentile at 100 TB."""
     li = load(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.element_at(q, 1).alias("p50"),
+        F.element_at(q, 2).alias("p95"),
+        F.element_at(q, 3).alias("p99"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

@@ -64,6 +64,93 @@ def _indexof(args: list[str]) -> str:
     return f"(instr({args[0]}, {args[1]}) - 1)"
 
 
+def _format(args: list[str]) -> str:
+    """``String.format(fmt, [a, b])`` (Neos StringHelper → vsprintf) →
+    ``format_string(fmt, a, b)`` (java.lang.String.format). The common
+    printf specifiers (%s %d %f %05d %%…) behave identically; the args
+    array is splatted into Spark's varargs form. A non-literal (dynamic)
+    array argument can't be splatted at translation time — raise rather
+    than mistranslate."""
+    if len(args) == 2 and args[1].startswith("array(") and args[1].endswith(")"):
+        inner = args[1][len("array(") : -1].strip()
+        return f"format_string({args[0]}, {inner})" if inner else f"format_string({args[0]})"
+    if len(args) >= 2 and (args[1].startswith("array(") or args[1].startswith("[")):
+        raise EelTranslationError(
+            "String.format requires a literal args array (e.g. "
+            '${String.format("%s-%s", [record.a, record.b])}) — a dynamic '
+            "array column can't be splatted into format_string at translation time"
+        )
+    # varargs convenience form: String.format(fmt, a, b)
+    return f"format_string({', '.join(args)})"
+
+
+# PHP preg pattern → Java regex: strip the delimiters and fold the
+# common flags into inline (?i)(?m)(?s)(?x) groups. 'u' (PCRE unicode)
+# is Java's default and is dropped.
+_PREG_RE = re.compile(r"^(.)(.*)\1([imsxu]*)$", re.DOTALL)
+
+
+def _php_pattern_to_java(literals: list[str], token: str) -> str:
+    m = re.fullmatch(r"\x00(\d+)\x00", token.strip())
+    if m is None:
+        # dynamic pattern — pass through; caller must supply Java regex
+        return token
+    idx = int(m.group(1))
+    lit = literals[idx]
+    body = lit[1:-1]  # strip SQL quotes
+    pm = _PREG_RE.match(body)
+    if pm and pm.group(1) in "/#~%":
+        pattern, flags = pm.group(2), pm.group(3)
+        inline = "".join(f"(?{f})" for f in flags if f in "imsx")
+        body = inline + pattern
+    # PHP allows \1 backreferences in replacements; Java wants $1
+    literals[idx] = "'" + body + "'"
+    return token
+
+
+def _preg_match(args: list[str], literals: list[str]) -> str:
+    """Neos ``String.pregMatch(s, pattern)`` returns the preg_match
+    matches array; here it yields the FULL match (group 0) as a scalar —
+    use ``String.pregMatchGroup(s, pattern, n)`` for a capture group.
+    (Scalar instead of array: Spark SQL expressions compose better and
+    query outputs must stay ArrayType-free.)"""
+    return f"regexp_extract({args[0]}, {_php_pattern_to_java(literals, args[1])}, 0)"
+
+
+def _preg_match_group(args: list[str], literals: list[str]) -> str:
+    return (
+        f"regexp_extract({args[0]}, "
+        f"{_php_pattern_to_java(literals, args[1])}, {args[2]})"
+    )
+
+
+def _preg_replace(args: list[str], literals: list[str]) -> str:
+    repl = args[2]
+    m = re.fullmatch(r"\x00(\d+)\x00", repl.strip())
+    if m is not None:  # \1 → $1 backrefs inside a literal replacement
+        idx = int(m.group(1))
+        literals[idx] = re.sub(r"\\\\(\d)", r"$\1", literals[idx])
+    return (
+        f"regexp_replace({args[0]}, "
+        f"{_php_pattern_to_java(literals, args[1])}, {repl})"
+    )
+
+
+def _preg_split(args: list[str], literals: list[str]) -> str:
+    pat = _php_pattern_to_java(literals, args[1])
+    if len(args) == 3:
+        return f"split({args[0]}, {pat}, {args[2]})"
+    return f"split({args[0]}, {pat})"
+
+
+def _array_slice(args: list[str]) -> str:
+    # Eel Array.slice is JS-style [begin, end); Spark slice is 1-based
+    # (start, length).
+    if len(args) == 3:
+        return f"slice({args[0]}, ({args[1]}) + 1, ({args[2]}) - ({args[1]}))"
+    return f"slice({args[0]}, ({args[1]}) + 1, 2147483647)"
+
+
 # name → format template ({0},{1},… are the already-translated args) or a
 # callable list[str] -> str for anything positional templates can't say.
 _HELPERS: dict[str, str | Callable[[list[str]], str]] = {
@@ -85,7 +172,19 @@ _HELPERS: dict[str, str | Callable[[list[str]], str]] = {
     "String.toFloat": "cast({0} as double)",
     "String.md5": "md5({0})",
     "String.sha1": "sha1({0})",
-    "String.format": None,  # sentinel: unsupported, raises below
+    "String.format": _format,
+    "String.pregMatch": _preg_match,
+    "String.pregMatchGroup": _preg_match_group,  # extension: capture group n
+    "String.pregReplace": _preg_replace,
+    "String.pregSplit": _preg_split,
+    "String.stripTags": "regexp_replace({0}, '<[^>]*>', '')",
+    "String.htmlSpecialChars": (
+        "replace(replace(replace(replace(replace({0}, '&', '&amp;'), "
+        "'\"', '&quot;'), '''', '&#039;'), '<', '&lt;'), '>', '&gt;')"
+    ),
+    "String.crop": "substring({0}, 1, {1})",
+    "String.repeat": "repeat({0}, {1})",
+    "String.chunk": None,  # no scalar equivalent; register a UDF if needed
     "Math.round": "round({0})",
     "Math.floor": "floor({0})",
     "Math.ceil": "ceiling({0})",
@@ -110,12 +209,19 @@ _HELPERS: dict[str, str | Callable[[list[str]], str]] = {
     "Date.second": "second({0})",
     "Date.dayOfWeek": "dayofweek({0})",
     "Date.add": "({0} + make_interval(0, 0, 0, {1}, 0, 0, 0))",  # add days
+    "Date.create": "to_timestamp({0})",
     "Array.join": "array_join({0}, {1})",
     "Array.length": "size({0})",
     "Array.first": "element_at({0}, 1)",
     "Array.last": "element_at({0}, -1)",
     "Array.concat": "concat({0}, {1})",
     "Array.indexOf": "(array_position({0}, {1}) - 1)",
+    "Array.push": "array_append({0}, {1})",
+    "Array.slice": _array_slice,
+    "Array.sort": "array_sort({0})",
+    "Array.reverse": "reverse({0})",
+    "Array.unique": "array_distinct({0})",
+    "Array.filter": None,  # closure arg; register a UDF if needed
     "Json.stringify": "to_json({0})",
 }
 
@@ -158,9 +264,11 @@ def _restore_strings(expr: str, literals: list[str]) -> str:
     return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], expr)
 
 
-def _translate_helpers(expr: str) -> str:
+def _translate_helpers(expr: str, literals: list[str]) -> str:
     """Rewrite ``Namespace.helper(args)`` calls via the registry, innermost
-    first so nested calls resolve."""
+    first so nested calls resolve. ``literals`` is the protected-string
+    pool — helper callables declaring a second parameter receive it so
+    they can rewrite literal arguments (e.g. PHP preg patterns)."""
     call_re = re.compile(r"\b([A-Z][A-Za-z0-9]*(?:\.[A-Za-z][A-Za-z0-9]*)+)\(")
 
     def find_call(s: str) -> tuple[int, int, str, list[str]] | None:
@@ -168,13 +276,15 @@ def _translate_helpers(expr: str) -> str:
         if not m:
             return None
         name = m.group(1)
+        # bracket depth counts too: commas inside an array-literal arg
+        # ([a, b]) must not split the argument list
         depth, i = 1, m.end()
         args, start = [], m.end()
         while i < len(s) and depth:
             c = s[i]
-            if c == "(":
+            if c in "([":
                 depth += 1
-            elif c == ")":
+            elif c in ")]":
                 depth -= 1
                 if depth == 0:
                     break
@@ -189,6 +299,8 @@ def _translate_helpers(expr: str) -> str:
             args.append(tail)
         return m.start(), i + 1, name, args
 
+    import inspect
+
     while True:
         found = find_call(expr)
         if found is None:
@@ -200,35 +312,125 @@ def _translate_helpers(expr: str) -> str:
                 f'No translation for Eel helper "{name}" — register one with '
                 f"register_helper(), optionally backed by spark.udf.register()"
             )
-        args = [_translate_helpers(a) for a in args]
-        rendered = template(args) if callable(template) else template.format(*args)
+        args = [_translate_helpers(a, literals) for a in args]
+        if callable(template):
+            if len(inspect.signature(template).parameters) >= 2:
+                rendered = template(args, literals)
+            else:
+                rendered = template(args)
+        else:
+            rendered = template.format(*args)
         expr = expr[:begin] + rendered + expr[end:]
+
+
+def _rewrite_array_literals(expr: str) -> str:
+    """Eel array literals ``[a, b]`` → Spark ``array(a, b)``. A ``[``
+    directly following an identifier / ``)`` / ``]`` is indexing
+    (``record.tags[0]``) and is left alone."""
+    out, i, n = [], 0, len(expr)
+    while i < n:
+        c = expr[i]
+        if c == "[":
+            prev = "".join(out).rstrip()
+            is_index = bool(prev) and (prev[-1].isalnum() or prev[-1] in ")]_\x00")
+            if not is_index:
+                depth, j = 1, i + 1
+                while j < n and depth:
+                    if expr[j] in "([":
+                        depth += 1
+                    elif expr[j] in ")]":
+                        depth -= 1
+                    j += 1
+                if depth:
+                    raise EelTranslationError(f"Unbalanced brackets in: {expr}")
+                inner = _rewrite_array_literals(expr[i + 1 : j - 1])
+                out.append(f"array({inner})")
+                i = j
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+# boundaries that end a '+' chain: logical/comparison operators, commas,
+# and CASE keywords (ternaries are already CASE-form when this runs)
+_SEGMENT_RE = re.compile(
+    r"(\bAND\b|\bOR\b|\bNOT\b|\bCASE\b|\bWHEN\b|\bTHEN\b|\bELSE\b|\bEND\b"
+    r"|,|<>|<=|>=|=|<|>)"
+)
 
 
 def _rewrite_plus_concat(expr: str) -> str:
     """Eel ``+`` concatenates when an operand is a string. After string
-    literals are protected as \\x00N\\x00 tokens, any top-level ``+`` chain
-    touching one becomes ``||``. (Attribute-only concat like
-    ``record.a + record.b`` with string columns must use helpers or
-    explicit quotes — type info isn't available at translation time.)"""
+    literals are protected as \\x00N\\x00 tokens, any ``+`` chain touching
+    one becomes ``||`` — applied recursively inside parentheses and
+    per-segment between logical/comparison operators and CASE branches,
+    so ``record.n + 1 = 2 AND record.s + "x" = "y"`` converts only the
+    second chain. (Spark gives ``+`` and ``||`` the same precedence
+    level, so the in-place swap preserves structure.) A parenthesized
+    group that concatenates counts as stringy for its enclosing chain.
+    Attribute-only concat like ``record.a + record.b`` on string columns
+    still needs helpers or explicit quotes — column types aren't known
+    at translation time."""
+    groups: list[str] = []
+    stringy: set[int] = set()
 
-    def split_top(s: str, sep: str) -> list[str]:
-        parts, depth, start = [], 0, 0
+    def extract_parens(s: str) -> str:
+        out, depth, start = [], 0, 0
         for i, c in enumerate(s):
-            if c in "([":
+            if c == "(":
+                if depth == 0:
+                    out.append(s[start:i])
+                    start = i + 1
                 depth += 1
-            elif c in ")]":
+            elif c == ")":
                 depth -= 1
-            elif c == sep and depth == 0:
-                parts.append(s[start:i])
-                start = i + 1
-        parts.append(s[start:])
-        return parts
+                if depth == 0:
+                    body = rewrite(s[start:i])
+                    idx = len(groups)
+                    groups.append(body)
+                    if "\x00" in body or "||" in body:
+                        stringy.add(idx)
+                    out.append(f"\x01{idx}\x01")
+                    start = i + 1
+        out.append(s[start:])
+        return "".join(out)
 
-    parts = split_top(expr, "+")
-    if len(parts) > 1 and any("\x00" in p for p in parts):
-        return " || ".join(p.strip() for p in parts)
-    return expr
+    def is_stringy(part: str) -> bool:
+        if "\x00" in part:
+            return True
+        return any(
+            int(m.group(1)) in stringy for m in re.finditer(r"\x01(\d+)\x01", part)
+        )
+
+    def rewrite(s: str) -> str:
+        top = extract_parens(s)
+        pieces = _SEGMENT_RE.split(top)
+        for k in range(0, len(pieces), 2):  # even indices are operand segments
+            seg = pieces[k]
+            if "+" not in seg:
+                continue
+            parts, depth, start = [], 0, 0
+            for i, c in enumerate(seg):  # bracket-aware: skip index exprs
+                if c == "[":
+                    depth += 1
+                elif c == "]":
+                    depth -= 1
+                elif c == "+" and depth == 0:
+                    parts.append(seg[start:i])
+                    start = i + 1
+            parts.append(seg[start:])
+            if len(parts) > 1 and any(is_stringy(p) for p in parts):
+                pieces[k] = " " + " || ".join(p.strip() for p in parts) + " "
+        return "".join(pieces)
+
+    result = rewrite(expr)
+    # restore paren groups (innermost placeholders restore through nesting)
+    while "\x01" in result:
+        result = re.sub(
+            r"\x01(\d+)\x01", lambda m: "(" + groups[int(m.group(1))] + ")", result
+        )
+    return result
 
 
 def _rewrite_ternary(expr: str) -> str:
@@ -282,7 +484,8 @@ def translate_eel(rule: str, variables: dict[str, str] | None = None) -> str:
     expr = re.sub(r"!=", " <> ", expr)  # before '!' so it isn't eaten by NOT
     expr = re.sub(r"!(?![=])", " NOT ", expr)
     expr = _rewrite_ternary(expr)
-    expr = _translate_helpers(expr)
+    expr = _rewrite_array_literals(expr)
+    expr = _translate_helpers(expr, literals)
     # context variables: record.foo → `foo`; extra vars → prefixed columns
     expr = re.sub(r"\brecord\.([A-Za-z_][A-Za-z0-9_]*)", r"`\1`", expr)
     for var, prefix in (variables or {}).items():

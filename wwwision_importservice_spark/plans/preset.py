@@ -82,6 +82,7 @@ _PRESET_OPTIONS = (
     .has("skipAddedRecords", "boolean")
     .has("skipRemovedRecords", "boolean")
     .has("dataProcessor", "callable")
+    .has("forceBroadcastState", "boolean")
 )
 
 
@@ -229,6 +230,7 @@ class PresetRegistry:
             skip_added=bool(options.get("skipAddedRecords", False)),
             skip_removed=bool(options.get("skipRemovedRecords", False)),
             data_processor=processor,
+            force_broadcast_state=bool(options.get("forceBroadcastState", False)),
         )
 
     @staticmethod

@@ -89,8 +89,19 @@ def stream_sync(
             keep = [c for c in (ID_COL, VERSION_COL, CHANGE_TYPE_COL) if c in cdc.columns]
             keep += [c for c in cdc.columns if c.startswith("_local_")]
             cdc = mapper.apply(cdc, keep=keep)
-        stats = target.apply(spark, cdc)
-        target.finalize(spark)
+        # Pin the ChangeSet BEFORE mutating the target: apply() evaluates the
+        # frame several times (adds count, append, updates, deletes), and for
+        # targets with a lazy current_state (e.g. JdbcTarget reads the target
+        # table through spark.read) each pass would otherwise re-read the
+        # target MID-apply — after adds land, unversioned rows reclassify as
+        # updates, inflating stats and issuing redundant writes. The batch
+        # pipeline caches cdc for the same reason (plans/pipeline.py).
+        cdc = cdc.persist()
+        try:
+            stats = target.apply(spark, cdc)
+            target.finalize(spark)
+        finally:
+            cdc.unpersist()
         if on_batch is not None:
             on_batch(
                 batch_id,
