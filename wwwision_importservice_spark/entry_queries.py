@@ -378,6 +378,40 @@ def k11_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "m1_regex_mapping",
+    # DuckDB regexp_replace is first-match-only without the 'g' flag;
+    # Spark (Java) replaces all — the flag keeps the oracle aligned.
+    """
+SELECT CAST(c_custkey AS VARCHAR) AS _id,
+       regexp_replace(c_phone, '[^0-9]+', '', 'g') AS phone_digits,
+       regexp_extract(c_name, '#([0-9]+)', 1) AS cust_num,
+       regexp_extract(c_phone, '^[0-9]+', 0) AS area_code,
+       printf('%s-%d', c_mktsegment, c_custkey) AS seg_slug
+FROM customer
+""",
+)
+def m1_regex_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 — Eel regex helpers (Neos StringHelper pregMatch/pregReplace,
+    ``EelEvaluator.php:23-26`` default context) compiled to JVM-side
+    regexp_extract/regexp_replace; PHP pattern delimiters + flags are
+    stripped at translation time, so this stays whole-stage-codegen'd —
+    no per-row Python regex."""
+    customer = load(spark, sf_dir, "customer")
+    mapper = Mapper(
+        {
+            "phone_digits": '${String.pregReplace(record.c_phone, "/[^0-9]+/", "")}',
+            "cust_num": '${String.pregMatchGroup(record.c_name, "/#([0-9]+)/", 1)}',
+            "area_code": '${String.pregMatch(record.c_phone, "/^[0-9]+/")}',
+            "seg_slug": '${String.format("%s-%d", [record.c_mktsegment, record.c_custkey])}',
+        }
+    )
+    needed = set(mapper.required_source_columns(customer.columns)) | {"c_custkey"}
+    pruned = customer.select(*[c for c in customer.columns if c in needed])
+    rf = RecordFrame.from_raw(pruned, "c_custkey", order_by="c_custkey")
+    return mapper.apply(rf.df, keep=["_id"])
+
+
+@_register(
     "m2_dataprocessor",
     """
 SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name, c_acctbal, 'overridden' AS title
