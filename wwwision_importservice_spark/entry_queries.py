@@ -381,11 +381,13 @@ def k11_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m1_regex_mapping",
     # DuckDB regexp_replace is first-match-only without the 'g' flag;
     # Spark (Java) replaces all — the flag keeps the oracle aligned.
+    # Columns are the REAL sf customer schema: c_custkey, c_name,
+    # c_nationkey, c_acctbal, c_mktsegment (c_name = 'Customer#NNNNNNNNN').
     """
 SELECT CAST(c_custkey AS VARCHAR) AS _id,
-       regexp_replace(c_phone, '[^0-9]+', '', 'g') AS phone_digits,
+       regexp_replace(c_name, '[^0-9]+', '', 'g') AS name_digits,
        regexp_extract(c_name, '#([0-9]+)', 1) AS cust_num,
-       regexp_extract(c_phone, '^[0-9]+', 0) AS area_code,
+       regexp_extract(c_name, '^[A-Za-z]+', 0) AS name_word,
        printf('%s-%d', c_mktsegment, c_custkey) AS seg_slug
 FROM customer
 """,
@@ -399,9 +401,9 @@ def m1_regex_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     mapper = Mapper(
         {
-            "phone_digits": '${String.pregReplace(record.c_phone, "/[^0-9]+/", "")}',
+            "name_digits": '${String.pregReplace(record.c_name, "/[^0-9]+/", "")}',
             "cust_num": '${String.pregMatchGroup(record.c_name, "/#([0-9]+)/", 1)}',
-            "area_code": '${String.pregMatch(record.c_phone, "/^[0-9]+/")}',
+            "name_word": '${String.pregMatch(record.c_name, "/^[A-Za-z]+/")}',
             "seg_slug": '${String.format("%s-%d", [record.c_mktsegment, record.c_custkey])}',
         }
     )
@@ -652,11 +654,14 @@ def w5_variant_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "m1_json_extract",
+    # DuckDB sum(BIGINT) widens to HUGEINT (→ float64 in pandas), which
+    # hash-diverges from Spark's int64 sum on dtype alone — every oracle
+    # aggregate gets an explicit output cast (registry-wide rule).
     """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """,
 )
