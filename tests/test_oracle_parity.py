@@ -9,7 +9,16 @@ import math
 import duckdb
 import pytest
 
-from wwwision_importservice_spark.entry_queries import ORACLES, QUERIES
+from wwwision_importservice_spark.entry_queries import (
+    ORACLES,
+    PYTEST_ORACLES,
+    PYTEST_QUERIES,
+    QUERIES,
+)
+
+# pytest checks the full surface: driver-checked + pytest-only queries
+ALL_QUERIES = {**QUERIES, **PYTEST_QUERIES}
+ALL_ORACLES = {**ORACLES, **PYTEST_ORACLES}
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -43,13 +52,13 @@ def oracle(sf_dir):
     return con
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_query_matches_oracle(name, spark, sf_dir, oracle):
-    sdf = QUERIES[name](spark, sf_dir)
+    sdf = ALL_QUERIES[name](spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
 
-    res = oracle.execute(ORACLES[name])
+    res = oracle.execute(ALL_ORACLES[name])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
 
@@ -68,8 +77,17 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle):
 
 
 def test_all_queries_have_callables():
-    for name in ORACLES:
-        assert name in QUERIES
+    for name in ALL_ORACLES:
+        assert name in ALL_QUERIES
+
+
+def test_driver_registry_within_check_budget():
+    """The round driver oracle-checks the FIRST 50 registered queries;
+    anything past that is silently unverified. Keep the driver-facing
+    registry at ≤50 (pytest-only queries live in PYTEST_QUERIES)."""
+    assert len(QUERIES) <= 50, sorted(QUERIES)
+    # every driver query that has an oracle must actually be checkable
+    assert set(ORACLES) <= set(QUERIES)
 
 
 def test_entry_smoke(spark):

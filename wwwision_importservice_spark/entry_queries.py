@@ -36,15 +36,51 @@ from wwwision_importservice_spark.record import RecordFrame, dedup_last_wins
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Pytest-only registry: the round driver checks at most 50 queries, so the
+# driver-facing QUERIES dict is curated to exactly 50; queries moved here
+# keep their full DuckDB oracle parity through tests/test_oracle_parity.py
+# (which iterates QUERIES ∪ PYTEST_QUERIES) but don't consume a driver slot.
+PYTEST_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+PYTEST_ORACLES: dict[str, str] = {}
 
-def _register(name: str, oracle: str | None = None):
+# The driver checks the FIRST 50 registered queries — keep the least-proven
+# (new this round / never yet driver-verified) at the front so a future
+# over-budget registration can only evict a long-green query, not a new one.
+_CHECK_FIRST = [
+    "s3_window_session",
+    "s3b_sessionize",
+    "j4_changeset_broadcast",
+    "sink_e2e_state",
+    "a3_quantiles",
+    "x5_top_ngrams",
+    "m1_regex_mapping",
+    "m1_json_extract",
+]
+
+
+def _register(name: str, oracle: str | None = None, driver: bool = True):
+    queries, oracles = (QUERIES, ORACLES) if driver else (
+        PYTEST_QUERIES, PYTEST_ORACLES
+    )
+
     def wrap(fn):
-        QUERIES[name] = fn
+        queries[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            oracles[name] = oracle
         return fn
 
     return wrap
+
+
+def _finalize_registration_order() -> None:
+    """Reorder QUERIES/ORACLES so _CHECK_FIRST names come first (dicts
+    preserve insertion order; the driver's 50-query budget reads them in
+    order). Called once at the end of this module."""
+    for d in (QUERIES, ORACLES):
+        ordered = {k: d[k] for k in _CHECK_FIRST if k in d}
+        ordered.update({k: v for k, v in d.items() if k not in ordered})
+        d.clear()
+        d.update(ordered)
 
 
 def load(
@@ -223,9 +259,17 @@ def j3_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _only(spark, sf_dir, "update")
 
 
-@_register("j3_force_updates", _cdc_sql(with_hidden=False, force=True, only="update"))
+@_register(
+    "j3_force_updates",
+    _cdc_sql(with_hidden=False, force=True, only="update"),
+    driver=False,
+)
 def j3_force_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 with forceUpdates: every intersecting record updates."""
+    """J3 with forceUpdates: every intersecting record updates.
+
+    Pytest-only slot: the force branch shares j3_updated's engine path
+    (one flag flips the update predicate to TRUE), so the driver budget
+    goes to queries that prove distinct plans."""
     return compute_changes(
         orders_source(spark, sf_dir),
         target_state(spark, sf_dir),
@@ -544,17 +588,48 @@ def agg_q1_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only check (no oracle): sketch-based estimates are engine-specific,
-# so DuckDB's HLL/KLL values can't hash-match Spark's — the driver records
-# the weaker row-count/schema check for this one by design.
+# A3 exact/sketch split: the exact percentiles are oracle-checked here
+# (Spark `percentile` vs DuckDB `quantile_cont`, both linear-interpolation,
+# rounded to 6 decimals so last-ulp interpolation arithmetic can't diverge);
+# the sketch twins (approx_count_distinct HLL++, percentile_approx KLL-ish)
+# are engine-specific estimates that can't hash-match any other engine, so
+# their accuracy is verified by tolerance in tests/test_entry_queries.py
+# (test_a3_sketch_accuracy) instead of burning an un-hashable driver slot.
 # NOTE: scalar p50/p95/p99 columns, NOT one array column — the driver's
 # canonicalizer sorts the result pandas-side and cannot hash ArrayType.
 # Registry-wide rule: no ArrayType in any query's output schema.
-@_register("a3_approx_aggregates")
+@_register(
+    "a3_quantiles",
+    """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def a3_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — exact interpolated percentiles per group (the hash-checkable
+    half of the approximate-aggregate surface; at 100 TB the same query
+    swaps `percentile` for `percentile_approx` — constant memory per
+    group — which test_a3_sketch_accuracy proves tracks this result)."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.percentile("l_extendedprice", F.lit([0.5, 0.95, 0.99]))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.element_at(q, 1), 6).alias("p50"),
+        F.round(F.element_at(q, 2), 6).alias("p95"),
+        F.round(F.element_at(q, 3), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def a3_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 — approximate aggregates (HLL++ distinct count, quantile
-    sketch): constant memory per group regardless of cardinality — the
-    scale substitute for exact distinct/percentile at 100 TB."""
+    """A3 — the sketch twins (HLL++ distinct count, quantile sketch):
+    constant memory per group regardless of cardinality — the scale
+    substitute for exact distinct/percentile at 100 TB. Not registered:
+    sketch estimates can't hash-match another engine; accuracy is
+    tolerance-tested against the exact aggregates in pytest."""
     li = load(spark, sf_dir, "lineitem")
     q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
@@ -602,10 +677,14 @@ SELECT event_type,
 FROM events
 GROUP BY event_type, hour_epoch
 """,
+    driver=False,
 )
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window rollup on the events table (batch form of the
-    streaming windowed agg; SURVEY §2.8).
+    streaming windowed agg; SURVEY §2.8). Pytest-only slot:
+    s1_window_tumbling proves the identical hourly-tumbling semantics
+    through the shared streaming code path, so this raw-nanos variant
+    doesn't need a second driver slot.
 
     events.ts is TIMESTAMP(NANOS) parquet, surfaced as raw nanos
     (LongType) via nanosAsLong — the hour bucket is computed with exact
@@ -1454,6 +1533,7 @@ SELECT tok, n, rank FROM (
   )
 ) WHERE rank <= 25
 """,
+    driver=False,
 )
 def x5_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 — corpus vocabulary head: top-25 terms by frequency
@@ -1489,6 +1569,7 @@ SELECT bigram, n, rank FROM (
   )
 ) WHERE rank <= 25
 """,
+    driver=False,
 )
 def x5_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 — bigram frequency head (the 2-gram LM-count shape): adjacent
@@ -1522,12 +1603,50 @@ def x5_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x5_top_ngrams",
+    """
+SELECT gram, gram_size, n, rank FROM (
+  SELECT gram, gram_size, n,
+         row_number() OVER (PARTITION BY gram_size ORDER BY n DESC, gram) AS rank
+  FROM (
+    SELECT tok AS gram, 1 AS gram_size, count(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+    WHERE tok <> '' GROUP BY tok
+    UNION ALL
+    SELECT w[i] || ' ' || w[i+1], 2, count(*)
+    FROM (SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+          FROM documents),
+         unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS u(i)
+    WHERE i < len(w)
+    GROUP BY w[i] || ' ' || w[i+1]
+  )
+) WHERE rank <= 25
+""",
+)
+def x5_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — the n-gram frequency heads in ONE driver slot: top-25
+    unigrams and top-25 bigrams, unioned with a gram_size discriminator
+    and ranked per size. Each leg is the same single hash-aggregate shape
+    as x5_top_terms / x5_top_bigrams (both kept as pytest-only parity
+    queries); the ranking windows run over the two tiny aggregated term
+    tables, never the corpus."""
+    return x5_top_terms(spark, sf_dir).select(
+        F.col("tok").alias("gram"), F.lit(1).alias("gram_size"), "n", "rank"
+    ).unionByName(
+        x5_top_bigrams(spark, sf_dir).select(
+            F.col("bigram").alias("gram"), F.lit(2).alias("gram_size"), "n", "rank"
+        )
+    )
+
+
+@_register(
     "x5_token_count",
     r"""
 SELECT doc_id,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens
 FROM documents
 """,
+    driver=False,
 )
 def x5_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 — BPE-ish regex token counting (word / number / punct classes,
@@ -1760,3 +1879,6 @@ def s3b_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() — the SURVEY §7.2 end-to-end slice."""
     return j4_changeset(spark, sf_dir)
+
+
+_finalize_registration_order()
