@@ -86,23 +86,18 @@ def test_ivf_centroid_join_broadcasts(spark, sf_dir):
 
 
 def test_diff_broadcast_path_has_no_wide_shuffle(spark, sf_dir):
-    """The broadcast fast path: wide source rows never enter an
-    exchange (only the narrow remove-side anti-join may shuffle)."""
-    from wwwision_importservice_spark.entry_queries import (
-        orders_source,
-        target_state,
+    """The broadcast fast path: the add/update joins are broadcast-hash
+    joins and the wide source rows never enter a shuffle exchange — every
+    Exchange in the plan is a broadcast of the narrow local keyset (the
+    remove anti-join probes the same broadcast)."""
+    tree = tree_of(
+        plan_of(spark, QUERIES["j4_changeset_broadcast"](spark, sf_dir))
     )
-    from wwwision_importservice_spark.operators.diff import compute_changes
-
-    cdc = compute_changes(
-        orders_source(spark, sf_dir),
-        target_state(spark, sf_dir),
-        local_id_col="id",
-        local_version_col="version",
-        broadcast_local=True,
-    )
-    tree = tree_of(plan_of(spark, cdc))
     assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    shuffles = re.findall(r"Exchange (\w+)", tree)
+    assert all(kind == "SinglePartition" or "broadcast" in kind.lower()
+               for kind in shuffles) or not shuffles, tree
 
 
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):

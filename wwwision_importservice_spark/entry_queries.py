@@ -235,6 +235,24 @@ def j4_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("j4_changeset_broadcast", _cdc_sql(with_hidden=False))
+def j4_changeset_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 broadcast fast path — semantically identical ChangeSet (same
+    oracle as j4_changeset) through the split three-join plan
+    (``operators/diff.py`` ``broadcast_local=True``): the local keyset
+    broadcasts like the reference's build-side PHP hash map
+    (``DbalTarget.php:97-103``), so the wide source rows never enter an
+    exchange — the 100 TB-source/small-target shape. Plan pinned by
+    ``test_diff_broadcast_path_has_no_wide_shuffle``."""
+    return compute_changes(
+        orders_source(spark, sf_dir),
+        target_state(spark, sf_dir),
+        local_id_col="id",
+        local_version_col="version",
+        broadcast_local=True,
+    )
+
+
 def _only(spark, sf_dir, change_type):
     cdc = j4_changeset(spark, sf_dir)
     return cdc.filter(F.col("change_type") == change_type)
@@ -313,6 +331,72 @@ SELECT change_type, count(*) AS n FROM ({_cdc_sql(with_hidden=False)}) GROUP BY 
 def a1_changeset_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — per-change-type cardinality (progress/reporting counts)."""
     return changeset_counts(j4_changeset(spark, sf_dir))
+
+
+# The expected FINAL TARGET STATE after source → diff → soft-delete MERGE
+# apply (reference semantics DbalTarget.php:134-155 + ImportService.php:71-88,
+# CR soft-delete refinement ContentRepositoryTarget.php:245-256):
+#   - add/update rows come from the source (version refreshed, un-hidden),
+#   - intersecting rows with no newer version stay untouched (attr cols NULL —
+#     the seed state has none),
+#   - visible local rows absent from the source are hidden (soft delete),
+#   - already-hidden absentees stay as they are (not removal candidates).
+_SINK_E2E_SQL = f"""
+SELECT id, version, hidden, o_totalprice, o_orderstatus FROM (
+  SELECT s._id AS id, s._version AS version, FALSE AS hidden,
+         s.o_totalprice, s.o_orderstatus
+  FROM ({_SRC_SQL}) s LEFT JOIN ({_local_sql()}) l ON s._id = l.id
+  WHERE l.id IS NULL
+     OR (s._version IS NULL OR l.version IS NULL OR s._version > l.version)
+  UNION ALL
+  SELECT l.id, l.version, l.hidden, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+  FROM ({_local_sql()}) l JOIN ({_SRC_SQL}) s ON s._id = l.id
+  WHERE NOT (s._version IS NULL OR l.version IS NULL OR s._version > l.version)
+  UNION ALL
+  SELECT l.id, l.version,
+         CASE WHEN l.hidden THEN l.hidden ELSE TRUE END,
+         CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+  FROM ({_local_sql()}) l LEFT JOIN ({_SRC_SQL}) s ON s._id = l.id
+  WHERE s._id IS NULL
+)
+"""
+
+
+@_register("sink_e2e_state", _SINK_E2E_SQL)
+def sink_e2e_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W8 under the hard check — the full write path end to end:
+    seed a ParquetTarget with the synthetic local state, run
+    source → diff (J5 soft-delete mode) → MERGE-emulation apply
+    (anti-join + union snapshot swap), then read the final table back.
+    The oracle rebuilds the expected final state in pure SQL, so every
+    set-oriented write branch (insert W1, update-and-unhide W2/W6,
+    soft-delete W7, carry-over of untouched rows) is value-hashed."""
+    import tempfile
+
+    from wwwision_importservice_spark.sinks.parquet import ParquetTarget
+
+    path = tempfile.mkdtemp(prefix="sink_e2e_") + "/state"
+    target = ParquetTarget(
+        path, id_column="id", version_column="version", soft_delete=True
+    )
+    target_state(spark, sf_dir).write.parquet(path)
+
+    cdc = compute_changes(
+        orders_source(spark, sf_dir),
+        target.current_state(spark),
+        local_id_col="id",
+        local_version_col="version",
+        local_hidden_col="hidden",
+    )
+    target.apply(spark, cdc)
+    final = spark.read.parquet(path)
+    return final.select(
+        "id",
+        F.col("version").cast("long").alias("version"),
+        "hidden",
+        "o_totalprice",
+        "o_orderstatus",
+    )
 
 
 # --------------------------------------------------------------------------- #
