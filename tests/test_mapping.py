@@ -175,3 +175,68 @@ def test_plus_concat_is_segment_scoped(spark):
     assert row["branch"] == "s!"
     assert row["mixed"] == "both"
     assert row["parens"] == "sas"
+
+
+def test_array_slice_two_arg_rest_of_array(spark):
+    """ADVICE fix: the 2-arg form must not overflow start+length — a
+    2^31-1 length sentinel made slice() silently return [] for begin>=1."""
+    df = spark.createDataFrame([("x",)], "id string")
+    mapper = Mapper(
+        {
+            "rest": '${Array.join(Array.slice(["a", "b", "c"], 1), "-")}',
+            "whole": '${Array.join(Array.slice(["a", "b", "c"], 0), "-")}',
+            "window": '${Array.join(Array.slice(["a", "b", "c", "d"], 1, 3), "-")}',
+        }
+    )
+    row = mapper.apply(df).collect()[0]
+    assert row["rest"] == "b-c"
+    assert row["whole"] == "a-b-c"
+    assert row["window"] == "b-c"
+
+
+def test_preg_replace_single_backslash_backref(spark):
+    """ADVICE fix: PHP/YAML-style single-backslash backrefs (\\1) must
+    convert to Java's $1 like the SQL-double-escaped form already did."""
+    df = spark.createDataFrame([("ab-ab",)], "s string")
+    mapper = Mapper(
+        {
+            "single": '${String.pregReplace(record.s, "/(a)b/", "\\1x")}',
+            "dollar": '${String.pregReplace(record.s, "/(a)b/", "$1y")}',
+        }
+    )
+    row = mapper.apply(df).collect()[0]
+    assert row["single"] == "ax-ax"
+    assert row["dollar"] == "ay-ay"
+
+
+def test_string_crop_suffix(spark):
+    """ADVICE fix: the 3-arg crop appends the suffix when it crops and
+    leaves short strings untouched (Neos StringHelper::crop)."""
+    df = spark.createDataFrame([("hello world", "hi")], "long string, short string")
+    mapper = Mapper(
+        {
+            "cropped": '${String.crop(record.long, 5, "...")}',
+            "untouched": '${String.crop(record.short, 5, "...")}',
+            "plain": "${String.crop(record.long, 5)}",
+        }
+    )
+    row = mapper.apply(df).collect()[0]
+    assert row["cropped"] == "hello..."
+    assert row["untouched"] == "hi"
+    assert row["plain"] == "hello"
+
+
+def test_plus_stays_numeric_around_call_args(spark):
+    """ADVICE fix: a string literal inside a helper-call argument list
+    must not make the surrounding '+' chain stringy —
+    ${record.n + String.toInteger("5")} is numeric addition."""
+    df = spark.createDataFrame([(100,)], "n int")
+    mapper = Mapper(
+        {
+            "added": '${record.n + String.toInteger("5")}',
+            "concat": '${"n=" + (record.n + String.toInteger("5"))}',
+        }
+    )
+    row = mapper.apply(df).collect()[0]
+    assert row["added"] == 105
+    assert row["concat"] == "n=105"

@@ -129,7 +129,12 @@ def _preg_replace(args: list[str], literals: list[str]) -> str:
     m = re.fullmatch(r"\x00(\d+)\x00", repl.strip())
     if m is not None:  # \1 → $1 backrefs inside a literal replacement
         idx = int(m.group(1))
+        # SQL-double-escaped backrefs first (\\1), then PHP/YAML-style
+        # single-backslash ones (\1) — Spark's literal unescape would
+        # otherwise reduce '\1' to the plain character '1' and silently
+        # replace matches with it.
         literals[idx] = re.sub(r"\\\\(\d)", r"$\1", literals[idx])
+        literals[idx] = re.sub(r"\\(\d)", r"$\1", literals[idx])
     return (
         f"regexp_replace({args[0]}, "
         f"{_php_pattern_to_java(literals, args[1])}, {repl})"
@@ -145,10 +150,12 @@ def _preg_split(args: list[str], literals: list[str]) -> str:
 
 def _array_slice(args: list[str]) -> str:
     # Eel Array.slice is JS-style [begin, end); Spark slice is 1-based
-    # (start, length).
+    # (start, length). The 2-arg "rest of the array" form must use
+    # size(arr) as the length — a 2^31-1 sentinel overflows Spark's
+    # start+length arithmetic for any begin >= 1 and silently returns [].
     if len(args) == 3:
         return f"slice({args[0]}, ({args[1]}) + 1, ({args[2]}) - ({args[1]}))"
-    return f"slice({args[0]}, ({args[1]}) + 1, 2147483647)"
+    return f"slice({args[0]}, ({args[1]}) + 1, size({args[0]}))"
 
 
 # name → format template ({0},{1},… are the already-translated args) or a
@@ -182,7 +189,14 @@ _HELPERS: dict[str, str | Callable[[list[str]], str]] = {
         "replace(replace(replace(replace(replace({0}, '&', '&amp;'), "
         "'\"', '&quot;'), '''', '&#039;'), '<', '&lt;'), '>', '&gt;')"
     ),
-    "String.crop": "substring({0}, 1, {1})",
+    "String.crop": lambda args: (
+        # Neos crop appends the suffix only when it actually crops
+        f"CASE WHEN length({args[0]}) > ({args[1]}) "
+        f"THEN substring({args[0]}, 1, {args[1]}) || {args[2]} "
+        f"ELSE {args[0]} END"
+        if len(args) == 3
+        else f"substring({args[0]}, 1, {args[1]})"
+    ),
     "String.repeat": "repeat({0}, {1})",
     "String.chunk": None,  # no scalar equivalent; register a UDF if needed
     "Math.round": "round({0})",
@@ -367,8 +381,16 @@ def _rewrite_plus_concat(expr: str) -> str:
     per-segment between logical/comparison operators and CASE branches,
     so ``record.n + 1 = 2 AND record.s + "x" = "y"`` converts only the
     second chain. (Spark gives ``+`` and ``||`` the same precedence
-    level, so the in-place swap preserves structure.) A parenthesized
-    group that concatenates counts as stringy for its enclosing chain.
+    level, so the in-place swap preserves structure.) A *grouping* paren
+    that concatenates counts as stringy for its enclosing chain — but a
+    function-call argument list (a ``(`` directly following an
+    identifier, e.g. the already-translated ``cast('5' as int)``) does
+    NOT: a string literal inside a call's arguments says nothing about
+    the call's result type, so ``record.n + String.toInteger("5")``
+    stays numeric addition. The remaining ambiguity is inherent to
+    translation-time type blindness: a call that *does* return a string
+    (``record.s + String.format("%s", [x])``) also stays ``+`` — concat
+    against helper results needs an explicit string operand or quotes.
     Attribute-only concat like ``record.a + record.b`` on string columns
     still needs helpers or explicit quotes — column types aren't known
     at translation time."""
@@ -377,10 +399,16 @@ def _rewrite_plus_concat(expr: str) -> str:
 
     def extract_parens(s: str) -> str:
         out, depth, start = [], 0, 0
+        is_call_args = False
         for i, c in enumerate(s):
             if c == "(":
                 if depth == 0:
-                    out.append(s[start:i])
+                    head = s[start:i]
+                    out.append(head)
+                    prev = head.rstrip()[-1:]
+                    is_call_args = bool(prev) and (
+                        prev.isalnum() or prev in "_`"
+                    )
                     start = i + 1
                 depth += 1
             elif c == ")":
@@ -389,7 +417,7 @@ def _rewrite_plus_concat(expr: str) -> str:
                     body = rewrite(s[start:i])
                     idx = len(groups)
                     groups.append(body)
-                    if "\x00" in body or "||" in body:
+                    if not is_call_args and ("\x00" in body or "||" in body):
                         stringy.add(idx)
                     out.append(f"\x01{idx}\x01")
                     start = i + 1
