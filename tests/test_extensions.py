@@ -233,6 +233,24 @@ def test_connected_components_chain_star_isolated(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 9}
 
 
+def test_connected_components_doubling_round_count(spark):
+    """Pointer doubling must converge a deep chain in O(log diameter)
+    rounds — a 17-node path (diameter 16) needs <= 6 rounds, where
+    plain neighbor-min propagation needs 16."""
+    n = 17
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(nodes, pairs, stats=stats).collect()
+    }
+    assert out == {i: 1 for i in range(1, n + 1)}
+    assert stats["iterations"] <= 6, stats
+
+
 def test_as_of_join_semantics(spark):
     from wwwision_importservice_spark.operators.asof import as_of_join
 

@@ -219,22 +219,30 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "id",
     max_iterations: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster ids for a near-duplicate pair graph: every node gets
     ``cluster_id`` = the minimum id reachable through the pairs — the
     step that turns candidate pairs into dedup groups (keep one doc per
     cluster, e.g. ``doc_id == cluster_id``).
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels — converges in
-    O(graph diameter) rounds (LSH dup clusters are shallow; boilerplate
-    stars converge in 2). Each round is one join + one hash aggregate;
-    lineage is cut per round with ``localCheckpoint`` so the plan stays
-    flat (on a cluster with unreliable executors prefer
-    ``checkpoint()`` + a checkpoint dir). Raises after
-    ``max_iterations`` rounds without convergence rather than looping
-    forever — this is driver-side *control* flow only, the data never
-    leaves executors.
+    Min-label propagation with **two-hop pointer doubling**: each round
+    every node takes the min of (its own label, its neighbors' labels,
+    its label's label). The neighbor step alone converges in O(graph
+    diameter) rounds; the label-of-label hop compresses every pointer
+    chain ~2× per round, so deep components (chains, long merge paths)
+    converge in O(log diameter) — the same round bound as the
+    large-star/small-star family, for one extra self-join on the small
+    label frame instead of a per-round edge rewrite. Each round is two
+    joins + one hash aggregate over the *paired* nodes only; lineage is
+    cut per round with ``localCheckpoint`` so the plan stays flat (on a
+    cluster with unreliable executors prefer ``checkpoint()`` + a
+    checkpoint dir). Raises after ``max_iterations`` rounds without
+    convergence rather than looping forever — this is driver-side
+    *control* flow only, the data never leaves executors.
+
+    ``stats``: optional dict; on return ``stats["iterations"]`` carries
+    the executed round count (pinned by the round-count regression test).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -259,19 +267,35 @@ def connected_components(
         F.col("id"), F.col("id").alias("cluster_id")
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_iterations):
+    for rounds in range(1, max_iterations + 1):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("cluster_id").alias("__nbr_min"))
         )
+        cand = labels.join(
+            nbr_min, labels["id"] == nbr_min["src"], "left"
+        ).select(
+            F.col("id"),
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("__nbr_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        # pointer doubling: follow the candidate label one more hop
+        # through the current label table (label values are node ids of
+        # the same component, so any adopted label stays in-component
+        # and labels only decrease — the fixpoint is unchanged)
+        hop = labels.select(
+            F.col("id").alias("__lid"), F.col("cluster_id").alias("__lmin")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            cand.join(hop, cand["cluster_id"] == hop["__lid"], "left")
             .select(
                 F.col("id"),
                 F.least(
                     F.col("cluster_id"),
-                    F.coalesce(F.col("__nbr_min"), F.col("cluster_id")),
+                    F.coalesce(F.col("__lmin"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)
@@ -283,6 +307,8 @@ def connected_components(
         )
         labels = new_labels
         if changed.isEmpty():
+            if stats is not None:
+                stats["iterations"] = rounds
             return labels.unionByName(isolated)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
