@@ -79,6 +79,24 @@ def test_cosine_topk_broadcasts_corpus(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in tree, tree
 
 
+def test_topk_truncates_before_shuffle(spark, sf_dir):
+    """X3 top-k: a partial WindowGroupLimit must sit BELOW the exchange
+    — each map task forwards at most k rows per query into the shuffle,
+    so the scored |Q|×|C| frame never shuffles in full and no reducer
+    sorts a query's entire candidate set."""
+    tree = tree_of(plan_of(spark, QUERIES["x3_cosine_topk"](spark, sf_dir)))
+    lines = tree.splitlines()
+    limit_depths = [i for i, l in enumerate(lines) if "WindowGroupLimit" in l]
+    exchange_rows = [
+        i for i, l in enumerate(lines)
+        if re.search(r"\bExchange\b", l) and "Broadcast" not in l
+    ]
+    assert limit_depths, tree
+    # at least one WindowGroupLimit is a child of (appears after) the
+    # shuffle exchange in the operator column — the partial, map-side one
+    assert exchange_rows and any(i > exchange_rows[0] for i in limit_depths), tree
+
+
 def test_ivf_centroid_join_broadcasts(spark, sf_dir):
     """X3 IVF: both cell assignments broadcast the centroid table."""
     tree = tree_of(plan_of(spark, QUERIES["x3_ann_ivf_topk"](spark, sf_dir)))

@@ -16,9 +16,10 @@ Driver-mandated extension: approximate-nearest-neighbor over an
 
 Scale notes: embeddings are pre-cast to double once (element-wise
 ``transform``) so all engines compute identical IEEE sums; norms are
-computed once per side, not per pair. For a 100 TB corpus the LSH path
-shards buckets across executors and the per-bucket top-k is a partial
-aggregate before the global window.
+computed once per side, not per pair. All top-k paths share
+:func:`topk`, whose rank window plans with a map-side partial
+WindowGroupLimit — at most k rows per query per task enter the
+shuffle, so no strategy ever sorts or shuffles the full scored frame.
 """
 
 from __future__ import annotations
@@ -74,7 +75,20 @@ def topk(
     query_id: str = "q_id",
     corpus_id: str = "c_id",
 ) -> DataFrame:
-    """Deterministic top-k per query (score desc, id asc tiebreak)."""
+    """Deterministic top-k per query (score desc, id asc tiebreak).
+
+    The ``row_number → filter rank <= k`` shape is NOT a naive global
+    window at execution time: Catalyst's ``InferWindowGroupLimit``
+    (Spark ≥3.5) plans a **partial WindowGroupLimit before the
+    exchange** — every map task locally sorts its slice and forwards at
+    most k rows per query into the shuffle, then a final group limit +
+    rank runs post-shuffle. So the shuffle carries ≤ k·n_tasks rows per
+    query instead of the full |Q|×|C| scored frame, and no single
+    reducer ever sorts a query's whole candidate set. Pinned by
+    ``test_topk_truncates_before_shuffle`` (a hand-rolled two-phase
+    collect_list truncation was measured strictly worse: partial
+    collect_list buffers ship the *un*-truncated per-partition lists
+    through the exchange)."""
     w = Window.partitionBy(query_id).orderBy(
         F.col("score").desc(), F.col(corpus_id).asc()
     )
