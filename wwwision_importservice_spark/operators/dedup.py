@@ -281,6 +281,7 @@ def connected_components(
                 F.col("cluster_id"),
                 F.coalesce(F.col("__nbr_min"), F.col("cluster_id")),
             ).alias("cluster_id"),
+            F.col("cluster_id").alias("__prev"),
         )
         # pointer doubling: follow the candidate label one more hop
         # through the current label table (label values are node ids of
@@ -289,7 +290,7 @@ def connected_components(
         hop = labels.select(
             F.col("id").alias("__lid"), F.col("cluster_id").alias("__lmin")
         )
-        new_labels = (
+        new_full = (
             cand.join(hop, cand["cluster_id"] == hop["__lid"], "left")
             .select(
                 F.col("id"),
@@ -297,16 +298,15 @@ def connected_components(
                     F.col("cluster_id"),
                     F.coalesce(F.col("__lmin"), F.col("cluster_id")),
                 ).alias("cluster_id"),
+                F.col("__prev"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
+        # convergence check is a local filter on the checkpointed frame
+        # (the previous label rode along) — no new-vs-old join, one cheap
+        # follow-up job per round instead of a join + shuffle
+        labels = new_full.drop("__prev")
+        if new_full.filter(F.col("cluster_id") != F.col("__prev")).isEmpty():
             if stats is not None:
                 stats["iterations"] = rounds
             return labels.unionByName(isolated)
