@@ -240,3 +240,18 @@ def test_plus_stays_numeric_around_call_args(spark):
     row = mapper.apply(df).collect()[0]
     assert row["added"] == 105
     assert row["concat"] == "n=105"
+
+
+def test_date_create_with_timezone(spark):
+    """Date.create(value, tz) interprets the naive string in that zone
+    (PHP DateTime semantics): noon Berlin summer time = 10:00 UTC."""
+    df = spark.createDataFrame([("2020-06-01 12:00:00",)], "d string")
+    mapper = Mapper(
+        {
+            "utc_instant": '${Date.create(record.d, "Europe/Berlin")}',
+            "naive": "${Date.create(record.d)}",
+        }
+    )
+    row = mapper.apply(df).collect()[0]
+    assert row["utc_instant"].hour == 10
+    assert row["naive"].hour == 12

@@ -1077,6 +1077,42 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_id_r", "value_r")
 
 
+@_register(
+    "skew_salted_join",
+    """
+SELECT s_nationkey, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+""",
+    driver=False,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew plumbing (SURVEY §7.1.8): the deterministic salted join must
+    be row-for-row equivalent to the plain equi-join the oracle runs —
+    the salt only changes the shuffle distribution, never the result.
+    Pytest-only slot (the operator has no reference twin; AQE handles
+    most skew, the explicit salt is for hot keys AQE can't split)."""
+    from wwwision_importservice_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice"
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, s, on=["suppkey"], num_salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------- #
 # X1/X2: dedup extensions (exact, MinHash+LSH, n-gram Jaccard, SimHash)
 # --------------------------------------------------------------------------- #

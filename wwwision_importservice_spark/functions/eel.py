@@ -223,7 +223,14 @@ _HELPERS: dict[str, str | Callable[[list[str]], str]] = {
     "Date.second": "second({0})",
     "Date.dayOfWeek": "dayofweek({0})",
     "Date.add": "({0} + make_interval(0, 0, 0, {1}, 0, 0, 0))",  # add days
-    "Date.create": "to_timestamp({0})",
+    # Date.create(value[, timezone]): PHP's DateTime interprets a naive
+    # string in the given zone — to_utc_timestamp converts that wall time
+    # to the UTC instant (the session runs in UTC).
+    "Date.create": lambda args: (
+        f"to_utc_timestamp(to_timestamp({args[0]}), {args[1]})"
+        if len(args) == 2
+        else f"to_timestamp({args[0]})"
+    ),
     "Array.join": "array_join({0}, {1})",
     "Array.length": "size({0})",
     "Array.first": "element_at({0}, 1)",
