@@ -302,3 +302,41 @@ def test_first_seen_dedup_across_batches(spark, tmp_path):
 
     rows = [r["k"] for r in spark.table("dedup_sink").collect()]
     assert sorted(rows) == ["a", "b", "c"]  # each key exactly once, ever
+
+
+def test_version_gate_across_batches(spark, tmp_path):
+    """Streaming J3: only strictly newer versions pass the gate, across
+    micro-batch boundaries and out-of-order within a batch."""
+    from wwwision_importservice_spark.streaming import version_gate
+
+    b1 = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("b", 2)], "id string, version long"
+    )
+    # a@2 is stale (gate at 3), a@5 advances; b@2 is a duplicate
+    b2 = spark.createDataFrame(
+        [("a", 2), ("a", 5), ("b", 2), ("c", 7)], "id string, version long"
+    )
+    in_dir = _write_ordered_parquet(spark, tmp_path, "gate_in", [b1, b2])
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        version_gate(stream, "id", "version")
+        .writeStream.format("memory")
+        .queryName("gate_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    emitted = sorted(
+        (r["id"], r["version"]) for r in spark.table("gate_sink").collect()
+    )
+    # b1: a emits 1 then 3 (in-batch version order), b emits 2
+    # b2: a emits only 5 (2 is stale), b suppressed, c emits 7
+    assert emitted == [("a", 1), ("a", 3), ("a", 5), ("b", 2), ("c", 7)]

@@ -10,6 +10,7 @@ and custom stateful operators are the driver-mandated scale extensions.
 from wwwision_importservice_spark.streaming.stateful import (
     first_seen_dedup,
     running_totals,
+    version_gate,
 )
 from wwwision_importservice_spark.streaming.sync import stream_sync
 from wwwision_importservice_spark.streaming.windows import (
@@ -23,6 +24,7 @@ __all__ = [
     "first_seen_dedup",
     "nanos_to_timestamp",
     "running_totals",
+    "version_gate",
     "session_rollup",
     "sliding_rollup",
     "stream_sync",
