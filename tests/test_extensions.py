@@ -116,6 +116,21 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     # found, so recall has a floor; just assert it's a meaningful overlap
     assert recall >= 0.2, f"ANN recall suspiciously low: {recall}"
 
+    # multi-probe (hamming-1 neighbor buckets) must not lose any pair the
+    # single-bucket probe found, and should recover strictly more of the
+    # exact top-k on this corpus
+    probed = {
+        (r["q_id"], r["c_id"])
+        for r in cosine_topk_lsh(
+            queries, corpus, k=5, bits=8, probe_hamming=1
+        ).collect()
+    }
+    recall_mp = len(exact & probed) / len(exact)
+    assert recall_mp >= recall, (recall_mp, recall)
+    assert recall_mp > recall, (
+        f"multi-probe should lift recall on this corpus: {recall_mp} vs {recall}"
+    )
+
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -132,12 +132,28 @@ def cosine_topk_lsh(
     corpus_id: str = "c_id",
     vector_col: str = "embedding",
     bits: int = 8,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """ANN top-k: candidates restricted to the query's sign-LSH bucket.
 
     Recall < 1 by construction (near neighbors can land across a
-    hyperplane); the exact :func:`cosine_topk` is the ground truth."""
-    q = queries.withColumn("__bkt", sign_bucket(F.col(vector_col), bits))
+    hyperplane); the exact :func:`cosine_topk` is the ground truth.
+
+    ``probe_hamming=1`` enables **multi-probe**: each query also probes
+    every bucket at hamming distance 1 (one sign flipped) — the
+    classic recall lever for a near neighbor sitting just across a
+    single hyperplane. Candidate volume grows ×(bits+1) on the query
+    side only; the corpus keeps exactly one bucket per vector, so no
+    candidate pair is generated twice and no dedup pass is needed."""
+    q = queries.withColumn("__bkt0", sign_bucket(F.col(vector_col), bits))
+    if probe_hamming >= 1:
+        probes = F.array(
+            F.col("__bkt0"),
+            *[F.col("__bkt0").bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
+        )
+    else:
+        probes = F.array(F.col("__bkt0"))
+    q = q.withColumn("__bkt", F.explode(probes))
     c = corpus.withColumn("__bkt", sign_bucket(F.col(vector_col), bits))
     qd = q.select(
         query_id,
