@@ -373,3 +373,45 @@ def test_multimodal_partition_sizing(spark):
     blobs = attach_blob(df, "doc_id", "text")
     meta = decode_metadata(blobs, "doc_id", target_partition_bytes=500)
     assert meta.count() == 20
+
+
+def test_train_ivf_centroids_improves_recall(spark, sf_dir):
+    """Lloyd-trained centroids must (a) be deterministic, (b) not regress
+    IVF recall vs the naive every-Nth-vector centroids at equal cell
+    count, and usually improve it."""
+    from wwwision_importservice_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    naive = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    n_cells = naive.count()
+    trained = train_ivf_centroids(
+        emb, n_cells, id_col="vec_id", iterations=3
+    )
+    assert trained.count() == n_cells
+    # deterministic: same inputs → identical centroid table
+    trained2 = train_ivf_centroids(emb, n_cells, id_col="vec_id", iterations=3)
+    a = sorted(map(str, trained.collect()))
+    b = sorted(map(str, trained2.collect()))
+    assert a == b
+
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in cosine_topk(queries, corpus, k=5, broadcast_corpus=True).collect()
+    }
+    def recall(cents):
+        got = {
+            (r["q_id"], r["c_id"])
+            for r in cosine_topk_ivf(queries, corpus, cents, k=5, nprobe=2).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_naive, r_trained = recall(naive), recall(trained)
+    assert r_trained >= r_naive - 0.05, (r_trained, r_naive)

@@ -297,6 +297,114 @@ def assign_cells(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str,
+    vector_col: str = "embedding",
+    iterations: int = 5,
+    centroid_id: str = "cell",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Lloyd's k-means over the corpus → the IVF centroid table
+    (``cell``, ``embedding``), expressed as pure DataFrame ops.
+
+    Per iteration: assign every (sampled) vector to its nearest centroid
+    — a broadcast of the small centroid table, zero shuffle of the big
+    side — then recompute each centroid as the element-wise mean of its
+    members via one hash aggregate on ``cell`` with ``dim`` scalar sum
+    buffers (``sum(v[i])`` per dimension): map-side partial sums mean
+    the shuffle carries one d-vector of partials per (task, cell), not
+    member vectors. Empty cells keep their previous centroid.
+    Initialization is deterministic: the ``n_cells`` vectors with the
+    smallest md5(id) — uniform over the corpus, reproducible across
+    retries (same argument as hash_split).
+
+    At 100 TB: train on a hash-sample (``sample_fraction``) — centroid
+    quality needs a representative sample, not the full corpus — then
+    assign the full corpus once with :func:`assign_cells`.
+    """
+    pool = corpus.select(
+        F.col(id_col), _as_double(F.col(vector_col)).alias("__v")
+    )
+    if sample_fraction is not None:
+        pool = pool.filter(
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long"),
+                F.lit(1_000_000),
+            )
+            < int(sample_fraction * 1_000_000)
+        )
+    pool = pool.localCheckpoint(eager=False)
+    first = pool.select(F.size("__v").alias("d")).first()
+    if first is None:
+        raise ValueError("train_ivf_centroids: empty corpus/sample")
+    dim = first["d"]
+
+    centroids = (
+        pool.withColumn(
+            "__rk", F.md5(F.col(id_col).cast("string"))
+        )
+        .orderBy("__rk")
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(Window.orderBy("__rk")) - 1).alias(centroid_id),
+            F.col("__v").alias("__cv"),
+        )
+    )
+
+    for _ in range(iterations):
+        c = F.broadcast(centroids.withColumn("__cn", _norm(F.col("__cv"))))
+        sim = _dot(F.col("__v"), F.col("__cv")) / (
+            F.nullif(_norm(F.col("__v")) * F.col("__cn"), F.lit(0.0))
+        )
+        assigned = (
+            pool.crossJoin(c)
+            .groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct(F.col(centroid_id).alias("cell_"), F.col("__v").alias("v_")),
+                    F.struct(sim.alias("s"), (-F.col(centroid_id)).alias("nc")),
+                ).alias("__best")
+            )
+            .select(
+                F.col("__best.cell_").alias(centroid_id),
+                F.col("__best.v_").alias("__v"),
+            )
+        )
+        # element-wise mean per cell: one sum buffer per dimension —
+        # partial aggregation keeps the shuffle at one d-vector of
+        # partial sums per (task, cell)
+        means = (
+            assigned.groupBy(centroid_id)
+            .agg(
+                *[
+                    F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}")
+                    for i in range(dim)
+                ],
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                F.col(centroid_id),
+                F.array(
+                    *[F.col(f"__s{i}") / F.col("__n") for i in range(dim)]
+                ).alias("__new"),
+            )
+        )
+        centroids = (
+            centroids.join(means, centroid_id, "left")
+            .select(
+                F.col(centroid_id),
+                F.coalesce(F.col("__new"), F.col("__cv")).alias("__cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return centroids.select(
+        F.col(centroid_id), F.col("__cv").alias(vector_col)
+    )
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
