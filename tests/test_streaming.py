@@ -340,3 +340,42 @@ def test_version_gate_across_batches(spark, tmp_path):
     # b1: a emits 1 then 3 (in-batch version order), b emits 2
     # b2: a emits only 5 (2 is stale), b suppressed, c emits 7
     assert emitted == [("a", 1), ("a", 3), ("a", 5), ("b", 2), ("c", 7)]
+
+
+def test_rate_events_live_rollup(spark, tmp_path):
+    """The windowed rollup runs on a genuinely unbounded source (the
+    built-in rate stream) — watermark, window aggregation, and update
+    emission all engage outside the file-replay path."""
+    import time
+
+    from wwwision_importservice_spark.streaming import rate_events, tumbling_rollup
+
+    ev = rate_events(spark, rows_per_second=200, n_users=10)
+    rolled = tumbling_rollup(
+        ev.withWatermark("ts", "5 seconds"),
+        "ts",
+        ["event_type"],
+        window="1 minute",
+        value_col="value",
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rate_rollup")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rate"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = []
+        while time.time() < deadline:
+            q.processAllAvailable()
+            rows = spark.table("rate_rollup").collect()
+            if rows:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert rows, "no windows emitted from the live rate stream"
+    assert {r["event_type"] for r in rows} <= {"view", "click", "purchase"}
+    assert all(r["n_events"] > 0 for r in rows)
