@@ -291,3 +291,106 @@ def test_dbapi_setup(spark, sqlite_target):
         table="no_such_table",
     )
     assert bad.setup(spark).has_errors
+
+
+def test_bucketed_target_lifecycle(spark, tmp_path):
+    """BucketedParquetTarget: two sync applies with a generation swap —
+    same MERGE semantics as ParquetTarget, state persisted bucketed."""
+    from pyspark.sql import functions as F
+
+    from wwwision_importservice_spark.operators.diff import compute_changes
+    from wwwision_importservice_spark.record import RecordFrame
+    from wwwision_importservice_spark.sinks.bucketed import BucketedParquetTarget
+
+    target = BucketedParquetTarget(
+        str(tmp_path / "state"), table_name="bkt_target_t1", n_buckets=4
+    )
+    try:
+        src1 = RecordFrame.from_keyed(
+            spark.createDataFrame(
+                [("1", 10, "x"), ("2", 10, "y")],
+                "_id string, _version long, payload string",
+            )
+        )
+        cdc1 = compute_changes(
+            src1.df, target.current_state(spark),
+            local_id_col="id", local_version_col="version",
+        )
+        stats1 = target.apply(spark, cdc1)
+        assert (stats1.added, stats1.updated, stats1.removed) == (2, 0, 0)
+
+        # second run: 1 updated, 2 unchanged, 3 added; then 2 removed
+        src2 = RecordFrame.from_keyed(
+            spark.createDataFrame(
+                [("1", 20, "x2"), ("3", 5, "z")],
+                "_id string, _version long, payload string",
+            )
+        )
+        cdc2 = compute_changes(
+            src2.df, target.current_state(spark),
+            local_id_col="id", local_version_col="version",
+        )
+        stats2 = target.apply(spark, cdc2)
+        assert (stats2.added, stats2.updated, stats2.removed) == (1, 1, 1)
+
+        final = {
+            r["id"]: (r["version"], r["payload"])
+            for r in spark.table("bkt_target_t1").collect()
+        }
+        assert final == {"1": (20, "x2"), "3": (5, "z")}
+        # exactly one generation directory remains after the swap
+        assert len(target._generations()) == 1
+    finally:
+        target.remove_all(spark)
+
+
+def test_bucketed_target_diff_has_no_target_side_exchange(spark, tmp_path):
+    """The point of bucketing the state: the diff join's target side is
+    pre-distributed on the key — the plan has at most ONE shuffle (the
+    source side), never one per side."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from wwwision_importservice_spark.operators.diff import compute_changes
+    from wwwision_importservice_spark.record import RecordFrame
+    from wwwision_importservice_spark.sinks.bucketed import BucketedParquetTarget
+
+    target = BucketedParquetTarget(
+        str(tmp_path / "state2"), table_name="bkt_target_t2", n_buckets=4
+    )
+    try:
+        seed = RecordFrame.from_keyed(
+            spark.createDataFrame(
+                [(str(i), 1, "p") for i in range(100)],
+                "_id string, _version long, payload string",
+            )
+        )
+        target.apply(
+            spark,
+            compute_changes(
+                seed.df, target.current_state(spark),
+                local_id_col="id", local_version_col="version",
+            ),
+        )
+
+        src = RecordFrame.from_keyed(
+            spark.createDataFrame(
+                [(str(i), 2, "q") for i in range(50, 150)],
+                "_id string, _version long, payload string",
+            )
+        )
+        cdc = compute_changes(
+            src.df, target.current_state(spark),
+            local_id_col="id", local_version_col="version",
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        tree = cdc._jdf.queryExecution().explainString(mode).split("\n\n")[0]
+        shuffles = len(_re.findall(r"\bExchange\b", tree)) - len(
+            _re.findall(r"\bReusedExchange\b", tree)
+        )
+        assert shuffles <= 1, tree
+    finally:
+        target.remove_all(spark)

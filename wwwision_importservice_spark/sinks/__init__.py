@@ -7,12 +7,14 @@ with batched writes, soft-delete mode, and per-row error quarantine.
 """
 
 from wwwision_importservice_spark.sinks.base import ApplyStats, DataTarget
+from wwwision_importservice_spark.sinks.bucketed import BucketedParquetTarget
 from wwwision_importservice_spark.sinks.parquet import ParquetTarget
 from wwwision_importservice_spark.sinks.dbapi import DbapiTarget
 from wwwision_importservice_spark.sinks.jdbc import JdbcTarget
 
 TARGET_TYPES: dict[str, type[DataTarget]] = {
     "parquet": ParquetTarget,
+    "bucketed_parquet": BucketedParquetTarget,
     "dbapi": DbapiTarget,
     "jdbc": JdbcTarget,
 }
@@ -26,6 +28,7 @@ __all__ = [
     "ApplyStats",
     "DataTarget",
     "ParquetTarget",
+    "BucketedParquetTarget",
     "DbapiTarget",
     "JdbcTarget",
     "TARGET_TYPES",
