@@ -469,6 +469,29 @@ def _rewrite_plus_concat(expr: str) -> str:
 
 
 def _rewrite_ternary(expr: str) -> str:
+    """``cond ? a : b`` → ``CASE WHEN … END``, at every paren depth:
+    group bodies are rewritten recursively first (a ternary wrapped in
+    parens, or used as an operand, sits at depth ≥ 1), then the first
+    top-level ``?`` splits this level. The else-branch recurses, so
+    right-chained ``c1 ? x : c2 ? y : z`` resolves; a *bare* nested
+    ternary in the then-branch needs parentheses (as in Eel style)."""
+    if "?" in expr:
+        # rewrite inside top-level parenthesized groups first
+        out: list[str] = []
+        depth, last, start = 0, 0, 0
+        for i, c in enumerate(expr):
+            if c == "(":
+                if depth == 0:
+                    out.append(expr[last:i])
+                    start = i + 1
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    out.append("(" + _rewrite_ternary(expr[start:i]) + ")")
+                    last = i + 1
+        out.append(expr[last:])
+        expr = "".join(out)
     q = expr.find("?")
     if q == -1 or expr.find(":", q) == -1:
         return expr
@@ -492,7 +515,7 @@ def _rewrite_ternary(expr: str) -> str:
                     then, other = rest[:j], rest[j + 1 :]
                     return (
                         f"CASE WHEN {cond.strip()} THEN {then.strip()} "
-                        f"ELSE {other.strip()} END"
+                        f"ELSE {_rewrite_ternary(other.strip())} END"
                     )
             break
     return expr
