@@ -415,3 +415,32 @@ def test_train_ivf_centroids_improves_recall(spark, sf_dir):
 
     r_naive, r_trained = recall(naive), recall(trained)
     assert r_trained >= r_naive - 0.05, (r_trained, r_naive)
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    from wwwision_importservice_spark.operators.text import chunk_documents
+
+    df = docs(spark, [(1, "a b c d e f g"), (2, ""), (3, "one")])
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_index"]): r for r in out.collect()}
+    # stride 3: doc 1 (7 tokens) → [a b c d], [d e f g] — overlap of 1
+    assert rows[(1, 0)]["chunk_text"] == "a b c d"
+    assert rows[(1, 1)]["chunk_text"] == "d e f g"
+    # short and empty docs still yield exactly one (partial) chunk
+    assert rows[(2, 0)]["n_tokens"] == 0
+    assert rows[(3, 0)]["chunk_text"] == "one"
+    assert len(rows) == 4
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_scrub_pii_masks_each_kind(spark):
+    from wwwision_importservice_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [("write a.b+c@ex-ample.org, dial +49 (0)30 1234567, ping 192.168.0.255",)],
+        "t string",
+    )
+    out = df.select(scrub_pii(F.col("t")).alias("s")).collect()[0]["s"]
+    assert "<EMAIL>" in out and "<PHONE>" in out and "<IP>" in out
+    assert "@" not in out and "192" not in out

@@ -1808,6 +1808,65 @@ def x6_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+@_register(
+    "x5_chunking",
+    """
+SELECT doc_id, CAST(i AS INT) AS chunk_index,
+       len(ck) AS n_tokens,
+       array_to_string(ck, ' ') AS chunk_text
+FROM (
+  SELECT doc_id, i, list_slice(toks, i*24 + 1, i*24 + 32) AS ck
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents),
+       unnest(range(0, greatest(CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1, 1))) AS u(i)
+)
+""",
+    driver=False,
+)
+def x5_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — overlapping token-window chunking (32-token chunks, 8-token
+    overlap): the stage in front of embedding/indexing. A projection +
+    explode, no shuffle; pytest-only slot (driver budget full)."""
+    from wwwision_importservice_spark.operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
+@_register(
+    "x5_pii_scrub",
+    r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             text || ' contact: doc' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 (555) 000-1234 at 10.0.0.1',
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
+         '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS scrubbed
+FROM documents
+""",
+    driver=False,
+)
+def x5_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — PII scrubbing (emails, phone-like digit runs, IPv4 → typed
+    masks). PII is injected deterministically per row so the oracle
+    verifies the masking on EVERY document, not just absence of
+    accidental matches. Patterns live in the Java-regex ∩ RE2 subset so
+    both engines run the identical expressions. Pytest-only slot."""
+    from wwwision_importservice_spark.operators.text import scrub_pii
+
+    docs = load(spark, sf_dir, "documents")
+    synthetic = F.concat(
+        F.col("text"),
+        F.lit(" contact: doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 000-1234 at 10.0.0.1"),
+    )
+    return docs.select("doc_id", scrub_pii(synthetic).alias("scrubbed"))
+
+
 # --------------------------------------------------------------------------- #
 # X4: multimodal plumbing (rows-only check: Pandas-UDF decode path)
 # --------------------------------------------------------------------------- #

@@ -175,3 +175,74 @@ def fingerprint(
         F.col(id_col),
         F.md5(normalized).alias("fingerprint"),
     )
+
+
+# PII patterns in the Java-regex ∩ RE2 common subset (no backrefs, no
+# lookaround) so the DuckDB oracle can run the identical expressions.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(text: Column, patterns: list[tuple[str, str]] | None = None) -> Column:
+    """Mask PII spans (emails, phone-like digit runs, IPv4) with typed
+    placeholders — the standard pre-training scrub pass. A chain of
+    JVM-side ``regexp_replace`` calls (order matters: emails first so
+    their digits don't half-match as phones); at 100 TB this runs inside
+    the scan's codegen like every other X5 expression."""
+    out = text
+    for pattern, replacement in patterns or PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, replacement)
+    return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the chunking
+    stage in front of embedding/indexing. One row per chunk:
+    ``(id, chunk_index, n_tokens, chunk_text)``, where chunk i covers
+    whitespace tokens ``[i*stride, i*stride + chunk_tokens)`` and
+    ``stride = chunk_tokens - overlap``. Pure expressions: the token
+    array is built once, window starts come from ``sequence``, and the
+    explode fans out rows — no UDF, no shuffle (chunking is a
+    projection; whatever partitioning the scan has is preserved).
+
+    Every document yields at least one chunk (short docs → one partial
+    chunk), and the last window is the only one allowed to be short —
+    matching the usual tokenizer-window semantics.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("chunk_documents requires 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # last start s.t. start <= n (1-based); short/empty docs get start 1
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1, F.lit(1)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunk = F.explode(
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                i.alias("chunk_index"),
+                F.slice(toks, i * stride + 1, chunk_tokens).alias("__toks"),
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col), chunk.alias("__c"))
+        .select(
+            F.col(id_col),
+            F.col("__c.chunk_index").alias("chunk_index"),
+            F.size("__c.__toks").alias("n_tokens"),
+            F.array_join("__c.__toks", " ").alias("chunk_text"),
+        )
+    )
