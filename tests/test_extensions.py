@@ -444,3 +444,52 @@ def test_scrub_pii_masks_each_kind(spark):
     out = df.select(scrub_pii(F.col("t")).alias("s")).collect()[0]["s"]
     assert "<EMAIL>" in out and "<PHONE>" in out and "<IP>" in out
     assert "@" not in out and "192" not in out
+
+
+def test_embedding_near_dup_multiprobe_recall(spark, sf_dir):
+    """probe_hamming=1 must be a superset of the single-bucket pairs and
+    recover strictly more of the exact threshold pairs on this corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, "vec_id", threshold=0.3, bits=8).collect()
+    }
+    probed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, "vec_id", threshold=0.3, bits=8, probe_hamming=1
+        ).collect()
+    }
+    assert single <= probed
+    # exact ground truth via brute force on the small sf
+    l = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    r = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.transform("ea", lambda x: x.cast("double")),
+            F.transform("eb", lambda x: x.cast("double")),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v * v,
+        )
+    )
+    exact = {
+        (row["id_a"], row["id_b"])
+        for row in l.crossJoin(r)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot / (norm(F.col("ea")) * norm(F.col("eb"))))
+        .filter(F.col("cos") >= 0.3)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert probed <= exact  # no false positives (scores are exact)
+    assert len(probed & exact) > len(single & exact), (
+        len(probed & exact), len(single & exact),
+    )

@@ -180,6 +180,7 @@ def embedding_near_dup_pairs(
     vector_col: str = "embedding",
     threshold: float = 0.3,
     bits: int = 8,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: ``(id_a < id_b, cosine)``
     for pairs with cosine ≥ ``threshold``, blocked by sign-LSH bucket.
@@ -187,12 +188,27 @@ def embedding_near_dup_pairs(
     The all-pairs O(n²) is cut to per-bucket pairs (expected n²/2^bits);
     like the MinHash path, pairs expand in-array after ONE group-by on
     the bucket key — no self-join, one pass over the corpus. Recall < 1
-    by construction (a near pair can straddle a hyperplane); raising
-    recall = unioning hamming-adjacent buckets.
+    by construction (a near pair can straddle a hyperplane);
+    ``probe_hamming=1`` raises it by ALSO replicating every vector into
+    its ``bits`` hamming-1 neighbor buckets, so any pair separated by at
+    most one hyperplane co-occurs in some bucket. Replication is
+    ×(bits+1) on rows into the group-by (still one pass, no self-join);
+    a pair can now meet in several buckets, so the final ``distinct``
+    (already present for exactness) also dedups the probes.
     """
+    bucket0 = sign_bucket(F.col(vector_col), bits)
+    if probe_hamming >= 1:
+        buckets = F.explode(
+            F.array(
+                bucket0,
+                *[bucket0.bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
+            )
+        )
+    else:
+        buckets = bucket0
     keyed = df.select(
         F.col(id_col),
-        sign_bucket(F.col(vector_col), bits).alias("__bkt"),
+        buckets.alias("__bkt"),
         _as_double(F.col(vector_col)).alias("__v"),
     ).withColumn("__n", _norm(F.col("__v")))
 
