@@ -216,8 +216,11 @@ def test_sessionize_matches_session_window(spark, sf_dir):
         session_rollup,
     )
     from wwwision_importservice_spark.streaming.sessionize import sessionize
+    from wwwision_importservice_spark.streaming.windows import ensure_nanos
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = ensure_nanos(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "ts"
+    ).select(
         "event_id", "user_id", (F.col("ts") - F.col("ts") % 1000).alias("ts")
     )
     labeled = sessionize(ev, ["user_id"], "ts", gap=1800 * 10**9)

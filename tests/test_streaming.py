@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from wwwision_importservice_spark.mapping import Mapper
 from wwwision_importservice_spark.sinks.dbapi import DbapiTarget
 from wwwision_importservice_spark.streaming import (
+    ensure_nanos,
     first_seen_dedup,
     nanos_to_timestamp,
     running_totals,
@@ -58,7 +59,7 @@ def _run_stream(writer, tmp_path, name):
 # --------------------------------------------------------------------- #
 
 def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = ensure_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"), "ts")
     in_dir = _write_ordered_parquet(spark, tmp_path, "events", [batch])
 
     stream = spark.readStream.schema(batch.schema).parquet(in_dir)
@@ -96,7 +97,7 @@ def test_streaming_watermarked_windows_equal_batch(spark, sf_dir, tmp_path, whic
     """Watermarked sliding/session rollups in APPEND mode: with
     availableNow every window finalizes once the stream drains, so the
     emitted rows must equal the batch run of the same code path."""
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = ensure_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"), "ts")
     in_dir = _write_ordered_parquet(spark, tmp_path, f"ev_{which}", [batch])
     stream = spark.readStream.schema(batch.schema).parquet(in_dir)
 

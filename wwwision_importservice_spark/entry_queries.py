@@ -99,11 +99,21 @@ def load(
     """
     # The driver constructs its OWN SparkSession (it does not go through
     # session.get_spark), so every session-level conf this package needs at
-    # read time must be (re)applied here. events.parquet carries
-    # TIMESTAMP(NANOS) which Spark cannot read natively — surface it as raw
-    # nanos (LongType); runtime-settable, idempotent.
+    # read time must be (re)applied here; both are runtime-settable and
+    # idempotent. UTC matches DuckDB's tz-naive parquet timestamps;
+    # nanosAsLong covers testdata generations where events.ts is parquet
+    # TIMESTAMP(NANOS), which Spark cannot read natively.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events":
+        # Normalize events.ts to raw epoch-nanos (LongType) no matter how
+        # the parquet encodes it — all downstream operators (windows,
+        # sessionize, as-of/range joins) consume raw nanos, and the DuckDB
+        # oracles' epoch_ns()/epoch_us() agree with it exactly.
+        from wwwision_importservice_spark.streaming.windows import ensure_nanos
+
+        df = ensure_nanos(df, "ts")
     if spread:
         target = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < target:

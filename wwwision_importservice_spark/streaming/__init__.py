@@ -34,6 +34,7 @@ from wwwision_importservice_spark.streaming.stateful import (
 )
 from wwwision_importservice_spark.streaming.sync import stream_sync
 from wwwision_importservice_spark.streaming.windows import (
+    ensure_nanos,
     nanos_to_timestamp,
     session_rollup,
     sliding_rollup,
@@ -41,6 +42,7 @@ from wwwision_importservice_spark.streaming.windows import (
 )
 
 __all__ = [
+    "ensure_nanos",
     "first_seen_dedup",
     "nanos_to_timestamp",
     "rate_events",

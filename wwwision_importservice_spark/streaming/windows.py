@@ -22,6 +22,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_nanos(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a time column to raw epoch-nanoseconds (LongType).
+
+    The driver testdata has shipped ``events.ts`` both as parquet
+    TIMESTAMP(NANOS) (arrives as long via ``nanosAsLong``) and as
+    TIMESTAMP(MICROS) (arrives as timestamp / timestamp_ntz). Every
+    operator downstream consumes raw nanos, so the read path funnels
+    through this converter: timestamps become ``unix_micros * 1000``
+    (exact — µs precision carries three trailing zero nanos), longs pass
+    through untouched. The ntz→timestamp cast is wall-clock-preserving
+    under the UTC session timezone the package pins at read time.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype in ("timestamp", "timestamp_ntz"):
+        return df.withColumn(
+            col, F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)
+        )
+    return df
+
+
 def nanos_to_timestamp(col: Column | str) -> Column:
     """Raw int64 nanoseconds → TimestampType (µs precision).
 
