@@ -40,6 +40,22 @@ def test_diff_kernel_is_two_exchanges(spark, sf_dir):
     assert count_exchanges(tree) <= 2, tree
 
 
+@pytest.mark.parametrize(
+    "name", ["j4_changeset", "j5_soft_delete", "k1_keying_dedup"]
+)
+def test_dedup_path_avoids_sort_aggregate(spark, sf_dir, name):
+    """K1 on the diff path: last-wins dedup must plan as a WindowGroupLimit
+    window (Partial limit before the exchange → ≤1 row/key/maptask
+    shuffled), never the SortAggregate that max_by(struct) falls back to
+    (var-width agg buffers disable the HashAggregate fast path)."""
+    plan = plan_of(spark, QUERIES[name](spark, sf_dir))
+    tree = tree_of(plan)
+    assert "SortAggregate" not in tree, tree
+    # two WindowGroupLimit nodes: Partial (pre-shuffle) + Final
+    assert tree.count("WindowGroupLimit") == 2, tree
+    assert re.search(r"row_number\(\), 1, Partial", plan), plan
+
+
 def test_mapping_prunes_columns(spark, sf_dir):
     """K11: the mapping projection reaches the parquet scan — unused
     attribute columns are never read."""
