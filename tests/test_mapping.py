@@ -56,6 +56,18 @@ def test_ternary_and_comparison(spark):
     assert got == ["small", "big"]
 
 
+def test_stringy_group_after_keyword_concats(spark):
+    # a grouping paren directly after THEN/ELSE (keywords end in an
+    # alnum char) must still mark the enclosing '+' chain as stringy —
+    # numeric '+' on strings would silently return NULL
+    df = spark.createDataFrame([(True, "s", "t")], "c boolean, s string, t string")
+    mapper = Mapper({"out": '${record.c ? ("x" + record.s) + record.t : "z"}'})
+    assert mapper.apply(df).collect()[0]["out"] == "xst"
+    # ...while a numeric group after THEN stays arithmetic
+    sql = translate_eel("${record.c ? (record.n + 1) + 2 : 0}")
+    assert "||" not in sql
+
+
 def test_logical_operators():
     sql = translate_eel("${record.a && record.b || !record.c}")
     assert "AND" in sql and "OR" in sql and "NOT" in sql and "&&" not in sql

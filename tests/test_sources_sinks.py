@@ -394,3 +394,71 @@ def test_bucketed_target_diff_has_no_target_side_exchange(spark, tmp_path):
         assert shuffles <= 1, tree
     finally:
         target.remove_all(spark)
+
+
+def test_bucketed_target_survives_catalog_loss(spark, tmp_path):
+    """Generations are the source of truth: when the (in-memory) catalog
+    entry vanishes — new session, or a crash between the swap's DROP and
+    RENAME — read() re-registers the newest generation with its bucket
+    spec instead of silently serving empty state (which would re-diff
+    everything as adds and delete the surviving generation)."""
+    import re as _re
+
+    from wwwision_importservice_spark.operators.diff import compute_changes
+    from wwwision_importservice_spark.record import RecordFrame
+    from wwwision_importservice_spark.sinks.bucketed import BucketedParquetTarget
+
+    target = BucketedParquetTarget(
+        str(tmp_path / "state3"), table_name="bkt_target_t3", n_buckets=4
+    )
+    try:
+        seed = RecordFrame.from_keyed(
+            spark.createDataFrame(
+                [("1", 1, "a"), ("2", 1, "b")],
+                "_id string, _version long, payload string",
+            )
+        )
+        target.apply(
+            spark,
+            compute_changes(
+                seed.df, target.current_state(spark),
+                local_id_col="id", local_version_col="version",
+            ),
+        )
+
+        # simulate a fresh session: catalog entry gone, generation stays
+        spark.sql("DROP TABLE bkt_target_t3")
+        assert target.exists()
+        got = {r["id"]: r["payload"] for r in target.read(spark).collect()}
+        assert got == {"1": "a", "2": "b"}
+
+        # the re-registered table must still be bucketed: a diff against
+        # it keeps the single-exchange plan
+        src = RecordFrame.from_keyed(
+            spark.createDataFrame(
+                [("2", 2, "b2"), ("3", 1, "c")],
+                "_id string, _version long, payload string",
+            )
+        )
+        cdc = compute_changes(
+            src.df, target.current_state(spark),
+            local_id_col="id", local_version_col="version",
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        tree = cdc._jdf.queryExecution().explainString(mode).split("\n\n")[0]
+        shuffles = len(_re.findall(r"\bExchange\b", tree)) - len(
+            _re.findall(r"\bReusedExchange\b", tree)
+        )
+        assert shuffles <= 1, tree
+
+        # and a crash mid-swap (serving dropped, staging rename pending)
+        # recovers too: stale staging metadata is cleared on re-register
+        stats = target.apply(spark, cdc)
+        assert (stats.added, stats.updated, stats.removed) == (1, 1, 1)
+        spark.sql("DROP TABLE bkt_target_t3")
+        got = {r["id"]: r["payload"] for r in target.read(spark).collect()}
+        assert got == {"2": "b2", "3": "c"}
+    finally:
+        target.remove_all(spark)

@@ -21,6 +21,7 @@ state in SQL.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -380,12 +381,26 @@ def sink_e2e_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     (anti-join + union snapshot swap), then read the final table back.
     The oracle rebuilds the expected final state in pure SQL, so every
     set-oriented write branch (insert W1, update-and-unhide W2/W6,
-    soft-delete W7, carry-over of untouched rows) is value-hashed."""
+    soft-delete W7, carry-over of untouched rows) is value-hashed.
+
+    Side effect (registry exception): this query WRITES — it maintains
+    one deterministic scratch dir per (tempdir, sf) and clears it at the
+    start of each invocation, so repeated driver/bench/pytest runs reuse
+    rather than leak. The directory must outlive the return (the result
+    DataFrame lazily reads the final snapshot), so cleanup happens on
+    the NEXT run, not after the read."""
+    import hashlib
+    import shutil
     import tempfile
 
     from wwwision_importservice_spark.sinks.parquet import ParquetTarget
 
-    path = tempfile.mkdtemp(prefix="sink_e2e_") + "/state"
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"sink_e2e_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    path = scratch + "/state"
     target = ParquetTarget(
         path, id_column="id", version_column="version", soft_delete=True
     )
@@ -430,9 +445,9 @@ def k1_keying_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 — last-write-wins keying: lineitem keyed by l_orderkey with
     arrival order = (l_linenumber, …full composite tiebreak…) → one row
     per order. The testdata contains duplicate (orderkey, linenumber)
-    pairs, so the order must be a total order for determinism —
-    max_by on a struct compares lexicographically, exactly like the
-    oracle's multi-key ORDER BY."""
+    pairs, so the order must be a total order for determinism — the
+    window's struct ORDER BY compares lexicographically, exactly like
+    the oracle's multi-key ORDER BY."""
     li = load(spark, sf_dir, "lineitem")
     order = F.struct("l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
     rf = RecordFrame.from_raw(li, "l_orderkey", order_by=order)

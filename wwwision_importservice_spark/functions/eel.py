@@ -380,6 +380,11 @@ _SEGMENT_RE = re.compile(
     r"|,|<>|<=|>=|=|<|>)"
 )
 
+# SQL keywords that may directly precede a '(' — such a paren is a
+# grouping paren, NOT a function-call argument list, even though the
+# keyword ends in an identifier character.
+_SQL_KEYWORDS = {"WHEN", "THEN", "ELSE", "AND", "OR", "NOT", "CASE", "END"}
+
 
 def _rewrite_plus_concat(expr: str) -> str:
     """Eel ``+`` concatenates when an operand is a string. After string
@@ -412,9 +417,15 @@ def _rewrite_plus_concat(expr: str) -> str:
                 if depth == 0:
                     head = s[start:i]
                     out.append(head)
-                    prev = head.rstrip()[-1:]
-                    is_call_args = bool(prev) and (
-                        prev.isalnum() or prev in "_`"
+                    # A '(' directly after an identifier is a call-arg
+                    # list — unless that "identifier" is a SQL keyword
+                    # (THEN/ELSE/AND/... all end in an alnum char), in
+                    # which case it is a grouping paren and its string
+                    # content must mark the enclosing '+' chain.
+                    tail = re.search(r"([A-Za-z_`][A-Za-z0-9_`]*)?\s*$", head)
+                    word = tail.group(1) if tail and tail.group(1) else ""
+                    is_call_args = bool(word) and (
+                        word.upper() not in _SQL_KEYWORDS
                     )
                     start = i + 1
                 depth += 1

@@ -16,6 +16,18 @@ so each apply writes a NEW generation directory, repoints the catalog
 table, and deletes older generations — the same staging-then-swap
 pattern as ParquetTarget, expressed through the catalog because bucket
 metadata lives there.
+
+Durability: generation DIRECTORIES are the source of truth; the catalog
+entry is a cache. With the default in-memory catalog a new session
+starts with no table registered, so ``read()`` re-registers the newest
+generation (with its bucket spec) before serving. The DROP→RENAME
+repoint is two catalog statements, not one atomic swap: a crash between
+them leaves no serving table, but the data survives as the newest
+generation and the same re-registration recovers it on the next
+``read()``/sync. Concurrent *catalog* readers mid-swap can observe a
+missing table — single-writer, generation-per-sync is the intended
+deployment (one sync pipeline owns the table; analytical readers go
+through a new session or retry).
 """
 
 from __future__ import annotations
@@ -87,8 +99,30 @@ class BucketedParquetTarget(ParquetTarget):
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         if not spark.catalog.tableExists(self.table_name):
-            return None
+            if not self._generations():
+                return None
+            # generations persist on disk but the (in-memory) catalog
+            # lost the entry — a new session, or a crash between the
+            # DROP and RENAME of the swap. Re-register the newest
+            # generation with its bucket spec so the diff join still
+            # reads the target pre-distributed on the key.
+            self._register_newest(spark)
         return spark.table(self.table_name)
+
+    def _register_newest(self, spark: SparkSession) -> None:
+        newest = self._generations()[-1]
+        schema = spark.read.parquet(newest).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        # a leftover __staging entry can only be stale metadata here
+        spark.sql(f"DROP TABLE IF EXISTS {self.table_name}__staging")
+        spark.sql(
+            f"CREATE TABLE {self.table_name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({self.id_column}) "
+            f"SORTED BY ({self.id_column}) INTO {self.n_buckets} BUCKETS "
+            f"LOCATION '{newest}'"
+        )
 
     # ------------------------------------------------------------------ #
     def _write_snapshot(self, df: DataFrame) -> None:
