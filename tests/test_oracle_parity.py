@@ -99,3 +99,50 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert "change_type" in df.columns
+
+
+# --------------------------------------------------------------------- #
+# Driver-scale parity tier (sf0.01) — deselected by default (pytest.ini
+# addopts), run with `pytest -m sf001`. Exists because a divergence can
+# be scale-dependent: the r3 s3b_sessionize red row only manifested at
+# the driver's sf0.01 (ns-vs-us session boundaries), which the sf0.001
+# default tier never exercised. Covers every DRIVER-checked query (the
+# 50-slot registry) with the same comparison the default tier uses.
+# --------------------------------------------------------------------- #
+
+SF001_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def oracle_sf001():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF001_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.sf001
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_driver_query_matches_oracle_at_sf001(name, spark, oracle_sf001):
+    sdf = ALL_QUERIES[name](spark, SF001_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    res = oracle_sf001.execute(ALL_ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    left = frame_to_rows(spark_cols, spark_rows)
+    right = frame_to_rows(duck_cols, duck_rows)
+    mismatches = [
+        (i, l, r) for i, (l, r) in enumerate(zip(left, right)) if l != r
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
