@@ -134,6 +134,19 @@ def test_diff_broadcast_path_has_no_wide_shuffle(spark, sf_dir):
                for kind in shuffles) or not shuffles, tree
 
 
+def test_diff_default_full_outer_stays_shuffle_join(spark, sf_dir):
+    """Spark's BroadcastHashJoinExec does not support FULL OUTER (the
+    streamed side cannot enumerate the build side's unmatched rows), so
+    AQE can never broadcast-convert the single-join CDC plan however
+    small the pruned local side is. This pins that fact — it is the
+    documented reason the split broadcast path (j4_changeset_broadcast)
+    and the bucketed target (zero target-side exchange) exist as the
+    small-target and large-target scale strategies respectively."""
+    tree = tree_of(plan_of(spark, QUERIES["j4_changeset"](spark, sf_dir)))
+    assert "SortMergeJoin FullOuter" in tree, tree
+    assert "BroadcastHashJoin" not in tree, tree
+
+
 def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     """Hive-partitioned layout: a filter on the partition column reaches
     the scan as a PartitionFilter — non-matching directories are never

@@ -31,8 +31,18 @@ Scale notes:
   defensively; Catalyst pushes the projection into the scan.
 - ``broadcast_local=True`` hints a broadcast-hash join for small target
   keysets (the PHP assoc array *is* a build-side hash table —
-  ``DbalTarget.php:97-103``). With AQE on, Spark also auto-converts
-  when the runtime size is below the threshold.
+  ``DbalTarget.php:97-103``).
+- The DEFAULT single full-outer join can never broadcast, by Spark
+  design: ``BroadcastHashJoinExec`` supports inner/left/right/semi/anti
+  but not full-outer (the streamed side cannot enumerate the build
+  side's unmatched rows), and AQE therefore won't convert it no matter
+  how small the pruned local side is — it stays a shuffle join (SMJ, or
+  shuffled-hash under AQE). That is exactly why ``broadcast_local=True``
+  exists as a *split* plan — add/update as broadcast inner+left joins,
+  remove as a broadcast anti join, same ChangeSet (same oracle) — and
+  why the bucketed-parquet target removes the *target-side* exchange
+  for the large-target shape instead (``sinks/bucketed.py``). Pinned by
+  ``test_diff_default_full_outer_stays_shuffle_join``.
 - No-op rows (present on both sides, version not newer) are filtered
   before any downstream work — at 100 TB the no-op class is typically
   ~70-95% of rows, so dropping them early keeps the sink stage small.

@@ -280,29 +280,12 @@ def assign_cells(
         F.col(centroid_id),
         F.round(sim, 6).alias("__sim"),
     )
-    if nprobe == 1:
-        # argmax as a max_by aggregate: map-side partial argmax per id,
-        # ONE shuffle row per (map task, id) — no window sort over the
-        # |rows|×|centroids| scored frame. This is the corpus-side path,
-        # the big side at scale. Tiebreak: highest sim, then lowest cell
-        # id (struct compare on (sim, -cell) mirrors the window order).
-        picked = scored.groupBy(id_col).agg(
-            F.max_by(
-                F.struct(
-                    F.col(centroid_id).alias("cell_"),
-                    F.col("__v").alias("v_"),
-                    F.col("__n").alias("n_"),
-                ),
-                F.struct(F.col("__sim"), (-F.col(centroid_id)).alias("__nc")),
-            ).alias("__best")
-        )
-        return picked.select(
-            F.col(id_col),
-            F.col("__best.v_").alias("__v"),
-            F.col("__best.n_").alias("__n"),
-            F.col("__best.cell_").alias(centroid_id),
-            F.lit(1).alias("__cell_rank"),
-        )
+    # top-nprobe cells per vector via row_number: InferWindowGroupLimit
+    # plants a Partial WindowGroupLimit before the exchange, so each map
+    # task forwards ≤nprobe rows per id — the partial-argmax shuffle
+    # bound — while a max_by(struct(...vector...)) aggregate would fall
+    # back to SortAggregate (var-width buffer) and sort twice. This is
+    # the corpus-side path, the big side at scale.
     w = Window.partitionBy(id_col).orderBy(
         F.col("__sim").desc(), F.col(centroid_id).asc()
     )
