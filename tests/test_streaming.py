@@ -380,3 +380,35 @@ def test_rate_events_live_rollup(spark, tmp_path):
     assert rows, "no windows emitted from the live rate stream"
     assert {r["event_type"] for r in rows} <= {"view", "click", "purchase"}
     assert all(r["n_events"] > 0 for r in rows)
+
+
+# --------------------------------------------------------------------- #
+# Kafka source: real wiring behind a runtime classpath probe
+# --------------------------------------------------------------------- #
+
+def test_kafka_source_plan_when_jar_present(spark):
+    """Integration surface for the Kafka source: builds the readStream
+    plan and checks the decoded schema — no broker needed (Kafka is
+    contacted at query start, not at plan time). Skips cleanly when the
+    spark-sql-kafka-0-10 connector is absent (it is not bundled with
+    pyspark; add spark.jars.packages=org.apache.spark:
+    spark-sql-kafka-0-10_2.13:<spark-version> to run this for real)."""
+    from wwwision_importservice_spark.streaming import (
+        kafka_available,
+        kafka_events,
+    )
+
+    if not kafka_available(spark):
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            kafka_events(
+                spark, "localhost:9092", "events",
+                "event_id long, user_id long, value double",
+            )
+        pytest.skip("spark-sql-kafka-0-10 connector not on the classpath")
+
+    df = kafka_events(
+        spark, "localhost:9092", "events",
+        "event_id long, user_id long, value double",
+    )
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["event_id", "user_id", "value"]

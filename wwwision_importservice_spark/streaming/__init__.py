@@ -10,22 +10,22 @@ Sources: every operator here takes a plain streaming DataFrame, so the
 source is a one-line swap. Built-in (no extra jars): file-directory
 streams (``readStream.schema(...).parquet/json/csv``) and the ``rate``
 source (:func:`rate_events` wraps it as a synthetic event stream for
-live smoke tests). **Kafka** needs the ``spark-sql-kafka-0-10`` package
-on the classpath — not shipped in this environment, so it is documented
-rather than built:
-
-    spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", "...")
-        .option("subscribe", "events")
-        .load()                       # key/value binary + topic metadata
-        .select(F.from_json(F.col("value").cast("string"), schema).alias("r"))
-        .select("r.*")
+live smoke tests). **Kafka** is wired in :mod:`.kafka`
+(``kafka_events`` — JSON value decode to the events schema) behind a
+runtime classpath probe (``kafka_available``): the
+``spark-sql-kafka-0-10`` connector is not bundled with pyspark, so the
+integration test skips cleanly when the jar is absent (one
+``spark.jars.packages`` line adds it — see the module docstring).
 
 From there the same ``stream_sync`` / rollup / stateful operators apply
 unchanged; checkpointing and exactly-once sink semantics are the
 standard Structured Streaming contracts.
 """
 
+from wwwision_importservice_spark.streaming.kafka import (
+    kafka_available,
+    kafka_events,
+)
 from wwwision_importservice_spark.streaming.rate import rate_events
 from wwwision_importservice_spark.streaming.stateful import (
     first_seen_dedup,
@@ -44,6 +44,8 @@ from wwwision_importservice_spark.streaming.windows import (
 __all__ = [
     "ensure_nanos",
     "first_seen_dedup",
+    "kafka_available",
+    "kafka_events",
     "nanos_to_timestamp",
     "rate_events",
     "running_totals",
