@@ -462,3 +462,72 @@ def test_bucketed_target_survives_catalog_loss(spark, tmp_path):
         assert got == {"2": "b2", "3": "c"}
     finally:
         target.remove_all(spark)
+
+
+def test_dbapi_quarantine_chaos_at_batch_scale(spark, tmp_path):
+    """O3 continue-on-error at partition scale (ImportService.php:140-150):
+    poison rows scattered across MANY executemany batches must each
+    quarantine individually — every good row before, between, and after
+    a failure still lands, counts are exact, and a later sync against
+    the survivors works. batch_size=10 forces the batch → row-by-row
+    retry path to fire in multiple chunks, not just once."""
+    db = str(tmp_path / "chaos.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE records (id TEXT PRIMARY KEY, title TEXT, "
+        "version INTEGER, hidden INTEGER DEFAULT 0)"
+    )
+    # pre-seed PK conflicts: every 7th id of the incoming add stream
+    poisoned = [f"id{i:03d}" for i in range(100) if i % 7 == 0]
+    conn.executemany(
+        "INSERT INTO records (id, title, version) VALUES (?, 'seeded', 0)",
+        [(p,) for p in poisoned],
+    )
+    conn.commit()
+    conn.close()
+
+    target = DbapiTarget(
+        connection_factory=functools.partial(sqlite3.connect, db),
+        table="records",
+        id_column="id",
+        version_column="version",
+        hidden_column="hidden",
+        write_partitions=1,  # sqlite: single writer
+        batch_size=10,
+    )
+    rows = [(f"id{i:03d}", 1, f"t{i}", "add") for i in range(100)]
+    stats = target.apply(spark, make_cdc(spark, rows))
+
+    assert stats.errors == len(poisoned) == 15
+    assert stats.added == 100 - 15
+    got = q(db, "SELECT count(*), sum(version) FROM records")
+    # all 100 ids present; survivors at version 1, seeded conflicts at 0
+    assert got == [(100, 85)]
+    # the quarantined ids kept their pre-existing (seeded) rows intact
+    seeded = [r[0] for r in q(
+        db, "SELECT id FROM records WHERE title='seeded' ORDER BY id"
+    )]
+    assert seeded == poisoned
+
+    # import continues next run: updates flow to every id, including the
+    # previously-quarantined ones (version rises, un-hide semantics apply)
+    upd = [(f"id{i:03d}", 2, f"u{i}", "update") for i in range(100)]
+    stats2 = target.apply(spark, make_cdc(spark, upd))
+    assert stats2.errors == 0 and stats2.updated == 100
+    assert q(db, "SELECT count(*) FROM records WHERE version=2") == [(100,)]
+
+
+def test_dbapi_connection_failure_aborts(spark, tmp_path):
+    """The complement of quarantine: a CONNECTION-level failure is not a
+    per-record error — it aborts the apply (the reference continues on
+    per-record \\Error but rethrows \\Exception)."""
+    def broken_factory():
+        raise OSError("database host unreachable")
+
+    target = DbapiTarget(
+        connection_factory=broken_factory,
+        table="records",
+        write_partitions=1,
+    )
+    with pytest.raises(Exception, match="unreachable"):
+        target.apply(spark, make_cdc(spark, [("a", 1, "t", "add")]))
