@@ -412,3 +412,46 @@ def test_kafka_source_plan_when_jar_present(spark):
     )
     assert df.isStreaming
     assert [f.name for f in df.schema.fields] == ["event_id", "user_id", "value"]
+
+
+def test_tws_running_totals_when_protobuf_present(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas twin of running_totals: runs for real
+    when google.protobuf is installed (full deployment), otherwise the
+    probe raises with installation guidance and the test skips — the
+    same pattern as the Kafka source."""
+    from wwwision_importservice_spark.streaming.stateful import (
+        running_totals_tws,
+        tws_available,
+    )
+
+    batch = ensure_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"), "ts")
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="google.protobuf"):
+            running_totals_tws(batch, "user_id", "value")
+        pytest.skip("google.protobuf not installed; TWS state server unavailable")
+
+    in_dir = _write_ordered_parquet(spark, tmp_path, "tws_ev", [batch])
+    stream = spark.readStream.schema(batch.schema).parquet(in_dir)
+    out = running_totals_tws(stream, "user_id", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("tws_sink").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], float(r["s"]))
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]

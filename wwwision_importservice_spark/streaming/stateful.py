@@ -15,13 +15,13 @@ ships them by value and executors never import this package.
 ``transformWithStateInPandas`` (Spark 4's StatefulProcessor API —
 ValueState/ListState/MapState handles, timers, TTL) is the successor to
 ``applyInPandasWithState`` and the natural home for these operators on
-a full deployment; it is NOT used here because its Python state server
-requires ``google.protobuf``, which this container does not ship
-(verified: the streaming runner dies with ``ImportError: cannot import
-name 'descriptor' from 'google.protobuf'`` on query start, regardless
-of the RocksDB state-store provider being available). The
-``applyInPandasWithState`` forms below are semantically equivalent for
-these operators and run on the default HDFS-backed state store.
+a full deployment. Its Python state server requires ``google.protobuf``,
+which this container does not ship, so the TWS form is wired behind a
+runtime probe (:func:`tws_available` / :func:`running_totals_tws`) the
+same way the Kafka source is: it raises a clear error here and runs on
+any deployment with protobuf installed, while the
+``applyInPandasWithState`` forms below are the semantically equivalent
+default running on the HDFS-backed state store.
 """
 
 from __future__ import annotations
@@ -144,4 +144,72 @@ def first_seen_dedup(
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def tws_available() -> bool:
+    """True when Spark 4's transformWithStateInPandas can actually run:
+    the StatefulProcessor API exists AND google.protobuf (its Python
+    state-server dependency, not bundled with pyspark) imports."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(
+    stream_df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of :func:`running_totals` —
+    same semantics through Spark 4's StatefulProcessor API (ValueState
+    handle instead of the single GroupState blob; timers/TTL available
+    for state eviction on real deployments). Raises with installation
+    guidance when the protobuf dependency is absent; the probe +
+    skip-marked test mirror the Kafka source pattern."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf (the "
+            "TWS Python state server dependency); pip install protobuf, "
+            "or use running_totals (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"{key_col} long, n_events long, total_value double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key_col).transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
     )
