@@ -257,6 +257,14 @@ def connected_components(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
+        # NOT pre-partitioned on dst: an explicit repartition("dst")
+        # would make each round's edge join exchange-free, but it pins
+        # the shuffle width and defeats AQE's partition coalescing — at
+        # bench scale (small pair graph, task overhead dominates) it
+        # measured no better and often worse under ambient load. On a
+        # cluster where the pair graph is huge relative to task
+        # overhead, revisit: edges.repartition("dst") here trades one
+        # up-front exchange for zero per-round edge shuffles.
         .localCheckpoint(eager=False)
     )
     all_nodes = nodes.select(F.col(id_col).alias("id"))
