@@ -1748,6 +1748,36 @@ def x5_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x5_repetition_score",
+    """
+SELECT doc_id,
+       CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS n_grams,
+       CASE WHEN len(w) >= 3
+            THEN round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / (len(w) - 2), 6)
+            ELSE 0.0 END AS rep_score
+FROM (
+  SELECT doc_id, w,
+         list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+        FROM documents)
+)
+""",
+    driver=False,
+)
+def x5_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — within-document repetition (duplicate word-3-gram fraction),
+    the Gopher-style boilerplate/decode-loop quality rule. Whole-stage
+    codegen per row, no shuffle (``operators/text.py:repetition_score``)."""
+    from wwwision_importservice_spark.operators.text import repetition_score
+
+    return repetition_score(
+        load(spark, sf_dir, "documents", spread=True), "doc_id", "text", n=3
+    )
+
+
+@_register(
     "x5_top_ngrams",
     """
 SELECT gram, gram_size, n, rank FROM (

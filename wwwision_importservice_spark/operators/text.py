@@ -246,3 +246,43 @@ def chunk_documents(
             F.array_join("__c.__toks", " ").alias("chunk_text"),
         )
     )
+
+
+def repetition_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Within-document repetition: the fraction of word ``n``-grams that
+    are duplicates of an earlier one — the Gopher-style quality rule
+    that catches boilerplate, keyword stuffing, and decode loops, which
+    length/stopword stats miss.
+
+    Pure expression level: the gram array, its distinct form, and the
+    ratio all evaluate inside whole-stage codegen per row — no explode,
+    no shuffle, no Python. Cost is O(tokens) per document; at 100 TB the
+    operator is scan-bound like the other X5 stats.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(k)) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    rep = F.when(
+        total > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total, 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        rep.alias("rep_score"),
+    )
