@@ -496,3 +496,28 @@ def test_embedding_near_dup_multiprobe_recall(spark, sf_dir):
     assert len(probed & exact) > len(single & exact), (
         len(probed & exact), len(single & exact),
     )
+
+
+def test_stratified_split_exact_per_stratum(spark, sf_dir):
+    """Exact allocation: every stratum's train share is within one row
+    of 80% — the property the plain hash split (proportional only in
+    expectation) cannot guarantee for small strata. Also deterministic:
+    a re-run assigns identical splits."""
+    from wwwision_importservice_spark.operators.sampling import stratified_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_split(docs, ["lang"], "doc_id", {"train": 0.8, "val": 0.2})
+    counts = {
+        (r["lang"], r["split"]): r["n"]
+        for r in out.groupBy("lang", "split").agg(F.count("*").alias("n")).collect()
+    }
+    langs = {k[0] for k in counts}
+    for lang in langs:
+        train = counts.get((lang, "train"), 0)
+        total = train + counts.get((lang, "val"), 0)
+        assert abs(train - 0.8 * total) <= 1, (lang, train, total)
+
+    again = stratified_split(docs, ["lang"], "doc_id", {"train": 0.8, "val": 0.2})
+    a = sorted((r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect())
+    b = sorted((r["doc_id"], r["split"]) for r in again.select("doc_id", "split").collect())
+    assert a == b

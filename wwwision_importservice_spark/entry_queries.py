@@ -1864,6 +1864,39 @@ def x6_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x6_stratified_split",
+    """
+SELECT doc_id, lang, split FROM (
+  SELECT doc_id, lang,
+         CASE WHEN pos < 0.8 THEN 'train' WHEN pos < 1.0 THEN 'val' END AS split
+  FROM (
+    SELECT doc_id, lang,
+           CAST(row_number() OVER w - 1 AS DOUBLE)
+             / count(*) OVER (PARTITION BY lang) AS pos
+    FROM documents
+    WINDOW w AS (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+  )
+)
+""",
+    driver=False,
+)
+def x6_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — EXACT per-stratum train/val split (80/20 within every lang):
+    rank by id-hash inside the stratum and cut at the cumulative
+    fraction — each language lands within one row of its target share,
+    where the plain hash split is only proportional in expectation
+    (``operators/sampling.py:stratified_split``)."""
+    from wwwision_importservice_spark.operators.sampling import stratified_split
+
+    docs = load(spark, sf_dir, "documents")
+    out = stratified_split(
+        docs, ["lang"], "doc_id", {"train": 0.8, "val": 0.2}
+    )
+    return out.select("doc_id", "lang", "split")
+
+
+@_register(
     "x5_chunking",
     """
 SELECT doc_id, CAST(i AS INT) AS chunk_index,

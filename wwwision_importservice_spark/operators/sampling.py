@@ -89,3 +89,48 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(round(frac * _BUCKETS)))
         ).otherwise(cutoff)
     return df.filter(bucket < cutoff)
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    fractions: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """EXACT per-stratum allocation: within every stratum, rank rows by
+    a deterministic hash of the id and cut the ranking at the cumulative
+    fractions — each stratum lands within 1 row of its target proportion
+    (a plain hash split is only proportional in expectation, which skews
+    small strata; class-balanced train/val needs the exact form).
+
+    One shuffle on the strata columns + a per-stratum sort (the rank
+    window); the hash order makes the assignment independent of input
+    order, so re-runs and incremental recomputes allocate identically.
+    Fractions must sum to ≤ 1; the remainder becomes NULL (held out).
+    """
+    from pyspark.sql import Window
+
+    cum = 0.0
+    cuts: list[tuple[str, float]] = []
+    for name, frac in fractions.items():
+        cum += frac
+        cuts.append((name, cum))
+    if cum > 1.0 + 1e-9:
+        raise ValueError(f"Split fractions sum to {cum} > 1")
+
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(order, F.col(id_col))
+    n = Window.partitionBy(*strata_cols)
+    # position in [0, 1): (rank-1)/count — IEEE-exact, so the same
+    # comparison reproduces bit-for-bit in any engine
+    pos = (F.row_number().over(w) - 1).cast("double") / F.count(F.lit(1)).over(n)
+    expr = None
+    for name, hi in cuts:
+        cond = pos < hi
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn(split_col, expr)
