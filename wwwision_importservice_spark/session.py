@@ -33,6 +33,14 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # Local mode runs every task thread inside the driver JVM, whose
+        # default 1g heap forces constant GC under 32 concurrent tasks —
+        # a major source of run-to-run timing noise. Size it for the
+        # local thread count; ignored when a cluster deployment sets its
+        # own executor/driver memory.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         # Match parallelism to cores locally; a cluster deployment would
         # raise this (or rely on AQE coalescing, which is enabled below).
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
