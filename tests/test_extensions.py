@@ -521,3 +521,40 @@ def test_stratified_split_exact_per_stratum(spark, sf_dir):
     a = sorted((r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect())
     b = sorted((r["doc_id"], r["split"]) for r in again.select("doc_id", "split").collect())
     assert a == b
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark, sf_dir):
+    """Dequantized values must sit within half a quantization step of
+    the originals: |x - (offset + (code + 0.5) * scale)| <= scale/2 + eps
+    — the bound that makes int8 ANN recall predictable."""
+    from wwwision_importservice_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_embeddings(emb, "vec_id")
+    joined = emb.join(q, "vec_id").select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.col("codes"),
+                lambda x, c: F.abs(
+                    x - (F.col("offset") + (c + F.lit(0.5)) * F.col("scale"))
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, e: F.greatest(acc, e),
+        ).alias("max_err"),
+        F.col("scale"),
+    )
+    bad = joined.filter(
+        F.col("max_err") > F.col("scale") / 2 + F.lit(1e-12)
+    ).count()
+    assert bad == 0
+    # codes stay in [0, 255]
+    rng = q.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).first()
+    assert rng["lo"] >= 0 and rng["hi"] <= 255

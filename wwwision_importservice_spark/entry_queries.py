@@ -1864,6 +1864,36 @@ def x6_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x3_quantize_embeddings",
+    """
+SELECT vec_id,
+       CASE WHEN span > 0
+            THEN list_transform(v, x -> CAST(least(floor((x - mn) / span * 256), 255) AS INT))
+            ELSE list_transform(v, x -> 0) END AS codes,
+       mn AS offset,
+       span / 256 AS scale
+FROM (
+  SELECT vec_id, v, list_min(v) AS mn, list_max(v) - list_min(v) AS span
+  FROM (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings)
+)
+""",
+    driver=False,
+)
+def x3_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — int8 scalar quantization of the embedding column (min-max
+    per vector, floor cut for cross-engine determinism): the memory step
+    before ANN at scale (``operators/similarity.py:quantize_embeddings``)."""
+    from wwwision_importservice_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    return quantize_embeddings(emb, "vec_id")
+
+
+@_register(
     "x6_stratified_split",
     """
 SELECT doc_id, lang, split FROM (
