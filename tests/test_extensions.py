@@ -558,3 +558,34 @@ def test_quantize_embeddings_roundtrip_error_bound(spark, sf_dir):
         F.max(F.array_max("codes")).alias("hi"),
     ).first()
     assert rng["lo"] >= 0 and rng["hi"] <= 255
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """Asymmetric int8 search must track the exact ranking closely: the
+    corpus is 4x smaller, and at 64 dims the quantization step is fine
+    enough that recall@5 stays high."""
+    from wwwision_importservice_spark.operators.similarity import (
+        cosine_topk_quantized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in cosine_topk(queries, corpus, k=5, broadcast_corpus=True).collect()
+    }
+    quant = {
+        (r["q_id"], r["c_id"])
+        for r in cosine_topk_quantized(
+            queries, corpus, k=5, broadcast_corpus=True
+        ).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"quantized recall dropped: {recall}"
+    # self-match (cosine 1.0) must survive quantization
+    for q, c in exact:
+        if q == c:
+            assert (q, c) in quant, "self-match lost by quantization"

@@ -486,3 +486,42 @@ def quantize_embeddings(
         F.col("__mn").alias("offset"),
         (F.col("__span") / 256).alias("scale"),
     )
+
+
+def cosine_topk_quantized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vector_col: str = "embedding",
+    broadcast_corpus: bool = False,
+) -> DataFrame:
+    """Asymmetric quantized top-k: full-precision queries scored against
+    the int8-quantized corpus (codes dequantized on the fly inside the
+    dot product). The corpus side carries 4× less data than float32 —
+    at 100 TB of embeddings that is the difference between a corpus that
+    broadcasts / fits the page cache and one that doesn't — while
+    queries (the small side) stay exact. Recall loss is bounded by the
+    per-vector quantization step (see :func:`quantize_embeddings`);
+    the recall-vs-exact test pins it ≥0.8 at k=5 on the testdata.
+    """
+    qz = quantize_embeddings(corpus, corpus_id, vector_col)
+    c = F.broadcast(qz) if broadcast_corpus else qz
+    q = queries.select(
+        F.col(query_id),
+        _as_double(F.col(vector_col)).alias("__qv"),
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    # dequantized corpus vector: offset + (code + 0.5) * scale
+    deq = F.transform(
+        F.col("codes"),
+        lambda cd: F.col("offset") + (cd.cast("double") + F.lit(0.5)) * F.col("scale"),
+    )
+    scored = q.crossJoin(c).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(
+            _dot(F.col("__qv"), deq) / (F.col("__qn") * _norm(deq)), 6
+        ).alias("score"),
+    )
+    return topk(scored, k, query_id, corpus_id)
