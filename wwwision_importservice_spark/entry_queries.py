@@ -1154,16 +1154,22 @@ from wwwision_importservice_spark.operators.dedup import (  # noqa: E402
 
 # hashed shingles: per-word 28-bit md5 base, rolling polynomial per n-gram
 # (mirrors operators/dedup.py hashed_word_shingles, n=3)
-_SHINGLES_SQL = f"""
+
+
+def _shingles_sql(where: str = "1=1") -> str:
+    return f"""
   SELECT DISTINCT doc_id,
          ((((COALESCE(wh[i], 0) * {_SHINGLE_P} + COALESCE(wh[i+1], 0)) % {_SHINGLE_M})
             * {_SHINGLE_P} + COALESCE(wh[i+2], 0)) % {_SHINGLE_M}) AS shingle
   FROM (SELECT doc_id,
                list_transform(string_split(text, ' '),
                               x -> CAST(('0x' || substr(md5(x), 1, 7)) AS BIGINT)) AS wh
-        FROM documents),
+        FROM documents WHERE {where}),
        unnest(range(1, greatest(len(wh) - 2, 1) + 1)) AS u(i)
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
 
 # affine universal-hash permutations over the shingle hash
 _MINHASH_SQL = "SELECT doc_id, " + ", ".join(
@@ -1861,6 +1867,46 @@ def x6_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@_register(
+    "x2_contamination",
+    f"""
+SELECT t.doc_id, t.n_shingles,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_shingles, 6)
+         AS contamination
+FROM (
+  SELECT doc_id, count(*) AS n_shingles
+  FROM ({_shingles_sql("source = 'src0'")}) GROUP BY doc_id
+) t
+LEFT JOIN (
+  SELECT e.doc_id, count(*) AS n_hits
+  FROM ({_shingles_sql("source = 'src0'")}) e
+  WHERE e.shingle IN (
+    SELECT shingle FROM ({_shingles_sql("source <> 'src0'")})
+  )
+  GROUP BY e.doc_id
+) h ON h.doc_id = t.doc_id
+""",
+    driver=False,
+)
+def x2_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — train/eval contamination: per eval document (source src0),
+    the fraction of its distinct 3-gram shingles found anywhere in the
+    training corpus (every other source) — the decontamination pass run
+    before any benchmark score is trusted
+    (``operators/dedup.py:contamination_check``)."""
+    from wwwision_importservice_spark.operators.dedup import contamination_check
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return contamination_check(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=3,
+    )
 
 
 @_register(

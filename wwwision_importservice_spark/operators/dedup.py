@@ -448,3 +448,47 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Train/eval contamination (decontamination pass): for every eval
+    document, the fraction of its distinct word ``n``-gram shingles that
+    occur anywhere in the training corpus — eval rows with high overlap
+    were (partially) memorizable from training data and must be dropped
+    or down-weighted before the benchmark means anything.
+
+    Shape at scale: the train side collapses to a DISTINCT shingle-hash
+    set (one hash aggregate over longs, never strings); the eval side
+    left-semi-joins against it on the fixed-width key and re-aggregates
+    per document. Eval corpora are small next to training corpora, so
+    the expensive side is exactly one distinct + one join, both on
+    8-byte keys; broadcast the train set when it fits.
+    """
+    tr = (
+        hashed_word_shingles(train, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    ev = hashed_word_shingles(eval_df, id_col, text_col, n)
+    totals = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        ev.join(tr, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    joined = totals.join(hits, id_col, "left")
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return joined.select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        n_hits.alias("n_hits"),
+        F.round(n_hits.cast("double") / F.col("n_shingles"), 6).alias(
+            "contamination"
+        ),
+    )
