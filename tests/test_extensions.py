@@ -589,3 +589,22 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     for q, c in exact:
         if q == c:
             assert (q, c) in quant, "self-match lost by quantization"
+
+
+def test_quality_gate_repetition_ceiling(spark):
+    from wwwision_importservice_spark.operators.text import quality_filter
+
+    looped = "the cat sat on the mat " * 20  # decode-loop shape
+    clean = (
+        "a reasonably long natural sentence with the usual mixture of "
+        "distinct words and a few connectives that is not repetitive at all "
+        "because every trigram in it appears exactly once in the document"
+    )
+    df = spark.createDataFrame([(1, looped), (2, clean)], "doc_id long, text string")
+    kept_without = {r["doc_id"] for r in quality_filter(df, "text").collect()}
+    kept_with = {
+        r["doc_id"]
+        for r in quality_filter(df, "text", max_repetition=0.5).collect()
+    }
+    assert 1 in kept_without, "looped doc passes the stats-only gate"
+    assert kept_with == {2}, "repetition ceiling must drop the looped doc"

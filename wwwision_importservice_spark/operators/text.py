@@ -86,11 +86,13 @@ def quality_condition(
     min_score: float = 0.5,
     min_tokens: int = 5,
     max_punct_ratio: float = 0.3,
+    max_repetition: float | None = None,
 ) -> Column:
     """Boolean quality gate over a text column: composite score plus
     hard floors/ceilings (the shape of a C4/Gopher-style rule filter).
     A single expression — composable into any ``.filter`` with no extra
-    scan or join."""
+    scan or join. ``max_repetition`` (when set) adds the Gopher
+    duplicate-3-gram ceiling (:func:`repetition_ratio`) to the gate."""
     n_tokens = F.size(tokens(text))
     sw_ratio = stopword_ratio(text, LANG_MARKERS["en"])
     p_ratio = punct_ratio(text)
@@ -99,11 +101,14 @@ def quality_condition(
         + sw_ratio * F.lit(0.3)
         + (F.lit(1.0) - p_ratio) * F.lit(0.2)
     )
-    return (
+    cond = (
         (quality >= min_score)
         & (n_tokens >= min_tokens)
         & (p_ratio <= max_punct_ratio)
     )
+    if max_repetition is not None:
+        cond = cond & (repetition_ratio(text) <= max_repetition)
+    return cond
 
 
 def quality_filter(
@@ -112,11 +117,18 @@ def quality_filter(
     min_score: float = 0.5,
     min_tokens: int = 5,
     max_punct_ratio: float = 0.3,
+    max_repetition: float | None = None,
 ) -> DataFrame:
     """Keep documents passing :func:`quality_condition` — one scan, the
     filter runs inside the scan stage's codegen."""
     return df.filter(
-        quality_condition(F.col(text_col), min_score, min_tokens, max_punct_ratio)
+        quality_condition(
+            F.col(text_col),
+            min_score,
+            min_tokens,
+            max_punct_ratio,
+            max_repetition,
+        )
     )
 
 
@@ -248,6 +260,33 @@ def chunk_documents(
     )
 
 
+def _word_ngrams(text: Column, n: int) -> Column:
+    toks = F.filter(F.split(F.lower(text), " "), lambda t: t != "")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(k)) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Column form of the repetition rule — the fraction of word
+    ``n``-grams that duplicate an earlier one. Composable into any
+    filter (see :func:`quality_condition`'s ``max_repetition``)."""
+    grams = _word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total, 6
+        ),
+    ).otherwise(F.lit(0.0))
+
+
 def repetition_score(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -264,25 +303,8 @@ def repetition_score(
     no shuffle, no Python. Cost is O(tokens) per document; at 100 TB the
     operator is scan-bound like the other X5 stats.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + F.lit(k)) for k in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    total = F.size(grams)
-    rep = F.when(
-        total > 0,
-        F.round(
-            F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total, 6
-        ),
-    ).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col),
-        total.alias("n_grams"),
-        rep.alias("rep_score"),
+        F.size(_word_ngrams(F.col(text_col), n)).alias("n_grams"),
+        repetition_ratio(F.col(text_col), n).alias("rep_score"),
     )
