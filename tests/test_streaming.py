@@ -455,3 +455,42 @@ def test_tws_running_totals_when_protobuf_present(spark, sf_dir, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert got[k][0] == want[k][0]
+
+
+def test_first_seen_dedup_with_ttl_still_dedups(spark, tmp_path):
+    """With a long TTL the within-run semantics are identical to the
+    unbounded form (timeouts can't fire inside a short run); what the
+    TTL buys is bounded state on unbounded streams. A timeout-enabled
+    query never drains under availableNow (the engine keeps scheduling
+    state-cleanup batches), so this runs a continuous trigger and stops
+    it once the sink converges. Also pins the ttl parser's rejects."""
+    b1 = spark.createDataFrame([("a",), ("b",)], "k string")
+    b2 = spark.createDataFrame([("a",), ("c",)], "k string")
+    in_dir = _write_ordered_parquet(spark, tmp_path, "dedup_ttl_in", [b1, b2])
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        first_seen_dedup(stream, "k", ttl="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_ttl_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup_ttl"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        rows: list[str] = []
+        while time.time() < deadline:
+            rows = [r["k"] for r in spark.table("dedup_ttl_sink").collect()]
+            if sorted(rows) == ["a", "b", "c"]:
+                break
+            time.sleep(2)
+        assert sorted(rows) == ["a", "b", "c"]
+    finally:
+        q.stop()
+
+    with pytest.raises(ValueError, match="Unparseable ttl"):
+        first_seen_dedup(stream, "k", ttl="fortnight")

@@ -120,22 +120,55 @@ def version_gate(
 def first_seen_dedup(
     stream_df: DataFrame,
     key_col: str,
+    ttl: str | None = None,
 ) -> DataFrame:
     """Cross-batch exact dedup: emit a key the FIRST time it is ever
     seen; suppress it in every later batch (the streaming complement of
-    batch K1 keying — state is the seen-key set, sharded by key)."""
+    batch K1 keying — state is the seen-key set, sharded by key).
+
+    ``ttl`` (e.g. ``"1 hour"``): processing-time expiry of seen-keys.
+    Without it, state is O(all keys ever seen) — unbounded on an
+    unbounded stream; with it, state is O(keys seen within the TTL) and
+    a key re-arriving after expiry is emitted again (the standard
+    exactness-for-memory trade every at-scale dedup makes)."""
     out_schema = f"{key_col} string, first_batch boolean"
     state_schema = "seen boolean"
+    ttl_ms = None
+    if ttl is not None:
+        import re as _re
+
+        m = _re.fullmatch(
+            r"\s*(\d+)\s*(ms|milliseconds?|s|seconds?|m|minutes?|h|hours?|d|days?)\s*",
+            ttl,
+        )
+        if not m:
+            raise ValueError(f'Unparseable ttl "{ttl}"')
+        unit = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}[
+            m.group(2)[0] if m.group(2) != "ms" else "ms"
+        ]
+        ttl_ms = int(m.group(1)) * unit
 
     def update(key, pdf_iter, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # expiry callback: drop the seen-mark; the key dedups afresh
+            state.remove()
+            return
         rows = sum(len(pdf) for pdf in pdf_iter)
         if rows == 0:
             return
-        if state.exists:
+        already = state.exists
+        if ttl_ms is not None:
+            # (re)arm the expiry clock on every sighting, whether or not
+            # we emit — state must outlive the LAST arrival by the TTL
+            if not already:
+                state.update((True,))
+            state.setTimeoutDuration(ttl_ms)
+        elif not already:
+            state.update((True,))
+        if already:
             return  # seen in an earlier batch → suppress
-        state.update((True,))
         yield pd.DataFrame({key_col: [key[0]], "first_batch": [True]})
 
     return stream_df.select(key_col).groupBy(key_col).applyInPandasWithState(
@@ -143,7 +176,11 @@ def first_seen_dedup(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
