@@ -87,6 +87,11 @@ def test_minhash_pipeline_scans_once(spark, sf_dir):
     tree = tree_of(plan_of(spark, QUERIES["x2_minhash_lsh_pairs"](spark, sf_dir)))
     assert tree.count("Scan parquet") == 1, tree
     assert "SortAggregate" not in tree, tree  # signature mins stay hash-based
+    # inline signatures: NO shuffle before LSH banding — the only
+    # exchanges are the spread repartition, the band-bucket group-by,
+    # and the final pair distinct (the exploded shingle pipeline had an
+    # extra pre-banding exchange for the shingle distinct/aggregate)
+    assert count_exchanges(tree) <= 3, tree
 
 
 def test_cosine_topk_broadcasts_corpus(spark, sf_dir):

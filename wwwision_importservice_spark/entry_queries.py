@@ -1210,16 +1210,16 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("x2_minhash_lsh_pairs", _PAIRS_SQL)
 def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — near-duplicate candidate pairs via MinHash (16 md5-seeded
-    permutations) + LSH banding (4 bands × 4 rows)."""
+    permutations) + LSH banding (4 bands × 4 rows). The signature stage
+    is the explode-free inline form: zero shuffles before banding
+    (plan-pinned), identical pairs to the exploded pipeline."""
     from wwwision_importservice_spark.operators.dedup import (
-        hashed_word_shingles,
         lsh_candidate_pairs,
-        minhash_signatures,
+        minhash_signatures_inline,
     )
 
     docs = load(spark, sf_dir, "documents", spread=True)
-    sh = hashed_word_shingles(docs, "doc_id", "text", n=3)
-    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    sig = minhash_signatures_inline(docs, "doc_id", "text", n=3, num_hashes=16)
     return lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
 
 
@@ -1381,14 +1381,12 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_id == cluster_id`` yields the deduplicated corpus."""
     from wwwision_importservice_spark.operators.dedup import (
         connected_components,
-        hashed_word_shingles,
         lsh_candidate_pairs,
-        minhash_signatures,
+        minhash_signatures_inline,
     )
 
     docs = load(spark, sf_dir, "documents", spread=True)
-    sh = hashed_word_shingles(docs, "doc_id", "text", n=3)
-    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    sig = minhash_signatures_inline(docs, "doc_id", "text", n=3, num_hashes=16)
     pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
     out = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
     return out.select(F.col("id").alias("doc_id"), "cluster_id")
@@ -1426,14 +1424,12 @@ def x2_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds downstream: the representative set plus each cluster's size."""
     from wwwision_importservice_spark.operators.dedup import (
         connected_components,
-        hashed_word_shingles,
         lsh_candidate_pairs,
-        minhash_signatures,
+        minhash_signatures_inline,
     )
 
     docs = load(spark, sf_dir, "documents", spread=True)
-    sh = hashed_word_shingles(docs, "doc_id", "text", n=3)
-    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    sig = minhash_signatures_inline(docs, "doc_id", "text", n=3, num_hashes=16)
     pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
     clusters = connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id"

@@ -492,3 +492,50 @@ def contamination_check(
             "contamination"
         ),
     )
+
+
+def minhash_signatures_inline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Explode-free MinHash: the whole shingle→signature stage as one
+    per-row expression — ``h_i = array_min(transform(shingle_hashes,
+    s → (a_i·s + b_i) mod p))`` over the document's gram-hash array.
+
+    Semantically identical to ``hashed_word_shingles →
+    minhash_signatures`` (min over a multiset equals min over its
+    distinct set), but the plan has NO explode, NO distinct, and NO
+    shuffle before LSH banding: one codegen'd projection takes each
+    document straight to its 16-column signature. The exploded form
+    shuffles |docs|·|shingles| rows for the distinct + aggregate; this
+    shuffles nothing — at 100 TB the signature stage becomes scan-bound.
+    The exploded variants remain for consumers that need the shingle
+    SETS themselves (exact Jaccard, contamination).
+    """
+    words = F.split(F.col(text_col), " ")
+    word_hashes = F.transform(words, lambda w: _base_hash(w))
+
+    def shingle_hash(i):
+        acc = F.coalesce(F.try_element_at(F.col("__wh"), i), F.lit(0))
+        for k in range(1, n):
+            nxt = F.coalesce(F.try_element_at(F.col("__wh"), i + F.lit(k)), F.lit(0))
+            acc = (acc * F.lit(_SHINGLE_P) + nxt) % F.lit(_SHINGLE_M)
+        return acc
+
+    hashed = df.select(F.col(id_col), word_hashes.alias("__wh"))
+    count = F.greatest(F.size(F.col("__wh")) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), count), shingle_hash)
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                grams,
+                lambda s: (s * F.lit(_MINHASH_A[i]) + F.lit(_MINHASH_B[i]))
+                % F.lit(_MINHASH_PRIME),
+            )
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.select(F.col(id_col), *sig_cols)
