@@ -102,3 +102,56 @@ def test_interval_join_matches_bruteforce(spark, points, intervals, width):
         if pk == ik and s <= pt < s + ln
     }
     assert got == want
+
+
+# --------------------------------------------------------------------- #
+# Sessionize: gaps-and-islands vs a Python reference model
+# --------------------------------------------------------------------- #
+
+EVENTS = st.lists(
+    st.tuples(KEYS, st.integers(min_value=0, max_value=30)), max_size=10
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,
+)
+@given(EVENTS, st.integers(min_value=1, max_value=6))
+def test_sessionize_matches_model(spark, events, gap):
+    """Per-event session labels vs a literal Python gaps-and-islands
+    model. The ts range [0, 30] with gaps of 1-6 puts many diffs
+    EXACTLY at the gap boundary — the half-open >= rule (an event
+    exactly `gap` after its predecessor starts a NEW session) is the
+    edge that diverged at driver scale in round 3; duplicates exercise
+    tie handling (same-ts events always share a session)."""
+    from wwwision_importservice_spark.streaming.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(events)] or [(0, "z", 0)],
+        "event_id long, user_id string, ts long",
+    )
+    if not events:
+        df = df.filter("false")
+    got = {
+        r["event_id"]: (r["user_id"], r["session_seq"], r["session_start"])
+        for r in sessionize(df, ["user_id"], "ts", gap=gap).collect()
+    }
+
+    # reference model: per key, sort by ts; new session iff diff >= gap
+    want = {}
+    by_key: dict[str, list[tuple[int, int]]] = {}
+    for i, (k, t) in enumerate(events):
+        by_key.setdefault(k, []).append((t, i))
+    for k, rows in by_key.items():
+        rows.sort()
+        seq, prev, start = 0, None, None
+        for t, i in rows:
+            if prev is None or t - prev >= gap:
+                seq += 1
+                start = t
+            prev = t
+            want[i] = (k, seq, start)
+    assert got == want
