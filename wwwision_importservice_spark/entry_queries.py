@@ -1906,6 +1906,41 @@ def x2_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x5_corpus_report",
+    """
+SELECT source, lang, count(*) AS n_docs,
+       count(*) - count(DISTINCT md5(text)) AS n_exact_dups,
+       CAST(sum(CAST(rep AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_repetition,
+       CAST(sum(n_toks) AS DOUBLE) / count(*) AS mean_tokens
+FROM (
+  SELECT source, lang, text,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_toks,
+         CASE WHEN len(w) >= 3
+              THEN round(1.0 - CAST(len(list_distinct(
+                     list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   )) AS DOUBLE) / (len(w) - 2), 6)
+              ELSE 0.0 END AS rep
+  FROM (SELECT source, lang, text,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+        FROM documents)
+)
+GROUP BY source, lang
+""",
+    driver=False,
+)
+def x5_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — per-(source, lang) corpus health rollup: volume, exact-dup
+    count, mean repetition, mean token length — the dashboard a
+    training-data pipeline publishes after ingest
+    (``operators/text.py:corpus_report``)."""
+    from wwwision_importservice_spark.operators.text import corpus_report
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus_report(docs, ["source", "lang"], "doc_id", "text")
+
+
+@_register(
     "x3_quantize_embeddings",
     """
 SELECT vec_id,

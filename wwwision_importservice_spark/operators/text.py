@@ -308,3 +308,33 @@ def repetition_score(
         F.size(_word_ngrams(F.col(text_col), n)).alias("n_grams"),
         repetition_ratio(F.col(text_col), n).alias("rep_score"),
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus health rollup — the dashboard a training-data
+    pipeline publishes after ingest: document volume, exact-duplicate
+    count (full-text hash), mean within-document repetition, and mean
+    whitespace-token length.
+
+    One hash aggregate (the distinct-count adds its own expand — the
+    standard Spark distinct-agg plan); means go through decimal-exact
+    sums so results are independent of accumulation order, per the
+    oracle convention.
+    """
+    toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    rep = repetition_ratio(F.col(text_col))
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col(text_col)))).alias(
+            "n_exact_dups"
+        ),
+        (
+            F.sum(rep.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))
+        ).alias("mean_repetition"),
+        (F.sum(toks).cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
+    )
