@@ -531,3 +531,31 @@ def test_dbapi_connection_failure_aborts(spark, tmp_path):
     )
     with pytest.raises(Exception, match="unreachable"):
         target.apply(spark, make_cdc(spark, [("a", 1, "t", "add")]))
+
+
+def test_parquet_target_compaction(spark, tmp_path):
+    """Many incremental syncs leave a pile of small files; compact()
+    bin-packs the snapshot (range-clustered on the id) without changing
+    its contents."""
+    path = str(tmp_path / "ctgt")
+    target = ParquetTarget(path=path, id_column="id", version_column="version")
+    # several applies, each writing its own fragment set
+    for batch in range(4):
+        rows = [(f"{batch}-{i}", 1, f"t{i}", "add") for i in range(25)]
+        target.apply(spark, make_cdc(spark, rows).repartition(8))
+
+    import os as _os
+    before_files = sum(
+        1 for e in _os.scandir(path) if e.name.endswith(".parquet")
+    )
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    n_after = target.compact(spark)
+    after_files = sum(
+        1 for e in _os.scandir(path) if e.name.endswith(".parquet")
+    )
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    assert after == before, "compaction must not change table contents"
+    assert n_after == after_files == 1  # tiny table -> one file
+    assert after_files < before_files

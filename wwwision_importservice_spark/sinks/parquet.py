@@ -193,6 +193,38 @@ class ParquetTarget(DataTarget):
             shutil.rmtree(self.path)
         return count
 
+    def compact(
+        self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> int:
+        """Bin-pack the snapshot into ~``target_file_bytes`` files,
+        range-clustered on the id column, and swap it in. Returns the
+        resulting file count.
+
+        Why it exists: every sync rewrites the snapshot with however
+        many partitions the diff produced — after many small incremental
+        syncs the table is a pile of KB-files, and scan planning starts
+        to cost more than scanning (the classic small-files problem).
+        ``repartitionByRange`` on the key both sizes the files and
+        clusters ids, so point lookups and the diff join's sort both
+        read fewer row groups. File count derives from the CURRENT
+        on-disk bytes — no sampling job.
+        """
+        existing = self.read(spark)
+        if existing is None:
+            return 0
+        total_bytes = sum(
+            e.stat().st_size
+            for e in os.scandir(self.path)
+            if e.name.endswith(".parquet")
+        )
+        n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+        self._write_snapshot(
+            existing.repartitionByRange(n_files, F.col(self.id_column))
+        )
+        return sum(
+            1 for e in os.scandir(self.path) if e.name.endswith(".parquet")
+        )
+
     def setup(self, spark: SparkSession) -> Result:
         result = Result()
         parent = os.path.dirname(self.path.rstrip("/")) or "."
