@@ -299,6 +299,9 @@ def test_cli_run_and_presets(tmp_path, capsys):
     assert main(["--presets-file", str(presets_file), "run", "demo"]) == 0
     out = capsys.readouterr().out
     assert "added=1" in out
+    assert main(["--presets-file", str(presets_file), "compact", "demo"]) == 0
+    assert "Compacted to" in capsys.readouterr().out
+
     assert main(["--presets-file", str(presets_file), "prune", "demo", "--assume-yes"]) == 0
     assert "Removed 1" in capsys.readouterr().out
 

@@ -1,4 +1,4 @@
-"""CLI — run / prune / presets / preset / setup.
+"""CLI — run / prune / compact / presets / preset / setup.
 
 Reference: ``Classes/Command/ImportCommandController.php`` —
 ``import:run`` (``--quiet --force-updates --from-fixture
@@ -94,6 +94,22 @@ def cmd_prune(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    pipeline = _pipeline(args)
+    target = pipeline.preset.target
+    if not hasattr(target, "compact"):
+        print(
+            f'Target of preset "{args.preset}" does not support compaction.',
+            file=sys.stderr,
+        )
+        return 1
+    n_files = target.compact(
+        pipeline.spark, target_file_bytes=args.target_file_mb * 1024 * 1024
+    )
+    print(f"Compacted to {n_files} file(s).")
+    return 0
+
+
 def cmd_presets(args: argparse.Namespace) -> int:
     for name in _registry(args).preset_names():
         print(name)
@@ -132,6 +148,13 @@ def main(argv: list[str] | None = None) -> int:
     p_prune.add_argument("preset")
     p_prune.add_argument("--assume-yes", action="store_true")
     p_prune.set_defaults(fn=cmd_prune)
+
+    p_compact = sub.add_parser(
+        "compact", help="bin-pack a file target's snapshot (small-files cleanup)"
+    )
+    p_compact.add_argument("preset")
+    p_compact.add_argument("--target-file-mb", type=int, default=128)
+    p_compact.set_defaults(fn=cmd_compact)
 
     p_presets = sub.add_parser("presets", help="list configured presets")
     p_presets.set_defaults(fn=cmd_presets)
