@@ -494,3 +494,53 @@ def test_first_seen_dedup_with_ttl_still_dedups(spark, tmp_path):
 
     with pytest.raises(ValueError, match="Unparseable ttl"):
         first_seen_dedup(stream, "k", ttl="fortnight")
+
+
+def test_sessionize_stream_equals_batch(spark, tmp_path):
+    """Streaming per-event session labels must equal the batch
+    gaps-and-islands labels when events arrive in ts order — including
+    sessions that SPAN a micro-batch boundary (state carries the running
+    (seq, start) across batches)."""
+    from wwwision_importservice_spark.streaming.sessionize import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    # user 1: one session spanning the batch split (95 -> 100 < gap);
+    # user 2: second batch starts a NEW session (300 -> 420 >= gap)
+    b1 = spark.createDataFrame(
+        [(1, 1, 10), (2, 1, 95), (3, 2, 300)],
+        "event_id long, user_id long, ts long",
+    )
+    b2 = spark.createDataFrame(
+        [(4, 1, 100), (5, 2, 420), (6, 1, 260)],
+        "event_id long, user_id long, ts long",
+    )
+    gap = 100
+    in_dir = _write_ordered_parquet(spark, tmp_path, "sess_in", [b1, b2])
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        sessionize_stream(stream, "event_id", "user_id", "ts", gap)
+        .writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["session_seq"], r["session_start"])
+        for r in spark.table("sess_sink").collect()
+    }
+
+    batch = b1.unionByName(b2)
+    want = {
+        r["event_id"]: (r["session_seq"], r["session_start"])
+        for r in sessionize(batch, ["user_id"], "ts", gap).collect()
+    }
+    assert got == want

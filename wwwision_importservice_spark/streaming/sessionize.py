@@ -42,3 +42,75 @@ def sessionize(
     with_seq = df.withColumn(session_col, F.sum(is_start).over(running))
     start_w = Window.partitionBy(*key_cols, session_col)
     return with_seq.withColumn("session_start", F.min(F.col(ts_col)).over(start_w))
+
+
+
+def sessionize_stream(
+    stream_df,
+    id_col: str,
+    key_col: str,
+    ts_col: str,
+    gap: int,
+):
+    """Streaming twin of :func:`~wwwision_importservice_spark.streaming.
+    sessionize.sessionize`: label every event with its (session_seq,
+    session_start) across micro-batches via per-key state
+    ``(last_ts, session_seq, session_start)``.
+
+    Within a batch, a key's events are processed in ``ts`` order; state
+    carries the running session across batch boundaries, so a session
+    spanning many micro-batches keeps one (seq, start) identity. An
+    event arriving LATE (ts older than the state's last_ts) joins the
+    current session rather than rewriting history — per-event labels
+    can't be retracted once emitted; bound the damage upstream with a
+    watermark + drop, exactly like every at-scale streaming labeler.
+    State is O(keys), three longs per key.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{id_col} long, {key_col} long, {ts_col} long, "
+        "session_seq long, session_start long"
+    )
+    state_schema = "last_ts long, seq long, start long"
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        last, seq, start = state.get if state.exists else (None, 0, None)
+        ids, tss, seqs, starts = [], [], [], []
+        for pdf in pdf_iter:
+            for row in pdf.sort_values(ts_col).itertuples(index=False):
+                t = int(getattr(row, ts_col))
+                if last is None or t - last >= gap:
+                    seq += 1
+                    start = t
+                last = max(t, last) if last is not None else t
+                ids.append(int(getattr(row, id_col)))
+                tss.append(t)
+                seqs.append(seq)
+                starts.append(start)
+        if not ids:
+            return
+        state.update((last, seq, start))
+        yield pd.DataFrame(
+            {
+                id_col: ids,
+                key_col: [key[0]] * len(ids),
+                ts_col: tss,
+                "session_seq": seqs,
+                "session_start": starts,
+            }
+        )
+
+    return (
+        stream_df.select(id_col, key_col, ts_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
