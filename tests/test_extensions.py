@@ -608,3 +608,24 @@ def test_quality_gate_repetition_ceiling(spark):
     }
     assert 1 in kept_without, "looped doc passes the stats-only gate"
     assert kept_with == {2}, "repetition ceiling must drop the looped doc"
+
+
+def test_training_order_reproducible_shuffle(spark):
+    from wwwision_importservice_spark.operators.sampling import training_order
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    a = training_order(df, "id")
+    # stable: re-derivation yields identical keys
+    b = training_order(df, "id")
+    ka = {r["id"]: (r["shuffle_key"], r["shuffle_bucket"]) for r in a.collect()}
+    kb = {r["id"]: (r["shuffle_key"], r["shuffle_bucket"]) for r in b.collect()}
+    assert ka == kb
+    # it is actually a shuffle: key order != id order
+    order = [r["id"] for r in a.orderBy("shuffle_key").collect()]
+    assert order != sorted(order)
+    # buckets respect the key ranges used at write time: every bucket
+    # holds a contiguous md5 range under the hash_bucket definition? No —
+    # bucket is an independent uniform hash; just check balance
+    from collections import Counter
+    sizes = Counter(v[1] for v in ka.values())
+    assert max(sizes.values()) < 5 * (500 / len(sizes))

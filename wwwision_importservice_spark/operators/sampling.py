@@ -134,3 +134,26 @@ def stratified_split(
             else expr.when(cond, F.lit(name))
         )
     return df.withColumn(split_col, expr)
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str,
+    n_buckets: int = 1024,
+    shuffle_col: str = "shuffle_key",
+    bucket_col: str = "shuffle_bucket",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: each row
+    gets a pseudo-random but id-stable sort key (md5 of the id) and a
+    range bucket over that key. Writing with
+    ``repartitionByRange(bucket).sortWithinPartitions(shuffle_key)``
+    materializes a reproducible shuffled corpus — same ids, same order,
+    every run — without a global sort: range partitioning samples the
+    key distribution, each partition sorts locally, and the md5 key is
+    uniform so buckets balance. rand()-based shuffling cannot be
+    replayed after a retry; this can.
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    return df.withColumn(shuffle_col, key).withColumn(
+        bucket_col, hash_bucket(F.col(id_col), n_buckets)
+    )
