@@ -559,3 +559,43 @@ def test_parquet_target_compaction(spark, tmp_path):
     assert after == before, "compaction must not change table contents"
     assert n_after == after_files == 1  # tiny table -> one file
     assert after_files < before_files
+
+
+def test_file_source_malformed_json_modes(spark, tmp_path):
+    """Malformed input rows: PERMISSIVE mode surfaces them in a corrupt-
+    record column (the scan-level analogue of the per-record quarantine
+    O3 — count them, keep the good rows) while FAILFAST aborts the read,
+    mirroring the strict/lenient split of the record layer."""
+    from wwwision_importservice_spark.sources.file import FileSource
+
+    feed = tmp_path / "feed.jsonl"
+    feed.write_text(
+        '{"id": "a", "v": 1}\n'
+        "{THIS IS NOT JSON}\n"
+        '{"id": "b", "v": 2}\n'
+    )
+
+    src = FileSource(
+        str(feed),
+        format="json",
+        multi_line=False,
+        schema="id string, v long, _corrupt string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+    df = src.load(spark).cache()  # cache: corrupt-col queries need the raw rows
+    good = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    assert {r["id"] for r in good.collect()} == {"a", "b"}
+    assert bad.count() == 1
+    df.unpersist()
+
+    strict = FileSource(
+        str(feed),
+        format="json",
+        multi_line=False,
+        schema="id string, v long",
+        mode="FAILFAST",
+    )
+    with pytest.raises(Exception, match="FAILFAST|Malformed"):
+        strict.load(spark).collect()
