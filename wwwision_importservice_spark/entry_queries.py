@@ -1906,6 +1906,44 @@ def x2_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x5_freq_score",
+    """
+SELECT e.doc_id, count(*) AS n_tokens,
+       CAST(sum(v.cnt) AS DOUBLE) / (count(*) * any_value(t.total)) AS freq_score
+FROM (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents
+) e
+JOIN (
+  SELECT tok, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+    FROM documents
+  ) GROUP BY tok
+) v ON v.tok = e.tok
+CROSS JOIN (
+  SELECT count(*) AS total FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+    FROM documents
+  )
+) t
+GROUP BY e.doc_id
+""",
+    driver=False,
+)
+def x5_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — unigram corpus-typicality score (integer-exact perplexity
+    stand-in): mean corpus frequency of a document's tokens; low =
+    gibberish, high = stopword soup, both filterable tails
+    (``operators/text.py:corpus_frequency_score``)."""
+    from wwwision_importservice_spark.operators.text import (
+        corpus_frequency_score,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return corpus_frequency_score(docs, "doc_id", "text")
+
+
+@_register(
     "x5_corpus_report",
     """
 SELECT source, lang, count(*) AS n_docs,

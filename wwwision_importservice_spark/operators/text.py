@@ -338,3 +338,47 @@ def corpus_report(
         ).alias("mean_repetition"),
         (F.sum(toks).cast("double") / F.count(F.lit(1))).alias("mean_tokens"),
     )
+
+
+def corpus_frequency_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram corpus-typicality score — the integer-exact stand-in for
+    a unigram-LM perplexity filter: a document's score is the mean
+    corpus frequency of its tokens,
+
+        score = Σ_t count(t) / (n_tokens(doc) · total_tokens(corpus)),
+
+    low for gibberish/rare-token documents, high for stopword soup; both
+    tails are filter candidates. All aggregation is over LONG counts
+    (exact, order-independent) with ONE double division at the end, so
+    the value is bit-identical in any engine — no log(), whose rounding
+    differs across math libraries.
+
+    Shape at scale: token explode → one hash aggregate for the vocab →
+    broadcast join (the vocab is Zipf-small next to the corpus) → one
+    hash aggregate back per document.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+    vocab = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").alias("__total"))
+    scored = (
+        exploded.join(F.broadcast(vocab), "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__cnt").alias("__freq_sum"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (
+            F.col("__freq_sum").cast("double")
+            / (F.col("n_tokens") * F.col("__total"))
+        ).alias("freq_score"),
+    )
