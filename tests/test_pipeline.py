@@ -350,3 +350,49 @@ def test_soft_delete_reappearance_lifecycle(spark, tmp_path):
     rows = {r["id"]: (r["hidden"], r["version"], r["title"]) for r in out}
     assert len(out) == 2  # no duplicate b
     assert rows["b"] == (False, 5, "tb2")
+
+
+def test_cli_explain_and_changelog(tmp_path, capsys, spark):
+    import yaml
+
+    from wwwision_importservice_spark.cli import main
+
+    feed = tmp_path / "feed.json"
+    feed.write_text(json.dumps(
+        [{"id": "a", "v": 1, "title": "t"}, {"id": "b", "v": 1, "title": "u"}]
+    ))
+    presets_file = tmp_path / "presets.yaml"
+    presets_file.write_text(yaml.safe_dump({
+        "presets": {"demo": {
+            "source": {
+                "type": "file",
+                "id_attribute": "id",
+                "version_attribute": "v",
+                "options": {"path": str(feed), "format": "json"},
+            },
+            "target": {
+                "type": "parquet",
+                "options": {
+                    "path": str(tmp_path / "tgt"),
+                    "id_column": "id",
+                    "version_column": "version",
+                },
+            },
+        }}
+    }))
+
+    # --explain prints a physical plan and does NOT execute the sync
+    assert main(["--presets-file", str(presets_file), "run", "demo", "--explain"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert not (tmp_path / "tgt").exists()
+
+    # --changelog-dir persists the CDC frame partitioned by change type
+    clog = tmp_path / "clog"
+    assert main([
+        "--presets-file", str(presets_file), "run", "demo", "--quiet",
+        "--changelog-dir", str(clog), "--run-id", "r1",
+    ]) == 0
+    cdc = spark.read.parquet(str(clog / "run_id=r1"))
+    got = {(r["_id"], r["change_type"]) for r in cdc.collect()}
+    assert got == {("a", "add"), ("b", "add")}

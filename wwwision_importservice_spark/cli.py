@@ -10,7 +10,14 @@ Usage::
 
     python -m wwwision_importservice_spark.cli run <preset> \
         --presets-file presets.yaml [--force-updates] [--quiet] \
-        [--from-fixture] [--override-source-options '{"path": "..."}']
+        [--from-fixture] [--override-source-options '{"path": "..."}'] \
+        [--explain] [--changelog-dir DIR --run-id ID]
+
+Engine extensions beyond the reference CLI: ``run --explain`` prints the
+diff's physical plan without executing (scan-pruning / shuffle / broadcast
+preflight), ``run --changelog-dir`` persists the CDC frame partitioned by
+change_type (Delta-CDF-shaped audit/incremental feed), and ``compact``
+bin-packs file-target snapshots.
 """
 
 from __future__ import annotations
@@ -50,6 +57,9 @@ def _pipeline(args: argparse.Namespace) -> ImportPipeline:
 
 def cmd_run(args: argparse.Namespace) -> int:
     pipeline = _pipeline(args)
+    if args.explain:
+        print(pipeline.explain(force_updates=args.force_updates))
+        return 0
     quiet = args.quiet
     if not quiet:
         pipeline.on(
@@ -64,7 +74,11 @@ def cmd_run(args: argparse.Namespace) -> int:
         )
         pipeline.on(Events.ERROR, lambda msg: print(f"ERROR: {msg}", file=sys.stderr))
     try:
-        stats = pipeline.run(force_updates=args.force_updates)
+        stats = pipeline.run(
+            force_updates=args.force_updates,
+            changelog_dir=args.changelog_dir,
+            run_id=args.run_id,
+        )
     except ImportServiceError as exc:
         print(f"Import failed: {exc}", file=sys.stderr)
         return 1
@@ -142,6 +156,17 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--from-fixture", action="store_true")
     p_run.add_argument("--override-source-options")
     p_run.add_argument("--override-target-options")
+    p_run.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the diff's physical plan instead of executing",
+    )
+    p_run.add_argument(
+        "--changelog-dir",
+        default=None,
+        help="also persist the CDC frame as parquet under this directory",
+    )
+    p_run.add_argument("--run-id", default=None)
     p_run.set_defaults(fn=cmd_run)
 
     p_prune = sub.add_parser("prune", help="remove all records of a preset")

@@ -84,7 +84,27 @@ class ImportPipeline:
             broadcast_local=self.preset.force_broadcast_state,
         )
 
-    def run(self, force_updates: bool = False) -> dict[str, int]:
+    def explain(self, force_updates: bool = False) -> str:
+        """Formatted physical plan of the diff, without executing it —
+        the preflight a pipeline operator reads before pointing a new
+        preset at a 100 TB target (are the scans pruned? which side
+        shuffles? did the broadcast hint take?)."""
+        cdc = self._apply_mapping(self.compute_changes(force_updates))
+        mode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        return cdc._jdf.queryExecution().explainString(mode)
+
+    def run(
+        self,
+        force_updates: bool = False,
+        changelog_dir: str | None = None,
+        run_id: str | None = None,
+    ) -> dict[str, int]:
+        """Execute the sync; ``changelog_dir`` additionally persists the
+        mapped CDC frame as parquet under ``<dir>/run_id=<id>/``
+        partitioned by change_type — the audit/incremental-consumer feed
+        (Delta CDF shape) downstream jobs read instead of re-diffing."""
         cdc = self.compute_changes(force_updates).cache()
         try:
             self._dispatch(Events.PRE_IMPORT_DATA, cdc)
@@ -117,6 +137,14 @@ class ImportPipeline:
                 )
 
             mapped = self._apply_mapping(cdc)
+
+            if changelog_dir is not None:
+                sub = f"run_id={run_id}" if run_id else "run_id=unlabeled"
+                (
+                    mapped.write.partitionBy(CHANGE_TYPE_COL)
+                    .mode("append")
+                    .parquet(f"{changelog_dir.rstrip('/')}/{sub}")
+                )
 
             if added:
                 self._dispatch(Events.PRE_ADD_DATA, added)
