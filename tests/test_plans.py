@@ -223,3 +223,15 @@ def test_salted_join_matches_plain_join(spark):
         for r in salted_join(big, small_missing, ["k"], num_salts=8, how="left").collect()
     )
     assert left_salted == left_plain
+
+
+def test_freq_score_broadcasts_vocab(spark, sf_dir):
+    """X5 freq score: the Zipf-small vocab and the 1-row total broadcast;
+    the corpus-side explode never shuffles for them."""
+    from wwwision_importservice_spark.entry_queries import PYTEST_QUERIES
+
+    tree = tree_of(
+        plan_of(spark, PYTEST_QUERIES["x5_freq_score"](spark, sf_dir))
+    )
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
