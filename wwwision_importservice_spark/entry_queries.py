@@ -2133,6 +2133,38 @@ def x4_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x4_audio_windows",
+    """
+SELECT doc_id, CAST(i AS INT) AS window_index,
+       CAST(i * 32 AS BIGINT) AS byte_off,
+       round(CAST(i * 32 AS DOUBLE) / 32000, 6) AS start_s,
+       octet_length(encode(substr(text, CAST(i * 32 + 1 AS INT), 32))) AS n_bytes,
+       sha256(substr(text, CAST(i * 32 + 1 AS INT), 32)) AS window_sha
+FROM documents,
+     unnest(range(0, greatest(CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT), 1)))
+       AS t(i)
+""",
+    driver=False,
+)
+def x4_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — audio time-window segmentation: sample-rate metadata → byte
+    ranges → binary substring + sha256 content address, entirely in
+    whole-stage codegen (no Python; the byte math needs no decoder).
+    Parameters chosen so one window = 32 bytes = 1 ms at 16 kHz s16:
+    ``operators/multimodal.py:audio_windows``."""
+    from wwwision_importservice_spark.operators.multimodal import (
+        attach_blob,
+        audio_windows,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    blobs = attach_blob(docs, "doc_id", "text")
+    return audio_windows(
+        blobs, "doc_id", sample_rate=16000, bytes_per_sample=2, window_s=0.001
+    )
+
+
+@_register(
     "x4_frame_sample",
     """
 SELECT doc_id, CAST(i AS INT) AS frame_index, CAST(i * 64 AS BIGINT) AS offset,

@@ -201,3 +201,45 @@ def resize_stub(df: DataFrame, id_col: str, blob_col: str = "blob") -> DataFrame
             yield pdf[[id_col, blob_col]]
 
     return df.select(id_col, blob_col).mapInPandas(batches, schema=out_schema)
+
+
+def audio_windows(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str = "blob",
+    sample_rate: int = 16000,
+    bytes_per_sample: int = 2,
+    window_s: float = 1.0,
+) -> DataFrame:
+    """Time-window segmentation of opaque audio blobs: sample-rate
+    metadata turns seconds into byte ranges, each window is sliced with
+    binary ``substring`` and content-addressed with sha256 — the
+    chunking stage in front of any audio featurizer.
+
+    Unlike the image/video paths (whose decoders genuinely need
+    libraries and run as gated mapInPandas), windowing is pure byte
+    arithmetic, so it stays ENTIRELY in whole-stage codegen: sequence →
+    explode → substring → sha2, no Python, exact DuckDB twin. Output
+    multiplicity is len/window_bytes; the explode multiplies row count
+    but each row carries only its window's bytes.
+    """
+    bpw = int(sample_rate * bytes_per_sample * window_s)
+    blob = F.col(blob_col)
+    n = F.greatest(F.ceil(F.length(blob) / F.lit(bpw)), F.lit(1)).cast("int")
+    win = df.select(
+        F.col(id_col),
+        blob,
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("window_index"),
+    )
+    off = F.col("window_index").cast("long") * bpw
+    chunk = F.substring(blob, (off + 1).cast("int"), bpw)
+    return win.select(
+        F.col(id_col),
+        F.col("window_index"),
+        off.alias("byte_off"),
+        F.round(off / F.lit(float(sample_rate * bytes_per_sample)), 6).alias(
+            "start_s"
+        ),
+        F.length(chunk).alias("n_bytes"),
+        F.sha2(chunk, 256).alias("window_sha"),
+    )
