@@ -124,7 +124,7 @@ def oracle_sf001():
 
 
 @pytest.mark.sf001
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_driver_query_matches_oracle_at_sf001(name, spark, oracle_sf001):
     sdf = ALL_QUERIES[name](spark, SF001_DIR)
     spark_rows = [tuple(r) for r in sdf.collect()]
