@@ -146,3 +146,48 @@ def test_dedup_last_wins_matches_model(spark, rows):
     out = dedup_last_wins(df, "_id", F.struct("ord", "payload"))
     got = {r["_id"]: (r["ord"], r["payload"]) for r in out.collect()}
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,
+)
+@given(STATES)
+def test_diff_with_id_prefix_matches_model(spark, state):
+    """J6 in the property space: local ids carry a prefix that the kernel
+    strips before the join (the reference instead probes prefixed keys
+    with unprefixed ids and mistakenly force-updates everything —
+    documented divergence in operators/diff.py). The model therefore
+    runs on UNPREFIXED ids and must agree with the kernel fed prefixed
+    local state."""
+    source, local, force, skip_added, skip_removed = state
+    want = model_diff(source, local, force, skip_added, skip_removed)
+
+    src_rows = [(k, v) for k, v in source.items()]
+    loc_rows = [("node-" + k, v, h) for k, (v, h) in local.items()]
+    src = spark.createDataFrame(
+        src_rows or [("zz", None)], "_id string, _version long"
+    )
+    if not src_rows:
+        src = src.filter("false")
+    loc = spark.createDataFrame(
+        loc_rows or [("zz", None, False)],
+        "id string, version long, hidden boolean",
+    )
+    if not loc_rows:
+        loc = loc.filter("false")
+    cdc = compute_changes(
+        src,
+        loc,
+        force_updates=force,
+        skip_added=skip_added,
+        skip_removed=skip_removed,
+        local_id_col="id",
+        local_version_col="version",
+        local_hidden_col="hidden",
+        id_prefix="node-",
+    )
+    got = {r["_id"]: r["change_type"] for r in cdc.collect()}
+    assert got == want
