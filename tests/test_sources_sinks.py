@@ -599,3 +599,65 @@ def test_file_source_malformed_json_modes(spark, tmp_path):
     )
     with pytest.raises(Exception, match="FAILFAST|Malformed"):
         strict.load(spark).collect()
+
+
+def test_bucketed_target_compaction_preserves_bucketing(spark, tmp_path):
+    """BucketedParquetTarget.compact collapses per-(task, bucket)
+    fragments to one file per bucket while keeping the bucket spec —
+    the diff join still plans without a target-side exchange."""
+    import os as _os
+    import re as _re
+
+    from wwwision_importservice_spark.operators.diff import compute_changes
+    from wwwision_importservice_spark.record import RecordFrame
+    from wwwision_importservice_spark.sinks.bucketed import BucketedParquetTarget
+
+    target = BucketedParquetTarget(
+        str(tmp_path / "cstate"), table_name="bkt_compact_t", n_buckets=4
+    )
+    try:
+        seed = RecordFrame.from_keyed(
+            spark.createDataFrame(
+                [(str(i), 1, "p") for i in range(200)],
+                "_id string, _version long, payload string",
+            ).repartition(8)  # many writer tasks -> many files per bucket
+        )
+        target.apply(
+            spark,
+            compute_changes(
+                seed.df, target.current_state(spark),
+                local_id_col="id", local_version_col="version",
+            ),
+        )
+        before = sorted(tuple(r) for r in target.read(spark).collect())
+        gen0 = target._generations()[-1]
+        files_before = sum(
+            1 for e in _os.scandir(gen0) if e.name.endswith(".parquet")
+        )
+
+        n_files = target.compact(spark)
+        after = sorted(tuple(r) for r in target.read(spark).collect())
+        assert after == before
+        assert n_files <= 4 < files_before
+
+        # bucket metadata survived: a fresh diff still has <= 1 exchange
+        src = RecordFrame.from_keyed(
+            spark.createDataFrame(
+                [(str(i), 2, "q") for i in range(100, 300)],
+                "_id string, _version long, payload string",
+            )
+        )
+        cdc = compute_changes(
+            src.df, target.current_state(spark),
+            local_id_col="id", local_version_col="version",
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        tree = cdc._jdf.queryExecution().explainString(mode).split("\n\n")[0]
+        shuffles = len(_re.findall(r"\bExchange\b", tree)) - len(
+            _re.findall(r"\bReusedExchange\b", tree)
+        )
+        assert shuffles <= 1, tree
+    finally:
+        target.remove_all(spark)

@@ -156,6 +156,42 @@ class BucketedParquetTarget(ParquetTarget):
             shutil.rmtree(old, ignore_errors=True)
         return count
 
+    def compact(
+        self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> int:
+        """Bucketed compaction: rewrite the current generation with the
+        data pre-partitioned to exactly one task per bucket, collapsing
+        the one-file-per-(writer-task, bucket) fragments a bucketed
+        save produces into one file per bucket. The bucket spec (and so
+        the zero-target-side-exchange diff plan) is preserved — the
+        parquet-target byte-budget heuristic doesn't apply because the
+        file count is fixed by ``n_buckets``. Returns the file count of
+        the new generation.
+
+        (Overrides ParquetTarget.compact, which scans ``self.path`` —
+        bucketed state lives in generation directories instead.)
+        """
+        from pyspark.sql import functions as F
+
+        existing = self.read(spark)
+        if existing is None:
+            return 0
+        # repartition on the COMPUTED bucket id (pmod(hash(col), n)), not
+        # the column: task assignment then can't split a bucket across
+        # tasks (all rows of a bucket share the key), so the bucketed
+        # write emits exactly one file per bucket regardless of how the
+        # writer hashes tasks.
+        bucket_id = F.expr(
+            f"pmod(hash({self.id_column}), {self.n_buckets})"
+        )
+        self._write_snapshot(
+            existing.repartition(self.n_buckets, bucket_id)
+        )
+        newest = self._generations()[-1]
+        return sum(
+            1 for e in os.scandir(newest) if e.name.endswith(".parquet")
+        )
+
     def setup(self, spark: SparkSession) -> Result:
         result = Result()
         parent = os.path.dirname(self.path.rstrip("/")) or "."
