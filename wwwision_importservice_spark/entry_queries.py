@@ -32,7 +32,7 @@ from wwwision_importservice_spark.operators.diff import (
     changeset_counts,
     compute_changes,
 )
-from wwwision_importservice_spark.record import RecordFrame, dedup_last_wins
+from wwwision_importservice_spark.record import RecordFrame
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wwwision_importservice_spark.errors import ImportServiceError
-from wwwision_importservice_spark.mapping import Mapper
 from wwwision_importservice_spark.operators.diff import (
     CHANGE_TYPE_COL,
     ChangeType,
