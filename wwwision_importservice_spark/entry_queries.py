@@ -1224,6 +1224,45 @@ def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x2_ngram_containment",
+    f"""
+SELECT o.id_a, o.id_b,
+       round(CAST(o.overlap AS DOUBLE) / sa.n, 6) AS containment_a,
+       round(CAST(o.overlap AS DOUBLE) / sb.n, 6) AS containment_b
+FROM ({_PAIRS_SQL}) p
+JOIN (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
+  FROM ({_SHINGLES_SQL}) a JOIN ({_SHINGLES_SQL}) b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+) o ON o.id_a = p.id_a AND o.id_b = p.id_b
+JOIN (SELECT doc_id, count(*) AS n FROM ({_SHINGLES_SQL}) GROUP BY doc_id) sa
+  ON sa.doc_id = p.id_a
+JOIN (SELECT doc_id, count(*) AS n FROM ({_SHINGLES_SQL}) GROUP BY doc_id) sb
+  ON sb.doc_id = p.id_b
+""",
+    driver=False,
+)
+def x2_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — asymmetric shingle containment (|A∩B|/|A|, |A∩B|/|B|) on the
+    LSH candidate pairs: a short doc quoted inside a long one scores ~1
+    on one side while symmetric Jaccard stays small
+    (``operators/dedup.py:ngram_containment``)."""
+    from wwwision_importservice_spark.operators.dedup import (
+        hashed_word_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_containment,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    sh = hashed_word_shingles(docs, "doc_id", "text", n=3).cache()
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    return ngram_containment(pairs, sh, "doc_id")
+
+
+@_register(
     "x2_ngram_jaccard",
     f"""
 SELECT p.id_a, p.id_b,

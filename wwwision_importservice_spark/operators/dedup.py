@@ -539,3 +539,41 @@ def minhash_signatures_inline(
         for i in range(num_hashes)
     ]
     return hashed.select(F.col(id_col), *sig_cols)
+
+
+def ngram_containment(
+    pairs: DataFrame, shingle_df: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact shingle-set CONTAINMENT for candidate pairs:
+    ``|A∩B| / |A|`` and ``|A∩B| / |B|`` — the asymmetric companion to
+    Jaccard. A short document quoted inside a long one scores near 1 on
+    one side while its Jaccard stays small, so subset/quote duplication
+    is invisible to the symmetric measure. Same join shape as
+    :func:`ngram_jaccard`: candidate-bounded (id, shingle) equi-joins,
+    never all-pairs.
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("overlap") / F.col("n_a"), 6).alias("containment_a"),
+            F.round(F.col("overlap") / F.col("n_b"), 6).alias("containment_b"),
+        )
+    )
