@@ -396,3 +396,35 @@ def test_cli_explain_and_changelog(tmp_path, capsys, spark):
     cdc = spark.read.parquet(str(clog / "run_id=r1"))
     got = {(r["_id"], r["change_type"]) for r in cdc.collect()}
     assert got == {("a", "add"), ("b", "add")}
+
+
+def test_changelog_replay_reproduces_target(spark, tmp_path):
+    """CDC replication e2e: the changelog written by one pipeline run,
+    replayed into a SECOND target, must reproduce the first target's
+    state — the property that makes the changelog an incremental feed
+    rather than just an audit log."""
+    preset = make_preset(tmp_path, [("a", 1, "t1", 1), ("b", 2, "t2", 2)])
+    pipeline = ImportPipeline(preset, spark)
+    clog = str(tmp_path / "clog")
+    pipeline.run(changelog_dir=clog, run_id="r1")
+
+    # second sync: update a, drop b, add c — its own changelog entry
+    preset.source.rows = [("a", 9, "t1b", 1), ("c", 1, "t3", 2)]
+    pipeline.run(changelog_dir=clog, run_id="r2")
+
+    primary = {
+        r["id"]: (r["version"], r["title"])
+        for r in spark.read.parquet(str(tmp_path / "tgt")).collect()
+    }
+
+    replica = ParquetTarget(
+        path=str(tmp_path / "replica"), id_column="id", version_column="version"
+    )
+    for run in ("r1", "r2"):
+        cdc = spark.read.parquet(f"{clog}/run_id={run}")
+        replica.apply(spark, cdc)
+    got = {
+        r["id"]: (r["version"], r["title"])
+        for r in spark.read.parquet(str(tmp_path / "replica")).collect()
+    }
+    assert got == primary == {"a": (9, "t1b"), "c": (1, "t3")}
