@@ -629,3 +629,18 @@ def test_training_order_reproducible_shuffle(spark):
     from collections import Counter
     sizes = Counter(v[1] for v in ka.values())
     assert max(sizes.values()) < 5 * (500 / len(sizes))
+
+
+def test_skew_report_identifies_hot_key(spark):
+    from wwwision_importservice_spark.operators.skew import skew_report
+
+    rows = [("hot", i) for i in range(500)] + [(f"k{i}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    rep = skew_report(df, ["k"], top_n=3).collect()[0]
+    assert rep["n_keys"] == 101
+    assert rep["total_rows"] == 600
+    assert rep["max_key_rows"] == 500
+    assert rep["skew_factor"] == 500.0  # p50 of key sizes is 1
+    assert rep["top_keys"][0]["key"] == "hot"
+    assert rep["top_keys"][0]["rows"] == 500
+    assert len(rep["top_keys"]) == 3

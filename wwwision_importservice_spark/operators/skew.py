@@ -46,3 +46,49 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
     )
     return big_salted.join(small_salted, [*on, "__salt"], how).drop("__salt")
+
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Key-distribution profile for join/aggregation planning: per-key
+    row counts summarized as (n_keys, total_rows, max/p99/p50 key size,
+    skew_factor = max/p50) plus the ``top_n`` heaviest keys inline.
+
+    Read it before choosing a strategy: skew_factor ≈ 1 → plain shuffle
+    join; moderate (< ~20) → AQE's skew split handles it; extreme with a
+    small build side → :func:`salted_join`; tiny build side regardless →
+    broadcast. One hash aggregate over the keys + a driver-sized
+    summary — safe to run on the full table.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    key_repr = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    top = (
+        counts.orderBy(F.col("__n").desc(), key_repr)
+        .limit(top_n)
+        .agg(
+            F.collect_list(F.struct(key_repr.alias("key"), F.col("__n").alias("rows")))
+            .alias("top_keys")
+        )
+    )
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__n").alias("total_rows"),
+        F.max("__n").alias("max_key_rows"),
+        F.expr("percentile(__n, 0.99)").alias("p99_key_rows"),
+        F.expr("percentile(__n, 0.5)").alias("p50_key_rows"),
+    )
+    return summary.crossJoin(top).select(
+        "n_keys",
+        "total_rows",
+        "max_key_rows",
+        "p99_key_rows",
+        "p50_key_rows",
+        (F.col("max_key_rows") / F.greatest(F.col("p50_key_rows"), F.lit(1.0))).alias(
+            "skew_factor"
+        ),
+        "top_keys",
+    )
