@@ -644,3 +644,55 @@ def test_skew_report_identifies_hot_key(spark):
     assert rep["top_keys"][0]["key"] == "hot"
     assert rep["top_keys"][0]["rows"] == 500
     assert len(rep["top_keys"]) == 3
+
+
+def test_quantize_matches_python_model(spark):
+    """Differential: the quantization formula evaluated in Spark must
+    equal the same IEEE-double arithmetic in Python, element for element
+    — float widening exact, floor cut, span-0 guard. Catches any drift
+    toward round()/float32 arithmetic that would break the cross-engine
+    determinism the oracle relies on."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from wwwision_importservice_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    floats = st.floats(
+        min_value=-100, max_value=100, allow_nan=False, width=32
+    )
+    vectors = st.lists(
+        st.lists(floats, min_size=1, max_size=8), min_size=1, max_size=5
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+        derandomize=True,
+    )
+    @given(vectors)
+    def check(vecs):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            r["vec_id"]: (list(r["codes"]), r["offset"], r["scale"])
+            for r in quantize_embeddings(df, "vec_id").collect()
+        }
+        for i, v in enumerate(vecs):
+            dv = [float(__import__("struct").unpack("f", __import__("struct").pack("f", x))[0]) for x in v]
+            mn, mx = min(dv), max(dv)
+            span = mx - mn
+            if span > 0:
+                codes = [min(int(math.floor((x - mn) / span * 256)), 255) for x in dv]
+            else:
+                codes = [0] * len(dv)
+            assert got[i][0] == codes, (v, got[i][0], codes)
+            assert got[i][1] == mn
+            assert got[i][2] == span / 256
+    check()
