@@ -43,3 +43,23 @@ def test_a3_sketch_accuracy(spark, sf_dir):
             assert abs(row[p] - exact[flag][p]) <= 0.01 * abs(exact[flag][p]), (
                 flag, p, row[p], exact[flag][p],
             )
+
+
+def test_operators_md_in_sync():
+    """OPERATORS.md is generated from the registry — regenerate with
+    tools/dump_operators.py whenever a query is added or removed."""
+    import os
+
+    from wwwision_importservice_spark.entry_queries import (
+        PYTEST_QUERIES,
+        QUERIES,
+    )
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "OPERATORS.md")
+    text = open(path).read()
+    assert (
+        f"Totals: {len(QUERIES)} driver + {len(PYTEST_QUERIES)} pytest-only"
+        in text
+    ), "totals drifted — rerun tools/dump_operators.py"
+    for name in list(QUERIES) + list(PYTEST_QUERIES):
+        assert f"`{name}`" in text, f"{name} missing — rerun tools/dump_operators.py"
