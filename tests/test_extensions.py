@@ -696,3 +696,38 @@ def test_quantize_matches_python_model(spark):
             assert got[i][1] == mn
             assert got[i][2] == span / 256
     check()
+
+
+def test_annotate_documents_single_scan_matches_operators(spark, sf_dir):
+    """The one-scan annotation must agree column-for-column with the
+    standalone operators, and its plan must contain exactly ONE scan."""
+    from wwwision_importservice_spark.operators.text import (
+        annotate_documents,
+        detect_language,
+        fingerprint,
+        repetition_score,
+        text_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ann = annotate_documents(docs, "doc_id", "text")
+
+    plan = ann._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Exchange" not in tree, tree  # pure projection, no shuffle
+
+    got = {r["doc_id"]: r for r in ann.collect()}
+    for r in text_stats(docs, "doc_id", "text").collect():
+        assert got[r["doc_id"]]["ann_n_tokens"] == r["n_tokens"]
+        assert got[r["doc_id"]]["ann_quality_score"] == r["quality_score"]
+    for r in detect_language(docs, "doc_id", "text").collect():
+        assert got[r["doc_id"]]["ann_lang"] == r["detected_lang"]
+    for r in repetition_score(docs, "doc_id", "text").collect():
+        assert got[r["doc_id"]]["ann_repetition"] == r["rep_score"]
+    for r in fingerprint(docs, "doc_id", "text").collect():
+        assert got[r["doc_id"]]["ann_fingerprint"] == r["fingerprint"]

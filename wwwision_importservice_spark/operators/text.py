@@ -132,13 +132,10 @@ def quality_filter(
     )
 
 
-def detect_language(
-    df: DataFrame, id_col: str, text_col: str
-) -> DataFrame:
-    """Heuristic language ID: per-language stopword hit counts, argmax with
-    deterministic (alphabetical) tiebreak; 'und' (undetermined) when no
-    marker hits."""
-    toks = tokens(F.lower(F.col(text_col)))
+def _language_best(text: Column) -> Column:
+    """struct(s = marker hits, l = language) of the argmax language,
+    alphabetical tiebreak."""
+    toks = tokens(F.lower(text))
 
     def marker_filter(markers: list[str]):
         # NB: must stay a ONE-argument lambda — F.filter dispatches on
@@ -160,12 +157,26 @@ def detect_language(
                 scores[lang] > best.getField("s"),
                 F.struct(score.alias("s"), F.lit(lang).alias("l")),
             ).otherwise(best)
-    detected = F.when(best.getField("s") > 0, best.getField("l")).otherwise(
+    return best
+
+
+def detected_language(text: Column) -> Column:
+    best = _language_best(text)
+    return F.when(best.getField("s") > 0, best.getField("l")).otherwise(
         F.lit("und")
     )
+
+
+def detect_language(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts, argmax with
+    deterministic (alphabetical) tiebreak; 'und' (undetermined) when no
+    marker hits."""
+    best = _language_best(F.col(text_col))
     return df.select(
         F.col(id_col),
-        detected.alias("detected_lang"),
+        detected_language(F.col(text_col)).alias("detected_lang"),
         best.getField("s").alias("marker_hits"),
     )
 
@@ -381,4 +392,43 @@ def corpus_frequency_score(
             F.col("__freq_sum").cast("double")
             / (F.col("n_tokens") * F.col("__total"))
         ).alias("freq_score"),
+    )
+
+
+def annotate_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ONE-SCAN annotation: every per-document X5 signal appended as a
+    column in a single projection — length/token stats, composite
+    quality score, heuristic language, repetition ratio, normalized
+    fingerprint. Real pipelines run exactly this "annotate once, filter
+    many times downstream" stage: at 100 TB, five separate signal passes
+    cost five scans; this costs one, and every expression lives in the
+    same whole-stage-codegen region.
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    sw_ratio = stopword_ratio(text, LANG_MARKERS["en"])
+    p_ratio = punct_ratio(text)
+    quality = (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * F.lit(0.5)
+        + sw_ratio * F.lit(0.3)
+        + (F.lit(1.0) - p_ratio) * F.lit(0.2)
+    )
+    normalized = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return df.select(
+        *df.columns,
+        F.length(text).alias("ann_n_chars"),
+        n_tokens.alias("ann_n_tokens"),
+        quality.alias("ann_quality_score"),
+        detected_language(text).alias("ann_lang"),
+        repetition_ratio(text).alias("ann_repetition"),
+        F.md5(normalized).alias("ann_fingerprint"),
     )
