@@ -1676,6 +1676,38 @@ def x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x1_normalized_dedup",
+    """
+SELECT fp AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+FROM (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS fp
+  FROM documents
+)
+GROUP BY fp
+""",
+    driver=False,
+)
+def x1_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 variant — exact dedup over the NORMALIZED fingerprint
+    (lowercase, punctuation stripped, whitespace collapsed): catches
+    whitespace/punctuation-variant duplicates invisible to raw-text
+    hashing. One hash aggregate on the md5 key."""
+    from wwwision_importservice_spark.operators.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    fp = fingerprint(docs, "doc_id", "text")
+    return (
+        fp.groupBy(F.col("fingerprint").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+@_register(
     "x5_quality_filter",
     """
 SELECT doc_id, text FROM (
