@@ -146,3 +146,73 @@ def test_driver_query_matches_oracle_at_sf001(name, spark, oracle_sf001):
         (i, l, r) for i, (l, r) in enumerate(zip(left, right)) if l != r
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+# --------------------------------------------------------------------- #
+# Oracle type hygiene — the r3/r4 s3b_sessionize lesson. The driver's
+# value-hasher serializes by physical type: integer WIDTH differences
+# within 64 bits hash equal (15 long-green rows pair Spark int with
+# DuckDB BIGINT), but DuckDB HUGEINT (int128, e.g. from a windowed
+# sum() of integers) hashes differently from BIGINT even on
+# numerically identical rows — rows+schema green, hash red. This guard
+# rejects any oracle whose output (or nested element) type cannot be
+# represented in the 64-bit family of its Spark twin, so that class of
+# red row cannot recur.
+# --------------------------------------------------------------------- #
+
+# DuckDB physical types the driver hasher cannot reconcile with any
+# Spark column type (Spark has no 128-bit ints, and a DECIMAL/FLOAT
+# oracle next to a DOUBLE Spark column hashes by different buffers).
+_FORBIDDEN_DUCK = ("HUGEINT", "UHUGEINT", "INT128", "DECIMAL", "FLOAT")
+
+# Spark dtype family -> DuckDB type families that hash-reconcile.
+_FAMILY = {
+    "int": {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"},
+    "bigint": {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"},
+    "smallint": {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"},
+    "tinyint": {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"},
+    "double": {"DOUBLE"},
+    "float": {"DOUBLE"},  # oracle must widen: FLOAT is forbidden above
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+    "binary": {"BLOB"},
+}
+
+
+def _strip_array(spark_dtype, duck_type):
+    """Peel matching array<>/[] wrappers so element families compare."""
+    while spark_dtype.startswith("array<") and duck_type.endswith("[]"):
+        spark_dtype = spark_dtype[len("array<"):-1]
+        duck_type = duck_type[:-2]
+    return spark_dtype, duck_type
+
+
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
+def test_oracle_type_hygiene(name, spark, sf_dir, oracle):
+    sdf = ALL_QUERIES[name](spark, sf_dir)
+    spark_types = dict(sdf.dtypes)
+    rel = oracle.sql(ALL_ORACLES[name])
+    duck_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+
+    assert sorted(spark_types) == sorted(duck_types), (
+        f"{name}: column sets differ {sorted(spark_types)} vs "
+        f"{sorted(duck_types)}"
+    )
+    for col, duck_t in duck_types.items():
+        up = duck_t.upper()
+        for bad in _FORBIDDEN_DUCK:
+            assert bad not in up, (
+                f"{name}.{col}: oracle emits {duck_t} — the driver hasher "
+                f"cannot reconcile it with Spark; CAST it (s3b lesson)"
+            )
+        sp_t, dk_t = _strip_array(spark_types[col], up)
+        allowed = _FAMILY.get(sp_t)
+        if allowed is None:
+            continue  # struct/map — value parity tier covers these
+        assert dk_t in allowed, (
+            f"{name}.{col}: Spark {spark_types[col]} vs DuckDB {duck_t} "
+            f"are different hash families"
+        )

@@ -2358,7 +2358,11 @@ def s3_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "s3b_sessionize",
     """
-SELECT event_id, user_id, sess AS session_seq,
+SELECT event_id, user_id,
+       -- DuckDB types windowed sum() of integers as HUGEINT (int128);
+       -- Spark's side is BIGINT. A type-sensitive value-hasher flags
+       -- int128(5) != int64(5) on numerically equal rows, so pin BIGINT.
+       CAST(sess AS BIGINT) AS session_seq,
        min(ns) OVER (PARTITION BY user_id, sess) AS session_start
 FROM (
   SELECT event_id, user_id, ns,
