@@ -544,3 +544,80 @@ def test_sessionize_stream_equals_batch(spark, tmp_path):
         for r in sessionize(batch, ["user_id"], "ts", gap).collect()
     }
     assert got == want
+
+
+def test_parse_ttl_ms_units():
+    """"5 milliseconds" must be 5 ms, not 5 minutes — the unit word is
+    normalized before the first-letter lookup ('milli...' starts with
+    'm' like 'minutes')."""
+    from wwwision_importservice_spark.streaming.stateful import parse_ttl_ms
+
+    assert parse_ttl_ms("5 ms") == 5
+    assert parse_ttl_ms("5 milliseconds") == 5
+    assert parse_ttl_ms("1 millisecond") == 1
+    assert parse_ttl_ms("5 m") == 300_000
+    assert parse_ttl_ms("5 minutes") == 300_000
+    assert parse_ttl_ms("90 seconds") == 90_000
+    assert parse_ttl_ms("1 hour") == 3_600_000
+    assert parse_ttl_ms("2 days") == 2 * 86_400_000
+    with pytest.raises(ValueError):
+        parse_ttl_ms("fortnight")
+
+
+def test_sessionize_stream_multichunk_group(spark, tmp_path):
+    """A group larger than the Arrow batch size reaches the stateful
+    function as MULTIPLE chunks with no cross-chunk ordering; labels
+    must still equal the batch gaps-and-islands truth (the operator
+    concatenates all chunks before its single per-group sort)."""
+    import random
+
+    from wwwision_importservice_spark.streaming.sessionize import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    gap = 100
+    # one user, 200 events, ~20 sessions, written in SHUFFLED order so
+    # chunk boundaries cut across time order
+    rng = random.Random(7)
+    ts_vals = []
+    t = 0
+    for i in range(200):
+        t += rng.choice([5, 40, 150, 260])  # mix of intra/inter-gap steps
+        ts_vals.append(t)
+    rows = [(i + 1, 1, ts) for i, ts in enumerate(ts_vals)]
+    rng.shuffle(rows)
+    b1 = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    in_dir = _write_ordered_parquet(spark, tmp_path, "sess_chunk_in", [b1])
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            sessionize_stream(stream, "event_id", "user_id", "ts", gap)
+            .writeStream.format("memory")
+            .queryName("sess_chunk_sink")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess_chunk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        got = {
+            r["event_id"]: (r["session_seq"], r["session_start"])
+            for r in spark.table("sess_chunk_sink").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    want = {
+        r["event_id"]: (r["session_seq"], r["session_start"])
+        for r in sessionize(b1, ["user_id"], "ts", gap).collect()
+    }
+    assert len(got) == 200
+    assert got == want

@@ -79,8 +79,16 @@ def sessionize_stream(
 
         last, seq, start = state.get if state.exists else (None, 0, None)
         ids, tss, seqs, starts = [], [], [], []
-        for pdf in pdf_iter:
-            for row in pdf.sort_values(ts_col).itertuples(index=False):
+        # Arrow hands LARGE groups to this function as MULTIPLE chunks
+        # (maxRecordsPerBatch ~10k) with no cross-chunk ordering — a
+        # per-chunk sort would break the "ts order within a batch"
+        # contract and mislabel events as late. Materialize the whole
+        # group (O(group) memory — inherent to any per-key sort) and
+        # sort ONCE.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+            for row in whole.itertuples(index=False):
                 t = int(getattr(row, ts_col))
                 if last is None or t - last >= gap:
                     seq += 1

@@ -31,6 +31,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 
+def parse_ttl_ms(ttl: str) -> int:
+    """Parse a human TTL ("5 ms", "90 seconds", "1 hour") to millis.
+
+    Unit resolution normalizes the matched word BEFORE the first-letter
+    lookup — "millisecond(s)" starts with 'm' and would otherwise
+    silently resolve to minutes (a 60000x mis-scale)."""
+    import re as _re
+
+    m = _re.fullmatch(
+        r"\s*(\d+)\s*(ms|milliseconds?|s|seconds?|m|minutes?|h|hours?|d|days?)\s*",
+        ttl,
+    )
+    if not m:
+        raise ValueError(f'Unparseable ttl "{ttl}"')
+    u = m.group(2)
+    key = "ms" if u == "ms" or u.startswith("milli") else u[0]
+    unit = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}[key]
+    return int(m.group(1)) * unit
+
+
 def running_totals(
     stream_df: DataFrame,
     key_col: str,
@@ -133,20 +153,7 @@ def first_seen_dedup(
     exactness-for-memory trade every at-scale dedup makes)."""
     out_schema = f"{key_col} string, first_batch boolean"
     state_schema = "seen boolean"
-    ttl_ms = None
-    if ttl is not None:
-        import re as _re
-
-        m = _re.fullmatch(
-            r"\s*(\d+)\s*(ms|milliseconds?|s|seconds?|m|minutes?|h|hours?|d|days?)\s*",
-            ttl,
-        )
-        if not m:
-            raise ValueError(f'Unparseable ttl "{ttl}"')
-        unit = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}[
-            m.group(2)[0] if m.group(2) != "ms" else "ms"
-        ]
-        ttl_ms = int(m.group(1)) * unit
+    ttl_ms = None if ttl is None else parse_ttl_ms(ttl)
 
     def update(key, pdf_iter, state):
         import pandas as pd
