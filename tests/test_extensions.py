@@ -731,3 +731,40 @@ def test_annotate_documents_single_scan_matches_operators(spark, sf_dir):
         assert got[r["doc_id"]]["ann_repetition"] == r["rep_score"]
     for r in fingerprint(docs, "doc_id", "text").collect():
         assert got[r["doc_id"]]["ann_fingerprint"] == r["fingerprint"]
+
+
+def test_lsh_bucket_cap_drops_giant_bucket(spark):
+    """A bucket wider than max_bucket_size (a boilerplate cluster) is
+    excluded from pair expansion — with drop counts reported via the
+    stats dict — while normal-width buckets still pair up."""
+    # 30 identical docs -> every band bucket has width 30 (the "giant"
+    # bucket at test scale); docs 100/101 are a near-dup pair in their
+    # own small bucket
+    rows = [(i, BASE) for i in range(1, 31)]
+    rows += [(100, FAR), (101, FAR + " now")]
+    df = docs(spark, rows)
+    sh = word_shingles(df, "doc_id", "text", n=3)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+
+    stats = {}
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            sig, "doc_id", max_bucket_size=10, stats=stats
+        ).collect()
+    }
+    # the boilerplate cluster contributes NO pairs...
+    assert not any(a <= 30 and b <= 30 for a, b in pairs)
+    # ...but the small bucket still does
+    assert (100, 101) in pairs
+    # and the drop is reported, not silent: 4 bands x one 30-wide bucket
+    assert stats["lsh_buckets_dropped"] == 4
+    assert stats["lsh_ids_in_dropped"] == 120
+    assert stats["lsh_pairs_avoided"] == 4 * (30 * 29 // 2)
+
+    # uncapped: the giant bucket explodes into all 435 intra-pairs
+    all_pairs = lsh_candidate_pairs(sig, "doc_id", max_bucket_size=None)
+    n_boiler = sum(
+        1 for r in all_pairs.collect() if r["id_a"] <= 30 and r["id_b"] <= 30
+    )
+    assert n_boiler == 30 * 29 // 2

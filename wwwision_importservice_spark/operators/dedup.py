@@ -21,7 +21,14 @@ Scale design:
   broadcast-converts one side); the group-by form computes it once. The
   shuffle key is the band signature, uniformly distributed by
   construction; giant buckets (boilerplate clusters) cost O(k²) pairs in
-  either formulation — that's inherent to LSH.
+  either formulation — that's inherent to LSH, so
+  :func:`lsh_candidate_pairs` puts a ceiling on bucket width
+  (``max_bucket_size``): at 100 TB a single 1M-doc boilerplate bucket
+  is 5·10¹¹ pairs, enough to take down the stage. Oversized buckets
+  are near-identical boilerplate whose members the cheap exact/
+  fingerprint dedup (X1/X5) already collapses; dropping them from the
+  PAIR expansion loses no real near-dup signal. The drop is never
+  silent — pass ``stats`` to get dropped bucket/id/pair counts.
 - exact jaccard runs only on LSH candidate pairs, never all-pairs.
 """
 
@@ -172,6 +179,8 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int = 10_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Band the signature (``bands`` × ``num_hashes/bands`` rows), bucket
     by band signature, emit candidate pairs (id_a < id_b) sharing ≥1
@@ -180,6 +189,16 @@ def lsh_candidate_pairs(
 
     Pairs come from grouping ids per bucket and expanding combinations
     in-array — one pass over the signature pipeline, no self-join.
+
+    ``max_bucket_size`` caps the per-bucket pair expansion: a bucket
+    wider than the cap (a boilerplate cluster — at web scale a single
+    1M-doc bucket would expand to 5·10¹¹ pairs) is EXCLUDED from pair
+    generation instead of exploding quadratically; its members are the
+    near-identical boilerplate that exact/fingerprint dedup collapses
+    far more cheaply. The cap is not silent: pass a ``stats`` dict to
+    receive ``lsh_buckets_dropped`` / ``lsh_ids_in_dropped`` /
+    ``lsh_pairs_avoided`` (one extra small aggregate job), and the drop
+    is logged. ``max_bucket_size=None`` disables the ceiling.
     """
     rows_per_band = num_hashes // bands
     band_cols = []
@@ -198,6 +217,35 @@ def lsh_candidate_pairs(
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        oversize = grouped.filter(F.size("ids") > max_bucket_size)
+        if stats is not None:
+            # observability costs one small aggregate job (the grouped
+            # frame is recomputed — opt-in, off the default path)
+            row = oversize.agg(
+                F.count(F.lit(1)).alias("buckets"),
+                F.coalesce(F.sum(F.size("ids")), F.lit(0)).alias("ids"),
+                F.coalesce(
+                    F.sum(
+                        F.size("ids").cast("long")
+                        * (F.size("ids").cast("long") - 1)
+                        / 2
+                    ),
+                    F.lit(0),
+                ).cast("long").alias("pairs"),
+            ).collect()[0]
+            stats["lsh_buckets_dropped"] = row["buckets"]
+            stats["lsh_ids_in_dropped"] = row["ids"]
+            stats["lsh_pairs_avoided"] = row["pairs"]
+            if row["buckets"]:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "lsh_candidate_pairs: dropped %d bucket(s) wider than "
+                    "%d (%d ids, %d pairs avoided)",
+                    row["buckets"], max_bucket_size, row["ids"], row["pairs"],
+                )
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     pairs_arr = F.flatten(
         F.transform(
             "ids",
