@@ -768,3 +768,30 @@ def test_lsh_bucket_cap_drops_giant_bucket(spark):
         1 for r in all_pairs.collect() if r["id_a"] <= 30 and r["id_b"] <= 30
     )
     assert n_boiler == 30 * 29 // 2
+
+
+def test_ann_recall_floors(spark):
+    """Recall@5 of the ANN driver queries vs the exact brute-force
+    baseline, MEASURED (not asserted "by construction") at the driver's
+    sf0.01. Floors sit below the observed values (LSH 0.64, IVF 0.88 on
+    a near-isotropic synthetic corpus — the hardest regime for LSH) so
+    a recall regression in the bucketing/probing logic fails loudly."""
+    from wwwision_importservice_spark.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+
+    def topsets(name):
+        by_q = {}
+        for r in QUERIES[name](spark, sf).collect():
+            by_q.setdefault(r["q_id"], set()).add(r["c_id"])
+        return by_q
+
+    exact = topsets("x3_cosine_topk")
+    assert exact, "exact baseline returned no queries"
+    for name, floor in [("x3_ann_lsh_topk", 0.55), ("x3_ann_ivf_topk", 0.80)]:
+        ann = topsets(name)
+        recalls = [
+            len(ann.get(q, set()) & top) / len(top) for q, top in exact.items()
+        ]
+        mean = sum(recalls) / len(recalls)
+        assert mean >= floor, f"{name}: recall@5 {mean:.3f} < floor {floor}"

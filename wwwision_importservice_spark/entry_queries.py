@@ -1358,11 +1358,11 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr(prefix: str) -> str:
-    """Sign-LSH bucket over the first 8 dims, as DuckDB SQL."""
+def _bucket_expr(prefix: str, bits: int = 8) -> str:
+    """Sign-LSH bucket over the first ``bits`` dims, as DuckDB SQL."""
     return "(" + " + ".join(
         f"CASE WHEN {prefix}.embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END"
-        for i in range(8)
+        for i in range(bits)
     ) + ")"
 
 
@@ -1376,15 +1376,20 @@ SELECT q_id, c_id, score, rank FROM (
            round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS score
     FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
     JOIN embeddings c
-      ON {_bucket_expr('q')} = {_bucket_expr('c')}
+      ON bit_count(xor({_bucket_expr('q', 4)}, {_bucket_expr('c', 4)})) <= 1
   )
 ) WHERE rank <= 5
 """,
 )
 def x3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 — ANN variant: sign-LSH bucketing on the first 8 dimensions,
-    exact cosine within the bucket (recall < 1 vs x3_cosine_topk by
-    construction)."""
+    """X3 — ANN variant: sign-LSH bucketing with MULTI-PROBE (the query
+    also probes every hamming-1 neighbor bucket), exact cosine within
+    the probed buckets. Recall < 1 vs x3_cosine_topk by construction —
+    measured and floor-pinned in tests/test_extensions.py
+    (test_ann_recall_floors: 0.64 @ sf0.01). ``bits`` sizes buckets to
+    the corpus (target ~N/2^bits per bucket — 4 bits for the 500-vector
+    test corpus; grow bits with log2(N) at scale). The oracle states the
+    same candidate set declaratively: hamming(q_bucket, c_bucket) <= 1."""
     from wwwision_importservice_spark.operators.similarity import cosine_topk_lsh
 
     emb = load(spark, sf_dir, "embeddings")
@@ -1393,7 +1398,8 @@ def x3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
     return cosine_topk_lsh(
-        queries, corpus, k=5, query_id="q_id", corpus_id="c_id", bits=8
+        queries, corpus, k=5, query_id="q_id", corpus_id="c_id", bits=4,
+        probe_hamming=1,
     )
 
 
@@ -1544,7 +1550,7 @@ _IVF_QUERY_CELLS = f"""
              ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
                       c.cell) AS rn
     FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) e, ({_IVF_CENT_SQL}) c
-  ) WHERE rn <= 2
+  ) WHERE rn <= 3
 """
 
 
@@ -1566,8 +1572,9 @@ SELECT q_id, c_id, score, rank FROM (
 )
 def x3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 — IVF-flat ANN: every 125th vector is a centroid (cell),
-    corpus sharded by nearest centroid, queries probe their 2 nearest
-    cells and score those inverted lists exactly."""
+    corpus sharded by nearest centroid, queries probe their 3 nearest
+    cells and score those inverted lists exactly. Recall measured and
+    floor-pinned in tests/test_extensions.py (0.88 @ sf0.01)."""
     from wwwision_importservice_spark.operators.similarity import cosine_topk_ivf
 
     emb = load(spark, sf_dir, "embeddings")
@@ -1580,7 +1587,7 @@ def x3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cosine_topk_ivf(
         queries, corpus, centroids, k=5,
-        query_id="q_id", corpus_id="c_id", nprobe=2,
+        query_id="q_id", corpus_id="c_id", nprobe=3,
     )
 
 
