@@ -795,3 +795,63 @@ def test_ann_recall_floors(spark):
         ]
         mean = sum(recalls) / len(recalls)
         assert mean >= floor, f"{name}: recall@5 {mean:.3f} < floor {floor}"
+
+
+def test_media_windows_multibyte_parity(spark):
+    """Byte-window content addresses must agree between the Spark
+    operators and their DuckDB oracle formulation on MULTI-BYTE text —
+    hex slicing is byte slicing in both engines, so neither side may
+    silently depend on ASCII-only testdata (the pre-fix failure mode:
+    DuckDB substr counts characters, Spark substring counts bytes)."""
+    import hashlib
+
+    import duckdb
+
+    from wwwision_importservice_spark.operators.multimodal import (
+        attach_blob,
+        audio_windows,
+        frame_sample,
+    )
+
+    text = "héllo wörld — 多字节 txt ✓ " * 12  # decidedly not ASCII
+    raw = text.encode("utf-8")
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    blobs = attach_blob(df, "doc_id", "text")
+
+    # Spark side vs hand-computed ground truth over the raw bytes
+    aw = {
+        r["window_index"]: (r["n_bytes"], r["window_sha"])
+        for r in audio_windows(
+            blobs, "doc_id", sample_rate=16000, bytes_per_sample=2,
+            window_s=0.001,
+        ).collect()
+    }
+    for i, (n_bytes, sha) in aw.items():
+        window = raw[i * 32 : i * 32 + 32]
+        assert n_bytes == len(window)
+        assert sha == hashlib.sha256(window.hex().upper().encode()).hexdigest()
+
+    fs = {
+        r["frame_index"]: r["frame_sha"]
+        for r in frame_sample(
+            blobs, "doc_id", every_n_bytes=64, max_frames=8
+        ).collect()
+    }
+    for i, sha in fs.items():
+        window = raw[i * 64 : i * 64 + 64]
+        assert sha == hashlib.sha256(window.hex().upper().encode()).hexdigest()
+
+    # DuckDB oracle formulation over the SAME multi-byte text
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 1 AS doc_id, ? AS text", [text])
+    duck_aw = dict(
+        con.execute(
+            """
+            SELECT CAST(i AS INT),
+                   sha256(substr(hex(encode(text)), CAST(i * 64 + 1 AS INT), 64))
+            FROM documents,
+                 unnest(range(0, greatest(CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT), 1))) AS t(i)
+            """
+        ).fetchall()
+    )
+    assert duck_aw == {i: sha for i, (n, sha) in aw.items()}

@@ -2216,8 +2216,8 @@ def x4_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id, CAST(i AS INT) AS window_index,
        CAST(i * 32 AS BIGINT) AS byte_off,
        round(CAST(i * 32 AS DOUBLE) / 32000, 6) AS start_s,
-       octet_length(encode(substr(text, CAST(i * 32 + 1 AS INT), 32))) AS n_bytes,
-       sha256(substr(text, CAST(i * 32 + 1 AS INT), 32)) AS window_sha
+       length(substr(hex(encode(text)), CAST(i * 64 + 1 AS INT), 64)) // 2 AS n_bytes,
+       sha256(substr(hex(encode(text)), CAST(i * 64 + 1 AS INT), 64)) AS window_sha
 FROM documents,
      unnest(range(0, greatest(CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT), 1)))
        AS t(i)
@@ -2246,7 +2246,7 @@ def x4_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x4_frame_sample",
     """
 SELECT doc_id, CAST(i AS INT) AS frame_index, CAST(i * 64 AS BIGINT) AS offset,
-       sha256(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_sha
+       sha256(substr(hex(encode(text)), CAST(i * 128 + 1 AS INT), 128)) AS frame_sha
 FROM documents,
      unnest(range(0, least(8, greatest(1, octet_length(encode(text)) // 64)))) AS t(i)
 """,
@@ -2254,8 +2254,9 @@ FROM documents,
 def x4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — frame sampling: one media blob fans out to N frame rows
     through the Arrow batch path (output length ≠ input length in
-    mapInPandas). Deterministic fake: sha256 per 64-byte window (docs
-    are ASCII so the oracle's char windows equal byte windows)."""
+    mapInPandas). Deterministic fake: sha256 over each 64-byte window's
+    hex encoding — hex slicing is byte slicing in both engines, so the
+    oracle stays exact on multi-byte text (no ASCII assumption)."""
     from wwwision_importservice_spark.operators.multimodal import (
         attach_blob,
         frame_sample,

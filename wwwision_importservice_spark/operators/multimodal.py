@@ -153,7 +153,9 @@ def frame_sample(
     libraries; the deterministic fake emits one "frame" per
     ``every_n_bytes`` window of the payload, carrying (frame_index,
     offset, frame_sha) — so schema, row expansion, and batch handling
-    are fully exercised. Row-size note as in :func:`decode_metadata`:
+    are fully exercised. frame_sha is sha256 over the window's UPPER
+    hex encoding (see :func:`audio_windows` — DuckDB cannot slice or
+    hash BLOBs, hex slicing keeps the oracle byte-exact on any text). Row-size note as in :func:`decode_metadata`:
     output multiplicity × blob size drives partition memory, so cap
     ``max_frames`` and size partitions by bytes, not rows.
     """
@@ -178,7 +180,9 @@ def frame_sample(
                             row[id_col],
                             i,
                             off,
-                            _hashlib.sha256(window).hexdigest(),
+                            _hashlib.sha256(
+                                window.hex().upper().encode()
+                            ).hexdigest(),
                         )
                     )
             yield pd.DataFrame(
@@ -216,6 +220,13 @@ def audio_windows(
     binary ``substring`` and content-addressed with sha256 — the
     chunking stage in front of any audio featurizer.
 
+    The content address is sha256 over the window's HEX encoding (not
+    the raw bytes): DuckDB's sha256 only accepts VARCHAR and cannot
+    slice BLOBs, while hex-string slicing is byte slicing (2 chars per
+    byte) in both engines — so the differential oracle stays byte-exact
+    on arbitrary (multi-byte) payloads instead of silently depending on
+    ASCII-only testdata. Same collision resistance, engine-portable.
+
     Unlike the image/video paths (whose decoders genuinely need
     libraries and run as gated mapInPandas), windowing is pure byte
     arithmetic, so it stays ENTIRELY in whole-stage codegen: sequence →
@@ -241,5 +252,5 @@ def audio_windows(
             "start_s"
         ),
         F.length(chunk).alias("n_bytes"),
-        F.sha2(chunk, 256).alias("window_sha"),
+        F.sha2(F.hex(chunk), 256).alias("window_sha"),
     )

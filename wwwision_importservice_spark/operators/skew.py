@@ -14,7 +14,7 @@ or the join drops/duplicates rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -66,13 +66,20 @@ def skew_report(
     """
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
     key_repr = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    # collect_list does NOT guarantee it preserves the pre-aggregation
+    # order, so "heaviest first" is re-established by ranking the (tiny,
+    # <= top_n row) limited frame and sort_array-ing on the rank field.
+    rank_w = Window.orderBy(F.col("rows").desc(), F.col("key"))
     top = (
         counts.orderBy(F.col("__n").desc(), key_repr)
         .limit(top_n)
-        .agg(
-            F.collect_list(F.struct(key_repr.alias("key"), F.col("__n").alias("rows")))
-            .alias("top_keys")
+        .select(key_repr.alias("key"), F.col("__n").alias("rows"))
+        .select(
+            F.struct(
+                F.row_number().over(rank_w).alias("rank"), "key", "rows"
+            ).alias("s")
         )
+        .agg(F.sort_array(F.collect_list("s")).alias("top_keys"))
     )
     summary = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
