@@ -428,3 +428,39 @@ def test_changelog_replay_reproduces_target(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "replica")).collect()
     }
     assert got == primary == {"a": (9, "t1b"), "c": (1, "t3")}
+
+
+def test_changelog_idempotent_rerun_and_no_entries_on_failed_apply(
+    spark, tmp_path, monkeypatch
+):
+    """Changelog consistency contract: (a) re-running the SAME run_id
+    overwrites its directory instead of append-duplicating CDC rows;
+    (b) a run whose apply FAILS leaves no changelog entries for that
+    run_id — replaying the changelog can never diverge from the primary
+    by including changes that were never applied."""
+    preset = make_preset(tmp_path, [("a", 1, "t1", 1), ("b", 2, "t2", 2)])
+    pipeline = ImportPipeline(preset, spark)
+    clog = str(tmp_path / "clog")
+
+    pipeline.run(changelog_dir=clog, run_id="r1")
+    n1 = spark.read.parquet(f"{clog}/run_id=r1").count()
+    # rerun same id: the state already matches, so THIS run's change set
+    # is empty — the directory is REPLACED with a readable empty
+    # changelog (under append it would keep the stale 2 rows and, had
+    # the rerun produced changes, duplicate them)
+    pipeline.run(changelog_dir=clog, run_id="r1")
+    n2 = spark.read.parquet(f"{clog}/run_id=r1").count()
+    assert n1 == 2 and n2 == 0
+
+    # now make apply blow up mid-run
+    preset.source.rows = [("a", 9, "t1b", 1)]
+
+    def boom(spark_, df):
+        raise RuntimeError("sink down")
+
+    monkeypatch.setattr(preset.target, "apply", boom)
+    with pytest.raises(RuntimeError, match="sink down"):
+        pipeline.run(changelog_dir=clog, run_id="r2")
+    import os
+
+    assert not os.path.exists(f"{clog}/run_id=r2")

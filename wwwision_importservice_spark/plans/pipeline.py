@@ -103,7 +103,19 @@ class ImportPipeline:
         """Execute the sync; ``changelog_dir`` additionally persists the
         mapped CDC frame as parquet under ``<dir>/run_id=<id>/``
         partitioned by change_type — the audit/incremental-consumer feed
-        (Delta CDF shape) downstream jobs read instead of re-diffing."""
+        (Delta CDF shape) downstream jobs read instead of re-diffing.
+
+        Changelog consistency contract: the CDC frame is STAGED to a
+        hidden sibling directory before ``target.apply`` (it must be
+        materialized pre-apply — its lineage reads the target's current
+        state, which apply rewrites) and COMMITTED to ``run_id=<id>/``
+        by a filesystem rename only after apply succeeds. A failed sync
+        leaves no changelog entries to replay-diverge from the primary,
+        and re-running a run id replaces its directory — idempotent,
+        never append-duplicating CDC rows. Records quarantined by the
+        sink (``ApplyStats.errors``) still appear in the changelog: it
+        documents the computed change set, not per-record sink
+        outcomes."""
         cdc = self.compute_changes(force_updates).cache()
         try:
             self._dispatch(Events.PRE_IMPORT_DATA, cdc)
@@ -137,13 +149,21 @@ class ImportPipeline:
 
             mapped = self._apply_mapping(cdc)
 
+            # stage the changelog BEFORE apply (see docstring contract)
+            staging = run_dir = None
             if changelog_dir is not None:
+                base = changelog_dir.rstrip("/")
                 sub = f"run_id={run_id}" if run_id else "run_id=unlabeled"
-                (
-                    mapped.write.partitionBy(CHANGE_TYPE_COL)
-                    .mode("append")
-                    .parquet(f"{changelog_dir.rstrip('/')}/{sub}")
-                )
+                run_dir = f"{base}/{sub}"
+                staging = f"{base}/.staging_{sub}"
+                writer = mapped.write.mode("overwrite")
+                if sum(counts.values()):
+                    writer = writer.partitionBy(CHANGE_TYPE_COL)
+                # an all-noop run writes an EMPTY frame: partitionBy
+                # would emit no part files (directory unreadable — no
+                # schema to infer), so empty changelogs go unpartitioned
+                # (one schema-carrying empty file)
+                writer.parquet(staging)
 
             if added:
                 self._dispatch(Events.PRE_ADD_DATA, added)
@@ -152,7 +172,17 @@ class ImportPipeline:
             if removed:
                 self._dispatch(Events.PRE_REMOVE_DATA, removed)
 
-            stats = self.preset.target.apply(self.spark, mapped)
+            try:
+                stats = self.preset.target.apply(self.spark, mapped)
+            except BaseException:
+                if staging is not None:
+                    self._fs_delete(staging)
+                raise
+
+            # commit: rename staging -> run_id dir (replace on re-run)
+            if staging is not None:
+                self._fs_commit(staging, run_dir)
+
             if stats.errors:
                 self._dispatch(
                     Events.ERROR,
@@ -174,6 +204,32 @@ class ImportPipeline:
             }
         finally:
             cdc.unpersist()
+
+    # -- changelog staging commit (Hadoop FS — any scheme Spark writes) -- #
+    def _hadoop_fs(self, path: str):
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        return hpath.getFileSystem(self.spark._jsc.hadoopConfiguration()), hpath
+
+    def _fs_delete(self, path: str) -> None:
+        fs, hpath = self._hadoop_fs(path)
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
+
+    def _fs_commit(self, staging: str, final: str) -> None:
+        """Promote the staged run directory: delete any previous run with
+        the same id, then rename. The rename is atomic on HDFS/local
+        filesystems; on object stores it degrades to copy+delete — the
+        standard job-commit trade-off, acceptable because each run_id
+        directory is single-writer."""
+        fs, final_p = self._hadoop_fs(final)
+        if fs.exists(final_p):
+            fs.delete(final_p, True)
+        _, staging_p = self._hadoop_fs(staging)
+        if not fs.rename(staging_p, final_p):
+            raise ImportServiceError(
+                f"Failed to commit changelog {staging} -> {final}"
+            )
 
     def _apply_mapping(self, cdc: DataFrame) -> DataFrame:
         """K11 at the set level: map attribute columns, carry engine columns."""
