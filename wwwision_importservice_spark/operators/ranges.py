@@ -41,7 +41,11 @@ def interval_join(
     Output: all point columns + all interval columns.
     """
     pt_bucket = (F.col(ts_col) - F.col(ts_col) % bucket_width).cast("long")
-    p = points.withColumn("__bkt", pt_bucket)
+    # explicit frame aliases: points and intervals often derive from the
+    # SAME source (event self-join), where p[k] == i[k] resolves both
+    # sides to one attribute — Spark warns "trivially true predicate"
+    # and correctness then hangs on its self-join disambiguation
+    p = points.withColumn("__bkt", pt_bucket).alias("__p")
 
     first_b = (F.col(start_col) - F.col(start_col) % bucket_width).cast("long")
     # half-open end: an interval ending exactly on a bucket boundary does
@@ -50,14 +54,18 @@ def interval_join(
         (F.col(end_col) - 1) - (F.col(end_col) - 1) % bucket_width
     ).cast("long")
     buckets = F.sequence(first_b, F.greatest(last_b, first_b), F.lit(bucket_width))
-    i = intervals.withColumn("__bkt", F.explode(buckets))
+    i = intervals.withColumn("__bkt", F.explode(buckets)).alias("__i")
 
     if how != "inner":
         raise ValueError("only inner interval joins are implemented")
-    on = [p[k] == i[k] for k in key_cols] + [p["__bkt"] == i["__bkt"]]
-    cond = (i[start_col] <= p[ts_col]) & (p[ts_col] < i[end_col])
+    on = [F.col(f"__p.{k}") == F.col(f"__i.{k}") for k in key_cols] + [
+        F.col("__p.__bkt") == F.col("__i.__bkt")
+    ]
+    cond = (F.col(f"__i.{start_col}") <= F.col(f"__p.{ts_col}")) & (
+        F.col(f"__p.{ts_col}") < F.col(f"__i.{end_col}")
+    )
     joined = p.join(i, [*on, cond], "inner")
-    keep = [p[c] for c in points.columns] + [
-        i[c] for c in intervals.columns if c not in (*key_cols,)
+    keep = [F.col(f"__p.{c}") for c in points.columns] + [
+        F.col(f"__i.{c}") for c in intervals.columns if c not in (*key_cols,)
     ]
     return joined.select(*keep)
