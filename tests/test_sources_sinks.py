@@ -661,3 +661,62 @@ def test_bucketed_target_compaction_preserves_bucketing(spark, tmp_path):
         assert shuffles <= 1, tree
     finally:
         target.remove_all(spark)
+
+
+def test_bucketed_target_crash_windows_never_serve_half_state(spark, tmp_path):
+    """Generation-swap durability contract (bucketed.py module
+    docstring): whatever window a crash hits, a reader is always served
+    one COMPLETE committed generation — never a half-written directory,
+    never a mix of generations."""
+    import os as _os
+
+    from wwwision_importservice_spark.operators.diff import compute_changes
+    from wwwision_importservice_spark.record import RecordFrame
+    from wwwision_importservice_spark.sinks.bucketed import BucketedParquetTarget
+
+    target = BucketedParquetTarget(
+        str(tmp_path / "state4"), table_name="bkt_target_t4", n_buckets=4
+    )
+
+    def sync(rows):
+        src = RecordFrame.from_keyed(
+            spark.createDataFrame(
+                rows, "_id string, _version long, payload string"
+            )
+        )
+        cdc = compute_changes(
+            src.df, target.current_state(spark),
+            local_id_col="id", local_version_col="version",
+        )
+        target.apply(spark, cdc)
+
+    try:
+        sync([("1", 1, "a"), ("2", 1, "b")])  # g0 committed
+
+        # --- crash MID-STAGING-WRITE: partial generation, no _SUCCESS
+        gens = target._generations()
+        partial = f"{target.path.rstrip('/')}.g{int(gens[-1].rsplit('.g', 1)[1]) + 1}"
+        _os.makedirs(partial)
+        with open(_os.path.join(partial, "part-00000.parquet"), "wb") as f:
+            f.write(b"\x00garbage not parquet")
+        spark.sql("DROP TABLE IF EXISTS bkt_target_t4")  # fresh session
+        got = {
+            r["id"]: r["payload"] for r in target.read(spark).collect()
+        }
+        assert got == {"1": "a", "2": "b"}  # previous committed state
+
+        # the next sync must not collide with the partial dir's number,
+        # and its cleanup removes the junk
+        sync([("1", 2, "a2"), ("2", 2, "b2")])
+        assert not _os.path.exists(partial)
+        assert len(target._committed_generations()) == 1
+
+        # --- crash BETWEEN DROP AND RENAME: no serving catalog entry,
+        # newest committed generation recovers
+        spark.sql("DROP TABLE IF EXISTS bkt_target_t4")
+        got = {
+            r["id"]: r["payload"] for r in target.read(spark).collect()
+        }
+        assert got == {"1": "a2", "2": "b2"}  # the complete NEW state
+    finally:
+        target.remove_all(spark)

@@ -621,3 +621,25 @@ def test_sessionize_stream_multichunk_group(spark, tmp_path):
     }
     assert len(got) == 200
     assert got == want
+
+
+def test_probe_inventory(spark):
+    """Environment-gate map, printed so a round-over-round diff of test
+    output shows when the sandbox changes. Each gate has a stub/skip
+    behind it that must LIGHT UP when its dependency appears: if this
+    test's recorded map ever flips, the corresponding skipped tests and
+    NotImplementedError stubs are the first places to revisit."""
+    from wwwision_importservice_spark.operators.multimodal import _HAS_PIL
+    from wwwision_importservice_spark.streaming.kafka import kafka_available
+    from wwwision_importservice_spark.streaming.stateful import tws_available
+
+    gates = {
+        "kafka_classpath": kafka_available(spark),
+        "tws_protobuf": tws_available(),
+        "pillow": _HAS_PIL,
+    }
+    print(f"PROBE_INVENTORY {gates}")
+    # the map itself must always be computable; individual gates may be
+    # either state. Sanity: each value is a real bool (a probe that
+    # raises would surface here, not in a silently-skipped test).
+    assert all(isinstance(v, bool) for v in gates.values())

@@ -17,17 +17,31 @@ table, and deletes older generations — the same staging-then-swap
 pattern as ParquetTarget, expressed through the catalog because bucket
 metadata lives there.
 
-Durability: generation DIRECTORIES are the source of truth; the catalog
+Durability: COMMITTED generation directories (those carrying Spark's
+``_SUCCESS`` job-commit marker) are the source of truth; the catalog
 entry is a cache. With the default in-memory catalog a new session
 starts with no table registered, so ``read()`` re-registers the newest
-generation (with its bucket spec) before serving. The DROP→RENAME
-repoint is two catalog statements, not one atomic swap: a crash between
-them leaves no serving table, but the data survives as the newest
-generation and the same re-registration recovers it on the next
-``read()``/sync. Concurrent *catalog* readers mid-swap can observe a
-missing table — single-writer, generation-per-sync is the intended
-deployment (one sync pipeline owns the table; analytical readers go
-through a new session or retry).
+committed generation (with its bucket spec) before serving. The crash
+windows, each pinned by a test (tests/test_sources_sinks.py):
+
+- mid-staging-write: the new generation directory exists WITHOUT
+  ``_SUCCESS`` — recovery ignores it and serves the previous committed
+  generation; the next sync's numbering skips past the partial dir and
+  its cleanup removes it.
+- between the staging write and the DROP: catalog still points at the
+  old generation (old complete state); a fresh session recovers the
+  newest committed generation (new complete state). Either way a
+  complete state, never a mix.
+- between DROP and RENAME: no serving table in this session, but
+  re-registration recovers the newest committed generation.
+
+The repoint is two catalog statements, not one atomic swap, so a
+concurrent *catalog* reader mid-swap can observe a missing table —
+single-writer, generation-per-sync is the intended deployment (one
+sync pipeline owns the table; analytical readers go through a new
+session or retry). What a reader can NEVER observe is a half-written
+data state: serving always binds to one ``_SUCCESS``-committed
+directory.
 """
 
 from __future__ import annotations
@@ -94,12 +108,22 @@ class BucketedParquetTarget(ParquetTarget):
         ]
         return [p for _, p in sorted(found)]
 
+    def _committed_generations(self) -> list[str]:
+        """Generations whose write COMMITTED (Spark's _SUCCESS marker) —
+        the only directories recovery may serve. A crash mid-write
+        leaves a marker-less directory that must never be read."""
+        return [
+            g
+            for g in self._generations()
+            if os.path.exists(os.path.join(g, "_SUCCESS"))
+        ]
+
     def exists(self) -> bool:
-        return bool(self._generations())
+        return bool(self._committed_generations())
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         if not spark.catalog.tableExists(self.table_name):
-            if not self._generations():
+            if not self._committed_generations():
                 return None
             # generations persist on disk but the (in-memory) catalog
             # lost the entry — a new session, or a crash between the
@@ -110,7 +134,7 @@ class BucketedParquetTarget(ParquetTarget):
         return spark.table(self.table_name)
 
     def _register_newest(self, spark: SparkSession) -> None:
-        newest = self._generations()[-1]
+        newest = self._committed_generations()[-1]
         schema = spark.read.parquet(newest).schema
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
