@@ -70,6 +70,7 @@ HEADLINE = [
     "x1_exact_dedup",
     "x2_minhash_lsh_pairs",
     "x3_cosine_topk",
+    "x3_cosine_topk_blocked",
     "x3_ann_ivf_topk",
     "x2_embedding_near_dup",
     "x5_text_stats",

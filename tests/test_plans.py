@@ -129,8 +129,10 @@ def test_diff_broadcast_path_has_no_wide_shuffle(spark, sf_dir):
     joins and the wide source rows never enter a shuffle exchange — every
     Exchange in the plan is a broadcast of the narrow local keyset (the
     remove anti-join probes the same broadcast)."""
+    from wwwision_importservice_spark.entry_queries import PYTEST_QUERIES
+
     tree = tree_of(
-        plan_of(spark, QUERIES["j4_changeset_broadcast"](spark, sf_dir))
+        plan_of(spark, PYTEST_QUERIES["j4_changeset_broadcast"](spark, sf_dir))
     )
     assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
@@ -235,3 +237,18 @@ def test_freq_score_broadcasts_vocab(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_cosine_topk_blocked_has_no_join(spark, sf_dir):
+    """The corpus-scan exact top-k: one Arrow python stage over the
+    corpus, a single small rank exchange — and crucially NO nested-loop
+    or cartesian join materializing |Q|x|C| (the documented weakness of
+    the cross-join baseline this variant exists to replace at scale)."""
+    from wwwision_importservice_spark.entry_queries import PYTEST_QUERIES
+
+    df = PYTEST_QUERIES["x3_cosine_topk_blocked"](spark, sf_dir)
+    tree = tree_of(plan_of(spark, df))
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "Join" not in tree, tree  # no join of any kind
+    assert "ArrowEvalPython" in tree or "MapInPandas" in tree, tree

@@ -1450,6 +1450,36 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x3_cosine_topk_blocked",
+    f"""
+SELECT q_id, c_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+  FROM ({_COSINE_BASE})
+) WHERE rank <= 5
+""",
+    driver=False,
+)
+def x3_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — the SAME exact top-5 as x3_cosine_topk (identical oracle),
+    in the corpus-scan shape for 100 TB: broadcast-collected queries,
+    one Arrow/numpy pass over the corpus with per-batch partial top-k,
+    tiny global rank — no BroadcastNestedLoopJoin, no |Q|x|C|
+    materialization (plan pinned in tests/test_plans.py)."""
+    from wwwision_importservice_spark.operators.similarity import (
+        cosine_topk_blocked,
+    )
+
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    return cosine_topk_blocked(
+        queries, corpus, k=5, query_id="q_id", corpus_id="c_id"
+    )
+
+
 def _bucket_expr(prefix: str, bits: int = 8) -> str:
     """Sign-LSH bucket over the first ``bits`` dims, as DuckDB SQL."""
     return "(" + " + ".join(

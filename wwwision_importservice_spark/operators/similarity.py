@@ -113,6 +113,76 @@ def cosine_topk(
     return topk(scored, k, query_id, corpus_id)
 
 
+def cosine_topk_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k, corpus-scan shape — the 100 TB form of the
+    brute-force baseline.
+
+    :func:`cosine_topk` expresses exactness as a cross join, which
+    plans as BroadcastNestedLoopJoin and materializes |Q|x|C| scored
+    rows through the join operator. Same answer, different physics
+    here: the (small, by contract) query set is collected once and
+    closed over as a numpy matrix; the corpus streams through ONE
+    Arrow-batched ``mapInPandas`` pass that scores each ~10k-row batch
+    against all queries with a vectorized matmul and keeps only a
+    per-batch top-k per query. The global reduce then ranks
+    |batches|·|Q|·k candidate rows — the full scored frame never
+    exists anywhere, no join, no shuffle except the final tiny rank.
+
+    Selection inside the kernel uses the same criterion as the final
+    rank (score rounded to 6, corpus-id tiebreak), so the per-batch
+    truncation cannot drop a row the final rank would have kept.
+    """
+    q_rows = queries.select(query_id, vector_col).collect()
+    q_ids = [r[query_id] for r in q_rows]
+    q_mat = [[float(x) for x in r[vector_col]] for r in q_rows]
+    vec = vector_col
+    cid = corpus_id
+
+    out_schema = f"{query_id} long, {cid} long, score double"
+
+    def score_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(q_mat, dtype=np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        qid_arr = np.asarray(q_ids, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec]]
+            )
+            cn = np.sqrt((V * V).sum(axis=1))
+            cids = pdf[cid].to_numpy(dtype=np.int64)
+            S = (Q @ V.T) / np.outer(qn, cn)
+            R = np.round(S, 6)  # selection key — final F.round decides
+            rows_q, rows_c, rows_s = [], [], []
+            for qi in range(len(qid_arr)):
+                order = np.lexsort((cids, -R[qi]))[:k]
+                rows_q.extend([qid_arr[qi]] * len(order))
+                rows_c.extend(cids[order])
+                rows_s.extend(S[qi][order])
+            yield pd.DataFrame(
+                {query_id: rows_q, cid: rows_c, "score": rows_s}
+            )
+
+    candidates = corpus.select(cid, vec).mapInPandas(
+        score_batches, schema=out_schema
+    )
+    scored = candidates.select(
+        query_id, cid, F.round(F.col("score"), 6).alias("score")
+    )
+    return topk(scored, k, query_id, cid)
+
+
 def sign_bucket(vector_col: Column, bits: int = 8) -> Column:
     """Axis-aligned sign-LSH bucket: bit i = (v[i] > 0), over the first
     ``bits`` dimensions — a fixed, portable hyperplane family."""
