@@ -797,6 +797,36 @@ def test_ann_recall_floors(spark):
         assert mean >= floor, f"{name}: recall@5 {mean:.3f} < floor {floor}"
 
 
+def test_embedding_near_dup_pair_recall_floor(spark):
+    """Pair recall of the LSH-blocked near-dup query vs the brute-force
+    truth at sf0.01. The pre-tune configuration (8 bits, no probe)
+    scored 0.02 here — the floor makes that class of silent recall
+    collapse impossible to ship again (measured 0.82 at bits=4,
+    hamming-1 probe both sides)."""
+    from pyspark.sql import functions as F
+
+    from wwwision_importservice_spark.entry_queries import QUERIES, load
+    from wwwision_importservice_spark.operators.similarity import cosine_scores
+
+    sf = "/root/testdata/sf0.01"
+    emb = load(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    b = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    truth = {
+        (r["q_id"], r["c_id"])
+        for r in cosine_scores(a, b)
+        .filter("score >= 0.3 AND q_id < c_id")
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["x2_embedding_near_dup"](spark, sf).collect()
+    }
+    assert got <= truth  # blocked pairs are always true pairs
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.7, f"near-dup pair recall {recall:.3f} < 0.7"
+
+
 def test_media_windows_multibyte_parity(spark):
     """Byte-window content addresses must agree between the Spark
     operators and their DuckDB oracle formulation on MULTI-BYTE text —
