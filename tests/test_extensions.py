@@ -885,3 +885,28 @@ def test_media_windows_multibyte_parity(spark):
         ).fetchall()
     )
     assert duck_aw == {i: sha for i, (n, sha) in aw.items()}
+
+
+def test_duplicated_span_stats(spark):
+    """Docs sharing a phrase get shared-span credit; a fully unique doc
+    gets zero; ratio is shared/total over DISTINCT shingles."""
+    from wwwision_importservice_spark.operators.dedup import (
+        duplicated_span_stats,
+    )
+
+    df = docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma zeta eta"),      # shares 'alpha beta gamma'
+            (3, "totally different words here now"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_shared_spans"], r["dup_span_ratio"])
+        for r in duplicated_span_stats(df, "doc_id", "text", n=3).collect()
+    }
+    # 5 words -> 3 trigrams each; docs 1/2 share exactly one trigram
+    assert out[1] == (3, 1, round(1 / 3, 6))
+    assert out[2] == (3, 1, round(1 / 3, 6))
+    assert out[3] == (3, 0, 0.0)

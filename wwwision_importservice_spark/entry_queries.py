@@ -1316,6 +1316,35 @@ def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x2_duplicated_spans",
+    f"""
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
+       round(CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS dup_span_ratio
+FROM (
+  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS ndocs
+  FROM ({_SHINGLES_SQL})
+) GROUP BY doc_id
+""",
+    driver=False,
+)
+def x2_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — cross-document duplicated-span profile (Lee et al. 2022
+    span-dedup signal at 3-gram granularity): per doc, its distinct
+    n-gram count, how many of those n-grams appear in >= 1 other doc,
+    and the ratio — the filter signal for partially-boilerplate docs
+    whole-document dedup misses. One shingle pass, two shuffles."""
+    from wwwision_importservice_spark.operators.dedup import (
+        duplicated_span_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return duplicated_span_stats(docs, "doc_id", "text", n=3)
+
+
+@_register(
     "x2_ngram_containment",
     f"""
 SELECT o.id_a, o.id_b,

@@ -625,3 +625,44 @@ def ngram_containment(
             F.round(F.col("overlap") / F.col("n_b"), 6).alias("containment_b"),
         )
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-document duplicated-span profile — the span-level dedup
+    signal (à la "Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022, at n-gram granularity): per document, how
+    many of its distinct word n-grams also appear in at least one OTHER
+    document, and the ratio. High ratios mark boilerplate-contaminated
+    documents that exact/minhash whole-doc dedup misses because the
+    duplication is partial.
+
+    Shape: the hashed shingle set is computed ONCE; a window over the
+    shingle key counts containing-documents in the same pass that a
+    per-document aggregate then consumes — two shuffles total (shingle,
+    then doc id), no self-join, no second scan of the corpus. Emits
+    ``(id, n_spans, n_shared_spans, dup_span_ratio)``.
+    """
+    from pyspark.sql import Window
+
+    sh = hashed_word_shingles(df, id_col, text_col, n)
+    # distinct (doc, shingle) rows → per-shingle row count == number of
+    # documents containing the shingle
+    ndocs = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    tagged = sh.withColumn("__ndocs", ndocs)
+    shared = F.sum((F.col("__ndocs") > 1).cast("long")).alias("n_shared_spans")
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        shared,
+    ).select(
+        F.col(id_col),
+        "n_spans",
+        "n_shared_spans",
+        F.round(F.col("n_shared_spans") / F.col("n_spans"), 6).alias(
+            "dup_span_ratio"
+        ),
+    )
