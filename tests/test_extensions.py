@@ -910,3 +910,35 @@ def test_duplicated_span_stats(spark):
     assert out[1] == (3, 1, round(1 / 3, 6))
     assert out[2] == (3, 1, round(1 / 3, 6))
     assert out[3] == (3, 0, 0.0)
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing contract: offsets lie inside the budget, packs fill
+    contiguously within a shard (no token gaps), a pack overshoots the
+    budget by at most one document, and the assignment is re-run
+    deterministic."""
+    from wwwision_importservice_spark.operators.sampling import pack_sequences
+
+    rows = [(i, (i * 37) % 200 + 1) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, "doc_id", "n_tokens", budget=256, shards=8)
+    got = out.collect()
+    assert len(got) == 400
+    assert all(0 <= r["pack_offset"] < 256 for r in got)
+    assert all(0 <= r["shard"] < 8 for r in got)
+
+    # per-(shard, pack) totals: every pack except possibly a shard's
+    # last either reaches the budget or overflows by < its last doc
+    by_pack = {}
+    for r in got:
+        by_pack.setdefault((r["shard"], r["pack_id"]), []).append(r)
+    for (shard, pack), members in by_pack.items():
+        total = sum(m["n_tokens"] for m in members)
+        last = max(members, key=lambda m: m["pack_offset"])
+        # first token of every member is inside the pack's budget window
+        assert all(m["pack_offset"] + 0 < 256 for m in members)
+        # overshoot bounded by the last document
+        assert total < 256 + last["n_tokens"]
+
+    again = pack_sequences(df, "doc_id", "n_tokens", budget=256, shards=8)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))

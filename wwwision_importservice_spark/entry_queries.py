@@ -2279,6 +2279,51 @@ def x6_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x6_pack_sequences",
+    """
+SELECT doc_id, n_tokens, shard, pack_id, pack_offset FROM (
+  SELECT doc_id, n_tokens, shard,
+         CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+         CAST((cum - n_tokens)
+              - CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) * 512
+           AS BIGINT) AS pack_offset
+  FROM (
+    SELECT doc_id, n_tokens, shard,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 16 AS shard
+      FROM documents
+    )
+  )
+)
+""",
+    driver=False,
+)
+def x6_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — token-budget sequence packing (512-token packs, 16 shards):
+    the concat-and-chunk layout step in front of writing training
+    shards. Sharded contiguous fill — per-shard window cumsum, one
+    shuffle, no global sequential fold
+    (``operators/sampling.py:pack_sequences``)."""
+    from wwwision_importservice_spark.operators.sampling import pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ).cast("long")
+    out = pack_sequences(
+        docs.select("doc_id", toks.alias("n_tokens")),
+        "doc_id", "n_tokens", budget=512, shards=16,
+    )
+    return out.select("doc_id", "n_tokens", "shard", "pack_id", "pack_offset")
+
+
+@_register(
     "x5_chunking",
     """
 SELECT doc_id, CAST(i AS INT) AS chunk_index,

@@ -157,3 +157,54 @@ def training_order(
     return df.withColumn(shuffle_col, key).withColumn(
         bucket_col, hash_bucket(F.col(id_col), n_buckets)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shards: int = 1024,
+    shard_col: str = "shard",
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> DataFrame:
+    """Assign documents to fixed token-budget PACKS — the
+    concat-and-chunk step in front of writing training shards.
+
+    Contiguous-fill packing in the streaming-concatenation sense: docs
+    are laid out in a deterministic order and a pack boundary falls
+    every ``budget`` tokens; a doc belongs to the pack its first token
+    lands in, so a pack overshoots the budget by at most one document
+    (the downstream writer truncates or carries the tail — standard
+    concat-packing semantics, not bin-packing's hard capacity).
+
+    Scale shape: a GLOBAL greedy packer is a sequential fold — the
+    anti-pattern. Instead docs shard by the id's md5 (deterministic,
+    engine-portable, uniform), each shard packs independently via one
+    window cumsum ordered by id within the shard, and pack identity is
+    (shard, index). One shuffle on the shard key; every shard's state
+    is a running token count, nothing global. Same construction as
+    :func:`training_order` — re-run/replay gives identical packs.
+
+    Emits ``shard``, ``pack_id`` (index within shard), ``offset_col``
+    (token offset of the doc inside its pack) alongside the input
+    columns.
+    """
+    from pyspark.sql import Window
+
+    shard = hash_bucket(F.col(id_col), shards)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_incl = F.sum(F.col(token_col)).over(w)
+    cum_excl = cum_incl - F.col(token_col)
+    return (
+        df.withColumn(shard_col, shard)
+        .withColumn(pack_col, F.floor(cum_excl / budget).cast("long"))
+        .withColumn(
+            offset_col, (cum_excl - F.col(pack_col) * budget).cast("long")
+        )
+    )
