@@ -31,6 +31,11 @@ from wwwision_importservice_spark.operators.similarity import (
 from wwwision_importservice_spark.operators.text import detect_language, text_stats
 
 
+# driver-scale tier for the recall-floor tests (same constant the sf001
+# parity tier uses — see tests/test_oracle_parity.py SF001_DIR)
+SF001_DIR = "/root/testdata/sf0.01"
+
+
 def docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
@@ -778,7 +783,7 @@ def test_ann_recall_floors(spark):
     a recall regression in the bucketing/probing logic fails loudly."""
     from wwwision_importservice_spark.entry_queries import QUERIES
 
-    sf = "/root/testdata/sf0.01"
+    sf = SF001_DIR
 
     def topsets(name):
         by_q = {}
@@ -808,7 +813,7 @@ def test_embedding_near_dup_pair_recall_floor(spark):
     from wwwision_importservice_spark.entry_queries import QUERIES, load
     from wwwision_importservice_spark.operators.similarity import cosine_scores
 
-    sf = "/root/testdata/sf0.01"
+    sf = SF001_DIR
     emb = load(spark, sf, "embeddings")
     a = emb.select(F.col("vec_id").alias("q_id"), "embedding")
     b = emb.select(F.col("vec_id").alias("c_id"), "embedding")
@@ -935,8 +940,10 @@ def test_pack_sequences_invariants(spark):
     for (shard, pack), members in by_pack.items():
         total = sum(m["n_tokens"] for m in members)
         last = max(members, key=lambda m: m["pack_offset"])
-        # first token of every member is inside the pack's budget window
-        assert all(m["pack_offset"] + 0 < 256 for m in members)
+        # contiguous fill: members laid end to end with no token gaps
+        members.sort(key=lambda m: m["pack_offset"])
+        for prev, nxt in zip(members, members[1:]):
+            assert nxt["pack_offset"] == prev["pack_offset"] + prev["n_tokens"]
         # overshoot bounded by the last document
         assert total < 256 + last["n_tokens"]
 

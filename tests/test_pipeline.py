@@ -452,6 +452,20 @@ def test_changelog_idempotent_rerun_and_no_entries_on_failed_apply(
     n2 = spark.read.parquet(f"{clog}/run_id=r1").count()
     assert n1 == 2 and n2 == 0
 
+    # a consumer reading the changelog ROOT (hive partition discovery
+    # over run_id=/change_type=) must not hit conflicting directory
+    # depths even though r1 is now an EMPTY run dir: empty runs write
+    # into an explicit change_type=__none__ leaf to keep depths uniform
+    preset.source.rows = [("a", 5, "t1c", 1), ("b", 3, "t2c", 2)]
+    pipeline.run(changelog_dir=clog, run_id="r3")
+    root = spark.read.parquet(clog)
+    assert set(root.columns) >= {"_id", "change_type", "run_id"}
+    per_run = {
+        r["run_id"]: r["n"]
+        for r in root.groupBy("run_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_run == {"r1": 0, "r3": 2} or per_run == {"r3": 2}
+
     # now make apply blow up mid-run
     preset.source.rows = [("a", 9, "t1b", 1)]
 

@@ -478,7 +478,8 @@ def o3_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("__key"),
     )
     poisoned = [
-        r["_id"] for r in src.filter(F.col("__key") % 7 == 0).collect()
+        r["_id"]
+        for r in src.filter(F.col("__key") % 7 == 0).select("_id").collect()
     ]
     conn = sqlite3.connect(db)
     conn.execute(
@@ -1276,10 +1277,16 @@ _BUCKETS_SQL = " UNION ALL ".join(
     for b in range(4)
 )
 
+# buckets wider than the engine's max_bucket_size (default 10k) are
+# excluded from pair expansion on BOTH sides, so the oracle models the
+# cap exactly and a giant boilerplate bucket can never turn the row red
 _PAIRS_SQL = f"""
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 FROM ({_BUCKETS_SQL}) l JOIN ({_BUCKETS_SQL}) r
   ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+JOIN (SELECT band, sig FROM ({_BUCKETS_SQL})
+      GROUP BY band, sig HAVING count(*) <= 10000) ok
+  ON ok.band = l.band AND ok.sig = l.sig
 """
 
 

@@ -27,8 +27,9 @@ Scale design:
   is 5·10¹¹ pairs, enough to take down the stage. Oversized buckets
   are near-identical boilerplate whose members the cheap exact/
   fingerprint dedup (X1/X5) already collapses; dropping them from the
-  PAIR expansion loses no real near-dup signal. The drop is never
-  silent — pass ``stats`` to get dropped bucket/id/pair counts.
+  PAIR expansion loses no real near-dup signal. The oracles model the
+  same ceiling, and passing ``stats`` reports dropped
+  bucket/id/pair counts (opt-in — it costs one extra job).
 - exact jaccard runs only on LSH candidate pairs, never all-pairs.
 """
 
@@ -195,10 +196,15 @@ def lsh_candidate_pairs(
     1M-doc bucket would expand to 5·10¹¹ pairs) is EXCLUDED from pair
     generation instead of exploding quadratically; its members are the
     near-identical boilerplate that exact/fingerprint dedup collapses
-    far more cheaply. The cap is not silent: pass a ``stats`` dict to
-    receive ``lsh_buckets_dropped`` / ``lsh_ids_in_dropped`` /
-    ``lsh_pairs_avoided`` (one extra small aggregate job), and the drop
-    is logged. ``max_bucket_size=None`` disables the ceiling.
+    far more cheaply. The registered queries' DuckDB oracles model the
+    same cap (entry_queries._PAIRS_SQL ``HAVING count(*) <= 10000``),
+    so engine and oracle stay value-identical on either side of it.
+    Observability is opt-in: pass a ``stats`` dict to receive
+    ``lsh_buckets_dropped`` / ``lsh_ids_in_dropped`` /
+    ``lsh_pairs_avoided`` (costs one extra small aggregate job) and a
+    logged warning when anything was dropped — the default path adds no
+    job, so it reports nothing. ``max_bucket_size=None`` disables the
+    ceiling.
     """
     rows_per_band = num_hashes // bands
     band_cols = []

@@ -135,9 +135,14 @@ def cosine_topk_blocked(
     |batches|·|Q|·k candidate rows — the full scored frame never
     exists anywhere, no join, no shuffle except the final tiny rank.
 
-    Selection inside the kernel uses the same criterion as the final
-    rank (score rounded to 6, corpus-id tiebreak), so the per-batch
-    truncation cannot drop a row the final rank would have kept.
+    Selection inside the kernel mirrors the final rank's criterion
+    (score rounded to 6, corpus-id tiebreak). numpy's round is
+    half-even on the binary double while Spark's is half-up on its
+    shortest decimal form — distinguishable only when an unrounded
+    score sits exactly on a 0.5e-6 decimal boundary — so the kernel
+    keeps a small margin beyond k per batch; a boundary-straddling
+    candidate survives into the global rank, where F.round alone
+    decides.
     """
     q_rows = queries.select(query_id, vector_col).collect()
     q_ids = [r[query_id] for r in q_rows]
@@ -164,9 +169,10 @@ def cosine_topk_blocked(
             cids = pdf[cid].to_numpy(dtype=np.int64)
             S = (Q @ V.T) / np.outer(qn, cn)
             R = np.round(S, 6)  # selection key — final F.round decides
+            keep = k + 8  # margin for np-vs-Spark rounding boundary ties
             rows_q, rows_c, rows_s = [], [], []
             for qi in range(len(qid_arr)):
-                order = np.lexsort((cids, -R[qi]))[:k]
+                order = np.lexsort((cids, -R[qi]))[:keep]
                 rows_q.extend([qid_arr[qi]] * len(order))
                 rows_c.extend(cids[order])
                 rows_s.extend(S[qi][order])

@@ -156,14 +156,26 @@ class ImportPipeline:
                 sub = f"run_id={run_id}" if run_id else "run_id=unlabeled"
                 run_dir = f"{base}/{sub}"
                 staging = f"{base}/.staging_{sub}"
-                writer = mapped.write.mode("overwrite")
                 if sum(counts.values()):
-                    writer = writer.partitionBy(CHANGE_TYPE_COL)
-                # an all-noop run writes an EMPTY frame: partitionBy
-                # would emit no part files (directory unreadable — no
-                # schema to infer), so empty changelogs go unpartitioned
-                # (one schema-carrying empty file)
-                writer.parquet(staging)
+                    (
+                        mapped.write.partitionBy(CHANGE_TYPE_COL)
+                        .mode("overwrite")
+                        .parquet(staging)
+                    )
+                else:
+                    # an all-noop run writes an EMPTY frame: partitionBy
+                    # would emit no part files (directory unreadable —
+                    # no schema to infer). Write the empty frame into an
+                    # explicit hive-style partition dir instead, so the
+                    # leaf-file DEPTH stays uniform with partitioned
+                    # runs and a consumer reading the changelog ROOT
+                    # (partition discovery over run_id=/change_type=)
+                    # never sees conflicting directory structures.
+                    (
+                        mapped.drop(CHANGE_TYPE_COL)
+                        .write.mode("overwrite")
+                        .parquet(f"{staging}/{CHANGE_TYPE_COL}=__none__")
+                    )
 
             if added:
                 self._dispatch(Events.PRE_ADD_DATA, added)
@@ -217,19 +229,39 @@ class ImportPipeline:
             fs.delete(hpath, True)
 
     def _fs_commit(self, staging: str, final: str) -> None:
-        """Promote the staged run directory: delete any previous run with
-        the same id, then rename. The rename is atomic on HDFS/local
-        filesystems; on object stores it degrades to copy+delete — the
-        standard job-commit trade-off, acceptable because each run_id
-        directory is single-writer."""
+        """Promote the staged run directory via a rename shuffle that
+        never deletes data before its replacement is in place: any
+        previous run dir is first RENAMED aside (to a dot-prefixed
+        sibling, hidden from partition discovery), then staging renames
+        into the final name, then the parked previous dir is deleted. A
+        crash between the renames leaves the run dir briefly absent but
+        BOTH generations intact on disk (the next run's commit clears
+        the parked dir) — strictly better than the delete-then-rename
+        window, where a crash destroyed the previous entries with the
+        new ones stranded in staging. Renames are atomic on HDFS/local;
+        on object stores they degrade to copy+delete — the standard
+        job-commit trade-off, acceptable because each run_id directory
+        is single-writer."""
+        base, name = final.rsplit("/", 1)
+        parked = f"{base}/.prev_{name}"
         fs, final_p = self._hadoop_fs(final)
-        if fs.exists(final_p):
-            fs.delete(final_p, True)
         _, staging_p = self._hadoop_fs(staging)
+        _, parked_p = self._hadoop_fs(parked)
+        if fs.exists(parked_p):
+            fs.delete(parked_p, True)
+        had_prev = fs.exists(final_p)
+        if had_prev and not fs.rename(final_p, parked_p):
+            raise ImportServiceError(
+                f"Failed to park previous changelog {final}"
+            )
         if not fs.rename(staging_p, final_p):
+            if had_prev:
+                fs.rename(parked_p, final_p)  # restore the previous run
             raise ImportServiceError(
                 f"Failed to commit changelog {staging} -> {final}"
             )
+        if had_prev:
+            fs.delete(parked_p, True)
 
     def _apply_mapping(self, cdc: DataFrame) -> DataFrame:
         """K11 at the set level: map attribute columns, carry engine columns."""

@@ -111,12 +111,31 @@ class BucketedParquetTarget(ParquetTarget):
     def _committed_generations(self) -> list[str]:
         """Generations whose write COMMITTED (Spark's _SUCCESS marker) —
         the only directories recovery may serve. A crash mid-write
-        leaves a marker-less directory that must never be read."""
-        return [
-            g
-            for g in self._generations()
-            if os.path.exists(os.path.join(g, "_SUCCESS"))
+        leaves a marker-less directory that must never be read.
+
+        Fallback: if NO generation carries a marker but generations
+        exist, the deployment has disabled success markers
+        (``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``, a
+        common object-store setting) — serve all generations with a
+        logged warning rather than silently treating a populated target
+        as empty (which would turn the next sync into a full re-add).
+        Mid-write crash detection is unavailable in that configuration."""
+        gens = self._generations()
+        committed = [
+            g for g in gens if os.path.exists(os.path.join(g, "_SUCCESS"))
         ]
+        if gens and not committed:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "BucketedParquetTarget %s: %d generation(s) but none "
+                "carries a _SUCCESS marker — success markers appear "
+                "disabled; serving the newest generation without "
+                "mid-write crash protection",
+                self.path, len(gens),
+            )
+            return gens
+        return committed
 
     def exists(self) -> bool:
         return bool(self._committed_generations())
