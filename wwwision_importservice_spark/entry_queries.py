@@ -1668,28 +1668,32 @@ SELECT id_a, id_b, cosine FROM (
   SELECT l.vec_id AS id_a, r.vec_id AS id_b,
          round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cosine
   FROM embeddings l JOIN embeddings r
-    ON bit_count(xor({_bucket_expr('l', 4)}, {_bucket_expr('r', 4)})) <= 2
+    ON bit_count(xor({_bucket_expr('l', 6)}, {_bucket_expr('r', 6)})) <= 2
        AND l.vec_id < r.vec_id
 ) WHERE cosine >= 0.3
 """,
 )
 def x2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — embedding-cosine near-duplicate pairs (cosine ≥ 0.3),
-    sign-LSH-blocked so the all-pairs never materializes. Measured pair
-    recall vs brute force, floor-pinned in tests/test_extensions.py:
-    bits=8/no-probe scored 0.02 on this near-isotropic corpus (sign
-    patterns barely correlate with cosine 0.3 there — LSH's hardest
-    regime); bits=4 with hamming-1 multi-probe on BOTH sides scores
-    0.82. Both sides replicating into their hamming-1 ball means two
-    vectors co-occur iff their buckets differ by ≤ 2 bits — which is
-    exactly how the oracle states the candidate set declaratively."""
+    sign-LSH-blocked (bits=6, hamming-1 probe BOTH sides ⇒ candidates
+    are pairs whose buckets differ by ≤ 2 bits — how the oracle states
+    it declaratively). Operating point chosen from a measured
+    recall/volume grid on this corpus (tests/test_extensions.py pins
+    the floor): the synthetic embeddings are near-isotropic with NO
+    true near-dups (max pair cosine 0.51), LSH's worst regime — at
+    threshold 0.3, recall tracks candidate volume almost linearly
+    (bits=4: 0.82 recall at 0.69 volume ≈ brute force; bits=6: 0.55 at
+    0.34; bits=8: 0.33 at 0.15). bits=6 balances a real-blocking demo
+    with a meaningful floor; on real near-dup corpora (cos ≥ 0.9) the
+    same construction separates sharply and bits should grow with
+    log2(N)."""
     from wwwision_importservice_spark.operators.similarity import (
         embedding_near_dup_pairs,
     )
 
     emb = load(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.3, bits=4, probe_hamming=1
+        emb, "vec_id", "embedding", threshold=0.3, bits=6, probe_hamming=1
     ).select(
         F.col("id_a"), F.col("id_b"), F.col("cosine")
     )
