@@ -28,6 +28,14 @@ so the step is fully explained by the methodology switch above: under
 ``count()`` Catalyst pruned their decimal(18,2)-exact aggregate columns
 (the dominant cost, kept for oracle bit-exactness); noop-write pays for
 them honestly. Not noise, not a regression — a corrected measurement.
+
+Round-5 total (~17s at sf0.1) is NOT like-for-like with r4's 13.99s:
+(+0.7s) the headline set gained x3_cosine_topk_blocked (the join-free
+exact-top-k scale path, measured alongside the cross-join baseline),
+and (+1.8s) x2_embedding_near_dup now runs at a MEASURED 0.55-recall
+operating point — its r4 configuration was 3x cheaper but had 0.02
+pair recall (found almost nothing; see the query docstring's
+recall/volume grid). Correct-but-slower beats fast-but-broken.
 """
 
 from __future__ import annotations
