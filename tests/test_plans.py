@@ -252,3 +252,28 @@ def test_cosine_topk_blocked_has_no_join(spark, sf_dir):
     assert "CartesianProduct" not in tree, tree
     assert "Join" not in tree, tree  # no join of any kind
     assert "ArrowEvalPython" in tree or "MapInPandas" in tree, tree
+
+
+def test_incremental_diff_narrow_shuffle_only(spark, sf_dir):
+    """J7: the narrow-diff / late-materialization replan. Every exchange
+    that carries the wide attribute columns must sit BELOW the
+    change_type tag (i.e. after the broadcast prune to the changed
+    slice); all full-data exchanges are narrow (id/version only), and
+    the changed-slice re-join is a broadcast-hash join."""
+    df = QUERIES["j7_incremental_sync"](spark, sf_dir)
+    plan = plan_of(spark, df)
+    tree = tree_of(plan)
+    assert "BroadcastHashJoin" in tree, tree
+    wide_exchanges = [
+        (n, cols)
+        for n, kind, cols in re.findall(
+            r"\((\d+)\) (Exchange|BroadcastExchange)\s*\nInput \[\d+\]: \[([^\]]*)\]",
+            plan,
+        )
+        if "o_totalprice" in cols
+    ]
+    # the only wide exchange is the changed-slice dedup: its input rows
+    # already carry the change_type column from the broadcast prune
+    for n, cols in wide_exchanges:
+        assert "change_type" in cols, (n, cols)
+    assert len(wide_exchanges) <= 1, wide_exchanges

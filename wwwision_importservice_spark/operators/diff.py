@@ -244,6 +244,183 @@ def compute_changes(
     return out.select(*projection)
 
 
+def incremental_changes(
+    source: DataFrame,
+    local_state: DataFrame,
+    *,
+    force_updates: bool = False,
+    skip_added: bool = False,
+    skip_removed: bool = False,
+    local_id_col: str = ID_COL,
+    local_version_col: str | None = None,
+    local_hidden_col: str | None = None,
+    id_prefix: str | None = None,
+    version_watermark: int | None = None,
+    broadcast_changed: bool = True,
+    wide_source: DataFrame | None = None,
+    wide_order_by: Column | None = None,
+) -> DataFrame:
+    """:func:`compute_changes` re-planned for the mostly-unchanged sync.
+
+    Same ChangeSet semantics (``DbalTarget.php:66-116``), different
+    physical shape — the reference's ``LazyLoadingDataRecord`` idea
+    (``Classes/ValueObject/LazyLoadingDataRecord.php:8-41``: diff on
+    ``(id, version)`` only, fetch attributes on demand) applied to the
+    whole plan instead of per record:
+
+    1. **Narrow diff** — the full-outer join runs over ``(_id,
+       _version)`` ONLY (~tens of bytes/row), never the wide attribute
+       columns. At 100 TB with kilobyte records that is a 20-100×
+       smaller shuffle than :func:`compute_changes`' single wide join.
+    2. **Late materialization** — wide attributes are joined back for
+       the add/update slice only. In steady-state syncs (70-95% no-op,
+       see module header) the changed slice is small enough to
+       *broadcast* (``broadcast_changed=True``), so the wide source
+       rows are filtered by a broadcast-hash join **without ever
+       entering an exchange**. With ``broadcast_changed=False`` the
+       re-join falls back to a shuffle hash/merge join for high-churn
+       runs where the changed set itself is huge.
+    3. Optional **high-watermark prefilter** (``version_watermark``):
+       when the caller guarantees versions are monotone event times and
+       every record modified since the last successful sync carries
+       ``version > watermark`` (the usual CDC contract), intersecting
+       rows at-or-below the watermark are proven no-ops *before* the
+       predicate runs. The update branch becomes
+       ``src.version IS NULL OR (src.version > W AND <4-branch pred>)``.
+       This is a semantic narrowing, NOT an equivalent plan — adds and
+       removes are still detected exactly (they only need id sets), but
+       an in-place modification that did not bump its version past W is
+       — by contract — assumed not to exist. Leave it ``None`` for the
+       assumption-free plan, which is row-identical to
+       :func:`compute_changes` (pinned by the shared oracle of
+       ``j7_incremental_sync`` / ``j4_changeset``).
+
+    ``wide_source`` closes the last wide-shuffle gap: when ``source``
+    was keyed via ``RecordFrame.from_raw`` its K1 last-wins dedup plants
+    a WindowGroupLimit *exchange of the full wide data* upstream of this
+    operator — narrowing the diff doesn't remove it. Pass the keyed but
+    NOT-yet-deduped frame (``from_raw(..., dedup=False)``) as
+    ``wide_source`` (+ the same ``wide_order_by``) and the wide branch
+    broadcast-filters to the changed ids FIRST, then dedups the
+    surviving slice — same winner per id (dedup commutes with an
+    id-level filter), but the K1 shuffle now carries only the changed
+    few percent. With this, the only wide exchange left in the plan is
+    the changed-slice dedup (its input provably sits below the
+    ``change_type`` tag, i.e. after the broadcast prune); every
+    full-data exchange is narrow (pinned by
+    ``test_incremental_diff_narrow_shuffle_only``). The narrow diff
+    side still uses the deduped ``source`` — Catalyst prunes its dedup
+    to ``(_id, _version)``.
+
+    Output schema and row set match :func:`compute_changes` exactly
+    (when ``version_watermark is None``).
+    """
+    local = local_state.select(
+        strip_id_prefix(F.col(local_id_col).cast("string"), id_prefix).alias(ID_COL),
+        (
+            F.col(local_version_col).cast("long")
+            if local_version_col
+            else F.lit(None).cast("long")
+        ).alias(LOCAL_VERSION_COL),
+        (
+            F.col(local_hidden_col).cast("boolean")
+            if local_hidden_col
+            else F.lit(False)
+        ).alias(LOCAL_HIDDEN_COL),
+        F.lit(True).alias("__loc_present"),
+    )
+
+    has_version = VERSION_COL in source.columns
+    narrow_cols = [ID_COL] + ([VERSION_COL] if has_version else [])
+    # Catalyst prunes the source scan to these two columns for the whole
+    # diff stage; the wide columns are only read by the final re-join.
+    narrow_src = source.select(*narrow_cols).withColumn(
+        "__src_present", F.lit(True)
+    )
+    src_version = (
+        F.col(VERSION_COL) if has_version else F.lit(None).cast("long")
+    )
+
+    updated = is_updated_predicate(
+        src_version, F.col(LOCAL_VERSION_COL), force_updates
+    )
+    if version_watermark is not None and not force_updates:
+        updated = src_version.isNull() | (
+            (src_version > F.lit(version_watermark)) & updated
+        )
+
+    joined = narrow_src.join(local, on=ID_COL, how="full_outer")
+    change = (
+        F.when(F.col("__loc_present").isNull(), F.lit(ChangeType.ADD))
+        .when(
+            F.col("__src_present").isNull() & ~F.col(LOCAL_HIDDEN_COL),
+            F.lit(ChangeType.REMOVE),
+        )
+        .when(
+            F.col("__src_present").isNotNull()
+            & F.col("__loc_present").isNotNull()
+            & updated,
+            F.lit(ChangeType.UPDATE),
+        )
+    )
+    changed = joined.withColumn(CHANGE_TYPE_COL, change).filter(
+        F.col(CHANGE_TYPE_COL).isNotNull()
+    )
+    if skip_added:
+        changed = changed.filter(F.col(CHANGE_TYPE_COL) != ChangeType.ADD)
+    if skip_removed:
+        changed = changed.filter(F.col(CHANGE_TYPE_COL) != ChangeType.REMOVE)
+
+    attrs = list(source.columns)
+    # Removes carry no source attributes — emit them straight off the
+    # narrow join with typed NULLs, no wide data needed.
+    removes = changed.filter(F.col(CHANGE_TYPE_COL) == ChangeType.REMOVE).select(
+        F.col(ID_COL),
+        *[
+            F.lit(None).cast(source.schema[c].dataType).alias(c)
+            for c in attrs
+            if c != ID_COL
+        ],
+        F.col(LOCAL_VERSION_COL),
+        F.col(LOCAL_HIDDEN_COL),
+        F.col(CHANGE_TYPE_COL),
+    )
+
+    au = changed.filter(F.col(CHANGE_TYPE_COL) != ChangeType.REMOVE).select(
+        ID_COL, LOCAL_VERSION_COL, LOCAL_HIDDEN_COL, CHANGE_TYPE_COL
+    )
+    if broadcast_changed:
+        au = F.broadcast(au)
+    if wide_source is not None:
+        from wwwision_importservice_spark.record import dedup_last_wins
+
+        pruned = wide_source.join(au, on=ID_COL, how="inner")
+        wide = dedup_last_wins(
+            pruned,
+            ID_COL,
+            wide_order_by
+            if wide_order_by is not None
+            else F.monotonically_increasing_id(),
+        )
+    else:
+        wide = source.join(au, on=ID_COL, how="inner")
+
+    out = wide.select(
+        *[F.col(c) for c in attrs],
+        F.col(LOCAL_VERSION_COL),
+        F.col(LOCAL_HIDDEN_COL),
+        F.col(CHANGE_TYPE_COL),
+    ).unionByName(removes)
+
+    projection = [F.col(c) for c in attrs] + [
+        F.col(LOCAL_VERSION_COL),
+        F.col(CHANGE_TYPE_COL),
+    ]
+    if local_hidden_col:
+        projection.insert(-1, F.col(LOCAL_HIDDEN_COL))
+    return out.select(*projection)
+
+
 def changeset_counts(cdc: DataFrame) -> DataFrame:
     """A1 — per-change-type cardinalities for progress/reporting
     (``Classes/Command/ImportCommandController.php:199-204``). A hash
