@@ -478,3 +478,59 @@ def test_changelog_idempotent_rerun_and_no_entries_on_failed_apply(
     import os
 
     assert not os.path.exists(f"{clog}/run_id=r2")
+
+
+def test_diff_strategies_agree_end_to_end(spark, tmp_path):
+    """full / broadcast / incremental are the same sync, different
+    physical plans: identical stats and identical final target state
+    across a run that exercises add+update+remove+no-op."""
+    rows_v1 = [("a", 1, "t1", 1), ("b", 2, "t2", 2), ("c", 3, "t3", 3)]
+    rows_v2 = [("a", 9, "t1b", 1), ("b", 2, "t2", 2), ("d", 4, "t4", 4)]
+
+    states = {}
+    stats2 = {}
+    for strategy in ("full", "broadcast", "incremental"):
+        preset = make_preset(
+            tmp_path / strategy, rows_v1,
+            diff_strategy=strategy,
+            force_broadcast_state=strategy == "broadcast",
+        )
+        pipeline = ImportPipeline(preset, spark)
+        assert pipeline.run() == {
+            "added": 3, "updated": 0, "removed": 0, "errors": 0
+        }
+        preset.source.rows = rows_v2
+        stats2[strategy] = pipeline.run()
+        states[strategy] = sorted(
+            (r["id"], r["version"], r["title"])
+            for r in spark.read.parquet(str(tmp_path / strategy / "tgt")).collect()
+        )
+    assert stats2["incremental"] == stats2["full"] == {
+        "added": 1, "updated": 1, "removed": 1, "errors": 0
+    }
+    assert states["incremental"] == states["full"] == states["broadcast"]
+
+
+def test_diff_strategy_option_validation():
+    cfg = {
+        "presets": {
+            "users": {
+                "source": {
+                    "type": "file",
+                    "options": {"path": "/tmp/x.json"},
+                    "id_attribute": "id",
+                },
+                "target": {
+                    "type": "parquet",
+                    "options": {"path": "/tmp/t", "id_column": "id"},
+                },
+                "options": {"diffStrategy": "sideways"},
+            }
+        }
+    }
+    with pytest.raises(ConfigurationError, match="diffStrategy"):
+        PresetRegistry(cfg).build("users")
+    cfg["presets"]["users"]["options"]["diffStrategy"] = "incremental"
+    preset = PresetRegistry(cfg).build("users")
+    assert preset.diff_strategy == "incremental"
+    assert not preset.force_broadcast_state

@@ -26,6 +26,7 @@ from wwwision_importservice_spark.operators.diff import (
     CHANGE_TYPE_COL,
     ChangeType,
     compute_changes,
+    incremental_changes,
 )
 from wwwision_importservice_spark.plans.preset import Preset
 from wwwision_importservice_spark.plans.result import Result
@@ -65,14 +66,20 @@ class ImportPipeline:
 
     # -- the run (ImportService::importData) ----------------------------- #
     def compute_changes(self, force_updates: bool = False) -> DataFrame:
-        """Extract + key + process + diff → CDC frame (lazy)."""
+        """Extract + key + process + diff → CDC frame (lazy).
+
+        The preset's ``diffStrategy`` picks the physical plan (identical
+        ChangeSet): ``full`` = one full-outer join; ``broadcast`` =
+        split 3-join plan for small target keysets; ``incremental`` =
+        narrow ``(_id,_version)`` diff + broadcast late materialization
+        for mostly-unchanged syncs — without a dataProcessor the K1
+        dedup is additionally deferred past the changed-id filter, so no
+        exchange carries the full wide data."""
         records = self.preset.load(self.spark)
         self._dispatch(Events.PRE_COMPUTE_CHANGES, records)
         target = self.preset.target
         local = target.current_state(self.spark)
-        return compute_changes(
-            records.df,
-            local,
+        common = dict(
             force_updates=force_updates,
             skip_added=self.preset.skip_added,
             skip_removed=self.preset.skip_removed,
@@ -80,7 +87,28 @@ class ImportPipeline:
             local_version_col=target.version_column,
             local_hidden_col=target.hidden_column,
             id_prefix=target.id_prefix,
+        )
+        if self.preset.diff_strategy == "incremental":
+            wide = worder = None
+            if self.preset.data_processor is None:
+                wide = self.preset.load(self.spark, dedup=False).df
+                worder = (
+                    F.col(self.preset.order_attribute)
+                    if self.preset.order_attribute
+                    else F.monotonically_increasing_id()
+                )
+            return incremental_changes(
+                records.df,
+                local,
+                wide_source=wide,
+                wide_order_by=worder,
+                **common,
+            )
+        return compute_changes(
+            records.df,
+            local,
             broadcast_local=self.preset.force_broadcast_state,
+            **common,
         )
 
     def explain(self, force_updates: bool = False) -> str:

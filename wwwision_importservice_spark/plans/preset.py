@@ -83,7 +83,10 @@ _PRESET_OPTIONS = (
     .has("skipRemovedRecords", "boolean")
     .has("dataProcessor", "callable")
     .has("forceBroadcastState", "boolean")
+    .has("diffStrategy", "string")
 )
+
+DIFF_STRATEGIES = ("full", "broadcast", "incremental")
 
 
 @dataclass
@@ -102,9 +105,22 @@ class Preset:
     skip_removed: bool = False
     data_processor: Callable[[DataFrame], DataFrame] | None = None
     force_broadcast_state: bool = False
+    # Physical diff plan: "full" = one full-outer join (default),
+    # "broadcast" = split 3-join plan for small target keysets (alias of
+    # forceBroadcastState), "incremental" = narrow (_id,_version) diff +
+    # broadcast late materialization for mostly-unchanged syncs
+    # (operators/diff.py:incremental_changes). All three produce the
+    # identical ChangeSet — this picks a plan, never semantics.
+    diff_strategy: str = "full"
 
-    def load(self, spark: SparkSession) -> RecordFrame:
-        """Extract + key + process (``Preset::load``, ``Preset.php:41-52``)."""
+    def load(
+        self, spark: SparkSession, dedup: bool = True
+    ) -> RecordFrame:
+        """Extract + key + process (``Preset::load``, ``Preset.php:41-52``).
+
+        ``dedup=False`` (incremental diff's wide branch) defers K1
+        last-wins dedup — only valid without a dataProcessor, whose
+        ``map`` re-keys and therefore forces dedup anyway."""
         raw = self.source.load(spark)
         if self.mapper is not None and self.data_processor is None:
             # Mapping-aware pruning: project to the columns the mapping
@@ -125,6 +141,7 @@ class Preset:
             id_attribute=self.id_attribute,
             version_attribute=self.version_attribute,
             order_by=order,
+            dedup=dedup or self.data_processor is not None,
         )
         if self.data_processor is not None:
             rf = rf.map(self.data_processor)
@@ -219,6 +236,15 @@ class PresetRegistry:
         processor_ref = options.get("dataProcessor")
         processor = resolve_processor(processor_ref) if processor_ref else None
 
+        strategy = options.get(
+            "diffStrategy",
+            "broadcast" if options.get("forceBroadcastState") else "full",
+        )
+        if strategy not in DIFF_STRATEGIES:
+            raise ConfigurationError(
+                f'Unknown diffStrategy "{strategy}"; one of {DIFF_STRATEGIES}'
+            )
+
         return Preset(
             name=name,
             source=source,
@@ -230,7 +256,8 @@ class PresetRegistry:
             skip_added=bool(options.get("skipAddedRecords", False)),
             skip_removed=bool(options.get("skipRemovedRecords", False)),
             data_processor=processor,
-            force_broadcast_state=bool(options.get("forceBroadcastState", False)),
+            force_broadcast_state=strategy == "broadcast",
+            diff_strategy=strategy,
         )
 
     @staticmethod
