@@ -952,3 +952,114 @@ def test_pack_sequences_invariants(spark):
 
     again = pack_sequences(df, "doc_id", "n_tokens", budget=256, shards=8)
     assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+
+
+# --------------------------------------------------------------------------- #
+# X7 BM25 retrieval + X6 mixture sampling
+# --------------------------------------------------------------------------- #
+
+def test_bm25_matches_numpy_model(spark, sf_dir):
+    """Differential test of the full ln-weighted score against an
+    independent NumPy implementation of Robertson-BM25 (k1=1.2, b=0.75)
+    over the real documents table — rtol covers the last-ulp libm
+    divergence the oracle strategy excludes."""
+    import math
+
+    from wwwision_importservice_spark.operators.retrieval import bm25_scores
+
+    terms = ["hash", "scan", "merge"]
+    documents = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: r["bm25"] for r in
+           bm25_scores(documents, terms).collect()}
+
+    # independent model over collected text
+    rows = [(r["doc_id"], r["text"]) for r in documents.collect()]
+    toks = {i: [t for t in txt.lower().split(" ") if t] for i, txt in rows}
+    n_docs = len(rows)
+    total = sum(len(ts) for ts in toks.values())
+    avgdl = total / n_docs
+    dfreq = {t: sum(1 for ts in toks.values() if t in ts) for t in terms}
+    expected = {}
+    for i, ts in toks.items():
+        score = 0.0
+        for t in sorted(terms):
+            tf = ts.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            sat = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ts) / avgdl))
+            score += idf * sat
+        if score:
+            expected[i] = score
+    assert set(got) == set(expected)
+    for i in got:
+        assert got[i] == pytest.approx(expected[i], rel=1e-9), i
+
+
+def test_bm25_topk_ranks_matching_docs(spark):
+    from wwwision_importservice_spark.operators.retrieval import bm25_topk
+
+    df = docs(spark, [
+        (1, "hash join hash probe hash build"),
+        (2, "hash join once"),
+        (3, "sort merge only"),
+        (4, "nothing relevant at all"),
+    ])
+    top = bm25_topk(df, ["hash"], 2).collect()
+    assert [r["doc_id"] for r in top] == [1, 2]
+    assert top[0]["bm25"] > top[1]["bm25"] > 0
+
+
+def test_mixture_sample_budgets_and_determinism(spark):
+    from wwwision_importservice_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "web" if i % 2 else "code", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_tokens long")
+    out = mixture_sample(df, "doc_id", "grp", "n_tokens",
+                         {"web": 100, "code": 55})
+    by_grp = {}
+    for r in out.collect():
+        by_grp.setdefault(r["grp"], []).append(r["doc_id"])
+    # budget 100 at 10 tokens/doc = exactly 10 docs; 55 → 6 docs (the
+    # 6th starts at token 50 < 55: at-most-one-doc overshoot)
+    assert len(by_grp["web"]) == 10
+    assert len(by_grp["code"]) == 6
+    # deterministic under re-run
+    again = mixture_sample(df, "doc_id", "grp", "n_tokens",
+                           {"web": 100, "code": 55})
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
+    # absent group → default budget 0 → dropped
+    assert "books" not in by_grp
+
+
+def test_mixture_sample_append_consistency(spark):
+    """Appending new candidates only inserts into the fixed hash order:
+    every previously-admitted doc that still fits its budget slot stays
+    admitted relative to the docs it beat before."""
+    from wwwision_importservice_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "g", 10) for i in range(50)]
+    df1 = spark.createDataFrame(rows, "doc_id long, grp string, n_tokens long")
+    sel1 = {r["doc_id"] for r in
+            mixture_sample(df1, "doc_id", "grp", "n_tokens", {"g": 200}).collect()}
+    df2 = spark.createDataFrame(
+        rows + [(i, "g", 10) for i in range(50, 80)],
+        "doc_id long, grp string, n_tokens long",
+    )
+    sel2 = {r["doc_id"] for r in
+            mixture_sample(df2, "doc_id", "grp", "n_tokens", {"g": 200}).collect()}
+    # same budget, denser candidate set: the admitted set can only lose
+    # old docs to better-hashed newcomers, never reorder among the old
+    assert len(sel1) == len(sel2) == 20
+    dropped = sel1 - sel2
+    kept_old = sel1 & sel2
+    # every dropped old doc must hash AFTER every kept old doc
+    import hashlib
+
+    def h(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    if dropped and kept_old:
+        assert min(h(d) for d in dropped) > max(h(k) for k in kept_old)

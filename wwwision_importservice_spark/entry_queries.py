@@ -48,6 +48,8 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x6_mixture_sample",
+    "x7_bm25_stats",
     "j7_incremental_sync",
     "o3_quarantine",
     "s3b_sessionize",
@@ -277,14 +279,19 @@ def _only(spark, sf_dir, change_type):
     return cdc.filter(F.col("change_type") == change_type)
 
 
-@_register("j1_removed", _cdc_sql(with_hidden=False, only="remove"))
+# j1/j2: pytest tier since round 5 (slots freed for x6_mixture_sample +
+# x7_bm25_stats) — both are pure filters of j4_changeset's CDC frame and
+# share its oracle machinery; j4 (full frame) and j3 (the predicate
+# branch) stay driver-checked, so driver-side value coverage of the
+# remove/add classes is retained through j4's rows.
+@_register("j1_removed", _cdc_sql(with_hidden=False, only="remove"), driver=False)
 def j1_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 — removed = local ∖ source (left anti in the split plan;
     here the remove slice of the single-join CDC)."""
     return _only(spark, sf_dir, "remove")
 
 
-@_register("j2_added", _cdc_sql(with_hidden=False, only="add"))
+@_register("j2_added", _cdc_sql(with_hidden=False, only="add"), driver=False)
 def j2_added(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 — added = source ∖ local."""
     return _only(spark, sf_dir, "add")
@@ -2190,6 +2197,102 @@ def x6_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@_register(
+    "x6_mixture_sample",
+    """
+SELECT doc_id, lang, n_tokens FROM (
+  SELECT doc_id, lang, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cum_excl
+  FROM (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                AS BIGINT) AS n_tokens
+    FROM documents
+  )
+) WHERE cum_excl < CASE lang WHEN 'en' THEN 2000 WHEN 'fr' THEN 600
+                             WHEN 'es' THEN 600 WHEN 'de' THEN 600
+                             ELSE 0 END
+""",
+)
+def x6_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — token-budget data-mixture construction
+    (``operators/sampling.py:mixture_sample``): per language, admit
+    documents in deterministic id-hash order until the language's token
+    budget fills (en 2000 / fr-es-de 600 / zh absent → default 0,
+    exercising the drop path). The step that turns a corpus + a mixture
+    spec into a training set; id-hash admission keeps re-runs and
+    appends consistent. One shuffle on the group column."""
+    from wwwision_importservice_spark.operators.sampling import mixture_sample
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    base = docs.select(
+        "doc_id", "lang", F.size(toks).cast("long").alias("n_tokens")
+    )
+    return mixture_sample(
+        base, "doc_id", "lang", "n_tokens",
+        budgets={"en": 2000, "fr": 600, "es": 600, "de": 600},
+        default_budget=0,
+    )
+
+
+# The tf/df/dl subquery of the BM25 oracle (nested, not a CTE — DuckDB
+# 1.0 cannot bind WITH inside a derived table).
+_BM25_TF_SQL = """
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+    FROM (SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '')
+                 AS toks
+          FROM documents)
+  ) WHERE term IN ('hash', 'scan', 'merge')
+  GROUP BY doc_id, dl, term
+"""
+
+
+@_register(
+    "x7_bm25_stats",
+    f"""
+SELECT s.doc_id, s.term, s.tf, s.dl, d.df, t.n_docs, t.total_tokens,
+       CAST(22 * t.total_tokens * s.tf AS DOUBLE)
+       / CAST(10 * t.total_tokens * s.tf + 3 * t.total_tokens
+              + 9 * s.dl * t.n_docs AS DOUBLE) AS sat
+FROM ({_BM25_TF_SQL}) s
+JOIN (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM ({_BM25_TF_SQL}) GROUP BY term
+) d USING (term)
+CROSS JOIN (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> ''))) AS BIGINT) AS total_tokens
+  FROM documents
+) t
+""",
+)
+def x7_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — BM25 sufficient statistics + the exact rational saturation
+    term for the query {hash, scan, merge}
+    (``operators/retrieval.py``): tf/dl/df/N/total_tokens are LONGs and
+    sat is one double division, so the row set is bit-identical in any
+    engine. The ln-based idf (last-ulp libm divergence, measured) is
+    deliberately excluded from the oracle and differential-tested in
+    pytest (``test_bm25_matches_numpy_model``)."""
+    from wwwision_importservice_spark.operators.retrieval import (
+        query_term_stats,
+        saturation,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    stats = query_term_stats(docs, ["hash", "scan", "merge"])
+    return stats.withColumn(
+        "sat", saturation("tf", "dl", "n_docs", "total_tokens")
+    )
 
 
 @_register(

@@ -1,0 +1,158 @@
+"""Keyword retrieval over the document corpus — exact BM25, Spark-first.
+
+No reference counterpart (the reference has no search surface;
+SURVEY §2.9 driver-mandated extension family): this is the
+training-data-pipeline use case of scoring/filtering a 100 TB corpus
+against a fixed keyword query set (topic mining, contamination probes,
+targeted subset extraction), not an online search engine.
+
+Design:
+
+- **The query side is tiny and broadcast.** Terms are filtered
+  *before* any aggregation — the per-(doc, term) state only ever exists
+  for query terms, so corpus-wide cost is one token explode + two hash
+  aggregates regardless of vocabulary size.
+- **Exact integer sufficient statistics.** tf, dl, df, N, total_tokens
+  are all LONGs — order-independent, engine-exact. The one
+  transcendental (the idf's ln) is isolated in :func:`bm25_scores`;
+  :func:`query_term_stats` and the rational saturation term are
+  bit-identical in any engine (the oracle strategy — ln differs in the
+  last ulp between libm implementations, measured ~5% of inputs here).
+- **Lucene/BM25 formula** (public: Robertson & Zaragoza 2009, "The
+  Probabilistic Relevance Framework: BM25 and Beyond"):
+
+      idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+      sat(d,t) = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+      score(d) = Σ_t idf(t) · sat(d,t)
+
+  With the default k1 = 1.2 = 6/5 and b = 0.75 = 3/4 and
+  avgdl = T/N (T = total corpus tokens), sat reduces to the integer
+  ratio  22·T·tf / (10·T·tf + 3·T + 9·dl·N)  — one double division at
+  the end. Overflow bound: T ≤ 1e13 tokens (a 100 TB corpus) with
+  tf ≤ 4e4 keeps 10·T·tf < 4e18 < 2^63.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col):
+    """Whitespace tokens, lowercased, empties dropped — the same
+    tokenizer as ``operators/text.py`` so df/tf agree across operators."""
+    return F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
+
+
+def query_term_stats(
+    df: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact per-(doc, query-term) sufficient statistics for BM25.
+
+    Emits one row per (doc, term) with tf > 0:
+    ``(id, term, tf, dl, df, n_docs, total_tokens)`` — all LONG.
+
+    Plan: one corpus scan; dl/totals come from the same tokenization;
+    the term filter cuts the explode to query terms before the tf
+    aggregate; df (docs-per-term) and the corpus totals are
+    Zipf-or-smaller and broadcast back.
+    """
+    terms = [t.lower() for t in terms]
+    toks = _tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = base.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens(F.col(text_col)))).alias("total_tokens"),
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            "term",
+            F.col("tf").cast("long"),
+            F.col("dl").cast("long"),
+            F.col("df").cast("long"),
+            F.col("n_docs").cast("long"),
+            F.col("total_tokens").cast("long"),
+        )
+    )
+
+
+def saturation(tf, dl, n_docs, total_tokens):
+    """The k1=1.2, b=0.75 BM25 tf-saturation as an exact integer ratio
+    (see module header): 22·T·tf / (10·T·tf + 3·T + 9·dl·N)."""
+    t = F.col(total_tokens) if isinstance(total_tokens, str) else total_tokens
+    n = F.col(n_docs) if isinstance(n_docs, str) else n_docs
+    tf_c = F.col(tf) if isinstance(tf, str) else tf
+    dl_c = F.col(dl) if isinstance(dl, str) else dl
+    num = (F.lit(22) * t * tf_c).cast("double")
+    den = (F.lit(10) * t * tf_c + F.lit(3) * t + F.lit(9) * dl_c * n).cast(
+        "double"
+    )
+    return num / den
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BM25 score for a fixed term set (k1=1.2, b=0.75).
+
+    The ln-based idf makes the score engine-approximate (last-ulp libm
+    divergence) — differential-tested against a NumPy model in pytest
+    rather than oracle-hashed. The per-term products are summed in
+    sorted-term order (sorted array + ``F.aggregate``) so the result is
+    at least *run*-deterministic: a plain SQL sum would add floats in
+    partition arrival order.
+    """
+    stats = query_term_stats(df, terms, id_col=id_col, text_col=text_col)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = (idf * saturation("tf", "dl", "n_docs", "total_tokens")).alias(
+        "__contrib"
+    )
+    per_term = stats.select(F.col(id_col), F.col("term"), contrib)
+    return (
+        per_term.groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("term", "__contrib"))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["__contrib"],
+            ).alias("bm25"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: Sequence[str],
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Global top-k by BM25 with a deterministic (score desc, id asc)
+    tie-break. Plans as TakeOrderedAndProject — per-partition heads then
+    one driver-side merge of k rows per partition, never a global sort."""
+    scored = bm25_scores(df, terms, id_col=id_col, text_col=text_col)
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)

@@ -159,6 +159,55 @@ def training_order(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+) -> DataFrame:
+    """Token-budget data-mixture construction: per group (domain /
+    source / language), keep documents until the group's token budget is
+    filled — the step that turns a raw corpus + a mixture spec
+    ("so many tokens of web, so many of code, …") into a training set.
+
+    Selection order within a group is the md5 of the id (uniform,
+    deterministic, engine-portable — same construction as
+    :func:`training_order`), so re-runs, retries, and incremental
+    appends admit the same documents; appending new data only ever
+    *inserts* candidates into the fixed hash order, it never reshuffles
+    prior decisions arbitrarily. A document is kept iff its FIRST token
+    lands inside the budget (cumulative-exclusive < budget), so each
+    group overshoots by at most one document — the same boundary
+    convention as :func:`pack_sequences`. Groups absent from
+    ``budgets`` get ``default_budget`` (0 = dropped entirely).
+
+    Scale shape: one shuffle on the group column + a per-group ordered
+    cumulative sum (window). Group count is small (domains), so the
+    window partitions are few and big — exactly the shape AQE's skew
+    handling splits; for extreme single-group corpora, pre-split the
+    group upstream or sample with :func:`stratified_sample` first.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_excl = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    budget = F.lit(int(default_budget))
+    for value, b in budgets.items():
+        budget = F.when(F.col(group_col) == value, F.lit(int(b))).otherwise(budget)
+    # window expressions can't appear in WHERE — project, filter, drop
+    return (
+        df.withColumn("__mix_cum_excl", cum_excl)
+        .filter(F.col("__mix_cum_excl") < budget)
+        .drop("__mix_cum_excl")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
