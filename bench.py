@@ -32,10 +32,12 @@ them honestly. Not noise, not a regression — a corrected measurement.
 Round-5 total (~17s at sf0.1) is NOT like-for-like with r4's 13.99s:
 (+0.7s) the headline set gained x3_cosine_topk_blocked (the join-free
 exact-top-k scale path, measured alongside the cross-join baseline),
-and (+1.8s) x2_embedding_near_dup now runs at a MEASURED 0.55-recall
+(+1.8s) x2_embedding_near_dup now runs at a MEASURED 0.55-recall
 operating point — its r4 configuration was 3x cheaper but had 0.02
 pair recall (found almost nothing; see the query docstring's
-recall/volume grid). Correct-but-slower beats fast-but-broken.
+recall/volume grid) — and the set also gained j7_incremental_sync (the
+narrow-diff sync plan, measured alongside the wide j4 baseline).
+Correct-but-slower beats fast-but-broken.
 """
 
 from __future__ import annotations
@@ -66,6 +68,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # similarity, text analysis, streaming windows in batch form).
 HEADLINE = [
     "j4_changeset",
+    "j7_incremental_sync",
     "j5_soft_delete",
     "k1_keying_dedup",
     "k11_mapping",
