@@ -279,3 +279,28 @@ def test_incremental_watermark_narrows_updates_only(spark):
         ChangeType.UPDATE: {"recent", "unv"},
         ChangeType.REMOVE: {"gone"},
     }
+
+
+def test_empty_source_yields_removes_only(spark):
+    """Empty source frame → every active local row removes, hidden rows
+    excluded (the verify-recipe probe); both physical plans agree."""
+    from wwwision_importservice_spark.operators.diff import incremental_changes
+
+    src = source(spark, []).limit(0)
+    loc = local(spark, [("a", 1, False), ("b", 2, True), ("c", 3, False)])
+    kw = dict(local_id_col="id", local_version_col="version",
+              local_hidden_col="hidden")
+    for fn in (compute_changes, incremental_changes):
+        got = by_type(fn(src, loc, **kw))
+        assert got == {ChangeType.REMOVE: {"a", "c"}}, fn.__name__
+
+
+def test_empty_local_state_yields_adds_only(spark):
+    from wwwision_importservice_spark.operators.diff import incremental_changes
+
+    src = source(spark, [("a", 1, "p", 1), ("b", 2, "p", 2)])
+    loc = local(spark, []).limit(0)
+    kw = dict(local_id_col="id", local_version_col="version")
+    for fn in (compute_changes, incremental_changes):
+        got = by_type(fn(src, loc, **kw))
+        assert got == {ChangeType.ADD: {"a", "b"}}, fn.__name__
