@@ -1063,3 +1063,88 @@ def test_mixture_sample_append_consistency(spark):
 
     if dropped and kept_old:
         assert min(h(d) for d in dropped) > max(h(k) for k in kept_old)
+
+
+# --------------------------------------------------------------------------- #
+# X8 fuzzy matching (blocked edit-distance joins)
+# --------------------------------------------------------------------------- #
+
+def _naive_pairs(rows, d):
+    """Reference model: brute-force levenshtein over all pairs."""
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    out = set()
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1:]:
+            a, b = (ia, ib) if ia < ib else (ib, ia)
+            if lev(ta.lower(), tb.lower()) <= d:
+                out.add((a, b))
+    return out
+
+
+def test_fuzzy_self_pairs_matches_naive_model(spark):
+    """Completeness + exactness vs a brute-force model, covering the
+    long (positional-gram) and short (length-bucket) blocking classes,
+    case folding, transpositions, and insertions that shift positions."""
+    from wwwision_importservice_spark.operators.fuzzy import fuzzy_self_pairs
+
+    rows = [
+        (1, "jonathan smith"),
+        (2, "Jonathon Smith"),      # 1 sub + case
+        (3, "jonathan smyth"),      # 1 sub
+        (4, "jon smith"),           # far from 1 (6 deletes)
+        (5, "jonathan smith jr"),   # 3 inserts — beyond d=2
+        (6, "jjonathan smith"),     # 1 insert shifts every position
+        (7, "ab"),                  # short class
+        (8, "ba"),                  # short: ed=2 transposition
+        (9, "abc"),                 # short: ed vs ab = 1
+        (10, ""),                   # empty string
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["id_a"], r["id_b"])
+           for r in fuzzy_self_pairs(df, "id", "name", max_distance=2).collect()}
+    assert got == _naive_pairs(rows, 2)
+
+
+def test_fuzzy_self_pairs_block_cap_drops_heavy_grams(spark):
+    """max_block_size: a (gram,pos) key wider than the cap is excluded
+    from candidate generation — pairs only reachable through it vanish
+    (the documented recall trade for skew safety), while pairs sharing a
+    light gram survive."""
+    from wwwision_importservice_spark.operators.fuzzy import fuzzy_self_pairs
+
+    # 30 strings sharing only the heavy prefix gram; two also share a
+    # distinctive tail
+    rows = [(i, f"aa{chr(100 + i)}x{i:02d}") for i in range(30)]
+    rows += [(100, "aazzz99"), (101, "aazzz98")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    uncapped = {(r["id_a"], r["id_b"]) for r in fuzzy_self_pairs(
+        df, "id", "name", max_distance=2, max_block_size=None).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in fuzzy_self_pairs(
+        df, "id", "name", max_distance=2, max_block_size=10).collect()}
+    assert (100, 101) in capped          # light tail grams still block
+    assert capped <= uncapped
+
+
+def test_fuzzy_join_two_tables(spark):
+    from wwwision_importservice_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "globex inc"), (3, "xy")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        [(10, "Acme Corp."), (11, "initech"), (12, "yx"), (13, "acme korp")],
+        "rid long, rname string",
+    )
+    out = fuzzy_join(left, right, "lname", "rname", max_distance=2)
+    got = {(r["lid"], r["rid"]): r["distance"] for r in out.collect()}
+    assert got == {(1, 10): 1, (1, 13): 1, (3, 12): 2}

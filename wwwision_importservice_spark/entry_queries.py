@@ -48,6 +48,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x8_fuzzy_pairs",
     "x6_mixture_sample",
     "x7_bm25_stats",
     "j7_incremental_sync",
@@ -793,10 +794,15 @@ SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name
 FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders)
 """,
+    driver=False,
 )
 def t2_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 — DataIds.has as a set-wise membership test: left semi join
-    (customers that placed at least one order)."""
+    (customers that placed at least one order).
+
+    Pytest tier since round 5 (slot freed for x8_fuzzy_pairs): driver-
+    green r1-r4; the semi-join path stays driver-covered through the
+    contamination/containment queries and t1's anti-join twin."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey"))
     return (
@@ -2238,6 +2244,31 @@ def x6_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         budgets={"en": 2000, "fr": 600, "es": 600, "de": 600},
         default_budget=0,
     )
+
+
+@_register(
+    "x8_fuzzy_pairs",
+    """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       lower(a.s_name) AS name_a, lower(b.s_name) AS name_b,
+       CAST(levenshtein(lower(a.s_name), lower(b.s_name)) AS INT) AS distance
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(lower(a.s_name), lower(b.s_name)) <= 1
+""",
+)
+def x8_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 — typo-class entity resolution (``operators/fuzzy.py``):
+    supplier-name pairs within edit distance 1 via COMPLETE positional
+    q-gram blocking + exact levenshtein verify. The oracle is the naive
+    O(n²) cross-pair definition — matching it value-exactly proves the
+    blocking loses no pair, while the engine side never materializes
+    the cross join (the uniform 'Supplier#…' prefix is exactly the
+    catalog shape that defeats plain-gram blocking; positional grams
+    keep candidates to digit-aligned neighbors)."""
+    from wwwision_importservice_spark.operators.fuzzy import fuzzy_self_pairs
+
+    sup = load(spark, sf_dir, "supplier")
+    return fuzzy_self_pairs(sup, "s_suppkey", "s_name", max_distance=1)
 
 
 # The tf/df/dl subquery of the BM25 oracle (nested, not a CTE — DuckDB
