@@ -720,3 +720,94 @@ def test_bucketed_target_crash_windows_never_serve_half_state(spark, tmp_path):
         assert got == {"1": "a2", "2": "b2"}  # the complete NEW state
     finally:
         target.remove_all(spark)
+
+
+# --------------------------------------------------------------------------- #
+# SCD2 parquet target — full-history apply
+# --------------------------------------------------------------------------- #
+
+def test_scd2_lifecycle(spark, tmp_path):
+    """add → update → remove → re-add across four runs: every version is
+    kept with correct [valid_from, valid_to) intervals, current_state
+    exposes only live rows, and as_of() reconstructs any past state."""
+    from wwwision_importservice_spark.plans.pipeline import ImportPipeline
+    from wwwision_importservice_spark.plans.preset import Preset
+    from wwwision_importservice_spark.sinks.scd2 import Scd2ParquetTarget
+    from wwwision_importservice_spark.sources.memory import CallableSource
+
+    target = Scd2ParquetTarget(
+        path=str(tmp_path / "scd2"), id_column="id", version_column="version"
+    )
+    preset = Preset(
+        name="scd2-test",
+        source=CallableSource(
+            rows=[("a", 1, "v1", 1), ("b", 1, "w1", 2)],
+            schema="id string, v long, title string, _ord long",
+        ),
+        target=target,
+        id_attribute="id",
+        version_attribute="v",
+        order_attribute="_ord",
+    )
+    pipeline = ImportPipeline(preset, spark)
+
+    assert pipeline.run() == {"added": 2, "updated": 0, "removed": 0, "errors": 0}
+    # run 2: bump a, drop b
+    preset.source.rows = [("a", 5, "v2", 1)]
+    assert pipeline.run() == {"added": 0, "updated": 1, "removed": 1, "errors": 0}
+    # run 3: no-op
+    assert pipeline.run() == {"added": 0, "updated": 0, "removed": 0, "errors": 0}
+    # run 4: b re-appears → fresh add (gap preserved). Sequence
+    # numbers count STATE-CHANGING runs (next_run_seq = max(valid_from)+1),
+    # so the no-op run 3 consumed none and this lands at seq 3 —
+    # replaying the same runs reproduces identical history.
+    preset.source.rows = [("a", 5, "v2", 1), ("b", 9, "w2", 2)]
+    assert pipeline.run() == {"added": 1, "updated": 0, "removed": 0, "errors": 0}
+
+    hist = sorted(
+        (r["id"], r["version"], r["title"], r["valid_from"], r["valid_to"],
+         r["is_current"])
+        for r in target.history(spark).collect()
+    )
+    assert hist == [
+        ("a", 1, "v1", 1, 2, False),
+        ("a", 5, "v2", 2, None, True),
+        ("b", 1, "w1", 1, 2, False),
+        ("b", 9, "w2", 3, None, True),
+    ]
+    current = sorted(
+        (r["id"], r["version"]) for r in target.current_state(spark).collect()
+    )
+    assert current == [("a", 5), ("b", 9)]
+    # time travel: after run 1 both originals live; after run 2 only a's v2
+    asof1 = sorted((r["id"], r["version"]) for r in target.as_of(spark, 1).collect())
+    assert asof1 == [("a", 1), ("b", 1)]
+    asof2 = sorted((r["id"], r["version"]) for r in target.as_of(spark, 2).collect())
+    assert asof2 == [("a", 5)]
+    asof3 = sorted((r["id"], r["version"]) for r in target.as_of(spark, 3).collect())
+    assert asof3 == [("a", 5), ("b", 9)]
+
+
+def test_scd2_remove_all_closes_history(spark, tmp_path):
+    from wwwision_importservice_spark.plans.pipeline import ImportPipeline
+    from wwwision_importservice_spark.plans.preset import Preset
+    from wwwision_importservice_spark.sinks.scd2 import Scd2ParquetTarget
+    from wwwision_importservice_spark.sources.memory import CallableSource
+
+    target = Scd2ParquetTarget(path=str(tmp_path / "scd2"), id_column="id")
+    preset = Preset(
+        name="scd2-prune",
+        source=CallableSource(
+            rows=[("a", 1, "t", 1)], schema="id string, v long, t string, _ord long"
+        ),
+        target=target,
+        id_attribute="id",
+        version_attribute="v",
+        order_attribute="_ord",
+    )
+    ImportPipeline(preset, spark).run()
+    assert target.remove_all(spark) == 1
+    assert target.current_state(spark).count() == 0
+    # history retained, interval closed
+    rows = target.history(spark).collect()
+    assert len(rows) == 1 and rows[0]["valid_to"] == 2 and not rows[0]["is_current"]

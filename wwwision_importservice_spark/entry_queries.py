@@ -48,6 +48,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "sink_scd2_history",
     "x8_fuzzy_pairs",
     "x6_mixture_sample",
     "x7_bm25_stats",
@@ -1160,12 +1161,17 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n.n_name
 """,
+    driver=False,
 )
 def join_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style six-table join: local-supplier revenue per nation
     in one region/year. The dim chain region→nation→supplier broadcasts
     end to end; only the customer⋈orders⋈lineitem facts shuffle — and
-    Catalyst/AQE order those by the pushed-down selectivities."""
+    Catalyst/AQE order those by the pushed-down selectivities.
+
+    Pytest tier since round 5 (slot freed for sink_scd2_history):
+    driver-green r2-r4; join_q3_revenue keeps the fact-join family
+    driver-checked and this query stays in the bench headline set."""
     cutoff_lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
     cutoff_hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
     c = load(spark, sf_dir, "customer")
@@ -2243,6 +2249,104 @@ def x6_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, "doc_id", "lang", "n_tokens",
         budgets={"en": 2000, "fr": 600, "es": 600, "de": 600},
         default_budget=0,
+    )
+
+
+# Expected SCD2 history rebuilt in pure SQL: run 1 syncs the k%3!=0
+# slice of orders, run 2 the k%2!=0 slice with every 5th version bumped
+# one day. ed = epoch(o_orderdate).
+_SCD2_SQL = """
+SELECT id, version, o_totalprice, valid_from, valid_to, is_current FROM (
+  -- A∩B, bumped: closed original + current new version
+  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS version,
+         o_totalprice, CAST(1 AS BIGINT) AS valid_from,
+         CAST(2 AS BIGINT) AS valid_to, FALSE AS is_current
+  FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
+                AND o_orderkey % 5 = 0
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR),
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) + 86400,
+         o_totalprice, 2, NULL, TRUE
+  FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
+                AND o_orderkey % 5 = 0
+  UNION ALL
+  -- A∩B, unbumped: single still-current original (no-op in run 2)
+  SELECT CAST(o_orderkey AS VARCHAR),
+         CAST(floor(epoch(o_orderdate)) AS BIGINT),
+         o_totalprice, 1, NULL, TRUE
+  FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
+                AND o_orderkey % 5 <> 0
+  UNION ALL
+  -- A∖B: removed by run 2 — closed, no successor
+  SELECT CAST(o_orderkey AS VARCHAR),
+         CAST(floor(epoch(o_orderdate)) AS BIGINT),
+         o_totalprice, 1, 2, FALSE
+  FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 = 0
+  UNION ALL
+  -- B∖A: added by run 2 (carrying run 2's bump where k%5=0)
+  SELECT CAST(o_orderkey AS VARCHAR),
+         CAST(floor(epoch(o_orderdate)) AS BIGINT)
+           + CASE WHEN o_orderkey % 5 = 0 THEN 86400 ELSE 0 END,
+         o_totalprice, 2, NULL, TRUE
+  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0
+)
+"""
+
+
+@_register("sink_scd2_history", _SCD2_SQL)
+def sink_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 target under the hard check — two full sync runs against
+    ``sinks/scd2.py`` (run 1: the k%3≠0 order slice; run 2: the k%2≠0
+    slice with every 5th version bumped a day), then the ENTIRE history
+    table read back: closed-and-superseded rows, no-op carry-overs,
+    removal-closed rows, and run-2 inserts each land with the exact
+    ``[valid_from, valid_to)`` intervals the oracle rebuilds in pure
+    SQL. Same scratch-dir discipline as ``sink_e2e_state``."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from wwwision_importservice_spark.sinks.scd2 import Scd2ParquetTarget
+
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"sink_scd2_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    target = Scd2ParquetTarget(
+        scratch + "/state", id_column="id", version_column="version"
+    )
+
+    def run_source(mod: int, bump: bool) -> DataFrame:
+        orders = load(spark, sf_dir, "orders")
+        k = F.col("o_orderkey")
+        sliced = orders.filter(k % mod != 0)
+        version = F.unix_timestamp("o_orderdate")
+        if bump:
+            version = version + F.when(k % 5 == 0, 86400).otherwise(0)
+        return sliced.select(
+            k.cast("string").alias("_id"),
+            version.cast("long").alias("_version"),
+            "o_totalprice",
+        )
+
+    for mod, bump in ((3, False), (2, True)):
+        cdc = compute_changes(
+            run_source(mod, bump),
+            target.current_state(spark),
+            local_id_col="id",
+            local_version_col="version",
+        )
+        target.apply(spark, cdc)
+
+    return target.history(spark).select(
+        "id",
+        F.col("version").cast("long").alias("version"),
+        "o_totalprice",
+        "valid_from",
+        "valid_to",
+        "is_current",
     )
 
 

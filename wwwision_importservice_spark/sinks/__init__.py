@@ -9,12 +9,14 @@ with batched writes, soft-delete mode, and per-row error quarantine.
 from wwwision_importservice_spark.sinks.base import ApplyStats, DataTarget
 from wwwision_importservice_spark.sinks.bucketed import BucketedParquetTarget
 from wwwision_importservice_spark.sinks.parquet import ParquetTarget
+from wwwision_importservice_spark.sinks.scd2 import Scd2ParquetTarget
 from wwwision_importservice_spark.sinks.dbapi import DbapiTarget
 from wwwision_importservice_spark.sinks.jdbc import JdbcTarget
 
 TARGET_TYPES: dict[str, type[DataTarget]] = {
     "parquet": ParquetTarget,
     "bucketed_parquet": BucketedParquetTarget,
+    "scd2_parquet": Scd2ParquetTarget,
     "dbapi": DbapiTarget,
     "jdbc": JdbcTarget,
 }
@@ -29,6 +31,7 @@ __all__ = [
     "DataTarget",
     "ParquetTarget",
     "BucketedParquetTarget",
+    "Scd2ParquetTarget",
     "DbapiTarget",
     "JdbcTarget",
     "TARGET_TYPES",
