@@ -534,3 +534,28 @@ def test_diff_strategy_option_validation():
     preset = PresetRegistry(cfg).build("users")
     assert preset.diff_strategy == "incremental"
     assert not preset.force_broadcast_state
+
+
+def test_diff_strategy_auto_probes_target_size(spark, tmp_path):
+    """auto: a narrow-state count decides the plan — small target →
+    split broadcast plan; threshold 0 → the full-outer shuffle plan.
+    (AQE cannot make this choice itself: full-outer never broadcasts.)"""
+    rows = [("a", 1, "t", 1), ("b", 2, "t", 2)]
+    preset = make_preset(tmp_path, rows, diff_strategy="auto")
+    pipeline = ImportPipeline(preset, spark)
+    pipeline.run()  # seed the target so current_state is non-empty
+
+    plan = pipeline.explain()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin FullOuter" not in plan
+
+    preset.auto_broadcast_rows = 0
+    plan = pipeline.explain()
+    assert "SortMergeJoin FullOuter" in plan
+
+    # and the sync itself still behaves under auto
+    preset.auto_broadcast_rows = 2_000_000
+    preset.source.rows = [("a", 9, "t2", 1)]
+    assert pipeline.run() == {
+        "added": 0, "updated": 1, "removed": 1, "errors": 0
+    }

@@ -74,7 +74,8 @@ class ImportPipeline:
         narrow ``(_id,_version)`` diff + broadcast late materialization
         for mostly-unchanged syncs — without a dataProcessor the K1
         dedup is additionally deferred past the changed-id filter, so no
-        exchange carries the full wide data."""
+        exchange carries the full wide data; ``auto`` = probe the narrow
+        target size (one count job) and pick broadcast vs full."""
         records = self.preset.load(self.spark)
         self._dispatch(Events.PRE_COMPUTE_CHANGES, records)
         target = self.preset.target
@@ -88,7 +89,18 @@ class ImportPipeline:
             local_hidden_col=target.hidden_column,
             id_prefix=target.id_prefix,
         )
-        if self.preset.diff_strategy == "incremental":
+        strategy = self.preset.diff_strategy
+        if strategy == "auto":
+            # One count job over the NARROW state (id/version/hidden —
+            # Catalyst prunes the scan) decides the plan. Worth a probe
+            # job because AQE can never broadcast-convert the full-outer
+            # plan itself (diff.py header); the guard counts in run()
+            # trigger jobs anyway, so a sync was never zero-job.
+            n = local.count()
+            strategy = (
+                "broadcast" if n <= self.preset.auto_broadcast_rows else "full"
+            )
+        if strategy == "incremental":
             wide = worder = None
             if self.preset.data_processor is None:
                 wide = self.preset.load(self.spark, dedup=False).df
@@ -107,7 +119,9 @@ class ImportPipeline:
         return compute_changes(
             records.df,
             local,
-            broadcast_local=self.preset.force_broadcast_state,
+            broadcast_local=(
+                strategy == "broadcast" or self.preset.force_broadcast_state
+            ),
             **common,
         )
 

@@ -84,9 +84,10 @@ _PRESET_OPTIONS = (
     .has("dataProcessor", "callable")
     .has("forceBroadcastState", "boolean")
     .has("diffStrategy", "string")
+    .has("autoBroadcastRows", "integer")
 )
 
-DIFF_STRATEGIES = ("full", "broadcast", "incremental")
+DIFF_STRATEGIES = ("full", "broadcast", "incremental", "auto")
 
 
 @dataclass
@@ -109,9 +110,19 @@ class Preset:
     # "broadcast" = split 3-join plan for small target keysets (alias of
     # forceBroadcastState), "incremental" = narrow (_id,_version) diff +
     # broadcast late materialization for mostly-unchanged syncs
-    # (operators/diff.py:incremental_changes). All three produce the
-    # identical ChangeSet — this picks a plan, never semantics.
+    # (operators/diff.py:incremental_changes), "auto" = probe the narrow
+    # target keyset size at plan time and pick broadcast under
+    # auto_broadcast_rows, else full. All produce the identical
+    # ChangeSet — this picks a plan, never semantics.
     diff_strategy: str = "full"
+    # "auto" threshold: a narrow (id, version, hidden) row is ~50 bytes,
+    # so the default 2M rows ≈ 100 MB build side — comfortably inside a
+    # typical executor broadcast budget. Why Spark can't do this itself:
+    # AQE broadcast-converts inner/semi/anti joins but never FULL OUTER
+    # (see operators/diff.py header), so the choice between the
+    # full-outer plan and the split broadcast plan has to happen before
+    # planning — exactly what this probe does.
+    auto_broadcast_rows: int = 2_000_000
 
     def load(
         self, spark: SparkSession, dedup: bool = True
@@ -258,6 +269,9 @@ class PresetRegistry:
             data_processor=processor,
             force_broadcast_state=strategy == "broadcast",
             diff_strategy=strategy,
+            auto_broadcast_rows=int(
+                options.get("autoBroadcastRows", 2_000_000)
+            ),
         )
 
     @staticmethod
