@@ -559,3 +559,41 @@ def test_diff_strategy_auto_probes_target_size(spark, tmp_path):
     assert pipeline.run() == {
         "added": 0, "updated": 1, "removed": 1, "errors": 0
     }
+
+
+def test_replay_changelog_helper_and_discovery(spark, tmp_path):
+    """replay_changelog: discovers committed run dirs, applies them in
+    lexicographic order, skips nothing, and reproduces the primary —
+    including an intermediate EMPTY (all-noop) run directory."""
+    from wwwision_importservice_spark.plans.pipeline import replay_changelog
+
+    preset = make_preset(tmp_path, [("a", 1, "t1", 1), ("b", 2, "t2", 2)])
+    pipeline = ImportPipeline(preset, spark)
+    clog = str(tmp_path / "clog")
+    pipeline.run(changelog_dir=clog, run_id="r01")
+    pipeline.run(changelog_dir=clog, run_id="r02")  # no-op run, empty dir
+    preset.source.rows = [("a", 9, "t1b", 1), ("c", 1, "t3", 2)]
+    pipeline.run(changelog_dir=clog, run_id="r03")
+
+    replica = ParquetTarget(
+        path=str(tmp_path / "replica"), id_column="id", version_column="version"
+    )
+    totals = replay_changelog(spark, replica, clog)
+    assert totals == {
+        "added": 3, "updated": 1, "removed": 1, "errors": 0, "runs": 3
+    }
+    primary = {
+        r["id"]: (r["version"], r["title"])
+        for r in spark.read.parquet(str(tmp_path / "tgt")).collect()
+    }
+    got = {
+        r["id"]: (r["version"], r["title"])
+        for r in spark.read.parquet(str(tmp_path / "replica")).collect()
+    }
+    assert got == primary
+
+    # missing directory -> clean error
+    from wwwision_importservice_spark.errors import ImportServiceError
+
+    with pytest.raises(ImportServiceError, match="does not exist"):
+        replay_changelog(spark, replica, str(tmp_path / "nope"))

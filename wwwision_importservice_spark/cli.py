@@ -124,6 +124,30 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_replay(args: argparse.Namespace) -> int:
+    """Engine extension: rebuild/catch-up the preset's target purely
+    from a CDC changelog (the consumer half of ``run --changelog-dir``).
+    Replays committed ``run_id=*`` directories in lexicographic order
+    unless ``--runs`` pins an explicit comma-separated order."""
+    from wwwision_importservice_spark.plans.pipeline import replay_changelog
+
+    pipeline = _pipeline(args)
+    runs = args.runs.split(",") if args.runs else None
+    try:
+        totals = replay_changelog(
+            pipeline.spark, pipeline.preset.target, args.changelog_dir, runs
+        )
+    except ImportServiceError as exc:
+        print(f"Replay failed: {exc}", file=sys.stderr)
+        return 1
+    print(
+        f"Replayed {totals['runs']} run(s): added={totals['added']} "
+        f"updated={totals['updated']} removed={totals['removed']} "
+        f"errors={totals['errors']}"
+    )
+    return 0
+
+
 def cmd_presets(args: argparse.Namespace) -> int:
     for name in _registry(args).preset_names():
         print(name)
@@ -180,6 +204,17 @@ def main(argv: list[str] | None = None) -> int:
     p_compact.add_argument("preset")
     p_compact.add_argument("--target-file-mb", type=int, default=128)
     p_compact.set_defaults(fn=cmd_compact)
+
+    p_replay = sub.add_parser(
+        "replay",
+        help="apply a CDC changelog to the preset's target (catch-up/replica)",
+    )
+    p_replay.add_argument("preset")
+    p_replay.add_argument("--changelog-dir", required=True)
+    p_replay.add_argument(
+        "--runs", help="comma-separated run ids in apply order (default: all, sorted)"
+    )
+    p_replay.set_defaults(fn=cmd_replay)
 
     p_presets = sub.add_parser("presets", help="list configured presets")
     p_presets.set_defaults(fn=cmd_presets)

@@ -50,6 +50,50 @@ class Events:
     POST_REMOVE_DATA = "postRemoveData"
 
 
+def replay_changelog(
+    spark: SparkSession,
+    target,
+    changelog_dir: str,
+    runs: list[str] | None = None,
+) -> dict[str, int]:
+    """Apply a changelog's run directories to a target, in order — the
+    consumer half of the CDC feed contract: a replica built purely from
+    the changelog reproduces the primary's state (pinned by
+    ``test_changelog_replay_reproduces_target``).
+
+    ``runs=None`` discovers ``run_id=*`` directories and applies them in
+    LEXICOGRAPHIC order — use sortable run ids (zero-padded sequence
+    numbers or ISO timestamps) or pass the order explicitly. Staging and
+    parked directories (``.staging_*`` / ``.prev_*``) are never replayed
+    — only committed runs exist under ``run_id=``.
+    """
+    if runs is None:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(changelog_dir)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            raise ImportServiceError(
+                f'Changelog directory "{changelog_dir}" does not exist'
+            )
+        names = [
+            s.getPath().getName() for s in fs.listStatus(hpath)
+        ]
+        runs = sorted(
+            n.split("=", 1)[1] for n in names if n.startswith("run_id=")
+        )
+    totals = {"added": 0, "updated": 0, "removed": 0, "errors": 0, "runs": 0}
+    base = changelog_dir.rstrip("/")
+    for run in runs:
+        cdc = spark.read.parquet(f"{base}/run_id={run}")
+        stats = target.apply(spark, cdc)
+        totals["added"] += stats.added
+        totals["updated"] += stats.updated
+        totals["removed"] += stats.removed
+        totals["errors"] += stats.errors
+        totals["runs"] += 1
+    return totals
+
+
 class ImportPipeline:
     def __init__(self, preset: Preset, spark: SparkSession) -> None:
         self.preset = preset
