@@ -643,3 +643,50 @@ def test_probe_inventory(spark):
     # either state. Sanity: each value is a real bool (a probe that
     # raises would surface here, not in a silently-skipped test).
     assert all(isinstance(v, bool) for v in gates.values())
+
+
+def test_stream_sync_into_scd2_target(spark, tmp_path):
+    """Composition: foreachBatch sync drives the SCD2 history target —
+    each micro-batch becomes one run sequence; superseded versions stay
+    queryable via as_of()."""
+    from wwwision_importservice_spark.sinks.scd2 import Scd2ParquetTarget
+
+    target = Scd2ParquetTarget(
+        path=str(tmp_path / "hist"), id_column="id", version_column="version"
+    )
+    batch1 = spark.createDataFrame(
+        [(1, "one", 1), (2, "two", 1)], "item_id long, name string, ver long"
+    )
+    batch2 = spark.createDataFrame(
+        [(1, "one-v2", 2)], "item_id long, name string, ver long"
+    )
+    in_dir = _write_ordered_parquet(spark, tmp_path, "scd2_in", [batch1, batch2])
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    writer = stream_sync(
+        stream,
+        target,
+        id_attribute="item_id",
+        version_attribute="ver",
+        order_by="item_id",
+        mapper=Mapper({"name": "name"}),
+    )
+    _run_stream(writer, tmp_path, "scd2sync")
+
+    hist = sorted(
+        (r["id"], r["version"], r["name"], r["valid_from"], r["valid_to"],
+         r["is_current"])
+        for r in target.history(spark).collect()
+    )
+    assert hist == [
+        ("1", 1, "one", 1, 2, False),
+        ("1", 2, "one-v2", 2, None, True),
+        ("2", 1, "two", 1, None, True),
+    ]
+    asof1 = sorted(
+        (r["id"], r["version"]) for r in target.as_of(spark, 1).collect()
+    )
+    assert asof1 == [("1", 1), ("2", 1)]
