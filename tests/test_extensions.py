@@ -1148,3 +1148,73 @@ def test_fuzzy_join_two_tables(spark):
     out = fuzzy_join(left, right, "lname", "rname", max_distance=2)
     got = {(r["lid"], r["rid"]): r["distance"] for r in out.collect()}
     assert got == {(1, 10): 1, (1, 13): 1, (3, 12): 2}
+
+
+def test_pq_encode_shape_and_determinism(spark, sf_dir):
+    from wwwision_importservice_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    books = train_pq_codebooks(corpus, "c_id", m=16, n_codes=16, iterations=2)
+    assert books.count() == 16 * 16
+    enc = pq_encode(corpus, books, "c_id")
+    rows = enc.collect()
+    assert len(rows) == corpus.count()
+    for r in rows[:20]:
+        assert len(r["codes"]) == 16
+        assert all(0 <= c < 16 for c in r["codes"])
+        assert r["norm"] > 0
+    # md5-seeded training + argmin assignment → bit-stable re-run
+    again = {r["c_id"]: r["codes"] for r in pq_encode(
+        corpus, train_pq_codebooks(corpus, "c_id", m=16, n_codes=16, iterations=2),
+        "c_id").collect()}
+    assert {r["c_id"]: r["codes"] for r in rows} == again
+
+
+def test_pq_adc_and_rerank_recall_vs_exact(spark, sf_dir):
+    """Measured recall floors for the PQ family (deterministic md5-
+    seeded training → reproducible numbers; measured at these params:
+    ADC mean recall@5 = 0.456, rerank = 0.896 on the testdata). Raw ADC
+    is the shortlist generator; overfetch+exact-rerank is the
+    production read path."""
+    from wwwision_importservice_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_pq,
+        cosine_topk_pq_rerank,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    books = train_pq_codebooks(
+        corpus, "c_id", m=16, n_codes=16, iterations=4
+    ).cache()
+    books.count()
+    enc = pq_encode(corpus, books, "c_id").cache()
+    enc.count()
+
+    exact = {}
+    for r in cosine_topk(queries, corpus, k=5).collect():
+        exact.setdefault(r["q_id"], set()).add(r["c_id"])
+
+    def mean_recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["q_id"], set()).add(r["c_id"])
+        rs = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
+        return sum(rs) / len(rs)
+
+    adc = mean_recall(cosine_topk_pq(queries, enc, books, k=5))
+    rerank = mean_recall(
+        cosine_topk_pq_rerank(queries, corpus, enc, books, k=5, overfetch=8)
+    )
+    assert adc >= 0.4, adc
+    assert rerank >= 0.8, rerank
+    assert rerank > adc
