@@ -1218,3 +1218,35 @@ def test_pq_adc_and_rerank_recall_vs_exact(spark, sf_dir):
     assert adc >= 0.4, adc
     assert rerank >= 0.8, rerank
     assert rerank > adc
+
+
+def test_fuzzy_self_pairs_property_vs_model(spark):
+    """Property-style sweep: randomized-but-derandomized string sets
+    (mixed lengths straddling the long/short blocking boundary, shared
+    prefixes, repeats) must match the brute-force model exactly for
+    d in {1, 2} — the completeness claim of the positional-q-gram lemma
+    over many shapes, not one handcrafted case."""
+    import random
+
+    from wwwision_importservice_spark.operators.fuzzy import fuzzy_self_pairs
+
+    rng = random.Random(42)
+    alphabet = "abcx"
+    cases = []
+    for _ in range(6):
+        n = rng.randint(4, 10)
+        rows = []
+        for i in range(n):
+            length = rng.choice([0, 1, 2, 3, 5, 8, 12])
+            rows.append(
+                (i, "".join(rng.choice(alphabet) for _ in range(length)))
+            )
+        cases.append(rows)
+    for rows in cases:
+        df = spark.createDataFrame(rows, "id long, name string")
+        for d in (1, 2):
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in fuzzy_self_pairs(df, "id", "name", max_distance=d).collect()
+            }
+            assert got == _naive_pairs(rows, d), (rows, d)
