@@ -1,0 +1,126 @@
+"""End-to-end training-corpus curation — the X-operator families composed.
+
+The pipeline a pretraining data team actually runs, expressed with this
+repo's operators over the driver testdata:
+
+    raw documents
+      → exact dedup            (X1: drop byte-identical bodies)
+      → near-dup canonicals    (X2: MinHash-LSH → connected components,
+                                keep one doc per cluster)
+      → quality gate           (X5: C4/Gopher-style heuristics)
+      → PII scrub              (X5: emails/phones/IPs → typed masks)
+      → language ID            (X5: n-gram heuristic)
+      → mixture sampling       (X6: per-language token budgets)
+      → train/val split        (X6: deterministic id-hash buckets)
+      → sequence packing       (X6: token-budget packs per shard)
+      → partitioned parquet    (split/lang-partitioned, pruned reads)
+
+Run::
+
+    python examples/corpus_pipeline.py [sf_dir] [out_dir]
+
+Every stage is deterministic (id-hash ordering, no rand()), so re-runs
+produce the identical corpus — the property that makes incremental
+re-curation and retry-safe backfills possible.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from wwwision_importservice_spark.operators.dedup import (  # noqa: E402
+    connected_components,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures_inline,
+)
+from wwwision_importservice_spark.operators.sampling import (  # noqa: E402
+    hash_split,
+    mixture_sample,
+    pack_sequences,
+)
+from wwwision_importservice_spark.operators.text import (  # noqa: E402
+    detected_language,
+    quality_filter,
+    scrub_pii,
+    token_count,
+)
+from wwwision_importservice_spark.session import get_spark  # noqa: E402
+
+
+def curate(spark, sf_dir: str):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # X1 — exact dedup: keep the smallest doc_id per identical body
+    survivors = exact_dedup(docs, ["text"], "doc_id").select("doc_id")
+    deduped = docs.join(survivors, "doc_id", "left_semi")
+
+    # X2 — near-dup canonicals: LSH pairs → components → keep cluster min
+    sig = minhash_signatures_inline(deduped, "doc_id", "text", n=3, num_hashes=16)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    clusters = connected_components(
+        deduped.select("doc_id"), pairs, id_col="doc_id"
+    )
+    canonical = deduped.join(
+        clusters.filter(F.col("id") == F.col("cluster_id")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+
+    # X5 — quality gate, PII scrub, language id, token counts
+    gated = quality_filter(canonical, "text", min_score=0.3, min_tokens=5)
+    cleaned = gated.withColumn("text", scrub_pii(F.col("text")))
+    tagged = cleaned.withColumn(
+        "detected_lang", detected_language(F.col("text"))
+    ).withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+
+    # X6 — per-language token budgets, then split, then pack
+    mixed = mixture_sample(
+        tagged,
+        "doc_id",
+        "lang",
+        "n_tokens",
+        budgets={"en": 4000, "fr": 1500, "es": 1500, "de": 1500, "zh": 1000},
+    )
+    split = hash_split(mixed, "doc_id", {"train": 0.9, "val": 0.1})
+    return pack_sequences(
+        split, "doc_id", "n_tokens", budget=512, shards=16
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_corpus"
+    spark = get_spark(app_name="corpus-pipeline")
+    packed = curate(spark, sf_dir)
+    (
+        packed.write.mode("overwrite")
+        .partitionBy("split", "lang")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    stats = (
+        back.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.countDistinct("shard", "pack_id").alias("packs"),
+        )
+        .orderBy("split", "lang")
+    )
+    print(f"curated corpus at {out_dir}:")
+    for r in stats.collect():
+        print(
+            f"  {r['split']:5s} {r['lang']}: {r['docs']:5d} docs, "
+            f"{r['tokens']:7d} tokens, {r['packs']:4d} packs"
+        )
+
+
+if __name__ == "__main__":
+    main()

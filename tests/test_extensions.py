@@ -1250,3 +1250,29 @@ def test_fuzzy_self_pairs_property_vs_model(spark):
                 for r in fuzzy_self_pairs(df, "id", "name", max_distance=d).collect()
             }
             assert got == _naive_pairs(rows, d), (rows, d)
+
+
+def test_corpus_pipeline_example_runs(spark, sf_dir, tmp_path):
+    """examples/corpus_pipeline.py end to end at test scale: the curated
+    output respects the mixture budgets (per-lang token sums <= budget +
+    one overshoot doc) and both splits materialize."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "corpus_pipeline", "examples/corpus_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    packed = mod.curate(spark, sf_dir)
+    rows = packed.select("doc_id", "lang", "split", "n_tokens").collect()
+    assert rows
+    budgets = {"en": 4000, "fr": 1500, "es": 1500, "de": 1500, "zh": 1000}
+    by_lang = {}
+    max_doc = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_tokens"]
+        max_doc[r["lang"]] = max(max_doc.get(r["lang"], 0), r["n_tokens"])
+    for lang, total in by_lang.items():
+        assert total <= budgets[lang] + max_doc[lang], (lang, total)
+    assert {r["split"] for r in rows} <= {"train", "val"}
