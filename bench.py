@@ -29,15 +29,20 @@ so the step is fully explained by the methodology switch above: under
 (the dominant cost, kept for oracle bit-exactness); noop-write pays for
 them honestly. Not noise, not a regression — a corrected measurement.
 
-Round-5 total (~17s at sf0.1) is NOT like-for-like with r4's 13.99s:
+Round-5 total (measured 18.3s quiet-load best-of-3 at sf0.1) is NOT
+like-for-like with r4's 13.99s:
 (+0.7s) the headline set gained x3_cosine_topk_blocked (the join-free
 exact-top-k scale path, measured alongside the cross-join baseline),
-(+1.8s) x2_embedding_near_dup now runs at a MEASURED 0.55-recall
+(+1.9s) x2_embedding_near_dup now runs at a MEASURED 0.55-recall
 operating point — its r4 configuration was 3x cheaper but had 0.02
 pair recall (found almost nothing; see the query docstring's
-recall/volume grid) — and the set also gained j7_incremental_sync (the
-narrow-diff sync plan, measured alongside the wide j4 baseline).
-Correct-but-slower beats fast-but-broken.
+recall/volume grid) — and (+1.5s) the set gained j7_incremental_sync — the narrow-diff sync
+plan, measured alongside the wide j4 baseline. j7 is SLOWER than j4 on
+this thin-row fixture by design (stage overhead dominates when the
+payload is 2 small columns); its shuffle-byte advantage on realistic
+kilobyte rows is measured and pinned in
+test_incremental_diff_shuffles_less_than_full. Correct-but-slower
+beats fast-but-broken, and measured-honestly beats cherry-picked.
 """
 
 from __future__ import annotations
