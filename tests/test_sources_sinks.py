@@ -811,3 +811,45 @@ def test_scd2_remove_all_closes_history(spark, tmp_path):
     # history retained, interval closed
     rows = target.history(spark).collect()
     assert len(rows) == 1 and rows[0]["valid_to"] == 2 and not rows[0]["is_current"]
+
+
+def test_parquet_target_schema_evolution_on_new_column(spark, tmp_path):
+    """A source that grows a column mid-life: rows written before the
+    column existed read back NULL, new/updated rows carry it — the
+    allowMissingColumns union contract of the MERGE emulation, pinned
+    so a refactor can't silently start dropping late columns."""
+    from wwwision_importservice_spark.plans.pipeline import ImportPipeline
+    from wwwision_importservice_spark.plans.preset import Preset
+    from wwwision_importservice_spark.sinks.parquet import ParquetTarget
+    from wwwision_importservice_spark.sources.memory import CallableSource
+
+    target = ParquetTarget(
+        path=str(tmp_path / "tgt"), id_column="id", version_column="version"
+    )
+    preset = Preset(
+        name="evolve",
+        source=CallableSource(
+            rows=[("a", 1, "t1", 1), ("b", 1, "t2", 2)],
+            schema="id string, v long, title string, _ord long",
+        ),
+        target=target,
+        id_attribute="id",
+        version_attribute="v",
+        order_attribute="_ord",
+    )
+    ImportPipeline(preset, spark).run()
+
+    # the source gains a column; only 'a' is touched (version bump)
+    preset.source = CallableSource(
+        rows=[("a", 5, "t1b", "extra-a", 1), ("b", 1, "t2", "extra-b", 2)],
+        schema="id string, v long, title string, note string, _ord long",
+    )
+    stats = ImportPipeline(preset, spark).run()
+    assert stats == {"added": 0, "updated": 1, "removed": 0, "errors": 0}
+
+    rows = {
+        r["id"]: (r["version"], r["title"], r["note"])
+        for r in spark.read.parquet(str(tmp_path / "tgt")).collect()
+    }
+    # updated row carries the new column; untouched row reads back NULL
+    assert rows == {"a": (5, "t1b", "extra-a"), "b": (1, "t2", None)}
