@@ -1276,3 +1276,85 @@ def test_corpus_pipeline_example_runs(spark, sf_dir, tmp_path):
     for lang, total in by_lang.items():
         assert total <= budgets[lang] + max_doc[lang], (lang, total)
     assert {r["split"] for r in rows} <= {"train", "val"}
+
+
+# --------------------------------------------------------------------------- #
+# BPE tokenizer training (operators/bpe.py)
+# --------------------------------------------------------------------------- #
+
+def _reference_bpe(word_freqs, num_merges, min_pair_freq=2):
+    """Sennrich-style reference trainer over a python dict, with the
+    engine's deterministic (count desc, pair asc) tiebreak."""
+    vocab = {tuple(w + "▁"): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        if counts[pair] < min_pair_freq:
+            break
+        merges.append(pair)
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and (syms[j], syms[j + 1]) == pair:
+                    out.append(syms[j] + syms[j + 1])
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_training_matches_reference_model(spark, sf_dir):
+    """The distributed trainer must reproduce the classic single-process
+    BPE algorithm merge-for-merge on the real documents table."""
+    from wwwision_importservice_spark.operators.bpe import (
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = train_bpe(docs, num_merges=25)
+
+    wf = {
+        r["word"]: r["freq"]
+        for r in word_frequencies(docs).collect()
+    }
+    want = _reference_bpe(wf, 25)
+    assert got == want
+
+
+def test_bpe_encode_roundtrip_and_budget_use(spark):
+    from wwwision_importservice_spark.operators.bpe import (
+        bpe_encode,
+        bpe_token_count,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, num_merges=12, min_pair_freq=2)
+    assert merges  # learned something
+    enc = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe_encode(docs, merges, "doc_id").collect()}
+    # lossless: concatenating tokens reproduces the marked-up words
+    for did, text in ((1, "low lower lowest low low"), (2, "new newer newest new")):
+        rebuilt = "".join(enc[did]).replace("▁", " ").strip()
+        assert rebuilt == text
+    # token counts are positive and <= char counts
+    counts = {r["doc_id"]: r["n_bpe_tokens"]
+              for r in bpe_token_count(docs, merges, "doc_id").collect()}
+    assert all(0 < counts[d] <= len(t) + 5 for d, t in
+               ((1, "low lower lowest low low"), (2, "new newer newest new")))
+    # frequent whole word 'low▁' should have become a single token
+    assert "low▁" in enc[1]
