@@ -9,8 +9,10 @@ repo's operators over the driver testdata:
                                 keep one doc per cluster)
       → quality gate           (X5: C4/Gopher-style heuristics)
       → PII scrub              (X5: emails/phones/IPs → typed masks)
-      → language ID            (X5: n-gram heuristic)
-      → mixture sampling       (X6: per-language token budgets)
+      → language ID            (X5: n-gram heuristic; drops docs the
+                                detector can't place — 'und')
+      → mixture sampling       (X6: per-SOURCE token budgets — the
+                                domain-mixture spec)
       → train/val split        (X6: deterministic id-hash buckets)
       → sequence packing       (X6: token-budget packs per shard)
       → partitioned parquet    (split/lang-partitioned, pruned reads)
@@ -80,13 +82,23 @@ def curate(spark, sf_dir: str):
         "detected_lang", detected_language(F.col("text"))
     ).withColumn("n_tokens", token_count(F.col("text")).cast("long"))
 
-    # X6 — per-language token budgets, then split, then pack
+    # language-ID gate: docs the detector can't place are dropped (on
+    # this synthetic fixture the text is English-ish regardless of the
+    # ground-truth lang column, so detection honestly yields en/und —
+    # the gate is the stage a real crawl needs)
+    identified = tagged.filter(F.col("detected_lang") != "und")
+
+    # X6 — DOMAIN mixture: token budgets per crawl source; sources
+    # without an explicit budget get the default (here: admitted at a
+    # smaller budget, exercising both paths)
+    budgets = {"src0": 1200, "src1": 1200, "src2": 800, "src3": 800}
     mixed = mixture_sample(
-        tagged,
+        identified,
         "doc_id",
-        "lang",
+        "source",
         "n_tokens",
-        budgets={"en": 4000, "fr": 1500, "es": 1500, "de": 1500, "zh": 1000},
+        budgets=budgets,
+        default_budget=300,
     )
     split = hash_split(mixed, "doc_id", {"train": 0.9, "val": 0.1})
     return pack_sequences(
@@ -101,23 +113,23 @@ def main() -> None:
     packed = curate(spark, sf_dir)
     (
         packed.write.mode("overwrite")
-        .partitionBy("split", "lang")
+        .partitionBy("split", "source")
         .parquet(out_dir)
     )
     back = spark.read.parquet(out_dir)
     stats = (
-        back.groupBy("split", "lang")
+        back.groupBy("split", "source")
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("n_tokens").alias("tokens"),
             F.countDistinct("shard", "pack_id").alias("packs"),
         )
-        .orderBy("split", "lang")
+        .orderBy("split", "source")
     )
     print(f"curated corpus at {out_dir}:")
     for r in stats.collect():
         print(
-            f"  {r['split']:5s} {r['lang']}: {r['docs']:5d} docs, "
+            f"  {r['split']:5s} {r['source']:6s}: {r['docs']:4d} docs, "
             f"{r['tokens']:7d} tokens, {r['packs']:4d} packs"
         )
 

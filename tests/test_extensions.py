@@ -1107,6 +1107,9 @@ def test_fuzzy_self_pairs_matches_naive_model(spark):
         (8, "ba"),                  # short: ed=2 transposition
         (9, "abc"),                 # short: ed vs ab = 1
         (10, ""),                   # empty string
+        (11, "abcd"),               # LONG class (d=2 floor is 6? no: 2*(2+1)=6 → still short at d=2, long at d=1)
+        (12, "abcde"),              # straddles the boundary vs 9/11
+        (13, "abcdef"),             # first long-class length for d=2
     ]
     df = spark.createDataFrame(rows, "id long, name string")
     got = {(r["id_a"], r["id_b"])
@@ -1237,7 +1240,7 @@ def test_fuzzy_self_pairs_property_vs_model(spark):
         n = rng.randint(4, 10)
         rows = []
         for i in range(n):
-            length = rng.choice([0, 1, 2, 3, 5, 8, 12])
+            length = rng.choice([0, 1, 2, 3, 4, 5, 6, 8, 12])
             rows.append(
                 (i, "".join(rng.choice(alphabet) for _ in range(length)))
             )
@@ -1265,16 +1268,21 @@ def test_corpus_pipeline_example_runs(spark, sf_dir, tmp_path):
     spec.loader.exec_module(mod)
 
     packed = mod.curate(spark, sf_dir)
-    rows = packed.select("doc_id", "lang", "split", "n_tokens").collect()
+    rows = packed.select(
+        "doc_id", "source", "detected_lang", "split", "n_tokens"
+    ).collect()
     assert rows
-    budgets = {"en": 4000, "fr": 1500, "es": 1500, "de": 1500, "zh": 1000}
-    by_lang = {}
+    # the language gate ran: nothing undetermined survives
+    assert all(r["detected_lang"] != "und" for r in rows)
+    budgets = {"src0": 1200, "src1": 1200, "src2": 800, "src3": 800}
+    by_src = {}
     max_doc = {}
     for r in rows:
-        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_tokens"]
-        max_doc[r["lang"]] = max(max_doc.get(r["lang"], 0), r["n_tokens"])
-    for lang, total in by_lang.items():
-        assert total <= budgets[lang] + max_doc[lang], (lang, total)
+        src = r["source"]
+        by_src[src] = by_src.get(src, 0) + r["n_tokens"]
+        max_doc[src] = max(max_doc.get(src, 0), r["n_tokens"])
+    for src, total in by_src.items():
+        assert total <= budgets.get(src, 300) + max_doc[src], (src, total)
     assert {r["split"] for r in rows} <= {"train", "val"}
 
 
@@ -1346,7 +1354,7 @@ def test_bpe_encode_roundtrip_and_budget_use(spark):
     merges = train_bpe(docs, num_merges=12, min_pair_freq=2)
     assert merges  # learned something
     enc = {r["doc_id"]: r["bpe_tokens"]
-           for r in bpe_encode(docs, merges, "doc_id").collect()}
+           for r in bpe_encode(docs, merges).collect()}
     # lossless: concatenating tokens reproduces the marked-up words
     for did, text in ((1, "low lower lowest low low"), (2, "new newer newest new")):
         rebuilt = "".join(enc[did]).replace("▁", " ").strip()

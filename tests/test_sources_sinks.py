@@ -853,3 +853,48 @@ def test_parquet_target_schema_evolution_on_new_column(spark, tmp_path):
     }
     # updated row carries the new column; untouched row reads back NULL
     assert rows == {"a": (5, "t1b", "extra-a"), "b": (1, "t2", None)}
+
+
+def test_scd2_remove_only_run_consumes_a_sequence(spark, tmp_path):
+    """Regression (review finding): a removal-only run advances only
+    valid_to, so next_run_seq must consider BOTH bookkeeping columns —
+    otherwise a later re-add reuses the closure's sequence, erasing the
+    removal gap and making the post-remove state unreachable by as_of."""
+    from wwwision_importservice_spark.plans.pipeline import ImportPipeline
+    from wwwision_importservice_spark.plans.preset import Preset
+    from wwwision_importservice_spark.sinks.scd2 import Scd2ParquetTarget
+    from wwwision_importservice_spark.sources.memory import CallableSource
+
+    target = Scd2ParquetTarget(
+        path=str(tmp_path / "scd2"), id_column="id", version_column="version"
+    )
+    preset = Preset(
+        name="scd2-gap",
+        source=CallableSource(
+            rows=[("a", 1, "t", 1), ("b", 1, "u", 2)],
+            schema="id string, v long, title string, _ord long",
+        ),
+        target=target,
+        id_attribute="id",
+        version_attribute="v",
+        order_attribute="_ord",
+    )
+    pipeline = ImportPipeline(preset, spark)
+    pipeline.run()                               # seq 1: add a, b
+    preset.source.rows = [("b", 1, "u", 2)]
+    pipeline.run()                               # seq 2: REMOVE-ONLY (a closes)
+    preset.source.rows = [("a", 9, "t2", 1), ("b", 1, "u", 2)]
+    pipeline.run()                               # must be seq 3, not 2
+
+    hist = sorted(
+        (r["id"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in target.history(spark).collect()
+    )
+    assert hist == [
+        ("a", 1, 2, False),
+        ("a", 3, None, True),   # re-add AFTER the gap
+        ("b", 1, None, True),
+    ]
+    # the post-remove state is reachable: at seq 2, only b exists
+    asof2 = sorted(r["id"] for r in target.as_of(spark, 2).collect())
+    assert asof2 == ["b"]

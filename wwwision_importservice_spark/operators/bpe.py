@@ -149,7 +149,6 @@ def train_bpe(
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
-    id_col: str,
     text_col: str = "text",
     tokens_col: str = "bpe_tokens",
 ) -> DataFrame:
@@ -196,11 +195,20 @@ def bpe_encode(
             syms = out
         return syms
 
+    import re
+
+    # EXACTLY the training tokenizer: Spark's split("\\s+") is Java \s =
+    # ASCII [ \t\n\x0B\f\r] only. Python's str.split() splits on Unicode
+    # whitespace (NBSP, thin space, ideographic space …), which would
+    # tokenize HTML-derived text differently from the table the merges
+    # were learned on.
+    _ws = re.compile("[ \t\n\x0b\f\r]+")
+
     def run(batches):
         for pdf in batches:
             toks = []
             for text in pdf[text_col].astype(str):
-                words = [w for w in text.lower().split() if w]
+                words = [w for w in _ws.split(text.lower()) if w]
                 seq: list[str] = []
                 for w in words:
                     seq.extend(encode_word(w))
@@ -221,7 +229,7 @@ def bpe_token_count(
     """Per-document token count under the TRAINED tokenizer — the count
     that token budgets (mixture_sample / pack_sequences) should use when
     tokenizer fidelity matters more than the heuristic regex count."""
-    enc = bpe_encode(df, merges, id_col, text_col)
+    enc = bpe_encode(df, merges, text_col)
     return enc.select(
         F.col(id_col), F.size("bpe_tokens").alias("n_bpe_tokens")
     )

@@ -304,7 +304,15 @@ def incremental_changes(
     broadcast-filters to the changed ids FIRST, then dedups the
     surviving slice — same winner per id (dedup commutes with an
     id-level filter), but the K1 shuffle now carries only the changed
-    few percent. With this, the only wide exchange left in the plan is
+    few percent. ``wide_order_by`` MUST be a deterministic total order
+    per id (an attribute column, not ``monotonically_increasing_id``):
+    the narrow and wide branches dedup independently, and only a
+    deterministic order makes their winners provably agree — with a
+    non-deterministic tiebreak a duplicate id could be classified
+    update on one duplicate's version but emit the other duplicate's
+    attributes. ``plans/pipeline.py`` enforces this by using the
+    deferred path only when the preset declares an
+    ``order_attribute``. With this, the only wide exchange left in the plan is
     the changed-slice dedup (its input provably sits below the
     ``change_type`` tag, i.e. after the broadcast prune); every
     full-data exchange is narrow (pinned by
@@ -409,14 +417,15 @@ def incremental_changes(
     if wide_source is not None:
         from wwwision_importservice_spark.record import dedup_last_wins
 
+        if wide_order_by is None:
+            raise ValueError(
+                "incremental_changes: wide_source requires a deterministic "
+                "wide_order_by (see docstring — a non-deterministic "
+                "tiebreak lets the wide branch pick a different duplicate "
+                "than the narrow diff decided on)"
+            )
         pruned = wide_source.join(au, on=ID_COL, how="inner")
-        wide = dedup_last_wins(
-            pruned,
-            ID_COL,
-            wide_order_by
-            if wide_order_by is not None
-            else F.monotonically_increasing_id(),
-        )
+        wide = dedup_last_wins(pruned, ID_COL, wide_order_by)
     else:
         wide = source.join(au, on=ID_COL, how="inner")
 

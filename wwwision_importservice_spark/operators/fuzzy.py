@@ -72,10 +72,16 @@ def fuzzy_self_pairs(
     """All unordered pairs (id_a < id_b) whose strings are within
     ``max_distance`` edits — typo-class duplicate detection.
 
-    Complete blocking (module header): long strings block on positional
-    q-grams with a ±d position fan-out; strings shorter than
-    ``q*(d+1)`` block on exact length buckets (len diff ≤ d is implied
-    by ed ≤ d, and the short class is tiny). Output columns:
+    Complete blocking (module header): positional q-grams with a ±d
+    position fan-out over EVERY row (even strings below the lemma's
+    ``q*(d+1)`` floor contribute their grams — they just aren't
+    *guaranteed* a shared gram), plus a length-bucket fallback that
+    pairs each sub-floor string against every string within length
+    difference d (necessary for ed ≤ d). The fallback covers exactly
+    the pairs the lemma can't: where the SHORTER side is below the
+    floor, the longer side is at most ``q*(d+1)+d-1`` chars, so the
+    fallback join stays on two small length-bounded sets — never a
+    cross join on the long majority. Output columns:
     ``id_a, id_b, name_a, name_b, distance``.
     """
     d = max_distance
@@ -84,11 +90,13 @@ def fuzzy_self_pairs(
     named = df.select(
         F.col(id_col).alias("__fid"), lowered.alias("__ftext")
     )
-    long_side = named.filter(F.length("__ftext") >= min_long)
     short_side = named.filter(F.length("__ftext") < min_long)
+    # every pair with a sub-floor MEMBER goes through the fallback; its
+    # partner is then length-bounded by min_long + d
+    near_short = named.filter(F.length("__ftext") < min_long + d)
 
     grams = _gram_rows(
-        long_side.withColumnRenamed("__fid", id_col), id_col, "__ftext", q
+        named.withColumnRenamed("__fid", id_col), id_col, "__ftext", q
     )
     # probe side fans each gram out over the allowed position shifts, so
     # the equi-join key (gram, pos) captures every |Δpos| <= d pair
@@ -116,24 +124,27 @@ def fuzzy_self_pairs(
         .distinct()
     )
 
+    # sub-floor strings vs ANY partner within length difference d —
+    # pairs where the shorter side can't be guaranteed a shared gram
     cand_short = (
         short_side.alias("a")
         .join(
-            short_side.alias("b"),
+            near_short.alias("b"),
             (
                 F.abs(
                     F.length(F.col("a.__ftext")) - F.length(F.col("b.__ftext"))
                 )
                 <= d
             )
-            & (F.col("a.__fid") < F.col("b.__fid")),
+            & (F.col("a.__fid") != F.col("b.__fid")),
         )
         .select(
-            F.col("a.__fid").alias("__ida"), F.col("b.__fid").alias("__idb")
+            F.least(F.col("a.__fid"), F.col("b.__fid")).alias("__ida"),
+            F.greatest(F.col("a.__fid"), F.col("b.__fid")).alias("__idb"),
         )
     )
 
-    cands = cand_long.unionByName(cand_short)
+    cands = cand_long.unionByName(cand_short).distinct()
     a = named.select(
         F.col("__fid").alias("__ida"), F.col("__ftext").alias("name_a")
     )
@@ -166,28 +177,28 @@ def fuzzy_join(
 ) -> DataFrame:
     """Two-table fuzzy equi-join: every (left, right) row pair whose
     join strings are within ``max_distance`` edits, with the same
-    complete positional-q-gram blocking as :func:`fuzzy_self_pairs`.
-    Returns all left columns + all right columns + ``distance``
-    (ambiguous names must be pre-aliased by the caller)."""
+    complete blocking as :func:`fuzzy_self_pairs` (gram candidates from
+    every row; length-bucket fallback whenever the shorter string sits
+    below the lemma floor). Candidates are keyed by the DISTINCT join
+    strings themselves — deterministic under retries and recomputation
+    (a row-id stamped with ``monotonically_increasing_id`` would be
+    re-evaluated per plan branch and can diverge across them), and rows
+    sharing a key are matched once per key, not once per row. Returns
+    all left columns + all right columns + ``distance`` (ambiguous
+    names must be pre-aliased by the caller)."""
     d = max_distance
     min_long = q * (d + 1)
-    lkey = F.lower(F.col(left_on))
-    rkey = F.lower(F.col(right_on))
-    lft = left.withColumn("__lkey", lkey).withColumn(
-        "__lid", F.monotonically_increasing_id()
-    )
-    rgt = right.withColumn("__rkey", rkey).withColumn(
-        "__rid", F.monotonically_increasing_id()
-    )
+    lft = left.withColumn("__lkey", F.lower(F.col(left_on)))
+    rgt = right.withColumn("__rkey", F.lower(F.col(right_on)))
+    lkeys = lft.select("__lkey").distinct()
+    rkeys = rgt.select("__rkey").distinct()
 
-    lg = _gram_rows(
-        lft.select("__lid", "__lkey"), "__lid", "__lkey", q
-    ).select(
-        "__lid",
+    lg = _gram_rows(lkeys, "__lkey", "__lkey", q).select(
+        "__lkey",
         "gram",
         F.explode(F.sequence(F.col("pos") - d, F.col("pos") + d)).alias("pos"),
     )
-    rg = _gram_rows(rgt.select("__rid", "__rkey"), "__rid", "__rkey", q)
+    rg = _gram_rows(rkeys, "__rkey", "__rkey", q)
     if max_block_size is not None:
         heavy = (
             rg.groupBy("gram", "pos")
@@ -197,25 +208,24 @@ def fuzzy_join(
         )
         rg = rg.join(F.broadcast(heavy), ["gram", "pos"], "left_anti")
         lg = lg.join(F.broadcast(heavy), ["gram", "pos"], "left_anti")
-    cand_long = lg.join(rg, ["gram", "pos"]).select("__lid", "__rid").distinct()
+    cand_long = lg.join(rg, ["gram", "pos"]).select("__lkey", "__rkey")
 
-    l_short = lft.filter(F.length("__lkey") < min_long).select(
-        "__lid", "__lkey"
-    )
-    r_short = rgt.filter(F.length("__rkey") < min_long).select(
-        "__rid", "__rkey"
-    )
-    cand_short = l_short.join(
-        r_short,
-        F.abs(F.length("__lkey") - F.length("__rkey")) <= d,
-    ).select("__lid", "__rid")
+    # fallback wherever the SHORTER side of a pair sits below the floor
+    l_short = lkeys.filter(F.length("__lkey") < min_long)
+    r_short = rkeys.filter(F.length("__rkey") < min_long)
+    l_near = lkeys.filter(F.length("__lkey") < min_long + d)
+    r_near = rkeys.filter(F.length("__rkey") < min_long + d)
+    len_ok = F.abs(F.length("__lkey") - F.length("__rkey")) <= d
+    cand_short = l_short.join(r_near, len_ok).select(
+        "__lkey", "__rkey"
+    ).unionByName(l_near.join(r_short, len_ok).select("__lkey", "__rkey"))
 
-    cands = cand_long.unionByName(cand_short).distinct()
-    out = (
-        cands.join(lft, "__lid")
-        .join(rgt, "__rid")
+    cands = (
+        cand_long.unionByName(cand_short)
+        .distinct()
         .withColumn("distance", F.levenshtein(F.col("__lkey"), F.col("__rkey")))
         .filter(F.col("distance") <= d)
     )
+    out = cands.join(lft, "__lkey").join(rgt, "__rkey")
     keep = [c for c in left.columns] + [c for c in right.columns] + ["distance"]
     return out.select(*keep)

@@ -145,14 +145,22 @@ class ImportPipeline:
                 "broadcast" if n <= self.preset.auto_broadcast_rows else "full"
             )
         if strategy == "incremental":
+            # The deferred-dedup wide branch re-runs last-wins dedup on
+            # the changed slice, so its winner must provably match the
+            # winner that drove the narrow update decision — only a
+            # DETERMINISTIC total order guarantees that. Without an
+            # order_attribute both dedups would use independent
+            # monotonically_increasing_id instances, which Spark
+            # re-evaluates per plan branch (review finding: a duplicate
+            # id could update on v=9 but write the v=5 attributes), so
+            # fall back to re-joining the already-deduped frame.
             wide = worder = None
-            if self.preset.data_processor is None:
+            if (
+                self.preset.data_processor is None
+                and self.preset.order_attribute
+            ):
                 wide = self.preset.load(self.spark, dedup=False).df
-                worder = (
-                    F.col(self.preset.order_attribute)
-                    if self.preset.order_attribute
-                    else F.monotonically_increasing_id()
-                )
+                worder = F.col(self.preset.order_attribute)
             return incremental_changes(
                 records.df,
                 local,

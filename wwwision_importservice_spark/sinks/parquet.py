@@ -36,6 +36,18 @@ from wwwision_importservice_spark.record import ID_COL, VERSION_COL
 from wwwision_importservice_spark.sinks.base import ApplyStats, DataTarget
 
 
+def swap_snapshot(df: DataFrame, path: str) -> None:
+    """Write ``df`` to a sibling staging dir, then swap it in (rmtree +
+    rename). THE one copy of the snapshot-commit discipline — shared by
+    every snapshot-rewriting sink so a change to the crash-window
+    semantics cannot silently miss one of them."""
+    staging = path.rstrip("/") + ".staging"
+    df.write.mode("overwrite").parquet(staging)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staging, path)
+
+
 class ParquetTarget(DataTarget):
     def __init__(
         self,
@@ -180,11 +192,7 @@ class ParquetTarget(DataTarget):
         return stats
 
     def _write_snapshot(self, df: DataFrame) -> None:
-        staging = self.path.rstrip("/") + ".staging"
-        df.write.mode("overwrite").parquet(staging)
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.rename(staging, self.path)
+        swap_snapshot(df, self.path)
 
     def remove_all(self, spark: SparkSession) -> int:
         existing = self.read(spark)

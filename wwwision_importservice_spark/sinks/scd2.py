@@ -22,9 +22,10 @@ Apply semantics per CDC class (one run = one ``run_seq``):
   has no current row, so a later re-appearance diffs as a fresh add
   (its history chain keeps the gap, which is the honest record).
 
-``run_seq`` is NOT wall-clock: it defaults to ``max(valid_from)+1`` of
-the stored table (1 for a fresh target) so that replaying the same runs
-reproduces byte-identical history — event time belongs in the version
+``run_seq`` is NOT wall-clock: it defaults to 1 + the highest sequence
+in EITHER bookkeeping column (1 for a fresh target; a removal-only run
+advances only ``valid_to``) so that replaying the same runs reproduces
+byte-identical history — event time belongs in the version
 column, bookkeeping in the sequence. Pass ``run_seq`` explicitly to pin
 runs to an external ledger (e.g. the pipeline's changelog run ids).
 
@@ -43,7 +44,6 @@ side policy, which is exactly the separation the CDC-frame interface
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,6 +53,7 @@ from wwwision_importservice_spark.plans.result import Result
 from wwwision_importservice_spark.plans.schema import OptionsSchema
 from wwwision_importservice_spark.record import ID_COL, VERSION_COL
 from wwwision_importservice_spark.sinks.base import ApplyStats, DataTarget
+from wwwision_importservice_spark.sinks.parquet import swap_snapshot
 
 VALID_FROM_COL = "valid_from"
 VALID_TO_COL = "valid_to"
@@ -154,10 +155,21 @@ class Scd2ParquetTarget(DataTarget):
         ).select(*cols)
 
     def next_run_seq(self, spark: SparkSession) -> int:
+        """1 + the highest sequence that ever touched the table — across
+        BOTH bookkeeping columns: a removal-only run advances only
+        ``valid_to`` (it closes rows without inserting), so looking at
+        ``valid_from`` alone would hand the next run the same sequence
+        number, gluing a later re-add flush against the closure and
+        destroying the removal gap / ``as_of`` reconstruction."""
         existing = self.read(spark)
         if existing is None:
             return 1
-        row = existing.agg(F.max(VALID_FROM_COL).alias("m")).collect()[0]
+        row = existing.agg(
+            F.greatest(
+                F.coalesce(F.max(VALID_FROM_COL), F.lit(0)),
+                F.coalesce(F.max(VALID_TO_COL), F.lit(0)),
+            ).alias("m")
+        ).collect()[0]
         return int(row["m"] or 0) + 1
 
     def apply(
@@ -221,11 +233,7 @@ class Scd2ParquetTarget(DataTarget):
             cdc.unpersist()
 
     def _write_snapshot(self, df: DataFrame) -> None:
-        staging = self.path.rstrip("/") + ".staging"
-        df.write.mode("overwrite").parquet(staging)
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.rename(staging, self.path)
+        swap_snapshot(df, self.path)
 
     def remove_all(self, spark: SparkSession) -> int:
         """W4 in SCD2: close every current row (history is the point —
