@@ -304,3 +304,40 @@ def test_empty_local_state_yields_adds_only(spark):
     for fn in (compute_changes, incremental_changes):
         got = by_type(fn(src, loc, **kw))
         assert got == {ChangeType.ADD: {"a", "b"}}, fn.__name__
+
+
+def test_broadcast_source_matches_full_outer_sans_removes(spark):
+    """broadcast_source (the streaming micro-batch plan): identical
+    add/update classification to the full-outer plan with skip_removed,
+    across every predicate branch."""
+    src = source(
+        spark,
+        [
+            ("new", 5, "p", 1),
+            ("stale", 9, "p", 2),
+            ("same", 7, "p", 3),
+            ("older", 3, "p", 4),
+            ("unv", None, "p", 5),
+        ],
+    )
+    loc = local(
+        spark,
+        [("stale", 5, False), ("same", 7, False), ("older", 9, False),
+         ("gone", 1, False), ("unv", 3, False)],
+    )
+    kw = dict(local_id_col="id", local_version_col="version",
+              local_hidden_col="hidden", skip_removed=True)
+    expected = by_type(compute_changes(src, loc, **kw))
+    got = by_type(compute_changes(src, loc, broadcast_source=True, **kw))
+    assert got == expected == {
+        ChangeType.ADD: {"new"},
+        ChangeType.UPDATE: {"stale", "unv"},
+    }
+    # requires skip_removed — remove detection needs the full local set
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="skip_removed"):
+        compute_changes(
+            src, loc, broadcast_source=True,
+            local_id_col="id", local_version_col="version",
+        )

@@ -337,3 +337,32 @@ def test_incremental_diff_shuffles_less_than_full(spark):
     full_bytes = _shuffle_bytes_written(compute_changes(src, local, **kw))
     inc_bytes = _shuffle_bytes_written(incremental_changes(src, local, **kw))
     assert inc_bytes < 0.35 * full_bytes, (inc_bytes, full_bytes)
+
+
+def test_broadcast_source_never_shuffles_local_state(spark, sf_dir):
+    """The streaming micro-batch diff plan: with broadcast_source the
+    big local state is semi-pruned by the broadcast batch ids and never
+    enters a shuffle exchange — every join is a BroadcastHashJoin and
+    no Exchange hash-partitions the local side."""
+    from wwwision_importservice_spark.entry_queries import (
+        orders_source,
+        target_state,
+    )
+    from wwwision_importservice_spark.operators.diff import compute_changes
+
+    batch = orders_source(spark, sf_dir).limit(50)
+    cdc = compute_changes(
+        batch,
+        target_state(spark, sf_dir),
+        local_id_col="id",
+        local_version_col="version",
+        skip_removed=True,
+        broadcast_source=True,
+    )
+    tree = tree_of(plan_of(spark, cdc))
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    # the only non-broadcast exchanges allowed are SinglePartition ones
+    # (the limit); the local scan must not hash-partition
+    for kind in re.findall(r"Exchange (\w+)", tree):
+        assert kind == "SinglePartition", tree

@@ -119,6 +119,7 @@ def compute_changes(
     local_hidden_col: str | None = None,
     id_prefix: str | None = None,
     broadcast_local: bool = False,
+    broadcast_source: bool = False,
 ) -> DataFrame:
     """Compute the ChangeSet of ``source`` against ``local_state`` as a CDC frame.
 
@@ -129,6 +130,19 @@ def compute_changes(
 
     Returns all source columns + ``change_type`` + ``_local_version`` (+
     ``_local_hidden`` when configured). Rows with no change are dropped.
+
+    ``broadcast_source=True`` is the SMALL-SOURCE/large-target plan
+    (streaming micro-batches, incremental drops): requires
+    ``skip_removed`` — removal detection needs the full local id set,
+    but adds/updates only need the local rows whose ids appear in the
+    source. Those are carved out with a broadcast LEFT SEMI join
+    (build side = the small source id set), so the big local state is
+    scanned but NEVER shuffled — Spark's BroadcastHashJoin builds the
+    right side for left-outer/semi/anti joins, so the naive
+    ``source LEFT JOIN local`` would instead build (i.e. fully
+    materialize) the big local side. The pruned local slice is
+    source-bounded and broadcasts back for the outer join. Used by
+    ``streaming/sync.py`` per micro-batch.
     """
     # Narrow target-state scan (column pruning like DbalTarget.php:118-128);
     # Catalyst pushes this projection down to the source scan.
@@ -196,6 +210,39 @@ def compute_changes(
         if skip_added:
             out = out.filter(F.col(CHANGE_TYPE_COL) != ChangeType.ADD)
         keep = list(source.columns)
+        projection = [F.col(c) for c in keep] + [
+            F.col(LOCAL_VERSION_COL),
+            F.col(CHANGE_TYPE_COL),
+        ]
+        if local_hidden_col:
+            projection.insert(-1, F.col(LOCAL_HIDDEN_COL))
+        return out.select(*projection)
+
+    if broadcast_source:
+        if not skip_removed:
+            raise ValueError(
+                "compute_changes: broadcast_source requires skip_removed "
+                "(removal detection needs the full local id set; the whole "
+                "point of this plan is never materializing it)"
+            )
+        pruned_local = local.join(
+            F.broadcast(source.select(ID_COL)), ID_COL, "left_semi"
+        )
+        src = source.withColumn("__src_present", F.lit(True))
+        joined = src.join(F.broadcast(pruned_local), on=ID_COL, how="left")
+        updated_pred = is_updated_predicate(
+            src_version, F.col(LOCAL_VERSION_COL), force_updates
+        )
+        change = (
+            F.when(F.col("__loc_present").isNull(), F.lit(ChangeType.ADD))
+            .when(updated_pred, F.lit(ChangeType.UPDATE))
+        )
+        out = joined.withColumn(CHANGE_TYPE_COL, change).filter(
+            F.col(CHANGE_TYPE_COL).isNotNull()
+        )
+        if skip_added:
+            out = out.filter(F.col(CHANGE_TYPE_COL) != ChangeType.ADD)
+        keep = [c for c in source.columns]
         projection = [F.col(c) for c in keep] + [
             F.col(LOCAL_VERSION_COL),
             F.col(CHANGE_TYPE_COL),

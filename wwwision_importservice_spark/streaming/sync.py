@@ -50,6 +50,7 @@ def stream_sync(
     force_updates: bool = False,
     skip_added: bool = False,
     skip_removed: bool = True,
+    broadcast_batch: bool = True,
     state_provider: Callable[..., DataFrame] | None = None,
     on_batch: Callable[[int, dict[str, int]], None] | None = None,
 ) -> DataStreamWriter:
@@ -61,6 +62,15 @@ def stream_sync(
     current state (J1-J5), optional ``mapper`` (K11/M1), apply (W1-W8).
     ``on_batch(batch_id, stats)`` receives the apply counts — the
     streaming analogue of the batch event bus.
+
+    ``broadcast_batch`` (default on; auto-disabled in full-snapshot
+    mode, i.e. ``skip_removed=False``): micro-batches are small by
+    construction, so the diff uses ``compute_changes``'
+    ``broadcast_source`` plan — the big target state is semi-pruned by
+    the broadcast batch id set and NEVER shuffled. Without it every
+    micro-batch pays a full-outer sort-merge join that shuffles the
+    entire target state per trigger — the dominant cost at any real
+    state size.
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -84,6 +94,7 @@ def stream_sync(
             local_version_col=target.version_column,
             local_hidden_col=target.hidden_column,
             id_prefix=target.id_prefix,
+            broadcast_source=broadcast_batch and skip_removed,
         )
         if mapper is not None:
             keep = [c for c in (ID_COL, VERSION_COL, CHANGE_TYPE_COL) if c in cdc.columns]
