@@ -638,7 +638,17 @@ def test_bucketed_target_compaction_preserves_bucketing(spark, tmp_path):
         n_files = target.compact(spark)
         after = sorted(tuple(r) for r in target.read(spark).collect())
         assert after == before
-        assert n_files <= 4 < files_before
+        # compaction's hard guarantees: at most one file per bucket,
+        # never MORE files than before. How fragmented the seed write
+        # was (files_before) depends on the planned-write exchange's
+        # AQE-chosen task count — some runs land exactly at n_buckets
+        # already, so a strict files_before > n_buckets precondition
+        # would flake (observed); assert strict collapse only when the
+        # precondition actually materialized.
+        assert n_files <= 4
+        assert n_files <= files_before
+        if files_before > 4:
+            assert n_files < files_before
 
         # bucket metadata survived: a fresh diff still has <= 1 exchange
         src = RecordFrame.from_keyed(
