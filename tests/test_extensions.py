@@ -1366,3 +1366,336 @@ def test_bpe_encode_roundtrip_and_budget_use(spark):
                ((1, "low lower lowest low low"), (2, "new newer newest new")))
     # frequent whole word 'low▁' should have become a single token
     assert "low▁" in enc[1]
+
+
+# --------------------------------------------------------------------------- #
+# X3: clustering / semantic dedup / random projection
+# --------------------------------------------------------------------------- #
+
+def _py_dot(a, b):
+    # sequential left-fold, exactly like F.aggregate over zip_with
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _py_norm(a):
+    import math
+
+    acc = 0.0
+    for x in a:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _round6(x):
+    # Spark's ROUND is HALF_UP (away from zero); Python round() is
+    # HALF_EVEN — model the engine, not the host language
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _model_kmeans(vecs, k, iterations):
+    """Pure-Python mirror of train_ivf_centroids: md5-order seeding,
+    unrounded-cosine argmax with smaller-cluster tie-break, elementwise
+    mean update, empty cluster keeps its centroid. Returns (centroids,
+    min_top2_margin) — the margin certifies that no assignment decision
+    sat close enough to a Voronoi boundary for cross-engine float noise
+    (different summation orders in the mean update) to flip it."""
+    import hashlib
+
+    ids = sorted(vecs, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    cent = {j: [float(x) for x in vecs[ids[j]]] for j in range(k)}
+    min_margin = float("inf")
+    for _ in range(iterations):
+        members = {j: [] for j in range(k)}
+        for i in vecs:
+            v = vecs[i]
+            nv = _py_norm(v)
+            sims = [
+                _py_dot(v, cent[j]) / (nv * _py_norm(cent[j]))
+                for j in range(k)
+            ]
+            order = sorted(range(k), key=lambda j: (-sims[j], j))
+            best, second = order[0], order[1]
+            min_margin = min(min_margin, sims[best] - sims[second])
+            members[best].append(v)
+        for j in range(k):
+            if members[j]:
+                n = len(members[j])
+                cent[j] = [
+                    sum(m[d] for m in members[j]) / n
+                    for d in range(len(cent[j]))
+                ]
+    return cent, min_margin
+
+
+def _model_assign(vecs, cent):
+    """Mirror of assign_clusters: 6dp-rounded cosine, tie to the
+    smallest cluster id."""
+    out = {}
+    for i, v in vecs.items():
+        nv = _py_norm(v)
+        sims = [
+            _round6(_py_dot(v, cent[j]) / (nv * _py_norm(cent[j])))
+            for j in sorted(cent)
+        ]
+        best = max(range(len(sims)), key=lambda j: (sims[j], -j))
+        out[i] = (best, sims[best])
+    return out
+
+
+def _load_vecs(sf_dir):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    return {int(i): [float(x) for x in v] for i, v in rows}
+
+
+def test_kmeans_matches_python_model(spark, sf_dir):
+    """The distributed Lloyd's loop must reproduce a single-process
+    model centroid-for-centroid (within summation-order float noise)
+    and assignment-for-assignment (exactly, certified by the Voronoi
+    margin)."""
+    from wwwision_importservice_spark.operators.clustering import (
+        assign_clusters,
+        kmeans,
+    )
+
+    vecs = _load_vecs(sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got_cent = {
+        r["cluster"]: list(r["embedding"])
+        for r in kmeans(emb, 8, "vec_id", iterations=3).collect()
+    }
+    want_cent, margin = _model_kmeans(vecs, 8, 3)
+    # every training-assignment decision was comfortably off-boundary,
+    # so the model and the engine made identical member choices
+    assert margin > 1e-6, margin
+    assert sorted(got_cent) == sorted(want_cent)
+    for j in want_cent:
+        for a, b in zip(got_cent[j], want_cent[j]):
+            assert abs(a - b) < 1e-9, (j, a, b)
+
+    got_assign = {
+        r["vec_id"]: (r["cluster"], r["centroid_sim"])
+        for r in assign_clusters(
+            emb,
+            kmeans(emb, 8, "vec_id", iterations=3),
+            "vec_id",
+        ).collect()
+    }
+    want_assign = _model_assign(vecs, {j: want_cent[j] for j in want_cent})
+    assert got_assign == want_assign
+
+
+def test_semantic_dedup_matches_python_model(spark, sf_dir):
+    """End-to-end SemDeDup (iterative k-means path) vs a brute-force
+    single-process model: identical keep/remove decision for every
+    document."""
+    from wwwision_importservice_spark.operators.clustering import (
+        semantic_dedup,
+    )
+
+    tau = 0.4
+    vecs = _load_vecs(sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["cluster"], r["rank"], r["keep"])
+        for r in semantic_dedup(
+            emb, "vec_id", n_clusters=8, threshold=tau, iterations=3
+        ).collect()
+    }
+
+    cent, margin = _model_kmeans(vecs, 8, 3)
+    assert margin > 1e-6
+    assign = _model_assign(vecs, cent)
+    by_cluster = {}
+    for i, (c, s) in assign.items():
+        by_cluster.setdefault(c, []).append((i, s))
+    want = {}
+    for c, members in by_cluster.items():
+        members.sort(key=lambda t: (-t[1], t[0]))
+        for rank_b, (i, _) in enumerate(members, 1):
+            removed = any(
+                _round6(
+                    _py_dot(vecs[i], vecs[j])
+                    / (_py_norm(vecs[i]) * _py_norm(vecs[j]))
+                )
+                >= tau
+                for j, _ in members[: rank_b - 1]
+            )
+            want[i] = (c, rank_b, not removed)
+    assert got == want
+
+
+def test_semantic_dedup_kept_pairs_below_threshold(spark, sf_dir):
+    """Soundness invariant: any two KEPT members of the same cluster are
+    below the threshold (if a kept b's rank follows kept a's, b survived
+    the comparison against a); rank-1 (most central) always survives."""
+    from wwwision_importservice_spark.operators.clustering import (
+        semantic_dedup,
+    )
+
+    tau = 0.4
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(
+        emb, "vec_id", n_clusters=8, threshold=tau, iterations=2
+    ).cache()
+    assert out.filter("rank = 1 AND NOT keep").count() == 0
+    kept = out.filter("keep").join(emb, "vec_id").select(
+        "vec_id", "cluster", "embedding"
+    )
+    from wwwision_importservice_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+    )
+
+    a = kept.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("ia"),
+        _as_double(F.col("embedding")).alias("va"),
+    )
+    b = kept.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("ib"),
+        _as_double(F.col("embedding")).alias("vb"),
+    )
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        6,
+    )
+    offenders = (
+        a.join(b, "cluster")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(sim >= tau)
+    )
+    assert offenders.count() == 0
+
+
+def test_semantic_dedup_cluster_cap(spark):
+    """max_cluster_size: members ranked past the cap are kept unexamined
+    and counted — the bounded-bucket policy (no silent drops, no O(c^2)
+    blow-up on a degenerate cluster)."""
+    from wwwision_importservice_spark.operators.clustering import (
+        assign_clusters,
+        semantic_dedup_from_assignments,
+    )
+
+    # one tight cluster of 6 near-identical vectors around (1, 0)
+    rows = [(i, [1.0, 0.001 * i]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cluster long, embedding array<double>"
+    )
+    assigned = assign_clusters(emb, cent, "vec_id")
+    stats = {}
+    out = semantic_dedup_from_assignments(
+        assigned,
+        "vec_id",
+        threshold=0.99,
+        max_cluster_size=3,
+        stats=stats,
+    ).cache()
+    assert stats["capped"] == 3
+    rows_out = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows_out) == 6
+    # past-cap members (ranks 4..6) are all kept — unexamined
+    for r in rows_out.values():
+        if r["rank"] > 3:
+            assert r["keep"]
+    # inside the cap, only the most-central survives (all sims ~1)
+    in_cap = [r for r in rows_out.values() if r["rank"] <= 3]
+    assert sum(1 for r in in_cap if r["keep"]) == 1
+
+
+def test_random_projection_neighbor_recall(spark, sf_dir):
+    """JL sanity, measured not asserted. Two properties:
+
+    1. norm preservation — the actual JL guarantee: E[|Px|^2] = |x|^2.
+       Measured on this corpus: mean ratio 1.014 (unbiased), mean
+       absolute deviation 0.37 at 8 dims (theory: std ~ sqrt(2/8) =
+       0.5). Pinned: mean in [0.9, 1.1], MAD < 0.55.
+    2. neighbor recall — top-5 cosine neighbors in the 8-dim projected
+       space vs the exact 64-dim top-5: measured 0.22 @ sf0.001 (16
+       dims barely helps: 0.24). Low BY THE DATA's nature, not a bug:
+       the synthetic corpus has near-uniform pair sims (max 0.51), so
+       neighbor rankings ride on tiny margins no 8-dim sketch can
+       preserve; chance recall is 5/500 = 0.01. Floor pinned at 0.15 —
+       an honest regression tripwire, not a quality claim. For real
+       clustered corpora the projection is a blocking/clustering
+       precursor, and its LSH/IVF consumers carry their own measured
+       recall floors."""
+    from wwwision_importservice_spark.operators.clustering import (
+        random_project,
+    )
+    from wwwision_importservice_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = random_project(emb, "vec_id", out_dim=8, seed=0)
+    pvec = proj.select(
+        "vec_id",
+        F.array(*[F.col(f"p{j}") for j in range(8)]).alias("embedding"),
+    )
+
+    from wwwision_importservice_spark.operators.similarity import (
+        _as_double,
+        _norm,
+    )
+
+    ratios = (
+        pvec.join(emb.select("vec_id", F.col("embedding").alias("orig")), "vec_id")
+        .select(
+            (
+                F.pow(_norm(F.col("embedding")), 2)
+                / F.pow(_norm(_as_double(F.col("orig"))), 2)
+            ).alias("r")
+        )
+        .agg(
+            F.avg("r").alias("mean"),
+            F.avg(F.abs(F.col("r") - 1)).alias("mad"),
+        )
+        .first()
+    )
+    assert 0.9 <= ratios["mean"] <= 1.1, ratios
+    assert ratios["mad"] < 0.55, ratios
+
+    def topk_ids(frame):
+        q = frame.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        c = frame.select(F.col("vec_id").alias("c_id"), "embedding")
+        got = cosine_topk(
+            q, c, k=5, query_id="q_id", corpus_id="c_id",
+            broadcast_corpus=True,
+        )
+        out = {}
+        for r in got.collect():
+            out.setdefault(r["q_id"], set()).add(r["c_id"])
+        return out
+
+    exact = topk_ids(emb)
+    approx = topk_ids(pvec)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.15, recall
+
+
+def test_projection_signs_deterministic():
+    from wwwision_importservice_spark.operators.clustering import (
+        projection_signs,
+    )
+
+    a = projection_signs(16, 4, seed=0)
+    b = projection_signs(16, 4, seed=0)
+    c = projection_signs(16, 4, seed=1)
+    assert a == b
+    assert a != c
+    assert all(s in (1, -1) for row in a for s in row)
+    assert len(a) == 4 and all(len(r) == 16 for r in a)

@@ -1859,6 +1859,101 @@ def x3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x3_semantic_dedup",
+    """
+WITH seeds AS (
+  SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1) AS cluster,
+         embedding::DOUBLE[] AS cv
+  FROM (SELECT * FROM embeddings ORDER BY md5(vec_id::VARCHAR) LIMIT 8)
+),
+assigned AS (
+  SELECT vec_id, cluster, sim AS centroid_sim FROM (
+    SELECT e.vec_id, s.cluster,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], s.cv), 6) AS sim,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], s.cv), 6) DESC,
+                      s.cluster
+           ) AS rk
+    FROM embeddings e CROSS JOIN seeds s)
+  WHERE rk = 1
+),
+ranked AS (
+  SELECT vec_id, cluster, centroid_sim,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY centroid_sim DESC, vec_id) AS rank
+  FROM assigned
+)
+SELECT b.vec_id, b.cluster, b.centroid_sim, b.rank,
+       coalesce(max(CASE WHEN round(list_cosine_similarity(
+                       ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= 0.4
+                    THEN 1 END), 0) = 0 AS keep
+FROM ranked b
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+LEFT JOIN ranked a ON a.cluster = b.cluster AND a.rank < b.rank
+LEFT JOIN embeddings ea ON ea.vec_id = a.vec_id
+GROUP BY b.vec_id, b.cluster, b.centroid_sim, b.rank
+""",
+    driver=False,
+)
+def x3_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — SemDeDup (Abbas et al. 2023): cluster embeddings, rank each
+    cluster by centrality, drop members whose cosine to an
+    earlier-ranked member is ≥ τ. Oracle-checkable variant: clusters
+    come from the deterministic k-means seeding alone (``iterations=0``
+    — the 8 corpus vectors with smallest md5(id), exactly what the SQL
+    rebuilds); τ=0.4 sits in the synthetic corpus's top-0.01% pair-sim
+    tail (max pair cosine ~0.51) so the removal set is non-empty. The
+    full iterative-k-means path is differential-tested against a NumPy
+    model in tests/test_extensions.py."""
+    from wwwision_importservice_spark.operators.clustering import (
+        assign_clusters,
+        kmeans,
+        semantic_dedup_from_assignments,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = kmeans(emb, 8, "vec_id", iterations=0)
+    assigned = assign_clusters(emb, centroids, "vec_id")
+    return semantic_dedup_from_assignments(
+        assigned, "vec_id", threshold=0.4, max_cluster_size=None
+    )
+
+
+def _rp_oracle(dim: int = 64, out_dim: int = 8, seed: int = 0) -> str:
+    """Oracle for x3_random_projection: the ±1 JL matrix inlined as SQL
+    literals — built by the SAME generator the Spark operator uses
+    (projection_signs), so both engines multiply identical matrices."""
+    from wwwision_importservice_spark.operators.clustering import (
+        projection_signs,
+    )
+
+    rows = projection_signs(dim, out_dim, seed)
+    cols = ", ".join(
+        "round(list_inner_product(embedding::DOUBLE[], ["
+        + ", ".join(f"{s}.0" for s in row)
+        + f"]::DOUBLE[]) / sqrt({out_dim}), 6) AS p{j}"
+        for j, row in enumerate(rows)
+    )
+    return f"SELECT vec_id, {cols} FROM embeddings"
+
+
+@_register("x3_random_projection", _rp_oracle(), driver=False)
+def x3_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — Johnson–Lindenstrauss ±1 random projection 64→8 dims
+    (Achlioptas-style sign matrix from md5, no RNG state): the cheap
+    narrow-map precursor that shrinks a 100 TB embedding table 8×
+    before LSH/clustering passes. Distance preservation is measured in
+    tests/test_extensions.py (projected-space top-k recall floor)."""
+    from wwwision_importservice_spark.operators.clustering import (
+        random_project,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return random_project(emb, "vec_id", out_dim=8, seed=0)
+
+
 # --------------------------------------------------------------------------- #
 # X5: text analysis
 # --------------------------------------------------------------------------- #

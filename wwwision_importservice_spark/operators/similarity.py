@@ -340,12 +340,15 @@ def assign_cells(
     vector_col: str = "embedding",
     centroid_id: str = "cell",
     nprobe: int = 1,
+    keep_sim: bool = False,
 ) -> DataFrame:
     """IVF cell assignment: nearest ``nprobe`` centroids by cosine.
 
     Centroids are a small frame → broadcast cross join (no shuffle of
     the big side), then a per-id rank window. Output: (id, vector,
-    norm, cell, cell_rank ≤ nprobe).
+    norm, cell, cell_rank ≤ nprobe); ``keep_sim=True`` appends the
+    rounded-6dp cosine to the assigned centroid as ``__sim`` (used by
+    semantic dedup, which ranks cluster members by centrality).
     """
     v = df.select(
         F.col(id_col), _as_double(F.col(vector_col)).alias("__v")
@@ -373,10 +376,13 @@ def assign_cells(
     w = Window.partitionBy(id_col).orderBy(
         F.col("__sim").desc(), F.col(centroid_id).asc()
     )
+    out_cols = [id_col, "__v", "__n", centroid_id, "__cell_rank"]
+    if keep_sim:
+        out_cols.append("__sim")
     return (
         scored.withColumn("__cell_rank", F.row_number().over(w))
         .filter(F.col("__cell_rank") <= nprobe)
-        .select(id_col, "__v", "__n", F.col(centroid_id), "__cell_rank")
+        .select(*out_cols)
     )
 
 
