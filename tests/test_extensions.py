@@ -1699,3 +1699,115 @@ def test_projection_signs_deterministic():
     assert a != c
     assert all(s in (1, -1) for row in a for s in row)
     assert len(a) == 4 and all(len(r) == 16 for r in a)
+
+
+# --------------------------------------------------------------------------- #
+# X5: bigram-LM perplexity
+# --------------------------------------------------------------------------- #
+
+def test_lm_perplexity_matches_python_model(spark, sf_dir):
+    """lm_perplexity vs a single-process model: identical counts (exact)
+    and matching logprobs/perplexities within float-sum tolerance (the
+    ln and the per-doc mean are the only inexact steps)."""
+    import math
+    from collections import Counter
+
+    from wwwision_importservice_spark.operators.lm import (
+        bigram_model,
+        lm_perplexity,
+    )
+
+    import duckdb
+
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+
+    def toks(t):
+        return [w for w in t.lower().split(" ") if w]
+
+    c12 = Counter()
+    for t in texts.values():
+        ts = toks(t)
+        for a, b in zip(ts, ts[1:]):
+            c12[(a, b)] += 1
+    c1 = Counter()
+    for (a, _), n in c12.items():
+        c1[a] += n
+    vocab = len({w for t in texts.values() for w in toks(t)})
+
+    k = 0.5
+    want = {}
+    for did, t in texts.items():
+        ts = toks(t)
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            continue
+        s = sum(
+            math.log((c12[(a, b)] + k) / (c1[a] + k * vocab))
+            for a, b in pairs
+        )
+        avg = s / len(pairs)
+        want[did] = (len(pairs), avg, math.exp(-avg))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = bigram_model(docs)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"], r["perplexity"])
+        for r in lm_perplexity(docs, model).collect()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0], did
+        assert math.isclose(got[did][1], want[did][1], rel_tol=1e-9), did
+        assert math.isclose(got[did][2], want[did][2], rel_tol=1e-9), did
+
+
+def test_lm_perplexity_separates_gibberish(spark):
+    """The filter signal the LM exists for: on a training corpus with
+    real sequence structure, in-distribution text scores far lower
+    perplexity than the same vocabulary in scrambled order. (The
+    synthetic testdata documents are order-free word soup — zero bigram
+    signal by construction — so this test builds a structured corpus.)"""
+    from wwwision_importservice_spark.operators.lm import (
+        bigram_model,
+        lm_perplexity,
+    )
+
+    sentence = "the quick brown fox jumps over the lazy dog and runs away"
+    train = spark.createDataFrame(
+        [(i, sentence) for i in range(50)], "doc_id long, text string"
+    )
+    model = bigram_model(train)
+
+    words = sentence.split(" ")
+    gib = " ".join(words[::-1][::2] + words[1::2][::-1])
+    probe = spark.createDataFrame(
+        [(0, sentence), (1, gib)], "doc_id long, text string"
+    )
+    ppl = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm_perplexity(probe, model).collect()
+    }
+    assert ppl[1] > ppl[0] * 3, ppl
+
+
+def test_lm_short_docs_emit_nothing(spark):
+    from wwwision_importservice_spark.operators.lm import (
+        bigram_model,
+        lm_perplexity,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "b c b c")], "doc_id long, text string"
+    )
+    model = bigram_model(train)
+    probe = spark.createDataFrame(
+        [(10, "a"), (11, ""), (12, "   "), (13, "a b")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in lm_perplexity(probe, model).collect()}
+    assert set(got) == {13}
+    assert got[13]["n_bigrams"] == 1

@@ -2805,6 +2805,67 @@ def x5_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", scrub_pii(synthetic).alias("scrubbed"))
 
 
+@_register(
+    "x5_lm_doc_stats",
+    """
+SELECT p.doc_id,
+       CAST(sum(p.n) AS BIGINT) AS n_bigrams,
+       count(*) AS n_distinct_bigrams,
+       CAST(sum(p.n * c.c12) AS BIGINT) AS sum_bigram_count,
+       CAST(sum(p.n * x.c1) AS BIGINT) AS sum_context_count
+FROM (
+  SELECT doc_id, w1, w2, count(*) AS n FROM (
+    SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2 FROM (
+      SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+      FROM (SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+            FROM documents)
+      WHERE len(ts) >= 2))
+  GROUP BY doc_id, w1, w2
+) p
+JOIN (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+    SELECT ts[i] AS w1, ts[i + 1] AS w2 FROM (
+      SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+      FROM (SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+            FROM documents)
+      WHERE len(ts) >= 2))
+  GROUP BY w1, w2
+) c ON c.w1 = p.w1 AND c.w2 = p.w2
+JOIN (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM (
+    SELECT ts[i] AS w1 FROM (
+      SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+      FROM (SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+            FROM documents)
+      WHERE len(ts) >= 2))
+  GROUP BY w1
+) x ON x.w1 = p.w1
+GROUP BY p.doc_id
+""",
+    driver=False,
+)
+def x5_lm_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — bigram-LM sufficient statistics, the oracle-exact face of
+    CCNet-style perplexity filtering (Wenzek et al. 2020): the model is
+    trained ON the corpus (one explode + two hash aggregates, all LONG
+    counts), each document then joins its bigram occurrences back to
+    the count tables. The perplexity itself (one ln per bigram — the
+    engine-inexact op, same isolation strategy as BM25's idf) is
+    differential-tested in tests/test_extensions.py, not oracle-hashed.
+    Note: the oracle's context-margin c1 counts bigram OCCURRENCES per
+    w1 (count(*) over the bigram extraction) == Σ_w2 c12, matching the
+    engine's derivation of the margin from the bigram table."""
+    from wwwision_importservice_spark.operators.lm import (
+        bigram_model,
+        lm_doc_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    model = bigram_model(docs)
+    return lm_doc_stats(docs, model)
+
+
 # --------------------------------------------------------------------------- #
 # X4: multimodal plumbing (rows-only check: Pandas-UDF decode path)
 # --------------------------------------------------------------------------- #
