@@ -1811,3 +1811,124 @@ def test_lm_short_docs_emit_nothing(spark):
     got = {r["doc_id"]: r for r in lm_perplexity(probe, model).collect()}
     assert set(got) == {13}
     assert got[13]["n_bigrams"] == 1
+
+
+# --------------------------------------------------------------------------- #
+# X5: Naive Bayes classifier
+# --------------------------------------------------------------------------- #
+
+def test_nb_predict_matches_python_model(spark, sf_dir):
+    """nb_predict vs a single-process multinomial NB: identical winning
+    label for every document and matching log-scores within float-sum
+    tolerance (trained on the real documents table with lang labels —
+    the labels carry no signal there, which is irrelevant for an
+    exactness check)."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from wwwision_importservice_spark.operators.nbayes import (
+        nb_predict,
+        nb_train,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+
+    def toks(t):
+        return [w for w in t.lower().split(" ") if w]
+
+    c_yw = Counter()
+    n_y = Counter()
+    docs_y = Counter()
+    vocab = set()
+    for _, t, y in rows:
+        ts = toks(t)
+        docs_y[y] += 1
+        for w in ts:
+            c_yw[(y, w)] += 1
+            n_y[y] += 1
+            vocab.add(w)
+    V = len(vocab)
+    total_docs = sum(docs_y.values())
+    alpha = 1.0
+
+    want = {}
+    for did, t, _ in rows:
+        ts = toks(t)
+        if not ts:
+            continue
+        best = None
+        for y in sorted(docs_y):
+            s = math.log(docs_y[y] / total_docs) + sum(
+                math.log((c_yw[(y, w)] + alpha) / (n_y[y] + alpha * V))
+                for w in ts
+            )
+            if best is None or s > best[1] + 1e-12:
+                best = (y, s)
+        want[did] = best
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = nb_train(docs, "lang")
+    got = {
+        r["doc_id"]: (r["label"], r["log_score"])
+        for r in nb_predict(docs, model).collect()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0], (did, got[did], want[did])
+        assert math.isclose(got[did][1], want[did][1], rel_tol=1e-9), did
+
+
+def test_nb_learns_separable_classes(spark):
+    """Classifier behavior where signal exists: two classes with
+    disjoint-leaning vocabularies → near-perfect held-out accuracy
+    (the synthetic testdata's labels are text-independent, measured
+    P(token|lang) uniform — so the learnability check needs a
+    constructed corpus)."""
+    from wwwision_importservice_spark.operators.nbayes import (
+        nb_predict,
+        nb_train,
+    )
+
+    spam_words = ["buy", "free", "offer", "click", "winner", "cash"]
+    ham_words = ["meeting", "report", "schedule", "review", "project", "notes"]
+
+    def doc(words, i, n=12):
+        return " ".join(words[(i + j) % len(words)] for j in range(n))
+
+    rows = [(i, doc(spam_words, i), "spam") for i in range(40)] + [
+        (100 + i, doc(ham_words, i), "ham") for i in range(40)
+    ]
+    frame = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    train = frame.filter("doc_id % 5 != 0")
+    test = frame.filter("doc_id % 5 = 0")
+    model = nb_train(train, "label")
+    pred = nb_predict(test, model)
+    joined = pred.withColumnRenamed("label", "pred").join(
+        test.select("doc_id", "label"), "doc_id"
+    )
+    n = joined.count()
+    correct = joined.filter("pred = label").count()
+    assert n == test.count()
+    assert correct == n, (correct, n)
+
+
+def test_nb_empty_docs_emit_nothing(spark):
+    from wwwision_importservice_spark.operators.nbayes import (
+        nb_predict,
+        nb_train,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b", "x"), (2, "c d", "y")], "doc_id long, text string, label string"
+    )
+    model = nb_train(train, "label")
+    probe = spark.createDataFrame(
+        [(10, ""), (11, "  "), (12, "a")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["label"] for r in nb_predict(probe, model).collect()}
+    assert set(got) == {12}
+    assert got[12] == "x"

@@ -2866,6 +2866,51 @@ def x5_lm_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_doc_stats(docs, model)
 
 
+@_register(
+    "x5_nb_doc_stats",
+    """
+SELECT t.doc_id, l.label,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(coalesce(c.c, 0)) AS BIGINT) AS sum_token_count
+FROM (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+  FROM documents
+) t
+CROSS JOIN (SELECT DISTINCT lang AS label FROM documents) l
+LEFT JOIN (
+  SELECT d.lang AS label, w, CAST(count(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+    FROM documents
+  ) tk JOIN documents d ON d.doc_id = tk.doc_id
+  GROUP BY d.lang, w
+) c ON c.label = l.label AND c.w = t.w
+GROUP BY t.doc_id, l.label
+""",
+    driver=False,
+)
+def x5_nb_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — multinomial Naive Bayes sufficient statistics (train =
+    counting, the distributed-native classifier): the model trains on
+    the corpus with ``lang`` as the label, and every (doc, label) pair
+    emits its exact LONG evidence sums. The ln-posterior argmax (the
+    engine-inexact step) is differential-tested in
+    tests/test_extensions.py, same isolation as BM25/bigram-LM. Note
+    the synthetic corpus's labels are text-independent by construction
+    (measured: P(token|lang) uniform across langs), so classifier
+    ACCURACY is tested on a constructed two-class corpus in pytest —
+    this query checks the distributed counting/join machinery
+    value-exactly."""
+    from wwwision_importservice_spark.operators.nbayes import (
+        nb_doc_stats,
+        nb_train,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    model = nb_train(docs, "lang")
+    return nb_doc_stats(docs, model)
+
+
 # --------------------------------------------------------------------------- #
 # X4: multimodal plumbing (rows-only check: Pandas-UDF decode path)
 # --------------------------------------------------------------------------- #

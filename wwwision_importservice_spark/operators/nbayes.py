@@ -1,0 +1,192 @@
+"""Distributed multinomial Naive Bayes over the document corpus.
+
+The training-data-pipeline use case (no reference counterpart — the PHP
+reference has no text surface, SURVEY §1.4): corpus-scale document
+classification — language ID beyond the heuristic in
+``operators/text.py``, source/domain attribution, fasttext-style
+quality-classifier scoring — where the model must be TRAINED on cluster
+data, not shipped in.
+
+Multinomial NB is the distributed-native classifier: **training is one
+counting pass** (explode tokens → hash aggregate per (label, token) with
+map-side partial counts — the same shape that makes the bigram LM and
+BM25 one-pass), and **scoring is a join**, not a model broadcast of
+unbounded size:
+
+    score(d, y) = ln P(y) + Σ_w n_dw · ln( (c_yw + α) / (n_y + α·V) )
+
+- all sufficient statistics (c_yw, n_y, doc counts, V) are exact LONGs
+  — order-independent, engine-exact, two epochs never disagree;
+- per-token label counts fold to a ``map<label, count>`` per token, so
+  the scoring join is one shuffle on the token key and the per-doc ×
+  per-label expansion happens AFTER the per-doc token aggregate (rows =
+  doc-distinct-tokens × |labels|, never corpus-tokens × |labels|);
+- the label table (priors + denominators) is tiny and broadcast;
+- the one engine-inexact op (ln) is isolated in :func:`nb_predict`
+  (differential-tested), while :func:`nb_doc_stats` emits the
+  integer-exact face for the DuckDB oracle — the same split as
+  ``operators/retrieval.py`` (BM25) and ``operators/lm.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col):
+    """Lowercased whitespace tokens, empties dropped — the corpus-wide
+    tokenizer (same as text.py / retrieval.py / lm.py)."""
+    return F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
+
+
+def nb_train(
+    train: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train: returns ``(token_counts, labels, vocab)`` —
+    ``token_counts = (w, counts: map<label, long>)`` (per-token label
+    histogram, folded so the scoring join is keyed on ``w`` alone),
+    ``labels = (label, n_docs, n_tokens)`` (priors + denominators, tiny,
+    broadcast at scoring), ``vocab = (v)`` (distinct training tokens).
+    One corpus read feeds all three."""
+    toks = train.select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        F.explode(_tokens(F.col(text_col))).alias("w"),
+    )
+    per_label = toks.groupBy("label", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    token_counts = per_label.groupBy("w").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("label", "c"))
+        ).alias("counts")
+    )
+    labels = (
+        toks.groupBy("label")
+        .agg(
+            F.count_distinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    vocab = toks.agg(F.count_distinct("w").alias("v"))
+    return token_counts, labels, vocab
+
+
+def _doc_label_counts(
+    df: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared scoring skeleton: one row per (doc, label) with the exact
+    LONG sums — ``n_tokens`` (doc length) and ``sum_token_count``
+    (Σ over the doc's token occurrences of the label's training count
+    for that token; unseen tokens count 0). The per-label expansion
+    happens after the per-doc token aggregate."""
+    token_counts, labels, _ = model
+    doc_toks = (
+        df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    with_counts = doc_toks.join(token_counts, "w", "left")
+    expanded = with_counts.crossJoin(
+        F.broadcast(labels.select(F.col("label").alias("__y")))
+    ).select(
+        F.col(id_col),
+        F.col("__y").alias("label"),
+        F.col("n"),
+        F.coalesce(
+            F.element_at(F.col("counts"), F.col("__y")), F.lit(0)
+        ).alias("c"),
+    )
+    return expanded.groupBy(id_col, "label").agg(
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.col("n") * F.col("c")).alias("sum_token_count"),
+    )
+
+
+def nb_doc_stats(
+    df: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Integer-exact per-(doc, label) sufficient statistics —
+    ``(id, label, n_tokens, sum_token_count)``. The DuckDB-oracle face
+    of the classifier; the ln-based posterior lives in
+    :func:`nb_predict` under a differential test."""
+    return _doc_label_counts(df, model, id_col, text_col)
+
+
+def nb_predict(
+    df: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Posterior argmax per document: ``(id, label, log_score)`` with
+    the winning label (ties break to the lexicographically smallest —
+    deterministic under parallel evaluation). Docs with zero tokens are
+    absent (no evidence, no prediction).
+
+    Add-α likelihoods over the map-joined counts; the per-doc argmax is
+    a rank window (partial WindowGroupLimit — ≤1 row per doc per task
+    enters the shuffle)."""
+    token_counts, labels, vocab = model
+    doc_toks = (
+        df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lab = F.broadcast(
+        labels.crossJoin(labels.select(F.sum("n_docs").alias("__total")))
+        .select(
+            F.col("label").alias("__y"),
+            F.log(F.col("n_docs") / F.col("__total")).alias("__prior"),
+            F.col("n_tokens").alias("__ny"),
+        )
+    )
+    scored = (
+        doc_toks.join(token_counts, "w", "left")
+        .crossJoin(lab)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.col("__y").alias("label"),
+            F.col("__prior"),
+            (
+                F.col("n")
+                * F.log(
+                    (
+                        F.coalesce(
+                            F.element_at(F.col("counts"), F.col("__y")),
+                            F.lit(0),
+                        )
+                        + F.lit(alpha)
+                    )
+                    / (F.col("__ny") + F.lit(alpha) * F.col("v"))
+                )
+            ).alias("__ll"),
+        )
+    )
+    per_label = scored.groupBy(id_col, "label", "__prior").agg(
+        F.sum("__ll").alias("__sll")
+    ).select(
+        F.col(id_col),
+        F.col("label"),
+        (F.col("__prior") + F.col("__sll")).alias("log_score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("log_score").desc(), F.col("label").asc()
+    )
+    return (
+        per_label.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
