@@ -690,3 +690,60 @@ def test_stream_sync_into_scd2_target(spark, tmp_path):
         (r["id"], r["version"]) for r in target.as_of(spark, 1).collect()
     )
     assert asof1 == [("1", 1), ("2", 1)]
+
+
+def test_streaming_content_dedup_by_fingerprint(spark, tmp_path):
+    """Streaming corpus ingestion dedup: keying first_seen_dedup by the
+    normalized-text fingerprint (operators/text.py) suppresses
+    whitespace/punctuation-variant duplicates across micro-batches —
+    the streaming complement of the batch x1_normalized_dedup query.
+    State is the fingerprint set (one boolean per distinct content),
+    TTL-boundable like any first_seen key."""
+    from wwwision_importservice_spark.operators.text import fingerprint
+
+    b1 = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "fresh content here")],
+        "doc_id long, text string",
+    )
+    # batch 2: doc 3 is a punctuation/case variant of doc 1 (same
+    # fingerprint), doc 4 is new
+    b2 = spark.createDataFrame(
+        [(3, "hello   world"), (4, "other new content")],
+        "doc_id long, text string",
+    )
+    in_dir = _write_ordered_parquet(spark, tmp_path, "content_dedup", [b1, b2])
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    fp = fingerprint(stream, "doc_id", "text")
+    q = (
+        first_seen_dedup(fp, "fingerprint")
+        .writeStream.format("memory")
+        .queryName("content_dedup_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_content_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT fingerprint FROM content_dedup_sink").collect()
+    emitted = [r["fingerprint"] for r in got]
+    # three distinct contents pass; the variant duplicate is suppressed
+    assert len(emitted) == 3
+    assert len(set(emitted)) == 3
+    want = {
+        r["fingerprint"]
+        for r in fingerprint(
+            spark.createDataFrame(
+                [(1, "Hello, World!"), (2, "fresh content here"),
+                 (4, "other new content")],
+                "doc_id long, text string",
+            ),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert set(emitted) == want

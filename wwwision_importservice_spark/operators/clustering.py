@@ -140,7 +140,15 @@ def semantic_dedup_from_assignments(
     w = Window.partitionBy(cluster_col).orderBy(
         F.col("centroid_sim").desc(), F.col(id_col).asc()
     )
-    ranked = assigned.withColumn("rank", F.row_number().over(w))
+    # the ranked assignment feeds FOUR consumers (output, both self-join
+    # sides, the anti-join) — without a cut, Spark re-runs the
+    # centroid-assignment cross join + rank window once per consumer.
+    # A lazy localCheckpoint materializes it once (same pattern as the
+    # connected-components loop; on a cluster with unreliable executors
+    # prefer checkpoint() + a checkpoint dir).
+    ranked = assigned.withColumn(
+        "rank", F.row_number().over(w)
+    ).localCheckpoint(eager=False)
 
     in_scope = ranked
     if max_cluster_size is not None:
