@@ -1932,3 +1932,104 @@ def test_nb_empty_docs_emit_nothing(spark):
     got = {r["doc_id"]: r["label"] for r in nb_predict(probe, model).collect()}
     assert set(got) == {12}
     assert got[12] == "x"
+
+
+# --------------------------------------------------------------------------- #
+# X5: feature hashing + sketch rollups
+# --------------------------------------------------------------------------- #
+
+def test_hashing_tf_dense_matches_sparse(spark, sf_dir):
+    """The dense vector form is exactly the sparse relational form laid
+    out along 0..n-1 (zeros elsewhere), l2 weights included."""
+    from wwwision_importservice_spark.operators.features import (
+        hashed_tf,
+        hashing_tf_vectors,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    sparse = {
+        (r["doc_id"], r["bucket"]): r["l2_tf"]
+        for r in hashed_tf(docs, "doc_id").collect()
+    }
+    dense = {
+        r["doc_id"]: r["embedding"]
+        for r in hashing_tf_vectors(docs, "doc_id").collect()
+    }
+    assert dense
+    for did, vec in dense.items():
+        assert len(vec) == 64
+        for b, v in enumerate(vec):
+            assert v == sparse.get((did, b), 0.0), (did, b)
+
+
+def test_hashing_tf_feeds_embedding_operators(spark, sf_dir):
+    """The text→vector loop closes: hashed-TF vectors run through the
+    embedding-space operators (cosine top-k and semantic dedup) without
+    adaptation, and a doc's nearest neighbor under hashed-TF cosine is
+    itself excluded / sane."""
+    from wwwision_importservice_spark.operators.clustering import (
+        semantic_dedup,
+    )
+    from wwwision_importservice_spark.operators.features import (
+        hashing_tf_vectors,
+    )
+    from wwwision_importservice_spark.operators.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    vecs = hashing_tf_vectors(docs, "doc_id")
+
+    q = vecs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("q_id"), "embedding"
+    )
+    c = vecs.select(F.col("doc_id").alias("c_id"), "embedding")
+    top = cosine_topk(
+        q, c, k=2, query_id="q_id", corpus_id="c_id", broadcast_corpus=True
+    ).collect()
+    assert top
+    # rank 1 is always the doc itself at score 1
+    for r in top:
+        if r["rank"] == 1:
+            assert r["c_id"] == r["q_id"] and abs(r["score"] - 1.0) < 1e-6
+
+    out = semantic_dedup(
+        vecs, "doc_id", n_clusters=4, threshold=0.99, iterations=1
+    )
+    assert out.count() == vecs.count()
+
+
+def test_distinct_sketches_estimate_and_merge(spark, sf_dir):
+    """HLL sketch tables: per-source token sketches estimate within the
+    configured error; merging the per-source sketches reproduces the
+    corpus-level distinct count WITHOUT rescanning (the rollup
+    contract)."""
+    from wwwision_importservice_spark.operators.features import (
+        distinct_sketches,
+        merge_sketch_estimates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter("tok <> ''")
+
+    per_source = distinct_sketches(toks, ["source"], "tok").cache()
+    exact_per_source = {
+        r["source"]: r["d"]
+        for r in toks.groupBy("source")
+        .agg(F.count_distinct("tok").alias("d"))
+        .collect()
+    }
+    est_per_source = {
+        r["source"]: r["distinct_estimate"]
+        for r in merge_sketch_estimates(per_source, ["source"]).collect()
+    }
+    assert set(est_per_source) == set(exact_per_source)
+    for s, exact in exact_per_source.items():
+        assert abs(est_per_source[s] - exact) <= max(2, 0.05 * exact), s
+
+    exact_total = toks.agg(F.count_distinct("tok")).first()[0]
+    merged = merge_sketch_estimates(per_source, []).first()
+    assert abs(merged["distinct_estimate"] - exact_total) <= max(
+        2, 0.05 * exact_total
+    )
+    assert merged["n_rows"] == toks.count()

@@ -2911,6 +2911,44 @@ def x5_nb_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_doc_stats(docs, model)
 
 
+@_register(
+    "x5_hashing_tf",
+    """
+SELECT doc_id, bucket, tf,
+       round(tf / sqrt(sumsq), 6) AS l2_tf
+FROM (
+  SELECT doc_id, bucket, tf,
+         CAST(sum(tf * tf) OVER (PARTITION BY doc_id) AS BIGINT) AS sumsq
+  FROM (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 64 AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+      FROM documents)
+    GROUP BY doc_id, bucket
+  )
+)
+""",
+    driver=False,
+)
+def x5_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — feature hashing (Weinberger et al. 2009): term frequencies
+    bucketed by the md5-prefix hash — the vocabulary-free featurizer
+    (no dictionary to build/broadcast/version; epochs can't disagree).
+    The l2 weight is tf/√Σtf² — division and square root of EXACT
+    integers, so both engines agree bit-for-bit before the 6dp round
+    (zero accumulation-order exposure — the reason this featurizer is
+    fully oracle-hashable while learned embeddings are not). The dense
+    ``array<double>`` form (hashing_tf_vectors) feeds the embedding
+    operators and is consistency-tested in pytest."""
+    from wwwision_importservice_spark.operators.features import hashed_tf
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return hashed_tf(docs, "doc_id")
+
+
 # --------------------------------------------------------------------------- #
 # X4: multimodal plumbing (rows-only check: Pandas-UDF decode path)
 # --------------------------------------------------------------------------- #

@@ -1,0 +1,147 @@
+"""Text → vector-space featurization (the hashing trick) and sketch
+rollups — the bridge between the text operators and the embedding
+operators.
+
+No reference counterpart (the PHP reference has no text surface, SURVEY
+§1.4). Feature hashing (Weinberger et al. 2009, "Feature Hashing for
+Large Scale Multitask Learning") is the distributed-native featurizer:
+no vocabulary table to build, broadcast, or keep consistent across
+epochs — the feature index IS a hash of the token, so a 100 TB corpus
+featurizes in one narrow pass and two runs never disagree.
+
+Exactness design (registry conventions):
+
+- the bucket hash is the repo-wide md5-prefix family
+  (``conv(substr(md5(tok),1,15),16,10) % n``) — replicable bit-exactly
+  in DuckDB, Python, and Spark;
+- term frequencies are exact LONGs;
+- the only float op in the l2 form is ``tf / sqrt(Σ tf²)`` — a
+  correctly-rounded IEEE division and square root **of exact
+  integers**, so engines agree bit-for-bit before the final 6dp round
+  (no accumulation-order exposure anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col):
+    """Lowercased whitespace tokens, empties dropped — the corpus-wide
+    tokenizer (same as text.py / retrieval.py / lm.py / nbayes.py)."""
+    return F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
+
+
+def _bucket(tok, n_features: int):
+    """Feature index: first 15 md5 nibbles as a long, mod n — the same
+    deterministic hash family as hash_split / minhash."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+        F.lit(n_features),
+    )
+
+
+def hashed_tf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_features: int = 64,
+) -> DataFrame:
+    """Sparse hashed term frequencies: one row per (doc, bucket) with
+    ``tf`` (LONG, exact) and ``l2_tf`` (tf / √Σtf² over the doc,
+    rounded 6dp) — the relational face of the hashing trick. One
+    explode + one hash aggregate + one per-doc window for the norm; no
+    vocabulary state."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__t")
+    )
+    tf = toks.groupBy(
+        id_col, _bucket(F.col("__t"), n_features).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy(id_col)
+    return tf.select(
+        F.col(id_col),
+        "bucket",
+        "tf",
+        F.round(
+            F.col("tf")
+            / F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(w)),
+            6,
+        ).alias("l2_tf"),
+    )
+
+
+def hashing_tf_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_features: int = 64,
+    l2: bool = True,
+) -> DataFrame:
+    """Dense hashed-TF vectors ``(id, embedding: array<double>)`` —
+    drop-in input for every embedding operator (cosine top-k, sign-LSH,
+    IVF, semantic dedup), closing the text→vector loop without any
+    external model. Built from :func:`hashed_tf` by folding the sparse
+    rows into a map and reading it out along ``sequence(0, n-1)`` —
+    densification cost is O(n_features) per doc, after the aggregate."""
+    value = F.col("l2_tf") if l2 else F.col("tf").cast("double")
+    sparse = hashed_tf(df, id_col, text_col, n_features).select(
+        F.col(id_col), F.col("bucket"), value.alias("__v")
+    )
+    return (
+        sparse.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "__v"))
+            ).alias("__m")
+        )
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_features - 1)),
+                lambda i: F.coalesce(F.element_at("__m", i), F.lit(0.0)),
+            ).alias("embedding"),
+        )
+    )
+
+
+def distinct_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark's ``hll_sketch_agg``): one binary sketch per group. The
+    sketch-table pattern for 100 TB corpus accounting — build per
+    source/day/shard ONCE (map-side combinable aggregate), then answer
+    any union's cardinality later by merging sketches
+    (:func:`merge_sketch_estimates`) without rescanning the corpus.
+    Estimate error is the standard HLL ±~1.04/√2^lg_k (≈1.6% at the
+    default lg_k=12)."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def merge_sketch_estimates(
+    sketches: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Roll sketches up to a coarser grouping (possibly empty = corpus
+    total) and emit the distinct-count estimate — merging binaries, not
+    rescanning data. ``hll_union_agg(allowDifferentLgConfigK=True)``
+    accepts mixed-precision inputs (merges degrade to the smallest
+    lg_k, the DataSketches rule)."""
+    agg = F.hll_sketch_estimate(
+        F.hll_union_agg(F.col("sketch"), F.lit(True))
+    ).alias("distinct_estimate")
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(
+            agg, F.sum("n_rows").alias("n_rows")
+        )
+    return sketches.agg(agg, F.sum("n_rows").alias("n_rows"))
