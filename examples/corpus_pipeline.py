@@ -7,7 +7,14 @@ repo's operators over the driver testdata:
       → exact dedup            (X1: drop byte-identical bodies)
       → near-dup canonicals    (X2: MinHash-LSH → connected components,
                                 keep one doc per cluster)
+      → semantic dedup         (X3: hashed-TF vectors → k-means clusters
+                                → drop members cosine-≥τ to a more
+                                central one — SemDeDup, no external
+                                embedding model needed)
       → quality gate           (X5: C4/Gopher-style heuristics)
+      → LM perplexity gate     (X5: corpus-trained bigram LM; drop the
+                                high-perplexity gibberish tail —
+                                CCNet-style)
       → PII scrub              (X5: emails/phones/IPs → typed masks)
       → language ID            (X5: n-gram heuristic; drops docs the
                                 detector can't place — 'und')
@@ -34,11 +41,21 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from wwwision_importservice_spark.operators.clustering import (  # noqa: E402
+    semantic_dedup,
+)
 from wwwision_importservice_spark.operators.dedup import (  # noqa: E402
     connected_components,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures_inline,
+)
+from wwwision_importservice_spark.operators.features import (  # noqa: E402
+    hashing_tf_vectors,
+)
+from wwwision_importservice_spark.operators.lm import (  # noqa: E402
+    bigram_model,
+    lm_perplexity,
 )
 from wwwision_importservice_spark.operators.sampling import (  # noqa: E402
     hash_split,
@@ -75,9 +92,31 @@ def curate(spark, sf_dir: str):
         "left_semi",
     )
 
-    # X5 — quality gate, PII scrub, language id, token counts
-    gated = quality_filter(canonical, "text", min_score=0.3, min_tokens=5)
-    cleaned = gated.withColumn("text", scrub_pii(F.col("text")))
+    # X3 — semantic dedup on hashed-TF vectors (vocabulary-free: no
+    # external embedding model): cluster, then drop members
+    # cosine-similar to a more central one. τ=0.9 on l2-TF cosine ≈
+    # heavy token-multiset overlap the shingle LSH can miss when word
+    # ORDER differs.
+    vecs = hashing_tf_vectors(canonical, "doc_id")
+    sem = semantic_dedup(
+        vecs, "doc_id", n_clusters=8, threshold=0.9, iterations=2
+    )
+    sem_kept = canonical.join(
+        sem.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # X5 — quality gate, then the CCNet-style LM gate: train the bigram
+    # LM on the surviving corpus, drop the high-perplexity tail (fixed
+    # ceiling — deterministic, no quantile job)
+    gated = quality_filter(sem_kept, "text", min_score=0.3, min_tokens=5)
+    model = bigram_model(gated, id_col="doc_id")
+    ppl = lm_perplexity(gated, model, id_col="doc_id")
+    lm_ok = gated.join(
+        ppl.filter(F.round("perplexity", 6) <= 40.0).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    cleaned = lm_ok.withColumn("text", scrub_pii(F.col("text")))
     tagged = cleaned.withColumn(
         "detected_lang", detected_language(F.col("text"))
     ).withColumn("n_tokens", token_count(F.col("text")).cast("long"))
