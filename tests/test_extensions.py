@@ -2033,3 +2033,48 @@ def test_distinct_sketches_estimate_and_merge(spark, sf_dir):
         2, 0.05 * exact_total
     )
     assert merged["n_rows"] == toks.count()
+
+
+def test_semantic_dedup_tolerates_zero_norm_vectors(spark):
+    """Review regression: an all-zero embedding (failed encoder output)
+    must not abort the job under Spark 4's ANSI 0-division default —
+    its cosine is NULL everywhere, so it assigns deterministically and
+    is always kept."""
+    from wwwision_importservice_spark.operators.clustering import (
+        semantic_dedup,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        emb, "vec_id", n_clusters=1, threshold=0.95, iterations=0
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3]["keep"]  # undefined cosine never counts as a dup
+    assert out[3]["centroid_sim"] is None
+    # the two near-parallel real vectors still dedup
+    assert sum(1 for r in out.values() if not r["keep"]) == 1
+
+
+def test_nb_train_excludes_null_labels(spark):
+    """Review regression: unlabeled rows must not poison the per-token
+    label map (NULL map key) or the priors — they are excluded from
+    training."""
+    from wwwision_importservice_spark.operators.nbayes import (
+        nb_predict,
+        nb_train,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat", "a"), (2, "the dog sat", None),
+         (3, "a bird flew", "b")],
+        "doc_id long, text string, label string",
+    )
+    model = nb_train(train, "label")
+    labels = {r["label"] for r in model[1].collect()}
+    assert labels == {"a", "b"}
+    got = {r["doc_id"]: r["label"]
+           for r in nb_predict(train, model).collect()}
+    assert got[1] == "a" and got[3] == "b"

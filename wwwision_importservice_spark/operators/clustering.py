@@ -171,9 +171,12 @@ def semantic_dedup_from_assignments(
         F.col("__v").alias("__vb"),
         F.col("__n").alias("__nb"),
     )
+    # nullif: a zero-norm member has undefined cosine to everything —
+    # the comparison is NULL, never >= threshold, so degenerate vectors
+    # are always kept rather than aborting the job under ANSI mode
     sim = F.round(
         _dot(F.col("__va"), F.col("__vb"))
-        / (F.col("__na") * F.col("__nb")),
+        / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
         6,
     )
     removed = (

@@ -27,19 +27,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _tokens(text_col):
-    """Lowercased whitespace tokens, empties dropped — the corpus-wide
-    tokenizer (same as text.py / retrieval.py / lm.py / nbayes.py)."""
-    return F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
+from wwwision_importservice_spark.operators.text import (
+    corpus_tokens as _tokens,
+)
 
 
 def _bucket(tok, n_features: int):
-    """Feature index: first 15 md5 nibbles as a long, mod n — the same
-    deterministic hash family as hash_split / minhash."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
-        F.lit(n_features),
-    )
+    """Feature index: the repo-wide md5-prefix long
+    (dedup._md5_long — one definition of the hash family), mod n."""
+    from wwwision_importservice_spark.operators.dedup import _md5_long
+
+    return F.pmod(_md5_long(tok), F.lit(n_features))
 
 
 def hashed_tf(

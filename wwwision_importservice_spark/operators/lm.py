@@ -37,11 +37,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _tokens(text_col):
-    """Lowercased whitespace tokens, empties dropped — the corpus-wide
-    tokenizer (same as operators/text.py and retrieval.py, so counts
-    agree across operators)."""
-    return F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
+from wwwision_importservice_spark.operators.text import (
+    corpus_tokens as _tokens,
+)
 
 
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -72,14 +70,21 @@ def bigram_model(
     to 1 per context), ``vocab = (v)`` single row with the distinct
     token count. Three LONG count tables; the margin derives from the
     bigram table (tiny second aggregate), so training reads the corpus
-    once."""
+    once — and each table is cut with a lazy localCheckpoint so a
+    scoring action reuses the materialized counts instead of
+    re-exploding the training corpus once per consumer subtree (Spark
+    does not dedupe common lineage)."""
     bg = _doc_bigrams(train, id_col, text_col)
-    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    bigrams = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    ).localCheckpoint(eager=False)
+    contexts = bigrams.groupBy("w1").agg(
+        F.sum("c12").alias("c1")
+    ).localCheckpoint(eager=False)
     vocab = (
         train.select(F.explode(_tokens(F.col(text_col))).alias("w"))
         .agg(F.count_distinct("w").alias("v"))
-    )
+    ).localCheckpoint(eager=False)
     return bigrams, contexts, vocab
 
 

@@ -34,10 +34,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _tokens(text_col):
-    """Lowercased whitespace tokens, empties dropped — the corpus-wide
-    tokenizer (same as text.py / retrieval.py / lm.py)."""
-    return F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
+from wwwision_importservice_spark.operators.text import (
+    corpus_tokens as _tokens,
+)
 
 
 def nb_train(
@@ -51,8 +50,14 @@ def nb_train(
     histogram, folded so the scoring join is keyed on ``w`` alone),
     ``labels = (label, n_docs, n_tokens)`` (priors + denominators, tiny,
     broadcast at scoring), ``vocab = (v)`` (distinct training tokens).
-    One corpus read feeds all three."""
-    toks = train.select(
+    One corpus read feeds all three (each table is cut with a lazy
+    localCheckpoint so scoring actions reuse the materialized counts
+    instead of re-tokenizing the training corpus per consumer).
+
+    Unlabeled rows (NULL label) are EXCLUDED from training — a NULL
+    label is not a class (and would blow up the per-token label map
+    with a NULL key deep inside the first scoring action)."""
+    toks = train.filter(F.col(label_col).isNotNull()).select(
         F.col(id_col),
         F.col(label_col).alias("label"),
         F.explode(_tokens(F.col(text_col))).alias("w"),
@@ -64,15 +69,17 @@ def nb_train(
         F.map_from_entries(
             F.collect_list(F.struct("label", "c"))
         ).alias("counts")
-    )
+    ).localCheckpoint(eager=False)
     labels = (
         toks.groupBy("label")
         .agg(
             F.count_distinct(id_col).alias("n_docs"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
+    ).localCheckpoint(eager=False)
+    vocab = toks.agg(F.count_distinct("w").alias("v")).localCheckpoint(
+        eager=False
     )
-    vocab = toks.agg(F.count_distinct("w").alias("v"))
     return token_counts, labels, vocab
 
 

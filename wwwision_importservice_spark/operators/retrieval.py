@@ -40,10 +40,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _tokens(text_col):
-    """Whitespace tokens, lowercased, empties dropped — the same
-    tokenizer as ``operators/text.py`` so df/tf agree across operators."""
-    return F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
+from wwwision_importservice_spark.operators.text import (
+    corpus_tokens as _tokens,
+)
 
 
 def query_term_stats(

@@ -242,7 +242,9 @@ def cosine_topk_lsh(
         _as_double(F.col(vector_col)).alias("__cv"),
     ).withColumn("__cn", _norm(F.col("__cv")))
     score = F.round(
-        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+        _dot(F.col("__qv"), F.col("__cv"))
+        / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
+        6,
     )
     scored = qd.join(cd, "__bkt").select(
         F.col(query_id), F.col(corpus_id), score.alias("score")
@@ -359,7 +361,14 @@ def assign_cells(
             _as_double(F.col(vector_col)).alias("__cv"),
         ).withColumn("__cn", _norm(F.col("__cv")))
     )
-    sim = _dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn"))
+    # nullif guards the zero-norm degenerate (an all-zero embedding —
+    # failed encoder output, padding row): under Spark 4's ANSI default
+    # a bare 0-division aborts the job; with the guard the sim is NULL,
+    # NULLs rank last, and the vector lands deterministically in the
+    # lowest cell id (same guard train_ivf_centroids always had)
+    sim = _dot(F.col("__v"), F.col("__cv")) / F.nullif(
+        F.col("__n") * F.col("__cn"), F.lit(0.0)
+    )
     scored = v.crossJoin(c).select(
         F.col(id_col),
         F.col("__v"),
@@ -522,7 +531,9 @@ def cosine_topk_ivf(
     ).select(query_id, F.col(centroid_id), F.col("__v").alias("__qv"), F.col("__n").alias("__qn"))
 
     score = F.round(
-        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), 6
+        _dot(F.col("__qv"), F.col("__cv"))
+        / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
+        6,
     )
     # no distinct needed: a corpus vector lives in exactly one cell
     # (nprobe=1 on the corpus side), so each (query, candidate) pair

@@ -29,6 +29,14 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda t: t != "")
 
 
+def corpus_tokens(text_col: Column) -> Column:
+    """THE corpus-wide tokenizer — lowercased whitespace tokens, empties
+    dropped — shared by retrieval (BM25), lm, nbayes, and features so
+    tf/df/count statistics agree across operators (one definition, not
+    four copies that could drift)."""
+    return tokens(F.lower(text_col))
+
+
 def token_count(text: Column, pattern: str = TOKEN_PATTERN) -> Column:
     """Regex token count (portable: the pattern stays in the RE2 ∩ Java
     regex common subset)."""
