@@ -1419,8 +1419,9 @@ def _model_kmeans(vecs, k, iterations):
                 for j in range(k)
             ]
             order = sorted(range(k), key=lambda j: (-sims[j], j))
-            best, second = order[0], order[1]
-            min_margin = min(min_margin, sims[best] - sims[second])
+            best = order[0]
+            if len(order) > 1:  # k=1: one cell, margin stays infinite
+                min_margin = min(min_margin, sims[best] - sims[order[1]])
             members[best].append(v)
         for j in range(k):
             if members[j]:
@@ -2078,3 +2079,74 @@ def test_nb_train_excludes_null_labels(spark):
     got = {r["doc_id"]: r["label"]
            for r in nb_predict(train, model).collect()}
     assert got[1] == "a" and got[3] == "b"
+
+
+def test_semantic_dedup_random_shape_sweep(spark):
+    """Property-style sweep (derandomized): random small vector sets —
+    including exact-duplicate vectors, near-parallel pairs, and a
+    zero vector — must match the brute-force single-process SemDeDup
+    model decision-for-decision across cluster counts and thresholds.
+    Cases whose k-means margins fall inside float noise are skipped by
+    the margin certificate, same rule as the main differential test."""
+    import random
+
+    from wwwision_importservice_spark.operators.clustering import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(7)
+    for case in range(5):
+        n = rng.randint(5, 12)
+        dim = rng.choice([2, 3, 4])
+        vecs = {}
+        for i in range(n):
+            if i > 0 and rng.random() < 0.2:
+                vecs[i] = list(vecs[rng.randrange(i)])  # exact dup
+            elif rng.random() < 0.1:
+                vecs[i] = [0.0] * dim  # degenerate
+            else:
+                vecs[i] = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        k = rng.choice([1, 2, 3])
+        tau = rng.choice([0.8, 0.95])
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["vec_id"]: (r["cluster"], r["rank"], r["keep"])
+            for r in semantic_dedup(
+                emb, "vec_id", n_clusters=k, threshold=tau, iterations=1
+            ).collect()
+        }
+
+        live = {i: v for i, v in vecs.items() if any(x != 0.0 for x in v)}
+        dead = [i for i in vecs if i not in live]
+        # degenerate vectors: present, kept, NULL-sim semantics (their
+        # full interaction with seeding is pinned by the dedicated
+        # zero-norm test; the model below assumes an all-live corpus)
+        for i in dead:
+            assert got[i][2] is True, (case, i)
+        if dead or len(live) < k:
+            continue
+        cent, margin = _model_kmeans(live, k, 1)
+        if margin <= 1e-6:
+            continue  # inside float noise — certificate refuses to judge
+        assign = _model_assign(live, cent)
+        by_cluster = {}
+        for i, (c, s) in assign.items():
+            by_cluster.setdefault(c, []).append((i, s))
+        want = {}
+        for c, members in by_cluster.items():
+            members.sort(key=lambda t: (-t[1], t[0]))
+            for rank_b, (i, _) in enumerate(members, 1):
+                removed = any(
+                    _round6(
+                        _py_dot(vecs[i], vecs[j])
+                        / (_py_norm(vecs[i]) * _py_norm(vecs[j]))
+                    )
+                    >= tau
+                    for j, _ in members[: rank_b - 1]
+                )
+                want[i] = (c, rank_b, not removed)
+        for i, expected in want.items():
+            assert got[i] == expected, (case, i, got[i], expected)
