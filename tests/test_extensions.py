@@ -2150,3 +2150,88 @@ def test_semantic_dedup_random_shape_sweep(spark):
                 want[i] = (c, rank_b, not removed)
         for i, expected in want.items():
             assert got[i] == expected, (case, i, got[i], expected)
+
+
+def test_bigram_model_merge_equals_full_train(spark, sf_dir):
+    """merge(model(A), model(B)) == model(A ∪ B) exactly — counts,
+    contexts, vocab, and the downstream perplexity scores all agree, so
+    incremental corpus growth never needs a from-scratch retrain."""
+    from wwwision_importservice_spark.operators.lm import (
+        bigram_model,
+        lm_perplexity,
+        merge_bigram_models,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half_a = docs.filter("doc_id % 2 = 0")
+    half_b = docs.filter("doc_id % 2 = 1")
+
+    merged = merge_bigram_models(
+        bigram_model(half_a), bigram_model(half_b)
+    )
+    full = bigram_model(docs)
+
+    def as_sets(model):
+        bg, ctx, v = model
+        return (
+            {(r["w1"], r["w2"], r["c12"]) for r in bg.collect()},
+            {(r["w1"], r["c1"]) for r in ctx.collect()},
+            {r["w"] for r in v.collect()},
+        )
+
+    assert as_sets(merged) == as_sets(full)
+
+    probe = docs.limit(20)
+    got_m = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in lm_perplexity(probe, merged).collect()
+    }
+    got_f = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in lm_perplexity(probe, full).collect()
+    }
+    assert got_m == got_f
+
+
+def test_nb_model_merge_equals_full_train(spark):
+    """merge_nb_models over disjoint halves reproduces the full model
+    exactly — maps, priors, vocab, and predictions."""
+    from wwwision_importservice_spark.operators.nbayes import (
+        merge_nb_models,
+        nb_predict,
+        nb_train,
+    )
+
+    rows = [
+        (1, "buy cheap offer now", "spam"),
+        (2, "free cash winner", "spam"),
+        (3, "meeting notes attached", "ham"),
+        (4, "project review schedule", "ham"),
+        (5, "offer expires buy", "spam"),
+        (6, "schedule the meeting", "ham"),
+    ]
+    frame = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    full = nb_train(frame, "label")
+    merged = merge_nb_models(
+        nb_train(frame.filter("doc_id <= 3"), "label"),
+        nb_train(frame.filter("doc_id > 3"), "label"),
+    )
+
+    def flat(model):
+        tc, lab, v = model
+        return (
+            {
+                (r["w"], k, c)
+                for r in tc.collect()
+                for k, c in r["counts"].items()
+            },
+            {(r["label"], r["n_docs"], r["n_tokens"]) for r in lab.collect()},
+            {r["w"] for r in v.collect()},
+        )
+
+    assert flat(merged) == flat(full)
+    got_m = {r["doc_id"]: (r["label"], r["log_score"])
+             for r in nb_predict(frame, merged).collect()}
+    got_f = {r["doc_id"]: (r["label"], r["log_score"])
+             for r in nb_predict(frame, full).collect()}
+    assert got_m == got_f

@@ -67,13 +67,18 @@ def bigram_model(
     """Train the bigram LM: returns ``(bigrams, contexts, vocab)`` —
     ``bigrams = (w1, w2, c12)``, ``contexts = (w1, c1)`` with
     ``c1 = Σ_w2 c12`` (the bigram-context margin, so probabilities sum
-    to 1 per context), ``vocab = (v)`` single row with the distinct
-    token count. Three LONG count tables; the margin derives from the
+    to 1 per context), ``vocab = (w)`` the distinct-token table. Three LONG count tables; the margin derives from the
     bigram table (tiny second aggregate), so training reads the corpus
     once — and each table is cut with a lazy localCheckpoint so a
     scoring action reuses the materialized counts instead of
     re-exploding the training corpus once per consumer subtree (Spark
-    does not dedupe common lineage)."""
+    does not dedupe common lineage).
+
+    ``vocab`` is kept as the distinct TOKEN TABLE, not a pre-counted
+    scalar — tokens union exactly under model merge
+    (:func:`merge_bigram_models`) where a distinct COUNT cannot (a
+    single-token doc contributes vocabulary but no bigram, so V is not
+    derivable from the count tables alone)."""
     bg = _doc_bigrams(train, id_col, text_col)
     bigrams = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
@@ -83,8 +88,36 @@ def bigram_model(
     ).localCheckpoint(eager=False)
     vocab = (
         train.select(F.explode(_tokens(F.col(text_col))).alias("w"))
-        .agg(F.count_distinct("w").alias("v"))
+        .distinct()
     ).localCheckpoint(eager=False)
+    return bigrams, contexts, vocab
+
+
+def merge_bigram_models(
+    a: tuple[DataFrame, DataFrame, DataFrame],
+    b: tuple[DataFrame, DataFrame, DataFrame],
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Merge two trained models: ``merge(model(A), model(B)) ==
+    model(A ∪ B)`` **exactly** (pinned by test) — counts are additive
+    and the vocab token tables union — so incremental corpus growth is
+    a count-table merge (one shuffle over the SMALL model tables), not
+    a retrain over the raw corpus. The streaming complement: fold each
+    micro-batch's model into the running one."""
+    a_bg, a_ctx, a_v = a
+    b_bg, b_ctx, b_v = b
+    bigrams = (
+        a_bg.unionByName(b_bg)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c12").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    contexts = (
+        a_ctx.unionByName(b_ctx)
+        .groupBy("w1")
+        .agg(F.sum("c1").alias("c1"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = a_v.unionByName(b_v).distinct().localCheckpoint(eager=False)
     return bigrams, contexts, vocab
 
 
@@ -144,6 +177,7 @@ def lm_perplexity(
     The ln is the one engine-inexact op — differential-tested in
     tests/test_extensions.py, not oracle-hashed."""
     bigrams, contexts, vocab = model
+    v_count = vocab.agg(F.count(F.lit(1)).alias("v"))
     per_doc = (
         _doc_bigrams(df, id_col, text_col)
         .groupBy(id_col, "w1", "w2")
@@ -155,7 +189,7 @@ def lm_perplexity(
     scored = (
         per_doc.join(bigrams, ["w1", "w2"], "left")
         .join(contexts, ["w1"], "left")
-        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(v_count))
         .select(
             F.col(id_col),
             F.col("n"),

@@ -49,7 +49,8 @@ def nb_train(
     ``token_counts = (w, counts: map<label, long>)`` (per-token label
     histogram, folded so the scoring join is keyed on ``w`` alone),
     ``labels = (label, n_docs, n_tokens)`` (priors + denominators, tiny,
-    broadcast at scoring), ``vocab = (v)`` (distinct training tokens).
+    broadcast at scoring), ``vocab = (w)`` (distinct-token table —
+    mergeable by union, see :func:`merge_nb_models`).
     One corpus read feeds all three (each table is cut with a lazy
     localCheckpoint so scoring actions reuse the materialized counts
     instead of re-tokenizing the training corpus per consumer).
@@ -77,9 +78,49 @@ def nb_train(
             F.count(F.lit(1)).alias("n_tokens"),
         )
     ).localCheckpoint(eager=False)
-    vocab = toks.agg(F.count_distinct("w").alias("v")).localCheckpoint(
-        eager=False
+    vocab = toks.select("w").distinct().localCheckpoint(eager=False)
+    return token_counts, labels, vocab
+
+
+def merge_nb_models(
+    a: tuple[DataFrame, DataFrame, DataFrame],
+    b: tuple[DataFrame, DataFrame, DataFrame],
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Merge two trained models over DISJOINT document sets:
+    ``merge(model(A), model(B)) == model(A ∪ B)`` exactly (pinned by
+    test) — per-token label maps re-aggregate additively, label
+    priors/denominators sum, vocab token tables union. Incremental
+    corpus growth is a merge over the SMALL model tables, not a
+    retrain; the disjointness precondition exists because n_docs is a
+    distinct count (a doc present in both halves would double-count)."""
+    from pyspark.sql import functions as FF
+
+    a_tc, a_lab, a_v = a
+    b_tc, b_lab, b_v = b
+    entries = FF.explode(FF.map_entries("counts")).alias("e")
+    token_counts = (
+        a_tc.unionByName(b_tc)
+        .select("w", entries)
+        .groupBy("w", FF.col("e.key").alias("label"))
+        .agg(FF.sum("e.value").alias("c"))
+        .groupBy("w")
+        .agg(
+            FF.map_from_entries(
+                FF.collect_list(FF.struct("label", "c"))
+            ).alias("counts")
+        )
+        .localCheckpoint(eager=False)
     )
+    labels = (
+        a_lab.unionByName(b_lab)
+        .groupBy("label")
+        .agg(
+            FF.sum("n_docs").alias("n_docs"),
+            FF.sum("n_tokens").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    vocab = a_v.unionByName(b_v).distinct().localCheckpoint(eager=False)
     return token_counts, labels, vocab
 
 
@@ -146,6 +187,7 @@ def nb_predict(
     a rank window (partial WindowGroupLimit — ≤1 row per doc per task
     enters the shuffle)."""
     token_counts, labels, vocab = model
+    v_count = vocab.agg(F.count(F.lit(1)).alias("v"))
     doc_toks = (
         df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("w"))
         .groupBy(id_col, "w")
@@ -162,7 +204,7 @@ def nb_predict(
     scored = (
         doc_toks.join(token_counts, "w", "left")
         .crossJoin(lab)
-        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(v_count))
         .select(
             F.col(id_col),
             F.col("__y").alias("label"),
