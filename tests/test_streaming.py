@@ -747,3 +747,63 @@ def test_streaming_content_dedup_by_fingerprint(spark, tmp_path):
         ).collect()
     }
     assert set(emitted) == want
+
+
+def test_streaming_incremental_lm_training(spark, tmp_path):
+    """Streaming model maintenance: each micro-batch trains a bigram LM
+    on just its own documents and folds it into the running model with
+    merge_bigram_models — after the stream drains, the running model
+    equals a from-scratch train over everything (the mergeability
+    algebra, exercised through foreachBatch)."""
+    from wwwision_importservice_spark.operators.lm import (
+        bigram_model,
+        merge_bigram_models,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "jumps over the dog")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "the quick dog sleeps"), (4, "single")],
+        "doc_id long, text string",
+    )
+    in_dir = _write_ordered_parquet(spark, tmp_path, "lm_train", [b1, b2])
+
+    running = {}
+
+    def fold(batch_df, batch_id):
+        m = bigram_model(batch_df, id_col="doc_id")
+        running["model"] = (
+            m if "model" not in running
+            else merge_bigram_models(running["model"], m)
+        )
+        # eagerly materialize so executor-side checkpoints outlive the
+        # micro-batch
+        for frame in running["model"]:
+            frame.count()
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lm_train"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = bigram_model(b1.unionByName(b2), id_col="doc_id")
+
+    def as_sets(model):
+        bg, ctx, v = model
+        return (
+            {(r["w1"], r["w2"], r["c12"]) for r in bg.collect()},
+            {(r["w1"], r["c1"]) for r in ctx.collect()},
+            {r["w"] for r in v.collect()},
+        )
+
+    assert as_sets(running["model"]) == as_sets(full)
