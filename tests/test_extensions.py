@@ -2235,3 +2235,50 @@ def test_nb_model_merge_equals_full_train(spark):
     got_f = {r["doc_id"]: (r["label"], r["log_score"])
              for r in nb_predict(frame, full).collect()}
     assert got_m == got_f
+
+
+def test_cluster_sample_covers_every_cluster(spark, sf_dir):
+    """Every cluster contributes min(|c|, per_cluster) members; ranks
+    are 1..k dense; 'central' order picks the highest-centrality ids;
+    'hash' order is stable under re-run."""
+    from wwwision_importservice_spark.operators.clustering import (
+        assign_clusters,
+        cluster_sample,
+        kmeans,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = kmeans(emb, 8, "vec_id", iterations=1)
+    assigned = assign_clusters(emb, cent, "vec_id").localCheckpoint()
+
+    sizes = {r["cluster"]: r["n"] for r in
+             assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()}
+    got = cluster_sample(assigned, "vec_id", per_cluster=5).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["cluster"], []).append(r["sample_rank"])
+    assert set(per) == set(sizes)
+    for c, ranks in per.items():
+        assert sorted(ranks) == list(range(1, min(sizes[c], 5) + 1)), c
+
+    again = cluster_sample(assigned, "vec_id", per_cluster=5).collect()
+    assert {(r["vec_id"], r["sample_rank"]) for r in got} == {
+        (r["vec_id"], r["sample_rank"]) for r in again
+    }
+
+    from pyspark.sql import Window
+
+    central = cluster_sample(
+        assigned, "vec_id", per_cluster=1, order="central"
+    ).collect()
+    best = {
+        r["cluster"]: r["vec_id"]
+        for r in assigned.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("cluster")
+                .orderBy(F.col("centroid_sim").desc(), F.col("vec_id"))
+            ),
+        ).filter("rk = 1").collect()
+    }
+    assert {r["cluster"]: r["vec_id"] for r in central} == best

@@ -1921,6 +1921,51 @@ def x3_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x3_cluster_sample",
+    """
+SELECT vec_id, cluster, sample_rank FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY md5(vec_id::VARCHAR), vec_id) AS sample_rank
+  FROM (
+    SELECT vec_id, cluster FROM (
+      SELECT e.vec_id, s.cluster,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], s.cv), 6) DESC,
+                        s.cluster
+             ) AS rk
+      FROM embeddings e CROSS JOIN (
+        SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1) AS cluster,
+               embedding::DOUBLE[] AS cv
+        FROM (SELECT * FROM embeddings ORDER BY md5(vec_id::VARCHAR) LIMIT 8)
+      ) s)
+    WHERE rk = 1
+  )
+) WHERE sample_rank <= 5
+""",
+    driver=False,
+)
+def x3_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — coverage-stratified eval sampling: up to 5 docs from EVERY
+    k-means cell (uniform corpus samples over-represent big clusters
+    and can miss small ones entirely), picked by the deterministic
+    md5-of-id order — re-run/append-stable. Seeds-variant clusters so
+    the oracle can rebuild the assignment; the iterative path shares
+    the differential-tested k-means."""
+    from wwwision_importservice_spark.operators.clustering import (
+        assign_clusters,
+        cluster_sample,
+        kmeans,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = kmeans(emb, 8, "vec_id", iterations=0)
+    assigned = assign_clusters(emb, centroids, "vec_id")
+    return cluster_sample(assigned, "vec_id", per_cluster=5, order="hash")
+
+
 def _rp_oracle(dim: int = 64, out_dim: int = 8, seed: int = 0) -> str:
     """Oracle for x3_random_projection: the ±1 JL matrix inlined as SQL
     literals — built by the SAME generator the Spark operator uses

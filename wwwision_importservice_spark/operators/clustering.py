@@ -241,6 +241,40 @@ def semantic_dedup(
     )
 
 
+def cluster_sample(
+    assigned: DataFrame,
+    id_col: str,
+    cluster_col: str = "cluster",
+    per_cluster: int = 10,
+    order: str = "hash",
+) -> DataFrame:
+    """Coverage-stratified sampling: up to ``per_cluster`` members from
+    EVERY cluster — the diverse eval-set builder (a uniform corpus
+    sample over-represents the big clusters and can miss small ones
+    entirely; sampling per k-means cell guarantees every region of
+    embedding space is represented).
+
+    ``order='hash'`` picks a deterministic uniform subset (md5 of the
+    id — re-run/append-stable, same argument as hash_split);
+    ``order='central'`` picks the most central members (cleanest
+    exemplars per region). Emits ``(id, cluster, sample_rank)``. One
+    rank window over the assignment — the partial WindowGroupLimit
+    keeps at most ``per_cluster`` rows per cluster per task ahead of
+    the shuffle."""
+    if order == "hash":
+        key = [F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()]
+    elif order == "central":
+        key = [F.col("centroid_sim").desc(), F.col(id_col).asc()]
+    else:
+        raise ValueError(f"cluster_sample: unknown order {order!r}")
+    w = Window.partitionBy(cluster_col).orderBy(*key)
+    return (
+        assigned.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= per_cluster)
+        .select(id_col, cluster_col, "sample_rank")
+    )
+
+
 def random_project(
     df: DataFrame,
     id_col: str,
