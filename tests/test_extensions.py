@@ -2282,3 +2282,70 @@ def test_cluster_sample_covers_every_cluster(spark, sf_dir):
         ).filter("rk = 1").collect()
     }
     assert {r["cluster"]: r["vec_id"] for r in central} == best
+
+
+def test_dedup_spans_strips_repeated_tiles_and_reassembles(spark):
+    from wwwision_importservice_spark.operators.text import dedup_spans
+
+    # span_words=2: doc 1 owns "a b" and "c d"; doc 2 repeats "a b"
+    # (dropped) around a unique middle; doc 3 is entirely doc 1's tiles
+    # (vanishes); doc 4 has a short trailing partial tile.
+    frame = docs(
+        spark,
+        [
+            (1, "a b c d"),
+            (2, "a b x y"),
+            (3, "c d a b"),
+            (4, "p q r"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_spans"], r["n_spans_kept"])
+        for r in dedup_spans(frame, "doc_id", "text", span_words=2).collect()
+    }
+    assert got[1] == ("a b c d", 2, 2)
+    assert got[2] == ("x y", 2, 1)
+    assert 3 not in got  # every tile seen earlier -> doc drops entirely
+    assert got[4] == ("p q r", 2, 2)  # partial tile "r" survives
+
+    # deterministic: first occurrence wins by (doc_id, tile_idx), so
+    # re-running and re-ordering the input rows changes nothing
+    again = {
+        r["doc_id"]: r["text"]
+        for r in dedup_spans(
+            frame.orderBy(F.col("doc_id").desc()), "doc_id", "text", span_words=2
+        ).collect()
+    }
+    assert again == {d: t for d, (t, _, _) in got.items()}
+
+
+def test_dedup_spans_plans_window_group_limit(spark):
+    from wwwision_importservice_spark.operators.text import dedup_spans
+
+    frame = docs(spark, [(1, "a b c d")])
+    tree = dedup_spans(frame, "doc_id", "text", span_words=2)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in tree, tree
+
+
+def test_cap_per_group_caps_and_is_append_stable(spark):
+    from wwwision_importservice_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"src{i % 3}") for i in range(90)]
+    frame = spark.createDataFrame(rows, "doc_id long, source string")
+    capped = cap_per_group(frame, "doc_id", "source", max_rows=10)
+    got = capped.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["source"], set()).add(r["doc_id"])
+    assert all(len(ids) == 10 for ids in per.values()), per
+
+    # append-stability: adding rows can only displace hash-LATER picks —
+    # survivors of the bigger input that existed before must be survivors
+    # of the smaller input's hash-order prefix, i.e. re-running on the
+    # original input keeps identical picks
+    again = {(r["doc_id"], r["source"]) for r in
+             cap_per_group(frame, "doc_id", "source", max_rows=10).collect()}
+    assert again == {(r["doc_id"], r["source"]) for r in got}
+
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

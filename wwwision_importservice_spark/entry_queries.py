@@ -48,6 +48,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x2_dedup_spans",
     "sink_scd2_history",
     "x8_fuzzy_pairs",
     "x6_mixture_sample",
@@ -3105,6 +3106,10 @@ SELECT event_type,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """,
+    # demoted to the pytest tier in round 5 (long-green r01-r04) to hold
+    # the driver registry at exactly 50 when x2_dedup_spans joined; its
+    # sliding twin already lives here and s3 keeps windows driver-covered
+    driver=False,
 )
 def s1_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type via ``F.window`` — the
@@ -3223,6 +3228,79 @@ def s3b_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sessionize(ev, ["user_id"], "ts", gap=1800 * 10**9)
     return out.select("event_id", "user_id", "session_seq", "session_start")
+
+
+@_register(
+    "x2_dedup_spans",
+    """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+  FROM documents
+), idx AS (
+  SELECT doc_id, ws,
+         CAST(ceil(len(ws) / 4.0) AS BIGINT) AS n_spans,
+         unnest(range(0, greatest(CAST(ceil(len(ws) / 4.0) AS BIGINT), 1)))
+           AS tile_idx
+  FROM toks
+), tiles AS (
+  SELECT doc_id, n_spans, tile_idx,
+         array_to_string(ws[tile_idx * 4 + 1 : tile_idx * 4 + 4], ' ') AS tile
+  FROM idx
+), survivors AS (
+  SELECT doc_id, n_spans, tile_idx, tile,
+         row_number() OVER (PARTITION BY md5(tile)
+                            ORDER BY doc_id, tile_idx) AS rn
+  FROM tiles
+)
+SELECT doc_id,
+       string_agg(tile, ' ' ORDER BY tile_idx) AS text,
+       any_value(n_spans) AS n_spans,
+       count(*) AS n_spans_kept
+FROM survivors WHERE rn = 1 AND tile <> ''
+GROUP BY doc_id
+""",
+)
+def x2_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — corpus-wide exact-SPAN dedup with text reassembly
+    (``operators/text.py:dedup_spans``): ExactSubstr (Lee et al. 2022)
+    simplified to fixed 4-word tiles — a tile seen anywhere earlier in
+    the corpus is stripped, surviving tiles are stitched back per doc.
+    The rewrite complement of the ``x2_duplicated_spans`` profile:
+    removes repeated boilerplate REGIONS from otherwise-unique docs,
+    where X1/X2 can only drop whole documents. First-occurrence-wins is
+    ``row_number()=1`` over the tile hash (WindowGroupLimit — map-side
+    partial limit), reassembly one hash aggregate. Two uniform-key
+    shuffles."""
+    from wwwision_importservice_spark.operators.text import dedup_spans
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return dedup_spans(docs, "doc_id", "text", span_words=4)
+
+
+@_register(
+    "x6_cap_per_group",
+    """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents
+) WHERE rn <= 100
+""",
+    driver=False,
+)
+def x6_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — per-source frequency cap
+    (``operators/sampling.py:cap_per_group``): keep at most 100 docs
+    per source in deterministic id-hash order — the C4/Dolma-style
+    guard against template-heavy domains dominating a corpus. Plans as
+    WindowGroupLimit: every map task pre-limits each source to 100
+    rows BEFORE the shuffle."""
+    from wwwision_importservice_spark.operators.sampling import cap_per_group
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "doc_id", "source", max_rows=100)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -208,6 +208,40 @@ def mixture_sample(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    max_rows: int,
+) -> DataFrame:
+    """Frequency cap: keep at most ``max_rows`` rows per group (domain /
+    source / site) — the standard curation guard against a handful of
+    template-heavy domains dominating a web corpus (C4/Dolma-style
+    per-domain caps).
+
+    Which rows survive is a deterministic function of the id (md5-hash
+    order, same construction as :func:`training_order`), so re-runs and
+    incremental appends keep the same documents; new arrivals can only
+    displace hash-later rows, never reshuffle prior picks arbitrarily.
+
+    Scale shape: a ``row_number() <= k`` filter, which Spark plans as
+    ``WindowGroupLimit`` — each map task pre-limits every group to
+    ``max_rows`` BEFORE the shuffle, so a 100M-row boilerplate domain
+    ships at most ``max_rows × partitions`` rows into the exchange
+    instead of all 100M. One shuffle on the group column.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__cap_rn", F.row_number().over(w))
+        .filter(F.col("__cap_rn") <= int(max_rows))
+        .drop("__cap_rn")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -306,6 +306,83 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 8,
+) -> DataFrame:
+    """CORPUS-WIDE exact-span dedup with text reassembly — the
+    ExactSubstr idea (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better") simplified to fixed, non-overlapping word
+    tiles: the text is cut into consecutive ``span_words``-word tiles,
+    a tile that already occurred anywhere earlier in the corpus (first
+    occurrence = lowest ``(doc, tile_index)``) is REMOVED, and each
+    document's surviving tiles are stitched back together in order.
+    Complements :func:`x1 <…dedup.exact_dedup>`/X2 document-level dedup:
+    those drop whole near-identical documents; this strips repeated
+    boilerplate *regions* (headers, license blocks, navigation chrome)
+    out of otherwise-unique documents. The profiling twin is
+    ``duplicated_spans`` (report, no rewrite); this one rewrites.
+
+    Returns ``(id, text, n_spans, n_spans_kept)`` — documents whose
+    every tile was dropped disappear from the output (their text would
+    be empty), which downstream treats like any other filtered doc.
+
+    Scale shape: tiles fan out ~tokens/span_words rows but each row is
+    one short string; first-occurrence-wins is ``row_number()=1`` over
+    the tile hash, which Spark plans as ``WindowGroupLimit`` (map-side
+    partial limit before the exchange — a boilerplate tile occurring
+    100M times ships once per input partition, not 100M times).
+    Reassembly is one hash aggregate on the doc id with an in-agg
+    ``array_sort``; no Python, no driver loop. Two uniform-key
+    shuffles total.
+    """
+    from pyspark.sql import Window
+
+    if span_words < 1:
+        raise ValueError("dedup_spans requires span_words >= 1")
+    toks = tokens(F.col(text_col))
+    n_tiles = F.ceil(F.size(toks) / F.lit(span_words)).cast("int")
+    tiles = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_tiles, F.lit(1)) - 1),
+        lambda i: F.struct(
+            i.alias("tile_idx"),
+            F.array_join(
+                F.slice(toks, i * span_words + 1, span_words), " "
+            ).alias("tile"),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        n_tiles.cast("long").alias("__n_spans"),
+        F.posexplode_outer(tiles).alias("__pos", "__t"),
+    ).select(
+        F.col(id_col),
+        F.col("__n_spans"),
+        F.col("__t.tile_idx").alias("tile_idx"),
+        F.col("__t.tile").alias("tile"),
+    )
+    w = Window.partitionBy(F.md5(F.col("tile"))).orderBy(
+        F.col(id_col).asc(), F.col("tile_idx").asc()
+    )
+    survivors = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("tile") != ""))
+        .drop("__rn")
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("tile_idx"), F.col("tile")))
+    )
+    return survivors.groupBy(id_col).agg(
+        F.array_join(F.transform(ordered, lambda s: s.tile), " ").alias(
+            text_col
+        ),
+        F.first(F.col("__n_spans")).alias("n_spans"),
+        F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
+    )
+
+
 def repetition_score(
     df: DataFrame,
     id_col: str = "doc_id",
