@@ -29,6 +29,12 @@ so the step is fully explained by the methodology switch above: under
 (the dominant cost, kept for oracle bit-exactness); noop-write pays for
 them honestly. Not noise, not a regression — a corrected measurement.
 
+Round-5 ambient-noise bound: five same-code full-bench runs across the
+round measured totals of 18.3 / 22.9 / 24.9 / 27.4 s (and the set then
+gained x2_dedup_spans, ~+1.1s) — a ±30% day-scale band on top of the
+±45% back-to-back band above. Per-query ratios inside one run are
+meaningful; cross-run totals are weather. Compare plans, not seconds.
+
 Round-5 total (measured 18.3s quiet-load best-of-3 at sf0.1) is NOT
 like-for-like with r4's 13.99s:
 (+0.7s) the headline set gained x3_cosine_topk_blocked (the join-free
@@ -95,6 +101,7 @@ HEADLINE = [
     "asof_join_events",
     "range_join_events",
     "x2_dedup_clusters",
+    "x2_dedup_spans",  # joined round 5 — see module docstring
 ]
 
 

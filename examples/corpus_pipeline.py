@@ -7,6 +7,10 @@ repo's operators over the driver testdata:
       → exact dedup            (X1: drop byte-identical bodies)
       → near-dup canonicals    (X2: MinHash-LSH → connected components,
                                 keep one doc per cluster)
+      → span dedup             (X2: strip corpus-wide repeated 4-word
+                                tiles out of otherwise-unique docs and
+                                stitch the survivors back — ExactSubstr
+                                boilerplate removal)
       → semantic dedup         (X3: hashed-TF vectors → k-means clusters
                                 → drop members cosine-≥τ to a more
                                 central one — SemDeDup, no external
@@ -18,6 +22,8 @@ repo's operators over the driver testdata:
       → PII scrub              (X5: emails/phones/IPs → typed masks)
       → language ID            (X5: n-gram heuristic; drops docs the
                                 detector can't place — 'und')
+      → per-domain cap         (X6: at most N docs per source — no
+                                template-heavy domain dominates)
       → mixture sampling       (X6: per-SOURCE token budgets — the
                                 domain-mixture spec)
       → train/val split        (X6: deterministic id-hash buckets)
@@ -58,11 +64,13 @@ from wwwision_importservice_spark.operators.lm import (  # noqa: E402
     lm_perplexity,
 )
 from wwwision_importservice_spark.operators.sampling import (  # noqa: E402
+    cap_per_group,
     hash_split,
     mixture_sample,
     pack_sequences,
 )
 from wwwision_importservice_spark.operators.text import (  # noqa: E402
+    dedup_spans,
     detected_language,
     quality_filter,
     scrub_pii,
@@ -90,6 +98,15 @@ def curate(spark, sf_dir: str):
         ),
         "doc_id",
         "left_semi",
+    )
+
+    # X2b — span dedup: strip corpus-wide repeated 4-word tiles (headers,
+    # license blocks, navigation chrome) out of otherwise-unique docs;
+    # the rewritten text replaces the original (n_chars is stale after
+    # the rewrite, so it's dropped — downstream uses token counts)
+    rewritten = dedup_spans(canonical, "doc_id", "text", span_words=4)
+    canonical = canonical.drop("text", "n_chars").join(
+        rewritten.select("doc_id", "text"), "doc_id"
     )
 
     # X3 — semantic dedup on hashed-TF vectors (vocabulary-free: no
@@ -130,9 +147,14 @@ def curate(spark, sf_dir: str):
     # X6 — DOMAIN mixture: token budgets per crawl source; sources
     # without an explicit budget get the default (here: admitted at a
     # smaller budget, exercising both paths)
+    # per-domain frequency cap BEFORE the token-budget mixture: a
+    # template-heavy source can't crowd the budget with its first
+    # hash-ordered docs
+    capped = cap_per_group(identified, "doc_id", "source", max_rows=400)
+
     budgets = {"src0": 1200, "src1": 1200, "src2": 800, "src3": 800}
     mixed = mixture_sample(
-        identified,
+        capped,
         "doc_id",
         "source",
         "n_tokens",

@@ -2349,3 +2349,74 @@ def test_cap_per_group_caps_and_is_append_stable(spark):
 
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_incremental_lsh_pairs_equals_one_shot(spark):
+    """The incremental-index contract: batch-1 pairs ∪ incremental
+    (batch-2 vs batch-1 index) must equal the one-shot pairs over the
+    full corpus — banding is order-independent and touched buckets keep
+    their full historical membership."""
+    import random
+
+    from wwwision_importservice_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        lsh_index,
+        minhash_signatures_inline,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    base = [" ".join(rng.choices(vocab, k=30)) for _ in range(12)]
+    rows = []
+    did = 0
+    for t in base:
+        rows.append((did, t)); did += 1
+        # a near-dup twin (one word changed) to guarantee shared buckets
+        ws = t.split(); ws[rng.randrange(len(ws))] = "zz"
+        rows.append((did, " ".join(ws))); did += 1
+    frame = docs(spark, rows)
+    batch1 = frame.filter(F.col("doc_id") < 12)
+    batch2 = frame.filter(F.col("doc_id") >= 12)
+
+    def sigs(df):
+        return minhash_signatures_inline(df, "doc_id", "text", n=3, num_hashes=16)
+
+    one_shot = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs(frame), "doc_id", 16, 4).collect()
+    }
+    b1 = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs(batch1), "doc_id", 16, 4).collect()
+    }
+    idx = lsh_index(sigs(batch1), "doc_id", 16, 4)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_lsh_pairs(sigs(batch2), idx, "doc_id", 16, 4).collect()
+    }
+    assert b1 | inc == one_shot
+    # the incremental run emits ONLY pairs touching the new batch
+    assert all(a >= 12 or b >= 12 for a, b in inc)
+    # and some cross-batch pair exists (the fixture guarantees twins
+    # straddle the split at doc_ids 11/12... not necessarily; assert
+    # instead that inc is non-empty because batch2 has internal twins)
+    assert inc
+
+
+def test_incremental_lsh_index_never_shuffles(spark):
+    """Plan pin: the index side reaches the semi join through a
+    BroadcastHashJoin (index scanned, never exchanged before the join)."""
+    from wwwision_importservice_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        lsh_index,
+        minhash_signatures_inline,
+    )
+
+    frame = docs(spark, [(i, f"a b c d e f g h i{i}") for i in range(8)])
+    s = minhash_signatures_inline(frame, "doc_id", "text", n=3, num_hashes=16)
+    plan = (
+        incremental_lsh_pairs(s, lsh_index(s, "doc_id", 16, 4), "doc_id", 16, 4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    semi = [l for l in plan.splitlines() if "BroadcastHashJoin" in l and "LeftSemi" in l]
+    assert semi, plan

@@ -175,6 +175,105 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _band_buckets(
+    sig_df: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """``(id, band, sig)`` bucket rows from a signature frame: the
+    signature splits into ``bands`` row-groups, each md5-compressed into
+    one bucket key. Shared by the batch pair expansion and the
+    incremental index path."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        # ':' separator disambiguates decimal concatenations (1,23 vs 12,3)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(":", *parts)).alias("sig"))
+        )
+    return sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+
+def lsh_index(
+    sig_df: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """The persistable LSH INDEX for a signature frame: ``(id, band,
+    sig)`` bucket rows. Write it once for the historical corpus (ideally
+    ``partitionBy("band")`` + sorted by ``sig`` so incremental lookups
+    prune partitions and skip row groups), then dedup each new crawl
+    batch against it with :func:`incremental_lsh_pairs` and append the
+    batch's own rows — no recompute of the corpus, ever."""
+    return _band_buckets(sig_df, id_col, num_hashes, bands)
+
+
+def incremental_lsh_pairs(
+    new_sigs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Near-dup candidate pairs for a NEW batch of documents against an
+    existing corpus, without recomputing the corpus: emits exactly the
+    pairs that involve ≥1 new document — new↔new and new↔indexed —
+    under the same banding scheme as :func:`lsh_candidate_pairs`.
+
+    ``index`` is the ``(id, band, sig)`` bucket table from
+    :func:`lsh_index` (typically read back from parquet). Equivalence
+    property (pinned in tests): batch-1 pairs ∪ incremental(batch 2 vs
+    index(batch 1)) == one-shot pairs over batch 1 ∪ 2 — banding is
+    order-independent, and any bucket touching a new doc retains its
+    full historical membership here, so the cap drops the same buckets
+    the one-shot run would (a bucket can only GROW across batches, so a
+    bucket the one-shot run drops is dropped by whichever incremental
+    run first pushes it over the cap).
+
+    Scale shape — the reason this exists: a continuously-fed corpus
+    can't re-run LSH over 100 TB per crawl batch. Here the index side
+    is first pruned with a left-semi join against the new batch's
+    DISTINCT bucket keys (a broadcast when the batch is small — the
+    index is scanned but NEVER shuffled), so the bucket-group shuffle
+    moves only (batch rows + historical members of touched buckets).
+    Per-batch cost ∝ batch size + touched-bucket width, independent of
+    corpus size except for the pruned index scan; partition the stored
+    index by ``band`` and sort by ``sig`` to cut that scan too.
+    """
+    new_b = _band_buckets(new_sigs, id_col, num_hashes, bands)
+    touched = new_b.select("band", "sig").distinct()
+    idx_hit = index.join(F.broadcast(touched), ["band", "sig"], "left_semi")
+    members = (
+        new_b.withColumn("__new", F.lit(True))
+        .unionByName(idx_hit.withColumn("__new", F.lit(False)))
+        .groupBy("band", "sig")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("__new").alias("new"))
+            ).alias("ids")
+        )
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        members = members.filter(F.size("ids") <= max_bucket_size)
+    pairs_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda a: F.transform(
+                F.filter(
+                    "ids", lambda b: (b["id"] > a["id"]) & (a["new"] | b["new"])
+                ),
+                lambda b: F.struct(a["id"].alias("id_a"), b["id"].alias("id_b")),
+            ),
+        )
+    )
+    return (
+        members.select(F.explode(pairs_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str,
@@ -206,17 +305,7 @@ def lsh_candidate_pairs(
     job, so it reports nothing. ``max_bucket_size=None`` disables the
     ceiling.
     """
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        # ':' separator disambiguates decimal concatenations (1,23 vs 12,3)
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(":", *parts)).alias("sig"))
-        )
-    buckets = sig_df.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    buckets = _band_buckets(sig_df, id_col, num_hashes, bands)
 
     grouped = (
         buckets.groupBy("band", "sig")
