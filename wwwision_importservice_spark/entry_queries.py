@@ -3278,6 +3278,38 @@ def x2_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x2_incremental_lsh",
+    # the incremental contract in SQL: exactly the one-shot pairs that
+    # touch the new batch (odd doc_ids); the cap (inside _PAIRS_SQL)
+    # applies to FULL bucket membership on both sides
+    f"SELECT id_a, id_b FROM ({_PAIRS_SQL}) WHERE id_a % 2 = 1 OR id_b % 2 = 1",
+    driver=False,
+)
+def x2_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — incremental near-dup dedup
+    (``operators/dedup.py:incremental_lsh_pairs``): even doc_ids play
+    the historical corpus (persisted ``lsh_index`` bucket table), odd
+    doc_ids the new crawl batch; emitted pairs are exactly the one-shot
+    pairs touching the batch. The index side is pruned by a broadcast
+    semi join on the batch's bucket keys and never shuffles — per-batch
+    cost ∝ batch + touched buckets, not corpus size."""
+    from wwwision_importservice_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        lsh_index,
+        minhash_signatures_inline,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    def sig(d):
+        return minhash_signatures_inline(d, "doc_id", "text", n=3, num_hashes=16)
+
+    idx = lsh_index(sig(docs.filter(F.col("doc_id") % 2 == 0)), "doc_id", 16, 4)
+    return incremental_lsh_pairs(
+        sig(docs.filter(F.col("doc_id") % 2 == 1)), idx, "doc_id", 16, 4
+    )
+
+
+@_register(
     "x6_cap_per_group",
     """
 SELECT doc_id, source FROM (
