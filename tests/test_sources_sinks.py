@@ -908,3 +908,43 @@ def test_scd2_remove_only_run_consumes_a_sequence(spark, tmp_path):
     # the post-remove state is reachable: at seq 2, only b exists
     asof2 = sorted(r["id"] for r in target.as_of(spark, 2).collect())
     assert asof2 == ["b"]
+
+
+def test_clustered_layout_prunes_filtered_scans(spark, tmp_path):
+    """operators/layout.py: a range-clustered write must let a point
+    filter touch O(1) files, where the same data written round-robin is
+    touched everywhere — the storage-side half of predicate pushdown."""
+    from wwwision_importservice_spark.operators.layout import (
+        files_touched,
+        write_clustered,
+    )
+
+    rows = spark.range(0, 20_000).select(
+        (F.col("id") % 100).alias("user_id"), F.col("id").alias("payload")
+    )
+    clustered_path = str(tmp_path / "clustered")
+    flat_path = str(tmp_path / "flat")
+    write_clustered(rows, clustered_path, ["user_id"], n_partitions=16)
+    rows.repartition(16).write.parquet(flat_path)
+
+    pred = F.col("user_id") == 42
+    got = spark.read.parquet(clustered_path).filter(pred)
+    flat = spark.read.parquet(flat_path).filter(pred)
+    # same answer either way
+    assert got.count() == flat.count() == 200
+    # clustered: the key lives in 1 (or 2, straddling a range boundary)
+    # of 16 files; round-robin: every file carries every key
+    assert files_touched(got) <= 2, files_touched(got)
+    assert files_touched(flat) == 16
+    # rows inside each clustered file are sorted on the key (footer
+    # min-max stats are tight because of this)
+    first_file = (
+        spark.read.parquet(clustered_path)
+        .withColumn("f", F.input_file_name())
+        .filter(pred).select("f").first()["f"]
+    )
+    vals = [
+        r["user_id"]
+        for r in spark.read.parquet(first_file).select("user_id").collect()
+    ]
+    assert vals == sorted(vals)
