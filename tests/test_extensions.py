@@ -2420,3 +2420,46 @@ def test_incremental_lsh_index_never_shuffles(spark):
     )
     semi = [l for l in plan.splitlines() if "BroadcastHashJoin" in l and "LeftSemi" in l]
     assert semi, plan
+
+
+def test_dedup_spans_matches_python_model_on_random_shapes(spark):
+    """Differential sweep: dedup_spans == a direct python model of
+    'first (doc, tile_idx) occurrence of each tile wins' over random
+    small-vocab corpora (small vocab forces heavy tile collisions)."""
+    import random
+
+    from wwwision_importservice_spark.operators.text import dedup_spans
+
+    rng = random.Random(11)
+    for trial, (vocab_n, span_w) in enumerate([(3, 2), (5, 3), (2, 1), (4, 4)]):
+        vocab = [f"w{i}" for i in range(vocab_n)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randrange(0, 12))))
+            for i in range(25)
+        ]
+
+        # python model
+        def tiles_of(text):
+            ws = [t for t in text.split(" ") if t]
+            return [
+                " ".join(ws[i : i + span_w]) for i in range(0, len(ws), span_w)
+            ]
+
+        seen = set()
+        expect = {}
+        for did, text in rows:  # doc order == first-occurrence order
+            kept, total = [], tiles_of(text)
+            for tile in total:
+                if tile and tile not in seen:
+                    seen.add(tile)
+                    kept.append(tile)
+            if kept:
+                expect[did] = (" ".join(kept), len(total), len(kept))
+
+        got = {
+            r["doc_id"]: (r["text"], r["n_spans"], r["n_spans_kept"])
+            for r in dedup_spans(
+                docs(spark, rows), "doc_id", "text", span_words=span_w
+            ).collect()
+        }
+        assert got == expect, (trial, vocab_n, span_w)

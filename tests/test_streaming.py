@@ -807,3 +807,68 @@ def test_streaming_incremental_lm_training(spark, tmp_path):
         )
 
     assert as_sets(running["model"]) == as_sets(full)
+
+
+def test_near_dup_gate_across_batches(spark, tmp_path):
+    """streaming/neardup.py: the admitted corpus must carry the
+    invariant 'no admitted doc LSH-candidate-pairs another admitted
+    doc' across micro-batches, with state in the parquet index; a
+    retried batch re-admits nothing."""
+    from wwwision_importservice_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_inline,
+    )
+    from wwwision_importservice_spark.streaming.neardup import near_dup_gate
+
+    # twins append one word to a long base: shingle Jaccard ≈ n/(n+1),
+    # so all four bands match with near-certainty under the fixed seeds
+    # (verified: base/twin/cross are mutual LSH candidates)
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm windowsill and birds sing in the tall green trees outside"
+    )
+    twin = base + " today"
+    uniq = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "red orange yellow green blue indigo violet pink black white",
+    ]
+    b1 = spark.createDataFrame(
+        [(0, base), (1, twin), (2, uniq[0])], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(10, base + " yesterday"), (11, uniq[1]), (12, uniq[2])],
+        "doc_id long, text string",
+    )
+
+    admitted = []
+
+    def admit(df, batch_id):
+        admitted.extend((r["doc_id"], r["text"]) for r in df.collect())
+
+    gate = near_dup_gate(str(tmp_path / "lsh_index"), admit, n=3)
+    gate(b1, 0)
+    after_b1 = {d for d, _ in admitted}
+    assert 0 in after_b1 and 2 in after_b1
+    assert 1 not in after_b1  # within-batch twin of doc 0
+
+    gate(b2, 1)
+    ids = {d for d, _ in admitted}
+    assert 10 not in ids  # cross-batch dup of doc 0, caught via the index
+    assert {11, 12} <= ids
+
+    # invariant: zero candidate pairs inside the admitted set
+    adm = spark.createDataFrame(admitted, "doc_id long, text string")
+    sigs = minhash_signatures_inline(adm, "doc_id", "text", n=3, num_hashes=16)
+    assert lsh_candidate_pairs(sigs, "doc_id", 16, 4).count() == 0
+
+    # the index holds exactly the admitted docs' bucket rows
+    idx = spark.read.parquet(str(tmp_path / "lsh_index"))
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == ids
+
+    # retry of batch 2 (exactly-once violation upstream): nothing
+    # re-admitted, index unchanged
+    before = len(admitted)
+    gate(b2, 1)
+    assert len(admitted) == before
+    assert idx.count() == spark.read.parquet(str(tmp_path / "lsh_index")).count()

@@ -1,0 +1,125 @@
+"""Streaming near-duplicate gate: admit only documents that don't
+near-dup anything already admitted, across micro-batches.
+
+The streaming composition of the incremental LSH index
+(``operators/dedup.py:lsh_index`` / ``incremental_lsh_pairs``): each
+micro-batch is deduped against the PERSISTED index of every previously
+admitted document, the survivors are emitted, and only *their* bucket
+rows join the index — the admitted corpus carries the invariant "no
+admitted doc is an LSH candidate of another admitted doc".
+
+No reference counterpart (the reference has no streaming and no dedup
+beyond keying); this is the continuously-fed-corpus shape: a crawler
+feeding 100 TB can't re-LSH the corpus per batch, and the batch
+``x2_canonical_docs`` pipeline answers a different question (cluster a
+finished corpus) than this one (admit-or-drop at ingest time).
+
+Within-batch convention: a doc is dropped iff it candidate-pairs with
+an indexed doc or with a SMALLER-id doc in the same batch — the same
+keep-the-cluster-min rule as ``canonical_docs``. (A greedy
+sequential-admission order would re-admit a doc whose only match was
+itself dropped; that needs a per-cluster ranking pass — at near-dup
+cluster shapes the two differ only on chain-shaped clusters, and
+conservatism is the safer default for training data.)
+
+Scale notes: per batch, the index side is broadcast-semi-pruned on the
+batch's bucket keys and never shuffled (see ``incremental_lsh_pairs``);
+the index append writes only the batch's survivors, partitioned by
+``band`` so future lookups prune. State lives in parquet, not executor
+memory — restarts resume from the directory, and the checkpointed
+source guarantees each batch is processed once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wwwision_importservice_spark.operators.dedup import (
+    incremental_lsh_pairs,
+    lsh_index,
+    minhash_signatures_inline,
+)
+
+_INDEX_SCHEMA = "{id} long, band int, sig string"
+
+
+def near_dup_gate(
+    index_dir: str,
+    admit: Callable[[DataFrame, int], None],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 10_000,
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` processor: per batch, drop near-dup
+    candidates of anything admitted so far, hand the survivors (with
+    the full input row) to ``admit(survivors_df, batch_id)``, then
+    append the survivors' bucket rows to ``index_dir``.
+
+    ``admit`` runs BEFORE the index append: if admit fails the batch
+    retries against an index that does not yet contain its rows
+    (re-admitting is idempotent for any idempotent ``admit``); the
+    reverse order could permanently suppress documents that were never
+    admitted anywhere.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark: SparkSession = batch_df.sparkSession
+        sigs = minhash_signatures_inline(
+            batch_df, id_col, text_col, n=n, num_hashes=num_hashes
+        )
+        try:
+            index = spark.read.parquet(index_dir)
+        except Exception:  # first batch: no index yet
+            index = spark.createDataFrame(
+                [], _INDEX_SCHEMA.format(id=id_col)
+            )
+        pairs = incremental_lsh_pairs(
+            sigs,
+            index,
+            id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            max_bucket_size=max_bucket_size,
+        )
+        # batch ids present in the index (should be none under exactly-
+        # once batches, but a retried half-applied batch re-sends ids)
+        indexed_ids = index.select(F.col(id_col)).distinct()
+        # drop: pairs with an indexed doc (either side) or with a
+        # smaller-id batch doc
+        dropped_vs_index = (
+            pairs.join(indexed_ids, pairs.id_a == indexed_ids[id_col], "left_semi")
+            .select(F.col("id_b").alias(id_col))
+            .unionByName(
+                pairs.join(
+                    indexed_ids, pairs.id_b == indexed_ids[id_col], "left_semi"
+                ).select(F.col("id_a").alias(id_col))
+            )
+        )
+        batch_ids = batch_df.select(id_col)
+        dropped_in_batch = pairs.join(
+            indexed_ids,
+            (pairs.id_a == indexed_ids[id_col]) | (pairs.id_b == indexed_ids[id_col]),
+            "left_anti",
+        ).select(F.col("id_b").alias(id_col))
+        dropped = dropped_vs_index.unionByName(dropped_in_batch).distinct()
+        survivors = batch_df.join(dropped, id_col, "left_anti").join(
+            indexed_ids, id_col, "left_anti"  # retry of a half-applied batch
+        )
+        admit(survivors, batch_id)
+        lsh_index(
+            minhash_signatures_inline(
+                survivors, id_col, text_col, n=n, num_hashes=num_hashes
+            ),
+            id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+        ).write.mode("append").partitionBy("band").parquet(index_dir)
+
+    return process
