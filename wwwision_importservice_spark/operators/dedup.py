@@ -214,6 +214,7 @@ def incremental_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket_size: int = 10_000,
+    broadcast_keys: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs for a NEW batch of documents against an
     existing corpus, without recomputing the corpus: emits exactly the
@@ -242,7 +243,13 @@ def incremental_lsh_pairs(
     """
     new_b = _band_buckets(new_sigs, id_col, num_hashes, bands)
     touched = new_b.select("band", "sig").distinct()
-    idx_hit = index.join(F.broadcast(touched), ["band", "sig"], "left_semi")
+    # broadcast fits while bucket keys ≈ bands × batch docs (a crawl
+    # batch); a corpus-sized BACKFILL batch overflows the driver — pass
+    # broadcast_keys=False there and the semi join plans as a shuffle
+    # (which a backfill would force anyway)
+    if broadcast_keys:
+        touched = F.broadcast(touched)
+    idx_hit = index.join(touched, ["band", "sig"], "left_semi")
     members = (
         new_b.withColumn("__new", F.lit(True))
         .unionByName(idx_hit.withColumn("__new", F.lit(False)))
