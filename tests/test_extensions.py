@@ -268,10 +268,51 @@ def test_connected_components_doubling_round_count(spark):
     stats: dict = {}
     out = {
         r["id"]: r["cluster_id"]
-        for r in connected_components(nodes, pairs, stats=stats).collect()
+        for r in connected_components(
+            nodes, pairs, stats=stats, small_graph_threshold=None
+        ).collect()
     }
     assert out == {i: 1 for i in range(1, n + 1)}
+    assert stats["strategy"] == "distributed-rounds"
     assert stats["iterations"] <= 6, stats
+
+
+def test_connected_components_fast_path_matches_distributed(spark):
+    """The size-guarded driver union-find must label random graphs
+    identically to the distributed rounds (cluster_id = component min
+    on both paths), and the strategy switch must be observable."""
+    import random
+
+    rng = random.Random(23)
+    for trial in range(4):
+        n = 40
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        m = rng.randrange(0, 50)
+        pairs = spark.createDataFrame(
+            [
+                (a, b)
+                for a, b in (
+                    sorted(rng.sample(range(n), 2)) for _ in range(m)
+                )
+            ]
+            or [(0, 0)],
+            "id_a long, id_b long",
+        ).filter("id_a <> id_b")
+        s_fast: dict = {}
+        s_dist: dict = {}
+        fast = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(nodes, pairs, stats=s_fast).collect()
+        }
+        dist = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                nodes, pairs, stats=s_dist, small_graph_threshold=None
+            ).collect()
+        }
+        assert fast == dist, trial
+        assert s_fast["strategy"] == "driver-union-find"
+        assert s_dist["strategy"] == "distributed-rounds"
 
 
 def test_as_of_join_semantics(spark):

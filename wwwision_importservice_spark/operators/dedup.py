@@ -371,6 +371,7 @@ def connected_components(
     max_iterations: int = 20,
     stats: dict | None = None,
     double_from: int = 3,
+    small_graph_threshold: int | None = 100_000,
 ) -> DataFrame:
     """Cluster ids for a near-duplicate pair graph: every node gets
     ``cluster_id`` = the minimum id reachable through the pairs — the
@@ -399,7 +400,21 @@ def connected_components(
     *control* flow only, the data never leaves executors.
 
     ``stats``: optional dict; on return ``stats["iterations"]`` carries
-    the executed round count (pinned by the round-count regression test).
+    the executed round count (pinned by the round-count regression test)
+    and ``stats["strategy"]`` which path ran.
+
+    ``small_graph_threshold``: the same size-guarded strategy split as a
+    broadcast join — a pair graph whose EDGE COUNT fits the threshold is
+    solved with one union-find on the driver (2 jobs total: the edge
+    count, which materializes the lazily-checkpointed edges anyway, and
+    the collect) instead of 2-3 jobs *per propagation round*. Near-dup
+    graphs are tiny relative to their corpus (most docs are isolated;
+    pairs ≪ docs), so this is the common case even at large corpus
+    scale, while a genuinely huge graph (a backfill, a boilerplate
+    storm) exceeds the threshold and takes the distributed rounds.
+    100k edges ≈ 1.6 MB collected — broadcast-sized. ``None`` forces
+    the distributed path. The corpus itself never collects: isolated
+    nodes stay a distributed anti join on either path.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -428,6 +443,44 @@ def connected_components(
     isolated = all_nodes.join(edged, "id", "left_anti").select(
         F.col("id"), F.col("id").alias("cluster_id")
     )
+    if small_graph_threshold is not None:
+        # the count also materializes the lazy edge checkpoint, which
+        # every path needs — it is not an extra pass over the corpus
+        n_edges = edges.count()
+        if n_edges <= small_graph_threshold:
+            if stats is not None:
+                stats["strategy"] = "driver-union-find"
+                stats["iterations"] = 0
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            edge_rows = edges.collect()
+            for row in edge_rows:
+                a, b = find(row["src"]), find(row["dst"])
+                if a != b:
+                    # the smaller id stays root, so root == component min
+                    if a < b:
+                        parent[b] = a
+                    else:
+                        parent[a] = b
+            # edges are symmetrized, so {src} is the full paired-node set
+            members = {row["src"] for row in edge_rows}
+            spark = nodes.sparkSession
+            id_type = nodes.schema[id_col].dataType.simpleString()
+            labelled = spark.createDataFrame(
+                [(x, find(x)) for x in sorted(members)],
+                f"id {id_type}, cluster_id {id_type}",
+            )
+            return labelled.unionByName(isolated)
+    if stats is not None:
+        stats["strategy"] = "distributed-rounds"
     labels = edged.select(
         F.col("id"), F.col("id").alias("cluster_id")
     ).localCheckpoint(eager=True)
