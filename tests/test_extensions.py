@@ -2504,3 +2504,53 @@ def test_dedup_spans_matches_python_model_on_random_shapes(spark):
             ).collect()
         }
         assert got == expect, (trial, vocab_n, span_w)
+
+
+def test_check_suite_single_pass_and_verdicts(spark):
+    """quality_checks: one agg pass for the whole suite, correct
+    verdicts on a frame with known violations, and assert_checks
+    raising with every failure named."""
+    import pytest as _pytest
+
+    from wwwision_importservice_spark.operators import quality_checks as qc
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.io", 10.0, "ok"),
+            (2, None, 55.0, "ok"),
+            (2, "b@y.io", -3.0, "weird"),
+        ],
+        "id long, email string, score double, status string",
+    )
+    checks = [
+        qc.unique("id"),                       # fails: dup id 2
+        qc.not_null("email", min_fraction=0.5),  # passes: 2/3
+        qc.in_range("score", 0.0, 100.0),      # fails: -3
+        qc.accepted_values("status", ["ok"]),  # fails: 'weird'
+        qc.matches("email", "^[^@]+@[^@]+$"),  # passes (nulls skipped)
+        qc.row_count(1),                       # passes
+    ]
+    report = qc.check_suite(df, checks)
+    got = {r["check"]: r["passed"] for r in report.collect()}
+    assert got == {
+        "unique(id)": False,
+        "not_null(email)": True,
+        "in_range(score)": False,
+        "accepted_values(status)": False,
+        "matches(email)": True,
+        "row_count": True,
+    }
+    # the whole suite is ONE aggregate over ONE scan: no shuffle
+    # exchanges beyond the global-agg singleton, no repeated scans
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes both plans
+    assert final.count("Scan ExistingRDD") + final.count("Scan parquet") <= 1, final
+
+    with _pytest.raises(ValueError) as e:
+        qc.assert_checks(df, checks)
+    msg = str(e.value)
+    assert "unique(id)" in msg and "in_range(score)" in msg
+    assert "not_null(email)" not in msg
+
+    ok = qc.assert_checks(df, [qc.row_count(1, 10)])
+    assert ok.collect()[0]["passed"]

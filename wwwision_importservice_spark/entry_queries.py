@@ -3310,6 +3310,88 @@ def x2_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dq_check_suite",
+    """
+SELECT 'unique(o_orderkey)' AS check, 'o_orderkey' AS "column",
+       round(CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+             / greatest(CAST(count(o_orderkey) AS DOUBLE), 1.0), 9) AS metric,
+       CAST(1.0 AS DOUBLE) AS lo, CAST(1.0 AS DOUBLE) AS hi,
+       (CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+        / greatest(CAST(count(o_orderkey) AS DOUBLE), 1.0))
+         BETWEEN 1.0 - 1e-9 AND 1.0 + 1e-9 AS passed
+FROM orders
+UNION ALL
+SELECT 'not_null(o_custkey)', 'o_custkey',
+       round(avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 9),
+       1.0, 1.0,
+       avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END)
+         BETWEEN 1.0 - 1e-9 AND 1.0 + 1e-9
+FROM orders
+UNION ALL
+SELECT 'in_range(o_totalprice)', 'o_totalprice',
+       round(avg(CASE WHEN o_totalprice IS NULL
+                        OR o_totalprice BETWEEN 0.0 AND 1000000.0
+                      THEN 1.0 ELSE 0.0 END), 9),
+       1.0, 1.0,
+       avg(CASE WHEN o_totalprice IS NULL
+                  OR o_totalprice BETWEEN 0.0 AND 1000000.0
+                THEN 1.0 ELSE 0.0 END) BETWEEN 1.0 - 1e-9 AND 1.0 + 1e-9
+FROM orders
+UNION ALL
+SELECT 'accepted_values(o_orderstatus)', 'o_orderstatus',
+       round(avg(CASE WHEN o_orderstatus IS NULL
+                        OR o_orderstatus IN ('O','F','P')
+                      THEN 1.0 ELSE 0.0 END), 9),
+       1.0, 1.0,
+       avg(CASE WHEN o_orderstatus IS NULL OR o_orderstatus IN ('O','F','P')
+                THEN 1.0 ELSE 0.0 END) BETWEEN 1.0 - 1e-9 AND 1.0 + 1e-9
+FROM orders
+UNION ALL
+SELECT 'matches(o_orderpriority)', 'o_orderpriority',
+       round(CASE WHEN count(o_orderpriority) > 0
+                  THEN CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(o_orderpriority) AS DOUBLE)
+                  ELSE 1.0 END, 9),
+       1.0, 1.0,
+       CASE WHEN count(o_orderpriority) > 0
+            THEN CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(o_orderpriority) AS DOUBLE)
+            ELSE 1.0 END BETWEEN 1.0 - 1e-9 AND 1.0 + 1e-9
+FROM orders
+UNION ALL
+SELECT 'row_count', '*', round(CAST(count(*) AS DOUBLE), 9), 1.0,
+       CAST('infinity' AS DOUBLE),
+       CAST(count(*) AS DOUBLE) >= 1.0 - 1e-9
+FROM orders
+""",
+    driver=False,
+)
+def dq_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality preflight (``operators/quality_checks.py``): a
+    6-constraint Deequ-style suite over orders — uniqueness, nullness,
+    range, accepted values, regex shape, row count — evaluated in ONE
+    aggregation pass over ONE scan (plan-pinned in tests). The data-
+    level analogue of the reference's option-schema validation
+    (OptionsSchema.php)."""
+    from wwwision_importservice_spark.operators import quality_checks as qc
+
+    orders = load(spark, sf_dir, "orders")
+    return qc.check_suite(
+        orders,
+        [
+            qc.unique("o_orderkey"),
+            qc.not_null("o_custkey"),
+            qc.in_range("o_totalprice", 0.0, 1_000_000.0),
+            qc.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            qc.matches("o_orderpriority", "^[1-5]-"),
+            qc.row_count(1),
+        ],
+    )
+
+
+@_register(
     "x6_cap_per_group",
     """
 SELECT doc_id, source FROM (

@@ -1,0 +1,138 @@
+"""Declarative data-quality checks, computed in ONE aggregation pass.
+
+The Deequ-shaped guard a sync pipeline runs between extract and apply
+(the reference validates option *schemas* — ``OptionsSchema.php`` — but
+has nothing for the *data*; this is the data-level analogue): declare
+constraints, get back one row per constraint with the measured metric
+and a pass/fail verdict, and gate the run on failures.
+
+Scale shape: every metric is an aggregate expression, and the whole
+suite evaluates in a SINGLE ``agg()`` over one scan — a 40-constraint
+suite over 100 TB costs exactly one pass (plus the shuffle-free
+partial/final global aggregate), not 40 jobs. Exact ``unique`` checks
+use ``count_distinct`` (one expand inside the same aggregate);
+everything else is a conditional count. The per-constraint fan-out to
+rows happens on the aggregate's single output row.
+
+Verdicts are computed engine-side so a pipeline can gate on
+``passed = false`` rows with one filter; :func:`assert_checks` wraps
+that for imperative callers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One constraint: ``metric`` (an aggregate Column producing a
+    DOUBLE), its human name, the column it watches, and the inclusive
+    [lo, hi] band the metric must land in."""
+
+    name: str
+    column: str
+    metric: Column
+    lo: float
+    hi: float
+
+
+def not_null(column: str, min_fraction: float = 1.0) -> Check:
+    """Fraction of rows with ``column`` non-null ≥ ``min_fraction``."""
+    frac = F.avg(F.col(column).isNotNull().cast("double"))
+    return Check(f"not_null({column})", column, frac, min_fraction, 1.0)
+
+
+def unique(column: str) -> Check:
+    """``column`` carries no duplicate values (exact; one
+    count_distinct inside the shared aggregate). NULLs don't count as
+    duplicates of each other — the metric is distinct/non-null."""
+    ratio = F.count_distinct(F.col(column)).cast("double") / F.greatest(
+        F.count(F.col(column)).cast("double"), F.lit(1.0)
+    )
+    return Check(f"unique({column})", column, ratio, 1.0, 1.0)
+
+
+def in_range(column: str, lo: float, hi: float) -> Check:
+    """Every non-null value of ``column`` lies in [lo, hi]: the metric
+    is the conforming fraction, required to be 1."""
+    ok = F.col(column).isNull() | F.col(column).between(F.lit(lo), F.lit(hi))
+    return Check(f"in_range({column})", column, F.avg(ok.cast("double")), 1.0, 1.0)
+
+
+def accepted_values(column: str, values: list) -> Check:
+    """Every non-null value of ``column`` is one of ``values``."""
+    ok = F.col(column).isNull() | F.col(column).isin(values)
+    return Check(
+        f"accepted_values({column})", column, F.avg(ok.cast("double")), 1.0, 1.0
+    )
+
+
+def matches(column: str, pattern: str, min_fraction: float = 1.0) -> Check:
+    """Fraction of non-null values matching the (RE2-compatible, so the
+    DuckDB oracle can mirror it) regex ≥ ``min_fraction``; a fully-null
+    column vacuously passes."""
+    non_null = F.count(F.col(column)).cast("double")
+    hits = F.sum(
+        F.when(F.col(column).rlike(pattern), 1).otherwise(0)
+    ).cast("double")
+    frac = F.when(non_null > 0, hits / non_null).otherwise(F.lit(1.0))
+    return Check(f"matches({column})", column, frac, min_fraction, 1.0)
+
+
+def row_count(lo: int, hi: int | None = None) -> Check:
+    """Total row count in [lo, hi] (hi=None → unbounded above)."""
+    return Check(
+        "row_count", "*", F.count(F.lit(1)).cast("double"),
+        float(lo), float(hi) if hi is not None else float("inf"),
+    )
+
+
+def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate every check in one aggregation pass. Returns one row
+    per check: ``(check, column, metric, lo, hi, passed)``, in the
+    declared order (``check`` names must be unique)."""
+    if not checks:
+        raise ValueError("check_suite requires at least one check")
+    names = [c.name for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate check names: {names}")
+    agged = df.agg(
+        *[c.metric.cast("double").alias(f"__m{i}") for i, c in enumerate(checks)]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c.name).alias("check"),
+                F.lit(c.column).alias("column"),
+                F.round(F.col(f"__m{i}"), 9).alias("metric"),
+                F.lit(c.lo).alias("lo"),
+                F.lit(c.hi).alias("hi"),
+                (
+                    (F.col(f"__m{i}") >= c.lo - 1e-9)
+                    & (F.col(f"__m{i}") <= c.hi + 1e-9)
+                ).alias("passed"),
+            )
+            for i, c in enumerate(checks)
+        ]
+    )
+    return agged.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def assert_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Run :func:`check_suite` and raise ``ValueError`` listing every
+    failed constraint; returns the report frame when all pass. The
+    imperative gate for pipeline preflights — the collect touches only
+    the per-check report rows, never the data."""
+    report = check_suite(df, checks)
+    failed = [
+        f"{r['check']}: metric={r['metric']} outside [{r['lo']}, {r['hi']}]"
+        for r in report.collect()
+        if not r["passed"]
+    ]
+    if failed:
+        raise ValueError("data-quality checks failed: " + "; ".join(failed))
+    return report
