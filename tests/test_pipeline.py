@@ -188,6 +188,12 @@ CONFIG = {
             },
             "target": {"type": "parquet", "options": {"path": "/tmp/users_tgt"}},
             "mapping": {"name": "userName"},
+            "options": {
+                "qualityChecks": [
+                    {"type": "unique", "column": "id"},
+                    {"type": "rowCount", "lo": 1},
+                ]
+            },
         },
         "broken": {
             "source": {"type": "nope"},
@@ -211,6 +217,8 @@ def test_build_preset_from_config():
     assert preset.skip_removed is True and preset.skip_added is False
     assert preset.id_attribute == "id"
     assert preset.mapper is not None
+    # the qualityChecks option parsed into Check objects
+    assert [c.name for c in preset.quality_checks] == ["unique(id)", "row_count"]
 
 
 def test_unknown_preset_and_type():
@@ -597,3 +605,52 @@ def test_replay_changelog_helper_and_discovery(spark, tmp_path):
 
     with pytest.raises(ImportServiceError, match="does not exist"):
         replay_changelog(spark, replica, str(tmp_path / "nope"))
+
+
+def test_quality_checks_gate_the_run(spark, sf_dir, tmp_path):
+    """O-family: a preset-declared qualityChecks suite preflights every
+    run — a violated constraint aborts before the diff (target never
+    written), a passing suite syncs normally."""
+    from wwwision_importservice_spark.operators.quality_checks import from_config
+    from wwwision_importservice_spark.sources.file import FileSource
+
+    def preset(checks):
+        return Preset(
+            name="orders-gated",
+            source=FileSource(path=f"{sf_dir}/orders.parquet", format="parquet"),
+            target=ParquetTarget(
+                path=str(tmp_path / "gated_tgt"),
+                id_column="id",
+                version_column="version",
+            ),
+            id_attribute="o_orderkey",
+            version_attribute="o_orderdate",
+            order_attribute="o_orderkey",
+            quality_checks=from_config(checks),
+        )
+
+    failing = [
+        {"type": "unique", "column": "o_orderkey"},          # passes
+        {"type": "inRange", "column": "o_totalprice", "lo": 0, "hi": 1},  # fails
+        {"type": "acceptedValues", "column": "o_orderstatus",
+         "values": ["NOPE"]},                                 # fails
+    ]
+    with pytest.raises(ImportServiceError) as e:
+        ImportPipeline(preset(failing), spark).run()
+    assert "in_range(o_totalprice)" in str(e.value)
+    assert "accepted_values(o_orderstatus)" in str(e.value)
+    assert "unique(o_orderkey)" not in str(e.value)
+    import os
+    assert not os.path.exists(str(tmp_path / "gated_tgt"))  # aborted pre-diff
+
+    passing = [
+        {"type": "unique", "column": "o_orderkey"},
+        {"type": "notNull", "column": "o_custkey"},
+        {"type": "rowCount", "lo": 1},
+    ]
+    stats = ImportPipeline(preset(passing), spark).run()
+    assert stats["added"] > 0 and stats["errors"] == 0
+
+    # the YAML-config path: unknown check type is a configuration error
+    with pytest.raises(ValueError, match="Unknown quality check type"):
+        from_config([{"type": "bogus", "column": "x"}])

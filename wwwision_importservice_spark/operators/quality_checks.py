@@ -91,6 +91,43 @@ def row_count(lo: int, hi: int | None = None) -> Check:
     )
 
 
+def from_config(cfgs: list[dict]) -> list[Check]:
+    """Build a suite from preset-YAML config dicts — the declarative
+    form behind the ``qualityChecks`` preset option::
+
+        qualityChecks:
+          - {type: unique, column: id}
+          - {type: notNull, column: email, minFraction: 0.9}
+          - {type: inRange, column: price, lo: 0, hi: 1000000}
+          - {type: acceptedValues, column: status, values: [O, F, P]}
+          - {type: matches, column: sku, pattern: '^[A-Z]{3}-'}
+          - {type: rowCount, lo: 1}
+    """
+    out: list[Check] = []
+    for cfg in cfgs:
+        kind = cfg.get("type")
+        if kind == "unique":
+            out.append(unique(cfg["column"]))
+        elif kind == "notNull":
+            out.append(not_null(cfg["column"], float(cfg.get("minFraction", 1.0))))
+        elif kind == "inRange":
+            out.append(in_range(cfg["column"], float(cfg["lo"]), float(cfg["hi"])))
+        elif kind == "acceptedValues":
+            out.append(accepted_values(cfg["column"], list(cfg["values"])))
+        elif kind == "matches":
+            out.append(
+                matches(
+                    cfg["column"], cfg["pattern"], float(cfg.get("minFraction", 1.0))
+                )
+            )
+        elif kind == "rowCount":
+            hi = cfg.get("hi")
+            out.append(row_count(int(cfg["lo"]), int(hi) if hi is not None else None))
+        else:
+            raise ValueError(f"Unknown quality check type: {kind!r}")
+    return out
+
+
 def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Evaluate every check in one aggregation pass. Returns one row
     per check: ``(check, column, metric, lo, hi, passed)``, in the

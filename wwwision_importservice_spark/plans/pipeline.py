@@ -121,6 +121,19 @@ class ImportPipeline:
         exchange carries the full wide data; ``auto`` = probe the narrow
         target size (one count job) and pick broadcast vs full."""
         records = self.preset.load(self.spark)
+        if self.preset.quality_checks:
+            # data-quality preflight (operators/quality_checks.py): the
+            # whole declared suite is ONE aggregate job over the keyed
+            # frame; any failed constraint aborts before the diff ever
+            # plans, with every violation named in the error
+            from wwwision_importservice_spark.operators.quality_checks import (
+                assert_checks,
+            )
+
+            try:
+                assert_checks(records.df, self.preset.quality_checks)
+            except ValueError as exc:
+                raise ImportServiceError(str(exc)) from exc
         self._dispatch(Events.PRE_COMPUTE_CHANGES, records)
         target = self.preset.target
         local = target.current_state(self.spark)

@@ -44,6 +44,9 @@ from pyspark.sql import functions as F
 
 from wwwision_importservice_spark.errors import ConfigurationError
 from wwwision_importservice_spark.mapping import Mapper
+from wwwision_importservice_spark.operators.quality_checks import (
+    from_config as quality_checks_from_config,
+)
 from wwwision_importservice_spark.plans.schema import OptionsSchema
 from wwwision_importservice_spark.record import RecordFrame
 from wwwision_importservice_spark.sinks import TARGET_TYPES
@@ -85,6 +88,7 @@ _PRESET_OPTIONS = (
     .has("forceBroadcastState", "boolean")
     .has("diffStrategy", "string")
     .has("autoBroadcastRows", "integer")
+    .has("qualityChecks", "array")
 )
 
 DIFF_STRATEGIES = ("full", "broadcast", "incremental", "auto")
@@ -123,6 +127,11 @@ class Preset:
     # full-outer plan and the split broadcast plan has to happen before
     # planning — exactly what this probe does.
     auto_broadcast_rows: int = 2_000_000
+    # Declarative data-quality preflight (operators/quality_checks.py):
+    # evaluated over the keyed record frame (source attribute names plus
+    # _id/_version) before the diff; any failed constraint aborts the
+    # run with every violation named — one extra aggregate job per sync
+    quality_checks: list | None = None
 
     def load(
         self, spark: SparkSession, dedup: bool = True
@@ -271,6 +280,11 @@ class PresetRegistry:
             diff_strategy=strategy,
             auto_broadcast_rows=int(
                 options.get("autoBroadcastRows", 2_000_000)
+            ),
+            quality_checks=(
+                quality_checks_from_config(options["qualityChecks"])
+                if options.get("qualityChecks")
+                else None
             ),
         )
 
