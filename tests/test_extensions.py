@@ -2554,3 +2554,34 @@ def test_check_suite_single_pass_and_verdicts(spark):
 
     ok = qc.assert_checks(df, [qc.row_count(1, 10)])
     assert ok.collect()[0]["passed"]
+
+
+def test_bernoulli_sample_is_nested_and_calibrated(spark):
+    from wwwision_importservice_spark.operators.sampling import (
+        bernoulli_sample,
+        deterministic_sample,
+    )
+
+    n = 20_000
+    frame = spark.range(n).select(F.col("id").alias("doc_id"))
+
+    # calibration: flat p ~ keep-rate within sampling tolerance, and
+    # identical to the fixed-rate special case row for row
+    flat = bernoulli_sample(frame, "doc_id", F.lit(0.3))
+    kept = {r["doc_id"] for r in flat.collect()}
+    assert abs(len(kept) / n - 0.3) < 0.02
+    fixed = {r["doc_id"] for r in deterministic_sample(frame, "doc_id", 0.3).collect()}
+    assert kept == fixed
+
+    # nesting: raising the rate only ADDS rows (replay-stable re-curation)
+    more = {r["doc_id"] for r in bernoulli_sample(frame, "doc_id", F.lit(0.6)).collect()}
+    assert kept <= more
+
+    # per-row probabilities: p=0 drops all, p=1 keeps all, within one frame
+    mixed = bernoulli_sample(
+        frame,
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    got = {r["doc_id"] for r in mixed.collect()}
+    assert got == {i for i in range(n) if i % 2 == 0}

@@ -3392,6 +3392,32 @@ def dq_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x6_weighted_sample",
+    """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 10000 AS bkt,
+         least(CAST(n_chars AS DOUBLE) / 400.0, 1.0) AS p
+  FROM documents
+) WHERE CAST(bkt AS DOUBLE) < p * 10000.0
+""",
+    driver=False,
+)
+def x6_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — quality-weighted deterministic sampling
+    (``operators/sampling.py:bernoulli_sample``): each doc keeps with
+    its own probability (here length-derived, min(n_chars/400, 1)) via
+    the id-hash bucket — the FineWeb/DCLM-style quality-proportional
+    downsample, replay-stable across re-runs and appends."""
+    from wwwision_importservice_spark.operators.sampling import bernoulli_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    p = F.least(F.col("n_chars").cast("double") / F.lit(400.0), F.lit(1.0))
+    return bernoulli_sample(docs, "doc_id", p).select("doc_id", "lang")
+
+
+@_register(
     "x6_cap_per_group",
     """
 SELECT doc_id, source FROM (

@@ -208,6 +208,33 @@ def mixture_sample(
     )
 
 
+def bernoulli_sample(
+    df: DataFrame, id_col: str, prob_col: Column | str
+) -> DataFrame:
+    """Deterministic per-row-probability sampling: keep each row with
+    its OWN probability (``prob_col`` ∈ [0,1], e.g. a quality score
+    mapped to a keep-rate — the quality-weighted downsampling step of
+    FineWeb/DCLM-style curation), decided by the id's hash bucket
+    instead of ``rand()`` so re-runs, retries, and appends keep the
+    same rows. The fixed-rate :func:`deterministic_sample` is the
+    special case ``prob_col = lit(fraction)``.
+
+    Caveat (inherent to hash-threshold sampling): keep-decisions are
+    NESTED across probabilities — a row kept at p=0.3 is also kept at
+    p=0.5. That is exactly the property that makes re-curation with a
+    raised rate a superset (no churn), but it means two different
+    columns sampled this way are correlated; salt the id (concat a
+    label) when independent draws are needed.
+
+    Pure expression — a filter, no shuffle, no Python.
+    """
+    prob = F.col(prob_col) if isinstance(prob_col, str) else prob_col
+    return df.filter(
+        hash_bucket(F.col(id_col)).cast("double")
+        < prob.cast("double") * F.lit(float(_BUCKETS))
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     id_col: str,
