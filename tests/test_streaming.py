@@ -872,3 +872,64 @@ def test_near_dup_gate_across_batches(spark, tmp_path):
     gate(b2, 1)
     assert len(admitted) == before
     assert idx.count() == spark.read.parquet(str(tmp_path / "lsh_index")).count()
+
+
+def test_stream_sync_quality_gate_skips_poisoned_batch(spark, tmp_path):
+    """quality_checks on stream_sync: a batch violating the suite is
+    skipped (reported via on_batch with quality_failed) while clean
+    batches sync; on_quality_failure='fail' propagates instead."""
+    from wwwision_importservice_spark.operators import quality_checks as qc
+
+    db = str(tmp_path / "q.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE items (id TEXT PRIMARY KEY, name TEXT, version INTEGER)")
+    conn.commit()
+    conn.close()
+    target = DbapiTarget(
+        connection_factory=functools.partial(sqlite3.connect, db),
+        table="items",
+        id_column="id",
+        version_column="version",
+        write_partitions=1,
+    )
+    clean = spark.createDataFrame(
+        [(1, "one", 1), (2, "two", 1)], "item_id long, name string, ver long"
+    )
+    poisoned = spark.createDataFrame(  # NULL name violates not_null
+        [(3, None, 1), (4, "four", 1)], "item_id long, name string, ver long"
+    )
+    in_dir = _write_ordered_parquet(
+        spark, tmp_path, "q_in", [clean, poisoned]
+    )
+    stream = (
+        spark.readStream.schema(clean.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    seen: list[tuple[int, dict]] = []
+    writer = stream_sync(
+        stream,
+        target,
+        id_attribute="item_id",
+        version_attribute="ver",
+        order_by="item_id",
+        mapper=Mapper({"name": "name"}),
+        on_batch=lambda bid, stats: seen.append((bid, stats)),
+        quality_checks=[qc.not_null("name")],
+        on_quality_failure="skip",
+    )
+    _run_stream(writer, tmp_path, "q_sync")
+
+    conn = sqlite3.connect(db)
+    rows = {r[0] for r in conn.execute("SELECT id FROM items")}
+    conn.close()
+    assert rows == {"1", "2"}  # poisoned batch never landed
+    assert [s.get("quality_failed", 0) for _, s in seen] == [0, 1]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stream_sync(
+            stream, target, id_attribute="item_id",
+            quality_checks=[qc.not_null("name")],
+            on_quality_failure="bogus",
+        )

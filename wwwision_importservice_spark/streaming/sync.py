@@ -53,6 +53,8 @@ def stream_sync(
     broadcast_batch: bool = True,
     state_provider: Callable[..., DataFrame] | None = None,
     on_batch: Callable[[int, dict[str, int]], None] | None = None,
+    quality_checks: list | None = None,
+    on_quality_failure: str = "fail",
 ) -> DataStreamWriter:
     """Wire a streaming source to a sync target; returns the
     ``DataStreamWriter`` (caller sets trigger/checkpoint and ``start()``\\s).
@@ -71,7 +73,19 @@ def stream_sync(
     micro-batch pays a full-outer sort-merge join that shuffles the
     entire target state per trigger — the dominant cost at any real
     state size.
+
+    ``quality_checks`` (operators/quality_checks.py Check list) preflights
+    every keyed micro-batch with one aggregate job — the streaming form
+    of the batch pipeline's ``qualityChecks`` preset gate.
+    ``on_quality_failure``: ``"fail"`` stops the stream (the violation
+    propagates through the StreamingQuery — a poisoned feed should not
+    silently keep syncing), ``"skip"`` drops the offending batch, reports
+    it via ``on_batch`` with a ``quality_failed`` marker, and keeps the
+    stream alive (the checkpointed offset still advances — skipped means
+    SKIPPED, not retried forever).
     """
+    if on_quality_failure not in ("fail", "skip"):
+        raise ValueError('on_quality_failure must be "fail" or "skip"')
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -80,6 +94,23 @@ def stream_sync(
         rf = RecordFrame.from_raw(
             batch_df, id_attribute, version_attribute, order_by=order_by
         )
+        if quality_checks:
+            from wwwision_importservice_spark.operators.quality_checks import (
+                assert_checks,
+            )
+
+            try:
+                assert_checks(rf.df, quality_checks)
+            except ValueError:
+                if on_quality_failure == "fail":
+                    raise
+                if on_batch is not None:
+                    on_batch(
+                        batch_id,
+                        {"added": 0, "updated": 0, "removed": 0,
+                         "errors": 0, "quality_failed": 1},
+                    )
+                return
         records = processor(rf.df) if processor else rf.df
         local_state = (
             state_provider(spark) if state_provider else target.current_state(spark)
