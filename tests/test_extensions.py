@@ -2585,3 +2585,53 @@ def test_bernoulli_sample_is_nested_and_calibrated(spark):
     )
     got = {r["doc_id"] for r in mixed.collect()}
     assert got == {i for i in range(n) if i % 2 == 0}
+
+
+def test_check_drift_flags_out_of_character_metrics(spark, tmp_path):
+    """check_drift: first run flags nothing; out-of-character metric
+    moves flag on the next run; a re-run of a run_id replaces its
+    history rows (no append duplication) and still compares to its
+    true predecessor."""
+    from wwwision_importservice_spark.operators import quality_checks as qc
+
+    hist = str(tmp_path / "dq_history")
+    checks = [qc.row_count(1), qc.not_null("v", min_fraction=0.0)]
+
+    def frame(n, nulls):
+        return spark.createDataFrame(
+            [(i, None if i < nulls else "x") for i in range(n)],
+            "id long, v string",
+        )
+
+    r1 = {r["check"]: r for r in
+          qc.check_drift(frame(100, 1), checks, hist, "run1",
+                         max_relative_change=0.3).collect()}
+    assert all(not r["drifted"] for r in r1.values())
+    assert all(r["prev_metric"] is None for r in r1.values())
+
+    # run 2: rows 100 -> 30 (rel 0.7), null-rate 1% -> 40% (rel 0.394)
+    r2 = {r["check"]: r for r in
+          qc.check_drift(frame(30, 12), checks, hist, "run2",
+                         max_relative_change=0.3).collect()}
+    assert r2["row_count"]["drifted"] and r2["row_count"]["prev_metric"] == 100.0
+    assert r2["not_null(v)"]["drifted"]
+    assert abs(r2["not_null(v)"]["rel_change"] - (0.99 - 0.6) / 0.99) < 1e-6
+
+    # re-run run2: history is REPLACED (2 runs x 2 checks, not 3x2),
+    # and the comparison is against run1 again, not against itself
+    r2b = {r["check"]: r for r in
+           qc.check_drift(frame(30, 12), checks, hist, "run2",
+                          max_relative_change=0.3).collect()}
+    assert r2b["row_count"]["prev_metric"] == 100.0
+    history = spark.read.parquet(hist)
+    assert history.count() == 4
+    assert {r["run_id"] for r in history.select("run_id").collect()} == {
+        "run1", "run2"
+    }
+
+    # run 3 compares against run2 (the latest), not run1
+    r3 = {r["check"]: r for r in
+          qc.check_drift(frame(31, 12), checks, hist, "run3",
+                         max_relative_change=0.3).collect()}
+    assert r3["row_count"]["prev_metric"] == 30.0
+    assert not r3["row_count"]["drifted"]

@@ -159,6 +159,90 @@ def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
     return agged.select(F.explode(rows).alias("r")).select("r.*")
 
 
+def check_drift(
+    df: DataFrame,
+    checks: list[Check],
+    history_dir: str,
+    run_id: str,
+    max_relative_change: float = 0.5,
+) -> DataFrame:
+    """Run-over-run metric DRIFT detection — the anomaly companion to
+    the absolute bands: evaluate the suite, compare each metric to the
+    same check's value from the most recent prior run in
+    ``history_dir``, flag relative changes beyond
+    ``max_relative_change``, and append this run's report for the next
+    one. First run (empty history) flags nothing.
+
+    Catches the failures static bounds can't: a feed that silently
+    halves its row count, a null-rate that creeps from 1% to 30% —
+    still inside the declared band, wildly out of character.
+
+    Returns one row per check: ``(check, column, metric, prev_metric,
+    rel_change, drifted)``. The report frames are tiny (one row per
+    check), so the history read/write is metadata-scale regardless of
+    data size; the data itself is still touched exactly once. History
+    is written with per-``run_id`` dynamic partition OVERWRITE — a
+    re-run replaces its own report instead of append-duplicating it
+    (the changelog lesson, ``plans/pipeline.py``), still comparing
+    against its true predecessor.
+    """
+    spark = df.sparkSession
+    report = check_suite(df, checks)
+    try:
+        history = spark.read.parquet(history_dir)
+    except Exception:  # first run: no history yet
+        history = None
+    prev = None
+    seq_val = 0
+    if history is not None:
+        others = history.filter(F.col("run_id") != run_id)
+        prev_row = (
+            others.orderBy(F.col("seq").desc()).select("run_id", "seq").first()
+        )
+        if prev_row:
+            prev = others.filter(F.col("run_id") == prev_row["run_id"]).select(
+                F.col("check").alias("__pc"),
+                F.col("metric").alias("prev_metric"),
+            )
+        # a re-run keeps its original position in the sequence
+        own = history.filter(F.col("run_id") == run_id).agg(F.max("seq")).first()[0]
+        seq_val = (
+            own if own is not None
+            else (prev_row["seq"] + 1 if prev_row else 0)
+        )
+    if prev is None:
+        out = report.select(
+            "check", "column", "metric",
+            F.lit(None).cast("double").alias("prev_metric"),
+            F.lit(None).cast("double").alias("rel_change"),
+            F.lit(False).alias("drifted"),
+        )
+    else:
+        rel = F.when(
+            F.col("prev_metric") == 0.0,
+            F.when(F.col("metric") == 0.0, 0.0).otherwise(float("inf")),
+        ).otherwise(F.abs(F.col("metric") - F.col("prev_metric")) / F.abs("prev_metric"))
+        out = (
+            report.join(prev, report["check"] == prev["__pc"], "left")
+            .select(
+                "check", "column", "metric", "prev_metric",
+                F.round(rel, 9).alias("rel_change"),
+                F.coalesce(
+                    rel > F.lit(max_relative_change), F.lit(False)
+                ).alias("drifted"),
+            )
+        )
+    (
+        report.withColumn("run_id", F.lit(run_id))
+        .withColumn("seq", F.lit(int(seq_val)))
+        .write.partitionBy("run_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(history_dir)
+    )
+    return out
+
+
 def assert_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Run :func:`check_suite` and raise ``ValueError`` listing every
     failed constraint; returns the report frame when all pass. The
