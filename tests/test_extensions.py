@@ -2635,3 +2635,55 @@ def test_check_drift_flags_out_of_character_metrics(spark, tmp_path):
                          max_relative_change=0.3).collect()}
     assert r3["row_count"]["prev_metric"] == 30.0
     assert not r3["row_count"]["drifted"]
+
+
+def test_ranking_metrics_matches_python_model(spark):
+    """ranking_metrics == a direct python model over random prediction /
+    relevance tables, including queries with no predictions (zero rows)
+    and irrelevant-only retrievals (mrr 0)."""
+    import random
+
+    from wwwision_importservice_spark.operators.retrieval import ranking_metrics
+
+    rng = random.Random(31)
+    for trial in range(4):
+        k = rng.choice([1, 3, 5])
+        queries = list(range(rng.randrange(2, 8)))
+        docs = list(range(20))
+        truth = [
+            (q, d) for q in queries for d in rng.sample(docs, rng.randrange(1, 5))
+        ]
+        preds = []
+        for q in queries:
+            if q == queries[-1]:
+                continue  # one query retrieves nothing
+            ranked = rng.sample(docs, rng.randrange(1, 10))
+            preds += [(q, d, r + 1) for r, d in enumerate(ranked)]
+
+        rel_by_q = {}
+        for q, d in truth:
+            rel_by_q.setdefault(q, set()).add(d)
+        recalls, rrs = [], []
+        for q, rel in rel_by_q.items():
+            mine = [(d, r) for (pq, d, r) in preds if pq == q]
+            hits_at_k = sum(1 for d, r in mine if r <= k and d in rel)
+            recalls.append(hits_at_k / min(len(rel), k))
+            rel_ranks = [r for d, r in mine if d in rel]
+            rrs.append(1.0 / min(rel_ranks) if rel_ranks else 0.0)
+        want = (
+            round(sum(recalls) / len(recalls), 9),
+            round(sum(rrs) / len(rrs), 9),
+            len(rel_by_q),
+        )
+
+        got_row = ranking_metrics(
+            spark.createDataFrame(preds, "query_id long, doc_id long, rank long"),
+            spark.createDataFrame(truth, "query_id long, doc_id long"),
+            k,
+        ).collect()[0]
+        got = (
+            round(got_row["recall_at_k"], 9),
+            round(got_row["mrr"], 9),
+            got_row["n_queries"],
+        )
+        assert got == want, (trial, k)

@@ -155,3 +155,67 @@ def bm25_topk(
     one driver-side merge of k rows per partition, never a global sort."""
     scored = bm25_scores(df, terms, id_col=id_col, text_col=text_col)
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ranking_metrics(
+    predictions: DataFrame,
+    relevant: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Retrieval-quality evaluation over a predictions table: one output
+    row with ``recall_at_k`` (macro-averaged over queries), ``mrr``
+    (mean reciprocal rank of the FIRST relevant hit, 0 when none is
+    retrieved), and ``n_queries`` — the eval harness for any of the
+    top-k operators (BM25, ANN, PQ) against a relevance-judgment table.
+
+    ``predictions``: (query, doc, rank) with rank 1 = best;
+    ``relevant``: (query, doc) ground truth. Queries present only in
+    ``relevant`` count as zero-recall/zero-MRR rows — an eval must not
+    silently drop queries the retriever returned nothing for.
+
+    Scale shape: one equi-join on (query, doc) + two hash aggregates —
+    no window, no per-query loop; metrics stream out of partial
+    aggregation like any other rollup.
+    """
+    preds = predictions.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rank_col).alias("__r"),
+    )
+    truth = relevant.select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d")
+    )
+    hits = preds.join(truth, ["__q", "__d"], "inner")
+    per_query = (
+        truth.groupBy("__q")
+        .agg(F.count(F.lit(1)).alias("__n_rel"))
+        .join(
+            hits.groupBy("__q").agg(
+                F.sum((F.col("__r") <= k).cast("long")).alias("__hits_at_k"),
+                F.min("__r").alias("__first_rank"),
+            ),
+            "__q",
+            "left",
+        )
+    )
+    return per_query.agg(
+        F.round(
+            F.avg(
+                F.coalesce(F.col("__hits_at_k"), F.lit(0)).cast("double")
+                / F.least(F.col("__n_rel"), F.lit(k)).cast("double")
+            ),
+            9,
+        ).alias("recall_at_k"),
+        F.round(
+            F.avg(
+                F.coalesce(
+                    F.lit(1.0) / F.col("__first_rank").cast("double"), F.lit(0.0)
+                )
+            ),
+            9,
+        ).alias("mrr"),
+        F.count(F.lit(1)).alias("n_queries"),
+    )
