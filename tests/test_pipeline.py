@@ -654,3 +654,56 @@ def test_quality_checks_gate_the_run(spark, sf_dir, tmp_path):
     # the YAML-config path: unknown check type is a configuration error
     with pytest.raises(ValueError, match="Unknown quality check type"):
         from_config([{"type": "bogus", "column": "x"}])
+
+
+def test_cli_check_subcommand(tmp_path, capsys):
+    import yaml
+
+    from wwwision_importservice_spark.cli import main
+
+    feed = tmp_path / "check_feed.json"
+    feed.write_text(json.dumps(
+        [{"id": "a", "v": 1, "title": "t"}, {"id": "b", "v": 1, "title": None}]
+    ))
+
+    def presets_file(checks):
+        cfg = {
+            "presets": {
+                "demo": {
+                    "source": {
+                        "type": "file",
+                        "id_attribute": "id",
+                        "version_attribute": "v",
+                        "options": {"path": str(feed), "format": "json"},
+                    },
+                    "target": {
+                        "type": "parquet",
+                        "options": {
+                            "path": str(tmp_path / "check_tgt"),
+                            "id_column": "id",
+                            "version_column": "version",
+                        },
+                    },
+                }
+            }
+        }
+        if checks is not None:
+            cfg["presets"]["demo"]["options"] = {"qualityChecks": checks}
+        p = tmp_path / "check_presets.yaml"
+        p.write_text(yaml.safe_dump(cfg))
+        return str(p)
+
+    failing = presets_file(
+        [{"type": "unique", "column": "id"}, {"type": "notNull", "column": "title"}]
+    )
+    assert main(["--presets-file", failing, "check", "demo"]) == 1
+    out = capsys.readouterr().out
+    assert "FAIL  not_null(title)" in out and "PASS  unique(id)" in out
+    assert "1/2 checks passed" in out
+
+    passing = presets_file([{"type": "unique", "column": "id"}])
+    assert main(["--presets-file", passing, "check", "demo"]) == 0
+    assert "1/1 checks passed" in capsys.readouterr().out
+
+    none_declared = presets_file(None)
+    assert main(["--presets-file", none_declared, "check", "demo"]) == 2

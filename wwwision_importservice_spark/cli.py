@@ -90,6 +90,34 @@ def cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_check(args: argparse.Namespace) -> int:
+    """Run ONLY the preset's qualityChecks preflight and print the
+    per-constraint report — the dry-run for a gated sync (exit 1 when
+    any constraint fails, 2 when the preset declares none)."""
+    pipeline = _pipeline(args)
+    checks = pipeline.preset.quality_checks
+    if not checks:
+        print(
+            f'Preset "{args.preset}" declares no qualityChecks.',
+            file=sys.stderr,
+        )
+        return 2
+    from wwwision_importservice_spark.operators.quality_checks import check_suite
+
+    records = pipeline.preset.load(pipeline.spark)
+    rows = check_suite(records.df, checks).collect()
+    failed = 0
+    for r in rows:
+        mark = "PASS" if r["passed"] else "FAIL"
+        failed += 0 if r["passed"] else 1
+        print(
+            f"{mark}  {r['check']:<40} metric={r['metric']:<14g} "
+            f"band=[{r['lo']:g}, {r['hi']:g}]"
+        )
+    print(f"{len(rows) - failed}/{len(rows)} checks passed")
+    return 1 if failed else 0
+
+
 def cmd_prune(args: argparse.Namespace) -> int:
     if not args.assume_yes:
         answer = input(
@@ -192,6 +220,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_run.add_argument("--run-id", default=None)
     p_run.set_defaults(fn=cmd_run)
+
+    p_check = sub.add_parser(
+        "check", help="run only the preset's qualityChecks and print the report"
+    )
+    p_check.add_argument("preset")
+    p_check.set_defaults(fn=cmd_check)
 
     p_prune = sub.add_parser("prune", help="remove all records of a preset")
     p_prune.add_argument("preset")

@@ -21,6 +21,7 @@ that for imperative callers.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -29,20 +30,24 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class Check:
-    """One constraint: ``metric`` (an aggregate Column producing a
-    DOUBLE), its human name, the column it watches, and the inclusive
-    [lo, hi] band the metric must land in."""
+    """One constraint: ``metric`` (a ZERO-ARG CALLABLE returning an
+    aggregate Column producing a DOUBLE — lazy, so suites can be
+    declared before any SparkSession exists, e.g. at preset-build time
+    in the CLI), its human name, the column it watches, and the
+    inclusive [lo, hi] band the metric must land in."""
 
     name: str
     column: str
-    metric: Column
+    metric: Callable[[], Column]
     lo: float
     hi: float
 
 
 def not_null(column: str, min_fraction: float = 1.0) -> Check:
     """Fraction of rows with ``column`` non-null ≥ ``min_fraction``."""
-    frac = F.avg(F.col(column).isNotNull().cast("double"))
+    def frac() -> Column:
+        return F.avg(F.col(column).isNotNull().cast("double"))
+
     return Check(f"not_null({column})", column, frac, min_fraction, 1.0)
 
 
@@ -50,43 +55,51 @@ def unique(column: str) -> Check:
     """``column`` carries no duplicate values (exact; one
     count_distinct inside the shared aggregate). NULLs don't count as
     duplicates of each other — the metric is distinct/non-null."""
-    ratio = F.count_distinct(F.col(column)).cast("double") / F.greatest(
-        F.count(F.col(column)).cast("double"), F.lit(1.0)
-    )
+    def ratio() -> Column:
+        return F.count_distinct(F.col(column)).cast("double") / F.greatest(
+            F.count(F.col(column)).cast("double"), F.lit(1.0)
+        )
+
     return Check(f"unique({column})", column, ratio, 1.0, 1.0)
 
 
 def in_range(column: str, lo: float, hi: float) -> Check:
     """Every non-null value of ``column`` lies in [lo, hi]: the metric
     is the conforming fraction, required to be 1."""
-    ok = F.col(column).isNull() | F.col(column).between(F.lit(lo), F.lit(hi))
-    return Check(f"in_range({column})", column, F.avg(ok.cast("double")), 1.0, 1.0)
+    def frac() -> Column:
+        ok = F.col(column).isNull() | F.col(column).between(F.lit(lo), F.lit(hi))
+        return F.avg(ok.cast("double"))
+
+    return Check(f"in_range({column})", column, frac, 1.0, 1.0)
 
 
 def accepted_values(column: str, values: list) -> Check:
     """Every non-null value of ``column`` is one of ``values``."""
-    ok = F.col(column).isNull() | F.col(column).isin(values)
-    return Check(
-        f"accepted_values({column})", column, F.avg(ok.cast("double")), 1.0, 1.0
-    )
+    def frac() -> Column:
+        ok = F.col(column).isNull() | F.col(column).isin(values)
+        return F.avg(ok.cast("double"))
+
+    return Check(f"accepted_values({column})", column, frac, 1.0, 1.0)
 
 
 def matches(column: str, pattern: str, min_fraction: float = 1.0) -> Check:
     """Fraction of non-null values matching the (RE2-compatible, so the
     DuckDB oracle can mirror it) regex ≥ ``min_fraction``; a fully-null
     column vacuously passes."""
-    non_null = F.count(F.col(column)).cast("double")
-    hits = F.sum(
-        F.when(F.col(column).rlike(pattern), 1).otherwise(0)
-    ).cast("double")
-    frac = F.when(non_null > 0, hits / non_null).otherwise(F.lit(1.0))
+    def frac() -> Column:
+        non_null = F.count(F.col(column)).cast("double")
+        hits = F.sum(
+            F.when(F.col(column).rlike(pattern), 1).otherwise(0)
+        ).cast("double")
+        return F.when(non_null > 0, hits / non_null).otherwise(F.lit(1.0))
+
     return Check(f"matches({column})", column, frac, min_fraction, 1.0)
 
 
 def row_count(lo: int, hi: int | None = None) -> Check:
     """Total row count in [lo, hi] (hi=None → unbounded above)."""
     return Check(
-        "row_count", "*", F.count(F.lit(1)).cast("double"),
+        "row_count", "*", lambda: F.count(F.lit(1)).cast("double"),
         float(lo), float(hi) if hi is not None else float("inf"),
     )
 
@@ -138,7 +151,7 @@ def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate check names: {names}")
     agged = df.agg(
-        *[c.metric.cast("double").alias(f"__m{i}") for i, c in enumerate(checks)]
+        *[c.metric().cast("double").alias(f"__m{i}") for i, c in enumerate(checks)]
     )
     rows = F.array(
         *[
