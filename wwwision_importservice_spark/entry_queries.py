@@ -48,6 +48,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "dq_check_suite",
     "x2_dedup_spans",
     "sink_scd2_history",
     "x8_fuzzy_pairs",
@@ -1506,6 +1507,10 @@ JOIN (SELECT doc_id, count(*) AS n FROM ({_SHINGLES_SQL}) GROUP BY doc_id) sa
 JOIN (SELECT doc_id, count(*) AS n FROM ({_SHINGLES_SQL}) GROUP BY doc_id) sb
   ON sb.doc_id = p.id_b
 """,
+    # demoted to the pytest tier in round 5 (long-green r01-r04) to free
+    # a driver slot for dq_check_suite; the MinHash sibling keeps the
+    # X2 family driver-covered
+    driver=False,
 )
 def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — shingle-set Jaccard on the LSH candidate pairs (hashed
@@ -3366,7 +3371,6 @@ SELECT 'row_count', '*', round(CAST(count(*) AS DOUBLE), 9), 1.0,
        CAST(count(*) AS DOUBLE) >= 1.0 - 1e-9
 FROM orders
 """,
-    driver=False,
 )
 def dq_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality preflight (``operators/quality_checks.py``): a
