@@ -1,0 +1,97 @@
+"""Continuous corpus ingestion — the streaming counterpart of
+``corpus_pipeline.py``, composing the round-5 ingest guards:
+
+    crawl feed (file stream, one parquet per micro-batch)
+      → quality gate      (quality_checks: a poisoned batch is skipped,
+                           reported, and never retried — the offset
+                           still advances)
+      → near-dup gate     (streaming/neardup.py: each batch dedups
+                           against the persisted LSH index of every
+                           previously admitted document; per-batch cost
+                           ∝ batch + touched buckets, not corpus size)
+      → corpus append     (admitted docs land in the curated parquet
+                           corpus; only THEIR bucket rows join the index)
+
+State lives in parquet (the LSH index + the corpus) plus the stream
+checkpoint, so a restart resumes exactly where it stopped; re-delivered
+batches re-admit nothing (the gate anti-joins already-indexed ids).
+
+Run::
+
+    python examples/streaming_ingest.py [in_dir] [out_dir]
+
+where ``in_dir`` receives parquet files with ``documents``-shaped rows
+(doc_id long, text string, lang string, source string, n_chars long).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from wwwision_importservice_spark.operators import quality_checks as qc  # noqa: E402
+from wwwision_importservice_spark.streaming.neardup import near_dup_gate  # noqa: E402
+
+INGEST_CHECKS = [
+    qc.not_null("text"),
+    qc.unique("doc_id"),
+    qc.row_count(1),
+]
+
+
+def build_processor(index_dir: str, corpus_dir: str, stats: list | None = None):
+    """The foreachBatch processor: quality gate wrapped around the
+    near-dup gate. ``stats`` (optional list) collects per-batch
+    ``(batch_id, outcome, n_admitted)`` tuples for observability."""
+
+    def admit(survivors: DataFrame, batch_id: int) -> None:
+        n = survivors.count()
+        survivors.write.mode("append").parquet(corpus_dir)
+        if stats is not None:
+            stats.append((batch_id, "admitted", n))
+
+    gate = near_dup_gate(index_dir, admit, n=3)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        report = qc.check_suite(batch_df, INGEST_CHECKS)
+        failed = [r["check"] for r in report.collect() if not r["passed"]]
+        if failed:
+            # skip, don't fail: a poisoned crawl batch must not stall the
+            # feed; the checkpoint advances, the batch is reported
+            if stats is not None:
+                stats.append((batch_id, f"quality_skipped:{','.join(failed)}", 0))
+            return
+        gate(batch_df, batch_id)
+
+    return process
+
+
+def main() -> None:
+    from wwwision_importservice_spark.session import get_spark
+
+    in_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/crawl_in"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_stream"
+    spark = get_spark(app_name="streaming-ingest")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    stats: list = []
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(build_processor(f"{out}/lsh_index", f"{out}/corpus", stats))
+        .option("checkpointLocation", f"{out}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    for batch_id, outcome, n in stats:
+        print(f"batch {batch_id}: {outcome} ({n} docs)")
+
+
+if __name__ == "__main__":
+    main()

@@ -933,3 +933,64 @@ def test_stream_sync_quality_gate_skips_poisoned_batch(spark, tmp_path):
             quality_checks=[qc.not_null("name")],
             on_quality_failure="bogus",
         )
+
+
+def test_streaming_ingest_example(spark, tmp_path):
+    """examples/streaming_ingest.py end to end: a clean batch admits,
+    a poisoned batch is quality-skipped, a duplicate-heavy batch admits
+    only its novel docs — and the curated corpus carries the no-near-dup
+    invariant."""
+    import importlib.util
+
+    from wwwision_importservice_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_inline,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "streaming_ingest", "examples/streaming_ingest.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm windowsill and birds sing in the tall green trees outside"
+    )
+    uniq = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda",
+        "one two three four five six seven eight nine ten eleven twelve",
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    clean = spark.createDataFrame(
+        [(0, base, "en", "s0", len(base)), (1, uniq[0], "en", "s0", len(uniq[0]))],
+        schema,
+    )
+    poisoned = spark.createDataFrame(  # NULL text violates not_null
+        [(2, None, "en", "s0", 0)], schema
+    )
+    dupes = spark.createDataFrame(
+        [(3, base + " today", "en", "s1", len(base) + 6),
+         (4, uniq[1], "en", "s1", len(uniq[1]))],
+        schema,
+    )
+
+    out = tmp_path / "curated"
+    stats: list = []
+    process = mod.build_processor(
+        str(out / "lsh_index"), str(out / "corpus"), stats
+    )
+    process(clean, 0)
+    process(poisoned, 1)
+    process(dupes, 2)
+
+    outcomes = {b: o for b, o, _ in stats}
+    assert outcomes[0] == "admitted"
+    assert outcomes[1].startswith("quality_skipped:not_null(text)")
+    assert outcomes[2] == "admitted"
+
+    corpus = spark.read.parquet(str(out / "corpus"))
+    ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert ids == {0, 1, 4}  # 2 poisoned, 3 near-dups doc 0
+    sigs = minhash_signatures_inline(corpus, "doc_id", "text", n=3, num_hashes=16)
+    assert lsh_candidate_pairs(sigs, "doc_id", 16, 4).count() == 0
