@@ -2687,3 +2687,48 @@ def test_ranking_metrics_matches_python_model(spark):
             got_row["n_queries"],
         )
         assert got == want, (trial, k)
+
+
+def test_approx_quantiles_within_rank_error_of_exact(spark, sf_dir):
+    """approx_quantiles (the documented 100 TB swap-in for the exact
+    a3 percentile rollup): every approximate value must sit within the
+    GK rank-error contract of the exact distribution — rank(approx) in
+    [target - n/accuracy, target + n/accuracy]."""
+    from wwwision_importservice_spark.operators.features import approx_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qs = [0.5, 0.9, 0.99]
+    acc = 1000
+    got = {
+        r["l_returnflag"]: r
+        for r in approx_quantiles(
+            li, ["l_returnflag"], "l_extendedprice", qs, accuracy=acc
+        ).collect()
+    }
+    groups = {
+        r["l_returnflag"]: sorted(v["l_extendedprice"] for v in rows)
+        for r, rows in (
+            (g, g_rows) for g, g_rows in (
+                (row, li.filter(F.col("l_returnflag") == row["l_returnflag"])
+                      .select("l_extendedprice").collect())
+                for row in li.select("l_returnflag").distinct().collect()
+            )
+        )
+    }
+    import bisect
+
+    for flag, vals in groups.items():
+        n = len(vals)
+        assert got[flag]["n_rows"] == n
+        for q in qs:
+            approx = got[flag][f"q_{str(q).replace('.', '_')}"]
+            # a value OCCUPIES a rank span with duplicates; measure the
+            # distance from the span, with small slack for the +-1 rank
+            # convention difference between engines
+            lo = bisect.bisect_left(vals, approx)
+            hi = bisect.bisect_right(vals, approx)
+            target = q * n
+            dist = 0.0 if lo <= target <= hi else min(
+                abs(lo - target), abs(hi - target)
+            )
+            assert dist <= n / acc + 2, (flag, q, lo, hi, target)

@@ -143,3 +143,35 @@ def merge_sketch_estimates(
             agg, F.sum("n_rows").alias("n_rows")
         )
     return sketches.agg(agg, F.sum("n_rows").alias("n_rows"))
+
+
+def approx_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[float],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group approximate percentiles — the 100 TB form of the exact
+    ``a3_quantiles`` rollup (whose docstring promises exactly this
+    swap): ``percentile_approx`` runs on a Greenwald-Khanna-style
+    mergeable summary, so the aggregate stays one partial/final pass
+    with bounded state per group (O(accuracy · log n)), where exact
+    ``percentile`` must materialize and sort every group's values.
+
+    ``accuracy`` bounds the RANK error: a returned value's rank is
+    within ``n / accuracy`` of the target rank (the Spark contract) —
+    the value-space error the tolerance test derives from that is
+    data-dependent. Emits one row per group with a ``q_<pct>`` column
+    per requested quantile, plus ``n_rows``.
+    """
+    aggs = [
+        F.percentile_approx(
+            F.col(value_col), F.lit(float(q)), F.lit(int(accuracy))
+        ).alias(f"q_{str(q).replace('.', '_')}")
+        for q in quantiles
+    ]
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
