@@ -2732,3 +2732,20 @@ def test_approx_quantiles_within_rank_error_of_exact(spark, sf_dir):
                 abs(lo - target), abs(hi - target)
             )
             assert dist <= n / acc + 2, (flag, q, lo, hi, target)
+
+
+def test_hard_negatives_excludes_judged_and_keeps_rank(spark):
+    from wwwision_importservice_spark.operators.retrieval import hard_negatives
+
+    preds = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (2, 10, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    truth = spark.createDataFrame(
+        [(1, 11), (2, 10)], "query_id long, doc_id long"
+    )
+    got = {(r["query_id"], r["doc_id"], r["rank"])
+           for r in hard_negatives(preds, truth, k=3).collect()}
+    # 11 is judged-relevant (excluded), 13 is rank 4 > k, query 2's only
+    # retrieval is relevant -> no negatives for it
+    assert got == {(1, 10, 1), (1, 12, 3)}

@@ -219,3 +219,27 @@ def ranking_metrics(
         ).alias("mrr"),
         F.count(F.lit(1)).alias("n_queries"),
     )
+
+
+def hard_negatives(
+    predictions: DataFrame,
+    relevant: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Mine HARD NEGATIVES for contrastive/reranker training: per query,
+    the top-``k`` retrieved documents that are NOT relevance-judged —
+    the high-scoring confusables a trained ranker most needs to push
+    down (random negatives are trivially separable; these aren't).
+
+    One anti join against the judgments + a rank filter; ranks keep
+    their retrieval order (gaps where a relevant doc was interleaved —
+    downstream negative-sampling usually wants the original retrieval
+    rank, so it is NOT re-densified here).
+    """
+    neg = predictions.join(
+        relevant.select(query_col, doc_col), [query_col, doc_col], "left_anti"
+    )
+    return neg.filter(F.col(rank_col) <= k)
