@@ -707,3 +707,31 @@ def test_cli_check_subcommand(tmp_path, capsys):
 
     none_declared = presets_file(None)
     assert main(["--presets-file", none_declared, "check", "demo"]) == 2
+
+
+def test_cli_run_respects_quality_gate(tmp_path, capsys):
+    import yaml
+
+    from wwwision_importservice_spark.cli import main
+
+    feed = tmp_path / "gate_feed.json"
+    feed.write_text(json.dumps([{"id": "a", "v": 1, "title": None}]))
+    presets_file = tmp_path / "gate_presets.yaml"
+    presets_file.write_text(yaml.safe_dump({
+        "presets": {"demo": {
+            "source": {
+                "type": "file", "id_attribute": "id", "version_attribute": "v",
+                "options": {"path": str(feed), "format": "json"},
+            },
+            "target": {"type": "parquet", "options": {
+                "path": str(tmp_path / "gate_tgt"),
+                "id_column": "id", "version_column": "version",
+            }},
+            "options": {"qualityChecks": [{"type": "notNull", "column": "title"}]},
+        }}
+    }))
+    assert main(["--presets-file", str(presets_file), "run", "demo"]) == 1
+    err = capsys.readouterr().err
+    assert "not_null(title)" in err and "Import failed" in err
+    import os
+    assert not os.path.exists(str(tmp_path / "gate_tgt"))
