@@ -948,3 +948,41 @@ def test_clustered_layout_prunes_filtered_scans(spark, tmp_path):
         for r in spark.read.parquet(first_file).select("user_id").collect()
     ]
     assert vals == sorted(vals)
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
+    """clustered_zorder: with two independently-filtered columns, a
+    selective filter on EITHER column must prune files, where linear
+    clustering only prunes its leading column — the reason Z-order
+    exists. 16 files over a 2D uniform grid → a Z-range per file is a
+    compact rectangle, so one coordinate line crosses ~sqrt(16) of them."""
+    from wwwision_importservice_spark.operators.layout import (
+        clustered_zorder,
+        files_touched,
+        write_clustered,
+    )
+
+    rows = spark.range(0, 40_000).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") / 200).cast("long") % 200).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    z_path = str(tmp_path / "zorder")
+    lin_path = str(tmp_path / "linear")
+    clustered_zorder(rows, ["x", "y"], n_partitions=16).write.parquet(z_path)
+    write_clustered(rows, lin_path, ["x", "y"], n_partitions=16)
+
+    z = spark.read.parquet(z_path)
+    lin = spark.read.parquet(lin_path)
+    # layout changes nothing about the data
+    assert z.count() == lin.count() == 40_000
+
+    fx = F.col("x") == 57
+    fy = F.col("y") == 123
+    zx, zy = files_touched(z.filter(fx)), files_touched(z.filter(fy))
+    lx, ly = files_touched(lin.filter(fx)), files_touched(lin.filter(fy))
+    # z-order prunes BOTH dimensions (compact rectangles: <= ~sqrt(16)+slack)
+    assert zx <= 6 and zy <= 6, (zx, zy)
+    # linear prunes its leading column hard but not the trailing one
+    assert lx <= 2, lx
+    assert ly == 16, ly

@@ -23,10 +23,14 @@ Two layouts, two use cases:
 
 Lexicographic multi-column clustering prunes perfectly on the leading
 column and degrades toward no-pruning on trailing ones (the classic
-composite-index shape). For two independently-filtered dimensions an
-interleaved (Z-order) key would balance them; that needs global rank
-computation per column — not worth it until both dimensions genuinely
-carry selective filters, so it is deliberately not implemented here.
+composite-index shape). When SEVERAL dimensions independently carry
+selective filters, use :func:`clustered_zorder` instead: each column is
+bucketed by its own approximate-quantile boundaries (one
+``approxQuantile`` pass, driver-held boundary arrays — no global rank
+shuffle) and the bucket bits are Morton-interleaved, so a filter on ANY
+clustered column prunes to ~N^((d-1)/d) of the files instead of all of
+them. Linear clustering still beats Z-order when one column dominates
+the filters — interleaving trades leading-column locality for balance.
 """
 
 from __future__ import annotations
@@ -62,6 +66,73 @@ def write_clustered(
 ) -> None:
     """Materialize ``df`` at ``path`` range-clustered on ``cols``."""
     clustered(df, cols, n_partitions).write.mode(mode).parquet(path)
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 8, relative_error: float = 0.001
+) -> tuple[DataFrame, str]:
+    """Attach a Morton (Z-order) key column interleaving ``bits``
+    quantile-bucket bits per clustering column. Returns ``(df_with_key,
+    key_col_name)``.
+
+    Bucket boundaries come from ONE ``approxQuantile`` pass (all columns
+    in a single job; GK sketch, no shuffle) and live in broadcast-sized
+    literal arrays — quantile buckets, not equal-width, so skewed
+    columns still fill all 2^bits buckets. Per row the bucket is
+    ``count(boundaries <= value)`` via ``F.aggregate`` over the literal
+    array (O(2^bits) codegen'd comparisons), then bits interleave with
+    shift/or — all JVM-side expressions, no UDF.
+    """
+    if not 1 <= bits <= 16:
+        raise ValueError("zorder_key requires 1 <= bits <= 16")
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    all_bounds = df.stat.approxQuantile(cols, probs, relative_error)
+
+    def bucket(col: str, bounds: list[float]):
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(col).cast("double") >= b, 1).otherwise(0),
+        )
+
+    key = F.lit(0).cast("long")
+    d = len(cols)
+    for ci, (col, bounds) in enumerate(zip(cols, all_bounds)):
+        bk = bucket(col, bounds).cast("long")
+        for bi in range(bits):
+            # bit bi of this column lands at interleaved position
+            # bi*d + ci (LSB-first round-robin across columns)
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bk, bi).bitwiseAND(F.lit(1)), bi * d + ci
+                )
+            )
+    name = "__zorder"
+    return df.withColumn(name, key), name
+
+
+def clustered_zorder(
+    df: DataFrame,
+    cols: list[str],
+    n_partitions: int | None = None,
+    bits: int = 8,
+) -> DataFrame:
+    """Multi-dimensionally cluster ``df`` on ``cols`` via the Morton
+    key: range-partition + sort on the interleaved key, then drop it.
+    Written out, a selective filter on ANY of the clustered columns
+    prunes files (each file owns a compact Z-range = a small hyper-
+    rectangle of the bucket grid), where :func:`clustered` only prunes
+    on its leading column. Costs one approxQuantile job + one shuffle."""
+    keyed, key = zorder_key(df, cols, bits=bits)
+    parted = (
+        keyed.repartitionByRange(n_partitions, F.col(key))
+        if n_partitions
+        else keyed.repartitionByRange(F.col(key))
+    )
+    return parted.sortWithinPartitions(key).drop(key)
 
 
 def files_touched(df: DataFrame) -> int:
