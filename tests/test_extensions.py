@@ -315,6 +315,34 @@ def test_connected_components_fast_path_matches_distributed(spark):
         assert s_dist["strategy"] == "distributed-rounds"
 
 
+def test_connected_components_foreign_pair_ids_agree(spark):
+    """Pairs referencing ids ABSENT from nodes (a stale pair table, a
+    filtered corpus): both strategies must label only node-present ids
+    — the driver union-find intersects its member set with nodes, same
+    as the distributed path's semi-join."""
+    nodes = spark.createDataFrame([(1,), (2,), (8,)], "id long")
+    # 99 and 100 are not nodes; 2-99 must not surface 99 in the output,
+    # and 99-100 must not surface either endpoint
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 99), (99, 100)], "id_a long, id_b long"
+    )
+    s_fast: dict = {}
+    s_dist: dict = {}
+    fast = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(nodes, pairs, stats=s_fast).collect()
+    }
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            nodes, pairs, stats=s_dist, small_graph_threshold=None
+        ).collect()
+    }
+    assert s_fast["strategy"] == "driver-union-find"
+    assert s_dist["strategy"] == "distributed-rounds"
+    assert fast == dist == {1: 1, 2: 1, 8: 8}
+
+
 def test_as_of_join_semantics(spark):
     from wwwision_importservice_spark.operators.asof import as_of_join
 

@@ -993,3 +993,27 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
     # linear prunes its leading column hard but not the trailing one
     assert lx <= 2, lx
     assert ly == lin_total, (ly, lin_total)
+
+
+def test_zorder_key_rejects_degenerate_columns(spark):
+    """zorder_key must raise on non-numeric or all-NULL clustering
+    columns instead of silently mapping every row to bucket 0 (which
+    would degrade that dimension to no pruning with no error)."""
+    import pytest
+
+    from wwwision_importservice_spark.operators.layout import zorder_key
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("x"),
+        F.col("id").cast("string").alias("s"),
+        F.lit(None).cast("double").alias("empty"),
+    )
+    with pytest.raises(TypeError, match="non-numeric"):
+        zorder_key(df, ["x", "s"])
+    with pytest.raises(ValueError, match="no non-null values"):
+        zorder_key(df, ["x", "empty"])
+    with pytest.raises(ValueError, match="unknown column"):
+        zorder_key(df, ["x", "missing"])
+    # the happy path is untouched
+    keyed, key = zorder_key(df, ["x"], bits=4)
+    assert keyed.select(key).distinct().count() > 1

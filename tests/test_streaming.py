@@ -874,6 +874,70 @@ def test_near_dup_gate_across_batches(spark, tmp_path):
     assert idx.count() == spark.read.parquet(str(tmp_path / "lsh_index")).count()
 
 
+def test_near_dup_gate_broken_index_read_propagates(spark, tmp_path):
+    """A failing index READ (corrupt footer / IO error — anything other
+    than the directory not existing yet) must propagate so the
+    micro-batch retries; treating it as 'first batch, empty index'
+    would silently admit a whole batch of near-duplicates."""
+    from wwwision_importservice_spark.streaming.neardup import near_dup_gate
+
+    index_dir = tmp_path / "lsh_index"
+    index_dir.mkdir()
+    # a directory that EXISTS but is unreadable as parquet — the
+    # corrupt-state case, distinct from never-written
+    (index_dir / "part-00000.parquet").write_bytes(b"not a parquet file")
+
+    admitted = []
+    gate = near_dup_gate(
+        str(index_dir), lambda df, bid: admitted.extend(df.collect()), n=3
+    )
+    batch = spark.createDataFrame(
+        [(0, "some document text here for the gate")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception):
+        gate(batch, 0)
+    assert admitted == []  # nothing slipped through before the raise
+
+
+def test_stream_sync_rejects_misconfigured_check_suite(spark, tmp_path):
+    """A misconfigured quality suite (duplicate check names) must fail
+    at stream_sync() wiring time — in 'skip' mode a per-batch config
+    error would otherwise skip every batch forever while checkpoint
+    offsets advance (unbounded silent data loss)."""
+    from wwwision_importservice_spark.operators import quality_checks as qc
+
+    from wwwision_importservice_spark.sinks.parquet import ParquetTarget
+
+    target = ParquetTarget(str(tmp_path / "t"), id_column="id")
+    stream = spark.readStream.format("rate").load()
+    dup = [qc.not_null("value"), qc.not_null("value")]  # same derived name
+    with pytest.raises(ValueError, match="duplicate check names"):
+        stream_sync(
+            stream,
+            target,
+            id_attribute="value",
+            quality_checks=dup,
+            on_quality_failure="skip",
+        )
+
+
+def test_quality_check_failure_is_distinct_from_config_error(spark):
+    """assert_checks raises QualityCheckFailure (a ValueError subclass,
+    so pre-round-6 callers keep working) for DATA violations only;
+    config errors from check_suite stay plain ValueError."""
+    from wwwision_importservice_spark.errors import QualityCheckFailure
+    from wwwision_importservice_spark.operators import quality_checks as qc
+
+    df = spark.createDataFrame([(None,), ("x",)], "name string")
+    with pytest.raises(QualityCheckFailure):
+        qc.assert_checks(df, [qc.not_null("name")])
+    try:
+        qc.check_suite(df, [])
+    except ValueError as e:
+        assert not isinstance(e, QualityCheckFailure), e
+
+
 def test_stream_sync_quality_gate_skips_poisoned_batch(spark, tmp_path):
     """quality_checks on stream_sync: a batch violating the suite is
     skipped (reported via on_batch with quality_failed) while clean

@@ -26,3 +26,15 @@ class DataError(ImportServiceError):
     attributes) and ``Classes/ValueObject/DataVersion.php:25-31,64-69``
     (negative / unparseable versions).
     """
+
+
+class QualityCheckFailure(DataError, ValueError):
+    """A data-quality constraint evaluated FALSE on real data.
+
+    Distinct from the plain ``ValueError`` that a *misconfigured* check
+    suite raises (duplicate names, empty list): callers in skip-the-batch
+    mode (``streaming/sync.py``) catch exactly this type, so a config
+    error can never be mistaken for a data violation and silently skip
+    every batch forever. Subclasses ``ValueError`` for compatibility
+    with pre-round-6 callers.
+    """

@@ -224,12 +224,19 @@ def incremental_lsh_pairs(
     ``index`` is the ``(id, band, sig)`` bucket table from
     :func:`lsh_index` (typically read back from parquet). Equivalence
     property (pinned in tests): batch-1 pairs ∪ incremental(batch 2 vs
-    index(batch 1)) == one-shot pairs over batch 1 ∪ 2 — banding is
+    index(batch 1)) == one-shot pairs over batch 1 ∪ 2, **for buckets
+    that never cross ``max_bucket_size``** — banding is
     order-independent, and any bucket touching a new doc retains its
-    full historical membership here, so the cap drops the same buckets
-    the one-shot run would (a bucket can only GROW across batches, so a
-    bucket the one-shot run drops is dropped by whichever incremental
-    run first pushes it over the cap).
+    full historical membership here. When a bucket crosses the cap
+    *between* batches the incremental union is a strict SUPERSET of
+    the one-shot result: pairs already emitted while the bucket was
+    under-cap are never retracted, while the one-shot run drops the
+    whole over-cap bucket including those pairs. For near-dup removal
+    a superset of candidates errs toward dropping more (conservative
+    for training data); callers needing the exact one-shot set on an
+    over-cap corpus must re-run :func:`lsh_candidate_pairs` over the
+    union. Tests exercise under-cap buckets (the equivalence) — the
+    superset direction follows from no-retraction by construction.
 
     Scale shape — the reason this exists: a continuously-fed corpus
     can't re-run LSH over 100 TB per crawl batch. Here the index side
@@ -478,6 +485,12 @@ def connected_components(
                 [(x, find(x)) for x in sorted(members)],
                 f"id {id_type}, cluster_id {id_type}",
             )
+            # Intersect with nodes so both strategies agree when pairs
+            # reference ids absent from the corpus (the distributed path
+            # only labels `edged` = nodes ∩ pair-ids): broadcast the tiny
+            # label table against the corpus — same single nodes scan
+            # shape as `edged`, never a shuffle of nodes.
+            labelled = all_nodes.join(F.broadcast(labelled), "id")
             return labelled.unionByName(isolated)
     if stats is not None:
         stats["strategy"] = "distributed-rounds"

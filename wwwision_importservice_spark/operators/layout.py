@@ -85,9 +85,34 @@ def zorder_key(
     """
     if not 1 <= bits <= 16:
         raise ValueError("zorder_key requires 1 <= bits <= 16")
+    # Validate up front: a non-numeric clustering column (string/date)
+    # or an all-NULL one would silently map every row to bucket 0 —
+    # the Z-order degenerates to no pruning on that dimension with no
+    # error anywhere downstream. Fail loudly instead; callers cluster
+    # on dates by casting to epoch days/seconds explicitly.
+    from pyspark.sql.types import NumericType
+
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        if c not in schema:
+            raise ValueError(f"zorder_key: unknown column {c!r}")
+        if not isinstance(schema[c], NumericType):
+            raise TypeError(
+                f"zorder_key: column {c!r} has non-numeric type "
+                f"{schema[c].simpleString()} — cast it (e.g. a date to "
+                "epoch days) before clustering, or it would silently "
+                "contribute a constant 0 to every Morton key"
+            )
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
     all_bounds = df.stat.approxQuantile(cols, probs, relative_error)
+    for c, bounds in zip(cols, all_bounds):
+        if not bounds:
+            raise ValueError(
+                f"zorder_key: column {c!r} has no non-null values — "
+                "its quantile boundaries are empty and every row would "
+                "land in bucket 0 (no pruning on that dimension)"
+            )
 
     def bucket(col: str, bounds: list[float]):
         arr = F.array(*[F.lit(float(b)) for b in bounds])

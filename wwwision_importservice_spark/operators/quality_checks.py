@@ -141,15 +141,22 @@ def from_config(cfgs: list[dict]) -> list[Check]:
     return out
 
 
-def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
-    """Evaluate every check in one aggregation pass. Returns one row
-    per check: ``(check, column, metric, lo, hi, passed)``, in the
-    declared order (``check`` names must be unique)."""
+def validate_checks(checks: list[Check]) -> None:
+    """Config-validate a check list (non-empty, unique names); raises
+    plain ``ValueError``. Exposed so long-lived callers (streaming
+    sync) can fail fast at wiring time instead of per micro-batch."""
     if not checks:
         raise ValueError("check_suite requires at least one check")
     names = [c.name for c in checks]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate check names: {names}")
+
+
+def check_suite(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate every check in one aggregation pass. Returns one row
+    per check: ``(check, column, metric, lo, hi, passed)``, in the
+    declared order (``check`` names must be unique)."""
+    validate_checks(checks)
     agged = df.agg(
         *[c.metric().cast("double").alias(f"__m{i}") for i, c in enumerate(checks)]
     )
@@ -201,10 +208,16 @@ def check_drift(
     """
     spark = df.sparkSession
     report = check_suite(df, checks)
-    try:
-        history = spark.read.parquet(history_dir)
-    except Exception:  # first run: no history yet
-        history = None
+    # Explicit existence probe, not try/except around the read: a
+    # transient read failure must propagate, not silently reset the
+    # drift baseline (which would mask the very anomaly being hunted).
+    from wwwision_importservice_spark.fsutil import path_exists
+
+    history = (
+        spark.read.parquet(history_dir)
+        if path_exists(spark, history_dir)
+        else None
+    )
     prev = None
     seq_val = 0
     if history is not None:
@@ -257,10 +270,18 @@ def check_drift(
 
 
 def assert_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
-    """Run :func:`check_suite` and raise ``ValueError`` listing every
-    failed constraint; returns the report frame when all pass. The
-    imperative gate for pipeline preflights — the collect touches only
-    the per-check report rows, never the data."""
+    """Run :func:`check_suite` and raise :class:`QualityCheckFailure`
+    listing every failed constraint; returns the report frame when all
+    pass. The imperative gate for pipeline preflights — the collect
+    touches only the per-check report rows, never the data.
+
+    A misconfigured suite (empty, duplicate names) still raises plain
+    ``ValueError`` from :func:`check_suite` — callers that skip-on-
+    violation catch only ``QualityCheckFailure`` so config errors
+    propagate instead of skipping data forever.
+    """
+    from wwwision_importservice_spark.errors import QualityCheckFailure
+
     report = check_suite(df, checks)
     failed = [
         f"{r['check']}: metric={r['metric']} outside [{r['lo']}, {r['hi']}]"
@@ -268,5 +289,7 @@ def assert_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
         if not r["passed"]
     ]
     if failed:
-        raise ValueError("data-quality checks failed: " + "; ".join(failed))
+        raise QualityCheckFailure(
+            "data-quality checks failed: " + "; ".join(failed)
+        )
     return report

@@ -37,6 +37,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wwwision_importservice_spark.fsutil import path_exists
 from wwwision_importservice_spark.operators.dedup import (
     incremental_lsh_pairs,
     lsh_index,
@@ -74,9 +75,15 @@ def near_dup_gate(
         sigs = minhash_signatures_inline(
             batch_df, id_col, text_col, n=n, num_hashes=num_hashes
         )
-        try:
+        # Only a genuinely-missing index directory means "first batch".
+        # Any other read failure (transient FS outage, permissions, a
+        # corrupt footer) must propagate so the micro-batch retries —
+        # treating it as an empty index would silently admit a whole
+        # batch of near-duplicates and permanently break the
+        # no-admitted-duplicates invariant.
+        if path_exists(spark, index_dir):
             index = spark.read.parquet(index_dir)
-        except Exception:  # first batch: no index yet
+        else:
             index = spark.createDataFrame(
                 [], _INDEX_SCHEMA.format(id=id_col)
             )

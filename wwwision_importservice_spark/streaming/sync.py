@@ -86,6 +86,16 @@ def stream_sync(
     """
     if on_quality_failure not in ("fail", "skip"):
         raise ValueError('on_quality_failure must be "fail" or "skip"')
+    if quality_checks:
+        # Fail fast on a misconfigured suite (empty handled above,
+        # duplicate names here) at wiring time — in "skip" mode a config
+        # error surfacing per-batch would otherwise skip every batch
+        # forever while checkpoint offsets advance (unbounded data loss).
+        from wwwision_importservice_spark.operators.quality_checks import (
+            validate_checks,
+        )
+
+        validate_checks(quality_checks)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -95,13 +105,16 @@ def stream_sync(
             batch_df, id_attribute, version_attribute, order_by=order_by
         )
         if quality_checks:
+            from wwwision_importservice_spark.errors import QualityCheckFailure
             from wwwision_importservice_spark.operators.quality_checks import (
                 assert_checks,
             )
 
             try:
                 assert_checks(rf.df, quality_checks)
-            except ValueError:
+            # ONLY a data violation is skippable — config ValueErrors
+            # propagate (and are pre-validated at wiring time above).
+            except QualityCheckFailure:
                 if on_quality_failure == "fail":
                     raise
                 if on_batch is not None:
