@@ -874,6 +874,121 @@ def test_near_dup_gate_across_batches(spark, tmp_path):
     assert idx.count() == spark.read.parquet(str(tmp_path / "lsh_index")).count()
 
 
+def test_lsh_index_compaction_preserves_decisions(spark, tmp_path):
+    """compact_index: folding the per-append small files must (a) cut
+    the file count, (b) leave every admit/drop decision of the next
+    batch identical, and (c) under a TTL evict old entries so their
+    duplicates become admissible again — the explicit policy choice."""
+    from wwwision_importservice_spark.fsutil import list_data_files
+    from wwwision_importservice_spark.operators.dedup import compact_index
+    from wwwision_importservice_spark.streaming.neardup import near_dup_gate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm windowsill and birds sing in the tall green trees outside"
+    )
+    other = (
+        "completely different content about machine learning pipelines "
+        "processing terabytes of tokenized web documents every single day"
+    )
+    probe = spark.createDataFrame(
+        [(100, base + " again"), (101, other + " too"), (102, "tiny fresh note")],
+        "doc_id long, text string",
+    )
+
+    def build(index_dir, admitted):
+        gate = near_dup_gate(
+            str(index_dir),
+            lambda df, bid: admitted.extend(r["doc_id"] for r in df.collect()),
+            n=3,
+        )
+        gate(
+            spark.createDataFrame([(0, base)], "doc_id long, text string"), 0
+        )
+        gate(
+            spark.createDataFrame([(1, other)], "doc_id long, text string"), 1
+        )
+        return gate
+
+    # uncompacted run
+    a_admitted: list = []
+    a_gate = build(tmp_path / "idx_a", a_admitted)
+    # compacted run: same appends, then fold the log
+    b_admitted: list = []
+    b_gate = build(tmp_path / "idx_b", b_admitted)
+    stats: dict = {}
+    compact_index(spark, str(tmp_path / "idx_b"), "doc_id", stats=stats)
+    assert stats["files_after"] < stats["files_before"], stats
+    assert stats["rows_after"] == stats["rows_before"], stats  # no eviction
+    files = list_data_files(spark, str(tmp_path / "idx_b"))
+    assert len(files) == stats["files_after"]
+
+    # identical probe decisions on both indexes
+    a_gate(probe, 2)
+    b_gate(probe, 2)
+    assert a_admitted == b_admitted
+    assert set(a_admitted[2:]) == {102}  # 100/101 dropped vs index
+
+    # TTL: evicting everything before batch 1 re-opens doc 0's twin
+    compact_index(
+        spark, str(tmp_path / "idx_b"), "doc_id", min_batch_id=1, stats=stats
+    )
+    assert stats["rows_after"] < stats["rows_before"], stats
+    c_admitted: list = []
+    gate = near_dup_gate(
+        str(tmp_path / "idx_b"),
+        lambda df, bid: c_admitted.extend(r["doc_id"] for r in df.collect()),
+        n=3,
+    )
+    gate(
+        spark.createDataFrame(
+            [(200, base + " once more")], "doc_id long, text string"
+        ),
+        3,
+    )
+    assert c_admitted == [200]  # base evicted -> twin admissible again
+
+
+def test_near_dup_gate_periodic_compaction_inline(spark, tmp_path):
+    """compact_every on the gate itself: after the Nth batch the index
+    is folded in place and subsequent batches still dedup correctly
+    against it."""
+    from wwwision_importservice_spark.fsutil import list_data_files
+    from wwwision_importservice_spark.streaming.neardup import near_dup_gate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm windowsill and birds sing in the tall green trees outside"
+    )
+    admitted: list = []
+    idx = str(tmp_path / "idx")
+    gate = near_dup_gate(
+        idx,
+        lambda df, bid: admitted.extend(r["doc_id"] for r in df.collect()),
+        n=3,
+        compact_every=2,
+    )
+    gate(spark.createDataFrame([(0, base)], "doc_id long, text string"), 0)
+    files_before = len(list_data_files(spark, idx))
+    gate(
+        spark.createDataFrame(
+            [(1, "something else entirely new and unrelated")],
+            "doc_id long, text string",
+        ),
+        1,  # (1+1) % 2 == 0 -> compaction fires
+    )
+    files_after = len(list_data_files(spark, idx))
+    assert files_after < files_before + 1  # folded, not accreted
+    # post-compaction the index still catches the cross-batch twin
+    gate(
+        spark.createDataFrame(
+            [(2, base + " reprise")], "doc_id long, text string"
+        ),
+        2,
+    )
+    assert admitted == [0, 1]
+
+
 def test_near_dup_gate_broken_index_read_propagates(spark, tmp_path):
     """A failing index READ (corrupt footer / IO error — anything other
     than the directory not existing yet) must propagate so the

@@ -207,6 +207,85 @@ def lsh_index(
     return _band_buckets(sig_df, id_col, num_hashes, bands)
 
 
+def compact_index(
+    spark,
+    index_dir: str,
+    id_col: str,
+    *,
+    min_batch_id: int | None = None,
+    files_per_band: int = 1,
+    stats: dict | None = None,
+) -> None:
+    """Rewrite a persisted LSH index directory compactly: merge the
+    per-append small files into ``files_per_band`` sig-sorted files per
+    band partition, dedup retried-append rows, and (optionally) evict
+    entries whose ``batch_id`` predates ``min_batch_id``.
+
+    The append-only posture of :func:`lsh_index` +
+    ``streaming/neardup.py`` accretes one file set per micro-batch —
+    after thousands of batches the lookup-side scan pays a
+    footer-open per tiny file and the bucket pruning degrades. This is
+    the standard log-structured answer: periodically fold the log.
+    Admit/drop decisions are UNCHANGED by compaction (pinned in
+    tests): bucket membership is a set, and the rewrite only merges /
+    dedups rows (eviction, when requested, is an explicit TTL policy
+    choice — an evicted doc can near-dup-admit again by design).
+
+    TTL semantics: rows carry ``batch_id`` (stamped by the streaming
+    gate since round 6); rows from older index versions without the
+    column have unknown age and are KEPT — conservative, since
+    evicting them would silently re-open the corpus to their
+    duplicates.
+
+    Not atomic: the rewrite lands in a sibling temp dir and replaces
+    the index with delete+rename (see ``fsutil.replace_dir``). The
+    streaming gate invokes it synchronously inside ``foreachBatch``
+    (``compact_every``), so micro-batch ordering provides exclusion;
+    any other caller must pause readers for the swap.
+
+    Scale shape: one scan of the index, one range-shuffle on
+    ``(band, sig)`` sized to the output file count, one write — cost ∝
+    index size, amortized over ``compact_every`` batches. Sig-sorted
+    files give tight parquet min-max footers so incremental lookups
+    skip row groups, restoring the layout :func:`lsh_index` documents.
+    """
+    idx = spark.read.option("mergeSchema", "true").parquet(index_dir)
+    has_age = "batch_id" in idx.columns
+    if stats is not None:
+        from wwwision_importservice_spark.fsutil import list_data_files
+
+        stats["files_before"] = len(list_data_files(spark, index_dir))
+        stats["rows_before"] = idx.count()
+    if min_batch_id is not None and has_age:
+        idx = idx.filter(
+            F.col("batch_id").isNull() | (F.col("batch_id") >= min_batch_id)
+        )
+    group = [id_col, "band", "sig"]
+    if has_age:
+        # a retried append can duplicate a row; keep the newest stamp
+        idx = idx.groupBy(*group).agg(F.max("batch_id").alias("batch_id"))
+    else:
+        idx = idx.dropDuplicates(group)
+    n_bands = idx.select("band").distinct().count()
+    tmp_dir = index_dir.rstrip("/") + "__compacting"
+    (
+        idx.repartitionByRange(
+            max(1, n_bands * files_per_band), F.col("band"), F.col("sig")
+        )
+        .sortWithinPartitions("band", "sig")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(tmp_dir)
+    )
+    from wwwision_importservice_spark.fsutil import list_data_files, replace_dir
+
+    replace_dir(spark, tmp_dir, index_dir)
+    if stats is not None:
+        after = spark.read.parquet(index_dir)
+        stats["files_after"] = len(list_data_files(spark, index_dir))
+        stats["rows_after"] = after.count()
+
+
 def incremental_lsh_pairs(
     new_sigs: DataFrame,
     index: DataFrame,
@@ -249,6 +328,8 @@ def incremental_lsh_pairs(
     index by ``band`` and sort by ``sig`` to cut that scan too.
     """
     new_b = _band_buckets(new_sigs, id_col, num_hashes, bands)
+    # tolerate decorated indexes (batch_id age stamps, future metadata)
+    index = index.select(id_col, "band", "sig")
     touched = new_b.select("band", "sig").distinct()
     # broadcast fits while bucket keys ≈ bands × batch docs (a crawl
     # batch); a corpus-sized BACKFILL batch overflows the driver — pass

@@ -39,12 +39,13 @@ from pyspark.sql import functions as F
 
 from wwwision_importservice_spark.fsutil import path_exists
 from wwwision_importservice_spark.operators.dedup import (
+    compact_index,
     incremental_lsh_pairs,
     lsh_index,
     minhash_signatures_inline,
 )
 
-_INDEX_SCHEMA = "{id} long, band int, sig string"
+_INDEX_SCHEMA = "{id} long, band int, sig string, batch_id long"
 
 
 def near_dup_gate(
@@ -57,17 +58,32 @@ def near_dup_gate(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket_size: int = 10_000,
+    compact_every: int | None = None,
+    ttl_batches: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` processor: per batch, drop near-dup
     candidates of anything admitted so far, hand the survivors (with
     the full input row) to ``admit(survivors_df, batch_id)``, then
-    append the survivors' bucket rows to ``index_dir``.
+    append the survivors' bucket rows (stamped with ``batch_id``) to
+    ``index_dir``.
 
     ``admit`` runs BEFORE the index append: if admit fails the batch
     retries against an index that does not yet contain its rows
     (re-admitting is idempotent for any idempotent ``admit``); the
     reverse order could permanently suppress documents that were never
     admitted anywhere.
+
+    ``compact_every``: every N batches, fold the per-append small
+    files with :func:`~wwwision_importservice_spark.operators.dedup.compact_index`
+    — append-forever accretes one file set per micro-batch, and after
+    thousands of batches the index scan pays a footer-open per tiny
+    file. Compaction runs synchronously inside the batch (after the
+    append), so no concurrent reader sees the delete+rename swap.
+    Admit/drop decisions are unchanged by compaction (pinned in
+    tests). ``ttl_batches`` additionally evicts index entries older
+    than that many batches — an explicit policy choice (an evicted
+    doc's duplicates become admissible again), for corpora where
+    staleness bounds the dedup horizon.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -82,7 +98,8 @@ def near_dup_gate(
         # batch of near-duplicates and permanently break the
         # no-admitted-duplicates invariant.
         if path_exists(spark, index_dir):
-            index = spark.read.parquet(index_dir)
+            # mergeSchema: pre-round-6 index files lack batch_id
+            index = spark.read.option("mergeSchema", "true").parquet(index_dir)
         else:
             index = spark.createDataFrame(
                 [], _INDEX_SCHEMA.format(id=id_col)
@@ -127,6 +144,17 @@ def near_dup_gate(
             id_col,
             num_hashes=num_hashes,
             bands=bands,
-        ).write.mode("append").partitionBy("band").parquet(index_dir)
+        ).withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).partitionBy("band").parquet(index_dir)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_index(
+                spark,
+                index_dir,
+                id_col,
+                min_batch_id=(
+                    batch_id - ttl_batches if ttl_batches is not None else None
+                ),
+            )
 
     return process
