@@ -103,6 +103,10 @@ HEADLINE = [
     "range_join_events",
     "x2_dedup_clusters",
     "x2_dedup_spans",  # joined round 5 — see module docstring
+    # joined round 6: the sharp-separation near-dup demo (planted twins)
+    # and the two-micro-batch streaming admission gate e2e
+    "x2_planted_near_dup",
+    "s5_neardup_gate",
 ]
 
 

@@ -48,6 +48,8 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x2_planted_near_dup",  # NEW r6
+    "s5_neardup_gate",  # NEW r6
     "dq_check_suite",
     "x2_dedup_spans",
     "sink_scd2_history",
@@ -1544,6 +1546,7 @@ def x2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
 WHERE tok <> '' GROUP BY doc_id
 """,
+    driver=False,  # long-green since r3; slot ceded to x2_planted_near_dup (r6)
 )
 def x2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — 16-bit SimHash fingerprints (per-token md5 nibbles, majority
@@ -1801,6 +1804,71 @@ def x2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("id_a"), F.col("id_b"), F.col("cosine")
     )
+
+
+# Planted-twin corpus: every 5th vector gets a deterministic polynomial
+# perturbation twin (w = v + (1.2·v² − 0.01875), elementwise). Only *,+,−
+# on doubles — exactly-rounded IEEE ops, so Spark and DuckDB produce
+# bit-identical twins (a sin()-based perturbation would be 1-ulp
+# engine-dependent). Measured on this corpus: every planted pair lands at
+# cosine ≥ 0.92 (mean 0.98) while the max background pair is 0.51 — the
+# sharp-separation regime real near-dup corpora give.
+_PLANTED_CORPUS = """
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding::DOUBLE[],
+                        x -> x + (CAST(1.2 AS DOUBLE) * x * x
+                                  - CAST(0.01875 AS DOUBLE)))
+  FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+
+@_register(
+    "x2_planted_near_dup",
+    f"""
+SELECT id_a, id_b, cosine FROM (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         round(list_cosine_similarity(l.embedding, r.embedding), 6) AS cosine
+  FROM ({_PLANTED_CORPUS}) l JOIN ({_PLANTED_CORPUS}) r
+    ON bit_count(xor({_bucket_expr('l', 9)}, {_bucket_expr('r', 9)})) <= 2
+       AND l.vec_id < r.vec_id
+) WHERE cosine >= 0.9
+""",
+)
+def x2_planted_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — embedding near-dup on a PLANTED-twin corpus: the
+    sharp-separation companion to ``x2_embedding_near_dup`` (whose
+    synthetic corpus has NO true near-dups — max pair cosine 0.51,
+    LSH's worst regime). Here every 5th vector gets a deterministic
+    near-identical twin (cos ≥ 0.92, see ``_PLANTED_CORPUS``), and
+    sign-LSH at bits≈log2(N)=9 with hamming-1 multi-probe recovers the
+    planted pairs at measured recall 1.0 @ sf0.01 (floor ≥ 0.95 pinned
+    in tests/test_extensions.py) while pruning the background — the
+    production claim the near-isotropic demo can't show. Same operator,
+    same plan shape (ids-only pair shuffle, vectors re-joined once)."""
+    from wwwision_importservice_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    orig = emb.select("vec_id", dbl.alias("embedding"))
+    twins = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double")
+            + (
+                F.lit(1.2).cast("double") * x.cast("double") * x.cast("double")
+                - F.lit(0.01875).cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    corpus = orig.unionByName(twins)
+    return embedding_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.9, bits=9, probe_hamming=1
+    ).select(F.col("id_a"), F.col("id_b"), F.col("cosine"))
 
 
 _IVF_CENT_SQL = "SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id % 125 = 0"
@@ -2086,6 +2154,7 @@ SELECT doc_id,
                                ' +', ' ', 'g'))) AS fingerprint
 FROM documents
 """,
+    driver=False,  # long-green since r3; slot ceded to s5_neardup_gate (r6)
 )
 def x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 — normalized-text md5 fingerprint (rolling-hash stand-in) for
@@ -3312,6 +3381,79 @@ def x2_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_lsh_pairs(
         sig(docs.filter(F.col("doc_id") % 2 == 1)), idx, "doc_id", 16, 4
     )
+
+
+# Batch-1 survivors of the streaming near-dup gate, stated declaratively:
+# an even doc is admitted iff no LSH candidate pair links it to a
+# SMALLER-id even doc (the gate's within-batch keep-the-min rule; the
+# index is empty for batch 1). Bucket membership is order-independent,
+# so the one-shot pair set restricted to even×even IS batch 1's pair set.
+_GATE_ADMITTED1 = f"""
+  SELECT a1.doc_id FROM documents a1
+  WHERE a1.doc_id % 2 = 0 AND NOT EXISTS (
+    SELECT 1 FROM ({_PAIRS_SQL}) q
+    WHERE q.id_b = a1.doc_id AND q.id_a % 2 = 0)
+"""
+
+
+@_register(
+    "s5_neardup_gate",
+    # The two-micro-batch gate run in SQL. Batch 2 (odd ids) admits a doc
+    # iff (a) no pair links it to a batch-1 SURVIVOR (the index holds only
+    # admitted docs — a doc whose sole match was itself dropped is
+    # admitted), and (b) no pair links it to a smaller-id batch-2 doc.
+    f"""
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS batch
+FROM ({_GATE_ADMITTED1}) d
+UNION ALL
+SELECT CAST(d.doc_id AS BIGINT), CAST(1 AS BIGINT)
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM ({_PAIRS_SQL}) p
+    WHERE (p.id_a = d.doc_id AND p.id_b IN (SELECT doc_id FROM ({_GATE_ADMITTED1})))
+       OR (p.id_b = d.doc_id AND p.id_a IN (SELECT doc_id FROM ({_GATE_ADMITTED1})))
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM ({_PAIRS_SQL}) p
+    WHERE p.id_b = d.doc_id AND p.id_a % 2 = 1
+  )
+""",
+)
+def s5_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup admission gate (``streaming/neardup.py``),
+    end-to-end over two micro-batches: even doc_ids arrive as batch 0,
+    odd as batch 1; each batch is deduped against the PERSISTED LSH
+    index of everything admitted so far, survivors land in the
+    admitted sink (a parquet append — the production ``admit`` shape,
+    no driver collect), and only survivors' bucket rows join the
+    index. The oracle states both batches' admission rules
+    declaratively over the one-shot pair set — valid because bucket
+    co-occurrence is membership-independent and the 10k bucket cap
+    never binds on this corpus.
+
+    Exercises the full stateful loop the batch queries can't: index
+    bootstrap (explicit path probe, not except-swallowing), per-batch
+    incremental pruning, survivor-only appends with batch_id stamps.
+    Scale shape: per batch the index is semi-pruned by the batch's
+    bucket keys and never shuffled; admitted writes are append-only."""
+    import tempfile
+
+    from wwwision_importservice_spark.streaming.neardup import near_dup_gate
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    tmp = tempfile.mkdtemp(prefix="s5_neardup_gate_")
+    out_dir = f"{tmp}/admitted"
+
+    def admit(df: DataFrame, batch_id: int) -> None:
+        df.select("doc_id").withColumn(
+            "batch", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(out_dir)
+
+    gate = near_dup_gate(f"{tmp}/index", admit, n=3, num_hashes=16, bands=4)
+    gate(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    gate(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    return spark.read.parquet(out_dir).select("doc_id", "batch")
 
 
 @_register(
