@@ -1426,7 +1426,8 @@ def test_bpe_training_matches_reference_model(spark, sf_dir):
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    got = train_bpe(docs, num_merges=25)
+    stats: dict = {}
+    got = train_bpe(docs, num_merges=25, stats=stats)
 
     wf = {
         r["word"]: r["freq"]
@@ -1434,6 +1435,42 @@ def test_bpe_training_matches_reference_model(spark, sf_dir):
     }
     want = _reference_bpe(wf, 25)
     assert got == want
+    # default batching (batch_merges=8) must actually cut rounds on
+    # this Zipf-shaped corpus, not just match the sequential answer
+    assert stats["rounds"] < 25, stats
+
+
+def test_bpe_batched_merges_equal_sequential(spark, sf_dir):
+    """batch_merges>1 must produce the EXACT merge list of the
+    batch_merges=1 path on real documents (the sound-batching
+    guarantee: consecutive disjoint prefix + threat bound), while
+    using fewer Spark rounds — the fix for one-driver-round-per-merge
+    being the bottleneck at 32k-vocab scale."""
+    from wwwision_importservice_spark.operators.bpe import train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s_seq: dict = {}
+    s_batch: dict = {}
+    seq = train_bpe(docs, num_merges=30, batch_merges=1, stats=s_seq)
+    batched = train_bpe(docs, num_merges=30, batch_merges=8, stats=s_batch)
+    assert batched == seq
+    assert s_seq["rounds"] == 30
+    # exact batching saturates on char-level merge heads (top pairs
+    # share symbols — see train_bpe docstring); any saving counts, the
+    # m-factor cut is the greedy mode's job
+    assert s_batch["rounds"] < s_seq["rounds"], s_batch
+
+    # greedy mode: ~batch_merges-factor round cut, deterministic, valid
+    # BPE (each accepted pair was a mutually-disjoint head pair); the
+    # list MAY deviate from sequential where the head overlaps
+    s_greedy: dict = {}
+    greedy = train_bpe(
+        docs, num_merges=30, batch_merges=8, exact=False, stats=s_greedy
+    )
+    assert len(greedy) == 30
+    assert s_greedy["rounds"] <= 8, s_greedy  # ~30/8 rounds + conflicts
+    greedy2 = train_bpe(docs, num_merges=30, batch_merges=8, exact=False)
+    assert greedy == greedy2  # deterministic
 
 
 def test_bpe_encode_roundtrip_and_budget_use(spark):

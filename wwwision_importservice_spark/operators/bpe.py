@@ -94,6 +94,9 @@ def train_bpe(
     text_col: str = "text",
     num_merges: int = 50,
     min_pair_freq: int = 2,
+    batch_merges: int = 8,
+    exact: bool = True,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus; returns the
     ordered merge list ``[(left, right), ...]`` (rank = position).
@@ -101,6 +104,50 @@ def train_bpe(
     Stops early when no remaining pair reaches ``min_pair_freq``.
     Deterministic: ties on pair count break on the (left, right) pair
     lexicographically.
+
+    ``batch_merges`` accepts up to that many merges per Spark round —
+    the answer to one-job-per-merge being a driver-side bottleneck at
+    real 32k-vocab scale (32k sequential rounds). The batch is chosen
+    so the merge LIST is **provably identical** to the ``batch_merges=1``
+    sequential path (equivalence pinned in tests on real documents):
+
+    - the batch is a CONSECUTIVE prefix of the (count desc, pair asc)
+      ranking that is mutually symbol-disjoint — so every pair ranked
+      above an accepted ``p_i`` is itself an earlier accepted pair;
+    - merging a pair leaves the count of every symbol-disjoint pair
+      unchanged (no adjacency involving other symbols is created or
+      destroyed), and can only DECREASE counts of existing overlapping
+      pairs — so no existing pair can climb past ``p_i`` mid-batch;
+    - the only threat is a NEW pair involving a merged symbol, but
+      every occurrence of ``(x, ab)`` was an ``(x, a)`` adjacency (and
+      ``(ab, y)`` a ``(b, y)`` one), so new-pair counts are bounded by
+      the max count of existing non-accepted pairs sharing a symbol
+      with the batch (the "threat bound", one small filtered max over
+      the pair table). Accepting ``p_i`` (i ≥ 2) only while
+      ``count(p_i) > threat`` guarantees the sequential argmax at each
+      intermediate step is exactly ``p_i`` (strict ``>`` also dodges
+      lexicographic ties against never-materialized new symbols).
+
+    Per round this costs one pair-count aggregate (as before), a
+    driver collect of the top ``3×batch`` rows instead of 1, one
+    filtered-max job, and ONE words rewrite applying the whole batch
+    (the fold exprs compose in order inside a single projection) —
+    rounds shrink by the accepted-batch factor. ``stats["rounds"]``
+    exposes the achieved factor.
+
+    Honest limit of the exact mode: on character-level merge heads the
+    top-ranked pairs usually SHARE a symbol ('e', 't', the word
+    marker), the consecutive prefix stops at the first conflict, and
+    the measured factor is only ~1.1-1.3× — and that overlap is
+    precisely the case where any skip-and-continue batching CHANGES
+    the sequential merge list (the skipped pair keeps its count and
+    remains the true next argmax). So the provable factor is
+    corpus-bound, not an implementation artifact. ``exact=False``
+    switches to the classic greedy batch (top-``batch_merges``
+    mutually-disjoint pairs, skipping conflicts): still fully
+    deterministic and a valid BPE vocabulary, rounds cut by ~the full
+    factor, but the merge list may deviate from sequential where the
+    head overlaps — the documented trade for 32k-vocab training runs.
     """
     words = word_frequencies(corpus, text_col).select(
         F.split(F.concat(F.col("word"), F.lit(END_OF_WORD)), "(?!$)").alias(
@@ -111,7 +158,9 @@ def train_bpe(
     words = words.localCheckpoint(eager=True)
 
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
+    rounds = 0
+    while len(merges) < num_merges:
+        rounds += 1
         pairs = (
             words.select(
                 F.col("freq"),
@@ -128,21 +177,59 @@ def train_bpe(
             .groupBy("p")
             .agg(F.sum("freq").alias("n"))
         )
+        budget = min(batch_merges, num_merges - len(merges))
         top = (
             pairs.orderBy(
                 F.col("n").desc(), F.col("p.__l").asc(), F.col("p.__r").asc()
             )
-            .limit(1)
+            .limit(max(3 * budget, 1))
             .collect()
         )
         if not top or top[0]["n"] < min_pair_freq:
             break
-        left, right = top[0]["p"]["__l"], top[0]["p"]["__r"]
-        merges.append((left, right))
+        # consecutive, mutually symbol-disjoint prefix of the ranking
+        accepted: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for row in top:
+            left, right, n = row["p"]["__l"], row["p"]["__r"], row["n"]
+            if n < min_pair_freq or len(accepted) >= budget:
+                break
+            if accepted and (left in used or right in used):
+                if exact:
+                    break  # prefix must stay consecutive — stop, don't skip
+                continue  # greedy: skip the conflict, keep batching
+            accepted.append((left, right, n))
+            used.update((left, right))
+        if exact and len(accepted) > 1:
+            # threat bound: max count of any existing non-accepted pair
+            # sharing a symbol with the batch (bounds every new pair a
+            # batch merge can create — see docstring)
+            overlap = F.col("p.__l").isin(*used) | F.col("p.__r").isin(*used)
+            is_accepted = None
+            for left, right, _ in accepted:
+                c = (F.col("p.__l") == left) & (F.col("p.__r") == right)
+                is_accepted = c if is_accepted is None else (is_accepted | c)
+            threat = (
+                pairs.filter(overlap & ~is_accepted).agg(F.max("n")).first()[0]
+                or 0
+            )
+            kept = [accepted[0]]
+            for left, right, n in accepted[1:]:
+                if n > threat:
+                    kept.append((left, right, n))
+                else:
+                    break  # keep the prefix consecutive
+            accepted = kept
+        merges.extend((left, right) for left, right, _ in accepted)
+        # one projection applies the whole batch in sequential order
+        expr = F.col("symbols")
+        for left, right, _ in accepted:
+            expr = _merge_pair_expr(expr, left, right)
         words = words.select(
-            _merge_pair_expr(F.col("symbols"), left, right).alias("symbols"),
-            F.col("freq"),
+            expr.alias("symbols"), F.col("freq")
         ).localCheckpoint(eager=True)
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 
