@@ -227,6 +227,73 @@ def test_salted_join_matches_plain_join(spark):
     assert left_salted == left_plain
 
 
+def test_hot_key_broadcast_join_matches_and_removes_head(spark):
+    """operators/skew.py hot_key_broadcast_join on a synthetic Zipf
+    corpus: (a) result is row-for-row the plain join (inner and left),
+    (b) the head keys take a BroadcastHashJoin, and (c) no head key
+    reaches the shuffled join — the per-key width of what shuffles is
+    bounded by the first non-hot key."""
+    from wwwision_importservice_spark.operators.skew import (
+        hot_key_broadcast_join,
+    )
+
+    # Zipf-ish: key 0 owns ~half the rows, key 1 a quarter, ...
+    big = spark.range(0, 4096).select(
+        F.floor(F.log2(F.lit(4096) / (F.col("id") + 1))).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = (
+        big.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("k") < 10)  # some big keys unmatched -> left join
+        .withColumn("label", F.concat(F.lit("v"), F.col("k")))
+    )
+
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r["k"], r["payload"], r["label"])
+            for r in big.join(small, ["k"], how).collect()
+        )
+        split = hot_key_broadcast_join(
+            big, small, ["k"], "w", hot_keys=3, how=how
+        )
+        got = sorted((r["k"], r["payload"], r["label"]) for r in split.collect())
+        assert got == plain, how
+
+    split = hot_key_broadcast_join(big, small, ["k"], "w", hot_keys=3)
+    tree = tree_of(plan_of(spark, split))
+    assert "BroadcastHashJoin" in tree, tree
+
+    # the shuffled (cold) side excludes the 3 head keys: rebuild the
+    # cold probe exactly as the operator does and measure its widest key
+    hot = small.orderBy(F.col("w").desc(), "k").limit(3)
+    cold_probe = big.join(F.broadcast(hot.select("k")), ["k"], "left_anti")
+    widths = {
+        r["k"]: r["n"]
+        for r in cold_probe.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    head = {r["k"] for r in hot.collect()}
+    assert head.isdisjoint(widths)
+    # head key 0 has ~2048 rows; nothing shuffled is wider than key 3
+    assert max(widths.values()) <= 4096 // 8, widths
+
+
+def test_lm_doc_stats_hot_key_split_result_identical(spark, sf_dir):
+    """lm_doc_stats with the default hot-key split must emit exactly
+    the plain-join rows on real documents (the model's Zipf head — the
+    hot contexts — is the broadcast set by construction)."""
+    from wwwision_importservice_spark.operators.lm import (
+        bigram_model,
+        lm_doc_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = bigram_model(docs)
+    plain = sorted(map(tuple, lm_doc_stats(docs, model, hot_keys=0).collect()))
+    split = sorted(map(tuple, lm_doc_stats(docs, model, hot_keys=64).collect()))
+    assert split == plain
+
+
 def test_freq_score_broadcasts_vocab(spark, sf_dir):
     """X5 freq score: the Zipf-small vocab and the 1-row total broadcast;
     the corpus-side explode never shuffles for them."""

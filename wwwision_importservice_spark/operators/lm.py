@@ -26,9 +26,15 @@ Design (same exactness strategy as :mod:`operators/retrieval`'s BM25):
   collected to the driver; the model tables can exceed driver memory.
 
 Zipf skew note: the hot contexts (``the``, ``of`` …) concentrate the
-(w1) join key. The per-doc pre-aggregation (distinct doc-bigrams with
-multiplicity) bounds per-key rows by the doc count, and AQE skew-join
-handles the residue — same posture as the diff join (SURVEY §4).
+(w1) join key. Three defenses stack: the per-doc pre-aggregation
+(distinct doc-bigrams with multiplicity) bounds per-key rows by the
+doc count; the model-table joins split through
+:func:`~wwwision_importservice_spark.operators.skew.hot_key_broadcast_join`
+(the top-``hot_keys`` count rows — which BY their counts are the
+probe-side head — broadcast, so head-key probe rows never shuffle and
+the shuffled tail's per-key width is bounded by the (K+1)-th count);
+and AQE skew-join handles any residue. Results are row-identical to
+the plain join (pinned by the oracle and by test).
 """
 
 from __future__ import annotations
@@ -126,6 +132,7 @@ def lm_doc_stats(
     model: tuple[DataFrame, DataFrame, DataFrame],
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_keys: int = 64,
 ) -> DataFrame:
     """Integer-exact per-document LM sufficient statistics —
     ``(id, n_bigrams, n_distinct_bigrams, sum_bigram_count,
@@ -134,21 +141,29 @@ def lm_doc_stats(
     time). Engine-exact (all LONG) — this is the DuckDB-oracle face of
     the LM; the perplexity itself (one ln per bigram) lives in
     :func:`lm_perplexity` under a differential test."""
+    from wwwision_importservice_spark.operators.skew import (
+        hot_key_broadcast_join,
+    )
+
     bigrams, contexts, _ = model
     per_doc = (
         _doc_bigrams(df, id_col, text_col)
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    joined = (
-        per_doc.join(bigrams, ["w1", "w2"], "left")
-        .join(contexts, ["w1"], "left")
-        .select(
-            F.col(id_col),
-            F.col("n"),
-            F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
-            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
-        )
+    joined = hot_key_broadcast_join(
+        hot_key_broadcast_join(
+            per_doc, bigrams, ["w1", "w2"], "c12", hot_keys=hot_keys
+        ),
+        contexts,
+        ["w1"],
+        "c1",
+        hot_keys=hot_keys,
+    ).select(
+        F.col(id_col),
+        F.col("n"),
+        F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
+        F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
     )
     return joined.groupBy(id_col).agg(
         F.sum("n").alias("n_bigrams"),
@@ -164,6 +179,7 @@ def lm_perplexity(
     id_col: str = "doc_id",
     text_col: str = "text",
     add_k: float = 0.5,
+    hot_keys: int = 64,
 ) -> DataFrame:
     """Per-document bigram perplexity under the add-k model:
     ``ppl = exp(-(1/n) Σ ln p(w2|w1))`` with
@@ -186,9 +202,20 @@ def lm_perplexity(
     p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(add_k)) / (
         F.coalesce(F.col("c1"), F.lit(0)) + F.lit(add_k) * F.col("v")
     )
+    from wwwision_importservice_spark.operators.skew import (
+        hot_key_broadcast_join,
+    )
+
     scored = (
-        per_doc.join(bigrams, ["w1", "w2"], "left")
-        .join(contexts, ["w1"], "left")
+        hot_key_broadcast_join(
+            hot_key_broadcast_join(
+                per_doc, bigrams, ["w1", "w2"], "c12", hot_keys=hot_keys
+            ),
+            contexts,
+            ["w1"],
+            "c1",
+            hot_keys=hot_keys,
+        )
         .crossJoin(F.broadcast(v_count))
         .select(
             F.col(id_col),

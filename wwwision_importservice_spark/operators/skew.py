@@ -49,6 +49,54 @@ def salted_join(
 
 
 
+def hot_key_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    weight_col: str,
+    *,
+    hot_keys: int = 64,
+    how: str = "left",
+) -> DataFrame:
+    """Zipf-aware equi-join: the ``hot_keys`` heaviest rows of the
+    small side (by ``weight_col`` — for count/model tables the weight
+    IS the probe-side frequency, e.g. a bigram LM's ``c1`` or a term
+    table's ``df``) are broadcast, so the probe rows carrying the head
+    keys never shuffle at all; only the Zipf tail takes the shuffle
+    join, with its per-key width bounded by the (K+1)-th key.
+
+    The split is exact, not approximate: hot keys come FROM ``small``,
+    so the hot path's inner broadcast join is the restriction of a
+    left join to keys known to match, and the anti-joined cold path
+    cannot match a hot row — the union is row-for-row the plain join
+    (pinned by test). Supports ``how`` in {"inner", "left"} (the
+    lookup-join shapes; a right/full split would need tail bookkeeping
+    on the small side).
+
+    vs the alternatives: AQE skew-split fixes the hot partition only
+    at shuffle-read time (the map-side write still funnels the head
+    key through one hash bucket per mapper); :func:`salted_join`
+    spreads the head but replicates the whole small side
+    ``num_salts``×. Broadcasting K count rows costs ~nothing and
+    removes the head from the shuffle entirely — use the salted join
+    as the fallback when the hot side cannot be enumerated cheaply
+    (e.g. the weight lives on neither input).
+
+    ``hot_keys=0`` degrades to the plain join.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"hot_key_broadcast_join: unsupported how={how!r}")
+    if hot_keys <= 0:
+        return big.join(small, on, how)
+    hot = F.broadcast(
+        small.orderBy(F.col(weight_col).desc(), *on).limit(hot_keys)
+    )
+    big_hot = big.join(hot, on, "inner")
+    big_cold = big.join(F.broadcast(hot.select(*on)), on, "left_anti")
+    cold = big_cold.join(small, on, how)
+    return big_hot.unionByName(cold)
+
+
 def skew_report(
     df: DataFrame,
     key_cols: list[str],
