@@ -315,6 +315,40 @@ def test_connected_components_fast_path_matches_distributed(spark):
         assert s_dist["strategy"] == "distributed-rounds"
 
 
+def test_connected_components_byte_guard_declines_wide_ids(spark):
+    """The driver union-find guard is BYTES, not rows: a handful of
+    edges with kilobyte string ids must decline the fast path (the
+    row threshold alone would collect them), take the distributed
+    rounds, and still label correctly."""
+    wide = [("u" * 1000) + str(i) for i in range(6)]
+    nodes = spark.createDataFrame([(w,) for w in wide], "id string")
+    pairs = spark.createDataFrame(
+        [(wide[0], wide[1]), (wide[2], wide[3])], "id_a string, id_b string"
+    )
+    s: dict = {}
+    out = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            nodes, pairs, stats=s, max_collect_bytes=2000
+        ).collect()
+    }
+    assert s["strategy"] == "distributed-rounds", s
+    assert s["edge_collect_est_bytes"] > 2000
+    assert out == {
+        wide[0]: wide[0], wide[1]: wide[0],
+        wide[2]: wide[2], wide[3]: wide[2],
+        wide[4]: wide[4], wide[5]: wide[5],
+    }
+    # same graph under the default cap takes the fast path, same labels
+    s2: dict = {}
+    out2 = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(nodes, pairs, stats=s2).collect()
+    }
+    assert s2["strategy"] == "driver-union-find"
+    assert out2 == out
+
+
 def test_connected_components_foreign_pair_ids_agree(spark):
     """Pairs referencing ids ABSENT from nodes (a stale pair table, a
     filtered corpus): both strategies must label only node-present ids

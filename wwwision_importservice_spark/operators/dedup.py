@@ -460,6 +460,7 @@ def connected_components(
     stats: dict | None = None,
     double_from: int = 3,
     small_graph_threshold: int | None = 100_000,
+    max_collect_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Cluster ids for a near-duplicate pair graph: every node gets
     ``cluster_id`` = the minimum id reachable through the pairs — the
@@ -500,9 +501,15 @@ def connected_components(
     pairs ≪ docs), so this is the common case even at large corpus
     scale, while a genuinely huge graph (a backfill, a boilerplate
     storm) exceeds the threshold and takes the distributed rounds.
-    100k edges ≈ 1.6 MB collected — broadcast-sized. ``None`` forces
-    the distributed path. The corpus itself never collects: isolated
-    nodes stay a distributed anti join on either path.
+    100k edges of long ids ≈ 1.6 MB collected — broadcast-sized. The
+    row threshold is paired with ``max_collect_bytes`` (default 64 MB)
+    measured from the actual id widths in the same sizing aggregate,
+    so wide string ids (URLs, content hashes) can't surprise the
+    driver: the fast path DECLINES when estimated bytes exceed the cap
+    (pinned by test), and ``stats["edge_collect_est_bytes"]`` exposes
+    the estimate. ``None`` forces the distributed path. The corpus
+    itself never collects: isolated nodes stay a distributed anti join
+    on either path.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -532,10 +539,24 @@ def connected_components(
         F.col("id"), F.col("id").alias("cluster_id")
     )
     if small_graph_threshold is not None:
-        # the count also materializes the lazy edge checkpoint, which
-        # every path needs — it is not an extra pass over the corpus
-        n_edges = edges.count()
-        if n_edges <= small_graph_threshold:
+        # One aggregate sizes the graph in ROWS and BYTES (it also
+        # materializes the lazy edge checkpoint every path needs — not
+        # an extra pass over the corpus). The row threshold alone would
+        # let wide ids (URLs, content hashes as ids) blow the driver:
+        # 100k edges of 8-byte longs is ~1.6 MB, of 1 KB URLs ~200 MB.
+        sized = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.octet_length(F.col("src").cast("string"))
+                + F.octet_length(F.col("dst").cast("string"))
+            ).alias("id_bytes"),
+        ).first()
+        n_edges = sized["n"]
+        # ~48 bytes/edge of Row/object overhead on top of the id payload
+        est_bytes = (sized["id_bytes"] or 0) + 48 * n_edges
+        if stats is not None:
+            stats["edge_collect_est_bytes"] = est_bytes
+        if n_edges <= small_graph_threshold and est_bytes <= max_collect_bytes:
             if stats is not None:
                 stats["strategy"] = "driver-union-find"
                 stats["iterations"] = 0
