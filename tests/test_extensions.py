@@ -351,30 +351,42 @@ def test_connected_components_byte_guard_declines_wide_ids(spark):
 
 def test_connected_components_foreign_pair_ids_agree(spark):
     """Pairs referencing ids ABSENT from nodes (a stale pair table, a
-    filtered corpus): both strategies must label only node-present ids
-    — the driver union-find intersects its member set with nodes, same
-    as the distributed path's semi-join."""
-    nodes = spark.createDataFrame([(1,), (2,), (8,)], "id long")
-    # 99 and 100 are not nodes; 2-99 must not surface 99 in the output,
-    # and 99-100 must not surface either endpoint
-    pairs = spark.createDataFrame(
-        [(1, 2), (2, 99), (99, 100)], "id_a long, id_b long"
-    )
-    s_fast: dict = {}
-    s_dist: dict = {}
-    fast = {
-        r["id"]: r["cluster_id"]
-        for r in connected_components(nodes, pairs, stats=s_fast).collect()
-    }
-    dist = {
-        r["id"]: r["cluster_id"]
-        for r in connected_components(
-            nodes, pairs, stats=s_dist, small_graph_threshold=None
-        ).collect()
-    }
-    assert s_fast["strategy"] == "driver-union-find"
-    assert s_dist["strategy"] == "distributed-rounds"
-    assert fast == dist == {1: 1, 2: 1, 8: 8}
+    filtered corpus): both strategies must run over the NODE-INDUCED
+    subgraph — foreign ids neither surface in the output, nor become
+    cluster labels, nor conduct connectivity between node components.
+    Covers the three disagreement shapes: foreign endpoint, foreign
+    MIN-id (would otherwise become a label that exists nowhere in the
+    corpus), and foreign BRIDGE (would otherwise merge two components
+    only on the fast path)."""
+
+    def both(node_ids, pair_rows):
+        nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+        pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+        s_fast: dict = {}
+        s_dist: dict = {}
+        fast = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(nodes, pairs, stats=s_fast).collect()
+        }
+        dist = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                nodes, pairs, stats=s_dist, small_graph_threshold=None
+            ).collect()
+        }
+        assert s_fast["strategy"] == "driver-union-find"
+        assert s_dist["strategy"] == "distributed-rounds"
+        assert fast == dist, (fast, dist)
+        return fast
+
+    # foreign endpoints: 99/100 absent; 2-99 and 99-100 conduct nothing
+    assert both([1, 2, 8], [(1, 2), (2, 99), (99, 100)]) == {1: 1, 2: 1, 8: 8}
+    # foreign MIN id: 1 absent — node 2 must label itself, never 1
+    assert both([2, 8], [(1, 2)]) == {2: 2, 8: 8}
+    # foreign BRIDGE: 99 absent — 2 and 5 stay separate components
+    assert both([2, 5], [(2, 99), (99, 5)]) == {2: 2, 5: 5}
+    # foreign bridge PLUS a real edge: only the real edge conducts
+    assert both([2, 5, 7], [(2, 99), (99, 5), (5, 7)]) == {2: 2, 5: 5, 7: 5}
 
 
 def test_as_of_join_semantics(spark):
@@ -2875,3 +2887,55 @@ def test_hard_negatives_excludes_judged_and_keeps_rank(spark):
     # 11 is judged-relevant (excluded), 13 is rank 4 > k, query 2's only
     # retrieval is relevant -> no negatives for it
     assert got == {(1, 10, 1), (1, 12, 3)}
+
+
+def test_incremental_lsh_over_cap_bucket_is_superset_with_accounting(spark):
+    """The superset direction of the incremental-index equivalence
+    (dedup.py docstring), pinned instead of 'follows by construction':
+    when a bucket crosses ``max_bucket_size`` BETWEEN batches, the
+    incremental union keeps the historical under-cap pairs (never
+    retracted) while the one-shot run drops the whole bucket — so
+    union ⊋ one-shot — and the opt-in drop accounting reports the
+    over-cap bucket."""
+    from wwwision_importservice_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        lsh_index,
+        minhash_signatures_inline,
+    )
+
+    # identical text -> identical signature -> one shared bucket per
+    # band; cap=3 so batch 1 (3 docs) is under-cap, union (5 docs) over
+    text = "identical boilerplate text repeated across every mirror page"
+    frame = docs(spark, [(i, text) for i in range(5)])
+    batch1 = frame.filter(F.col("doc_id") < 3)
+    batch2 = frame.filter(F.col("doc_id") >= 3)
+
+    def sigs(df):
+        return minhash_signatures_inline(df, "doc_id", "text", n=3, num_hashes=16)
+
+    def pairs_of(df):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(
+                sigs(df), "doc_id", 16, 4, max_bucket_size=3
+            ).collect()
+        }
+
+    one_shot = pairs_of(frame)
+    assert one_shot == set()  # the 5-wide bucket is dropped whole
+    b1 = pairs_of(batch1)
+    assert b1 == {(0, 1), (0, 2), (1, 2)}  # under-cap at batch-1 time
+
+    idx = lsh_index(sigs(batch1), "doc_id", 16, 4)
+    stats: dict = {}
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_lsh_pairs(
+            sigs(batch2), idx, "doc_id", 16, 4, max_bucket_size=3, stats=stats
+        ).collect()
+    }
+    assert inc == set()  # the combined bucket is over-cap -> no NEW pairs
+    assert (b1 | inc) > one_shot  # strict superset, never equal here
+    # drop accounting saw the over-cap bucket (4 bands x 1 bucket, 5 ids)
+    assert stats["lsh_buckets_dropped"] == 4
+    assert stats["lsh_ids_in_dropped"] == 4 * 5

@@ -433,3 +433,36 @@ def test_broadcast_source_never_shuffles_local_state(spark, sf_dir):
     # (the limit); the local scan must not hash-partition
     for kind in re.findall(r"Exchange (\w+)", tree):
         assert kind == "SinglePartition", tree
+
+
+def test_hot_key_broadcast_join_exact_on_multirow_keys(spark):
+    """Regression (round-7 ADVICE): the hot set is top-K distinct KEYS,
+    never a row limit — on a small side with multiple rows per join key
+    a row limit could cut mid-key, keeping that key's remaining rows
+    out of the hot path while the anti-join removes the key from the
+    cold path entirely, silently dropping join matches. Exactness must
+    hold with duplicate-key small sides for both join shapes."""
+    from wwwision_importservice_spark.operators.skew import hot_key_broadcast_join
+
+    big = spark.range(0, 400).select(
+        (F.col("id") % 8).alias("k"), F.col("id").alias("payload")
+    )
+    # two rows per key, weights ordered so a LIMIT(3) over rows would
+    # take both rows of key 0 plus only ONE of key 1's two rows
+    small = spark.createDataFrame(
+        [(k, 100 - k, f"v{k}a") for k in range(6)]
+        + [(k, 100 - k, f"v{k}b") for k in range(6)],
+        "k long, w long, label string",
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r["k"], r["payload"], r["label"])
+            for r in big.join(small, ["k"], how).collect()
+        )
+        got = sorted(
+            (r["k"], r["payload"], r["label"])
+            for r in hot_key_broadcast_join(
+                big, small, ["k"], "w", hot_keys=3, how=how
+            ).collect()
+        )
+        assert got == plain, how

@@ -1017,3 +1017,57 @@ def test_zorder_key_rejects_degenerate_columns(spark):
     # the happy path is untouched
     keyed, key = zorder_key(df, ["x"], bits=4)
     assert keyed.select(key).distinct().count() > 1
+
+
+def test_recluster_recovers_append_degraded_pruning(spark, tmp_path):
+    """layout.py recluster-on-append: appends to a clustered table
+    silently degrade pruning (each appended file spans the whole key
+    range); clustering_staleness must MEASURE the decay, recluster()
+    must RECOVER the fresh floor, and the filtered-scan file counts
+    must show degradation then recovery."""
+    from wwwision_importservice_spark.operators.layout import (
+        clustering_staleness,
+        files_touched,
+        recluster,
+        write_clustered,
+    )
+
+    rows = spark.range(0, 20_000).select(
+        (F.col("id") % 100).alias("user_id"), F.col("id").alias("payload")
+    )
+    path = str(tmp_path / "t")
+    write_clustered(rows, path, ["user_id"], n_partitions=16)
+
+    fresh = clustering_staleness(spark.read.parquet(path), ["user_id"])
+    assert fresh["n_files"] >= 12
+    # fresh range layout: a point lives in 1 file (2 on a boundary)
+    assert fresh["avg_files_per_point"] <= 2.0, fresh
+
+    # 4 unclustered appends, each spanning the whole key range
+    extra = spark.range(20_000, 28_000).select(
+        (F.col("id") % 100).alias("user_id"), F.col("id").alias("payload")
+    )
+    for _ in range(4):
+        extra.coalesce(1).write.mode("append").parquet(path)
+
+    pred = F.col("user_id") == 42
+    stale = clustering_staleness(spark.read.parquet(path), ["user_id"])
+    degraded_files = files_touched(spark.read.parquet(path).filter(pred))
+    # decay is real and the metric sees it: every appended file now
+    # holds every key
+    assert stale["avg_files_per_point"] >= fresh["avg_files_per_point"] + 4, stale
+    assert degraded_files >= 5, degraded_files
+
+    report = recluster(spark, path, ["user_id"], n_partitions=16)
+    assert report["before"]["avg_files_per_point"] == stale["avg_files_per_point"]
+    assert report["after"]["avg_files_per_point"] <= 2.0, report
+    # data intact, pruning floor restored
+    got = spark.read.parquet(path)
+    assert got.count() == 52_000  # 20k original + 4 appends x 8k
+    assert files_touched(got.filter(pred)) <= 2
+    assert got.filter(pred).count() == 200 + 80 * 4
+    # no backup/tmp residue from the crash-safe swap
+    from wwwision_importservice_spark.fsutil import path_exists
+
+    assert not path_exists(spark, path + "__replaced")
+    assert not path_exists(spark, path + "__reclustering")

@@ -1173,3 +1173,131 @@ def test_streaming_ingest_example(spark, tmp_path):
     assert ids == {0, 1, 4}  # 2 poisoned, 3 near-dups doc 0
     sigs = minhash_signatures_inline(corpus, "doc_id", "text", n=3, num_hashes=16)
     assert lsh_candidate_pairs(sigs, "doc_id", 16, 4).count() == 0
+
+
+def test_near_dup_gate_single_signature_pass_per_batch(spark, tmp_path, monkeypatch):
+    """Plan pin for the round-6 double-computation fix
+    (streaming/neardup.py): each micro-batch shingles/signs its text
+    EXACTLY once — the bucket frame is checkpointed and reused for the
+    pair join and the index append (no re-shingle of survivors) — and
+    ``admit`` receives a MATERIALIZED survivors frame (physical plan is
+    a checkpoint scan, not the recomputed LSH pipeline). Decisions are
+    unchanged, and the opt-in stats hook reports per-batch timings."""
+    import wwwision_importservice_spark.streaming.neardup as nd
+
+    calls = {"n": 0}
+    real = nd.minhash_signatures_inline
+
+    def counting(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(nd, "minhash_signatures_inline", counting)
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm windowsill and birds sing in the tall green trees outside"
+    )
+    b1 = spark.createDataFrame(
+        [(0, base), (1, base + " today"), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, base + " yesterday"), (11, "one two three four five six")],
+        "doc_id long, text string",
+    )
+
+    admitted: list = []
+    survivor_plans: list = []
+
+    def admit(df, batch_id):
+        survivor_plans.append(df._jdf.queryExecution().executedPlan().toString())
+        admitted.extend(r["doc_id"] for r in df.collect())
+
+    stats: dict = {}
+    gate = nd.near_dup_gate(str(tmp_path / "idx"), admit, n=3, stats=stats)
+    gate(b1, 0)
+    assert calls["n"] == 1  # ONE signature computation for batch 0
+    gate(b2, 1)
+    assert calls["n"] == 2  # ...and one for batch 1 — never re-shingled
+
+    # decisions identical to the pre-fix gate semantics
+    assert admitted == [0, 2, 11]
+
+    # admit saw a checkpoint scan, not the recomputed pair pipeline
+    for plan in survivor_plans:
+        assert "ExistingRDD" in plan, plan
+        assert "SortMergeJoin" not in plan and "HashAggregate" not in plan, plan
+
+    # the index holds the survivors' bucket rows despite never
+    # re-signing them (4 bands per admitted doc)
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == {0, 2, 11}
+    assert idx.count() == 3 * 4
+
+    # per-batch observability: one entry per batch with timings+counts
+    assert [b["batch_id"] for b in stats["batches"]] == [0, 1]
+    assert stats["batches"][0]["rows_in"] == 3
+    assert stats["batches"][0]["survivors"] == 2
+    assert stats["batches"][1]["rows_in"] == 2
+    assert stats["batches"][1]["survivors"] == 1
+    assert all(b["secs"] > 0 for b in stats["batches"])
+
+
+def test_replace_dir_crash_window_recovers_index(spark, tmp_path):
+    """fsutil.replace_dir / recover_dir: an interrupted compaction swap
+    (crash between the dst->backup and src->dst renames) must NOT read
+    as 'index never written' — the gate restores the backup and still
+    drops cross-batch duplicates."""
+    import os
+
+    from wwwision_importservice_spark.fsutil import (
+        list_data_files,
+        path_exists,
+        recover_dir,
+        replace_dir,
+    )
+    from wwwision_importservice_spark.streaming.neardup import near_dup_gate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm windowsill and birds sing in the tall green trees outside"
+    )
+    idx = str(tmp_path / "idx")
+    admitted: list = []
+    gate = near_dup_gate(
+        idx, lambda df, bid: admitted.extend(r["doc_id"] for r in df.collect()), n=3
+    )
+    gate(spark.createDataFrame([(0, base)], "doc_id long, text string"), 0)
+    assert admitted == [0]
+
+    # normal replace_dir still works and leaves no backup behind
+    files_before = set(list_data_files(spark, idx))
+    tmp_copy = str(tmp_path / "rewrite")
+    spark.read.parquet(idx).coalesce(1).write.partitionBy("band").parquet(tmp_copy)
+    replace_dir(spark, tmp_copy, idx)
+    assert path_exists(spark, idx)
+    assert not path_exists(spark, idx + "__replaced")
+    assert set(list_data_files(spark, idx)) != files_before  # really swapped
+
+    # simulate the crash window: dst renamed away, src never landed
+    os.rename(idx, idx + "__replaced")
+    assert not path_exists(spark, idx)
+
+    # recover_dir restores it...
+    assert recover_dir(spark, idx) is True
+    assert path_exists(spark, idx)
+    assert recover_dir(spark, idx) is False  # idempotent no-op after
+
+    # ...and the gate itself self-heals mid-stream: re-break, then feed
+    # a twin of doc 0 — it must be DROPPED, not admitted against a
+    # 'never written' index
+    os.rename(idx, idx + "__replaced")
+    gate(
+        spark.createDataFrame(
+            [(5, base + " reprise"), (6, "totally novel content here")],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    assert admitted == [0, 6]

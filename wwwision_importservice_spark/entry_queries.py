@@ -37,6 +37,11 @@ from wwwision_importservice_spark.record import RecordFrame
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Filled by the most recent s5_neardup_gate run (per-batch timings/counts
+# from the streaming gate's stats hook); bench.py reads it so the artifact
+# reports steady-state per-batch cost, not a whole-run blur.
+LAST_GATE_STATS: dict = {}
+
 # Pytest-only registry: the round driver checks at most 50 queries, so the
 # driver-facing QUERIES dict is curated to exactly 50; queries moved here
 # keep their full DuckDB oracle parity through tests/test_oracle_parity.py
@@ -3450,7 +3455,12 @@ def s5_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "batch", F.lit(batch_id).cast("long")
         ).write.mode("append").parquet(out_dir)
 
-    gate = near_dup_gate(f"{tmp}/index", admit, n=3, num_hashes=16, bands=4)
+    # per-batch observability for the bench: a whole-run second count
+    # hides the steady-state per-batch cost (the number a crawl pays)
+    LAST_GATE_STATS.clear()
+    gate = near_dup_gate(
+        f"{tmp}/index", admit, n=3, num_hashes=16, bands=4, stats=LAST_GATE_STATS
+    )
     gate(docs.filter(F.col("doc_id") % 2 == 0), 0)
     gate(docs.filter(F.col("doc_id") % 2 == 1), 1)
     return spark.read.parquet(out_dir).select("doc_id", "batch")

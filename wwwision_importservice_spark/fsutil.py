@@ -41,19 +41,60 @@ def list_data_files(spark: SparkSession, path: str) -> list[str]:
     return out
 
 
-def replace_dir(spark: SparkSession, src: str, dst: str) -> None:
-    """Replace directory ``dst`` with ``src`` (delete + rename).
+def _backup_path(dst: str) -> str:
+    return dst.rstrip("/") + "__replaced"
 
-    NOT atomic on object stores (two namespace ops); callers must
-    ensure no concurrent reader — e.g. compaction runs synchronously
-    inside the same ``foreachBatch`` that owns the index directory, so
-    micro-batch ordering provides the exclusion."""
+
+def replace_dir(spark: SparkSession, src: str, dst: str) -> None:
+    """Replace directory ``dst`` with ``src`` via a backup-rename swap.
+
+    The naive delete-then-rename has a crash window in which ``dst`` is
+    simply GONE: a stateful caller's "does my state dir exist?" probe
+    then reads "never written" and silently resets state (for the
+    near-dup gate that means admitting a whole batch of duplicates).
+    Here ``dst`` is first RENAMED to a sibling ``<dst>__replaced``
+    backup, ``src`` renamed into place, and only then the backup
+    deleted — at every intermediate point the prior state survives
+    under one of the two names, and :func:`recover_dir` restores it.
+
+    Still NOT atomic on object stores (multiple namespace ops); callers
+    must ensure no concurrent reader — e.g. compaction runs
+    synchronously inside the same ``foreachBatch`` that owns the index
+    directory, so micro-batch ordering provides the exclusion."""
     fs, dst_p = _fs_and_path(spark, dst)
     _, src_p = _fs_and_path(spark, src)
+    _, bak_p = _fs_and_path(spark, _backup_path(dst))
+    if fs.exists(bak_p):
+        # leftover from an earlier COMPLETED swap (crash between the
+        # src->dst rename and the backup delete); dst is authoritative
+        fs.delete(bak_p, True)
     if fs.exists(dst_p):
-        fs.delete(dst_p, True)
+        if not fs.rename(dst_p, bak_p):
+            raise OSError(f"rename {dst} -> {_backup_path(dst)} failed")
     if not fs.rename(src_p, dst_p):
+        # put the old state back so dst never reads as "never written"
+        if fs.exists(bak_p):
+            fs.rename(bak_p, dst_p)
         raise OSError(f"rename {src} -> {dst} failed")
+    if fs.exists(bak_p):
+        fs.delete(bak_p, True)
+
+
+def recover_dir(spark: SparkSession, dst: str) -> bool:
+    """Restore ``dst`` from a :func:`replace_dir` backup interrupted
+    mid-swap: a present ``<dst>__replaced`` with ``dst`` missing is the
+    crash window between the two renames — the backup IS the state, so
+    rename it back. Returns True iff a restore happened. Stateful
+    readers (the near-dup gate's index probe) call this before their
+    existence check so an interrupted compaction reads as "prior state"
+    rather than "never written"."""
+    fs, dst_p = _fs_and_path(spark, dst)
+    _, bak_p = _fs_and_path(spark, _backup_path(dst))
+    if fs.exists(bak_p) and not fs.exists(dst_p):
+        if not fs.rename(bak_p, dst_p):
+            raise OSError(f"recovery rename {_backup_path(dst)} -> {dst} failed")
+        return True
+    return False
 
 
 def path_exists(spark: SparkSession, path: str) -> bool:

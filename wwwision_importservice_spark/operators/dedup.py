@@ -294,6 +294,7 @@ def incremental_lsh_pairs(
     bands: int = 4,
     max_bucket_size: int = 10_000,
     broadcast_keys: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs for a NEW batch of documents against an
     existing corpus, without recomputing the corpus: emits exactly the
@@ -314,8 +315,10 @@ def incremental_lsh_pairs(
     a superset of candidates errs toward dropping more (conservative
     for training data); callers needing the exact one-shot set on an
     over-cap corpus must re-run :func:`lsh_candidate_pairs` over the
-    union. Tests exercise under-cap buckets (the equivalence) — the
-    superset direction follows from no-retraction by construction.
+    union. Both directions are pinned in tests: the under-cap
+    equivalence, and the over-cap strict superset with drop
+    accounting (``tests/test_extensions.py::
+    test_incremental_lsh_over_cap_bucket_is_superset_with_accounting``).
 
     Scale shape — the reason this exists: a continuously-fed corpus
     can't re-run LSH over 100 TB per crawl batch. Here the index side
@@ -328,6 +331,42 @@ def incremental_lsh_pairs(
     index by ``band`` and sort by ``sig`` to cut that scan too.
     """
     new_b = _band_buckets(new_sigs, id_col, num_hashes, bands)
+    return incremental_pairs_from_buckets(
+        new_b,
+        index,
+        id_col,
+        max_bucket_size=max_bucket_size,
+        broadcast_keys=broadcast_keys,
+        stats=stats,
+    )
+
+
+def incremental_pairs_from_buckets(
+    new_buckets: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    *,
+    max_bucket_size: int = 10_000,
+    broadcast_keys: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The :func:`incremental_lsh_pairs` core, taking the new batch's
+    ALREADY-BANDED bucket rows (``(id, band, sig)`` from
+    :func:`lsh_index`) instead of raw signatures. Exists so callers
+    that need the bucket frame anyway — the streaming gate computes it
+    once, checkpoints it, and reuses it for the pair join AND the
+    survivor index append — don't pay a second shingling/banding pass.
+    Semantics and scale shape are exactly the parent's.
+
+    ``stats``: opt-in drop accounting, same contract as
+    :func:`lsh_candidate_pairs` — ``lsh_buckets_dropped`` /
+    ``lsh_ids_in_dropped`` counted over the COMBINED (batch ∪ touched
+    index) bucket membership, so a bucket that crosses the cap between
+    batches is reported here even though its historical under-cap pairs
+    were already emitted (the superset direction of the equivalence
+    docstring). Costs one extra small aggregate job; the default path
+    adds nothing."""
+    new_b = new_buckets.select(id_col, "band", "sig")
     # tolerate decorated indexes (batch_id age stamps, future metadata)
     index = index.select(id_col, "band", "sig")
     touched = new_b.select("band", "sig").distinct()
@@ -350,6 +389,27 @@ def incremental_lsh_pairs(
         .filter(F.size("ids") > 1)
     )
     if max_bucket_size is not None:
+        if stats is not None:
+            row = (
+                members.filter(F.size("ids") > max_bucket_size)
+                .agg(
+                    F.count(F.lit(1)).alias("buckets"),
+                    F.coalesce(F.sum(F.size("ids")), F.lit(0)).alias("ids"),
+                )
+                .collect()[0]
+            )
+            stats["lsh_buckets_dropped"] = row["buckets"]
+            stats["lsh_ids_in_dropped"] = row["ids"]
+            if row["buckets"]:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "incremental_pairs_from_buckets: %d bucket(s) crossed "
+                    "max_bucket_size=%d (%d ids) — no new pairs emitted for "
+                    "them; historical under-cap pairs stand (superset "
+                    "semantics)",
+                    row["buckets"], max_bucket_size, row["ids"],
+                )
         members = members.filter(F.size("ids") <= max_bucket_size)
     pairs_arr = F.flatten(
         F.transform(
@@ -511,12 +571,40 @@ def connected_components(
     itself never collects: isolated nodes stay a distributed anti join
     on either path.
     """
-    edges = (
+    raw_edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
+    )
+    all_nodes = nodes.select(F.col(id_col).alias("id"))
+    # Restrict to the NODE-INDUCED subgraph before anything else: pairs
+    # referencing ids absent from `nodes` (a stale pair table, a
+    # filtered corpus) must not conduct connectivity on EITHER strategy
+    # — a foreign id could otherwise bridge two node components or
+    # become a cluster label that exists nowhere in the corpus, and the
+    # driver fast path (raw union-find) would disagree with the
+    # distributed rounds (where unlabeled neighbors never contribute).
+    # Shape: pair ids are small -> broadcast them against the corpus
+    # once (nodes scanned, never shuffled), then the resulting small
+    # node set broadcasts back over the small edge frame twice.
+    pair_nodes = all_nodes.join(
+        F.broadcast(raw_edges.select(F.col("src").alias("id")).distinct()),
+        "id",
+        "left_semi",
+    )
+    edges = (
+        raw_edges.join(
+            F.broadcast(pair_nodes.select(F.col("id").alias("src"))),
+            "src",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(pair_nodes.select(F.col("id").alias("dst"))),
+            "dst",
+            "left_semi",
+        )
         # NOT pre-partitioned on dst: an explicit repartition("dst")
         # would make each round's edge join exchange-free, but it pins
         # the shuffle width and defeats AQE's partition coalescing — at
@@ -527,13 +615,15 @@ def connected_components(
         # up-front exchange for zero per-round edge shuffles.
         .localCheckpoint(eager=False)
     )
-    all_nodes = nodes.select(F.col(id_col).alias("id"))
-    # propagate only over nodes that appear in a pair — the pair graph
-    # is orders of magnitude smaller than the corpus (most documents are
-    # isolated and trivially their own cluster), so every iteration's
-    # join/aggregate runs on the small frame
-    edged = all_nodes.join(
-        edges.select(F.col("src").alias("id")).distinct(), "id", "left_semi"
+    # propagate only over nodes that KEEP an edge after the restriction
+    # (a node whose only partner was foreign is isolated) — the pair
+    # graph is orders of magnitude smaller than the corpus (most
+    # documents are isolated and trivially their own cluster), so every
+    # iteration's join/aggregate runs on the small frame
+    edged = pair_nodes.join(
+        F.broadcast(edges.select(F.col("src").alias("id")).distinct()),
+        "id",
+        "left_semi",
     )
     isolated = all_nodes.join(edged, "id", "left_anti").select(
         F.col("id"), F.col("id").alias("cluster_id")
@@ -587,12 +677,11 @@ def connected_components(
                 [(x, find(x)) for x in sorted(members)],
                 f"id {id_type}, cluster_id {id_type}",
             )
-            # Intersect with nodes so both strategies agree when pairs
-            # reference ids absent from the corpus (the distributed path
-            # only labels `edged` = nodes ∩ pair-ids): broadcast the tiny
-            # label table against the corpus — same single nodes scan
-            # shape as `edged`, never a shuffle of nodes.
-            labelled = all_nodes.join(F.broadcast(labelled), "id")
+            # No nodes-intersection needed: the union-find ran over the
+            # node-induced subgraph, so every member AND every label is
+            # a corpus id by construction (strategy agreement on foreign
+            # pair ids is pinned in tests, including foreign-min and
+            # foreign-bridge shapes).
             return labelled.unionByName(isolated)
     if stats is not None:
         stats["strategy"] = "distributed-rounds"

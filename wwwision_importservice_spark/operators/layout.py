@@ -166,3 +166,109 @@ def files_touched(df: DataFrame) -> int:
     ``input_file_name()`` over the surviving rows, so it reflects
     row-group- and file-level pruning the engine applied."""
     return df.select(F.input_file_name()).distinct().count()
+
+
+def clustering_staleness(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    probes_per_col: int = 32,
+    relative_error: float = 0.001,
+) -> dict:
+    """Measure how much a table's clustering has DEGRADED — the metric
+    that decides when :func:`recluster` is worth its shuffle.
+
+    Appends silently break clustering: every appended file spans the
+    whole key range, so a point filter that touched 1 of N files on the
+    fresh layout touches 1 + (appended files) afterwards — pruning decays
+    with no error anywhere. This quantifies the decay:
+
+    - per clustered column, compute each file's ``[min, max]`` interval
+      (one column-pruned scan, aggregated per ``input_file_name()`` —
+      a metadata-sized result; on engines exposing parquet footers this
+      is a pure metadata read, here it is one cheap scan of only the
+      clustering columns);
+    - probe it with ``probes_per_col`` evenly-spaced quantiles of the
+      column (one GK ``approxQuantile`` pass — deterministic, no
+      sampling RNG) and average how many file intervals contain each
+      probe — the EXPECTED files a point filter must touch.
+
+    Returns ``{"n_files", "per_column": {col: avg_files_per_point},
+    "avg_files_per_point"}`` (the per-column max — pruning is only as
+    good as the worst filtered dimension).
+
+    Trigger (documented contract, pinned by the recluster test): a
+    fresh range-clustered layout measures ~1–2 files per point (range
+    boundaries put a key in at most 2 files); a fresh Z-order layout
+    ~2·N^((d-1)/d)/... its own pinned floor. Recluster when
+    ``avg_files_per_point`` exceeds ~4× the freshly-clustered floor for
+    your layout, or on a schedule once appended bytes exceed ~25% of
+    the table — below that the decayed reads are cheaper than the
+    rewrite shuffle, above it every downstream scan pays more than the
+    one-off rewrite."""
+    stats = (
+        df.select(F.input_file_name().alias("__f"), *cols)
+        .groupBy("__f")
+        .agg(
+            *[F.min(c).alias(f"{c}__min") for c in cols],
+            *[F.max(c).alias(f"{c}__max") for c in cols],
+        )
+        .collect()  # one row per FILE — metadata scale, never row scale
+    )
+    n_files = len(stats)
+    probs = [(i + 0.5) / probes_per_col for i in range(probes_per_col)]
+    all_probes = df.stat.approxQuantile(cols, probs, relative_error)
+    per_col: dict[str, float] = {}
+    for c, probes in zip(cols, all_probes):
+        if not probes:
+            raise ValueError(f"clustering_staleness: column {c!r} is all-NULL")
+        touched = [
+            sum(
+                1
+                for r in stats
+                if r[f"{c}__min"] is not None and r[f"{c}__min"] <= p <= r[f"{c}__max"]
+            )
+            for p in probes
+        ]
+        per_col[c] = round(sum(touched) / len(touched), 3)
+    return {
+        "n_files": n_files,
+        "per_column": per_col,
+        "avg_files_per_point": max(per_col.values()) if per_col else 0.0,
+    }
+
+
+def recluster(
+    spark,
+    path: str,
+    cols: list[str],
+    *,
+    zorder: bool = False,
+    n_partitions: int | None = None,
+    bits: int = 8,
+) -> dict:
+    """Rewrite the parquet table at ``path`` freshly clustered on
+    ``cols`` — the recovery step for append-degraded layouts (see
+    :func:`clustering_staleness` for when). One full read + one
+    clustering shuffle + one write, landed in a sibling temp dir and
+    swapped in with the crash-safe backup-rename (``fsutil.replace_dir``
+    — an interrupted swap is restorable via ``fsutil.recover_dir``, the
+    table is never observable as missing). Callers must exclude
+    concurrent writers for the swap, same as LSH index compaction.
+
+    Returns staleness measured before and after (``{"before", "after"}``)
+    so the caller — and the pinning test — can see the recovery."""
+    from wwwision_importservice_spark.fsutil import replace_dir
+
+    df = spark.read.parquet(path)
+    before = clustering_staleness(df, cols)
+    out = (
+        clustered_zorder(df, cols, n_partitions, bits=bits)
+        if zorder
+        else clustered(df, cols, n_partitions)
+    )
+    tmp = path.rstrip("/") + "__reclustering"
+    out.write.mode("overwrite").parquet(tmp)
+    replace_dir(spark, tmp, path)
+    after = clustering_staleness(spark.read.parquet(path), cols)
+    return {"before": before, "after": after}

@@ -69,9 +69,15 @@ def hot_key_broadcast_join(
     so the hot path's inner broadcast join is the restriction of a
     left join to keys known to match, and the anti-joined cold path
     cannot match a hot row — the union is row-for-row the plain join
-    (pinned by test). Supports ``how`` in {"inner", "left"} (the
-    lookup-join shapes; a right/full split would need tail bookkeeping
-    on the small side).
+    (pinned by test). The selection is ``hot_keys`` distinct KEYS
+    (heaviest by per-key max weight), and the hot frame is ``small``
+    SEMI-JOINED on them — never a row limit, which on a multi-row-per-
+    key small side could cut mid-key and silently drop that key's
+    remaining matches from both paths (the anti-join removes the whole
+    key from the cold side). Multi-row keys are exact too, pinned by
+    test. Supports ``how`` in {"inner", "left"} (the lookup-join
+    shapes; a right/full split would need tail bookkeeping on the
+    small side).
 
     vs the alternatives: AQE skew-split fixes the hot partition only
     at shuffle-read time (the map-side write still funnels the head
@@ -88,11 +94,16 @@ def hot_key_broadcast_join(
         raise ValueError(f"hot_key_broadcast_join: unsupported how={how!r}")
     if hot_keys <= 0:
         return big.join(small, on, how)
-    hot = F.broadcast(
-        small.orderBy(F.col(weight_col).desc(), *on).limit(hot_keys)
+    hot_key_set = F.broadcast(
+        small.groupBy(*on)
+        .agg(F.max(F.col(weight_col)).alias("__w"))
+        .orderBy(F.col("__w").desc(), *on)
+        .limit(hot_keys)
+        .select(*on)
     )
+    hot = F.broadcast(small.join(hot_key_set, on, "left_semi"))
     big_hot = big.join(hot, on, "inner")
-    big_cold = big.join(F.broadcast(hot.select(*on)), on, "left_anti")
+    big_cold = big.join(hot_key_set, on, "left_anti")
     cold = big_cold.join(small, on, how)
     return big_hot.unionByName(cold)
 

@@ -32,15 +32,16 @@ source guarantees each batch is processed once.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wwwision_importservice_spark.fsutil import path_exists
+from wwwision_importservice_spark.fsutil import path_exists, recover_dir
 from wwwision_importservice_spark.operators.dedup import (
     compact_index,
-    incremental_lsh_pairs,
+    incremental_pairs_from_buckets,
     lsh_index,
     minhash_signatures_inline,
 )
@@ -60,6 +61,7 @@ def near_dup_gate(
     max_bucket_size: int = 10_000,
     compact_every: int | None = None,
     ttl_batches: int | None = None,
+    stats: dict | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` processor: per batch, drop near-dup
     candidates of anything admitted so far, hand the survivors (with
@@ -84,13 +86,41 @@ def near_dup_gate(
     than that many batches — an explicit policy choice (an evicted
     doc's duplicates become admissible again), for corpora where
     staleness bounds the dedup horizon.
+
+    ``stats``: opt-in per-batch observability — pass a dict and each
+    batch appends ``{"batch_id", "secs", "rows_in", "survivors"}`` to
+    ``stats["batches"]`` (``rows_in`` costs one extra source count;
+    ``survivors`` is free — the frame is already materialized). The
+    bench reads this to report steady-state per-batch cost instead of
+    a whole-run blur.
+
+    Plan shape (pinned in tests): ONE shingling/signature pass per
+    micro-batch. The batch's bucket rows are materialized with an
+    eager ``localCheckpoint`` and reused three times — the incremental
+    pair join, the survivor anti-joins, and the index append (a
+    semi-join on survivor ids, NOT a re-shingle of survivor text).
+    Survivors are likewise checkpointed before ``admit`` so the
+    admit-write and the index append don't each recompute the pair
+    pipeline. ``localCheckpoint`` (executor-local, non-reliable) is
+    correct here: both uses live inside one ``foreachBatch``
+    invocation, and an executor loss simply retries the batch.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
         spark: SparkSession = batch_df.sparkSession
         sigs = minhash_signatures_inline(
             batch_df, id_col, text_col, n=n, num_hashes=num_hashes
         )
+        # the batch's ONLY signature computation: materialize the
+        # banded bucket rows once, reuse everywhere below
+        buckets = lsh_index(
+            sigs, id_col, num_hashes=num_hashes, bands=bands
+        ).localCheckpoint(eager=True)
+        # An interrupted compaction swap leaves the index under its
+        # backup name — restore it BEFORE the existence probe, or the
+        # probe reads "never written" and the batch admits duplicates.
+        recover_dir(spark, index_dir)
         # Only a genuinely-missing index directory means "first batch".
         # Any other read failure (transient FS outage, permissions, a
         # corrupt footer) must propagate so the micro-batch retries —
@@ -104,12 +134,10 @@ def near_dup_gate(
             index = spark.createDataFrame(
                 [], _INDEX_SCHEMA.format(id=id_col)
             )
-        pairs = incremental_lsh_pairs(
-            sigs,
+        pairs = incremental_pairs_from_buckets(
+            buckets,
             index,
             id_col,
-            num_hashes=num_hashes,
-            bands=bands,
             max_bucket_size=max_bucket_size,
         )
         # batch ids present in the index (should be none under exactly-
@@ -126,27 +154,24 @@ def near_dup_gate(
                 ).select(F.col("id_a").alias(id_col))
             )
         )
-        batch_ids = batch_df.select(id_col)
         dropped_in_batch = pairs.join(
             indexed_ids,
             (pairs.id_a == indexed_ids[id_col]) | (pairs.id_b == indexed_ids[id_col]),
             "left_anti",
         ).select(F.col("id_b").alias(id_col))
         dropped = dropped_vs_index.unionByName(dropped_in_batch).distinct()
-        survivors = batch_df.join(dropped, id_col, "left_anti").join(
-            indexed_ids, id_col, "left_anti"  # retry of a half-applied batch
+        survivors = (
+            batch_df.join(dropped, id_col, "left_anti")
+            .join(indexed_ids, id_col, "left_anti")  # retry of a half-applied batch
+            .localCheckpoint(eager=True)
         )
         admit(survivors, batch_id)
-        lsh_index(
-            minhash_signatures_inline(
-                survivors, id_col, text_col, n=n, num_hashes=num_hashes
-            ),
-            id_col,
-            num_hashes=num_hashes,
-            bands=bands,
-        ).withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
-            "append"
-        ).partitionBy("band").parquet(index_dir)
+        # index append: the survivors' bucket rows, filtered from the
+        # checkpointed batch bucket frame — no second shingling pass
+        survivor_ids = F.broadcast(survivors.select(id_col))
+        buckets.join(survivor_ids, id_col, "left_semi").withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").partitionBy("band").parquet(index_dir)
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_index(
                 spark,
@@ -155,6 +180,15 @@ def near_dup_gate(
                 min_batch_id=(
                     batch_id - ttl_batches if ttl_batches is not None else None
                 ),
+            )
+        if stats is not None:
+            stats.setdefault("batches", []).append(
+                {
+                    "batch_id": batch_id,
+                    "secs": round(time.monotonic() - t0, 4),
+                    "rows_in": batch_df.count(),
+                    "survivors": survivors.count(),
+                }
             )
 
     return process
