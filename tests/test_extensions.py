@@ -1519,6 +1519,31 @@ def test_bpe_batched_merges_equal_sequential(spark, sf_dir):
     assert greedy == greedy2  # deterministic
 
 
+def test_bpe_exact_batch_self_pair_ends_batch(spark):
+    """A SELF-pair (left==right) accepted into an exact batch must END
+    the batch: merging (a,a) inside an 'aaa' run creates (aa,a) pairs
+    whose count is derived from count(a,a) itself — excluded from the
+    threat max as an accepted pair — so a disjoint runner-up can beat
+    the true sequential next argmax. Adversarial corpus: 'xaaay' and
+    'zaaaw' (freq 4 each) give count(a,a)=16 and flank counts 4; after
+    the (a,a) merge the run-derived (aa,a) counts 8, but (b,c)=6 (via
+    'bcq'/'bcr', freq 3 each) clears the old threat bound of 4 and
+    would be batch-accepted ahead of it, silently deviating from
+    batch_merges=1."""
+    from wwwision_importservice_spark.operators.bpe import train_bpe
+
+    rows = (
+        [("xaaay",)] * 4 + [("zaaaw",)] * 4 + [("bcq",)] * 3 + [("bcr",)] * 3
+    )
+    docs = spark.createDataFrame(rows, "text string")
+    seq = train_bpe(docs, num_merges=4, batch_merges=1, min_pair_freq=1)
+    batched = train_bpe(docs, num_merges=4, batch_merges=8, min_pair_freq=1)
+    # sequential order is (a,a) then the run-derived (aa,a); the broken
+    # batch emitted [(a,a), (b,c)]
+    assert seq[:2] == [("a", "a"), ("aa", "a")], seq
+    assert batched == seq
+
+
 def test_bpe_encode_roundtrip_and_budget_use(spark):
     from wwwision_importservice_spark.operators.bpe import (
         bpe_encode,

@@ -200,6 +200,16 @@ def train_bpe(
                 continue  # greedy: skip the conflict, keep batching
             accepted.append((left, right, n))
             used.update((left, right))
+            if exact and left == right:
+                # A SELF-pair conflicts with everything after it: merging
+                # (a,a) inside an "aaa…" run creates (aa,a)/(aa,aa) pairs
+                # whose counts are bounded only by count(a,a) ITSELF —
+                # which the threat max excludes as an accepted pair — so
+                # aggregated run-derived counts can silently beat the
+                # next sequential argmax (e.g. 'xaaay'+'zaaaw': (aa,a)
+                # counts 2N, every flank N). End the batch here; the
+                # threat bound below stays sound for what's accepted.
+                break
         if exact and len(accepted) > 1:
             # threat bound: max count of any existing non-accepted pair
             # sharing a symbol with the batch (bounds every new pair a
