@@ -107,6 +107,9 @@ HEADLINE = [
     # and the two-micro-batch streaming admission gate e2e
     "x2_planted_near_dup",
     "s5_neardup_gate",
+    # joined round 7: the full crawl-loop lifecycle (two index appends →
+    # compaction → incremental prune against the read-back index)
+    "x2_incremental_lsh_compact",
 ]
 
 

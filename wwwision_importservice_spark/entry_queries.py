@@ -53,6 +53,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x2_incremental_lsh_compact",  # NEW r7
     "x2_planted_near_dup",  # NEW r6
     "s5_neardup_gate",  # NEW r6
     "dq_check_suite",
@@ -1731,6 +1732,8 @@ SELECT cluster_id, doc_id, n_chars, cluster_size FROM (
   FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
 ) WHERE rn = 1
 """,
+    driver=False,  # long-green since r3 and a direct downstream twin of
+    # x2_dedup_clusters; slot ceded to x2_incremental_lsh_compact (r7)
 )
 def x2_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — the dedup pipeline end to end: shingle → minhash → LSH pairs
@@ -3383,6 +3386,64 @@ def x2_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return minhash_signatures_inline(d, "doc_id", "text", n=3, num_hashes=16)
 
     idx = lsh_index(sig(docs.filter(F.col("doc_id") % 2 == 0)), "doc_id", 16, 4)
+    return incremental_lsh_pairs(
+        sig(docs.filter(F.col("doc_id") % 2 == 1)), idx, "doc_id", 16, 4
+    )
+
+
+@_register(
+    "x2_incremental_lsh_compact",
+    # same incremental contract as x2_incremental_lsh: exactly the
+    # one-shot pairs touching the new batch (odd doc_ids). That the SAME
+    # oracle holds over a two-append + compacted index is the point —
+    # log-structured compaction must be admit/drop-invariant, and the
+    # driver hash proves it on a real parquet round-trip.
+    f"SELECT id_a, id_b FROM ({_PAIRS_SQL}) WHERE id_a % 2 = 1 OR id_b % 2 = 1",
+)
+def x2_incremental_lsh_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — the production crawl loop end to end
+    (``operators/dedup.py:lsh_index`` / ``compact_index`` /
+    ``incremental_lsh_pairs``): the historical corpus (even doc_ids)
+    lands in the persisted parquet LSH index in TWO separate appends
+    (doc_id % 4 == 0, then % 4 == 2, with ``batch_id`` age stamps —
+    the accrete-one-fileset-per-batch posture of a real crawl), the
+    log is folded by ``compact_index`` (merge + retry-dedup +
+    sig-sorted per-band rewrite via the crash-safe ``replace_dir``
+    swap), and the new batch (odd doc_ids) is deduped against the
+    COMPACTED index read back from disk. Output: exactly the one-shot
+    pairs touching the batch — the same declarative oracle as the
+    in-memory ``x2_incremental_lsh`` twin, now pinned across the full
+    write → append → compact → read-back → prune lifecycle.
+
+    Scale shape: per batch the index is semi-pruned by a broadcast of
+    the batch's bucket keys and never shuffled; compaction is one
+    index scan + one range-shuffle sized to the output file count,
+    amortized over ``compact_every`` batches; the sig-sorted per-band
+    files restore row-group skipping for the next lookup."""
+    import tempfile
+
+    from wwwision_importservice_spark.operators.dedup import (
+        compact_index,
+        incremental_lsh_pairs,
+        lsh_index,
+        minhash_signatures_inline,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+
+    def sig(d):
+        return minhash_signatures_inline(d, "doc_id", "text", n=3, num_hashes=16)
+
+    index_dir = tempfile.mkdtemp(prefix="x2_inc_lsh_compact_") + "/index"
+    for batch_id, residue in ((0, 0), (1, 2)):
+        (
+            lsh_index(sig(docs.filter(F.col("doc_id") % 4 == residue)),
+                      "doc_id", 16, 4)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append").partitionBy("band").parquet(index_dir)
+        )
+    compact_index(spark, index_dir, "doc_id")
+    idx = spark.read.parquet(index_dir)
     return incremental_lsh_pairs(
         sig(docs.filter(F.col("doc_id") % 2 == 1)), idx, "doc_id", 16, 4
     )
