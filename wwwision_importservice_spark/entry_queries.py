@@ -1115,6 +1115,76 @@ def s4_lazy_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "s2_http_pages",
+    "SELECT doc_id, length(text) AS n_chars FROM documents",
+    driver=False,
+)
+def s2_http_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — HTTP source EXECUTOR fan-out under the hard oracle
+    (``sources/http.py:HttpSource``, ``page_urls`` mode; reference
+    ``Classes/DataSource/Http/HttpSource.php:50-74`` is a single
+    driver-side Guzzle GET — the fan-out is this package's scale
+    extension for paginated feeds). A local threaded HTTP server serves
+    the documents table as 8 deterministic JSON pages (sharded by
+    ``doc_id % 8``, one page intentionally servable as ``[]`` when its
+    shard is empty); executors fetch the pages concurrently via
+    ``mapInPandas`` over the URL frame, and the result must hash-match
+    reading the same table directly. The fetch is forced eagerly
+    (``localCheckpoint``) so the server can be torn down before the
+    harness collects.
+
+    Scale shape: per-partition concurrent fetches, no driver-side
+    aggregation of bodies; the only driver work is building the URL
+    list. The server-content collect here is test-fixture seeding, not
+    part of the operator under test."""
+    import http.server
+    import json as _json
+    import threading
+
+    from wwwision_importservice_spark.sources.http import HttpSource
+
+    docs = load(spark, sf_dir, "documents")
+    rows = docs.select(
+        "doc_id", F.length("text").alias("n_chars")
+    ).collect()
+    n_pages = 8
+    pages: list[list[dict]] = [[] for _ in range(n_pages)]
+    for r in rows:
+        pages[r["doc_id"] % n_pages].append(
+            {"doc_id": r["doc_id"], "n_chars": r["n_chars"]}
+        )
+    payloads = [_json.dumps(p).encode("utf-8") for p in pages]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server API
+            body = payloads[int(self.path.rstrip("/").rsplit("/", 1)[-1])]
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # silence per-request stderr spam
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        src = HttpSource(
+            endpoint=f"http://127.0.0.1:{port}/page/0",
+            schema="doc_id bigint, n_chars bigint",
+            page_urls=[
+                f"http://127.0.0.1:{port}/page/{i}" for i in range(n_pages)
+            ],
+        )
+        return src.load(spark).localCheckpoint(eager=True)
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+@_register(
     "join_q3_revenue",
     """
 SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
