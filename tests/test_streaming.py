@@ -1301,3 +1301,47 @@ def test_replace_dir_crash_window_recovers_index(spark, tmp_path):
         1,
     )
     assert admitted == [0, 6]
+
+
+def test_replace_dir_restores_backup_when_dst_missing(spark, tmp_path):
+    """replace_dir called while a PREVIOUS swap's crash window is open
+    (backup present, dst missing) must restore the backup, not delete
+    it — the backup is the only copy of the state at that point. Also:
+    compact_index self-heals the same window without the streaming
+    gate's explicit recover_dir probe."""
+    import os
+
+    from wwwision_importservice_spark.fsutil import path_exists, replace_dir
+    from wwwision_importservice_spark.operators.dedup import (
+        compact_index,
+        lsh_index,
+        minhash_signatures_inline,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures_inline(docs, "doc_id", "text", n=3, num_hashes=16)
+    idx = str(tmp_path / "idx")
+    lsh_index(sig, "doc_id", 16, 4).write.partitionBy("band").parquet(idx)
+    rows_before = spark.read.parquet(idx).count()
+
+    # open the crash window, then run a NEW swap over it: the old state
+    # must survive into the backup-restore, and the new src must land
+    os.rename(idx, idx + "__replaced")
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(9, 0, "x")], "doc_id long, band int, sig string")\
+        .write.partitionBy("band").parquet(src)
+    replace_dir(spark, src, idx)
+    assert path_exists(spark, idx)
+    assert not path_exists(spark, idx + "__replaced")
+    assert spark.read.parquet(idx).count() == 1  # the new src won the swap
+
+    # compact_index on a mid-swap index: recovers, then compacts
+    lsh_index(sig, "doc_id", 16, 4).write.mode("overwrite")\
+        .partitionBy("band").parquet(idx)
+    os.rename(idx, idx + "__replaced")
+    compact_index(spark, idx, "doc_id")
+    assert spark.read.parquet(idx).count() == rows_before
+    assert not path_exists(spark, idx + "__replaced")

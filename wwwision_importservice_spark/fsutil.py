@@ -65,9 +65,18 @@ def replace_dir(spark: SparkSession, src: str, dst: str) -> None:
     _, src_p = _fs_and_path(spark, src)
     _, bak_p = _fs_and_path(spark, _backup_path(dst))
     if fs.exists(bak_p):
-        # leftover from an earlier COMPLETED swap (crash between the
-        # src->dst rename and the backup delete); dst is authoritative
-        fs.delete(bak_p, True)
+        if fs.exists(dst_p):
+            # leftover from an earlier COMPLETED swap (crash between the
+            # src->dst rename and the backup delete); dst is authoritative
+            fs.delete(bak_p, True)
+        else:
+            # crash window between the two renames of an earlier swap:
+            # the backup is the ONLY copy of the state — deleting it
+            # here would destroy it. Restore first, then swap normally.
+            if not fs.rename(bak_p, dst_p):
+                raise OSError(
+                    f"recovery rename {_backup_path(dst)} -> {dst} failed"
+                )
     if fs.exists(dst_p):
         if not fs.rename(dst_p, bak_p):
             raise OSError(f"rename {dst} -> {_backup_path(dst)} failed")

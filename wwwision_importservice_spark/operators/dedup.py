@@ -249,6 +249,12 @@ def compact_index(
     files give tight parquet min-max footers so incremental lookups
     skip row groups, restoring the layout :func:`lsh_index` documents.
     """
+    from wwwision_importservice_spark.fsutil import recover_dir
+
+    # self-heal an interrupted earlier swap so direct callers (not just
+    # the streaming gate, which probes recover_dir itself) never read a
+    # mid-swap-missing index as an empty corpus
+    recover_dir(spark, index_dir)
     idx = spark.read.option("mergeSchema", "true").parquet(index_dir)
     has_age = "batch_id" in idx.columns
     if stats is not None:

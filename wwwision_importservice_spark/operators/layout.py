@@ -258,8 +258,11 @@ def recluster(
 
     Returns staleness measured before and after (``{"before", "after"}``)
     so the caller — and the pinning test — can see the recovery."""
-    from wwwision_importservice_spark.fsutil import replace_dir
+    from wwwision_importservice_spark.fsutil import recover_dir, replace_dir
 
+    # a previous recluster/compact may have crashed mid-swap — restore
+    # the backup before reading so the table never reads as missing
+    recover_dir(spark, path)
     df = spark.read.parquet(path)
     before = clustering_staleness(df, cols)
     out = (
