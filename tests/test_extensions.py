@@ -256,6 +256,31 @@ def test_connected_components_chain_star_isolated(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 9}
 
 
+def test_connected_components_closure_fastpath_equivalent(spark):
+    """edges_within_nodes=True (the LSH-pipeline fast path that skips
+    the node-induced restriction joins) must produce identical labels
+    to the default on a closed graph, on BOTH strategies."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (5, 7)], "id_a long, id_b long"
+    )
+    for threshold in (100_000, None):  # driver union-find / distributed
+        base = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                nodes, pairs, small_graph_threshold=threshold
+            ).collect()
+        }
+        fast = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                nodes, pairs, small_graph_threshold=threshold,
+                edges_within_nodes=True,
+            ).collect()
+        }
+        assert fast == base, threshold
+
+
 def test_connected_components_doubling_round_count(spark):
     """Pointer doubling must converge a deep chain in O(log diameter)
     rounds — a 17-node path (diameter 16) needs <= 6 rounds, where

@@ -1774,7 +1774,12 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents", spread=True)
     sig = minhash_signatures_inline(docs, "doc_id", "text", n=3, num_hashes=16)
     pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
-    out = connected_components(docs.select("doc_id"), pairs, id_col="doc_id")
+    # pairs are derived from these same docs, so edge/node closure holds
+    # by construction — skip the node-induced restriction's three joins
+    out = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id",
+        edges_within_nodes=True,
+    )
     return out.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
@@ -1820,7 +1825,8 @@ def x2_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures_inline(docs, "doc_id", "text", n=3, num_hashes=16)
     pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
     clusters = connected_components(
-        docs.select("doc_id"), pairs, id_col="doc_id"
+        docs.select("doc_id"), pairs, id_col="doc_id",
+        edges_within_nodes=True,  # pairs derive from these same docs
     ).select(F.col("id").alias("doc_id"), "cluster_id")
 
     sized = docs.select("doc_id", F.length("text").alias("n_chars")).join(

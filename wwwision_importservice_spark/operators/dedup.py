@@ -527,6 +527,7 @@ def connected_components(
     double_from: int = 3,
     small_graph_threshold: int | None = 100_000,
     max_collect_bytes: int = 64 << 20,
+    edges_within_nodes: bool = False,
 ) -> DataFrame:
     """Cluster ids for a near-duplicate pair graph: every node gets
     ``cluster_id`` = the minimum id reachable through the pairs — the
@@ -576,6 +577,17 @@ def connected_components(
     the estimate. ``None`` forces the distributed path. The corpus
     itself never collects: isolated nodes stay a distributed anti join
     on either path.
+
+    ``edges_within_nodes``: caller's promise that every pair id appears
+    in ``nodes`` — true BY CONSTRUCTION when the pairs were derived
+    from the same frame (the standard LSH pipeline: nodes = corpus ids,
+    pairs = ``lsh_candidate_pairs`` over those ids). Skips the
+    node-induced-subgraph restriction (a corpus-side semi-join plus two
+    edge-side semi-joins and their jobs — measured ~1.6× of the whole
+    clustering query at sf0.1). The promise is NOT validated; for a
+    stale or externally-sourced pair table leave it False so foreign
+    ids can't conduct connectivity (equivalence of the two settings
+    under closure is pinned in tests).
     """
     raw_edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -585,52 +597,62 @@ def connected_components(
         .distinct()
     )
     all_nodes = nodes.select(F.col(id_col).alias("id"))
-    # Restrict to the NODE-INDUCED subgraph before anything else: pairs
-    # referencing ids absent from `nodes` (a stale pair table, a
-    # filtered corpus) must not conduct connectivity on EITHER strategy
-    # — a foreign id could otherwise bridge two node components or
-    # become a cluster label that exists nowhere in the corpus, and the
-    # driver fast path (raw union-find) would disagree with the
-    # distributed rounds (where unlabeled neighbors never contribute).
-    # Shape: pair ids are small -> broadcast them against the corpus
-    # once (nodes scanned, never shuffled), then the resulting small
-    # node set broadcasts back over the small edge frame twice.
-    pair_nodes = all_nodes.join(
-        F.broadcast(raw_edges.select(F.col("src").alias("id")).distinct()),
-        "id",
-        "left_semi",
-    )
-    edges = (
-        raw_edges.join(
-            F.broadcast(pair_nodes.select(F.col("id").alias("src"))),
-            "src",
+    if edges_within_nodes:
+        # Caller guarantees closure: the node-induced subgraph IS the
+        # pair graph, and (edges being symmetrized) every pair id both
+        # appears in nodes and keeps an edge.
+        edges = raw_edges.localCheckpoint(eager=False)
+        edged = edges.select(F.col("src").alias("id")).distinct()
+    else:
+        # Restrict to the NODE-INDUCED subgraph before anything else:
+        # pairs referencing ids absent from `nodes` (a stale pair
+        # table, a filtered corpus) must not conduct connectivity on
+        # EITHER strategy — a foreign id could otherwise bridge two
+        # node components or become a cluster label that exists nowhere
+        # in the corpus, and the driver fast path (raw union-find)
+        # would disagree with the distributed rounds (where unlabeled
+        # neighbors never contribute). Shape: pair ids are small ->
+        # broadcast them against the corpus once (nodes scanned, never
+        # shuffled), then the resulting small node set broadcasts back
+        # over the small edge frame twice.
+        pair_nodes = all_nodes.join(
+            F.broadcast(raw_edges.select(F.col("src").alias("id")).distinct()),
+            "id",
             "left_semi",
         )
-        .join(
-            F.broadcast(pair_nodes.select(F.col("id").alias("dst"))),
-            "dst",
+        edges = (
+            raw_edges.join(
+                F.broadcast(pair_nodes.select(F.col("id").alias("src"))),
+                "src",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(pair_nodes.select(F.col("id").alias("dst"))),
+                "dst",
+                "left_semi",
+            )
+            # NOT pre-partitioned on dst: an explicit repartition("dst")
+            # would make each round's edge join exchange-free, but it
+            # pins the shuffle width and defeats AQE's partition
+            # coalescing — at bench scale (small pair graph, task
+            # overhead dominates) it measured no better and often worse
+            # under ambient load. On a cluster where the pair graph is
+            # huge relative to task overhead, revisit:
+            # edges.repartition("dst") here trades one up-front
+            # exchange for zero per-round edge shuffles.
+            .localCheckpoint(eager=False)
+        )
+        # propagate only over nodes that KEEP an edge after the
+        # restriction (a node whose only partner was foreign is
+        # isolated) — the pair graph is orders of magnitude smaller
+        # than the corpus (most documents are isolated and trivially
+        # their own cluster), so every iteration's join/aggregate runs
+        # on the small frame
+        edged = pair_nodes.join(
+            F.broadcast(edges.select(F.col("src").alias("id")).distinct()),
+            "id",
             "left_semi",
         )
-        # NOT pre-partitioned on dst: an explicit repartition("dst")
-        # would make each round's edge join exchange-free, but it pins
-        # the shuffle width and defeats AQE's partition coalescing — at
-        # bench scale (small pair graph, task overhead dominates) it
-        # measured no better and often worse under ambient load. On a
-        # cluster where the pair graph is huge relative to task
-        # overhead, revisit: edges.repartition("dst") here trades one
-        # up-front exchange for zero per-round edge shuffles.
-        .localCheckpoint(eager=False)
-    )
-    # propagate only over nodes that KEEP an edge after the restriction
-    # (a node whose only partner was foreign is isolated) — the pair
-    # graph is orders of magnitude smaller than the corpus (most
-    # documents are isolated and trivially their own cluster), so every
-    # iteration's join/aggregate runs on the small frame
-    edged = pair_nodes.join(
-        F.broadcast(edges.select(F.col("src").alias("id")).distinct()),
-        "id",
-        "left_semi",
-    )
     isolated = all_nodes.join(edged, "id", "left_anti").select(
         F.col("id"), F.col("id").alias("cluster_id")
     )
