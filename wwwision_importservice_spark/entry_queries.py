@@ -3516,9 +3516,13 @@ def x2_incremental_lsh_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             lsh_index(sig(docs.filter(F.col("doc_id") % 4 == residue)),
                       "doc_id", 16, 4)
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            # one sig-sorted file per band per append (not one per task
+            # per band): the next reader opens bands files, not 32×bands
+            .repartitionByRange(4, F.col("band"), F.col("sig"))
+            .sortWithinPartitions("band", "sig")
             .write.mode("append").partitionBy("band").parquet(index_dir)
         )
-    compact_index(spark, index_dir, "doc_id")
+    compact_index(spark, index_dir, "doc_id", n_bands=4)
     idx = spark.read.parquet(index_dir)
     return incremental_lsh_pairs(
         sig(docs.filter(F.col("doc_id") % 2 == 1)), idx, "doc_id", 16, 4

@@ -214,6 +214,7 @@ def compact_index(
     *,
     min_batch_id: int | None = None,
     files_per_band: int = 1,
+    n_bands: int | None = None,
     stats: dict | None = None,
 ) -> None:
     """Rewrite a persisted LSH index directory compactly: merge the
@@ -272,7 +273,10 @@ def compact_index(
         idx = idx.groupBy(*group).agg(F.max("batch_id").alias("batch_id"))
     else:
         idx = idx.dropDuplicates(group)
-    n_bands = idx.select("band").distinct().count()
+    if n_bands is None:
+        # callers that built the index know its banding — passing
+        # n_bands skips this sizing job (one fewer action per compaction)
+        n_bands = idx.select("band").distinct().count()
     tmp_dir = index_dir.rstrip("/") + "__compacting"
     (
         idx.repartitionByRange(

@@ -169,9 +169,18 @@ def near_dup_gate(
         # index append: the survivors' bucket rows, filtered from the
         # checkpointed batch bucket frame — no second shingling pass
         survivor_ids = F.broadcast(survivors.select(id_col))
-        buckets.join(survivor_ids, id_col, "left_semi").withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        ).write.mode("append").partitionBy("band").parquet(index_dir)
+        (
+            buckets.join(survivor_ids, id_col, "left_semi")
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            # land each append as ONE sig-sorted file per band — the
+            # bucket rows are thin (id, band, sig), so this range
+            # exchange is pennies next to the 32-tasks×bands tiny-file
+            # sprawl it prevents; every subsequent batch's index read
+            # (and compaction) opens bands files per append, not 32×bands
+            .repartitionByRange(bands, F.col("band"), F.col("sig"))
+            .sortWithinPartitions("band", "sig")
+            .write.mode("append").partitionBy("band").parquet(index_dir)
+        )
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_index(
                 spark,
@@ -180,6 +189,7 @@ def near_dup_gate(
                 min_batch_id=(
                     batch_id - ttl_batches if ttl_batches is not None else None
                 ),
+                n_bands=bands,  # known banding: skip the sizing job
             )
         if stats is not None:
             stats.setdefault("batches", []).append(
