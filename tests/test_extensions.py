@@ -1232,6 +1232,60 @@ def test_mixture_sample_append_consistency(spark):
         assert min(h(d) for d in dropped) > max(h(k) for k in kept_old)
 
 
+def test_pack_token_spans_model_and_edges(spark):
+    """pack_token_spans must reproduce the naive concat-and-cut model:
+    per doc an exclusive running offset, spans cut every seq_len. Edge
+    cases: zero/negative-token docs occupy no tokens, a doc longer than
+    seq_len spans multiple sequences, empty input yields an empty frame
+    with the right schema, and the bucket count must not affect the
+    result (two-level prefix == global window for every bucketing)."""
+    from wwwision_importservice_spark.operators.packing import (
+        pack_token_spans,
+    )
+
+    rows = [(1, 5), (2, 0), (3, 12), (4, 3), (7, -2), (9, 4)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    def model(rows, L):
+        out, off = [], 0
+        for did, n in sorted(rows):
+            if n <= 0:
+                continue
+            for s in range(off // L, (off + n - 1) // L + 1):
+                out.append((
+                    s, did, max(0, s * L - off), min(n, s * L + L - off),
+                    max(0, off - s * L),
+                ))
+            off += n
+        return sorted(out)
+
+    want = model(rows, 8)
+    for n_buckets in (1, 3, 64):
+        got = sorted(
+            tuple(r) for r in pack_token_spans(
+                df, "doc_id", "n_tokens", seq_len=8, n_buckets=n_buckets
+            ).collect()
+        )
+        assert got == want, n_buckets
+    # doc 3 (12 tokens at offset 5, L=8) crosses two boundaries
+    assert len([r for r in want if r[1] == 3]) == 3
+    # sequences are exactly full except the last
+    per_seq: dict = {}
+    for s, _, a, b, _ in want:
+        per_seq[s] = per_seq.get(s, 0) + (b - a)
+    last = max(per_seq)
+    assert all(v == 8 for k, v in per_seq.items() if k != last)
+
+    empty = pack_token_spans(
+        spark.createDataFrame([], "doc_id long, n_tokens long"),
+        "doc_id", "n_tokens", seq_len=8,
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "seq_id", "doc_id", "doc_tok_start", "doc_tok_end", "seq_tok_start",
+    ]
+
+
 # --------------------------------------------------------------------------- #
 # X8 fuzzy matching (blocked edit-distance joins)
 # --------------------------------------------------------------------------- #

@@ -2480,6 +2480,51 @@ def x5_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x6_sequence_pack",
+    """
+SELECT u.seq_id, t.doc_id,
+       greatest(0, u.seq_id*512 - t.off) AS doc_tok_start,
+       least(t.n, u.seq_id*512 + 512 - t.off) AS doc_tok_end,
+       greatest(0, t.off - u.seq_id*512) AS seq_tok_start
+FROM (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0)::BIGINT AS off
+  FROM (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n
+    FROM documents
+  ) WHERE n > 0
+) t, unnest(generate_series(t.off // 512, (t.off + t.n - 1) // 512)) AS u(seq_id)
+""",
+    driver=False,
+)
+def x6_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — concat-and-cut sequence packing
+    (``operators/packing.py:pack_token_spans``): documents laid end to
+    end in doc_id order, the token stream cut every 512 tokens; one row
+    per (document, sequence) overlap with the half-open spans a training
+    loader materializes. The oracle is the naive global-window cumsum —
+    the Spark side must produce the identical span table from the
+    scale-safe two-level prefix sum (range buckets → driver prefix of
+    bucket totals → intra-bucket windows), proving the distributed
+    offsets match the single-partition-window semantics exactly."""
+    from wwwision_importservice_spark.operators.packing import (
+        pack_token_spans,
+    )
+    from wwwision_importservice_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    counted = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_token_spans(
+        counted, "doc_id", "n_tokens", seq_len=512, n_buckets=16
+    )
+
+
+@_register(
     "x6_train_val_split",
     """
 SELECT split, count(*) AS n_docs FROM (
