@@ -1286,6 +1286,77 @@ def test_pack_token_spans_model_and_edges(spark):
     ]
 
 
+def test_greedy_pack_bins_ffd_model_and_invariants(spark):
+    """greedy_pack_bins must run exact first-fit-decreasing within each
+    bucket (checked against a Python FFD over the same per-bucket doc
+    sets, recovered from the namespaced bin ids), keep every bin within
+    capacity except truncated singletons, assign every doc exactly
+    once, and be invariant to input partitioning/order."""
+    import random
+
+    from wwwision_importservice_spark.operators.packing import (
+        greedy_pack_bins,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(-2, 40)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    L = 32
+    out = [tuple(r) for r in greedy_pack_bins(
+        df, "doc_id", "n_tokens", seq_len=L, n_buckets=7
+    ).collect()]
+
+    positive = {i: n for i, n in rows if n > 0}
+    assert sorted(r[1] for r in out) == sorted(positive)  # each doc once
+
+    # bin integrity: fills consistent, capacity respected
+    by_bin: dict = {}
+    for bin_id, did, n, fill, trunc in out:
+        by_bin.setdefault(bin_id, []).append((did, n, fill, trunc))
+        assert trunc == (n > L)
+    for bin_id, members in by_bin.items():
+        total = sum(n for _, n, _, _ in members)
+        assert all(fill == total for _, _, fill, _ in members)
+        if any(trunc for _, _, _, trunc in members):
+            assert len(members) == 1  # truncated docs pack alone
+        else:
+            assert total <= L
+
+    # per-bucket FFD agreement with the reference model
+    def ffd(docs):
+        bins, assign = [], {}
+        for did, n in sorted(docs, key=lambda x: (-x[1], x[0])):
+            if n >= L:
+                bins.append(0)
+                assign[did] = len(bins) - 1
+                continue
+            for i, cap in enumerate(bins):
+                if cap >= n:
+                    bins[i] = cap - n
+                    assign[did] = i
+                    break
+            else:
+                bins.append(L - n)
+                assign[did] = len(bins) - 1
+        return assign
+
+    buckets: dict = {}
+    for bin_id, did, n, _, _ in out:
+        buckets.setdefault(bin_id >> 40, []).append((did, n))
+    for b, docs in buckets.items():
+        want = ffd(docs)
+        got = {did: bin_id - (b << 40)
+               for bin_id, did, _, _, _ in out if bin_id >> 40 == b}
+        assert got == want, b
+
+    # partitioning/order invariance
+    out2 = sorted(tuple(r) for r in greedy_pack_bins(
+        df.repartition(13).sortWithinPartitions(F.col("n_tokens")),
+        "doc_id", "n_tokens", seq_len=L, n_buckets=7,
+    ).collect())
+    assert out2 == sorted(out)
+
+
 # --------------------------------------------------------------------------- #
 # X8 fuzzy matching (blocked edit-distance joins)
 # --------------------------------------------------------------------------- #

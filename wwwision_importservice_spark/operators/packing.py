@@ -152,3 +152,95 @@ def pack_token_spans(
             "seq_tok_start"
         ),
     )
+
+
+def greedy_pack_bins(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    seq_len: int = 2048,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Boundary-preserving greedy packing (first-fit-decreasing): each
+    document goes WHOLE into exactly one bin of capacity ``seq_len`` —
+    the packing mode for fine-tuning / instruction data, where splitting
+    an example across sequences is wrong. Documents longer than
+    ``seq_len`` get a singleton bin with ``truncated = true`` (the
+    loader decides whether to cut or drop them); zero/negative-token
+    docs are dropped like :func:`pack_token_spans`.
+
+    Returns ``(bin_id, id, n_tokens, bin_fill, truncated)`` where
+    ``bin_fill`` is the bin's total token count (≤ ``seq_len`` unless
+    the bin is a truncated singleton).
+
+    Scale shape: FFD is inherently sequential, so it runs per BUCKET —
+    docs are deterministically id-hash-bucketed, each bucket packs
+    independently in one Arrow ``applyInPandas`` task, and bin ids are
+    namespaced by bucket (``bucket * 2^40 + local``). Cross-bucket
+    packing could pack marginally tighter, but per-bucket waste is at
+    most one non-full bin per bucket — bounded by ``n_buckets ×
+    seq_len`` tokens corpus-wide, vanishing at scale — and bucketing is
+    what makes the operator data-parallel with NO driver involvement.
+    Deterministic: the bucket hash, the FFD order (tokens desc, id
+    asc), and first-fit placement are all input-order-independent.
+    """
+    if seq_len < 1:
+        raise ValueError("greedy_pack_bins requires seq_len >= 1")
+    if n_buckets < 1:
+        raise ValueError("greedy_pack_bins requires n_buckets >= 1")
+    docs = (
+        df.select(
+            F.col(id_col), F.col(n_tokens_col).cast("long").alias("__n")
+        )
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "__b", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+        )
+    )
+    L = int(seq_len)
+
+    def pack(pdf):
+        import pandas as pd
+
+        b = int(pdf["__b"].iloc[0])
+        pdf = pdf.sort_values(
+            ["__n", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []  # remaining capacity per local bin
+        out_bin, out_fill = [], []
+        for n in pdf["__n"]:
+            n = int(n)
+            if n >= L:
+                bins.append(0)  # truncated singleton: full by definition
+                out_bin.append(len(bins) - 1)
+                continue
+            for i, cap in enumerate(bins):
+                if cap >= n:
+                    bins[i] = cap - n
+                    out_bin.append(i)
+                    break
+            else:
+                bins.append(L - n)
+                out_bin.append(len(bins) - 1)
+        fills = [0] * len(bins)
+        for i, n in zip(out_bin, pdf["__n"]):
+            fills[i] += int(n)
+        out_fill = [fills[i] for i in out_bin]
+        return pd.DataFrame(
+            {
+                "bin_id": [(b << 40) + i for i in out_bin],
+                id_col: pdf[id_col],
+                "n_tokens": pdf["__n"],
+                "bin_fill": out_fill,
+                "truncated": [int(n) > L for n in pdf["__n"]],
+            }
+        )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return docs.groupBy("__b").applyInPandas(
+        pack,
+        schema=(
+            f"bin_id long, {id_col} {id_type}, n_tokens long, "
+            "bin_fill long, truncated boolean"
+        ),
+    )
