@@ -13,6 +13,18 @@ No reference-repo counterpart (the reference is a record import
 service); this module exists for the training-data mandate alongside
 dedup/similarity/text analysis.
 
+Three packing modes, one family:
+
+- :func:`pack_token_spans` (here) — EXACT token-level concat-and-cut
+  with global-order semantics: docs are split at sequence boundaries,
+  every sequence exactly full. The pretraining layout.
+- ``sampling.pack_sequences`` — sharded doc-granularity budget packs
+  (a doc belongs to the pack its first token lands in; packs overshoot
+  by ≤ 1 doc). The shard-writer layout, one window per shard.
+- :func:`greedy_pack_bins` (here) — boundary-preserving first-fit-
+  decreasing bins: docs never split, bins never overflow. The
+  fine-tuning/instruction-data layout.
+
 Scale shape — the interesting part: the naive formulation is a global
 ordered cumulative sum (``SUM(n_tokens) OVER (ORDER BY id)``), which
 Spark plans as a SINGLE-PARTITION window — one task consumes the whole
