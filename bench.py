@@ -108,8 +108,10 @@ HEADLINE = [
     "x2_planted_near_dup",
     "s5_neardup_gate",
     # joined round 7: the full crawl-loop lifecycle (two index appends →
-    # compaction → incremental prune against the read-back index)
+    # compaction → incremental prune against the read-back index), and
+    # concat-and-cut packing (two-level prefix sum, no global window)
     "x2_incremental_lsh_compact",
+    "x6_sequence_pack",
 ]
 
 
