@@ -466,3 +466,29 @@ def test_hot_key_broadcast_join_exact_on_multirow_keys(spark):
             ).collect()
         )
         assert got == plain, how
+
+
+def test_pack_token_spans_no_global_window(spark, sf_dir):
+    """The packing offsets must come from the two-level prefix sum —
+    the plan may not contain a single-partition exchange (the shape a
+    global ordered-window cumsum forces), and the per-bucket window
+    must partition on the bucket key."""
+    from wwwision_importservice_spark.entry_queries import load
+    from wwwision_importservice_spark.operators.packing import (
+        pack_token_spans,
+    )
+    from wwwision_importservice_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    plan = plan_of(spark, pack_token_spans(
+        counted, "doc_id", "n_tokens", seq_len=512, n_buckets=16
+    ))
+    tree = tree_of(plan)
+    assert "SinglePartition" not in plan, tree
+    assert "Window" in tree
+    # the window's exchange partitions on the bucket key (detail
+    # section carries the partitioning expressions)
+    assert "hashpartitioning(__b" in plan, plan
