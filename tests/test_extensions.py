@@ -1285,6 +1285,17 @@ def test_pack_token_spans_model_and_edges(spark):
         "seq_id", "doc_id", "doc_tok_start", "doc_tok_end", "seq_tok_start",
     ]
 
+    # hash-sized id domains: (id-lo)*n_buckets would overflow long and
+    # silently break bucket monotonicity — the double form must still
+    # match the global-order model across the full long range
+    wide = [(-(2**62) + 3, 5), (-(2**40), 7), (17, 4), (2**61, 9),
+            (2**62 + 11, 6)]
+    got = sorted(tuple(r) for r in pack_token_spans(
+        spark.createDataFrame(wide, "doc_id long, n_tokens long"),
+        "doc_id", "n_tokens", seq_len=8, n_buckets=64,
+    ).collect())
+    assert got == model(wide, 8)
+
 
 def test_greedy_pack_bins_ffd_model_and_invariants(spark):
     """greedy_pack_bins must run exact first-fit-decreasing within each

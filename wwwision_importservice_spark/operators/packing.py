@@ -105,10 +105,24 @@ def pack_token_spans(
         )
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     span = max(hi - lo + 1, 1)
+    # bucket arithmetic runs ENTIRELY in doubles: both (id - lo) and
+    # (id-lo)*n_buckets overflow long for hash-sized id domains (e.g.
+    # xxhash64 ids spanning the full long range) — wrapping (or ANSI
+    # erroring) would break the monotonicity the prefix sum depends
+    # on. long→double conversion, subtracting/dividing by constants,
+    # and floor are each monotone, so bucket stays non-decreasing in
+    # id even where doubles lose integer precision (ties only widen
+    # buckets, never reorder them).
     bucket = F.least(
         F.lit(n_buckets - 1),
-        ((F.col(id_col) - F.lit(lo)) * F.lit(n_buckets) / F.lit(span))
-        .cast("long"),
+        F.greatest(
+            F.lit(0),
+            (
+                (F.col(id_col).cast("double") - F.lit(float(lo)))
+                / F.lit(float(span))
+                * F.lit(n_buckets)
+            ).cast("long"),
+        ),
     )
     bucketed = docs.withColumn("__b", bucket)
     # level 1: per-bucket totals -> driver prefix sum (n_buckets rows)
