@@ -809,6 +809,65 @@ def test_streaming_incremental_lm_training(spark, tmp_path):
     assert as_sets(running["model"]) == as_sets(full)
 
 
+def test_near_dup_gate_under_real_stream_engine(spark, tmp_path):
+    """The gate driven by the ACTUAL micro-batch engine — file source →
+    ``writeStream.foreachBatch(gate)``, availableNow, one file per
+    micro-batch — must admit exactly what manual batch driving admits.
+    This is the integration the manual gate tests can't prove:
+    engine-assigned batch ids, checkpointed progress, and the gate's
+    joins/writes running on engine-provided batch frames."""
+    from wwwision_importservice_spark.streaming.neardup import near_dup_gate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm windowsill and birds sing in the tall green trees outside"
+    )
+    b1 = spark.createDataFrame(
+        [(0, base), (1, base + " today"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, base + " yesterday"),
+         (11, "one two three four five six seven eight nine ten eleven")],
+        "doc_id long, text string",
+    )
+    in_dir = _write_ordered_parquet(spark, tmp_path, "gatefeed", [b1, b2])
+
+    admitted: list = []
+    gate = near_dup_gate(
+        str(tmp_path / "idx_stream"),
+        lambda df, bid: admitted.extend(
+            (bid, r["doc_id"]) for r in df.select("doc_id").collect()
+        ),
+        n=3,
+    )
+    q = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt_gate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    manual: list = []
+    gate2 = near_dup_gate(
+        str(tmp_path / "idx_manual"),
+        lambda df, bid: manual.extend(
+            (bid, r["doc_id"]) for r in df.select("doc_id").collect()
+        ),
+        n=3,
+    )
+    gate2(b1, 0)
+    gate2(b2, 1)
+    assert sorted(admitted) == sorted(manual)
+    # the twins (1, 10) were dropped, uniques admitted
+    assert sorted(d for _, d in admitted) == [0, 2, 11]
+
+
 def test_near_dup_gate_across_batches(spark, tmp_path):
     """streaming/neardup.py: the admitted corpus must carry the
     invariant 'no admitted doc LSH-candidate-pairs another admitted
