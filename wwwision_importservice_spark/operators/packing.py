@@ -209,6 +209,12 @@ def greedy_pack_bins(
     what makes the operator data-parallel with NO driver involvement.
     Deterministic: the bucket hash, the FFD order (tokens desc, id
     asc), and first-fit placement are all input-order-independent.
+
+    Memory bound: each bucket materializes as ONE Arrow/pandas frame of
+    ``(id, n_tokens)`` rows (~16 bytes/doc) in its task — size
+    ``n_buckets`` so corpus_docs / n_buckets stays in the low millions
+    (a 1B-doc corpus at 4096 buckets is ~4 MB per task). The default 64
+    suits bench-scale corpora, not a full crawl.
     """
     if seq_len < 1:
         raise ValueError("greedy_pack_bins requires seq_len >= 1")
