@@ -1297,9 +1297,9 @@ def test_pack_token_spans_model_and_edges(spark):
     assert got == model(wide, 8)
 
 
-def test_greedy_pack_bins_ffd_model_and_invariants(spark):
-    """greedy_pack_bins must run exact first-fit-decreasing within each
-    bucket (checked against a Python FFD over the same per-bucket doc
+def test_greedy_pack_bins_bfd_model_and_invariants(spark):
+    """greedy_pack_bins must run exact best-fit-decreasing within each
+    bucket (checked against a Python BFD over the same per-bucket doc
     sets, recovered from the namespaced bin ids), keep every bin within
     capacity except truncated singletons, assign every doc exactly
     once, and be invariant to input partitioning/order."""
@@ -1333,19 +1333,20 @@ def test_greedy_pack_bins_ffd_model_and_invariants(spark):
         else:
             assert total <= L
 
-    # per-bucket FFD agreement with the reference model
-    def ffd(docs):
-        bins, assign = [], {}
+    # per-bucket BFD agreement with the reference model: tightest bin
+    # that fits, lowest bin id on capacity ties
+    def bfd(docs):
+        bins, assign = [], {}  # bins: remaining capacity by index
         for did, n in sorted(docs, key=lambda x: (-x[1], x[0])):
             if n >= L:
                 bins.append(0)
                 assign[did] = len(bins) - 1
                 continue
-            for i, cap in enumerate(bins):
-                if cap >= n:
-                    bins[i] = cap - n
-                    assign[did] = i
-                    break
+            fitting = [(cap, i) for i, cap in enumerate(bins) if cap >= n]
+            if fitting:
+                _, i = min(fitting)
+                bins[i] -= n
+                assign[did] = i
             else:
                 bins.append(L - n)
                 assign[did] = len(bins) - 1
@@ -1355,7 +1356,7 @@ def test_greedy_pack_bins_ffd_model_and_invariants(spark):
     for bin_id, did, n, _, _ in out:
         buckets.setdefault(bin_id >> 40, []).append((did, n))
     for b, docs in buckets.items():
-        want = ffd(docs)
+        want = bfd(docs)
         got = {did: bin_id - (b << 40)
                for bin_id, did, _, _, _ in out if bin_id >> 40 == b}
         assert got == want, b

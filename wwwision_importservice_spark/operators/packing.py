@@ -187,7 +187,7 @@ def greedy_pack_bins(
     seq_len: int = 2048,
     n_buckets: int = 64,
 ) -> DataFrame:
-    """Boundary-preserving greedy packing (first-fit-decreasing): each
+    """Boundary-preserving greedy packing (best-fit-decreasing): each
     document goes WHOLE into exactly one bin of capacity ``seq_len`` —
     the packing mode for fine-tuning / instruction data, where splitting
     an example across sequences is wrong. Documents longer than
@@ -199,10 +199,15 @@ def greedy_pack_bins(
     ``bin_fill`` is the bin's total token count (≤ ``seq_len`` unless
     the bin is a truncated singleton).
 
-    Scale shape: FFD is inherently sequential, so it runs per BUCKET —
-    docs are deterministically id-hash-bucketed, each bucket packs
-    independently in one Arrow ``applyInPandas`` task, and bin ids are
-    namespaced by bucket (``bucket * 2^40 + local``). Cross-bucket
+    Scale shape: greedy packing is inherently sequential, so it runs
+    per BUCKET — docs are deterministically id-hash-bucketed, each
+    bucket packs independently in one Arrow ``applyInPandas`` task, and
+    bin ids are namespaced by bucket (``bucket * 2^40 + local``).
+    Within a bucket the placement is BEST-fit-decreasing over a
+    bisect-indexed capacity list — O(docs log bins) per bucket, where
+    first-fit's linear bin scan would go quadratic on million-doc
+    buckets. Ties (equal capacities) resolve to the lowest bin id, so
+    placement stays deterministic. Cross-bucket
     packing could pack marginally tighter, but per-bucket waste is at
     most one non-full bin per bucket — bounded by ``n_buckets ×
     seq_len`` tokens corpus-wide, vanishing at scale — and bucketing is
@@ -232,38 +237,45 @@ def greedy_pack_bins(
     L = int(seq_len)
 
     def pack(pdf):
+        from bisect import bisect_left, insort
+
         import pandas as pd
 
         b = int(pdf["__b"].iloc[0])
         pdf = pdf.sort_values(
             ["__n", id_col], ascending=[False, True]
         ).reset_index(drop=True)
-        bins: list[int] = []  # remaining capacity per local bin
-        out_bin, out_fill = [], []
+        # open bins as a sorted list of (remaining_capacity, bin_idx):
+        # best fit = smallest capacity >= n, lowest bin id on ties
+        caps: list[tuple[int, int]] = []
+        n_bins = 0
+        out_bin = []
         for n in pdf["__n"]:
             n = int(n)
             if n >= L:
-                bins.append(0)  # truncated singleton: full by definition
-                out_bin.append(len(bins) - 1)
+                out_bin.append(n_bins)  # full singleton, never reopened
+                n_bins += 1
                 continue
-            for i, cap in enumerate(bins):
-                if cap >= n:
-                    bins[i] = cap - n
-                    out_bin.append(i)
-                    break
+            i = bisect_left(caps, (n, -1))
+            if i < len(caps):
+                cap, idx = caps.pop(i)
+                if cap - n > 0:
+                    insort(caps, (cap - n, idx))
+                out_bin.append(idx)
             else:
-                bins.append(L - n)
-                out_bin.append(len(bins) - 1)
-        fills = [0] * len(bins)
+                out_bin.append(n_bins)
+                if L - n > 0:
+                    insort(caps, (L - n, n_bins))
+                n_bins += 1
+        fills = [0] * n_bins
         for i, n in zip(out_bin, pdf["__n"]):
             fills[i] += int(n)
-        out_fill = [fills[i] for i in out_bin]
         return pd.DataFrame(
             {
                 "bin_id": [(b << 40) + i for i in out_bin],
                 id_col: pdf[id_col],
                 "n_tokens": pdf["__n"],
-                "bin_fill": out_fill,
+                "bin_fill": [fills[i] for i in out_bin],
                 "truncated": [int(n) > L for n in pdf["__n"]],
             }
         )
