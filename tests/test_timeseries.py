@@ -1,0 +1,99 @@
+"""Unit tests for operators/timeseries.py (bucket rollup + gapfill)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wwwision_importservice_spark.operators.timeseries import (
+    bucket_rollup,
+    gapfill,
+    time_bucket,
+)
+
+
+def _rolled(spark):
+    # Buckets 0, 10, 40 observed for group 'a' (gaps at 20, 30);
+    # single-bucket group 'b'. Values chosen so linear interpolation
+    # lands on exact doubles.
+    rows = [
+        ("a", 0, 1.0),
+        ("a", 5, 3.0),
+        ("a", 10, 10.0),
+        ("a", 40, 40.0),
+        ("b", 25, 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "ts_s", "v"])
+    return bucket_rollup(
+        df,
+        "ts_s",
+        10,
+        ["g"],
+        {"n": F.count(F.lit(1)), "v": F.max("v")},
+        ts_unit="s",
+    )
+
+
+def test_time_bucket_ns_integer_exact(spark):
+    # 1 ns before the boundary stays in the previous hour; the boundary
+    # itself starts the next — exact int64 arithmetic, no double rounding.
+    ns_hour = 3600 * 10**9
+    df = spark.createDataFrame(
+        [(ns_hour - 1,), (ns_hour,)], ["ts"]
+    ).select(time_bucket(F.col("ts"), 3600).alias("b"))
+    assert [r.b for r in df.orderBy("b").collect()] == [0, 3600]
+
+
+def test_gapfill_zero_and_locf(spark):
+    out = gapfill(
+        _rolled(spark), 10, ["g"], {"n": "zero", "v": "locf"}, bucket_col="bucket"
+    )
+    rows = {(r.g, r.bucket): (r.n, r.v) for r in out.collect()}
+    # group a: dense 0..40; gaps zero-filled / carried
+    assert rows[("a", 0)] == (2, 3.0)
+    assert rows[("a", 20)] == (0, 10.0)
+    assert rows[("a", 30)] == (0, 10.0)
+    assert rows[("a", 40)] == (1, 40.0)
+    # single-bucket group: spine collapses to the one observed bucket
+    assert rows[("b", 20)] == (1, 7.0)
+    assert len(rows) == 6
+
+
+def test_gapfill_linear_and_none(spark):
+    out = gapfill(
+        _rolled(spark), 10, ["g"], {"v": "linear", "n": "none"}, bucket_col="bucket"
+    )
+    rows = {(r.g, r.bucket): (r.n, r.v) for r in out.collect()}
+    # straight line between (10, 10.0) and (40, 40.0)
+    assert rows[("a", 20)] == (None, 20.0)
+    assert rows[("a", 30)] == (None, 30.0)
+    assert rows[("a", 0)][1] == 3.0  # observed value untouched
+
+
+def test_gapfill_linear_boundary_carries_edges(spark):
+    # leading/trailing gaps clamp to the nearest observed value
+    df = spark.createDataFrame(
+        [("a", 10, None), ("a", 20, 5.0), ("a", 40, None)],
+        "g string, bucket long, v double",
+    )
+    out = gapfill(df, 10, ["g"], {"v": "linear"}, bucket_col="bucket")
+    rows = {r.bucket: r.v for r in out.collect()}
+    assert rows == {10: 5.0, 20: 5.0, 30: 5.0, 40: 5.0}
+
+
+def test_gapfill_rejects_unknown_strategy(spark):
+    with pytest.raises(ValueError, match="unknown fill strategy"):
+        gapfill(_rolled(spark), 10, ["g"], {"v": "nearest"}).collect()
+    with pytest.raises(ValueError, match="ts_unit"):
+        time_bucket(F.col("x"), 10, ts_unit="ms")
+
+
+def test_gapfill_plan_shape(spark):
+    """No cartesian/nested-loop join anywhere; the dense spine comes from
+    an explode over the per-group range aggregate, not a rescan of the
+    raw frame."""
+    out = gapfill(_rolled(spark), 10, ["g"], {"n": "zero", "v": "locf"})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan

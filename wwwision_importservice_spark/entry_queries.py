@@ -53,6 +53,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "ts_gapfill_locf",  # NEW r7
     "x2_incremental_lsh_compact",  # NEW r7
     "x2_planted_near_dup",  # NEW r6
     "s5_neardup_gate",  # NEW r6
@@ -2220,6 +2221,11 @@ FROM (
   )
 )
 """,
+    # demoted to the pytest tier in round 7 (driver-green r01-r06) to hold
+    # the registry at exactly 50 when ts_gapfill_locf joined; the x5
+    # family keeps three driver rows (text_stats, quality_filter,
+    # top_ngrams)
+    driver=False,
 )
 def x5_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 — heuristic language ID by stopword-marker votes (alphabetical
@@ -3783,6 +3789,147 @@ def x6_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     return cap_per_group(docs, "doc_id", "source", max_rows=100)
+
+
+# --------------------------------------------------------------------------- #
+# TS: hypertable-style bucket rollup + gap-fill (operators/timeseries.py)
+# --------------------------------------------------------------------------- #
+
+# Shared rollup leg of both oracles: hourly (event_type, bucket) grid with
+# an exact-decimal mean rounded to 6 decimals (the rounding happens BEFORE
+# any fill, so carried / interpolated values start from bit-identical
+# doubles on both engines).
+_TS_ROLLUP_SQL = """
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+         count(*) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+           AS avg_value
+  FROM events GROUP BY event_type, hour_epoch
+"""
+
+# Dense per-group spine over each type's [min, max] hour range — the SQL
+# twin of gapfill()'s F.sequence+explode over one aggregated row per group.
+_TS_SPINE_SQL = """
+  SELECT event_type, unnest(generate_series(mn, mx, 3600)) AS hour_epoch
+  FROM (SELECT event_type,
+               CAST(floor(epoch(date_trunc('hour', min(ts)))) AS BIGINT) AS mn,
+               CAST(floor(epoch(date_trunc('hour', max(ts)))) AS BIGINT) AS mx
+        FROM events GROUP BY event_type)
+"""
+
+
+def _ts_rolled(spark: SparkSession, sf_dir: str):
+    from wwwision_importservice_spark.operators.timeseries import bucket_rollup
+
+    ev = load(spark, sf_dir, "events")
+    return bucket_rollup(
+        ev,
+        "ts",
+        3600,
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "avg_value": F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ),
+        },
+        bucket_col="hour_epoch",
+    )
+
+
+@_register(
+    "ts_gapfill_locf",
+    f"""
+SELECT s.event_type AS event_type,
+       s.hour_epoch AS hour_epoch,
+       COALESCE(r.n_events, 0) AS n_events,
+       last_value(r.avg_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.hour_epoch
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
+FROM ({_TS_SPINE_SQL}) s
+LEFT JOIN ({_TS_ROLLUP_SQL}) r
+  ON r.event_type = s.event_type AND r.hour_epoch = s.hour_epoch
+""",
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — hypertable-style gap-filled hourly rollup
+    (``operators/timeseries.py``): ``time_bucket`` + dense spine +
+    zero-fill for the event count, last-observation-carried-forward for
+    the mean gauge (TimescaleDB's ``time_bucket_gapfill``+``locf``
+    surface, Spark-first). The spine is ``F.sequence``+``explode`` over
+    ONE aggregated row per event_type — it never rescans the raw
+    events; the fills are windows over the (group, bucket) grid, whose
+    size is bounded by time-range/bucket-width regardless of raw event
+    volume. ~6% of the sf0.01 grid rows are genuine gaps. The reference
+    has no time-series surface (one-shot batch sync,
+    ``Classes/ImportService.php:71-88``) — analytics extension."""
+    from wwwision_importservice_spark.operators.timeseries import gapfill
+
+    rolled = _ts_rolled(spark, sf_dir)
+    return gapfill(
+        rolled,
+        3600,
+        ["event_type"],
+        {"n_events": "zero", "avg_value": "locf"},
+        bucket_col="hour_epoch",
+    )
+
+
+@_register(
+    "ts_interpolate_linear",
+    f"""
+SELECT event_type, hour_epoch, n_events,
+       round(CASE
+         WHEN obs IS NOT NULL THEN obs
+         WHEN prev_v IS NULL THEN next_v
+         WHEN next_v IS NULL THEN prev_v
+         ELSE prev_v + (next_v - prev_v) * ((hour_epoch - prev_b) / (next_b - prev_b))
+       END, 6) AS avg_value
+FROM (
+  SELECT s.event_type AS event_type, s.hour_epoch AS hour_epoch,
+         COALESCE(r.n_events, 0) AS n_events,
+         r.avg_value AS obs,
+         last_value(r.avg_value IGNORE NULLS) OVER w_back AS prev_v,
+         last_value(CASE WHEN r.avg_value IS NOT NULL THEN s.hour_epoch END
+                    IGNORE NULLS) OVER w_back AS prev_b,
+         first_value(r.avg_value IGNORE NULLS) OVER w_fwd AS next_v,
+         first_value(CASE WHEN r.avg_value IS NOT NULL THEN s.hour_epoch END
+                     IGNORE NULLS) OVER w_fwd AS next_b
+  FROM ({_TS_SPINE_SQL}) s
+  LEFT JOIN ({_TS_ROLLUP_SQL}) r
+    ON r.event_type = s.event_type AND r.hour_epoch = s.hour_epoch
+  WINDOW w_back AS (PARTITION BY s.event_type ORDER BY s.hour_epoch
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_fwd AS (PARTITION BY s.event_type ORDER BY s.hour_epoch
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+""",
+    driver=False,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — the ``linear`` fill strategy over the same gap-filled grid:
+    each gap takes the straight line between the nearest observed
+    buckets on either side (boundary gaps carry the edge value —
+    TimescaleDB ``interpolate`` clamped to the observed range). The
+    interpolation arithmetic is written with identical association on
+    both engines over pre-rounded inputs, so the doubles are
+    bit-identical; the final round(…, 6) guards the hash regardless.
+    Pytest-tier: the LOCF driver row keeps the gapfill family under the
+    hard hash."""
+    from wwwision_importservice_spark.operators.timeseries import gapfill
+
+    rolled = _ts_rolled(spark, sf_dir)
+    out = gapfill(
+        rolled,
+        3600,
+        ["event_type"],
+        {"n_events": "zero", "avg_value": "linear"},
+        bucket_col="hour_epoch",
+    )
+    return out.withColumn("avg_value", F.round(F.col("avg_value"), 6))
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,162 @@
+"""Hypertable-style time-series operators: fixed-width bucket rollups,
+dense-spine gap-filling, and per-gap value fills (zero / LOCF / linear
+interpolation).
+
+This is the batch form of the continuous-aggregate surface TimescaleDB
+calls ``time_bucket`` + ``time_bucket_gapfill`` + ``locf()`` /
+``interpolate()`` — re-expressed Spark-first:
+
+- the bucket is pure integer column arithmetic on epoch values (no UDF,
+  stays inside whole-stage codegen);
+- the rollup is a plain hash aggregate;
+- the dense spine is ``F.sequence`` + ``explode`` over ONE row per group
+  (the per-group ``[min, max]`` bucket range), so spine generation costs
+  O(groups) rows in, O(groups x buckets) rows out — it never rescans the
+  raw events;
+- gap fills are window functions ordered by bucket within the group.
+
+Scale shape (100 TB events): the only full-data pass is the rollup hash
+aggregate. Everything after it — range agg, spine explode, left join,
+fill windows — operates on the ROLLED-UP frame, whose size is bounded by
+groups x (time-range / bucket width), independent of raw event volume.
+The spine join and the fill windows share the (group, bucket) /
+(group) partitioning, so AQE coalesces them without extra exchanges.
+The reference has no time-series surface (its sync loop is one-shot
+batch, `Classes/ImportService.php:71-88`); this module is part of the
+analytics extension alongside the windowed streaming rollups
+(`streaming/windows.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NS_PER_SEC = 10**9
+
+__all__ = ["time_bucket", "bucket_rollup", "gapfill"]
+
+
+def time_bucket(ts: Column, bucket_seconds: int, ts_unit: str = "ns") -> Column:
+    """Bucket start (epoch SECONDS, LongType) for a timestamp column.
+
+    ``ts_unit='ns'`` takes raw epoch-nanos (LongType — how this package
+    normalizes parquet TIMESTAMP(NANOS), see ``streaming/windows.py:
+    ensure_nanos``); ``'s'`` takes epoch seconds. Exact integer
+    arithmetic — a double division of an int64 nanos value would lose
+    precision near bucket boundaries.
+    """
+    if ts_unit == "ns":
+        step = F.lit(bucket_seconds * NS_PER_SEC)
+        return ((ts - ts % step) / NS_PER_SEC).cast("long")
+    if ts_unit == "s":
+        step = F.lit(bucket_seconds)
+        return (ts - ts % step).cast("long")
+    raise ValueError(f"unsupported ts_unit {ts_unit!r} (expected 'ns' or 's')")
+
+
+def bucket_rollup(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int,
+    group_cols: list[str],
+    aggs: dict[str, Column],
+    ts_unit: str = "ns",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Fixed-width bucket aggregate: one row per (group, bucket).
+
+    ``aggs`` maps output column name -> aggregate Column. One hash
+    aggregate over the raw frame — partial (map-side) combine applies,
+    so the shuffle carries one row per (group, bucket) per input
+    partition, not per event.
+    """
+    bucket = time_bucket(F.col(ts_col), bucket_seconds, ts_unit)
+    return df.groupBy(*group_cols, bucket.alias(bucket_col)).agg(
+        *[c.alias(name) for name, c in aggs.items()]
+    )
+
+
+def gapfill(
+    rolled: DataFrame,
+    bucket_seconds: int,
+    group_cols: list[str],
+    fills: dict[str, str],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Densify a bucket rollup over each group's [min, max] bucket range
+    and fill the introduced NULLs.
+
+    ``fills`` maps column name -> fill strategy:
+
+    - ``'zero'``   — ``coalesce(col, 0)`` (counts / sums of events);
+    - ``'locf'``   — last observation carried forward (gauges); leading
+      NULLs (before the first observation) stay NULL;
+    - ``'linear'`` — linear interpolation between the nearest observed
+      buckets on either side; before the first / after the last
+      observation the boundary value is carried (matches TimescaleDB's
+      ``interpolate`` clamped to the observed range);
+    - ``'none'``   — keep the NULL (the row still appears).
+
+    Columns not named in ``fills`` are kept as-is (NULL in gap rows).
+
+    The spine is built from ONE aggregated row per group (min/max
+    bucket), exploded via ``F.sequence`` — O(groups) input rows. The
+    left join back to ``rolled`` shuffles both sides on
+    (group, bucket); the fill windows then re-use a (group)-hash
+    partitioning. Window state per task is bounded by the group's spine
+    length (time-range / bucket width), not by raw event volume.
+    """
+    step = F.lit(int(bucket_seconds))
+    ranges = rolled.groupBy(*group_cols).agg(
+        F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
+    )
+    spine = ranges.select(
+        *group_cols,
+        F.explode(F.sequence(F.col("_mn"), F.col("_mx"), step)).alias(bucket_col),
+    )
+    dense = spine.join(rolled, on=[*group_cols, bucket_col], how="left")
+
+    order = F.col(bucket_col).asc()
+    w_back = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+
+    out = dense
+    for name, how in fills.items():
+        col = F.col(name)
+        if how == "none":
+            continue
+        if how == "zero":
+            out = out.withColumn(name, F.coalesce(col, F.lit(0)))
+        elif how == "locf":
+            out = out.withColumn(name, F.last(col, ignorenulls=True).over(w_back))
+        elif how == "linear":
+            prev_v = F.last(col, ignorenulls=True).over(w_back)
+            prev_b = F.last(
+                F.when(col.isNotNull(), F.col(bucket_col)), ignorenulls=True
+            ).over(w_back)
+            next_v = F.first(col, ignorenulls=True).over(w_fwd)
+            next_b = F.first(
+                F.when(col.isNotNull(), F.col(bucket_col)), ignorenulls=True
+            ).over(w_fwd)
+            interp = prev_v + (next_v - prev_v) * (
+                (F.col(bucket_col) - prev_b) / (next_b - prev_b)
+            )
+            out = out.withColumn(
+                name,
+                F.when(col.isNotNull(), col)
+                .when(prev_v.isNull(), next_v)
+                .when(next_v.isNull(), prev_v)
+                .otherwise(interp),
+            )
+        else:
+            raise ValueError(f"unknown fill strategy {how!r} for column {name!r}")
+    return out
