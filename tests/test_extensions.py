@@ -776,6 +776,31 @@ def test_training_order_reproducible_shuffle(spark):
     assert max(sizes.values()) < 5 * (500 / len(sizes))
 
 
+def test_epoch_shuffle_redeal_and_replay(spark):
+    from wwwision_importservice_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    e1 = {r["id"]: (r["shard"], r["pos"]) for r in
+          epoch_shuffle(df, "id", epoch=1, num_shards=8).collect()}
+    # replay: the same epoch deals identically
+    e1b = {r["id"]: (r["shard"], r["pos"]) for r in
+           epoch_shuffle(df, "id", epoch=1, num_shards=8).collect()}
+    assert e1 == e1b
+    # re-deal: a different epoch changes the deal for most rows
+    e2 = {r["id"]: (r["shard"], r["pos"]) for r in
+          epoch_shuffle(df, "id", epoch=2, num_shards=8).collect()}
+    assert sum(1 for i in e1 if e1[i] != e2[i]) > 400
+    # positions are a contiguous 1..n ranking inside each shard
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for shard, pos in e1.values():
+        by_shard[shard].append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # shards are reasonably balanced (uniform md5 key)
+    assert max(len(p) for p in by_shard.values()) < 3 * (500 / 8)
+
+
 def test_skew_report_identifies_hot_key(spark):
     from wwwision_importservice_spark.operators.skew import skew_report
 

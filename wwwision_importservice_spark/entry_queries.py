@@ -3791,6 +3791,36 @@ def x6_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, "doc_id", "source", max_rows=100)
 
 
+@_register(
+    "x6_epoch_shuffle",
+    """
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT)
+         AS pos
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 16 AS shard,
+         md5('3:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+)
+""",
+    driver=False,
+)
+def x6_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — deterministic per-epoch global shuffle
+    (``operators/sampling.py:epoch_shuffle``): every document gets a
+    shard and an in-shard position keyed by ``md5(epoch ':' id)`` —
+    epoch 3 here. Re-running the epoch replays the exact deal (resume
+    after failure, loader-worker agreement); bumping the epoch re-deals
+    both membership and order. One shuffle on shard + per-shard sort —
+    no global sort, no rand()."""
+    from wwwision_importservice_spark.operators.sampling import epoch_shuffle
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, "doc_id", epoch=3, num_shards=16)
+
+
 # --------------------------------------------------------------------------- #
 # TS: hypertable-style bucket rollup + gap-fill (operators/timeseries.py)
 # --------------------------------------------------------------------------- #

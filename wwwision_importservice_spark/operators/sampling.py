@@ -159,6 +159,48 @@ def training_order(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    num_shards: int = 1024,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic per-EPOCH global shuffle: shard assignment and
+    in-shard position for every row, re-dealt each epoch.
+
+    ``training_order`` gives ONE reproducible order; multi-epoch
+    training wants a *different* but equally reproducible order per
+    epoch (so data loaders can resume mid-epoch after a failure and
+    every worker agrees on the deal). The key is
+    ``md5(epoch ':' id)`` — changing the epoch re-deals both shard
+    membership and order; re-running the same epoch replays it exactly.
+
+    Scale shape: one shuffle on ``shard`` (size ``num_shards`` — set it
+    to at least the writer parallelism), then a per-shard sort bounded
+    by corpus_size / num_shards rows. No global sort, no rand(). A
+    production epoch writer follows with
+    ``.repartition(num_shards, shard_col)`` +
+    ``.sortWithinPartitions(pos_col)`` and writes one file per shard.
+    """
+    key = F.md5(
+        F.concat_ws(":", F.lit(int(epoch)).cast("string"), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % num_shards
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(shard_col).orderBy(F.col("_shuffle_key"), F.col(id_col))
+    return (
+        df.withColumn("_shuffle_key", key)
+        .withColumn(shard_col, shard)
+        .withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("_shuffle_key")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,
