@@ -1,0 +1,71 @@
+"""Unit tests for operators/graph.py (fixed-point PageRank)."""
+
+from __future__ import annotations
+
+import pytest
+
+from wwwision_importservice_spark.operators.graph import (
+    UNIT,
+    pagerank,
+    pagerank_py,
+)
+
+EDGES = [
+    ("a", "b"),
+    ("a", "c"),
+    ("b", "c"),
+    ("c", "a"),
+    ("d", "c"),  # d has out-degree but no in-edges
+    ("c", "e"),  # e is dangling (no out-edges)
+]
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r["node"]: r["rank_u"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_pure_python_reference(spark):
+    for iterations in (0, 1, 2, 5):
+        got = _run(spark, EDGES, iterations=iterations)
+        want = pagerank_py(EDGES, iterations=iterations)
+        assert got == want, f"iterations={iterations}"
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    # floors leak mass but never create it: total stays within
+    # (E + 2) units of UNIT per iteration, and every rank is positive
+    ranks = _run(spark, EDGES, iterations=3)
+    total = sum(ranks.values())
+    assert total <= UNIT
+    assert total >= UNIT - 3 * (len(EDGES) + 2) - len(ranks)
+    assert all(r > 0 for r in ranks.values())
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    # two nodes, one edge a->b: b is dangling. With d=0.85 the chain
+    # still converges to finite ranks and b (receiving a's full share)
+    # outranks a.
+    ranks = _run(spark, [("a", "b")], iterations=4)
+    assert ranks["b"] > ranks["a"]
+    assert pagerank_py([("a", "b")], iterations=4) == ranks
+
+
+def test_pagerank_parallel_edges_add_weight(spark):
+    # duplicate (a,b) doubles a's degree and b's inflow share count —
+    # the documented parallel-edge semantics, identical in the twin
+    edges = [("a", "b"), ("a", "b"), ("a", "c"), ("c", "a"), ("b", "a")]
+    assert _run(spark, edges, iterations=2) == pagerank_py(edges, iterations=2)
+
+
+def test_pagerank_checkpoint_path_equivalent(spark):
+    # localCheckpoint must not change values, only truncate lineage
+    plain = _run(spark, EDGES, iterations=4, checkpoint_every=None)
+    ckpt = _run(spark, EDGES, iterations=4, checkpoint_every=2)
+    assert plain == ckpt
+
+
+def test_pagerank_rejects_negative_iterations(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(df, iterations=-1)

@@ -53,6 +53,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "g1_pagerank",  # NEW r7
     "ts_gapfill_locf",  # NEW r7
     "x2_incremental_lsh_compact",  # NEW r7
     "x2_planted_near_dup",  # NEW r6
@@ -2546,6 +2547,11 @@ SELECT split, count(*) AS n_docs FROM (
   )
 ) GROUP BY split
 """,
+    # demoted to the pytest tier in round 7 (driver-green r01-r06) to hold
+    # the registry at exactly 50 when g1_pagerank joined; x6_mixture_sample
+    # keeps the x6 family driver-covered, and the epoch-shuffle twin
+    # carries the same md5-bucket construction under the pytest oracle
+    driver=False,
 )
 def x6_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 — deterministic train/val/test split (80/10/10) by id-hash
@@ -3789,6 +3795,85 @@ def x6_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     return cap_per_group(docs, "doc_id", "source", max_rows=100)
+
+
+# --------------------------------------------------------------------------- #
+# G1: fixed-point PageRank (operators/graph.py) — iterative join+agg family
+# --------------------------------------------------------------------------- #
+
+# Bipartite purchase graph: customer --orders/lineitem--> supplier.
+# Suppliers have no out-edges, so the whole supplier side is dangling
+# mass every iteration — the redistribution branch is always exercised.
+_PR_EDGES = """SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
+       's:' || CAST(l.l_suppkey AS VARCHAR) AS dst
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"""
+_PR_NODES = (
+    f"SELECT src AS node FROM ({_PR_EDGES}) ea "
+    f"UNION SELECT dst AS node FROM ({_PR_EDGES}) eb"
+)
+_PR_N = f"(SELECT count(*) FROM ({_PR_NODES}) nn)"
+_PR_DEG = f"SELECT src, count(*) AS deg FROM ({_PR_EDGES}) eg GROUP BY src"
+
+
+def _pr_rank_sql(t: int) -> str:
+    """The fixed-point recurrence of ``operators/graph.py:pagerank``
+    unrolled to iteration ``t`` as pure nested derived tables (the
+    harness wraps oracles, so no WITH). Integer arithmetic end to end —
+    DuckDB ``//`` and Spark ``DIV`` agree on non-negative BIGINTs, and
+    integer sums are order-independent, so the hash match is exact at
+    any parallelism. Text grows ~3x per iteration; fine for t<=3."""
+    if t == 0:
+        return (
+            f"SELECT node, CAST(1000000000000 // {_PR_N} AS BIGINT) AS rank_u "
+            f"FROM ({_PR_NODES}) n0"
+        )
+    prev = _pr_rank_sql(t - 1)
+    return f"""SELECT n.node AS node,
+       CAST((15 * 1000000000000) // (100 * {_PR_N})
+            + (85 * (COALESCE(c.s, 0) + dg.dang // {_PR_N})) // 100
+            AS BIGINT) AS rank_u
+FROM ({_PR_NODES}) n
+LEFT JOIN (
+  SELECT e.dst AS node, CAST(sum(r.rank_u // d.deg) AS BIGINT) AS s
+  FROM ({_PR_EDGES}) e
+  JOIN ({prev}) r ON r.node = e.src
+  JOIN ({_PR_DEG}) d ON d.src = e.src
+  GROUP BY e.dst
+) c ON c.node = n.node
+CROSS JOIN (
+  SELECT CAST(COALESCE(sum(r.rank_u), 0) AS BIGINT) AS dang
+  FROM ({prev}) r
+  LEFT JOIN ({_PR_DEG}) d ON d.src = r.node
+  WHERE d.src IS NULL
+) dg"""
+
+
+@_register("g1_pagerank", _pr_rank_sql(2))
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — fixed-point PageRank (``operators/graph.py``), 2 iterations,
+    d=0.85, over the customer→supplier purchase graph (distinct edges
+    from orders⋈lineitem). Ranks are BIGINT micro-units with exact
+    integer division throughout — float PageRank can't be hash-checked
+    across engines (double sums depend on accumulation order); integer
+    sums are associative, so this matches DuckDB bit-for-bit. The
+    supplier side is entirely dangling, so the uniform-redistribution
+    branch carries real mass every iteration. Per iteration: one rank
+    shuffle to meet edges on src, one dst aggregate, one 1-row dangling
+    scalar broadcast — the iterative join+agg family (crawl-graph
+    quality scoring) alongside dedup's pointer-doubling CC."""
+    from wwwision_importservice_spark.operators.graph import pagerank
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=2)
 
 
 @_register(

@@ -1,0 +1,145 @@
+"""Iterative graph analytics: fixed-iteration PageRank over an edge
+frame.
+
+The training-data use case is crawl/link-graph quality scoring (a host
+or document that many well-ranked hosts point at is worth keeping —
+the classic web-corpus curation signal), and the algorithmic point is
+the iterative join+aggregate family this engine otherwise lacks:
+pointer-doubling connected components (``operators/dedup.py``) iterate
+on labels; PageRank iterates on mass.
+
+**Fixed-point integer arithmetic.** Ranks are carried as BIGINT
+micro-units (``unit`` = 1e12 by default), and every division is exact
+integer division (``DIV`` in Spark, ``//`` in DuckDB). Float PageRank
+cannot be hash-checked across engines — a distributed sum of doubles
+depends on accumulation order — but integer arithmetic is associative,
+so the DuckDB oracle matches bit-for-bit at any parallelism. The cost
+is a tiny, strictly-bounded mass leak per iteration (each of the E
+floor divisions and the two scalar divisions round down): total leak
+< (E + 2) units out of 1e12 per iteration, far below any ranking
+decision threshold. Standard damping: rank' = (1-d)/N + d * (inflow +
+dangling_mass/N), d = damping_num/damping_den.
+
+Scale shape (per iteration): one shuffle of the rank frame on node to
+meet the edge frame's src, one hash aggregate on dst, and a 1-row
+dangling-mass aggregate broadcast back — O(E) rows moved per
+iteration, no collect of anything wider than that scalar. The edge
+frame itself is never re-shuffled if it is pre-partitioned on src
+(AQE reuses the exchange across iterations). Lineage grows linearly
+with iterations; ``checkpoint_every`` bounds it for long runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 10**12
+
+__all__ = ["pagerank", "pagerank_py"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    unit: int = UNIT,
+    node_col: str = "node",
+    rank_col: str = "rank_u",
+    checkpoint_every: int | None = 8,
+) -> DataFrame:
+    """PageRank over distinct directed edges; returns (node, rank_u)
+    with rank_u in integer ``unit``-ths.
+
+    ``edges`` should be distinct (src, dst) pairs — duplicate edges
+    count as parallel edges (they add weight). The node set is the
+    union of both endpoint columns; nodes with no out-edges are
+    dangling and redistribute their mass uniformly.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    nodes = (
+        e.select(F.col("_src").alias(node_col))
+        .union(e.select(F.col("_dst").alias(node_col)))
+        .distinct()
+    )
+    # N is ONE scalar (metadata-scale collect, same class as the SCD2
+    # run-seq reads): the node count parameterizes every per-row
+    # expression below, so a literal beats threading a 1-row crossJoin
+    # through K iterations of codegen.
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn(rank_col, F.lit(0).cast("long"))
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    base_u = (damping_den - damping_num) * unit // (damping_den * n)
+
+    ranks = nodes.withColumn(rank_col, F.lit(unit // n).cast("long"))
+    for it in range(iterations):
+        shares = (
+            ranks.join(deg, ranks[node_col] == deg["_src"])
+            .select(
+                F.col("_src"),
+                F.expr(f"{rank_col} DIV _deg").alias("_share_u"),
+            )
+        )
+        contrib = (
+            e.join(shares, on="_src")
+            .groupBy("_dst")
+            .agg(F.sum("_share_u").alias("_s"))
+        )
+        dangling = (
+            ranks.join(deg, ranks[node_col] == deg["_src"], "left_anti")
+            .agg(F.coalesce(F.sum(rank_col), F.lit(0)).alias("_dang"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes[node_col] == contrib["_dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                F.col(node_col),
+                F.expr(
+                    f"CAST({base_u} + ({damping_num} * (coalesce(_s, 0)"
+                    f" + _dang DIV {n})) DIV {damping_den} AS BIGINT)"
+                ).alias(rank_col),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            # bound lineage on long runs; eager but local (no HDFS dir)
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def pagerank_py(
+    edges: list[tuple],
+    iterations: int = 2,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    unit: int = UNIT,
+) -> dict:
+    """Reference implementation of the EXACT same fixed-point recurrence
+    in pure Python — the differential-test twin of :func:`pagerank`.
+    Integer arithmetic is order-independent, so agreement is exact.
+    """
+    edges = list(edges)
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    base_u = (damping_den - damping_num) * unit // (damping_den * n)
+    ranks = {v: unit // n for v in nodes}
+    for _ in range(iterations):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += ranks[s] // deg[s]
+        dang = sum(r for v, r in ranks.items() if v not in deg)
+        ranks = {
+            v: base_u + (damping_num * (inflow[v] + dang // n)) // damping_den
+            for v in nodes
+        }
+    return ranks
