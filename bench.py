@@ -112,6 +112,10 @@ HEADLINE = [
     # concat-and-cut packing (two-level prefix sum, no global window)
     "x2_incremental_lsh_compact",
     "x6_sequence_pack",
+    # joined round 7: gap-filled hypertable rollup and fixed-point
+    # PageRank (iterative join+agg over the purchase graph)
+    "ts_gapfill_locf",
+    "g1_pagerank",
 ]
 
 

@@ -65,6 +65,22 @@ def test_pagerank_checkpoint_path_equivalent(spark):
     assert plain == ckpt
 
 
+def test_pagerank_plan_is_constant_per_iteration(spark, sf_dir):
+    """Iterative-lineage pin: with default checkpointing, the final
+    plan contains NO parquet scans (edges/nodes/deg and the prior ranks
+    are all materialized), and the join count is the single-iteration
+    shape — i.e. the plan does not grow with the iteration count, so
+    the edge derivation is never recomputed (the O(3^K) lazy-lineage
+    blowup this operator's docstring forbids)."""
+    from wwwision_importservice_spark.entry_queries import QUERIES
+
+    df = QUERIES["g1_pagerank"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan
+    joins = plan.count("Join")
+    assert joins <= 6, f"per-iteration plan should be ~4 joins, saw {joins}"
+
+
 def test_pagerank_rejects_negative_iterations(spark):
     df = spark.createDataFrame(EDGES, "src string, dst string")
     with pytest.raises(ValueError, match="iterations"):

@@ -81,6 +81,27 @@ def test_gapfill_linear_boundary_carries_edges(spark):
     assert rows == {10: 5.0, 20: 5.0, 30: 5.0, 40: 5.0}
 
 
+def test_rolling_trailing_window(spark):
+    from wwwision_importservice_spark.operators.timeseries import rolling
+
+    df = spark.createDataFrame(
+        [("a", b, v) for b, v in [(0, 1), (10, 2), (20, 4), (30, 8)]],
+        "g string, bucket long, v long",
+    )
+    out = rolling(df, ["g"], {"s3": F.sum("v"), "n3": F.count(F.lit(1))}, 3)
+    rows = {r.bucket: (r.s3, r.n3) for r in out.collect()}
+    # trailing 3-bucket sums; ramp-up rows have shorter windows
+    assert rows == {0: (1, 1), 10: (3, 2), 20: (7, 3), 30: (14, 3)}
+
+
+def test_rolling_rejects_empty_window(spark):
+    from wwwision_importservice_spark.operators.timeseries import rolling
+
+    df = spark.createDataFrame([("a", 0, 1)], "g string, bucket long, v long")
+    with pytest.raises(ValueError, match="n_buckets"):
+        rolling(df, ["g"], {"s": F.sum("v")}, 0)
+
+
 def test_gapfill_rejects_unknown_strategy(spark):
     with pytest.raises(ValueError, match="unknown fill strategy"):
         gapfill(_rolled(spark), 10, ["g"], {"v": "nearest"}).collect()

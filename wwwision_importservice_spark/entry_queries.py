@@ -4047,6 +4047,49 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("avg_value", F.round(F.col("avg_value"), 6))
 
 
+@_register(
+    "ts_rolling_24h",
+    f"""
+SELECT event_type, hour_epoch, n_events,
+       CAST(sum(n_events) OVER w AS BIGINT) AS n_events_24h,
+       CAST(count(*) OVER w AS BIGINT) AS n_obs_24h
+FROM (
+  SELECT s.event_type AS event_type, s.hour_epoch AS hour_epoch,
+         COALESCE(r.n_events, 0) AS n_events
+  FROM ({_TS_SPINE_SQL}) s
+  LEFT JOIN ({_TS_ROLLUP_SQL}) r
+    ON r.event_type = s.event_type AND r.hour_epoch = s.hour_epoch
+)
+WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+""",
+    driver=False,
+)
+def ts_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS — 24-hour trailing totals over the gap-filled grid
+    (``operators/timeseries.py:rolling``): per event_type, the sliding
+    24-bucket event-count sum plus the window row count (< 24 only in
+    each group's first day). Row-frame == time-range exactly BECAUSE the
+    grid is dense (gapfill first — on a sparse frame the same frame
+    spec would span variable time). Integer-only outputs keep the hash
+    exact; the rolling windows share the gapfill partitioning, so
+    chaining adds no exchange. Pytest-tier: ts_gapfill_locf keeps the
+    family under the hard hash."""
+    from wwwision_importservice_spark.operators.timeseries import gapfill, rolling
+
+    rolled = _ts_rolled(spark, sf_dir)
+    dense = gapfill(
+        rolled, 3600, ["event_type"], {"n_events": "zero"}, bucket_col="hour_epoch"
+    ).select("event_type", "hour_epoch", "n_events")
+    return rolling(
+        dense,
+        ["event_type"],
+        {"n_events_24h": F.sum("n_events"), "n_obs_24h": F.count(F.lit(1))},
+        n_buckets=24,
+        bucket_col="hour_epoch",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() — the SURVEY §7.2 end-to-end slice."""
     return j4_changeset(spark, sf_dir)

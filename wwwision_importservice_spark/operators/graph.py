@@ -23,10 +23,21 @@ dangling_mass/N), d = damping_num/damping_den.
 Scale shape (per iteration): one shuffle of the rank frame on node to
 meet the edge frame's src, one hash aggregate on dst, and a 1-row
 dangling-mass aggregate broadcast back — O(E) rows moved per
-iteration, no collect of anything wider than that scalar. The edge
-frame itself is never re-shuffled if it is pre-partitioned on src
-(AQE reuses the exchange across iterations). Lineage grows linearly
-with iterations; ``checkpoint_every`` bounds it for long runs.
+iteration, no collect of anything wider than that scalar.
+
+**Materialization is mandatory, not optional.** An iterative
+dataflow that stays lazy replays its whole prefix on every reference:
+with K iterations the edge derivation would be recomputed O(3^K)
+times (each iteration references the previous ranks three ways —
+shares, dangling, and the final join). So the static frames (edges,
+nodes, out-degrees) are localCheckpoint'ed once up front, and the
+rank frame is localCheckpoint'ed every ``checkpoint_every``
+iterations (default 1 — every iteration, the standard Pregel/GraphX
+discipline). localCheckpoint stores blocks on executors: fast, but
+lost on executor failure — a long production run on a real cluster
+should call ``spark.sparkContext.setCheckpointDir`` and switch the
+``.localCheckpoint()`` calls to reliable ``.checkpoint()``; at the
+scale this sandbox tests, local is the right trade.
 """
 
 from __future__ import annotations
@@ -49,7 +60,7 @@ def pagerank(
     unit: int = UNIT,
     node_col: str = "node",
     rank_col: str = "rank_u",
-    checkpoint_every: int | None = 8,
+    checkpoint_every: int | None = 1,
 ) -> DataFrame:
     """PageRank over distinct directed edges; returns (node, rank_u)
     with rank_u in integer ``unit``-ths.
@@ -62,11 +73,18 @@ def pagerank(
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    if iterations > 0:
+        # static across iterations and referenced O(iterations) times —
+        # materialize ONCE (see module docstring: lazy iteration replays
+        # the edge derivation exponentially often)
+        e = e.localCheckpoint()
     nodes = (
         e.select(F.col("_src").alias(node_col))
         .union(e.select(F.col("_dst").alias(node_col)))
         .distinct()
     )
+    if iterations > 0:
+        nodes = nodes.localCheckpoint()
     # N is ONE scalar (metadata-scale collect, same class as the SCD2
     # run-seq reads): the node count parameterizes every per-row
     # expression below, so a literal beats threading a 1-row crossJoin
@@ -75,6 +93,8 @@ def pagerank(
     if n == 0:
         return nodes.withColumn(rank_col, F.lit(0).cast("long"))
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    if iterations > 0:
+        deg = deg.localCheckpoint()
     base_u = (damping_den - damping_num) * unit // (damping_den * n)
 
     ranks = nodes.withColumn(rank_col, F.lit(unit // n).cast("long"))
@@ -107,7 +127,9 @@ def pagerank(
             )
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
-            # bound lineage on long runs; eager but local (no HDFS dir)
+            # each iteration references `ranks` three ways (shares,
+            # dangling, final join): without this the plan triples per
+            # iteration. Eager but local (no HDFS dir needed).
             ranks = ranks.localCheckpoint()
     return ranks
 

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 NS_PER_SEC = 10**9
 
-__all__ = ["time_bucket", "bucket_rollup", "gapfill"]
+__all__ = ["time_bucket", "bucket_rollup", "gapfill", "rolling"]
 
 
 def time_bucket(ts: Column, bucket_seconds: int, ts_unit: str = "ns") -> Column:
@@ -159,4 +159,36 @@ def gapfill(
             )
         else:
             raise ValueError(f"unknown fill strategy {how!r} for column {name!r}")
+    return out
+
+
+def rolling(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, Column],
+    n_buckets: int,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Trailing-window aggregates over a (gap-filled) bucket grid: each
+    row gets ``aggs`` evaluated over the last ``n_buckets`` rows of its
+    group (current bucket inclusive), e.g. a 24-bucket moving average.
+
+    Row-frame semantics (``ROWS n-1 PRECEDING .. CURRENT ROW``), which
+    equals time-range semantics exactly when the input grid is dense —
+    run :func:`gapfill` first; on a sparse frame the window would span
+    variable time. One sort per group partition, state bounded by
+    ``n_buckets`` — the aggregate buffer slides, it does not grow with
+    the group. Same (group) partitioning as the gapfill windows, so
+    chaining adds no exchange.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(-(n_buckets - 1), 0)
+    )
+    out = df
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
     return out
