@@ -3804,8 +3804,12 @@ def x6_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bipartite purchase graph: customer --orders/lineitem--> supplier.
 # Suppliers have no out-edges, so the whole supplier side is dangling
 # mass every iteration — the redistribution branch is always exercised.
-_PR_EDGES = """SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS src,
-       's:' || CAST(l.l_suppkey AS VARCHAR) AS dst
+# Node ids are BIGINT (customer k -> 2k, supplier k -> 2k+1): integer
+# join keys shuffle half the bytes of 'c:123'-style strings and compare
+# without codegen string loops — at 100 TB the id encoding IS the join
+# cost. (graph.py itself is id-type-agnostic.)
+_PR_EDGES = """SELECT DISTINCT 2 * o.o_custkey AS src,
+       2 * l.l_suppkey + 1 AS dst
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"""
 _PR_NODES = (
     f"SELECT src AS node FROM ({_PR_EDGES}) ea "
@@ -3868,8 +3872,8 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (2 * F.col("o_custkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
         )
         .distinct()
     )
