@@ -81,6 +81,34 @@ def test_pagerank_plan_is_constant_per_iteration(spark, sf_dir):
     assert joins <= 6, f"per-iteration plan should be ~4 joins, saw {joins}"
 
 
+def test_pagerank_converged_matches_fixed_iterations(spark):
+    from wwwision_importservice_spark.operators.graph import pagerank_converged
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    ranks_df, stats = pagerank_converged(df, tol_units=10**9, max_iterations=30)
+    assert stats["converged"] is True
+    assert 1 <= stats["iterations"] < 30
+    assert stats["delta_u"] < 10**9
+    got = {r["node"]: r["rank_u"] for r in ranks_df.collect()}
+    # the trajectory is the exact fixed-point recurrence: stopping after
+    # k steps equals running the fixed-iteration form for k steps
+    assert got == pagerank_py(EDGES, iterations=stats["iterations"])
+
+
+def test_pagerank_converged_hits_iteration_cap(spark):
+    from wwwision_importservice_spark.operators.graph import pagerank_converged
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    ranks_df, stats = pagerank_converged(df, tol_units=0, max_iterations=2)
+    assert stats == {
+        "iterations": 2,
+        "delta_u": stats["delta_u"],
+        "converged": False,
+    }
+    got = {r["node"]: r["rank_u"] for r in ranks_df.collect()}
+    assert got == pagerank_py(EDGES, iterations=2)
+
+
 def test_pagerank_rejects_negative_iterations(spark):
     df = spark.createDataFrame(EDGES, "src string, dst string")
     with pytest.raises(ValueError, match="iterations"):

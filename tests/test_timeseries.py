@@ -81,6 +81,25 @@ def test_gapfill_linear_boundary_carries_edges(spark):
     assert rows == {10: 5.0, 20: 5.0, 30: 5.0, 40: 5.0}
 
 
+def test_gapfill_global_bucket_range_aligns_groups(spark):
+    # explicit (start, end): every group shares the same grid, buckets
+    # outside a group's observations included (LOCF leaves leading NULL)
+    out = gapfill(
+        _rolled(spark),
+        10,
+        ["g"],
+        {"n": "zero", "v": "locf"},
+        bucket_col="bucket",
+        bucket_range=(0, 40),
+    )
+    rows = {(r.g, r.bucket): (r.n, r.v) for r in out.collect()}
+    assert len(rows) == 10  # 2 groups x 5 aligned buckets
+    assert rows[("b", 0)] == (0, None)  # before b's first observation
+    assert rows[("b", 30)] == (0, 7.0)  # carried past it
+    with pytest.raises(ValueError, match="bucket_range"):
+        gapfill(_rolled(spark), 10, ["g"], {}, bucket_range=(40, 0))
+
+
 def test_rolling_trailing_window(spark):
     from wwwision_importservice_spark.operators.timeseries import rolling
 

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 UNIT = 10**12
 
-__all__ = ["pagerank", "pagerank_py"]
+__all__ = ["pagerank", "pagerank_converged", "pagerank_py"]
 
 
 def pagerank(
@@ -95,36 +95,13 @@ def pagerank(
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
     if iterations > 0:
         deg = deg.localCheckpoint()
-    base_u = (damping_den - damping_num) * unit // (damping_den * n)
 
     ranks = nodes.withColumn(rank_col, F.lit(unit // n).cast("long"))
     for it in range(iterations):
-        shares = (
-            ranks.join(deg, ranks[node_col] == deg["_src"])
-            .select(
-                F.col("_src"),
-                F.expr(f"{rank_col} DIV _deg").alias("_share_u"),
-            )
-        )
-        contrib = (
-            e.join(shares, on="_src")
-            .groupBy("_dst")
-            .agg(F.sum("_share_u").alias("_s"))
-        )
-        dangling = (
-            ranks.join(deg, ranks[node_col] == deg["_src"], "left_anti")
-            .agg(F.coalesce(F.sum(rank_col), F.lit(0)).alias("_dang"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes[node_col] == contrib["_dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                F.col(node_col),
-                F.expr(
-                    f"CAST({base_u} + ({damping_num} * (coalesce(_s, 0)"
-                    f" + _dang DIV {n})) DIV {damping_den} AS BIGINT)"
-                ).alias(rank_col),
-            )
+        ranks = _pagerank_step(
+            e, nodes, deg, n, ranks,
+            damping_num=damping_num, damping_den=damping_den, unit=unit,
+            node_col=node_col, rank_col=rank_col,
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             # each iteration references `ranks` three ways (shares,
@@ -132,6 +109,114 @@ def pagerank(
             # iteration. Eager but local (no HDFS dir needed).
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    tol_units: int = 10**6,
+    max_iterations: int = 50,
+    **kwargs,
+) -> tuple[DataFrame, dict]:
+    """Production mode: iterate :func:`pagerank` one step at a time
+    until the L1 rank change drops below ``tol_units`` (in rank
+    micro-units; the 1e6 default is 1e-6 of total mass) or
+    ``max_iterations`` is hit.
+
+    Returns ``(ranks, stats)`` with ``stats = {"iterations", "delta_u",
+    "converged"}``. Each step costs one extra join + 1-row aggregate
+    for the delta — the per-iteration delta collect is ONE scalar
+    (metadata-scale, and the iteration is already eager through its
+    localCheckpoint, so the collect adds no extra pass over the
+    lineage). Integer arithmetic makes the trajectory — and therefore
+    the stopping iteration — deterministic across runs and engines,
+    unlike float PageRank where the stopping point can flap on
+    accumulation order right at the threshold.
+    """
+    if max_iterations < 1:
+        raise ValueError("max_iterations must be >= 1")
+    unit = kwargs.get("unit", UNIT)
+    node_col = kwargs.get("node_col", "node")
+    rank_col = kwargs.get("rank_col", "rank_u")
+    # setup mirrors pagerank(): static frames materialized ONCE — an
+    # unconditional-convergence loop must never re-derive edges per step
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("_src").alias(node_col))
+        .union(e.select(F.col("_dst").alias(node_col)))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        empty = nodes.withColumn(rank_col, F.lit(0).cast("long"))
+        return empty, {"iterations": 0, "delta_u": 0, "converged": True}
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint()
+
+    ranks = nodes.withColumn(rank_col, F.lit(unit // n).cast("long")).localCheckpoint()
+    delta = None
+    it = 0
+    for it in range(1, max_iterations + 1):
+        nxt = _pagerank_step(
+            e, nodes, deg, n, ranks, node_col=node_col, rank_col=rank_col, **{
+                k: v for k, v in kwargs.items()
+                if k in ("damping_num", "damping_den", "unit")
+            }
+        ).localCheckpoint()
+        # ONE scalar per iteration; the step is already eager via its
+        # localCheckpoint, so this adds no extra pass over the lineage
+        delta = (
+            nxt.join(
+                ranks.withColumnRenamed(rank_col, "_prev"), on=node_col
+            )
+            .agg(F.sum(F.abs(F.col(rank_col) - F.col("_prev"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = nxt
+        if delta is not None and delta < tol_units:
+            return ranks, {"iterations": it, "delta_u": delta, "converged": True}
+    return ranks, {"iterations": it, "delta_u": delta, "converged": False}
+
+
+def _pagerank_step(
+    e: DataFrame,
+    nodes: DataFrame,
+    deg: DataFrame,
+    n: int,
+    ranks: DataFrame,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    unit: int = UNIT,
+    node_col: str = "node",
+    rank_col: str = "rank_u",
+) -> DataFrame:
+    """One recurrence step over pre-materialized static frames — LAZY
+    (callers decide when to checkpoint; both loops do, per their own
+    policy, because each step references its result three ways)."""
+    base_u = (damping_den - damping_num) * unit // (damping_den * n)
+    shares = ranks.join(deg, ranks[node_col] == deg["_src"]).select(
+        F.col("_src"), F.expr(f"{rank_col} DIV _deg").alias("_share_u")
+    )
+    contrib = e.join(shares, on="_src").groupBy("_dst").agg(
+        F.sum("_share_u").alias("_s")
+    )
+    dangling = ranks.join(deg, ranks[node_col] == deg["_src"], "left_anti").agg(
+        F.coalesce(F.sum(rank_col), F.lit(0)).alias("_dang")
+    )
+    out = (
+        nodes.join(contrib, nodes[node_col] == contrib["_dst"], "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            F.col(node_col),
+            F.expr(
+                f"CAST({base_u} + ({damping_num} * (coalesce(_s, 0)"
+                f" + _dang DIV {n})) DIV {damping_den} AS BIGINT)"
+            ).alias(rank_col),
+        )
+    )
+    return out
 
 
 def pagerank_py(

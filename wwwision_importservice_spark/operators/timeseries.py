@@ -83,9 +83,17 @@ def gapfill(
     group_cols: list[str],
     fills: dict[str, str],
     bucket_col: str = "bucket",
+    bucket_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Densify a bucket rollup over each group's [min, max] bucket range
     and fill the introduced NULLs.
+
+    ``bucket_range=(start, end)`` aligns EVERY group to the same
+    inclusive bucket span instead of its own observed range — required
+    when downstream logic joins or unions across groups and assumes a
+    shared grid (cross-series correlation, matrix pivots). Buckets
+    outside a group's observations fill by the same strategies
+    (leading LOCF stays NULL; linear clamps to the boundary values).
 
     ``fills`` maps column name -> fill strategy:
 
@@ -108,9 +116,23 @@ def gapfill(
     length (time-range / bucket width), not by raw event volume.
     """
     step = F.lit(int(bucket_seconds))
-    ranges = rolled.groupBy(*group_cols).agg(
-        F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
-    )
+    if bucket_range is None:
+        ranges = rolled.groupBy(*group_cols).agg(
+            F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
+        )
+    else:
+        start, end = bucket_range
+        if end < start:
+            raise ValueError(f"bucket_range end {end} < start {start}")
+        ranges = (
+            rolled.select(*group_cols)
+            .distinct()
+            .select(
+                *group_cols,
+                F.lit(int(start)).cast("long").alias("_mn"),
+                F.lit(int(end)).cast("long").alias("_mx"),
+            )
+        )
     spine = ranges.select(
         *group_cols,
         F.explode(F.sequence(F.col("_mn"), F.col("_mx"), step)).alias(bucket_col),
