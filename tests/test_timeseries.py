@@ -128,6 +128,20 @@ def test_gapfill_rejects_unknown_strategy(spark):
         time_bucket(F.col("x"), 10, ts_unit="ms")
 
 
+def test_gapfill_validate_rejects_unrolled_input(spark):
+    # a raw (non-aggregated) frame with duplicate buckets is the
+    # documented contract violation: silent duplicate dense rows
+    raw = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 0, 2.0), ("a", 10, 3.0)],
+        "g string, bucket long, v double",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        gapfill(raw, 10, ["g"], {"v": "locf"}, validate=True)
+    # the rolled fixture passes validation and fills normally
+    out = gapfill(_rolled(spark), 10, ["g"], {"v": "locf"}, validate=True)
+    assert out.count() == 6
+
+
 def test_gapfill_plan_shape(spark):
     """No cartesian/nested-loop join anywhere; the dense spine comes from
     an explode over the per-group range aggregate, not a rescan of the

@@ -72,6 +72,11 @@ def pagerank(
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
+    if not (damping_den > 0 and 0 <= damping_num <= damping_den):
+        raise ValueError(
+            f"damping {damping_num}/{damping_den} must satisfy "
+            "0 <= num <= den, den > 0"
+        )
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     if iterations > 0:
         # static across iterations and referenced O(iterations) times —

@@ -184,6 +184,8 @@ def epoch_shuffle(
     ``.repartition(num_shards, shard_col)`` +
     ``.sortWithinPartitions(pos_col)`` and writes one file per shard.
     """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
     key = F.md5(
         F.concat_ws(":", F.lit(int(epoch)).cast("string"), F.col(id_col).cast("string"))
     )

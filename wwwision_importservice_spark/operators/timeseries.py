@@ -84,6 +84,7 @@ def gapfill(
     fills: dict[str, str],
     bucket_col: str = "bucket",
     bucket_range: tuple[int, int] | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Densify a bucket rollup over each group's [min, max] bucket range
     and fill the introduced NULLs.
@@ -94,6 +95,16 @@ def gapfill(
     shared grid (cross-series correlation, matrix pivots). Buckets
     outside a group's observations fill by the same strategies
     (leading LOCF stays NULL; linear clamps to the boundary values).
+
+    Input contract: ``rolled`` must have AT MOST ONE row per
+    (group, bucket) — i.e. be the output of :func:`bucket_rollup` or an
+    equivalent aggregate. A duplicated bucket would survive the spine
+    left join as duplicate dense rows and silently skew every
+    window-based fill downstream, so this is validated eagerly when
+    ``validate=True`` (one cheap aggregate over the already-rolled
+    frame — input size is groups x buckets, not raw events; pass
+    ``validate=False`` only when the input provably comes straight
+    from ``bucket_rollup``).
 
     ``fills`` maps column name -> fill strategy:
 
@@ -115,6 +126,20 @@ def gapfill(
     partitioning. Window state per task is bounded by the group's spine
     length (time-range / bucket width), not by raw event volume.
     """
+    if validate:
+        dup = (
+            rolled.groupBy(*group_cols, bucket_col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .limit(1)
+            .collect()  # one row max: contract check, not a data read
+        )
+        if dup:
+            raise ValueError(
+                f"gapfill input has duplicate (group, {bucket_col}) rows "
+                f"(e.g. {tuple(dup[0])[:-1]}); pass the output of "
+                "bucket_rollup"
+            )
     step = F.lit(int(bucket_seconds))
     if bucket_range is None:
         ranges = rolled.groupBy(*group_cols).agg(
@@ -202,6 +227,11 @@ def rolling(
     ``n_buckets`` — the aggregate buffer slides, it does not grow with
     the group. Same (group) partitioning as the gapfill windows, so
     chaining adds no exchange.
+
+    ``aggs`` are applied in dict order via ``withColumn``: an agg whose
+    NAME collides with an input column replaces it, and later aggs then
+    see the windowed values — name outputs distinctly (``v_24h``, not
+    ``v``) unless that shadowing is intended.
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
