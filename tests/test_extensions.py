@@ -801,6 +801,55 @@ def test_epoch_shuffle_redeal_and_replay(spark):
     assert max(len(p) for p in by_shard.values()) < 3 * (500 / 8)
 
 
+def test_heavy_hitters_bounds_under_truncation(spark):
+    """Wide-vocabulary corpus where the Misra-Gries decrement really
+    fires: the one-sided guarantee est <= true <= est + err_bound must
+    hold for every reported item, and well-separated heads must all
+    surface."""
+    from wwwision_importservice_spark.operators.features import heavy_hitters
+
+    heads = {f"h{i}": 600 - 100 * i for i in range(5)}  # 600..200
+    rows = [(t,) for t, c in heads.items() for _ in range(c)]
+    rows += [(f"tail{i}",) for i in range(4000)]  # singleton tail
+    n_total = len(rows)
+    # deterministic spread across partitions without any randomness
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+
+    out = heavy_hitters(df, "item", k=10, counters=32).collect()
+    # k is a MAX: the decrement may legitimately evict the entire
+    # singleton tail, leaving only the true heads in the summary
+    assert 5 <= len(out) <= 10
+    err = n_total // 33
+    for r in out:
+        true = heads.get(r["item"], 1)
+        assert r["err_bound"] == err
+        assert r["n_total"] == n_total
+        assert r["est_count"] <= true <= r["est_count"] + r["err_bound"], r
+    # every head is separated from the tail by far more than the bound
+    reported = {r["item"] for r in out}
+    assert set(heads) <= reported
+
+
+def test_heavy_hitters_exact_when_counters_exceed_vocab(spark):
+    from wwwision_importservice_spark.operators.features import heavy_hitters
+
+    rows = [(f"w{i % 7}",) for i in range(700)]
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    out = {r["item"]: r["est_count"] for r in
+           heavy_hitters(df, "item", k=7, counters=64).collect()}
+    assert out == {f"w{i}": 100 for i in range(7)}
+
+
+def test_heavy_hitters_rejects_bad_params(spark):
+    from wwwision_importservice_spark.operators.features import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "item string")
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(df, "item", k=0)
+    with pytest.raises(ValueError, match="counters"):
+        heavy_hitters(df, "item", k=10, counters=5)
+
+
 def test_skew_report_identifies_hot_key(spark):
     from wwwision_importservice_spark.operators.skew import skew_report
 

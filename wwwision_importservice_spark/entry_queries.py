@@ -3797,6 +3797,51 @@ def x6_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, "doc_id", "source", max_rows=100)
 
 
+@_register(
+    "x5_heavy_hitters",
+    """
+SELECT tok, cnt AS est_count,
+       n_total // 257 AS err_bound,
+       n_total
+FROM (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+             AS tok
+    FROM documents
+  ) GROUP BY tok
+)
+CROSS JOIN (
+  SELECT CAST(count(*) AS BIGINT) AS n_total
+  FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+             AS t2
+    FROM documents
+  )
+)
+ORDER BY cnt DESC, tok ASC LIMIT 25
+""",
+    driver=False,
+)
+def x5_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — Misra-Gries frequent-items sketch
+    (``operators/features.py:heavy_hitters``): top-25 corpus tokens
+    from per-partition bounded summaries — only partitions × counters
+    summary rows ever shuffle, never the full token-count table. With
+    ``counters=256`` above this corpus's vocabulary the sketch
+    degenerates to EXACT counts (documented property), so the SQL
+    oracle pins the whole distributed path — partition summaries,
+    merge-by-sum, err-bound arithmetic, deterministic tie-break — under
+    the value hash; the truncation/bound behavior on a wide-vocabulary
+    corpus is pinned by the unit differential test."""
+    from wwwision_importservice_spark.operators.features import heavy_hitters
+    from wwwision_importservice_spark.operators.text import corpus_tokens
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(F.explode(corpus_tokens(F.col("text"))).alias("tok"))
+    return heavy_hitters(toks, "tok", k=25, counters=256)
+
+
 # --------------------------------------------------------------------------- #
 # G1: fixed-point PageRank (operators/graph.py) — iterative join+agg family
 # --------------------------------------------------------------------------- #

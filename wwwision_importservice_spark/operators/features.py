@@ -175,3 +175,100 @@ def approx_quantiles(
     if group_cols:
         return df.groupBy(*group_cols).agg(*aggs)
     return df.agg(*aggs)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 50,
+    counters: int | None = None,
+) -> DataFrame:
+    """Approximate frequent items (Misra-Gries / mergeable-summaries
+    form) — the third mergeable sketch next to HLL distinct counts and
+    the GK quantile rollup: corpus-wide token/domain/url heads WITHOUT
+    shuffling the full item-count table.
+
+    Each partition keeps at most ``counters`` (default ``8*k``) local
+    counters: Arrow batches are counted vectorized (``value_counts``),
+    folded into the running summary, and when the summary overflows the
+    classic Misra-Gries decrement subtracts the (counters+1)-th largest
+    count from everything and drops the non-positive — bounded memory
+    no matter the partition's cardinality. Partition summaries (≤
+    counters rows each) are the ONLY thing shuffled; summing them keeps
+    the one-sided guarantee
+
+        est_count ≤ true_count ≤ est_count + err_bound,
+        err_bound = floor(N / (counters + 1))
+
+    (each partition's total decrement is ≤ n_p/(counters+1); the bounds
+    add across partitions — Agarwal et al. 2013, "Mergeable
+    Summaries"). When ``counters`` exceeds the true cardinality no
+    decrement ever fires and the sketch degenerates to EXACT counts —
+    the registry query pins the plumbing that way, the unit test
+    exercises real truncation on a wide-vocabulary corpus.
+
+    Returns AT MOST ``k`` items by estimated count (ties broken by item
+    value, deterministic): ``(item, est_count, err_bound, n_total)`` —
+    fewer when the decrement evicts everything else (e.g. a heads-plus-
+    singleton-tail distribution legitimately leaves only the heads).
+    The final top-k pass moves ≤ partitions × counters summary rows —
+    at 1000 executors × 8k counters that is megabytes, independent of
+    corpus size.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counters = int(counters) if counters is not None else 8 * k
+    if counters < k:
+        raise ValueError(f"counters ({counters}) must be >= k ({k})")
+
+    import pandas as pd
+
+    out_schema = f"`{item_col}` string, _cnt long, _pid int, _part_rows long"
+    cap = counters
+
+    def summarize(batches):
+        mg = pd.Series(dtype="int64")
+        n = 0
+        pid = None
+        for pdf in batches:
+            if pid is None and len(pdf):
+                pid = int(pdf["_pid"].iloc[0])
+            vc = pdf[item_col].dropna().astype(str).value_counts()
+            n += int(vc.sum())
+            mg = pd.concat([mg, vc]).groupby(level=0).sum()
+            if len(mg) > cap:
+                # Misra-Gries decrement: one subtraction bounded by
+                # n_batch/(cap+1) per overflow, vectorized
+                thresh = int(mg.nlargest(cap + 1).iloc[-1])
+                mg = mg[mg > thresh] - thresh
+        if pid is None:
+            return
+        yield pd.DataFrame(
+            {
+                item_col: mg.index.astype(str),
+                "_cnt": mg.values.astype("int64"),
+                "_pid": pid,
+                "_part_rows": n,
+            }
+        )
+
+    summaries = (
+        df.select(F.col(item_col), F.spark_partition_id().alias("_pid"))
+        .mapInPandas(summarize, schema=out_schema)
+    )
+    # one row per partition → N; tiny frame (≤ #partitions rows)
+    totals = (
+        summaries.select("_pid", "_part_rows")
+        .distinct()
+        .agg(F.coalesce(F.sum("_part_rows"), F.lit(0)).alias("n_total"))
+    )
+    merged = summaries.groupBy(item_col).agg(F.sum("_cnt").alias("est_count"))
+    return (
+        merged.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "err_bound", F.expr(f"n_total DIV {counters + 1}").cast("long")
+        )
+        .orderBy(F.col("est_count").desc(), F.col(item_col).asc())
+        .limit(k)
+        .select(item_col, "est_count", "err_bound", "n_total")
+    )
