@@ -142,6 +142,56 @@ def test_gapfill_validate_rejects_unrolled_input(spark):
     assert out.count() == 6
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_gapfill_matches_pandas_model(spark, seed):
+    """Differential vs an independent pandas reference: seeded random
+    sparse (group, bucket, value) frames, LOCF + linear both checked."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(seed)
+    rows = []
+    for g in ("a", "b", "c"):
+        buckets = sorted(rng.sample(range(0, 300, 10), rng.randint(2, 12)))
+        for b in buckets:
+            rows.append((g, b, None if rng.random() < 0.3 else round(rng.uniform(-5, 5), 3)))
+    sdf = spark.createDataFrame(rows, "g string, bucket long, v double")
+
+    got_locf = {
+        (r.g, r.bucket): r.v
+        for r in gapfill(sdf, 10, ["g"], {"v": "locf"}).collect()
+    }
+    got_lin = {
+        (r.g, r.bucket): r.v
+        for r in gapfill(sdf, 10, ["g"], {"v": "linear"}).collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["g", "bucket", "v"])
+    want_locf, want_lin = {}, {}
+    for g, sub in pdf.groupby("g"):
+        sub = sub.set_index("bucket").sort_index()
+        dense = sub.reindex(range(sub.index.min(), sub.index.max() + 1, 10))
+        locf = dense["v"].ffill()
+        # pandas interpolate on the index == our linear fill; boundary
+        # gaps clamp to the edge values (limit_direction='both')
+        lin = dense["v"].interpolate(method="index", limit_direction="both")
+        for b in dense.index:
+            want_locf[(g, int(b))] = None if pd.isna(locf[b]) else locf[b]
+            want_lin[(g, int(b))] = None if pd.isna(lin[b]) else lin[b]
+
+    assert set(got_locf) == set(want_locf)
+    for key in want_locf:
+        if want_locf[key] is None:
+            assert got_locf[key] is None, key
+        else:
+            assert got_locf[key] == pytest.approx(want_locf[key]), key
+        if want_lin[key] is None:
+            assert got_lin[key] is None, key
+        else:
+            assert got_lin[key] == pytest.approx(want_lin[key]), key
+
+
 def test_gapfill_plan_shape(spark):
     """No cartesian/nested-loop join anywhere; the dense spine comes from
     an explode over the per-group range aggregate, not a rescan of the
