@@ -840,6 +840,60 @@ def test_heavy_hitters_exact_when_counters_exceed_vocab(spark):
     assert out == {f"w{i}": 100 for i in range(7)}
 
 
+def test_heavy_hitters_grouped_per_group_bounds(spark):
+    """Grouped form: each group keeps its OWN counters-bounded summary
+    and its own n_total/err_bound — a big group overflowing its cap
+    must never decrement (or evict from) a small group's summary, and
+    the one-sided MG guarantee holds per group."""
+    from wwwision_importservice_spark.operators.features import heavy_hitters
+
+    heads = {f"h{i}": 600 - 100 * i for i in range(5)}
+    rows = [("big", t) for t, c in heads.items() for _ in range(c)]
+    rows += [("big", f"tail{i}") for i in range(4000)]  # forces decrements
+    rows += [("small", f"s{i % 3}") for i in range(300)]  # vocab 3 << cap
+    df = spark.createDataFrame(rows, "grp string, item string").repartition(8)
+
+    out = heavy_hitters(df, "item", k=10, counters=32,
+                        group_cols=["grp"]).collect()
+    big = [r for r in out if r["grp"] == "big"]
+    small = {r["item"]: r for r in out if r["grp"] == "small"}
+    n_big = sum(heads.values()) + 4000
+    # small group is exact: its summary never overflowed, so the big
+    # group's decrements must not have touched it
+    assert {i: r["est_count"] for i, r in small.items()} == {
+        f"s{i}": 100 for i in range(3)}
+    assert all(r["n_total"] == 300 and r["err_bound"] == 300 // 33
+               for r in small.values())
+    # big group: per-group bound with per-group n
+    assert 5 <= len(big) <= 10
+    for r in big:
+        true = heads.get(r["item"], 1)
+        assert r["n_total"] == n_big and r["err_bound"] == n_big // 33
+        assert r["est_count"] <= true <= r["est_count"] + r["err_bound"], r
+    assert set(heads) <= {r["item"] for r in big}
+
+
+def test_heavy_hitters_grouped_matches_global_per_group(spark):
+    """With counters above every group's vocabulary the grouped sketch
+    is exact, so it must equal running the global (exact-degenerate)
+    sketch on each group's rows separately."""
+    from wwwision_importservice_spark.operators.features import heavy_hitters
+
+    rows = [("en", f"tok{i % 7}") for i in range(2100)]
+    rows += [("de", f"wort{i % 5}") for i in range(1500)]
+    df = spark.createDataFrame(rows, "lang string, tok string").repartition(4)
+
+    grouped = heavy_hitters(df, "tok", k=3, counters=64,
+                            group_cols=["lang"]).collect()
+    for lang in ("en", "de"):
+        solo = heavy_hitters(df.filter(F.col("lang") == lang), "tok",
+                             k=3, counters=64).collect()
+        got = {(r["tok"], r["est_count"], r["n_total"])
+               for r in grouped if r["lang"] == lang}
+        want = {(r["tok"], r["est_count"], r["n_total"]) for r in solo}
+        assert got == want, lang
+
+
 def test_heavy_hitters_rejects_bad_params(spark):
     from wwwision_importservice_spark.operators.features import heavy_hitters
 

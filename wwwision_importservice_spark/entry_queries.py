@@ -3842,6 +3842,60 @@ def x5_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(toks, "tok", k=25, counters=256)
 
 
+@_register(
+    "x5_heavy_hitters_by_source",
+    """
+SELECT source, tok, est_count, err_bound, n_total FROM (
+  SELECT c.source, c.tok, c.cnt AS est_count,
+         t.n_total // 257 AS err_bound, t.n_total,
+         row_number() OVER (PARTITION BY c.source
+                            ORDER BY c.cnt DESC, c.tok ASC) AS rn
+  FROM (
+    SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT source,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ) GROUP BY source, tok
+  ) c
+  JOIN (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_total
+    FROM (
+      SELECT source,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS t2
+      FROM documents
+    ) GROUP BY source
+  ) t ON t.source = c.source
+) WHERE rn <= 10
+""",
+    driver=False,
+)
+def x5_heavy_hitters_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5b — PER-GROUP Misra-Gries heads
+    (``operators/features.py:heavy_hitters(group_cols=...)``): top-10
+    tokens per document source, each source holding its own
+    ``counters``-bounded summary with its own
+    ``err_bound = n_source // (counters+1)``. The curation form —
+    per-domain/per-language token heads without a full per-group count
+    table ever shuffling. With ``counters=256`` above every source's
+    vocabulary the sketch is exact per group, so the oracle pins the
+    grouped summaries, per-group merge, per-group totals join, and the
+    rank-window top-k (WindowGroupLimit plan) under the value hash;
+    truncation behavior is pinned by the grouped unit differential
+    tests."""
+    from wwwision_importservice_spark.operators.features import heavy_hitters
+    from wwwision_importservice_spark.operators.text import corpus_tokens
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    toks = docs.select(
+        "source", F.explode(corpus_tokens(F.col("text"))).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", k=10, counters=256,
+                         group_cols=["source"])
+
+
 # --------------------------------------------------------------------------- #
 # G1: fixed-point PageRank (operators/graph.py) — iterative join+agg family
 # --------------------------------------------------------------------------- #

@@ -182,6 +182,7 @@ def heavy_hitters(
     item_col: str,
     k: int = 50,
     counters: int | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Approximate frequent items (Misra-Gries / mergeable-summaries
     form) — the third mergeable sketch next to HLL distinct counts and
@@ -214,55 +215,132 @@ def heavy_hitters(
     The final top-k pass moves ≤ partitions × counters summary rows —
     at 1000 executors × 8k counters that is megabytes, independent of
     corpus size.
+
+    ``group_cols`` switches to PER-GROUP heads (per-language /
+    per-domain token heads — the curation form): every group keeps its
+    own ``counters``-bounded summary and its own guarantee with
+    ``err_bound = floor(n_group / (counters + 1))``; the result is the
+    per-group top-``k`` via a ranking window (plans as
+    WindowGroupLimit: map tasks pre-limit before the shuffle).
+    Executor memory is counters × live-groups-per-partition — for
+    high-cardinality grouping keys, pre-partition the input by group so
+    each task sees few groups. Items are compared AS STRINGS (summaries
+    cast to string for a stable cross-type schema) in both forms.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     counters = int(counters) if counters is not None else 8 * k
     if counters < k:
         raise ValueError(f"counters ({counters}) must be >= k ({k})")
+    groups = list(group_cols or [])
 
     import pandas as pd
 
-    out_schema = f"`{item_col}` string, _cnt long, _pid int, _part_rows long"
+    gschema = "".join(f"`{g}` string, " for g in groups)
+    out_schema = f"{gschema}`{item_col}` string, _cnt long, _pid int, _part_rows long"
     cap = counters
+    levels = list(range(len(groups) + 1))
+
+    key_cols = groups + [item_col]
 
     def summarize(batches):
-        mg = pd.Series(dtype="int64")
-        n = 0
+        # mg: running summary DataFrame (group..., item, c); n: per-group
+        # row totals (Series over group tuples; a 1-entry scalar Series
+        # for the global form)
+        mg = pd.DataFrame(columns=key_cols + ["c"])
+        n_global = 0
+        n = pd.Series(dtype="int64")
         pid = None
         for pdf in batches:
             if pid is None and len(pdf):
                 pid = int(pdf["_pid"].iloc[0])
-            vc = pdf[item_col].dropna().astype(str).value_counts()
-            n += int(vc.sum())
-            mg = pd.concat([mg, vc]).groupby(level=0).sum()
+            pdf = pdf.dropna(subset=[item_col])
+            if not len(pdf):
+                continue
+            keyed = pdf[key_cols].astype(str)
+            vc = keyed.groupby(key_cols, sort=False).size().rename("c").reset_index()
+            if groups:
+                gn = keyed.groupby(groups, sort=False).size()
+                n = pd.concat([n, gn]).groupby(level=levels[:-1]).sum()
+            else:
+                n_global += len(keyed)
+            mg = (
+                pd.concat([mg, vc])
+                .groupby(key_cols, sort=False)["c"]
+                .sum()
+                .reset_index()
+            )
+            # the first concat with the empty seed frame yields object
+            # dtype; nlargest/arithmetic below need a real integer
+            mg["c"] = mg["c"].astype("int64")
+            # Misra-Gries decrement, vectorized across ALL overflowing
+            # groups at once: per-group threshold = the (cap+1)-th
+            # largest count (absent → group under cap, no decrement)
             if len(mg) > cap:
-                # Misra-Gries decrement: one subtraction bounded by
-                # n_batch/(cap+1) per overflow, vectorized
-                thresh = int(mg.nlargest(cap + 1).iloc[-1])
-                mg = mg[mg > thresh] - thresh
+                if groups:
+                    rank = mg.groupby(groups, sort=False)["c"].rank(
+                        method="first", ascending=False
+                    )
+                    th = mg.loc[rank == cap + 1, groups + ["c"]].rename(
+                        columns={"c": "_th"}
+                    )
+                    if len(th):
+                        mg = mg.merge(th, on=groups, how="left")
+                        mg["c"] -= mg["_th"].fillna(0).astype("int64")
+                        mg = mg.loc[mg["c"] > 0, key_cols + ["c"]]
+                else:
+                    thresh = int(mg["c"].nlargest(cap + 1).iloc[-1])
+                    mg = mg.loc[mg["c"] > thresh, key_cols + ["c"]]
+                    mg["c"] -= thresh
         if pid is None:
             return
-        yield pd.DataFrame(
-            {
-                item_col: mg.index.astype(str),
-                "_cnt": mg.values.astype("int64"),
-                "_pid": pid,
-                "_part_rows": n,
-            }
-        )
+        out = {c: mg[c].astype(str) for c in key_cols}
+        if groups:
+            part_rows = (
+                n.reindex(pd.MultiIndex.from_frame(mg[groups]))
+                if len(groups) > 1
+                else n.reindex(mg[groups[0]])
+            ).values.astype("int64")
+        else:
+            part_rows = n_global
+        out["_cnt"] = mg["c"].astype("int64").values
+        out["_pid"] = pid
+        out["_part_rows"] = part_rows
+        yield pd.DataFrame(out)
 
     summaries = (
-        df.select(F.col(item_col), F.spark_partition_id().alias("_pid"))
+        df.select(*groups, F.col(item_col), F.spark_partition_id().alias("_pid"))
         .mapInPandas(summarize, schema=out_schema)
     )
-    # one row per partition → N; tiny frame (≤ #partitions rows)
+    # one row per (partition, group) → per-group N; tiny frame
     totals = (
-        summaries.select("_pid", "_part_rows")
+        summaries.select(*groups, "_pid", "_part_rows")
+        .distinct()
+        .groupBy(*groups)
+        .agg(F.coalesce(F.sum("_part_rows"), F.lit(0)).alias("n_total"))
+        if groups
+        else summaries.select("_pid", "_part_rows")
         .distinct()
         .agg(F.coalesce(F.sum("_part_rows"), F.lit(0)).alias("n_total"))
     )
-    merged = summaries.groupBy(item_col).agg(F.sum("_cnt").alias("est_count"))
+    merged = summaries.groupBy(*groups, item_col).agg(
+        F.sum("_cnt").alias("est_count")
+    )
+    if groups:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*groups).orderBy(
+            F.col("est_count").desc(), F.col(item_col).asc()
+        )
+        return (
+            merged.join(totals, on=groups)
+            .withColumn(
+                "err_bound", F.expr(f"n_total DIV {counters + 1}").cast("long")
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(*groups, item_col, "est_count", "err_bound", "n_total")
+        )
     return (
         merged.crossJoin(F.broadcast(totals))
         .withColumn(
