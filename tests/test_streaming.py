@@ -1303,6 +1303,58 @@ def test_near_dup_gate_single_signature_pass_per_batch(spark, tmp_path, monkeypa
     assert all(b["secs"] > 0 for b in stats["batches"])
 
 
+def test_near_dup_gate_prunes_index_before_membership(spark, tmp_path, monkeypatch):
+    """Scale pin (streaming/neardup.py): per batch, the persisted index
+    is broadcast-semi-pruned to the batch's bucket keys ONCE and that
+    PRUNED frame backs the pair join and the id-membership checks — a
+    batch that touches none of a large index's buckets must hand the
+    pair join a (near-)empty index frame, never the full bucket table
+    (whose per-batch distinct would shuffle the whole corpus). Retry
+    suppression still works through the pruned set because a re-sent
+    id's identical text collides with its own indexed buckets."""
+    import wwwision_importservice_spark.streaming.neardup as nd
+
+    real = nd.incremental_pairs_from_buckets
+    seen: list = []
+
+    def spy(buckets, index, id_col, **kw):
+        seen.append(index.count())
+        return real(buckets, index, id_col, **kw)
+
+    monkeypatch.setattr(nd, "incremental_pairs_from_buckets", spy)
+
+    # 120 mutually-unique docs -> 480 index rows across disjoint buckets
+    b1 = spark.createDataFrame(
+        [(i, f"unique document number {i} " + " ".join(
+            f"w{i}x{j}" for j in range(12))) for i in range(120)],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(500, "completely fresh vocabulary nothing shared at all here")],
+        "doc_id long, text string",
+    )
+
+    admitted: list = []
+
+    def admit(df, batch_id):
+        admitted.extend(r["doc_id"] for r in df.collect())
+
+    gate = nd.near_dup_gate(str(tmp_path / "idx"), admit, n=3)
+    gate(b1, 0)
+    assert spark.read.parquet(str(tmp_path / "idx")).count() == 120 * 4
+    gate(b2, 1)
+    assert 500 in admitted
+    # batch 2's pair join saw the PRUNED index: none of the 480 stored
+    # rows share a bucket with the fresh-vocabulary doc
+    assert seen[1] == 0, seen
+    # retry of batch 2 after a fully-applied run: its own rows ARE in
+    # the pruned frame (self-collision), so nothing is re-admitted
+    before = len(admitted)
+    gate(b2, 1)
+    assert len(admitted) == before
+    assert seen[2] >= 4  # its 4 bucket rows surfaced through the prune
+
+
 def test_replace_dir_crash_window_recovers_index(spark, tmp_path):
     """fsutil.replace_dir / recover_dir: an interrupted compaction swap
     (crash between the dst->backup and src->dst renames) must NOT read

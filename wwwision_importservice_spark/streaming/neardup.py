@@ -95,10 +95,20 @@ def near_dup_gate(
     a whole-run blur.
 
     Plan shape (pinned in tests): ONE shingling/signature pass per
-    micro-batch. The batch's bucket rows are materialized with an
-    eager ``localCheckpoint`` and reused three times — the incremental
-    pair join, the survivor anti-joins, and the index append (a
-    semi-join on survivor ids, NOT a re-shingle of survivor text).
+    micro-batch, and ONE read of the persisted index. The batch's
+    bucket rows are materialized with an eager ``localCheckpoint`` and
+    reused three times — the incremental pair join, the survivor
+    anti-joins, and the index append (a semi-join on survivor ids, NOT
+    a re-shingle of survivor text). The index is broadcast-semi-pruned
+    to the batch's bucket keys ONCE, checkpointed, and that pruned
+    frame backs both the pair join and every id-membership check — the
+    per-batch work after the single pruning scan is ∝ touched-bucket
+    width, independent of corpus size (a full-index ``distinct`` per
+    batch would shuffle the whole corpus's bucket table every batch).
+    Membership-check precondition: ids are stable with immutable text
+    (content-hash ids satisfy this); a re-sent id with DIFFERENT text
+    whose new buckets miss all its old rows is treated as a new
+    document, not suppressed as already-admitted.
     Survivors are likewise checkpointed before ``admit`` so the
     admit-write and the index append don't each recompute the pair
     pipeline. ``localCheckpoint`` (executor-local, non-reliable) is
@@ -134,15 +144,35 @@ def near_dup_gate(
             index = spark.createDataFrame(
                 [], _INDEX_SCHEMA.format(id=id_col)
             )
+        # Prune the index ONCE to the buckets this batch touches, and
+        # reuse the pruned frame for the pair join AND every
+        # id-membership check below. Any indexed id relevant to this
+        # batch — a pair partner (shares a bucket with a batch doc by
+        # definition) or a retried half-applied batch id (identical
+        # text → identical bucket keys → collides with itself) — is in
+        # the pruned frame, so distinct-ing the FULL index per batch
+        # (a whole-index shuffle, the per-batch cost that grows with
+        # corpus size) buys nothing. The one remaining full-index READ
+        # is this scan: broadcast-semi, zero shuffle. Precondition
+        # (documented above): ids are stable with immutable text; a
+        # *mutated* re-send whose new text shares no bucket with its
+        # old rows would be re-admitted rather than suppressed.
+        touched_keys = F.broadcast(buckets.select("band", "sig").distinct())
+        idx_hit = (
+            index.select(id_col, "band", "sig")
+            .join(touched_keys, ["band", "sig"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
         pairs = incremental_pairs_from_buckets(
             buckets,
-            index,
+            idx_hit,
             id_col,
             max_bucket_size=max_bucket_size,
         )
-        # batch ids present in the index (should be none under exactly-
-        # once batches, but a retried half-applied batch re-sends ids)
-        indexed_ids = index.select(F.col(id_col)).distinct()
+        # batch-relevant ids present in the index (should be none under
+        # exactly-once batches, but a retried half-applied batch
+        # re-sends ids) — tiny: ∝ touched-bucket width, not corpus size
+        indexed_ids = idx_hit.select(F.col(id_col)).distinct()
         # drop: pairs with an indexed doc (either side) or with a
         # smaller-id batch doc
         dropped_vs_index = (
