@@ -3328,3 +3328,98 @@ def test_incremental_lsh_over_cap_bucket_is_superset_with_accounting(spark):
     # drop accounting saw the over-cap bucket (4 bands x 1 bucket, 5 ids)
     assert stats["lsh_buckets_dropped"] == 4
     assert stats["lsh_ids_in_dropped"] == 4 * 5
+
+
+def test_quantile_sketch_exact_degenerate(spark):
+    """features.py:quantile_sketch — with n_group <= k nothing
+    compacts: the sketch IS the data at level 0 and the query answers
+    the textbook lower discrete quantile exactly (the oracle mode)."""
+    from wwwision_importservice_spark.operators.features import (
+        quantile_sketch,
+        sketch_quantile_values,
+    )
+
+    rows = [("a", float(i)) for i in range(100)]
+    rows += [("b", 2.0 * i) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(4)
+    sk = quantile_sketch(df, "v", ["g"], k=256)
+    assert sk.filter("level != 0").count() == 0
+    out = {r["g"]: r for r in
+           sketch_quantile_values(sk, [0.5, 0.9, 1.0], ["g"]).collect()}
+    # smallest value whose 1-based rank >= ceil(q*n)
+    assert (out["a"]["q_0_5"], out["a"]["q_0_9"], out["a"]["q_1_0"]) == (
+        49.0, 89.0, 99.0)
+    assert out["a"]["n_rows"] == 100
+    assert (out["b"]["q_0_5"], out["b"]["q_1_0"]) == (48.0, 98.0)
+    assert out["b"]["n_rows"] == 50
+
+
+def test_quantile_sketch_compaction_bound_and_weight(spark):
+    """Under real compaction (n >> k): Σ 2^level preserves the exact
+    row count (the compactor invariant), the summary stays ~k·levels
+    rows, and every answered quantile's RANK error is inside the
+    deterministic n·ceil(log2(n/k))/k bound."""
+    import math
+
+    from wwwision_importservice_spark.operators.features import (
+        quantile_sketch,
+        sketch_quantile_values,
+    )
+
+    n, k = 20_000, 64
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(n)], "v double"
+    ).repartition(8)
+    sk = quantile_sketch(df, "v", k=k)
+    rows = sk.collect()
+    assert sum(1 << r["level"] for r in rows) == n
+    assert len(rows) <= k * (math.ceil(math.log2(n / k)) + 2)
+    res = sketch_quantile_values(sk, [0.01, 0.25, 0.5, 0.75, 0.99]).collect()[0]
+    bound = n * math.ceil(math.log2(n / k)) / k
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        v = res[f"q_{str(q).replace('.', '_')}"]
+        assert abs(v - q * n) <= bound, (q, v)
+    assert res["n_rows"] == n
+
+
+def test_quantile_sketch_merge_equals_union_guarantee(spark):
+    """Sketch two disjoint halves separately, merge the summaries:
+    n_rows is exact for the union and the merged answer carries the
+    same rank-error bound as sketching the union directly — the
+    persistable sketch-table property (write per-shard, merge later,
+    never rescan)."""
+    import math
+
+    from wwwision_importservice_spark.operators.features import (
+        merge_quantile_sketches,
+        quantile_sketch,
+        sketch_quantile_values,
+    )
+
+    n, k = 10_000, 64
+    df = spark.createDataFrame([(float(i),) for i in range(n)], "v double")
+    h1 = quantile_sketch(df.filter("v < 3000"), "v", k=k)
+    h2 = quantile_sketch(df.filter("v >= 3000"), "v", k=k)
+    merged = merge_quantile_sketches(h1.unionByName(h2), k=k)
+    res = sketch_quantile_values(merged, [0.5]).collect()[0]
+    assert res["n_rows"] == n
+    assert abs(res["q_0_5"] - 0.5 * n) <= n * math.ceil(math.log2(n / k)) / k
+
+
+def test_quantile_sketch_nulls_and_validation(spark):
+    from wwwision_importservice_spark.operators.features import (
+        quantile_sketch,
+        sketch_quantile_values,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,), (None,), (2.0,)], "v double"
+    )
+    sk = quantile_sketch(df, "v", k=8)
+    res = sketch_quantile_values(sk, [1.0]).collect()[0]
+    assert res["n_rows"] == 3  # nulls dropped from the count
+    assert res["q_1_0"] == 3.0
+    with pytest.raises(ValueError, match="even integer"):
+        quantile_sketch(df, "v", k=7)
+    with pytest.raises(ValueError, match="quantiles must be"):
+        sketch_quantile_values(sk, [0.0])

@@ -350,3 +350,236 @@ def heavy_hitters(
         .limit(k)
         .select(item_col, "est_count", "err_bound", "n_total")
     )
+
+
+# --------------------------------------------------------------------------- #
+# Persistable quantile sketches (deterministic MRL/KLL-style compactors)
+# --------------------------------------------------------------------------- #
+
+def _make_mrl_collapse():
+    """Factory for the deterministic compactor chain (the
+    Manku-Rajagopalan-Lindsay 1998 collapse rule in KLL's level-buffer
+    layout, Karnin/Lang/Liberty 2016 — public literature; no
+    randomness, so two engines and two runs agree bit-for-bit).
+    Returned as a NESTED function so cloudpickle ships it BY VALUE
+    into executor closures — a module-level reference would require
+    the package on every worker's import path (repo closure
+    convention; cf. ``packing.py:pack``).
+
+    Items at ``level`` L carry weight 2^L. Whenever a level holds ≥ k
+    items: sort, retain the last item if the count is odd, promote
+    every other item of the even body (offset = level parity — the
+    deterministic stand-in for KLL's coin flip) to L+1. One collapse
+    of a weight-w buffer moves any rank by ≤ w, so total rank error ≤
+    Σ_L w_L · collapses(L) ≤ n·ceil(log2(n/k))/k — the deterministic
+    bound the differential test pins. Total weight is EXACTLY
+    preserved (promoted items double, the odd leftover stays), so
+    Σ 2^level over the sketch equals the true row count."""
+
+    def collapse(values, levels, k: int):
+        import numpy as np
+
+        buf = {}
+        empty = np.empty(0, dtype="float64")
+        for lv in np.unique(levels):
+            buf[int(lv)] = values[levels == lv]
+        lv = 0
+        max_lv = max(buf, default=0)
+        while lv <= max_lv:
+            arr = buf.get(lv, empty)
+            if len(arr) >= k:
+                arr = np.sort(arr, kind="stable")
+                keep = len(arr) % 2
+                body = arr[: len(arr) - keep]
+                buf[lv] = arr[len(arr) - keep:]
+                buf[lv + 1] = np.concatenate(
+                    [buf.get(lv + 1, empty), body[(lv % 2)::2]]
+                )
+                max_lv = max(max_lv, lv + 1)
+            lv += 1
+        out_v = [a for a in (buf.get(L, empty) for L in sorted(buf)) if len(a)]
+        out_l = [
+            np.full(len(buf[L]), L, dtype="int32")
+            for L in sorted(buf)
+            if len(buf[L])
+        ]
+        if not out_v:
+            return empty, np.empty(0, dtype="int32")
+        return np.concatenate(out_v), np.concatenate(out_l)
+
+    return collapse
+
+
+#: driver-side handle (tests, driver-only callers)
+_mrl_collapse = _make_mrl_collapse()
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Build a PERSISTABLE, re-mergeable quantile summary — the fourth
+    mergeable sketch next to HLL distinct counts
+    (:func:`distinct_sketches`), Misra-Gries heads
+    (:func:`heavy_hitters`) and :func:`approx_quantiles`'s in-query
+    GK summary. Where ``percentile_approx`` answers ONE query over
+    data it must rescan, this emits the summary itself as rows —
+    ``(group..., level int, value double)``, each row standing for
+    2^level original rows — so per-shard/per-day sketches can be
+    written to parquet once and any union answered later by
+    :func:`merge_quantile_sketches` + :func:`sketch_quantile_values`
+    without touching the corpus again (the sketch-table pattern).
+
+    Two-stage plan: a narrow ``mapInPandas`` folds each partition into
+    a ≤ k·levels partial (no shuffle), then one ``applyInPandas``
+    collapse per group merges partials — the shuffle moves only
+    partitions × k·levels summary rows per group, never data rows.
+    With n_group ≤ k the sketch IS the data at level 0 (exact —
+    the oracle mode); compaction determinism and the rank-error bound
+    are documented at :func:`_mrl_collapse`. NULL values are dropped
+    (Σ 2^level counts non-null rows — exact, pinned by test).
+    """
+    if k < 2 or k % 2:
+        raise ValueError(f"k must be an even integer >= 2, got {k}")
+    groups = list(group_cols or [])
+
+    import numpy as np
+    import pandas as pd
+
+    gschema = "".join(f"`{g}` string, " for g in groups)
+    out_schema = f"{gschema}level int, value double"
+    # nested function: ships by value, workers need no package import
+    collapse = _make_mrl_collapse()
+
+    def partials(batches):
+        state: dict[tuple, list] = {}
+        for pdf in batches:
+            vals = pd.to_numeric(pdf[value_col], errors="raise")
+            mask = vals.notna()
+            if not mask.any():
+                continue
+            if groups:
+                keys = pdf.loc[mask, groups].astype(str)
+                vs = vals[mask].astype("float64")
+                for key, idx in keys.groupby(groups, sort=False).groups.items():
+                    kt = key if isinstance(key, tuple) else (key,)
+                    st = state.setdefault(kt, [empty_v(), empty_l()])
+                    st[0] = np.concatenate([st[0], vs.loc[idx].values])
+                    st[1] = np.concatenate(
+                        [st[1], np.zeros(len(idx), dtype="int32")]
+                    )
+                    if len(st[0]) >= 4 * k:
+                        st[0], st[1] = collapse(st[0], st[1], k)
+            else:
+                st = state.setdefault((), [empty_v(), empty_l()])
+                st[0] = np.concatenate(
+                    [st[0], vals[mask].astype("float64").values]
+                )
+                st[1] = np.concatenate(
+                    [st[1], np.zeros(int(mask.sum()), dtype="int32")]
+                )
+                if len(st[0]) >= 4 * k:
+                    st[0], st[1] = collapse(st[0], st[1], k)
+        for kt, (vs, ls) in state.items():
+            vs, ls = collapse(vs, ls, k)
+            out = {g: np.full(len(vs), kv) for g, kv in zip(groups, kt)}
+            out["level"] = ls
+            out["value"] = vs
+            yield pd.DataFrame(out)
+
+    def empty_v():
+        return np.empty(0, dtype="float64")
+
+    def empty_l():
+        return np.empty(0, dtype="int32")
+
+    part = df.select(*groups, F.col(value_col).cast("double").alias(value_col))
+    part = part.mapInPandas(partials, schema=out_schema)
+    return merge_quantile_sketches(part, group_cols=groups, k=k)
+
+
+def merge_quantile_sketches(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Fold a union of sketch frames (same schema, possibly many
+    appends of :func:`quantile_sketch` output read back from parquet)
+    into one ≤ k·levels summary per group: concatenate level buffers,
+    re-run the deterministic collapse. Mergeability is by
+    construction — the compactor never cares where a level's items
+    came from. One ``applyInPandas`` shuffle of summary rows only."""
+    if k < 2 or k % 2:
+        raise ValueError(f"k must be an even integer >= 2, got {k}")
+    groups = list(group_cols or [])
+
+    import pandas as pd
+
+    gschema = "".join(f"`{g}` string, " for g in groups)
+    out_schema = f"{gschema}level int, value double"
+
+    collapse = _make_mrl_collapse()
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        vs, ls = collapse(
+            pdf["value"].values.astype("float64"),
+            pdf["level"].values.astype("int32"),
+            k,
+        )
+        out = {
+            g: pdf[g].iloc[:1].repeat(len(vs)).reset_index(drop=True)
+            for g in groups
+        }
+        out["level"] = ls
+        out["value"] = vs
+        return pd.DataFrame(out)
+
+    grouped = sketches.groupBy(*groups) if groups else sketches.groupBy()
+    return grouped.applyInPandas(fold, schema=out_schema)
+
+
+def sketch_quantile_values(
+    sketches: DataFrame,
+    quantiles: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Answer quantile queries from a sketch frame — PURE Spark SQL, no
+    Python: weighted rank over the (level, value) rows where a row
+    counts 2^level originals. Returns per group the smallest value
+    whose cumulative weight reaches ceil(q·W) as ``q_<q>`` columns,
+    plus ``n_rows`` = Σ 2^level (EXACTLY the non-null input count, a
+    preserved invariant of the compactor). On an uncompacted (exact-
+    degenerate) sketch this is the textbook lower discrete quantile,
+    which is what the SQL oracle states over the raw table."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    for q in quantiles:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    w_expr = F.expr("shiftleft(CAST(1 AS BIGINT), level)")
+    cum_w = Window.partitionBy(*groups).orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_w = Window.partitionBy(*groups)
+    sk = (
+        sketches.withColumn("__w", w_expr)
+        .withColumn("__cw", F.sum("__w").over(cum_w))
+        .withColumn("__W", F.sum("__w").over(tot_w))
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cw")
+                >= F.ceil(F.lit(float(q)) * F.col("__W")).cast("long"),
+                F.col("value"),
+            )
+        ).alias(f"q_{str(q).replace('.', '_')}")
+        for q in quantiles
+    ]
+    aggs.append(F.max("__W").alias("n_rows"))
+    if groups:
+        return sk.groupBy(*groups).agg(*aggs)
+    return sk.agg(*aggs)
