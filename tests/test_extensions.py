@@ -3423,3 +3423,73 @@ def test_quantile_sketch_nulls_and_validation(spark):
         quantile_sketch(df, "v", k=7)
     with pytest.raises(ValueError, match="quantiles must be"):
         sketch_quantile_values(sk, [0.0])
+
+
+def test_heavy_hitter_summary_exact_merge(spark):
+    """features.py:heavy_hitter_summary — the persistable MG form:
+    per-shard summaries written separately then merged must (in the
+    exact-degenerate mode, counters above every vocab) reproduce the
+    exact per-group counts and exact per-group N of the concatenated
+    input, and top-k from the merged summary matches
+    :func:`heavy_hitters`' output shape."""
+    from collections import Counter
+
+    from wwwision_importservice_spark.operators.features import (
+        heavy_hitter_summary,
+        heavy_hitter_top_k,
+        merge_heavy_hitter_summaries,
+    )
+
+    rows1 = [("en", f"tok{i % 7}") for i in range(1400)]
+    rows2 = [("en", f"tok{i % 7}") for i in range(700)]
+    rows2 += [("de", f"w{i % 3}") for i in range(300)]
+    df1 = spark.createDataFrame(rows1, "lang string, tok string").repartition(4)
+    df2 = spark.createDataFrame(rows2, "lang string, tok string").repartition(4)
+
+    s1 = heavy_hitter_summary(df1, "tok", ["lang"], counters=64)
+    s2 = heavy_hitter_summary(df2, "tok", ["lang"], counters=64)
+    merged = merge_heavy_hitter_summaries([s1, s2], "tok", ["lang"],
+                                          counters=64)
+    exact = Counter((l, t) for l, t in rows1 + rows2)
+    out = merged.collect()
+    assert {(r["lang"], r["tok"]): r["c"] for r in out} == dict(exact)
+    assert {r["n"] for r in out if r["lang"] == "en"} == {2100}
+    assert {r["n"] for r in out if r["lang"] == "de"} == {300}
+    tk = heavy_hitter_top_k(merged, "tok", 2, ["lang"], counters=64)
+    assert tk.columns == ["lang", "tok", "est_count", "err_bound", "n_total"]
+    assert tk.count() == 4  # 2 per language
+
+
+def test_heavy_hitter_summary_recap_bound_after_merge(spark):
+    """Under real truncation: every summary (and every merge of
+    summaries) stays <= counters rows, and the Agarwal-et-al. merged
+    guarantee c <= true <= c + N_total // (counters+1) holds over the
+    concatenated stream, with the well-separated heads surviving."""
+    from collections import Counter
+
+    from wwwision_importservice_spark.operators.features import (
+        heavy_hitter_summary,
+        heavy_hitter_top_k,
+        merge_heavy_hitter_summaries,
+    )
+
+    heads = {f"h{i}": 500 - 60 * i for i in range(5)}
+    ra = [(t,) for t, c in heads.items() for _ in range(c)]
+    ra += [(f"ta{i}",) for i in range(2000)]
+    rb = [(t,) for t, c in heads.items() for _ in range(c)]
+    rb += [(f"tb{i}",) for i in range(2000)]
+    da = spark.createDataFrame(ra, "item string").repartition(4)
+    db = spark.createDataFrame(rb, "item string").repartition(4)
+    sa = heavy_hitter_summary(da, "item", counters=32)
+    sb = heavy_hitter_summary(db, "item", counters=32)
+    assert sa.count() <= 32 and sb.count() <= 32
+    merged = merge_heavy_hitter_summaries([sa, sb], "item", counters=32)
+    assert merged.count() <= 32
+    n_tot = len(ra) + len(rb)
+    err = n_tot // 33
+    true = Counter(t for (t,) in ra + rb)
+    for r in merged.collect():
+        assert r["n"] == n_tot
+        assert r["c"] <= true[r["item"]] <= r["c"] + err, r
+    tk = heavy_hitter_top_k(merged, "item", 10, counters=32).collect()
+    assert set(heads) <= {r["item"] for r in tk}

@@ -234,13 +234,65 @@ def heavy_hitters(
         raise ValueError(f"counters ({counters}) must be >= k ({k})")
     groups = list(group_cols or [])
 
+    summaries = _mg_partition_summaries(df, item_col, groups, counters)
+    # one row per (partition, group) → per-group N; tiny frame
+    totals = (
+        summaries.select(*groups, "_pid", "_part_rows")
+        .distinct()
+        .groupBy(*groups)
+        .agg(F.coalesce(F.sum("_part_rows"), F.lit(0)).alias("n_total"))
+        if groups
+        else summaries.select("_pid", "_part_rows")
+        .distinct()
+        .agg(F.coalesce(F.sum("_part_rows"), F.lit(0)).alias("n_total"))
+    )
+    merged = summaries.groupBy(*groups, item_col).agg(
+        F.sum("_cnt").alias("est_count")
+    )
+    if groups:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*groups).orderBy(
+            F.col("est_count").desc(), F.col(item_col).asc()
+        )
+        return (
+            merged.join(totals, on=groups)
+            .withColumn(
+                "err_bound", F.expr(f"n_total DIV {counters + 1}").cast("long")
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(*groups, item_col, "est_count", "err_bound", "n_total")
+        )
+    return (
+        merged.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "err_bound", F.expr(f"n_total DIV {counters + 1}").cast("long")
+        )
+        .orderBy(F.col("est_count").desc(), F.col(item_col).asc())
+        .limit(k)
+        .select(item_col, "est_count", "err_bound", "n_total")
+    )
+
+
+def _mg_partition_summaries(
+    df: DataFrame, item_col: str, groups: list[str], cap: int
+) -> DataFrame:
+    """Stage 1 of every Misra-Gries path: fold each partition into a
+    ≤ cap-per-group counter summary via ``mapInPandas`` (narrow, no
+    shuffle). Output rows ``(group..., item, _cnt, _pid, _part_rows)``
+    where ``_part_rows`` is the partition's per-group non-null row
+    count (constant per (partition, group) — summed over distinct
+    ``_pid`` downstream to recover exact N). Shared by
+    :func:`heavy_hitters` (top-k form) and
+    :func:`heavy_hitter_summary` (persistable form)."""
     import pandas as pd
 
     gschema = "".join(f"`{g}` string, " for g in groups)
-    out_schema = f"{gschema}`{item_col}` string, _cnt long, _pid int, _part_rows long"
-    cap = counters
+    out_schema = (
+        f"{gschema}`{item_col}` string, _cnt long, _pid int, _part_rows long"
+    )
     levels = list(range(len(groups) + 1))
-
     key_cols = groups + [item_col]
 
     def summarize(batches):
@@ -308,48 +360,9 @@ def heavy_hitters(
         out["_part_rows"] = part_rows
         yield pd.DataFrame(out)
 
-    summaries = (
-        df.select(*groups, F.col(item_col), F.spark_partition_id().alias("_pid"))
-        .mapInPandas(summarize, schema=out_schema)
-    )
-    # one row per (partition, group) → per-group N; tiny frame
-    totals = (
-        summaries.select(*groups, "_pid", "_part_rows")
-        .distinct()
-        .groupBy(*groups)
-        .agg(F.coalesce(F.sum("_part_rows"), F.lit(0)).alias("n_total"))
-        if groups
-        else summaries.select("_pid", "_part_rows")
-        .distinct()
-        .agg(F.coalesce(F.sum("_part_rows"), F.lit(0)).alias("n_total"))
-    )
-    merged = summaries.groupBy(*groups, item_col).agg(
-        F.sum("_cnt").alias("est_count")
-    )
-    if groups:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*groups).orderBy(
-            F.col("est_count").desc(), F.col(item_col).asc()
-        )
-        return (
-            merged.join(totals, on=groups)
-            .withColumn(
-                "err_bound", F.expr(f"n_total DIV {counters + 1}").cast("long")
-            )
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .select(*groups, item_col, "est_count", "err_bound", "n_total")
-        )
-    return (
-        merged.crossJoin(F.broadcast(totals))
-        .withColumn(
-            "err_bound", F.expr(f"n_total DIV {counters + 1}").cast("long")
-        )
-        .orderBy(F.col("est_count").desc(), F.col(item_col).asc())
-        .limit(k)
-        .select(item_col, "est_count", "err_bound", "n_total")
-    )
+    return df.select(
+        *groups, F.col(item_col), F.spark_partition_id().alias("_pid")
+    ).mapInPandas(summarize, schema=out_schema)
 
 
 # --------------------------------------------------------------------------- #
@@ -583,3 +596,151 @@ def sketch_quantile_values(
     if groups:
         return sk.groupBy(*groups).agg(*aggs)
     return sk.agg(*aggs)
+
+
+# --------------------------------------------------------------------------- #
+# Persistable Misra-Gries summaries (the heavy-hitter sketch-table form)
+# --------------------------------------------------------------------------- #
+
+def _make_mg_fold(groups: list[str], item_col: str, cap: int):
+    """Factory for the per-group MG fold used by the persistable
+    summary path (ships by value — repo closure convention): sum
+    counts per item, recover exact N from the per-source totals, and
+    re-cap to ``cap`` counters with the Misra-Gries decrement. The
+    mergeable-summaries result (Agarwal, Cormode, Huang, Phillips,
+    Wei, Yi 2012) is what makes the re-cap sound: merging MG
+    summaries by count-sum then decrementing back to ``cap`` counters
+    summarizes the CONCATENATED stream with the same one-sided
+    guarantee, err ≤ N_total // (cap + 1)."""
+
+    def fold(pdf):
+        import pandas as pd
+
+        c = (
+            pdf.groupby(item_col, sort=False)["c"]
+            .sum()
+            .astype("int64")
+            .reset_index()
+        )
+        # exact N: each source summary stamps a constant n per
+        # (group, __src); sum one value per source
+        n = int(pdf.drop_duplicates("__src")["n"].sum())
+        if len(c) > cap:
+            thresh = int(c["c"].nlargest(cap + 1).iloc[-1])
+            c = c.loc[c["c"] > thresh].copy()
+            c["c"] -= thresh
+        out = {g: pdf[g].iloc[:1].repeat(len(c)).reset_index(drop=True)
+               for g in groups}
+        out[item_col] = c[item_col].reset_index(drop=True)
+        out["c"] = c["c"].reset_index(drop=True)
+        out["n"] = n
+        return pd.DataFrame(out)
+
+    return fold
+
+
+def heavy_hitter_summary(
+    df: DataFrame,
+    item_col: str,
+    group_cols: list[str] | None = None,
+    counters: int = 512,
+) -> DataFrame:
+    """PERSISTABLE Misra-Gries summary — the sketch-table form of
+    :func:`heavy_hitters`: instead of answering top-k in-query, emit
+    the bounded summary itself as rows ``(group..., item, c, n)``
+    (≤ ``counters`` items per group, ``n`` = the group's exact
+    non-null row count), so per-shard/per-day summaries persist to
+    parquet once and any union's heads are answered later by
+    :func:`merge_heavy_hitter_summaries` + :func:`heavy_hitter_top_k`
+    without rescanning the corpus. Guarantee per summary:
+    ``c ≤ true ≤ c + n // (counters+1)`` (items absent from the
+    summary have ``c = 0`` side implied).
+
+    Plan: the shared narrow partition stage
+    (:func:`_mg_partition_summaries`) then ONE ``applyInPandas``
+    fold per group — only ≤ partitions × counters summary rows
+    shuffle. With ``counters`` above the group's vocabulary nothing
+    is ever decremented and the summary is EXACT (the oracle mode)."""
+    if counters < 1:
+        raise ValueError(f"counters must be >= 1, got {counters}")
+    groups = list(group_cols or [])
+    parts = _mg_partition_summaries(df, item_col, groups, counters)
+    tagged = parts.select(
+        *groups,
+        item_col,
+        F.col("_cnt").alias("c"),
+        F.col("_part_rows").alias("n"),
+        F.col("_pid").cast("string").alias("__src"),
+    )
+    gschema = "".join(f"`{g}` string, " for g in groups)
+    out_schema = f"{gschema}`{item_col}` string, c long, n long"
+    fold = _make_mg_fold(groups, item_col, counters)
+    grouped = tagged.groupBy(*groups) if groups else tagged.groupBy()
+    return grouped.applyInPandas(fold, schema=out_schema)
+
+
+def merge_heavy_hitter_summaries(
+    summaries: list[DataFrame],
+    item_col: str,
+    group_cols: list[str] | None = None,
+    counters: int = 512,
+) -> DataFrame:
+    """Fold several persisted summary frames (same schema and the SAME
+    ``counters`` — the bound below assumes it) into one: per group,
+    sum counts per item, add the frames' exact ``n``, re-cap. Output
+    schema equals the input schema, so merging is associative and
+    chainable — exactly the property that lets a store fold appends
+    batch by batch. Guarantee after any merge tree:
+    ``c ≤ true ≤ c + n // (counters+1)`` over the concatenated input
+    (Agarwal et al. 2012)."""
+    if not summaries:
+        raise ValueError("merge_heavy_hitter_summaries: no inputs")
+    groups = list(group_cols or [])
+    tagged = None
+    for i, s in enumerate(summaries):
+        t = s.select(
+            *groups, item_col, "c", "n", F.lit(str(i)).alias("__src")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    gschema = "".join(f"`{g}` string, " for g in groups)
+    out_schema = f"{gschema}`{item_col}` string, c long, n long"
+    fold = _make_mg_fold(groups, item_col, counters)
+    grouped = tagged.groupBy(*groups) if groups else tagged.groupBy()
+    return grouped.applyInPandas(fold, schema=out_schema)
+
+
+def heavy_hitter_top_k(
+    summary: DataFrame,
+    item_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    counters: int = 512,
+) -> DataFrame:
+    """Answer top-k from a persisted/merged summary — pure Spark SQL
+    (rank window, plans as WindowGroupLimit), emitting the same
+    ``(group..., item, est_count, err_bound, n_total)`` shape as
+    :func:`heavy_hitters` so the two are drop-in interchangeable.
+    ``counters`` must match the summaries' build parameter — it only
+    feeds ``err_bound = n // (counters+1)``, never the ranking."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    base = summary.select(
+        *groups,
+        item_col,
+        F.col("c").alias("est_count"),
+        F.expr(f"n DIV {counters + 1}").cast("long").alias("err_bound"),
+        F.col("n").alias("n_total"),
+    )
+    if groups:
+        w = Window.partitionBy(*groups).orderBy(
+            F.col("est_count").desc(), F.col(item_col).asc()
+        )
+        return (
+            base.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    return base.orderBy(
+        F.col("est_count").desc(), F.col(item_col).asc()
+    ).limit(k)
