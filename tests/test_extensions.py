@@ -3493,3 +3493,111 @@ def test_heavy_hitter_summary_recap_bound_after_merge(spark):
         assert r["c"] <= true[r["item"]] <= r["c"] + err, r
     tk = heavy_hitter_top_k(merged, "item", 10, counters=32).collect()
     assert set(heads) <= {r["item"] for r in tk}
+
+
+def _store_spec():
+    from wwwision_importservice_spark.operators.sketchstore import (
+        SketchStoreSpec,
+    )
+
+    return SketchStoreSpec(
+        group_cols=("src",), item_col="tok", value_col="ln",
+        distinct_col="tok", counters=64, k=64, lg_k=12,
+    )
+
+
+def test_sketch_store_append_merge_compact(spark, tmp_path):
+    """operators/sketchstore.py — the log-structured corpus-statistics
+    lifecycle: two appended batches fold to exact heads (exact-
+    degenerate counters), exact quantile N with correct max, and an
+    HLL estimate; compaction shrinks each family to ONE file while
+    leaving every answer unchanged; appends after compaction keep
+    folding."""
+    from collections import Counter
+
+    from wwwision_importservice_spark.fsutil import list_data_files
+    from wwwision_importservice_spark.operators.features import (
+        heavy_hitter_top_k,
+        sketch_quantile_values,
+    )
+    from wwwision_importservice_spark.operators.sketchstore import (
+        append_batch,
+        compact_store,
+        merged_distincts,
+        merged_heads,
+        merged_quantiles,
+    )
+
+    spec = _store_spec()
+    store = str(tmp_path / "stats")
+    rows1 = [("a", f"t{i % 5}", float(i % 50)) for i in range(500)]
+    rows2 = [("a", f"t{i % 5}", float(50 + i % 50)) for i in range(300)]
+    rows2 += [("b", f"u{i % 3}", float(i % 20)) for i in range(200)]
+    schema = "src string, tok string, ln double"
+    append_batch(spark.createDataFrame(rows1, schema).repartition(4),
+                 store, 0, spec)
+    append_batch(spark.createDataFrame(rows2, schema).repartition(4),
+                 store, 1, spec)
+
+    exact = Counter((s, t) for s, t, _ in rows1 + rows2)
+    heads = merged_heads(spark, store, spec).collect()
+    assert {(r["src"], r["tok"]): r["c"] for r in heads} == dict(exact)
+    qq = {r["src"]: r for r in sketch_quantile_values(
+        merged_quantiles(spark, store, spec), [0.5, 1.0], ["src"]).collect()}
+    assert qq["a"]["n_rows"] == 800 and qq["b"]["n_rows"] == 200
+    assert qq["b"]["q_1_0"] == 19.0
+    dd = {r["src"]: r for r in merged_distincts(spark, store, spec).select(
+        "src", F.hll_sketch_estimate("sketch").alias("est"), "n_rows"
+    ).collect()}
+    assert dd["a"]["n_rows"] == 800 and abs(dd["a"]["est"] - 5) < 1
+
+    compact_store(spark, store, spec)
+    for kind in ("heads", "quantiles", "distincts"):
+        assert len(list_data_files(spark, f"{store}/{kind}")) == 1, kind
+    # answers unchanged by compaction (merge associativity)
+    assert {(r["src"], r["tok"]): r["c"]
+            for r in merged_heads(spark, store, spec).collect()} == dict(exact)
+    qq2 = {r["src"]: r for r in sketch_quantile_values(
+        merged_quantiles(spark, store, spec), [1.0], ["src"]).collect()}
+    assert qq2["b"]["q_1_0"] == 19.0 and qq2["a"]["n_rows"] == 800
+
+    # appends after compaction fold with the compacted slice
+    append_batch(
+        spark.createDataFrame([("b", "u9", 99.0)] * 10, schema), store, 2, spec
+    )
+    h3 = {(r["src"], r["tok"]): r["c"]
+          for r in merged_heads(spark, store, spec).collect()}
+    assert h3[("b", "u9")] == 10 and h3[("a", "t0")] == exact[("a", "t0")]
+    qq3 = {r["src"]: r for r in sketch_quantile_values(
+        merged_quantiles(spark, store, spec), [1.0], ["src"]).collect()}
+    assert qq3["b"]["n_rows"] == 210 and qq3["b"]["q_1_0"] == 99.0
+    tk = heavy_hitter_top_k(merged_heads(spark, store, spec), "tok", 2,
+                            ["src"], counters=64)
+    assert tk.count() == 4
+
+
+def test_sketch_store_interrupted_compaction_recovers(spark, tmp_path):
+    """A crash between replace_dir's two renames leaves a family under
+    its backup name; the next reader must restore it (recover_dir) and
+    answer as if the compaction had completed — never 'store empty'."""
+    from wwwision_importservice_spark.fsutil import _backup_path, _fs_and_path
+    from wwwision_importservice_spark.operators.sketchstore import (
+        append_batch,
+        compact_store,
+        merged_heads,
+    )
+
+    spec = _store_spec()
+    store = str(tmp_path / "stats")
+    schema = "src string, tok string, ln double"
+    append_batch(spark.createDataFrame(
+        [("a", "t1", 1.0)] * 7 + [("a", "t2", 2.0)] * 3, schema
+    ), store, 0, spec)
+    compact_store(spark, store, spec)
+    # simulate the crash window: heads/ renamed to backup, new dir gone
+    heads_dir = f"{store}/heads"
+    fs, src = _fs_and_path(spark, heads_dir)
+    _, bak = _fs_and_path(spark, _backup_path(heads_dir))
+    assert fs.rename(src, bak)
+    out = {r["tok"]: r["c"] for r in merged_heads(spark, store, spec).collect()}
+    assert out == {"t1": 7, "t2": 3}

@@ -53,6 +53,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x9_sketch_store",  # NEW r7
     "g1_pagerank",  # NEW r7
     "ts_gapfill_locf",  # NEW r7
     "x2_incremental_lsh_compact",  # NEW r7
@@ -445,6 +446,11 @@ def j6_id_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 SELECT change_type, count(*) AS n FROM ({_cdc_sql(with_hidden=False)}) GROUP BY change_type
 """,
+    # demoted to the pytest tier in round 7 (driver-green r01-r06) to hold
+    # the 50-slot budget for x9_sketch_store: these counts are a GROUP BY
+    # rollup of j4_changeset, which stays driver-checked under the same
+    # oracle, so driver-side value coverage of the ChangeSet is unchanged.
+    driver=False,
 )
 def a1_changeset_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — per-change-type cardinality (progress/reporting counts)."""
@@ -3894,6 +3900,119 @@ def x5_heavy_hitters_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return heavy_hitters(toks, "tok", k=10, counters=256,
                          group_cols=["source"])
+
+
+@_register(
+    "x9_sketch_store",
+    # the oracle states the store's ANSWERS declaratively over the raw
+    # table: per source the lower discrete length quantiles (smallest
+    # value whose rank reaches ceil(q*n) — the sketch's exact-degenerate
+    # semantics), the doc count, and the top token by (count desc, tok).
+    """
+SELECT q.source, q.p50_len, q.p90_len, q.max_len, q.n_docs,
+       h.top_tok, h.top_tok_c
+FROM (
+  SELECT source,
+         CAST(min(CASE WHEN rk >= ceiling(0.5 * n) THEN len END) AS BIGINT)
+           AS p50_len,
+         CAST(min(CASE WHEN rk >= ceiling(0.9 * n) THEN len END) AS BIGINT)
+           AS p90_len,
+         CAST(max(len) AS BIGINT) AS max_len,
+         CAST(max(n) AS BIGINT) AS n_docs
+  FROM (
+    SELECT source, CAST(length(text) AS DOUBLE) AS len,
+           row_number() OVER (PARTITION BY source ORDER BY length(text)) AS rk,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM documents
+  ) GROUP BY source
+) q JOIN (
+  SELECT source, tok AS top_tok, cnt AS top_tok_c FROM (
+    SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY count(*) DESC, tok ASC) AS rn
+    FROM (
+      SELECT source,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ) GROUP BY source, tok
+  ) WHERE rn = 1
+) h ON h.source = q.source
+""",
+)
+def x9_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 — the log-structured corpus-statistics store end to end
+    (``operators/sketchstore.py``): the corpus arrives as TWO ingest
+    batches (doc_id parity); each batch appends its bounded summaries
+    once — per-source Misra-Gries token heads and MRL length
+    sketches, kilobytes per (source, batch) — the append log is folded
+    by ``compact_store`` (crash-safe ``replace_dir`` swap, one fileset
+    per family), and the questions are answered from the COMPACTED
+    summaries read back from disk, never from the corpus: per source
+    the p50/p90/max text length, the exact doc count (Σ 2^level, a
+    compactor invariant), and the top token with its count.
+
+    With ``counters``/``k`` above every source's vocabulary/row count
+    the sketches are exact (documented degenerate mode), so the driver
+    hash pins the full write → append → compact → read-back → merge →
+    query lifecycle against the declarative SQL. Truncation behavior
+    is pinned by the unit bound tests. Scale shape: ingest cost ∝
+    batch (one narrow pass per family), question cost ∝ summaries
+    (kilobytes), compaction keeps read cost flat over any number of
+    batches — corpus accounting without recounting the corpus."""
+    import tempfile
+
+    from wwwision_importservice_spark.operators.features import (
+        heavy_hitter_top_k,
+        sketch_quantile_values,
+    )
+    from wwwision_importservice_spark.operators.sketchstore import (
+        SketchStoreSpec,
+        append_batch,
+        compact_store,
+        merged_heads,
+        merged_quantiles,
+    )
+    from wwwision_importservice_spark.operators.text import corpus_tokens
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    store = tempfile.mkdtemp(prefix="x9_sketch_store_") + "/stats"
+    heads_spec = SketchStoreSpec(
+        group_cols=("source",), item_col="tok", counters=256
+    )
+    quant_spec = SketchStoreSpec(
+        group_cols=("source",), value_col="len", k=256
+    )
+    both = SketchStoreSpec(
+        group_cols=("source",), item_col="tok", value_col="len",
+        counters=256, k=256,
+    )
+    for batch_id, residue in ((0, 0), (1, 1)):
+        batch = docs.filter(F.col("doc_id") % 2 == residue)
+        toks = batch.select(
+            "source", F.explode(corpus_tokens(F.col("text"))).alias("tok")
+        )
+        lens = batch.select(
+            "source", F.length("text").cast("double").alias("len")
+        )
+        append_batch(toks, store, batch_id, heads_spec)
+        append_batch(lens, store, batch_id, quant_spec)
+    compact_store(spark, store, both)
+    q = sketch_quantile_values(
+        merged_quantiles(spark, store, both), [0.5, 0.9, 1.0], ["source"]
+    )
+    h = heavy_hitter_top_k(
+        merged_heads(spark, store, both), "tok", 1, ["source"], counters=256
+    )
+    return q.join(h, "source").select(
+        "source",
+        F.col("q_0_5").cast("long").alias("p50_len"),
+        F.col("q_0_9").cast("long").alias("p90_len"),
+        F.col("q_1_0").cast("long").alias("max_len"),
+        F.col("n_rows").alias("n_docs"),
+        F.col("tok").alias("top_tok"),
+        F.col("est_count").alias("top_tok_c"),
+    )
 
 
 # --------------------------------------------------------------------------- #

@@ -1,0 +1,209 @@
+"""Log-structured corpus-statistics store: the three persistable
+sketch families (HLL distinct counts, Misra-Gries heads, MRL/KLL
+quantiles — ``operators/features.py``) behind one append → merge-on-
+read → compact lifecycle, mirroring the LSH index's posture
+(``streaming/neardup.py`` / ``dedup.py:compact_index``).
+
+The operational problem this solves at 100 TB: corpus accounting
+(per-source token heads, length quantiles, distinct-id cardinality)
+is recomputed from scratch every time someone asks, because the
+aggregates aren't kept in a re-mergeable form. Here each ingest batch
+appends its bounded summaries ONCE (cost ∝ batch, never corpus), any
+later question is answered by folding the appended summaries (cost ∝
+appends × summary size — kilobytes per batch, never data rows), and a
+periodic compaction folds the log back to one summary per group so
+read cost stays flat no matter how many batches have landed.
+
+No reference counterpart (the PHP reference keeps no statistics at
+all); the closest public analogues are the sketch-table patterns in
+Apache DataSketches' Hive/Druid integrations.
+
+Layout under ``store_dir`` (all plain parquet, all batch_id-stamped):
+
+- ``heads/``     — MG rows ``(group..., item, c, n, batch_id)``
+- ``quantiles/`` — MRL rows ``(group..., level, value, batch_id)``
+- ``distincts/`` — HLL rows ``(group..., sketch, n_rows, batch_id)``
+
+Crash-safety: appends are plain parquet appends (atomic at the task
+level, idempotence is the caller's batch semantics); compaction goes
+through :func:`fsutil.replace_dir`'s backup-swap, and readers call
+:func:`fsutil.recover_dir` first, so an interrupted compaction is
+never mistaken for an empty store.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wwwision_importservice_spark.fsutil import (
+    path_exists,
+    recover_dir,
+    replace_dir,
+)
+
+_KINDS = ("heads", "quantiles", "distincts")
+
+
+@dataclass(frozen=True)
+class SketchStoreSpec:
+    """What to summarize per batch. ``group_cols`` applies to all
+    three families; a family is skipped when its column is None.
+    ``counters``/``k``/``lg_k`` are bound at store creation and must
+    stay fixed across the store's life — the merge guarantees assume
+    one cap (documented at the merge functions)."""
+
+    group_cols: tuple[str, ...] = ()
+    item_col: str | None = None     # MG heads over this column
+    value_col: str | None = None    # MRL quantiles over this column
+    distinct_col: str | None = None  # HLL cardinality of this column
+    counters: int = 512
+    k: int = 256
+    lg_k: int = 12
+
+
+def append_batch(
+    df: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    spec: SketchStoreSpec,
+) -> None:
+    """Summarize ONE ingest batch and append the summaries. Each
+    family is a bounded frame (≤ counters items, ≤ k·levels values,
+    one binary sketch per group), so the write is kilobytes per
+    (group, batch) — the corpus-sized input is scanned once, narrow,
+    and never again."""
+    from wwwision_importservice_spark.operators.features import (
+        distinct_sketches,
+        heavy_hitter_summary,
+        quantile_sketch,
+    )
+
+    groups = list(spec.group_cols)
+    stamp = F.lit(int(batch_id)).cast("long")
+    if spec.item_col is not None:
+        (
+            heavy_hitter_summary(df, spec.item_col, groups, spec.counters)
+            .withColumn("batch_id", stamp)
+            .write.mode("append")
+            .parquet(f"{store_dir}/heads")
+        )
+    if spec.value_col is not None:
+        (
+            quantile_sketch(df, spec.value_col, groups, spec.k)
+            .withColumn("batch_id", stamp)
+            .write.mode("append")
+            .parquet(f"{store_dir}/quantiles")
+        )
+    if spec.distinct_col is not None:
+        (
+            distinct_sketches(df, groups, spec.distinct_col, spec.lg_k)
+            .withColumn("batch_id", stamp)
+            .write.mode("append")
+            .parquet(f"{store_dir}/distincts")
+        )
+
+
+def _read_kind(spark: SparkSession, store_dir: str, kind: str) -> DataFrame | None:
+    path = f"{store_dir}/{kind}"
+    recover_dir(spark, path)
+    if not path_exists(spark, path):
+        return None
+    return spark.read.parquet(path)
+
+
+def merged_heads(
+    spark: SparkSession, store_dir: str, spec: SketchStoreSpec
+) -> DataFrame | None:
+    """All appended MG summaries folded to one ≤ counters-row summary
+    per group. Each (group, batch_id) slice is one valid summary with
+    its own exact ``n``; the fold is the Agarwal-et-al. re-cap merge,
+    keyed by ``batch_id`` as the provenance tag, so the result
+    summarizes the concatenation of every appended batch with
+    err ≤ N_total // (counters+1)."""
+    from wwwision_importservice_spark.operators.features import _make_mg_fold
+
+    raw = _read_kind(spark, store_dir, "heads")
+    if raw is None:
+        return None
+    groups = list(spec.group_cols)
+    item = spec.item_col
+    tagged = raw.select(
+        *groups, item, "c", "n", F.col("batch_id").cast("string").alias("__src")
+    )
+    gschema = "".join(f"`{g}` string, " for g in groups)
+    fold = _make_mg_fold(groups, item, spec.counters)
+    grouped = tagged.groupBy(*groups) if groups else tagged.groupBy()
+    return grouped.applyInPandas(
+        fold, schema=f"{gschema}`{item}` string, c long, n long"
+    )
+
+
+def merged_quantiles(
+    spark: SparkSession, store_dir: str, spec: SketchStoreSpec
+) -> DataFrame | None:
+    """All appended MRL sketches folded to one per group (level
+    buffers concatenate; the deterministic collapse re-runs). The
+    merged sketch's Σ 2^level is EXACTLY the total non-null rows ever
+    appended."""
+    from wwwision_importservice_spark.operators.features import (
+        merge_quantile_sketches,
+    )
+
+    raw = _read_kind(spark, store_dir, "quantiles")
+    if raw is None:
+        return None
+    return merge_quantile_sketches(
+        raw.drop("batch_id"), list(spec.group_cols), spec.k
+    )
+
+
+def merged_distincts(
+    spark: SparkSession, store_dir: str, spec: SketchStoreSpec
+) -> DataFrame | None:
+    """All appended HLL sketches unioned per group (binary merge —
+    never rescans data). Returns ``(group..., sketch, n_rows)`` so the
+    result can itself be re-appended; estimates via
+    ``hll_sketch_estimate``."""
+    raw = _read_kind(spark, store_dir, "distincts")
+    if raw is None:
+        return None
+    groups = list(spec.group_cols)
+    grouped = raw.groupBy(*groups) if groups else raw.groupBy()
+    return grouped.agg(
+        F.hll_union_agg(F.col("sketch"), F.lit(True)).alias("sketch"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def compact_store(
+    spark: SparkSession, store_dir: str, spec: SketchStoreSpec
+) -> None:
+    """Fold each family's append log into ONE summary fileset stamped
+    ``batch_id = -1`` (a merged summary is itself a valid summary —
+    the fixed point of the merge), via the crash-safe backup swap.
+    Keeps merge-on-read cost flat: after compaction a reader folds one
+    slice plus whatever appended since, not the whole history.
+    Answers are unchanged by construction (merges are associative);
+    pinned by test."""
+    merges = {
+        "heads": merged_heads,
+        "quantiles": merged_quantiles,
+        "distincts": merged_distincts,
+    }
+    for kind in _KINDS:
+        merged = merges[kind](spark, store_dir, spec)
+        if merged is None:
+            continue
+        # sibling staging dir: same filesystem, so the swap's renames
+        # are atomic moves (the compact_index convention)
+        tmp = f"{store_dir}/{kind}__compacting"
+        (
+            merged.withColumn("batch_id", F.lit(-1).cast("long"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        replace_dir(spark, tmp, f"{store_dir}/{kind}")
