@@ -492,3 +492,57 @@ def test_pack_token_spans_no_global_window(spark, sf_dir):
     # the window's exchange partitions on the bucket key (detail
     # section carries the partitioning expressions)
     assert "hashpartitioning(__b" in plan, plan
+
+
+def test_grouped_heavy_hitters_plans_window_group_limit(spark, sf_dir):
+    """Per-group heads (features.py:heavy_hitters(group_cols=...) and
+    heavy_hitter_top_k): the rank-window top-k must plan as
+    WindowGroupLimit — map tasks pre-limit each group BEFORE the
+    shuffle — and the input to the final merge is the mapInPandas
+    summary stage, never the raw item table."""
+    from wwwision_importservice_spark.entry_queries import load
+    from wwwision_importservice_spark.operators.features import (
+        heavy_hitter_summary,
+        heavy_hitter_top_k,
+        heavy_hitters,
+    )
+    from wwwision_importservice_spark.operators.text import corpus_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(corpus_tokens(F.col("text"))).alias("tok")
+    )
+    plan = plan_of(
+        spark, heavy_hitters(toks, "tok", k=5, counters=64,
+                             group_cols=["source"])
+    )
+    assert "WindowGroupLimit" in tree_of(plan), tree_of(plan)
+
+    summary = heavy_hitter_summary(toks, "tok", ["source"], counters=64)
+    plan2 = plan_of(
+        spark, heavy_hitter_top_k(summary, "tok", 5, ["source"], counters=64)
+    )
+    assert "WindowGroupLimit" in tree_of(plan2), tree_of(plan2)
+
+
+def test_quantile_sketch_two_stage_shuffle_shape(spark, sf_dir):
+    """features.py:quantile_sketch — stage 1 is a NARROW mapInPandas
+    (partition partials, no exchange below it); the only exchange in
+    the build feeds the per-group applyInPandas merge, so data rows
+    never shuffle — only summary rows do."""
+    from wwwision_importservice_spark.entry_queries import load
+    from wwwision_importservice_spark.operators.features import (
+        quantile_sketch,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source", F.length("text").cast("double").alias("v")
+    )
+    tree = tree_of(plan_of(spark, quantile_sketch(lens, "v", ["source"])))
+    # exactly one exchange: the group-merge; the partition stage is
+    # below it (MapInPandas under the Exchange in the tree)
+    assert count_exchanges(tree) == 1, tree
+    assert "MapInPandas" in tree and "FlatMapGroupsInPandas" in tree, tree
+    first_exchange = tree.index("Exchange")
+    assert "MapInPandas" in tree[first_exchange:], tree
