@@ -3601,3 +3601,32 @@ def test_sketch_store_interrupted_compaction_recovers(spark, tmp_path):
     assert fs.rename(src, bak)
     out = {r["tok"]: r["c"] for r in merged_heads(spark, store, spec).collect()}
     assert out == {"t1": 7, "t2": 3}
+
+
+def test_sketch_store_retried_append_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (at-least-once delivery) re-lands its
+    batch_id slice via overwrite instead of appending a second copy —
+    heads counts and quantile weights must be unchanged, not doubled."""
+    from wwwision_importservice_spark.operators.features import (
+        sketch_quantile_values,
+    )
+    from wwwision_importservice_spark.operators.sketchstore import (
+        append_batch,
+        merged_heads,
+        merged_quantiles,
+    )
+
+    spec = _store_spec()
+    store = str(tmp_path / "stats")
+    schema = "src string, tok string, ln double"
+    batch = spark.createDataFrame(
+        [("a", "t1", 1.0)] * 6 + [("a", "t2", 5.0)] * 4, schema
+    )
+    append_batch(batch, store, 0, spec)
+    append_batch(batch, store, 0, spec)  # the retry
+    heads = {r["tok"]: (r["c"], r["n"])
+             for r in merged_heads(spark, store, spec).collect()}
+    assert heads == {"t1": (6, 10), "t2": (4, 10)}
+    q = sketch_quantile_values(
+        merged_quantiles(spark, store, spec), [1.0], ["src"]).collect()[0]
+    assert q["n_rows"] == 10 and q["q_1_0"] == 5.0

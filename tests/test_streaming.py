@@ -1456,3 +1456,80 @@ def test_replace_dir_restores_backup_when_dst_missing(spark, tmp_path):
     compact_index(spark, idx, "doc_id")
     assert spark.read.parquet(idx).count() == rows_before
     assert not path_exists(spark, idx + "__replaced")
+
+
+def test_stats_hook_under_real_stream_engine(spark, tmp_path):
+    """sketchstore.stats_hook driven by the ACTUAL micro-batch engine:
+    per-source token heads and length quantiles accumulated over the
+    stream must equal one-shot batch statistics over everything
+    ingested — the store is the stream's memory, answered without
+    rescanning any batch. The hook chains: stats land AND the inner
+    processor still sees every batch."""
+    from wwwision_importservice_spark.operators.features import (
+        heavy_hitter_summary,
+        sketch_quantile_values,
+    )
+    from wwwision_importservice_spark.operators.sketchstore import (
+        SketchStoreSpec,
+        merged_heads,
+        merged_quantiles,
+        stats_hook,
+    )
+
+    b1 = spark.createDataFrame(
+        [("a", "x x y"), ("a", "x z"), ("b", "p q")],
+        "src string, text string",
+    )
+    b2 = spark.createDataFrame(
+        [("a", "y y"), ("b", "p p p q r")],
+        "src string, text string",
+    )
+    in_dir = _write_ordered_parquet(spark, tmp_path, "statfeed", [b1, b2])
+
+    store = str(tmp_path / "stats")
+    spec = SketchStoreSpec(
+        group_cols=("src",), item_col="tok", value_col="len",
+        counters=64, k=64,
+    )
+    seen: list = []
+
+    def explode_toks(df):
+        return df.select(
+            "src",
+            F.explode(F.split("text", " ")).alias("tok"),
+            F.length("text").cast("double").alias("len"),
+        )
+
+    hook = stats_hook(
+        store, spec,
+        transform=explode_toks,
+        inner=lambda df, bid: seen.append((bid, df.count())),
+    )
+    q = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(hook)
+        .option("checkpointLocation", str(tmp_path / "ckpt_stats"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert sorted(seen) == [(0, 3), (1, 2)]  # inner saw every batch
+
+    # the store's answers == one-shot batch stats over b1 ∪ b2
+    union = explode_toks(b1.unionByName(b2))
+    expect_heads = {
+        (r["src"], r["tok"]): (r["c"], r["n"])
+        for r in heavy_hitter_summary(union, "tok", ["src"], 64).collect()
+    }
+    got_heads = {
+        (r["src"], r["tok"]): (r["c"], r["n"])
+        for r in merged_heads(spark, store, spec).collect()
+    }
+    assert got_heads == expect_heads
+    got_q = {r["src"]: r for r in sketch_quantile_values(
+        merged_quantiles(spark, store, spec), [0.5, 1.0], ["src"]).collect()}
+    # token-rows carry the doc length: per-source weights = token counts
+    assert got_q["a"]["n_rows"] == 7 and got_q["b"]["n_rows"] == 7
+    assert got_q["b"]["q_1_0"] == 9.0  # length("p p p q r")

@@ -18,15 +18,19 @@ No reference counterpart (the PHP reference keeps no statistics at
 all); the closest public analogues are the sketch-table patterns in
 Apache DataSketches' Hive/Druid integrations.
 
-Layout under ``store_dir`` (all plain parquet, all batch_id-stamped):
+Layout under ``store_dir`` (all plain parquet, batch-keyed partition
+directories — ``batch_id`` surfaces as a partition column on read):
 
-- ``heads/``     — MG rows ``(group..., item, c, n, batch_id)``
-- ``quantiles/`` — MRL rows ``(group..., level, value, batch_id)``
-- ``distincts/`` — HLL rows ``(group..., sketch, n_rows, batch_id)``
+- ``heads/batch_id=N/``     — MG rows ``(group..., item, c, n)``
+- ``quantiles/batch_id=N/`` — MRL rows ``(group..., level, value)``
+- ``distincts/batch_id=N/`` — HLL rows ``(group..., sketch, n_rows)``
 
-Crash-safety: appends are plain parquet appends (atomic at the task
-level, idempotence is the caller's batch semantics); compaction goes
-through :func:`fsutil.replace_dir`'s backup-swap, and readers call
+Crash-safety: each batch's append OVERWRITES its own ``batch_id=N``
+directory, so a retried micro-batch (foreachBatch replays after a
+checkpoint failure) lands the identical summary in place instead of
+double-counting — appends are idempotent per batch id, pinned by
+test. Compaction goes through :func:`fsutil.replace_dir`'s
+backup-swap (folded slice stamped ``batch_id=-1``), and readers call
 :func:`fsutil.recover_dir` first, so an interrupted compaction is
 never mistaken for an empty store.
 """
@@ -70,11 +74,13 @@ def append_batch(
     batch_id: int,
     spec: SketchStoreSpec,
 ) -> None:
-    """Summarize ONE ingest batch and append the summaries. Each
-    family is a bounded frame (≤ counters items, ≤ k·levels values,
-    one binary sketch per group), so the write is kilobytes per
-    (group, batch) — the corpus-sized input is scanned once, narrow,
-    and never again."""
+    """Summarize ONE ingest batch and land the summaries under their
+    ``batch_id=N`` directory (OVERWRITE — a retried batch replaces its
+    own identical slice rather than double-counting; exactly-once
+    stats under at-least-once micro-batch delivery). Each family is a
+    bounded frame (≤ counters items, ≤ k·levels values, one binary
+    sketch per group), so the write is kilobytes per (group, batch) —
+    the corpus-sized input is scanned once, narrow, and never again."""
     from wwwision_importservice_spark.operators.features import (
         distinct_sketches,
         heavy_hitter_summary,
@@ -82,27 +88,24 @@ def append_batch(
     )
 
     groups = list(spec.group_cols)
-    stamp = F.lit(int(batch_id)).cast("long")
+    b = int(batch_id)
     if spec.item_col is not None:
         (
             heavy_hitter_summary(df, spec.item_col, groups, spec.counters)
-            .withColumn("batch_id", stamp)
-            .write.mode("append")
-            .parquet(f"{store_dir}/heads")
+            .write.mode("overwrite")
+            .parquet(f"{store_dir}/heads/batch_id={b}")
         )
     if spec.value_col is not None:
         (
             quantile_sketch(df, spec.value_col, groups, spec.k)
-            .withColumn("batch_id", stamp)
-            .write.mode("append")
-            .parquet(f"{store_dir}/quantiles")
+            .write.mode("overwrite")
+            .parquet(f"{store_dir}/quantiles/batch_id={b}")
         )
     if spec.distinct_col is not None:
         (
             distinct_sketches(df, groups, spec.distinct_col, spec.lg_k)
-            .withColumn("batch_id", stamp)
-            .write.mode("append")
-            .parquet(f"{store_dir}/distincts")
+            .write.mode("overwrite")
+            .parquet(f"{store_dir}/distincts/batch_id={b}")
         )
 
 
@@ -198,12 +201,47 @@ def compact_store(
         if merged is None:
             continue
         # sibling staging dir: same filesystem, so the swap's renames
-        # are atomic moves (the compact_index convention)
+        # are atomic moves (the compact_index convention). The folded
+        # slice keeps the batch-keyed layout (partition dir -1) so
+        # appends after compaction land as sibling batch dirs.
         tmp = f"{store_dir}/{kind}__compacting"
         (
             merged.withColumn("batch_id", F.lit(-1).cast("long"))
             .coalesce(1)
             .write.mode("overwrite")
+            .partitionBy("batch_id")
             .parquet(tmp)
         )
         replace_dir(spark, tmp, f"{store_dir}/{kind}")
+
+
+def stats_hook(
+    store_dir: str,
+    spec: SketchStoreSpec,
+    inner=None,
+    transform=None,
+):
+    """Wrap the store as a ``foreachBatch`` processor for Structured
+    Streaming: per micro-batch, (optionally) ``transform`` the batch
+    frame — e.g. explode text into token rows for a heads-only spec —
+    summarize + land it under its engine-assigned ``batch_id``, then
+    delegate to ``inner`` (the next processor in the chain: a sync
+    apply, the near-dup gate, another ``stats_hook`` with a different
+    spec). Because appends are idempotent per batch id, a replayed
+    micro-batch re-lands the identical slice — the store stays
+    exactly-once even when the engine is at-least-once, unlike any
+    accumulate-in-place aggregation.
+
+    This is the continuously-fed-corpus monitoring shape: the stream
+    pays kilobytes of summary per batch, and "what are the token heads
+    / length quantiles / cardinality of everything ingested so far" is
+    answered any time from the store alone (pinned equal to one-shot
+    batch stats in tests)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        src = transform(batch_df) if transform is not None else batch_df
+        append_batch(src, store_dir, batch_id, spec)
+        if inner is not None:
+            inner(batch_df, batch_id)
+
+    return process
