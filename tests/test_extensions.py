@@ -3452,7 +3452,9 @@ def test_heavy_hitter_summary_exact_merge(spark):
                                           counters=64)
     exact = Counter((l, t) for l, t in rows1 + rows2)
     out = merged.collect()
-    assert {(r["lang"], r["tok"]): r["c"] for r in out} == dict(exact)
+    # NULL-item carrier rows hold n; real items must match exactly
+    assert {(r["lang"], r["tok"]): r["c"] for r in out
+            if r["tok"] is not None} == dict(exact)
     assert {r["n"] for r in out if r["lang"] == "en"} == {2100}
     assert {r["n"] for r in out if r["lang"] == "de"} == {300}
     tk = heavy_hitter_top_k(merged, "tok", 2, ["lang"], counters=64)
@@ -3482,15 +3484,16 @@ def test_heavy_hitter_summary_recap_bound_after_merge(spark):
     db = spark.createDataFrame(rb, "item string").repartition(4)
     sa = heavy_hitter_summary(da, "item", counters=32)
     sb = heavy_hitter_summary(db, "item", counters=32)
-    assert sa.count() <= 32 and sb.count() <= 32
+    assert sa.count() <= 33 and sb.count() <= 33  # items + NULL carrier
     merged = merge_heavy_hitter_summaries([sa, sb], "item", counters=32)
-    assert merged.count() <= 32
+    assert merged.count() <= 33
     n_tot = len(ra) + len(rb)
     err = n_tot // 33
     true = Counter(t for (t,) in ra + rb)
     for r in merged.collect():
         assert r["n"] == n_tot
-        assert r["c"] <= true[r["item"]] <= r["c"] + err, r
+        if r["item"] is not None:
+            assert r["c"] <= true[r["item"]] <= r["c"] + err, r
     tk = heavy_hitter_top_k(merged, "item", 10, counters=32).collect()
     assert set(heads) <= {r["item"] for r in tk}
 
@@ -3541,7 +3544,8 @@ def test_sketch_store_append_merge_compact(spark, tmp_path):
 
     exact = Counter((s, t) for s, t, _ in rows1 + rows2)
     heads = merged_heads(spark, store, spec).collect()
-    assert {(r["src"], r["tok"]): r["c"] for r in heads} == dict(exact)
+    assert {(r["src"], r["tok"]): r["c"] for r in heads
+            if r["tok"] is not None} == dict(exact)
     qq = {r["src"]: r for r in sketch_quantile_values(
         merged_quantiles(spark, store, spec), [0.5, 1.0], ["src"]).collect()}
     assert qq["a"]["n_rows"] == 800 and qq["b"]["n_rows"] == 200
@@ -3556,7 +3560,8 @@ def test_sketch_store_append_merge_compact(spark, tmp_path):
         assert len(list_data_files(spark, f"{store}/{kind}")) == 1, kind
     # answers unchanged by compaction (merge associativity)
     assert {(r["src"], r["tok"]): r["c"]
-            for r in merged_heads(spark, store, spec).collect()} == dict(exact)
+            for r in merged_heads(spark, store, spec).collect()
+            if r["tok"] is not None} == dict(exact)
     qq2 = {r["src"]: r for r in sketch_quantile_values(
         merged_quantiles(spark, store, spec), [1.0], ["src"]).collect()}
     assert qq2["b"]["q_1_0"] == 19.0 and qq2["a"]["n_rows"] == 800
@@ -3566,7 +3571,8 @@ def test_sketch_store_append_merge_compact(spark, tmp_path):
         spark.createDataFrame([("b", "u9", 99.0)] * 10, schema), store, 2, spec
     )
     h3 = {(r["src"], r["tok"]): r["c"]
-          for r in merged_heads(spark, store, spec).collect()}
+          for r in merged_heads(spark, store, spec).collect()
+          if r["tok"] is not None}
     assert h3[("b", "u9")] == 10 and h3[("a", "t0")] == exact[("a", "t0")]
     qq3 = {r["src"]: r for r in sketch_quantile_values(
         merged_quantiles(spark, store, spec), [1.0], ["src"]).collect()}
@@ -3599,7 +3605,8 @@ def test_sketch_store_interrupted_compaction_recovers(spark, tmp_path):
     fs, src = _fs_and_path(spark, heads_dir)
     _, bak = _fs_and_path(spark, _backup_path(heads_dir))
     assert fs.rename(src, bak)
-    out = {r["tok"]: r["c"] for r in merged_heads(spark, store, spec).collect()}
+    out = {r["tok"]: r["c"] for r in merged_heads(spark, store, spec).collect()
+           if r["tok"] is not None}
     assert out == {"t1": 7, "t2": 3}
 
 
@@ -3625,7 +3632,8 @@ def test_sketch_store_retried_append_is_idempotent(spark, tmp_path):
     append_batch(batch, store, 0, spec)
     append_batch(batch, store, 0, spec)  # the retry
     heads = {r["tok"]: (r["c"], r["n"])
-             for r in merged_heads(spark, store, spec).collect()}
+             for r in merged_heads(spark, store, spec).collect()
+             if r["tok"] is not None}
     assert heads == {"t1": (6, 10), "t2": (4, 10)}
     q = sketch_quantile_values(
         merged_quantiles(spark, store, spec), [1.0], ["src"]).collect()[0]

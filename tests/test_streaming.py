@@ -1522,10 +1522,12 @@ def test_stats_hook_under_real_stream_engine(spark, tmp_path):
     expect_heads = {
         (r["src"], r["tok"]): (r["c"], r["n"])
         for r in heavy_hitter_summary(union, "tok", ["src"], 64).collect()
+        if r["tok"] is not None
     }
     got_heads = {
         (r["src"], r["tok"]): (r["c"], r["n"])
         for r in merged_heads(spark, store, spec).collect()
+        if r["tok"] is not None
     }
     assert got_heads == expect_heads
     got_q = {r["src"]: r for r in sketch_quantile_values(

@@ -246,8 +246,13 @@ def heavy_hitters(
         .distinct()
         .agg(F.coalesce(F.sum("_part_rows"), F.lit(0)).alias("n_total"))
     )
-    merged = summaries.groupBy(*groups, item_col).agg(
-        F.sum("_cnt").alias("est_count")
+    # carrier rows (item NULL) exist only to keep per-group N exact in
+    # `totals` when a partition's every counter decremented away; they
+    # are not items
+    merged = (
+        summaries.filter(F.col(item_col).isNotNull())
+        .groupBy(*groups, item_col)
+        .agg(F.sum("_cnt").alias("est_count"))
     )
     if groups:
         from pyspark.sql import Window
@@ -283,9 +288,14 @@ def _mg_partition_summaries(
     shuffle). Output rows ``(group..., item, _cnt, _pid, _part_rows)``
     where ``_part_rows`` is the partition's per-group non-null row
     count (constant per (partition, group) — summed over distinct
-    ``_pid`` downstream to recover exact N). Shared by
-    :func:`heavy_hitters` (top-k form) and
-    :func:`heavy_hitter_summary` (persistable form)."""
+    ``_pid`` downstream to recover exact N). Every (partition, group)
+    additionally emits ONE carrier row (``item`` NULL, ``_cnt`` 0):
+    when a flood of distinct items decrements a group's every counter
+    away, the group would otherwise vanish from the summary and its N
+    with it — silently shrinking downstream err_bounds (found by the
+    hypothesis merge property test). Shared by :func:`heavy_hitters`
+    (top-k form) and :func:`heavy_hitter_summary` (persistable
+    form)."""
     import pandas as pd
 
     gschema = "".join(f"`{g}` string, " for g in groups)
@@ -346,19 +356,37 @@ def _mg_partition_summaries(
                     mg["c"] -= thresh
         if pid is None:
             return
-        out = {c: mg[c].astype(str) for c in key_cols}
         if groups:
-            part_rows = (
-                n.reindex(pd.MultiIndex.from_frame(mg[groups]))
-                if len(groups) > 1
-                else n.reindex(mg[groups[0]])
-            ).values.astype("int64")
+            gtot = n.rename("_part_rows").reset_index()
+            gtot.columns = groups + ["_part_rows"]
+            parts = []
+            if len(mg):
+                m = mg.merge(gtot, on=groups, how="left").rename(
+                    columns={"c": "_cnt"}
+                )
+                parts.append(m[key_cols + ["_cnt", "_part_rows"]])
+            carrier = gtot.copy()
+            carrier[item_col] = None
+            carrier["_cnt"] = 0
+            parts.append(carrier[key_cols + ["_cnt", "_part_rows"]])
+            out = pd.concat(parts, ignore_index=True)
         else:
-            part_rows = n_global
-        out["_cnt"] = mg["c"].astype("int64").values
+            out = mg.rename(columns={"c": "_cnt"}).copy()
+            out["_part_rows"] = n_global
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {item_col: [None], "_cnt": [0],
+                         "_part_rows": [n_global]}
+                    ),
+                ],
+                ignore_index=True,
+            )
+        out["_cnt"] = out["_cnt"].astype("int64")
+        out["_part_rows"] = out["_part_rows"].astype("int64")
         out["_pid"] = pid
-        out["_part_rows"] = part_rows
-        yield pd.DataFrame(out)
+        yield out[key_cols + ["_cnt", "_pid", "_part_rows"]]
 
     return df.select(
         *groups, F.col(item_col), F.spark_partition_id().alias("_pid")
@@ -611,11 +639,20 @@ def _make_mg_fold(groups: list[str], item_col: str, cap: int):
     Wei, Yi 2012) is what makes the re-cap sound: merging MG
     summaries by count-sum then decrementing back to ``cap`` counters
     summarizes the CONCATENATED stream with the same one-sided
-    guarantee, err ≤ N_total // (cap + 1)."""
+    guarantee, err ≤ N_total // (cap + 1).
+
+    Every summary carries one carrier row per group (``item`` NULL,
+    ``c`` 0) holding ``n``; the fold re-emits it, so a group whose
+    every counter decrements away still reports its exact N into the
+    next merge — without it, merging such a summary silently shrinks
+    N and with it every downstream err_bound (the hypothesis merge
+    property test's counterexample)."""
 
     def fold(pdf):
         import pandas as pd
 
+        # groupby(dropna=True) excludes the NULL-item carrier rows
+        # from the count sum; they still participate in N below
         c = (
             pdf.groupby(item_col, sort=False)["c"]
             .sum()
@@ -629,10 +666,12 @@ def _make_mg_fold(groups: list[str], item_col: str, cap: int):
             thresh = int(c["c"].nlargest(cap + 1).iloc[-1])
             c = c.loc[c["c"] > thresh].copy()
             c["c"] -= thresh
+        carrier = pd.DataFrame({item_col: [None], "c": [0]})
+        c = pd.concat([c, carrier], ignore_index=True)
         out = {g: pdf[g].iloc[:1].repeat(len(c)).reset_index(drop=True)
                for g in groups}
-        out[item_col] = c[item_col].reset_index(drop=True)
-        out["c"] = c["c"].reset_index(drop=True)
+        out[item_col] = c[item_col]
+        out["c"] = c["c"].astype("int64")
         out["n"] = n
         return pd.DataFrame(out)
 
@@ -648,8 +687,10 @@ def heavy_hitter_summary(
     """PERSISTABLE Misra-Gries summary — the sketch-table form of
     :func:`heavy_hitters`: instead of answering top-k in-query, emit
     the bounded summary itself as rows ``(group..., item, c, n)``
-    (≤ ``counters`` items per group, ``n`` = the group's exact
-    non-null row count), so per-shard/per-day summaries persist to
+    (≤ ``counters`` items per group plus one NULL-item carrier row
+    that keeps ``n`` — the group's exact non-null row count — alive
+    even when every counter decrements away), so per-shard/per-day
+    summaries persist to
     parquet once and any union's heads are answered later by
     :func:`merge_heavy_hitter_summaries` + :func:`heavy_hitter_top_k`
     without rescanning the corpus. Guarantee per summary:
@@ -721,11 +762,12 @@ def heavy_hitter_top_k(
     ``(group..., item, est_count, err_bound, n_total)`` shape as
     :func:`heavy_hitters` so the two are drop-in interchangeable.
     ``counters`` must match the summaries' build parameter — it only
-    feeds ``err_bound = n // (counters+1)``, never the ranking."""
+    feeds ``err_bound = n // (counters+1)``, never the ranking. The
+    NULL-item carrier rows are metadata, not items — filtered here."""
     from pyspark.sql import Window
 
     groups = list(group_cols or [])
-    base = summary.select(
+    base = summary.filter(F.col(item_col).isNotNull()).select(
         *groups,
         item_col,
         F.col("c").alias("est_count"),
