@@ -3638,3 +3638,121 @@ def test_sketch_store_retried_append_is_idempotent(spark, tmp_path):
     q = sketch_quantile_values(
         merged_quantiles(spark, store, spec), [1.0], ["src"]).collect()[0]
     assert q["n_rows"] == 10 and q["q_1_0"] == 5.0
+
+
+def test_sketch_ks_exact_degenerate_matches_definition(spark):
+    """features.py:sketch_ks — with uncompacted sketches (n < k) the
+    statistic is the textbook two-sample KS over the raw samples:
+    differential-check against a pure-python model, including the
+    exact integer arithmetic (one IEEE division per CDF point)."""
+    from wwwision_importservice_spark.operators.features import (
+        quantile_sketch,
+        sketch_ks,
+    )
+
+    xs = [float(i % 37) for i in range(120)]
+    ys = [float((i % 37) + 9) for i in range(80)]
+    a = quantile_sketch(
+        spark.createDataFrame([(v,) for v in xs], "v double"), "v", k=256)
+    b = quantile_sketch(
+        spark.createDataFrame([(v,) for v in ys], "v double"), "v", k=256)
+    got = sketch_ks(a, b).collect()[0]
+
+    pts = sorted(set(xs) | set(ys))
+    model = max(
+        abs(sum(x <= p for x in xs) / len(xs)
+            - sum(y <= p for y in ys) / len(ys))
+        for p in pts
+    )
+    assert got["ks"] == model
+    assert got["n_a"] == 120 and got["n_b"] == 80
+
+
+def test_store_drift_detects_shift_and_stability(spark, tmp_path):
+    """sketchstore.py:store_drift — two batch windows compared from
+    summaries alone: a shifted value distribution + collapsed token
+    mix must light up (KS ≈ overlap gap, PSI > 0.25) while an
+    identical group reports zero on both statistics; a group present
+    in only one window reports the sup gap ks = 1.0."""
+    from wwwision_importservice_spark.operators.sketchstore import (
+        SketchStoreSpec,
+        append_batch,
+        store_drift,
+    )
+
+    spec = SketchStoreSpec(group_cols=("src",), item_col="tok",
+                           value_col="v", counters=64, k=256)
+    store = str(tmp_path / "stats")
+    schema = "src string, tok string, v double"
+    before = [("a", f"t{i % 5}", float(i % 100)) for i in range(400)]
+    after = [("a", "t0" if i % 5 else f"t{i % 5}", float(50 + i % 100))
+             for i in range(400)]
+    stable = [("b", f"u{i % 3}", float(i % 30)) for i in range(200)]
+    batches = [before[:200] + stable, before[200:] + stable,
+               after[:200] + stable, after[200:] + stable]
+    for i, rows in enumerate(batches):
+        append_batch(spark.createDataFrame(rows, schema), store, i, spec)
+
+    out = {r["src"]: r for r in
+           store_drift(spark, store, spec, (0, 1), (2, 3)).collect()}
+    a, b = out["a"], out["b"]
+    assert a["n_before"] == 400 and a["n_after"] == 400
+    assert a["ks"] == 0.5          # uniform 0..99 vs 50..149: half overlap
+    assert a["psi"] > 0.25, a      # token mix collapsed to t0: major shift
+    assert b["ks"] == 0.0 and b["psi"] == 0.0  # identical windows
+    assert b["n_before"] == 400 and b["n_after"] == 400
+
+    # one-sided group: drift vs a window it doesn't exist in
+    append_batch(spark.createDataFrame([("c", "z", 1.0)] * 50, schema),
+                 store, 4, spec)
+    out2 = {r["src"]: r for r in
+            store_drift(spark, store, spec, (4, 4), (2, 3)).collect()}
+    assert out2["c"]["ks"] == 1.0 and out2["c"]["n_after"] == 0
+
+
+def test_heads_psi_matches_numpy_model(spark):
+    """features.py:heads_psi differential test: exact summaries
+    (counters > vocab) + residual tail bucket must reproduce the
+    numpy PSI over true shares to 6dp."""
+    import math
+
+    from wwwision_importservice_spark.operators.features import (
+        heads_psi,
+        heavy_hitter_summary,
+    )
+
+    ra = [(f"w{i % 4}",) for i in range(300)] + [(f"tail{i}",)
+                                                 for i in range(40)]
+    rb = [(f"w{(i % 2)}",) for i in range(260)] + [(f"tail{i}",)
+                                                   for i in range(80)]
+    # counters below tail vocab: the tails live in the residual bucket
+    sa = heavy_hitter_summary(
+        spark.createDataFrame(ra, "item string"), "item", counters=8)
+    sb = heavy_hitter_summary(
+        spark.createDataFrame(rb, "item string"), "item", counters=8)
+    got = heads_psi(sa, sb, "item", epsilon=1e-6).collect()[0]
+    assert got["n_a"] == 340 and got["n_b"] == 340
+
+    # model over the REPORTED items ∪ residual, from the summaries
+    rows_a = {r["item"]: r["c"] for r in sa.collect() if r["item"]}
+    rows_b = {r["item"]: r["c"] for r in sb.collect() if r["item"]}
+    items = set(rows_a) | set(rows_b)
+    eps = 1e-6
+
+    def share(c, n):
+        return max(c / n, eps)
+
+    psi = sum(
+        (share(rows_a.get(i, 0), 340) - share(rows_b.get(i, 0), 340))
+        * math.log(share(rows_a.get(i, 0), 340)
+                   / share(rows_b.get(i, 0), 340))
+        for i in items
+    )
+    psi += (
+        share(340 - sum(rows_a.values()), 340)
+        - share(340 - sum(rows_b.values()), 340)
+    ) * math.log(
+        share(340 - sum(rows_a.values()), 340)
+        / share(340 - sum(rows_b.values()), 340)
+    )
+    assert got["psi"] == round(psi, 6)

@@ -3903,6 +3903,71 @@ def x5_heavy_hitters_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x9_sketch_ks_drift",
+    # textbook two-sample KS per source, stated over the raw table:
+    # per-(source, length) parity-side weights, one cumulative window
+    # per side, sup |F_a - F_b| — every term one IEEE division of
+    # exact integers, so the double is bit-identical across engines.
+    """
+SELECT source,
+       max(CASE WHEN na = 0 OR nb = 0 THEN 1.0
+                ELSE abs(CAST(cwa AS DOUBLE) / CAST(na AS DOUBLE)
+                         - CAST(cwb AS DOUBLE) / CAST(nb AS DOUBLE))
+           END) AS ks,
+       CAST(max(na) AS BIGINT) AS n_a,
+       CAST(max(nb) AS BIGINT) AS n_b
+FROM (
+  SELECT source, v,
+         sum(wa) OVER (PARTITION BY source ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cwa,
+         sum(wb) OVER (PARTITION BY source ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cwb,
+         sum(wa) OVER (PARTITION BY source) AS na,
+         sum(wb) OVER (PARTITION BY source) AS nb
+  FROM (
+    SELECT source, CAST(length(text) AS DOUBLE) AS v,
+           CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT) AS wa,
+           CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS wb
+    FROM documents GROUP BY source, CAST(length(text) AS DOUBLE)
+  )
+) GROUP BY source
+""",
+    driver=False,
+)
+def x9_sketch_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9b — sketch-based two-sample KS drift
+    (``operators/features.py:sketch_ks``): the text-length
+    distributions of the even-doc_id and odd-doc_id halves of each
+    source, compared FROM their MRL quantile sketches — the
+    distribution-drift statistic a 100 TB corpus answers at summary
+    cost. With ``k`` above every half's row count the sketches are
+    exact, the weighted CDFs are the empirical CDFs, and every KS term
+    is one IEEE division of exact integer cumulative weights — the
+    oracle pins the whole pipeline (sketch build → merge → pivoted
+    per-value weights → windowed CDFs → sup gap) to the textbook
+    statistic, double-for-double. Compacted-sketch error bounds and
+    the one-sided-group convention are pinned by unit tests."""
+    from wwwision_importservice_spark.operators.features import (
+        quantile_sketch,
+        sketch_ks,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    lens = docs.select(
+        "source",
+        "doc_id",
+        F.length("text").cast("double").alias("v"),
+    )
+    even = quantile_sketch(
+        lens.filter(F.col("doc_id") % 2 == 0), "v", ["source"], k=256
+    )
+    odd = quantile_sketch(
+        lens.filter(F.col("doc_id") % 2 == 1), "v", ["source"], k=256
+    )
+    return sketch_ks(even, odd, ["source"])
+
+
+@_register(
     "x9_sketch_store",
     # the oracle states the store's ANSWERS declaratively over the raw
     # table: per source the lower discrete length quantiles (smallest

@@ -786,3 +786,164 @@ def heavy_hitter_top_k(
     return base.orderBy(
         F.col("est_count").desc(), F.col(item_col).asc()
     ).limit(k)
+
+
+# --------------------------------------------------------------------------- #
+# Sketch-based two-sample drift statistics
+# --------------------------------------------------------------------------- #
+
+def sketch_ks(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic computed FROM two MRL
+    quantile sketches — the distribution-drift test that never touches
+    data rows: ``ks = sup_v |F_a(v) - F_b(v)|`` over the sketches'
+    weighted empirical CDFs. Month-over-month length/score drift on a
+    100 TB corpus costs only the two summaries.
+
+    Pure Spark SQL: per-(group, value) weights are pivoted from the
+    level buffers (integer sums — order-independent), the CDFs are one
+    cumulative window each, and every term is ONE IEEE division of
+    exact integers, so the result is deterministic and hash-exact
+    across engines (the oracle mode: uncompacted sketches make this
+    the textbook two-sample KS). On compacted sketches the statistic
+    is within each sketch's rank-error bound of the true KS (the CDF
+    at any point is off by ≤ err/n per side). A group present on only
+    one side reports ``ks = 1.0`` (sup of the CDF gap), with the
+    missing side's ``n`` = 0.
+
+    Returns one row per group: ``(group..., ks double, n_a long,
+    n_b long)`` with exact per-side row counts (Σ 2^level)."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    w_expr = F.expr("shiftleft(CAST(1 AS BIGINT), level)")
+    pts = (
+        a.select(*groups, "level", "value")
+        .withColumn("__side", F.lit(0))
+        .unionByName(
+            b.select(*groups, "level", "value").withColumn("__side", F.lit(1))
+        )
+    )
+    per_value = pts.groupBy(*groups, "value").agg(
+        F.sum(F.when(F.col("__side") == 0, w_expr).otherwise(0)).alias("wa"),
+        F.sum(F.when(F.col("__side") == 1, w_expr).otherwise(0)).alias("wb"),
+    )
+    cum = Window.partitionBy(*groups).orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(*groups)
+    scored = (
+        per_value.withColumn("__cwa", F.sum("wa").over(cum))
+        .withColumn("__cwb", F.sum("wb").over(cum))
+        .withColumn("__WA", F.sum("wa").over(tot))
+        .withColumn("__WB", F.sum("wb").over(tot))
+    )
+    point_gap = F.abs(
+        F.col("__cwa").cast("double") / F.col("__WA").cast("double")
+        - F.col("__cwb").cast("double") / F.col("__WB").cast("double")
+    )
+    agg = [
+        F.max(
+            F.when((F.col("__WA") == 0) | (F.col("__WB") == 0), F.lit(1.0))
+            .otherwise(point_gap)
+        ).alias("ks"),
+        F.max("__WA").alias("n_a"),
+        F.max("__WB").alias("n_b"),
+    ]
+    if groups:
+        return scored.groupBy(*groups).agg(*agg)
+    return scored.agg(*agg)
+
+
+def heads_psi(
+    a: DataFrame,
+    b: DataFrame,
+    item_col: str,
+    group_cols: list[str] | None = None,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two Misra-Gries head
+    summaries (:func:`heavy_hitter_summary` schema) — categorical
+    drift (token/domain/label mix) from summaries alone:
+    ``psi = Σ_cat (p_a - p_b) · ln(p_a / p_b)`` over the union of
+    reported items plus ONE residual bucket per side (``n - Σc``, the
+    tail mass the summaries don't itemize — so shares sum to 1 and
+    heads-only coverage can't inflate the index). Shares are floored
+    at ``epsilon`` before the log. Rule-of-thumb thresholds: < 0.1
+    stable, 0.1–0.25 moderate, > 0.25 major shift.
+
+    PSI is exact when the summaries are exact (counters above vocab);
+    under truncation each share is within err_bound/n of truth.
+    ``ln`` is evaluated once per category on driver-deterministic
+    shares and the result rounded to 6dp (the repo's float
+    convention); the cross-engine-fragile log keeps PSI at the
+    differential-test tier rather than the hash oracle (cf. the BM25
+    precedent). Returns ``(group..., psi double, n_a long, n_b long)``."""
+    groups = list(group_cols or [])
+    an = a.filter(F.col(item_col).isNotNull())
+    bn = b.filter(F.col(item_col).isNotNull())
+
+    def totals(s, side):
+        g = s.groupBy(*groups) if groups else s.groupBy()
+        # n from any row (constant per group incl. carriers);
+        # itemized mass from the real rows only
+        return g.agg(
+            F.max("n").alias(f"n_{side}"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias(f"m_{side}"),
+        )
+
+    # per-item outer join (carriers excluded; their n recovered above)
+    ja = an.select(*groups, item_col, F.col("c").alias("ca"))
+    jb = bn.select(*groups, item_col, F.col("c").alias("cb"))
+    items = ja.join(jb, [*groups, item_col], "full_outer").fillna(
+        0, subset=["ca", "cb"]
+    )
+    ta = totals(a, "a")
+    tb = totals(b, "b")
+    if groups:
+        # full outer: a group reported on only ONE side still gets a
+        # PSI row (its other side's shares floor at epsilon — the
+        # maximal-shift reading); n/m coalesce to 0 for the missing side
+        tt = ta.join(tb, groups, "full_outer").fillna(
+            0, subset=["n_a", "m_a", "n_b", "m_b"]
+        )
+        joined = items.join(tt, groups)
+        residual = tt
+    else:
+        tt = ta.crossJoin(tb)
+        joined = items.crossJoin(F.broadcast(tt))
+        residual = tt
+
+    def share(c, n):
+        # try_divide: a one-sided group has n = 0 on its missing side
+        # (ANSI mode raises on plain /); the null floors to epsilon
+        return F.greatest(
+            F.try_divide(c.cast("double"), n.cast("double")),
+            F.lit(float(epsilon)),
+        )
+
+    term = (share(F.col("ca"), F.col("n_a")) - share(F.col("cb"), F.col("n_b"))) * (
+        F.log(share(F.col("ca"), F.col("n_a")) / share(F.col("cb"), F.col("n_b")))
+    )
+    item_terms = joined.select(*groups, term.alias("__t"))
+    res_term = (
+        share(F.col("n_a") - F.col("m_a"), F.col("n_a"))
+        - share(F.col("n_b") - F.col("m_b"), F.col("n_b"))
+    ) * F.log(
+        share(F.col("n_a") - F.col("m_a"), F.col("n_a"))
+        / share(F.col("n_b") - F.col("m_b"), F.col("n_b"))
+    )
+    res_terms = residual.select(*groups, res_term.alias("__t"))
+    all_terms = item_terms.unionByName(res_terms)
+    agg = [F.round(F.sum("__t"), 6).alias("psi")]
+    out = (
+        all_terms.groupBy(*groups).agg(*agg)
+        if groups
+        else all_terms.agg(*agg)
+    )
+    if groups:
+        return out.join(residual.select(*groups, "n_a", "n_b"), groups)
+    return out.crossJoin(F.broadcast(residual.select("n_a", "n_b")))

@@ -109,16 +109,37 @@ def append_batch(
         )
 
 
-def _read_kind(spark: SparkSession, store_dir: str, kind: str) -> DataFrame | None:
+def _read_kind(
+    spark: SparkSession,
+    store_dir: str,
+    kind: str,
+    batch_range: tuple[int, int] | None = None,
+) -> DataFrame | None:
     path = f"{store_dir}/{kind}"
     recover_dir(spark, path)
     if not path_exists(spark, path):
         return None
-    return spark.read.parquet(path)
+    raw = spark.read.parquet(path)
+    if batch_range is not None:
+        lo, hi = batch_range
+        # batch_id IS the partition directory, so this filter prunes
+        # whole batch dirs at planning time — a windowed read touches
+        # only its window's files, never the full log. (A compacted
+        # slice sits at batch_id=-1 and represents every batch folded
+        # into it; windowed reads therefore only make sense over the
+        # un-compacted tail, or with compaction disabled for stores
+        # meant to be time-sliced.)
+        raw = raw.filter(
+            (F.col("batch_id") >= int(lo)) & (F.col("batch_id") <= int(hi))
+        )
+    return raw
 
 
 def merged_heads(
-    spark: SparkSession, store_dir: str, spec: SketchStoreSpec
+    spark: SparkSession,
+    store_dir: str,
+    spec: SketchStoreSpec,
+    batch_range: tuple[int, int] | None = None,
 ) -> DataFrame | None:
     """All appended MG summaries folded to one ≤ counters-row summary
     per group. Each (group, batch_id) slice is one valid summary with
@@ -128,7 +149,7 @@ def merged_heads(
     err ≤ N_total // (counters+1)."""
     from wwwision_importservice_spark.operators.features import _make_mg_fold
 
-    raw = _read_kind(spark, store_dir, "heads")
+    raw = _read_kind(spark, store_dir, "heads", batch_range)
     if raw is None:
         return None
     groups = list(spec.group_cols)
@@ -145,7 +166,10 @@ def merged_heads(
 
 
 def merged_quantiles(
-    spark: SparkSession, store_dir: str, spec: SketchStoreSpec
+    spark: SparkSession,
+    store_dir: str,
+    spec: SketchStoreSpec,
+    batch_range: tuple[int, int] | None = None,
 ) -> DataFrame | None:
     """All appended MRL sketches folded to one per group (level
     buffers concatenate; the deterministic collapse re-runs). The
@@ -155,7 +179,7 @@ def merged_quantiles(
         merge_quantile_sketches,
     )
 
-    raw = _read_kind(spark, store_dir, "quantiles")
+    raw = _read_kind(spark, store_dir, "quantiles", batch_range)
     if raw is None:
         return None
     return merge_quantile_sketches(
@@ -164,13 +188,16 @@ def merged_quantiles(
 
 
 def merged_distincts(
-    spark: SparkSession, store_dir: str, spec: SketchStoreSpec
+    spark: SparkSession,
+    store_dir: str,
+    spec: SketchStoreSpec,
+    batch_range: tuple[int, int] | None = None,
 ) -> DataFrame | None:
     """All appended HLL sketches unioned per group (binary merge —
     never rescans data). Returns ``(group..., sketch, n_rows)`` so the
     result can itself be re-appended; estimates via
     ``hll_sketch_estimate``."""
-    raw = _read_kind(spark, store_dir, "distincts")
+    raw = _read_kind(spark, store_dir, "distincts", batch_range)
     if raw is None:
         return None
     groups = list(spec.group_cols)
@@ -245,3 +272,77 @@ def stats_hook(
             inner(batch_df, batch_id)
 
     return process
+
+
+def store_drift(
+    spark: SparkSession,
+    store_dir: str,
+    spec: SketchStoreSpec,
+    before: tuple[int, int],
+    after: tuple[int, int],
+    epsilon: float = 1e-6,
+) -> DataFrame | None:
+    """Distribution drift between two batch windows of the store —
+    answered entirely from summaries, with the windowed reads pruned
+    to their batch directories (see :func:`_read_kind`): per group,
+    the sketch-based two-sample KS statistic over the quantile
+    sketches (:func:`features.sketch_ks` — hash-exact arithmetic) and
+    the heads PSI (:func:`features.heads_psi` — categorical mix
+    shift), plus exact per-window row counts. The "did last week's
+    crawl change the corpus" question at summary cost: at 100 TB this
+    reads kilobytes per batch dir, never data.
+
+    Requires the relevant families in ``spec``; a family absent from
+    the store contributes NULL columns. Returns one row per group:
+    ``(group..., ks, psi, n_before, n_after)`` (or None when neither
+    family exists)."""
+    from wwwision_importservice_spark.operators.features import (
+        heads_psi,
+        sketch_ks,
+    )
+
+    groups = list(spec.group_cols)
+    ks = psi = None
+    if spec.value_col is not None:
+        qa = merged_quantiles(spark, store_dir, spec, before)
+        qb = merged_quantiles(spark, store_dir, spec, after)
+        if qa is not None and qb is not None:
+            ks = sketch_ks(qa, qb, groups).select(
+                *groups,
+                F.col("ks"),
+                F.col("n_a").alias("n_before"),
+                F.col("n_b").alias("n_after"),
+            )
+    if spec.item_col is not None:
+        ha = merged_heads(spark, store_dir, spec, before)
+        hb = merged_heads(spark, store_dir, spec, after)
+        if ha is not None and hb is not None:
+            psi = heads_psi(
+                ha, hb, spec.item_col, groups, epsilon=epsilon
+            ).select(
+                *groups,
+                F.col("psi"),
+                F.col("n_a").alias("n_before_items"),
+                F.col("n_b").alias("n_after_items"),
+            )
+    if ks is None and psi is None:
+        return None
+    if ks is None:
+        return psi.select(
+            *groups, F.lit(None).cast("double").alias("ks"), "psi",
+            F.col("n_before_items").alias("n_before"),
+            F.col("n_after_items").alias("n_after"),
+        )
+    if psi is None:
+        return ks.select(
+            *groups, "ks", F.lit(None).cast("double").alias("psi"),
+            "n_before", "n_after",
+        )
+    joined = (
+        # full outer: a family can legally miss a group (e.g. a window
+        # where only one statistic was ever appended)
+        ks.join(psi.select(*groups, "psi"), groups, "full_outer")
+        if groups
+        else ks.crossJoin(psi.select("psi"))
+    )
+    return joined.select(*groups, "ks", "psi", "n_before", "n_after")
