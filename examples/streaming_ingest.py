@@ -11,10 +11,19 @@
                            ∝ batch + touched buckets, not corpus size)
       → corpus append     (admitted docs land in the curated parquet
                            corpus; only THEIR bucket rows join the index)
+      → sketch store      (operators/sketchstore.py: each admitted
+                           batch appends its bounded summaries — per-
+                           source token heads + length quantiles — so
+                           "what does the curated corpus look like" is
+                           answered any time from kilobytes of
+                           summaries, and store_drift compares crawl
+                           windows without rescanning)
 
-State lives in parquet (the LSH index + the corpus) plus the stream
-checkpoint, so a restart resumes exactly where it stopped; re-delivered
-batches re-admit nothing (the gate anti-joins already-indexed ids).
+State lives in parquet (the LSH index + the corpus + the stats store)
+plus the stream checkpoint, so a restart resumes exactly where it
+stopped; re-delivered batches re-admit nothing (the gate anti-joins
+already-indexed ids) and re-land identical summary slices (batch-keyed
+overwrite).
 
 Run::
 
@@ -32,7 +41,13 @@ from pyspark.sql import DataFrame
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from wwwision_importservice_spark.operators import quality_checks as qc  # noqa: E402
+from wwwision_importservice_spark.operators.sketchstore import (  # noqa: E402
+    SketchStoreSpec,
+    append_batch,
+)
 from wwwision_importservice_spark.streaming.neardup import near_dup_gate  # noqa: E402
 
 INGEST_CHECKS = [
@@ -42,14 +57,40 @@ INGEST_CHECKS = [
 ]
 
 
-def build_processor(index_dir: str, corpus_dir: str, stats: list | None = None):
+#: what the stats store tracks about the CURATED corpus (admitted docs)
+STATS_SPEC = SketchStoreSpec(
+    group_cols=("source",), item_col="tok", value_col="len",
+    counters=512, k=256,
+)
+
+
+def build_processor(
+    index_dir: str,
+    corpus_dir: str,
+    stats: list | None = None,
+    stats_store_dir: str | None = None,
+):
     """The foreachBatch processor: quality gate wrapped around the
-    near-dup gate. ``stats`` (optional list) collects per-batch
+    near-dup gate, with the admitted docs' summaries landing in the
+    sketch store. ``stats`` (optional list) collects per-batch
     ``(batch_id, outcome, n_admitted)`` tuples for observability."""
 
     def admit(survivors: DataFrame, batch_id: int) -> None:
         n = survivors.count()
         survivors.write.mode("append").parquet(corpus_dir)
+        if stats_store_dir is not None:
+            # summaries of what was ADMITTED, per engine batch id —
+            # a replayed batch overwrites its identical slice
+            append_batch(
+                survivors.select(
+                    "source",
+                    F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+                    F.length("text").cast("double").alias("len"),
+                ),
+                stats_store_dir,
+                batch_id,
+                STATS_SPEC,
+            )
         if stats is not None:
             stats.append((batch_id, "admitted", n))
 
@@ -83,7 +124,9 @@ def main() -> None:
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
-        .writeStream.foreachBatch(build_processor(f"{out}/lsh_index", f"{out}/corpus", stats))
+        .writeStream.foreachBatch(build_processor(
+            f"{out}/lsh_index", f"{out}/corpus", stats, f"{out}/stats"
+        ))
         .option("checkpointLocation", f"{out}/checkpoint")
         .trigger(availableNow=True)
         .start()

@@ -1216,7 +1216,8 @@ def test_streaming_ingest_example(spark, tmp_path):
     out = tmp_path / "curated"
     stats: list = []
     process = mod.build_processor(
-        str(out / "lsh_index"), str(out / "corpus"), stats
+        str(out / "lsh_index"), str(out / "corpus"), stats,
+        str(out / "stats"),
     )
     process(clean, 0)
     process(poisoned, 1)
@@ -1232,6 +1233,26 @@ def test_streaming_ingest_example(spark, tmp_path):
     assert ids == {0, 1, 4}  # 2 poisoned, 3 near-dups doc 0
     sigs = minhash_signatures_inline(corpus, "doc_id", "text", n=3, num_hashes=16)
     assert lsh_candidate_pairs(sigs, "doc_id", 16, 4).count() == 0
+
+    # the sketch store tracked exactly the ADMITTED corpus: per-source
+    # doc counts from the quantile sketch (sum 2^level is exact), and
+    # no slice for the quality-skipped batch
+    from wwwision_importservice_spark.operators.features import (
+        sketch_quantile_values,
+    )
+    from wwwision_importservice_spark.operators.sketchstore import (
+        merged_quantiles,
+    )
+
+    q = {r["source"]: r for r in sketch_quantile_values(
+        merged_quantiles(spark, str(out / "stats"), mod.STATS_SPEC),
+        [1.0], ["source"]).collect()}
+    # weights are token rows of admitted docs; max len == longest text
+    assert set(q) == {"s0", "s1"}
+    assert q["s0"]["q_1_0"] == float(len(base))
+    batch_dirs = {p.name for p in (out / "stats" / "quantiles").iterdir()
+                  if p.name.startswith("batch_id=")}
+    assert batch_dirs == {"batch_id=0", "batch_id=2"}
 
 
 def test_near_dup_gate_single_signature_pass_per_batch(spark, tmp_path, monkeypatch):
