@@ -3756,3 +3756,42 @@ def test_heads_psi_matches_numpy_model(spark):
         / share(340 - sum(rows_b.values()), 340)
     )
     assert got["psi"] == round(psi, 6)
+
+
+def test_ivf_index_persisted_equals_in_query(spark, tmp_path, sf_dir):
+    """operators/annindex.py — the persisted IVF lifecycle (build half
+    the corpus, append the rest, search from disk) must be result-
+    identical to the in-query cosine_topk_ivf on the same centroids,
+    and a search against a missing index must fail loudly (never an
+    empty result)."""
+    import pytest as _pytest
+
+    from wwwision_importservice_spark.entry_queries import load
+    from wwwision_importservice_spark.operators.annindex import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_search,
+    )
+    from wwwision_importservice_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    centroids = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cell"), "embedding")
+
+    idx = str(tmp_path / "index")
+    with _pytest.raises(FileNotFoundError, match="no index"):
+        ivf_search(spark, idx, queries, k=5, nprobe=3)
+    build_ivf_index(corpus.filter("c_id % 2 = 0"), centroids, idx)
+    append_to_ivf_index(corpus.filter("c_id % 2 = 1"), idx)
+
+    got = sorted(tuple(r) for r in
+                 ivf_search(spark, idx, queries, k=5, nprobe=3).collect())
+    want = sorted(tuple(r) for r in cosine_topk_ivf(
+        queries, corpus, centroids, k=5,
+        query_id="q_id", corpus_id="c_id", nprobe=3).collect())
+    assert got == want and len(got) > 0

@@ -546,3 +546,29 @@ def test_quantile_sketch_two_stage_shuffle_shape(spark, sf_dir):
     assert "MapInPandas" in tree and "FlatMapGroupsInPandas" in tree, tree
     first_exchange = tree.index("Exchange")
     assert "MapInPandas" in tree[first_exchange:], tree
+
+
+def test_ivf_search_prunes_to_probed_cells(spark, sf_dir, tmp_path):
+    """annindex.py:ivf_search — the probed cell ids must reach the
+    cells scan as a STATIC partition filter (collected IN list), so
+    the search reads only |queries|·nprobe cell directories of the
+    index, never the whole corpus."""
+    from wwwision_importservice_spark.entry_queries import load
+    from wwwision_importservice_spark.operators.annindex import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    centroids = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cell"), "embedding")
+    idx = str(tmp_path / "index")
+    build_ivf_index(corpus, centroids, idx)
+
+    plan = plan_of(spark, ivf_search(spark, idx, queries, k=3, nprobe=2))
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf, plan
+    assert any("cell" in ln and "IN (" in ln for ln in pf), pf

@@ -1988,9 +1988,7 @@ _IVF_QUERY_CELLS = f"""
 """
 
 
-@_register(
-    "x3_ann_ivf_topk",
-    f"""
+_IVF_TOPK_SQL = f"""
 SELECT q_id, c_id, score, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
   FROM (
@@ -2002,8 +2000,10 @@ SELECT q_id, c_id, score, rank FROM (
     JOIN embeddings ce ON ce.vec_id = cc.c_id
   )
 ) WHERE rank <= 5
-""",
-)
+"""
+
+
+@_register("x3_ann_ivf_topk", _IVF_TOPK_SQL)
 def x3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 — IVF-flat ANN: every 125th vector is a centroid (cell),
     corpus sharded by nearest centroid, queries probe their 3 nearest
@@ -2023,6 +2023,44 @@ def x3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, centroids, k=5,
         query_id="q_id", corpus_id="c_id", nprobe=3,
     )
+
+
+# same oracle as x3_ann_ivf_topk: the persisted index must be result-
+# identical to the in-query IVF on the same centroids — putting the
+# build → append → search-from-disk lifecycle under the same hash
+@_register("x3_ann_ivf_persisted", _IVF_TOPK_SQL, driver=False)
+def x3_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3b — the PERSISTED IVF index lifecycle
+    (``operators/annindex.py``): the corpus lands in cell-partitioned
+    parquet inverted lists in TWO appends (even vec_ids at build, odd
+    appended — the incremental crawl path against frozen centroids),
+    and the search runs from disk: queries assign to their 3 nearest
+    cells, the probed cell ids push down as a STATIC partition filter
+    (pinned in tests/test_plans.py), and only those cells' files are
+    scanned — search cost ∝ nprobe/n_cells of the index, with vector
+    norms precomputed at index time. Shares x3_ann_ivf_topk's oracle:
+    the declarative IVF semantics must survive the persistence
+    round-trip double-for-double."""
+    import tempfile
+
+    from wwwision_importservice_spark.operators.annindex import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_search,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    index_dir = tempfile.mkdtemp(prefix="x3_ivf_persisted_") + "/index"
+    build_ivf_index(corpus.filter(F.col("c_id") % 2 == 0), centroids, index_dir)
+    append_to_ivf_index(corpus.filter(F.col("c_id") % 2 == 1), index_dir)
+    return ivf_search(spark, index_dir, queries, k=5, nprobe=3)
 
 
 @_register(

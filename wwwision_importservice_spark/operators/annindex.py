@@ -1,0 +1,150 @@
+"""Persisted IVF-flat ANN index: the similarity-search counterpart of
+the log-structured LSH index (``dedup.py``) and the sketch store
+(``sketchstore.py``) — build once, append crawl batches, search from
+disk reading ONLY the probed cells.
+
+The in-query :func:`similarity.cosine_topk_ivf` re-assigns the corpus
+on every call; at 100 TB the assignment pass dwarfs the search. Here
+the inverted lists live in parquet PARTITIONED BY CELL with vector
+norms precomputed, so
+
+- **build/append** cost ∝ the batch (one broadcast assign pass, no
+  shuffle of the vectors beyond the partitioned write), and
+- **search** cost ∝ ``|queries| · nprobe / n_cells`` of the index:
+  the probed cell ids are collected to the driver (a few hundred
+  ints — the justified collect) and pushed as a static partition
+  filter, so the scan touches only those cells' files. ``.explain``
+  shows the cell values in PartitionFilters; pinned in
+  ``tests/test_plans.py``.
+
+Same scoring arithmetic as ``cosine_topk_ivf`` (rounded-6dp cosine of
+double vectors), so the two are result-identical on the same
+centroids — the persisted lifecycle runs under the same declarative
+oracle. No reference counterpart (public analogues: FAISS IVF-flat,
+Milvus/pgvector IVF layouts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wwwision_importservice_spark.fsutil import path_exists
+from wwwision_importservice_spark.operators.similarity import (
+    assign_cells,
+    topk,
+)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    index_dir: str,
+    corpus_id: str = "c_id",
+    vector_col: str = "embedding",
+    centroid_id: str = "cell",
+) -> None:
+    """Materialize the index: the (tiny) centroid table at
+    ``index_dir/centroids`` and the corpus inverted lists at
+    ``index_dir/cells/cell=N/`` — each vector in exactly one cell
+    (nearest centroid), stored with its precomputed norm so queries
+    never touch vector math the index already paid for. Centroids
+    typically come from :func:`similarity.train_ivf_centroids` on a
+    hash-sample; any (cell, embedding) frame works."""
+    (
+        centroids.select(F.col(centroid_id), F.col(vector_col))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/centroids")
+    )
+    append_to_ivf_index(
+        corpus, index_dir, corpus_id, vector_col, centroid_id
+    )
+
+
+def append_to_ivf_index(
+    batch: DataFrame,
+    index_dir: str,
+    corpus_id: str = "c_id",
+    vector_col: str = "embedding",
+    centroid_id: str = "cell",
+) -> None:
+    """Assign a NEW batch of vectors to the existing centroids and
+    append its inverted-list rows — the incremental crawl path: cost ∝
+    batch (one broadcast assign), never corpus. Centroids are FROZEN
+    at build time (the FAISS convention): cells only grow, recall
+    properties stay those of the trained quantizer; retrain + rebuild
+    when the corpus distribution drifts (cf. ``store_drift``)."""
+    spark = batch.sparkSession
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    assigned = assign_cells(
+        batch, centroids, corpus_id, vector_col, centroid_id, nprobe=1
+    ).select(
+        F.col(corpus_id),
+        F.col("__v").alias(vector_col),
+        F.col("__n").alias("v_norm"),
+        F.col(centroid_id),
+    )
+    (
+        assigned.write.mode("append")
+        .partitionBy(centroid_id)
+        .parquet(f"{index_dir}/cells")
+    )
+
+
+def ivf_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vector_col: str = "embedding",
+    centroid_id: str = "cell",
+) -> DataFrame:
+    """ANN top-k against the persisted index. The query batch is
+    assigned to its ``nprobe`` nearest cells (broadcast of the small
+    centroid table), the probed cell ids are collected — bounded by
+    min(|queries|·nprobe, n_cells) ints, driver-safe by construction —
+    and pushed as a static IN filter on the partition column, so the
+    cells scan reads only the probed directories. Scoring and
+    tie-breaks match :func:`similarity.cosine_topk_ivf` exactly
+    (rounded-6dp cosine, ascending id on ties)."""
+    if not path_exists(spark, f"{index_dir}/cells"):
+        raise FileNotFoundError(
+            f"ivf_search: no index at {index_dir!r} (build_ivf_index first)"
+        )
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    q_cells = assign_cells(
+        queries, centroids, query_id, vector_col, centroid_id, nprobe=nprobe
+    ).select(
+        query_id, F.col(centroid_id), F.col("__v").alias("__qv"),
+        F.col("__n").alias("__qn"),
+    ).localCheckpoint(eager=True)  # reused: probed-cell collect + join
+    probed = [
+        r[centroid_id]
+        for r in q_cells.select(centroid_id).distinct().collect()
+    ]
+    cells = (
+        spark.read.parquet(f"{index_dir}/cells")
+        # static partition filter: only the probed cell dirs are read
+        .filter(F.col(centroid_id).isin(probed))
+        .select(
+            corpus_id,
+            F.col(vector_col).alias("__cv"),
+            F.col("v_norm").alias("__cn"),
+            centroid_id,
+        )
+    )
+    from wwwision_importservice_spark.operators.similarity import _dot
+
+    score = F.round(
+        _dot(F.col("__qv"), F.col("__cv"))
+        / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
+        6,
+    )
+    scored = q_cells.join(cells, centroid_id).select(
+        F.col(query_id), F.col(corpus_id), score.alias("score")
+    )
+    return topk(scored, k, query_id, corpus_id)
