@@ -3795,3 +3795,63 @@ def test_ivf_index_persisted_equals_in_query(spark, tmp_path, sf_dir):
         queries, corpus, centroids, k=5,
         query_id="q_id", corpus_id="c_id", nprobe=3).collect())
     assert got == want and len(got) > 0
+
+
+def test_ivf_pq_index_full_probe_equals_pq_scan(spark, tmp_path, sf_dir):
+    """annindex.py IVF-PQ mode: cells persist (codes, norm) instead of
+    raw vectors; with every cell probed the cell-routed ADC search must
+    equal cosine_topk_pq's full scan row-for-row (same LUTs, same
+    fixed-order float association, same tie-breaks), the pruned search
+    still returns k per query, and the PQ cells are materially smaller
+    than the flat-vector cells."""
+    import glob
+    import os
+
+    from wwwision_importservice_spark.entry_queries import load
+    from wwwision_importservice_spark.operators.annindex import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_search,
+    )
+    from wwwision_importservice_spark.operators.similarity import (
+        cosine_topk_pq,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    centroids = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cell"), "embedding")
+    books = train_pq_codebooks(
+        corpus, "c_id", m=8, n_codes=16, iterations=2
+    ).localCheckpoint(eager=True)
+
+    pq_idx = str(tmp_path / "pq")
+    build_ivf_index(corpus.filter("c_id % 2 = 0"), centroids, pq_idx,
+                    codebooks=books)
+    append_to_ivf_index(corpus.filter("c_id % 2 = 1"), pq_idx)
+    flat_idx = str(tmp_path / "flat")
+    build_ivf_index(corpus, centroids, flat_idx)
+
+    n_cells = centroids.count()
+    got = sorted(tuple(r) for r in
+                 ivf_search(spark, pq_idx, queries, k=5,
+                            nprobe=n_cells).collect())
+    want = sorted(tuple(r) for r in cosine_topk_pq(
+        queries, pq_encode(corpus, books, "c_id"), books, k=5,
+        query_id="q_id", corpus_id="c_id").collect())
+    assert got == want and len(got) > 0
+
+    pruned = ivf_search(spark, pq_idx, queries, k=5, nprobe=3)
+    assert pruned.groupBy("q_id").count().filter("count != 5").count() == 0
+
+    def cells_bytes(d):
+        return sum(os.path.getsize(f) for f in
+                   glob.glob(f"{d}/cells/**/*.parquet", recursive=True))
+
+    # m=8 codes + norm vs 64 doubles: at least 4x smaller on disk even
+    # with parquet overheads at this tiny scale
+    assert cells_bytes(pq_idx) * 4 < cells_bytes(flat_idx)

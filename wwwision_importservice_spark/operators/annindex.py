@@ -43,6 +43,7 @@ def build_ivf_index(
     corpus_id: str = "c_id",
     vector_col: str = "embedding",
     centroid_id: str = "cell",
+    codebooks: DataFrame | None = None,
 ) -> None:
     """Materialize the index: the (tiny) centroid table at
     ``index_dir/centroids`` and the corpus inverted lists at
@@ -50,13 +51,29 @@ def build_ivf_index(
     (nearest centroid), stored with its precomputed norm so queries
     never touch vector math the index already paid for. Centroids
     typically come from :func:`similarity.train_ivf_centroids` on a
-    hash-sample; any (cell, embedding) frame works."""
+    hash-sample; any (cell, embedding) frame works.
+
+    ``codebooks`` (a :func:`similarity.train_pq_codebooks` frame)
+    switches the index to **IVF-PQ**: cells store ``(id, codes, norm)``
+    — m small ints + one double per vector instead of d floats, the
+    16-32× compression that keeps a 100 TB embedding corpus's index in
+    page cache — and :func:`ivf_search` scores the probed cells by ADC
+    lookup against the stored codebooks (FAISS's IVFPQ layout; Jégou
+    et al. 2011). The codebook table persists beside the centroids, so
+    the search needs nothing but ``index_dir``."""
     (
         centroids.select(F.col(centroid_id), F.col(vector_col))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{index_dir}/centroids")
     )
+    if codebooks is not None:
+        (
+            codebooks.select("subspace", "code", F.col(vector_col))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/codebooks")
+        )
     append_to_ivf_index(
         corpus, index_dir, corpus_id, vector_col, centroid_id
     )
@@ -77,16 +94,29 @@ def append_to_ivf_index(
     when the corpus distribution drifts (cf. ``store_drift``)."""
     spark = batch.sparkSession
     centroids = spark.read.parquet(f"{index_dir}/centroids")
-    assigned = assign_cells(
+    cells = assign_cells(
         batch, centroids, corpus_id, vector_col, centroid_id, nprobe=1
-    ).select(
-        F.col(corpus_id),
-        F.col("__v").alias(vector_col),
-        F.col("__n").alias("v_norm"),
-        F.col(centroid_id),
-    )
+    ).select(F.col(corpus_id), F.col(centroid_id))
+    if path_exists(spark, f"{index_dir}/codebooks"):
+        from wwwision_importservice_spark.operators.similarity import pq_encode
+
+        codebooks = spark.read.parquet(f"{index_dir}/codebooks")
+        # (id, codes, norm) — the PQ rows; the cell comes from the
+        # separate full-vector assignment above (both broadcast passes)
+        rows = pq_encode(batch, codebooks, corpus_id, vector_col).join(
+            cells, corpus_id
+        )
+    else:
+        rows = assign_cells(
+            batch, centroids, corpus_id, vector_col, centroid_id, nprobe=1
+        ).select(
+            F.col(corpus_id),
+            F.col("__v").alias(vector_col),
+            F.col("__n").alias("v_norm"),
+            F.col(centroid_id),
+        )
     (
-        assigned.write.mode("append")
+        rows.write.mode("append")
         .partitionBy(centroid_id)
         .parquet(f"{index_dir}/cells")
     )
@@ -116,6 +146,7 @@ def ivf_search(
             f"ivf_search: no index at {index_dir!r} (build_ivf_index first)"
         )
     centroids = spark.read.parquet(f"{index_dir}/centroids")
+    pq = path_exists(spark, f"{index_dir}/codebooks")
     q_cells = assign_cells(
         queries, centroids, query_id, vector_col, centroid_id, nprobe=nprobe
     ).select(
@@ -126,17 +157,31 @@ def ivf_search(
         r[centroid_id]
         for r in q_cells.select(centroid_id).distinct().collect()
     ]
-    cells = (
-        spark.read.parquet(f"{index_dir}/cells")
-        # static partition filter: only the probed cell dirs are read
-        .filter(F.col(centroid_id).isin(probed))
-        .select(
-            corpus_id,
-            F.col(vector_col).alias("__cv"),
-            F.col("v_norm").alias("__cn"),
-            centroid_id,
-        )
+    # static partition filter: only the probed cell dirs are read
+    cells = spark.read.parquet(f"{index_dir}/cells").filter(
+        F.col(centroid_id).isin(probed)
     )
+    if pq:
+        from wwwision_importservice_spark.operators.similarity import (
+            adc_dot,
+            pq_query_luts,
+        )
+
+        codebooks = spark.read.parquet(f"{index_dir}/codebooks")
+        luts, m, n_codes = pq_query_luts(
+            queries, codebooks, query_id, vector_col
+        )
+        q_side = q_cells.select(query_id, centroid_id).join(
+            F.broadcast(luts), query_id
+        )
+        scored = q_side.join(cells, centroid_id).select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.round(
+                adc_dot(m, n_codes) / (F.col("__qn") * F.col("norm")), 6
+            ).alias("score"),
+        )
+        return topk(scored, k, query_id, corpus_id)
     from wwwision_importservice_spark.operators.similarity import _dot
 
     score = F.round(
@@ -144,7 +189,13 @@ def ivf_search(
         / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
         6,
     )
-    scored = q_cells.join(cells, centroid_id).select(
-        F.col(query_id), F.col(corpus_id), score.alias("score")
-    )
+    scored = q_cells.join(
+        cells.select(
+            corpus_id,
+            F.col(vector_col).alias("__cv"),
+            F.col("v_norm").alias("__cn"),
+            centroid_id,
+        ),
+        centroid_id,
+    ).select(F.col(query_id), F.col(corpus_id), score.alias("score"))
     return topk(scored, k, query_id, corpus_id)

@@ -785,6 +785,29 @@ def cosine_topk_pq(
     with IVF cell routing (:func:`assign_cells`) for the full IVF-PQ
     shape when even a scan is too much.
     """
+    luts, m, n_codes = pq_query_luts(queries, codebooks, query_id, vector_col)
+    scored = encoded_corpus.crossJoin(F.broadcast(luts)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(
+            adc_dot(m, n_codes) / (F.col("__qn") * F.col("norm")), 6
+        ).alias("score"),
+    )
+    return topk(scored, k, query_id, corpus_id)
+
+
+def pq_query_luts(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    query_id: str = "q_id",
+    vector_col: str = "embedding",
+) -> tuple[DataFrame, int, int]:
+    """Per-query ADC lookup tables against broadcast codebooks:
+    ``(q_id, __lut array<double> ordered by (subspace, code), __qn)``
+    plus the ``(m, n_codes)`` geometry. |Q| × m × n_codes doubles —
+    tiny, meant to be broadcast against the encoded corpus. Shared by
+    :func:`cosine_topk_pq` (full-scan ADC) and the persisted IVF-PQ
+    index (``annindex.py`` — cell-routed ADC)."""
     nrow = codebooks.agg(
         F.max("subspace").alias("mm"), F.max("code").alias("mc")
     ).first()
@@ -837,7 +860,14 @@ def cosine_topk_pq(
             F.first("__qn").alias("__qn"),
         )
     )
-    adc = F.aggregate(
+    return luts, m, n_codes
+
+
+def adc_dot(m: int, n_codes: int):
+    """The ADC dot-product expression over (``__lut``, ``codes``)
+    columns: m flat-array lookups summed in fixed order
+    (deterministic float association)."""
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
         lambda acc, j: acc
@@ -846,12 +876,6 @@ def cosine_topk_pq(
             (j * n_codes + F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
         ),
     )
-    scored = encoded_corpus.crossJoin(F.broadcast(luts)).select(
-        F.col(query_id),
-        F.col(corpus_id),
-        F.round(adc / (F.col("__qn") * F.col("norm")), 6).alias("score"),
-    )
-    return topk(scored, k, query_id, corpus_id)
 
 
 def cosine_topk_pq_rerank(
