@@ -94,15 +94,16 @@ def append_to_ivf_index(
     when the corpus distribution drifts (cf. ``store_drift``)."""
     spark = batch.sparkSession
     centroids = spark.read.parquet(f"{index_dir}/centroids")
-    cells = assign_cells(
-        batch, centroids, corpus_id, vector_col, centroid_id, nprobe=1
-    ).select(F.col(corpus_id), F.col(centroid_id))
     if path_exists(spark, f"{index_dir}/codebooks"):
         from wwwision_importservice_spark.operators.similarity import pq_encode
 
         codebooks = spark.read.parquet(f"{index_dir}/codebooks")
-        # (id, codes, norm) — the PQ rows; the cell comes from the
-        # separate full-vector assignment above (both broadcast passes)
+        # (id, codes, norm) from the PQ encode joined with the cell
+        # from the full-vector assignment — two broadcast passes over
+        # the batch, still ∝ batch size
+        cells = assign_cells(
+            batch, centroids, corpus_id, vector_col, centroid_id, nprobe=1
+        ).select(F.col(corpus_id), F.col(centroid_id))
         rows = pq_encode(batch, codebooks, corpus_id, vector_col).join(
             cells, corpus_id
         )
