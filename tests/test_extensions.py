@@ -3855,3 +3855,57 @@ def test_ivf_pq_index_full_probe_equals_pq_scan(spark, tmp_path, sf_dir):
     # m=8 codes + norm vs 64 doubles: at least 4x smaller on disk even
     # with parquet overheads at this tiny scale
     assert cells_bytes(pq_idx) * 4 < cells_bytes(flat_idx)
+
+
+def test_ivf_pq_rerank_full_probe_equals_in_query(spark, tmp_path, sf_dir):
+    """annindex.py IVFPQ + exact re-rank: with every cell probed the
+    persisted shortlist-then-rescore path must equal the in-query
+    cosine_topk_pq_rerank row-for-row (same overfetch, same exact
+    arithmetic), and the reranked top-k must beat raw ADC recall
+    against the exact search on this corpus."""
+    from wwwision_importservice_spark.entry_queries import load
+    from wwwision_importservice_spark.operators.annindex import (
+        build_ivf_index,
+        ivf_search,
+    )
+    from wwwision_importservice_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_pq_rerank,
+        train_pq_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    centroids = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cell"), "embedding")
+    books = train_pq_codebooks(
+        corpus, "c_id", m=8, n_codes=16, iterations=2
+    ).localCheckpoint(eager=True)
+
+    idx = str(tmp_path / "pq")
+    build_ivf_index(corpus, centroids, idx, codebooks=books)
+    n_cells = centroids.count()
+
+    got = sorted(tuple(r) for r in ivf_search(
+        spark, idx, queries, k=5, nprobe=n_cells,
+        rerank_corpus=corpus, overfetch=20).collect())
+    want = sorted(tuple(r) for r in cosine_topk_pq_rerank(
+        queries, corpus,
+        # encode through the index's own append path is already pinned
+        # equal; reuse the in-query encode for the reference
+        __import__("wwwision_importservice_spark.operators.similarity",
+                   fromlist=["pq_encode"]).pq_encode(corpus, books, "c_id"),
+        books, k=5, overfetch=20, query_id="q_id", corpus_id="c_id",
+    ).collect())
+    assert got == want and len(got) > 0
+
+    # recall of reranked top-5 vs exact search, averaged over queries
+    exact = {(r["q_id"], r["c_id"]) for r in cosine_topk(
+        queries, corpus, k=5, query_id="q_id", corpus_id="c_id").collect()}
+    rer = {(r[0], r[1]) for r in got}
+    raw = {(r["q_id"], r["c_id"]) for r in ivf_search(
+        spark, idx, queries, k=5, nprobe=n_cells).collect()}
+    assert len(rer & exact) >= len(raw & exact)
+    assert len(rer & exact) / len(exact) >= 0.7

@@ -133,6 +133,8 @@ def ivf_search(
     corpus_id: str = "c_id",
     vector_col: str = "embedding",
     centroid_id: str = "cell",
+    rerank_corpus: DataFrame | None = None,
+    overfetch: int = 4,
 ) -> DataFrame:
     """ANN top-k against the persisted index. The query batch is
     assigned to its ``nprobe`` nearest cells (broadcast of the small
@@ -141,7 +143,19 @@ def ivf_search(
     and pushed as a static IN filter on the partition column, so the
     cells scan reads only the probed directories. Scoring and
     tie-breaks match :func:`similarity.cosine_topk_ivf` exactly
-    (rounded-6dp cosine, ascending id on ties)."""
+    (rounded-6dp cosine, ascending id on ties).
+
+    On a PQ index, ``rerank_corpus`` (the full-precision vector table
+    — the index itself stores only codes) enables the production
+    IVFPQ+rerank recipe: ADC over-fetches ``k·overfetch`` candidates
+    per query from the probed cells, then only those candidates' full
+    vectors are read back via a shortlist join (pushdown-friendly
+    semi-join shape — |Q|·k·overfetch exact dot products instead of
+    |Q|·|C|) and scored exactly, repairing PQ's lossy shortlist into
+    near-exact top-k (recall floors pinned on the in-query twin
+    :func:`similarity.cosine_topk_pq_rerank`, whose arithmetic this
+    matches row-for-row). Ignored on a flat index — the flat cells
+    already score exactly."""
     if not path_exists(spark, f"{index_dir}/cells"):
         raise FileNotFoundError(
             f"ivf_search: no index at {index_dir!r} (build_ivf_index first)"
@@ -182,7 +196,37 @@ def ivf_search(
                 adc_dot(m, n_codes) / (F.col("__qn") * F.col("norm")), 6
             ).alias("score"),
         )
-        return topk(scored, k, query_id, corpus_id)
+        if rerank_corpus is None:
+            return topk(scored, k, query_id, corpus_id)
+        from wwwision_importservice_spark.operators.similarity import (
+            _as_double,
+            _dot,
+            _norm,
+        )
+
+        shortlist = topk(scored, k * overfetch, query_id, corpus_id).select(
+            query_id, corpus_id
+        )
+        qv = q_cells.select(query_id, "__qv", "__qn").dropDuplicates(
+            [query_id]
+        )
+        cv = rerank_corpus.select(
+            F.col(corpus_id), _as_double(F.col(vector_col)).alias("__cv")
+        ).withColumn("__cn", _norm(F.col("__cv")))
+        exact = (
+            shortlist.join(cv, corpus_id)
+            .join(F.broadcast(qv), query_id)
+            .select(
+                F.col(query_id),
+                F.col(corpus_id),
+                F.round(
+                    _dot(F.col("__qv"), F.col("__cv"))
+                    / (F.col("__qn") * F.col("__cn")),
+                    6,
+                ).alias("score"),
+            )
+        )
+        return topk(exact, k, query_id, corpus_id)
     from wwwision_importservice_spark.operators.similarity import _dot
 
     score = F.round(
