@@ -48,6 +48,7 @@ from wwwision_importservice_spark.operators.sketchstore import (  # noqa: E402
     SketchStoreSpec,
     append_batch,
 )
+from wwwision_importservice_spark.operators.text import corpus_tokens  # noqa: E402
 from wwwision_importservice_spark.streaming.neardup import near_dup_gate  # noqa: E402
 
 INGEST_CHECKS = [
@@ -84,7 +85,9 @@ def build_processor(
             append_batch(
                 survivors.select(
                     "source",
-                    F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+                    # the repo-wide tokenizer (lowercase, empties
+                    # filtered) — same statistics the oracles state
+                    F.explode(corpus_tokens(F.col("text"))).alias("tok"),
                     F.length("text").cast("double").alias("len"),
                 ),
                 stats_store_dir,

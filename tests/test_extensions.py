@@ -3909,3 +3909,161 @@ def test_ivf_pq_rerank_full_probe_equals_in_query(spark, tmp_path, sf_dir):
         spark, idx, queries, k=5, nprobe=n_cells).collect()}
     assert len(rer & exact) >= len(raw & exact)
     assert len(rer & exact) / len(exact) >= 0.7
+
+
+def test_heavy_hitters_multi_column_groups(spark):
+    """Regression (code review): 2+ group columns crashed the partition
+    summarizer (MultiIndex collapsed by the concat-with-empty-seed);
+    the index-aligned fold must produce exact per-(lang, domain) counts
+    and totals in the exact-degenerate mode."""
+    from collections import Counter
+
+    from wwwision_importservice_spark.operators.features import (
+        heavy_hitter_summary,
+        heavy_hitters,
+    )
+
+    rows = [("en", "a.com", f"t{i % 3}") for i in range(300)]
+    rows += [("en", "b.com", f"t{i % 2}") for i in range(200)]
+    rows += [("de", "a.com", f"w{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "lang string, domain string, tok string"
+    ).repartition(4)
+
+    out = heavy_hitters(df, "tok", k=2, counters=64,
+                        group_cols=["lang", "domain"]).collect()
+    assert len(out) == 6  # 2 per (lang, domain)
+    exact = Counter((l, d, t) for l, d, t in rows)
+    for r in out:
+        assert r["est_count"] == exact[(r["lang"], r["domain"], r["tok"])]
+    n_by_group = Counter((l, d) for l, d, _ in rows)
+    assert all(r["n_total"] == n_by_group[(r["lang"], r["domain"])]
+               for r in out)
+
+    summ = heavy_hitter_summary(df, "tok", ["lang", "domain"], counters=64)
+    got = {(r["lang"], r["domain"], r["tok"]): r["c"]
+           for r in summ.collect() if r["tok"] is not None}
+    assert got == dict(exact)
+
+
+def test_grouped_sketches_exclude_null_groups(spark):
+    """Regression (code review): NULL group values were stringified to
+    'None' by pandas and merged with genuine 'None' strings; they are
+    now excluded at the Spark level, keeping the real groups exact."""
+    from wwwision_importservice_spark.operators.features import (
+        heavy_hitters,
+        quantile_sketch,
+        sketch_quantile_values,
+    )
+
+    rows = [("s1", "a", 1.0)] * 10 + [(None, "a", 9.0)] * 5
+    rows += [("None", "b", 2.0)] * 7  # a GENUINE string 'None' group
+    df = spark.createDataFrame(rows, "src string, tok string, v double")
+
+    hh = {r["src"]: r for r in heavy_hitters(
+        df, "tok", k=5, counters=64, group_cols=["src"]).collect()}
+    assert set(hh) == {"s1", "None"}  # null group excluded, not merged
+    assert hh["s1"]["n_total"] == 10 and hh["None"]["n_total"] == 7
+
+    sk = quantile_sketch(df, "v", ["src"], k=64)
+    q = {r["src"]: r for r in
+         sketch_quantile_values(sk, [1.0], ["src"]).collect()}
+    assert set(q) == {"s1", "None"}
+    assert q["s1"]["q_1_0"] == 1.0 and q["None"]["q_1_0"] == 2.0
+
+
+def test_sketch_store_replay_after_compaction_not_double_counted(
+    spark, tmp_path
+):
+    """Regression (code review): a micro-batch replayed AFTER
+    compact_store folded its slice into batch_id=-1 re-creates its
+    batch directory; the _compacted_through watermark must exclude it
+    from merges (its mass is already in the folded slice), while
+    genuinely new batches past the watermark still count."""
+    from wwwision_importservice_spark.operators.features import (
+        sketch_quantile_values,
+    )
+    from wwwision_importservice_spark.operators.sketchstore import (
+        append_batch,
+        compact_store,
+        merged_heads,
+        merged_quantiles,
+    )
+
+    spec = _store_spec()
+    store = str(tmp_path / "stats")
+    schema = "src string, tok string, ln double"
+    b0 = spark.createDataFrame([("a", "t1", 1.0)] * 6, schema)
+    b1 = spark.createDataFrame([("a", "t2", 5.0)] * 4, schema)
+    append_batch(b0, store, 0, spec)
+    append_batch(b1, store, 1, spec)
+    compact_store(spark, store, spec)
+
+    append_batch(b1, store, 1, spec)  # the replay, post-compaction
+    heads = {r["tok"]: (r["c"], r["n"])
+             for r in merged_heads(spark, store, spec).collect()
+             if r["tok"] is not None}
+    assert heads == {"t1": (6, 10), "t2": (4, 10)}  # NOT 8/14
+    q = sketch_quantile_values(
+        merged_quantiles(spark, store, spec), [1.0], ["src"]).collect()[0]
+    assert q["n_rows"] == 10
+
+    # a genuinely new batch past the watermark counts exactly once,
+    # and a second compaction folds it under a raised watermark
+    append_batch(spark.createDataFrame([("a", "t3", 9.0)] * 3, schema),
+                 store, 2, spec)
+    compact_store(spark, store, spec)
+    append_batch(spark.createDataFrame([("a", "t3", 9.0)] * 3, schema),
+                 store, 2, spec)  # replay of batch 2 after fold #2
+    heads2 = {r["tok"]: r["c"]
+              for r in merged_heads(spark, store, spec).collect()
+              if r["tok"] is not None}
+    assert heads2 == {"t1": 6, "t2": 4, "t3": 3}
+    q2 = sketch_quantile_values(
+        merged_quantiles(spark, store, spec), [1.0], ["src"]).collect()[0]
+    assert q2["n_rows"] == 13 and q2["q_1_0"] == 9.0
+
+
+def test_ivf_index_rebuild_clears_previous_generation(spark, tmp_path, sf_dir):
+    """Regression (code review): rebuilding an index in place
+    overwrote centroids but APPENDED cells, mixing rows assigned under
+    the old geometry with the new. A rebuild must clear prior cells
+    (and a stale codebooks dir when switching PQ → flat), leaving the
+    index identical to a fresh build."""
+    from wwwision_importservice_spark.entry_queries import load
+    from wwwision_importservice_spark.operators.annindex import (
+        build_ivf_index,
+        ivf_search,
+    )
+    from wwwision_importservice_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    cents_a = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cell"), "embedding")
+    cents_b = emb.filter(F.col("vec_id") % 125 == 1).select(
+        F.col("vec_id").alias("cell"), "embedding")
+    books = train_pq_codebooks(
+        corpus, "c_id", m=8, n_codes=16, iterations=1
+    ).localCheckpoint(eager=True)
+
+    idx = str(tmp_path / "idx")
+    # generation 1: PQ index under centroids A
+    build_ivf_index(corpus, cents_a, idx, codebooks=books)
+    # generation 2: FLAT rebuild under centroids B, same directory
+    build_ivf_index(corpus, cents_b, idx)
+    rebuilt = spark.read.parquet(f"{idx}/cells")
+    assert rebuilt.count() == corpus.count()  # no generation-1 rows
+    assert "codes" not in rebuilt.columns  # stale codebooks cleared
+
+    fresh = str(tmp_path / "fresh")
+    build_ivf_index(corpus, cents_b, fresh)
+    got = sorted(tuple(r) for r in
+                 ivf_search(spark, idx, queries, k=5, nprobe=2).collect())
+    want = sorted(tuple(r) for r in
+                  ivf_search(spark, fresh, queries, k=5, nprobe=2).collect())
+    assert got == want

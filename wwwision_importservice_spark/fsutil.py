@@ -117,3 +117,44 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     """
     fs, hadoop_path = _fs_and_path(spark, path)
     return bool(fs.exists(hadoop_path))
+
+
+def delete_dir(spark: SparkSession, path: str) -> bool:
+    """Recursively delete ``path`` if it exists (returns whether it
+    did). For REBUILD semantics: a builder that overwrites one part of
+    a multi-directory state (an index's centroids) must clear the
+    companion directories too, or append-mode writers silently mix
+    old- and new-generation rows."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return False
+    if not fs.delete(p, True):
+        raise OSError(f"delete {path} failed")
+    return True
+
+
+def write_text_file(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small UTF-8 text file (overwrite) — marker/watermark
+    files beside parquet state (underscore-prefixed names are invisible
+    to Spark's parquet reader)."""
+    fs, p = _fs_and_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text_file(spark: SparkSession, path: str) -> str | None:
+    """Read a small UTF-8 text file, or None if it does not exist."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        jvm = spark.sparkContext._jvm
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()

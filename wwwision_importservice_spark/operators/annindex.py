@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wwwision_importservice_spark.fsutil import path_exists
+from wwwision_importservice_spark.fsutil import delete_dir, path_exists
 from wwwision_importservice_spark.operators.similarity import (
     assign_cells,
     topk,
@@ -60,7 +60,14 @@ def build_ivf_index(
     page cache — and :func:`ivf_search` scores the probed cells by ADC
     lookup against the stored codebooks (FAISS's IVFPQ layout; Jégou
     et al. 2011). The codebook table persists beside the centroids, so
-    the search needs nothing but ``index_dir``."""
+    the search needs nothing but ``index_dir``.
+
+    Rebuild-safe: any pre-existing cells (and, when switching to flat,
+    codebooks) under ``index_dir`` are DELETED first — rows assigned
+    under an older centroid geometry must never coexist with the new
+    generation (appends would silently mix them; pinned by test)."""
+    spark = corpus.sparkSession
+    delete_dir(spark, f"{index_dir}/cells")
     (
         centroids.select(F.col(centroid_id), F.col(vector_col))
         .coalesce(1)
@@ -74,6 +81,10 @@ def build_ivf_index(
             .write.mode("overwrite")
             .parquet(f"{index_dir}/codebooks")
         )
+    else:
+        # a stale codebook dir from a previous PQ build would flip
+        # ivf_search back into ADC mode against flat cells
+        delete_dir(spark, f"{index_dir}/codebooks")
     append_to_ivf_index(
         corpus, index_dir, corpus_id, vector_col, centroid_id
     )

@@ -358,6 +358,7 @@ def incremental_pairs_from_buckets(
     *,
     max_bucket_size: int = 10_000,
     broadcast_keys: bool = True,
+    prune_index: bool = True,
     stats: dict | None = None,
 ) -> DataFrame:
     """The :func:`incremental_lsh_pairs` core, taking the new batch's
@@ -367,6 +368,14 @@ def incremental_pairs_from_buckets(
     once, checkpoints it, and reuses it for the pair join AND the
     survivor index append — don't pay a second shingling/banding pass.
     Semantics and scale shape are exactly the parent's.
+
+    ``prune_index=False`` skips the internal bucket-key semi-join —
+    for callers (the streaming gate) that already restricted ``index``
+    to the batch's buckets and reuse that pruned frame elsewhere;
+    passing an UNpruned index with False silently over-widens nothing
+    (the group join is still keyed) but pays the full index in the
+    bucket shuffle, so leave it True unless the prune provably
+    happened.
 
     ``stats``: opt-in drop accounting, same contract as
     :func:`lsh_candidate_pairs` — ``lsh_buckets_dropped`` /
@@ -379,14 +388,17 @@ def incremental_pairs_from_buckets(
     new_b = new_buckets.select(id_col, "band", "sig")
     # tolerate decorated indexes (batch_id age stamps, future metadata)
     index = index.select(id_col, "band", "sig")
-    touched = new_b.select("band", "sig").distinct()
-    # broadcast fits while bucket keys ≈ bands × batch docs (a crawl
-    # batch); a corpus-sized BACKFILL batch overflows the driver — pass
-    # broadcast_keys=False there and the semi join plans as a shuffle
-    # (which a backfill would force anyway)
-    if broadcast_keys:
-        touched = F.broadcast(touched)
-    idx_hit = index.join(touched, ["band", "sig"], "left_semi")
+    if prune_index:
+        touched = new_b.select("band", "sig").distinct()
+        # broadcast fits while bucket keys ≈ bands × batch docs (a crawl
+        # batch); a corpus-sized BACKFILL batch overflows the driver —
+        # pass broadcast_keys=False there and the semi join plans as a
+        # shuffle (which a backfill would force anyway)
+        if broadcast_keys:
+            touched = F.broadcast(touched)
+        idx_hit = index.join(touched, ["band", "sig"], "left_semi")
+    else:
+        idx_hit = index
     members = (
         new_b.withColumn("__new", F.lit(True))
         .unionByName(idx_hit.withColumn("__new", F.lit(False)))

@@ -225,7 +225,8 @@ def heavy_hitters(
     Executor memory is counters × live-groups-per-partition — for
     high-cardinality grouping keys, pre-partition the input by group so
     each task sees few groups. Items are compared AS STRINGS (summaries
-    cast to string for a stable cross-type schema) in both forms.
+    cast to string for a stable cross-type schema) in both forms; rows
+    with NULL group values are excluded (coalesce first to keep them).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -302,16 +303,17 @@ def _mg_partition_summaries(
     out_schema = (
         f"{gschema}`{item_col}` string, _cnt long, _pid int, _part_rows long"
     )
-    levels = list(range(len(groups) + 1))
     key_cols = groups + [item_col]
 
     def summarize(batches):
         # mg: running summary DataFrame (group..., item, c); n: per-group
-        # row totals (Series over group tuples; a 1-entry scalar Series
-        # for the global form)
+        # row totals (Series indexed by group value / MultiIndex tuple —
+        # index-aligned .add keeps the MultiIndex intact, where a
+        # concat-with-empty-seed would collapse it to flat tuples and
+        # crash the level groupby on 2+ group columns)
         mg = pd.DataFrame(columns=key_cols + ["c"])
         n_global = 0
-        n = pd.Series(dtype="int64")
+        n = None
         pid = None
         for pdf in batches:
             if pid is None and len(pdf):
@@ -323,7 +325,7 @@ def _mg_partition_summaries(
             vc = keyed.groupby(key_cols, sort=False).size().rename("c").reset_index()
             if groups:
                 gn = keyed.groupby(groups, sort=False).size()
-                n = pd.concat([n, gn]).groupby(level=levels[:-1]).sum()
+                n = gn if n is None else n.add(gn, fill_value=0).astype("int64")
             else:
                 n_global += len(keyed)
             mg = (
@@ -357,6 +359,10 @@ def _mg_partition_summaries(
         if pid is None:
             return
         if groups:
+            if n is None:
+                # rows existed but every item was null: nothing counted,
+                # nothing to carry (n would be 0 for every group)
+                return
             gtot = n.rename("_part_rows").reset_index()
             gtot.columns = groups + ["_part_rows"]
             parts = []
@@ -388,9 +394,15 @@ def _mg_partition_summaries(
         out["_pid"] = pid
         yield out[key_cols + ["_cnt", "_pid", "_part_rows"]]
 
-    return df.select(
+    src = df.select(
         *groups, F.col(item_col), F.spark_partition_id().alias("_pid")
-    ).mapInPandas(summarize, schema=out_schema)
+    )
+    # NULL group values are EXCLUDED, not stringified: pandas astype(str)
+    # would silently relabel them 'None'/'nan' and merge them with
+    # genuine such strings; callers who want a null group coalesce first
+    for g in groups:
+        src = src.filter(F.col(g).isNotNull())
+    return src.mapInPandas(summarize, schema=out_schema)
 
 
 # --------------------------------------------------------------------------- #
@@ -537,6 +549,10 @@ def quantile_sketch(
         return np.empty(0, dtype="int32")
 
     part = df.select(*groups, F.col(value_col).cast("double").alias(value_col))
+    # NULL group values are EXCLUDED (same contract and reason as
+    # _mg_partition_summaries: astype(str) would mislabel them 'None')
+    for g in groups:
+        part = part.filter(F.col(g).isNotNull())
     part = part.mapInPandas(partials, schema=out_schema)
     return merge_quantile_sketches(part, group_cols=groups, k=k)
 

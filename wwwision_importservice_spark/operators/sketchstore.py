@@ -30,9 +30,13 @@ directory, so a retried micro-batch (foreachBatch replays after a
 checkpoint failure) lands the identical summary in place instead of
 double-counting — appends are idempotent per batch id, pinned by
 test. Compaction goes through :func:`fsutil.replace_dir`'s
-backup-swap (folded slice stamped ``batch_id=-1``), and readers call
-:func:`fsutil.recover_dir` first, so an interrupted compaction is
-never mistaken for an empty store.
+backup-swap (folded slice stamped ``batch_id=-1`` plus a
+``_compacted_through`` watermark riding the same swap), and readers
+call :func:`fsutil.recover_dir` first, so an interrupted compaction
+is never mistaken for an empty store — and a batch replayed AFTER its
+slice was folded is ignored by the watermark instead of double-
+counting. Single writer assumed (compaction runs inside the batch
+loop, never concurrent with appends).
 """
 
 from __future__ import annotations
@@ -44,8 +48,10 @@ from pyspark.sql import functions as F
 
 from wwwision_importservice_spark.fsutil import (
     path_exists,
+    read_text_file,
     recover_dir,
     replace_dir,
+    write_text_file,
 )
 
 _KINDS = ("heads", "quantiles", "distincts")
@@ -120,6 +126,19 @@ def _read_kind(
     if not path_exists(spark, path):
         return None
     raw = spark.read.parquet(path)
+    # compaction watermark: batch ids ≤ _compacted_through are folded
+    # into the batch_id=-1 slice. A micro-batch REPLAYED after its
+    # slice was compacted re-creates its batch_id=N directory; without
+    # the watermark that sibling slice would be counted on top of the
+    # folded copy, breaking the exactly-once claim (code-review
+    # finding, pinned by test). The marker rides inside the kind dir
+    # through the same crash-safe swap as the fold itself.
+    marker = read_text_file(spark, f"{path}/_compacted_through")
+    if marker is not None:
+        through = int(marker)
+        raw = raw.filter(
+            (F.col("batch_id") == -1) | (F.col("batch_id") > through)
+        )
     if batch_range is not None:
         lo, hi = batch_range
         # batch_id IS the partition directory, so this filter prunes
@@ -224,13 +243,26 @@ def compact_store(
         "distincts": merged_distincts,
     }
     for kind in _KINDS:
-        merged = merges[kind](spark, store_dir, spec)
-        if merged is None:
+        raw = _read_kind(spark, store_dir, kind)
+        if raw is None:
             continue
+        # the watermark the folded slice will carry: everything being
+        # folded right now (single writer — compaction runs inside the
+        # batch loop, never concurrently with appends)
+        hi = raw.agg(F.max("batch_id").alias("hi")).first()["hi"]
+        prev = read_text_file(
+            spark, f"{store_dir}/{kind}/_compacted_through"
+        )
+        through = max(
+            int(prev) if prev is not None else -1,
+            int(hi) if hi is not None else -1,
+        )
+        merged = merges[kind](spark, store_dir, spec)
         # sibling staging dir: same filesystem, so the swap's renames
         # are atomic moves (the compact_index convention). The folded
         # slice keeps the batch-keyed layout (partition dir -1) so
-        # appends after compaction land as sibling batch dirs.
+        # appends after compaction land as sibling batch dirs; the
+        # watermark rides in the same swap.
         tmp = f"{store_dir}/{kind}__compacting"
         (
             merged.withColumn("batch_id", F.lit(-1).cast("long"))
@@ -239,6 +271,7 @@ def compact_store(
             .partitionBy("batch_id")
             .parquet(tmp)
         )
+        write_text_file(spark, f"{tmp}/_compacted_through", str(through))
         replace_dir(spark, tmp, f"{store_dir}/{kind}")
 
 

@@ -168,6 +168,7 @@ def near_dup_gate(
             idx_hit,
             id_col,
             max_bucket_size=max_bucket_size,
+            prune_index=False,  # idx_hit IS the pruned, checkpointed frame
         )
         # batch-relevant ids present in the index (should be none under
         # exactly-once batches, but a retried half-applied batch
