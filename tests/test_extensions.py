@@ -4067,3 +4067,67 @@ def test_ivf_index_rebuild_clears_previous_generation(spark, tmp_path, sf_dir):
     want = sorted(tuple(r) for r in
                   ivf_search(spark, fresh, queries, k=5, nprobe=2).collect())
     assert got == want
+
+
+def test_bloom_anti_join_decontamination_guarantees(spark, tmp_path):
+    """dedup.py Bloom membership — the shuffle-free decontamination
+    path: NO false negatives ever (every kept row provably absent from
+    the reference), false-positive over-drop at ≈ the configured fpp,
+    semi/anti partition the probe exactly, and a persisted filter
+    probes byte-identically after reload."""
+    from wwwision_importservice_spark.operators.dedup import (
+        bloom_anti_join,
+        bloom_semi_join,
+        build_bloom_filter,
+        load_bloom_filter,
+        save_bloom_filter,
+    )
+
+    ref = spark.range(10_000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("fp"))
+    bloom = build_bloom_filter(ref, "fp", fpp=0.01)
+    assert len(bloom.bitmap) * 8 >= bloom.bits
+    # ~9.6 bits/item at 1%: the whole 10k-item reference is ~12 KB
+    assert len(bloom.bitmap) < 16_000
+
+    probe = spark.range(20_000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("fp"))
+    kept = [int(r["fp"][4:]) for r in
+            bloom_anti_join(probe, bloom, "fp").collect()]
+    assert all(i >= 10_000 for i in kept)  # zero false negatives
+    fp_rate = 1 - len(kept) / 10_000
+    assert fp_rate <= 3 * 0.01, fp_rate
+
+    sus = bloom_semi_join(probe, bloom, "fp")
+    assert sus.count() + len(kept) == 20_000  # exact partition
+    assert sus.filter(
+        F.expr("CAST(substr(fp, 5) AS BIGINT) < 10000")).count() == 10_000
+
+    path = str(tmp_path / "ref.bloom")
+    save_bloom_filter(spark, bloom, path)
+    reloaded = load_bloom_filter(spark, path)
+    assert reloaded == bloom  # deterministic build + byte-exact persist
+    assert bloom_anti_join(probe, reloaded, "fp").count() == len(kept)
+
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        load_bloom_filter(spark, str(tmp_path / "missing.bloom"))
+    with _pytest.raises(ValueError, match="fpp"):
+        build_bloom_filter(ref, "fp", fpp=1.5)
+
+
+def test_bloom_build_probe_plans_have_no_shuffle(spark):
+    """Scale pin: neither the build (per-partition bitmap fold) nor
+    the probe (broadcast-bitmap map pass) may shuffle its input — the
+    whole point over the exchange-based anti-join."""
+    from wwwision_importservice_spark.operators.dedup import (
+        bloom_anti_join,
+        build_bloom_filter,
+    )
+
+    ref = spark.range(5_000).select(F.col("id").cast("string").alias("fp"))
+    bloom = build_bloom_filter(ref, "fp", fpp=0.01)
+    probe = spark.range(5_000).select(F.col("id").cast("string").alias("fp"))
+    plan = bloom_anti_join(probe, bloom, "fp")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan

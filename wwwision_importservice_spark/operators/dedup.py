@@ -35,6 +35,8 @@ Scale design:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1068,4 +1070,183 @@ def duplicated_span_stats(
         F.round(F.col("n_shared_spans") / F.col("n_spans"), 6).alias(
             "dup_span_ratio"
         ),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Bloom-filter membership: shuffle-free decontamination against a
+# reference id/fingerprint set
+# --------------------------------------------------------------------------- #
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """A built Bloom filter: ``bits`` positions, ``k`` hashes, packed
+    little-endian bitmap. Deterministic — positions are
+    ``pmod(xxhash64(i, value), bits)`` for i in 0..k-1, so two builds
+    over the same multiset are byte-identical and a persisted filter
+    probes identically forever."""
+
+    bits: int
+    k: int
+    bitmap: bytes
+    n_items: int
+
+
+def build_bloom_filter(
+    ref: DataFrame,
+    col: str,
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> BloomFilter:
+    """Build a Bloom filter over ``ref[col]`` — ONE narrow pass: bit
+    positions are computed JVM-side (xxhash64), each partition folds
+    its rows into a full local bitmap (Arrow batches, numpy OR), and
+    the per-partition bitmaps OR together on the driver. No shuffle of
+    the reference, ever.
+
+    Sizing: ``bits = ceil(-n·ln(fpp)/ln²2)`` ≈ 9.6 bits/item at 1% —
+    an eval-benchmark reference of 10M fingerprints is ~12 MB, a 100M
+    one ~120 MB; beyond ~1e9 items the bitmap itself outgrows
+    driver/broadcast comfort and the shuffle anti-join is the right
+    tool again (this operator targets the decontamination regime:
+    small-vs-huge). ``expected_items`` skips the sizing count when the
+    caller already knows n. The driver-side OR is
+    partitions × bitmap_bytes of traffic — the justified collect."""
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    import math
+
+    n = int(expected_items) if expected_items is not None else ref.count()
+    bits = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, round(bits / max(n, 1) * math.log(2)))
+    nbytes = (bits + 7) // 8
+
+    pos_cols = F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(bits))
+            for i in range(k)
+        ]
+    )
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            pos = np.concatenate(pdf["__pos"].values).astype(np.int64)
+            np.bitwise_or.at(bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = (
+        ref.select(pos_cols.alias("__pos"))
+        .mapInPandas(fold, schema="bm binary")
+        .collect()
+    )
+    import numpy as np
+
+    bm = np.zeros(nbytes, dtype=np.uint8)
+    for r in parts:
+        bm |= np.frombuffer(r["bm"], dtype=np.uint8)
+    return BloomFilter(bits=bits, k=k, bitmap=bm.tobytes(), n_items=n)
+
+
+def _bloom_member_mask(df: DataFrame, bloom: BloomFilter, col: str):
+    """Tag rows with ``__maybe`` = every probe bit set (possible
+    member; false positives at ~fpp) — the shared core of the
+    semi/anti forms. Hashes JVM-side, bit tests one vectorized numpy
+    pass per Arrow batch against the sc.broadcast bitmap."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bloom.bitmap)
+    bits, k = bloom.bits, bloom.k
+    pos_cols = F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(bits))
+            for i in range(k)
+        ]
+    )
+    tagged = df.withColumn("__pos", pos_cols)
+    out_schema = tagged.drop("__pos").schema.add("__maybe", "boolean")
+
+    def probe(batches):
+        import numpy as np
+
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pos = np.stack(pdf["__pos"].values).astype(np.int64)
+            hit = ((bm[pos >> 3] >> (pos & 7)) & 1).all(axis=1)
+            out = pdf.drop(columns=["__pos"])
+            out["__maybe"] = hit
+            yield out
+
+    return tagged.mapInPandas(probe, schema=out_schema)
+
+
+def bloom_anti_join(
+    df: DataFrame, bloom: BloomFilter, col: str
+) -> DataFrame:
+    """Keep only rows whose ``col`` is DEFINITELY absent from the
+    reference the filter was built over — the decontamination shape
+    (drop training docs that might be eval-set members) without
+    shuffling either side: the probe is a narrow map pass against a
+    broadcast bitmap ~10 bits per reference item.
+
+    Guarantees: NO false negatives (a kept row is provably not in the
+    reference — pinned exactly by test); genuinely-new rows are
+    over-dropped at ≈ the build fpp (measured and bounded by test) —
+    the conservative direction for decontamination. For exact
+    semantics on a small reference use a broadcast anti-join; this
+    exists for references too big to broadcast as values but fine as
+    ~10 bits/item."""
+    return _bloom_member_mask(df, bloom, col).filter(~F.col("__maybe")).drop(
+        "__maybe"
+    )
+
+
+def bloom_semi_join(
+    df: DataFrame, bloom: BloomFilter, col: str
+) -> DataFrame:
+    """The complement: rows POSSIBLY in the reference (every true
+    member plus ~fpp of non-members) — the audit/inspection feed for
+    what :func:`bloom_anti_join` dropped."""
+    return _bloom_member_mask(df, bloom, col).filter(F.col("__maybe")).drop(
+        "__maybe"
+    )
+
+
+def save_bloom_filter(spark, bloom: BloomFilter, path: str) -> None:
+    """Persist as base64 text with a geometry header — the filter is
+    state like the LSH index: build once per reference release, probe
+    from every pipeline run."""
+    import base64
+
+    from wwwision_importservice_spark.fsutil import write_text_file
+
+    write_text_file(
+        spark,
+        path,
+        f"{bloom.bits}\n{bloom.k}\n{bloom.n_items}\n"
+        + base64.b64encode(bloom.bitmap).decode("ascii"),
+    )
+
+
+def load_bloom_filter(spark, path: str) -> BloomFilter:
+    import base64
+
+    from wwwision_importservice_spark.fsutil import read_text_file
+
+    text = read_text_file(spark, path)
+    if text is None:
+        raise FileNotFoundError(f"load_bloom_filter: no filter at {path!r}")
+    bits, k, n, payload = text.split("\n", 3)
+    return BloomFilter(
+        bits=int(bits), k=int(k),
+        bitmap=base64.b64decode(payload), n_items=int(n),
     )
