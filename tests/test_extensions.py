@@ -4114,6 +4114,14 @@ def test_bloom_anti_join_decontamination_guarantees(spark, tmp_path):
         load_bloom_filter(spark, str(tmp_path / "missing.bloom"))
     with _pytest.raises(ValueError, match="fpp"):
         build_bloom_filter(ref, "fp", fpp=1.5)
+    # xxhash64 is type-sensitive: a probe typed differently from the
+    # build column must FAIL LOUDLY, not silently keep every member
+    with _pytest.raises(TypeError, match="type-sensitive"):
+        bloom_anti_join(
+            spark.range(5).select(F.col("id").alias("fp")), bloom, "fp")
+    # repeated probes against one filter reuse a single broadcast
+    from wwwision_importservice_spark.operators.dedup import _bloom_broadcast
+    assert _bloom_broadcast(spark, bloom) is _bloom_broadcast(spark, bloom)
 
 
 def test_bloom_build_probe_plans_have_no_shuffle(spark):
@@ -4131,3 +4139,34 @@ def test_bloom_build_probe_plans_have_no_shuffle(spark):
     plan = bloom_anti_join(probe, bloom, "fp")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_ivf_rebuild_crash_window_recovers(spark, tmp_path, sf_dir):
+    """A crash between the rebuild swap's two renames leaves the index
+    under its backup name; the next search (or append) must restore it
+    and answer from the prior generation instead of 'no index'."""
+    from wwwision_importservice_spark.entry_queries import load
+    from wwwision_importservice_spark.fsutil import _backup_path, _fs_and_path
+    from wwwision_importservice_spark.operators.annindex import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    centroids = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cell"), "embedding")
+    idx = str(tmp_path / "idx")
+    build_ivf_index(corpus, centroids, idx)
+    want = sorted(tuple(r) for r in
+                  ivf_search(spark, idx, queries, k=5, nprobe=2).collect())
+
+    # simulate the crash window: index renamed to backup, new dir gone
+    fs, src = _fs_and_path(spark, idx)
+    _, bak = _fs_and_path(spark, _backup_path(idx))
+    assert fs.rename(src, bak)
+    got = sorted(tuple(r) for r in
+                 ivf_search(spark, idx, queries, k=5, nprobe=2).collect())
+    assert got == want

@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wwwision_importservice_spark.fsutil import delete_dir, path_exists
+from wwwision_importservice_spark.fsutil import (
+    delete_dir,
+    path_exists,
+    recover_dir,
+    replace_dir,
+)
 from wwwision_importservice_spark.operators.similarity import (
     assign_cells,
     topk,
@@ -62,32 +67,33 @@ def build_ivf_index(
     et al. 2011). The codebook table persists beside the centroids, so
     the search needs nothing but ``index_dir``.
 
-    Rebuild-safe: any pre-existing cells (and, when switching to flat,
-    codebooks) under ``index_dir`` are DELETED first — rows assigned
-    under an older centroid geometry must never coexist with the new
-    generation (appends would silently mix them; pinned by test)."""
+    Rebuild-safe AND crash-safe: the whole new generation (centroids,
+    optional codebooks, cells) is staged in a sibling directory and
+    swapped into place with :func:`fsutil.replace_dir`'s backup-rename
+    — a crash mid-rebuild leaves the PRIOR index intact and readable
+    (readers :func:`fsutil.recover_dir` first), rows assigned under an
+    older centroid geometry never coexist with the new generation, and
+    a ``corpus`` derived lazily from the index's own files is fully
+    read during staging, before anything of the old index moves.
+    Pinned by a PQ→flat in-place rebuild test."""
     spark = corpus.sparkSession
-    delete_dir(spark, f"{index_dir}/cells")
+    stage = f"{index_dir}__building"
+    delete_dir(spark, stage)  # leftover from an aborted earlier build
     (
         centroids.select(F.col(centroid_id), F.col(vector_col))
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(f"{index_dir}/centroids")
+        .parquet(f"{stage}/centroids")
     )
     if codebooks is not None:
         (
             codebooks.select("subspace", "code", F.col(vector_col))
             .coalesce(1)
             .write.mode("overwrite")
-            .parquet(f"{index_dir}/codebooks")
+            .parquet(f"{stage}/codebooks")
         )
-    else:
-        # a stale codebook dir from a previous PQ build would flip
-        # ivf_search back into ADC mode against flat cells
-        delete_dir(spark, f"{index_dir}/codebooks")
-    append_to_ivf_index(
-        corpus, index_dir, corpus_id, vector_col, centroid_id
-    )
+    append_to_ivf_index(corpus, stage, corpus_id, vector_col, centroid_id)
+    replace_dir(spark, stage, index_dir)
 
 
 def append_to_ivf_index(
@@ -104,6 +110,7 @@ def append_to_ivf_index(
     properties stay those of the trained quantizer; retrain + rebuild
     when the corpus distribution drifts (cf. ``store_drift``)."""
     spark = batch.sparkSession
+    recover_dir(spark, index_dir)  # interrupted rebuild swap: restore
     centroids = spark.read.parquet(f"{index_dir}/centroids")
     if path_exists(spark, f"{index_dir}/codebooks"):
         from wwwision_importservice_spark.operators.similarity import pq_encode
@@ -167,6 +174,7 @@ def ivf_search(
     :func:`similarity.cosine_topk_pq_rerank`, whose arithmetic this
     matches row-for-row). Ignored on a flat index — the flat cells
     already score exactly."""
+    recover_dir(spark, index_dir)  # interrupted rebuild swap: restore
     if not path_exists(spark, f"{index_dir}/cells"):
         raise FileNotFoundError(
             f"ivf_search: no index at {index_dir!r} (build_ivf_index first)"

@@ -1084,12 +1084,16 @@ class BloomFilter:
     little-endian bitmap. Deterministic — positions are
     ``pmod(xxhash64(i, value), bits)`` for i in 0..k-1, so two builds
     over the same multiset are byte-identical and a persisted filter
-    probes identically forever."""
+    probes identically forever. ``dtype`` records the BUILD column's
+    Spark type: xxhash64 is type-sensitive (hash(123L) != hash('123')),
+    so probing with a differently-typed column would silently void the
+    no-false-negative guarantee — the probe validates it instead."""
 
     bits: int
     k: int
     bitmap: bytes
     n_items: int
+    dtype: str
 
 
 def build_bloom_filter(
@@ -1110,8 +1114,10 @@ def build_bloom_filter(
     driver/broadcast comfort and the shuffle anti-join is the right
     tool again (this operator targets the decontamination regime:
     small-vs-huge). ``expected_items`` skips the sizing count when the
-    caller already knows n. The driver-side OR is
-    partitions × bitmap_bytes of traffic — the justified collect."""
+    caller already knows n. The driver-side OR streams the per-
+    partition bitmaps one at a time (``toLocalIterator`` — peak driver
+    residency is TWO bitmaps, not partitions × bitmap_bytes); total
+    traffic partitions × bitmap_bytes is the justified collect."""
     if not 0.0 < fpp < 1.0:
         raise ValueError(f"fpp must be in (0, 1), got {fpp}")
     import math
@@ -1143,26 +1149,58 @@ def build_bloom_filter(
         if seen:
             yield pd.DataFrame({"bm": [bm.tobytes()]})
 
-    parts = (
-        ref.select(pos_cols.alias("__pos"))
-        .mapInPandas(fold, schema="bm binary")
-        .collect()
-    )
     import numpy as np
 
     bm = np.zeros(nbytes, dtype=np.uint8)
-    for r in parts:
+    # one partition bitmap resident at a time — never all at once
+    for r in (
+        ref.select(pos_cols.alias("__pos"))
+        .mapInPandas(fold, schema="bm binary")
+        .toLocalIterator()
+    ):
         bm |= np.frombuffer(r["bm"], dtype=np.uint8)
-    return BloomFilter(bits=bits, k=k, bitmap=bm.tobytes(), n_items=n)
+    return BloomFilter(
+        bits=bits, k=k, bitmap=bm.tobytes(), n_items=n,
+        dtype=ref.schema[col].dataType.simpleString(),
+    )
+
+
+#: one Broadcast per live BloomFilter object — repeated probes (the
+#: per-micro-batch anti + semi pair of a long-running ingest) reuse a
+#: single executor-resident copy instead of shipping a fresh bitmap
+#: per call; entries drop with the filter object (WeakKeyDictionary)
+_BLOOM_BROADCASTS: "weakref.WeakKeyDictionary" = None  # initialized below
+
+
+def _bloom_broadcast(spark, bloom: BloomFilter):
+    global _BLOOM_BROADCASTS
+    import weakref
+
+    if _BLOOM_BROADCASTS is None:
+        _BLOOM_BROADCASTS = weakref.WeakKeyDictionary()
+    bc = _BLOOM_BROADCASTS.get(bloom)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(bloom.bitmap)
+        _BLOOM_BROADCASTS[bloom] = bc
+    return bc
 
 
 def _bloom_member_mask(df: DataFrame, bloom: BloomFilter, col: str):
     """Tag rows with ``__maybe`` = every probe bit set (possible
     member; false positives at ~fpp) — the shared core of the
     semi/anti forms. Hashes JVM-side, bit tests one vectorized numpy
-    pass per Arrow batch against the sc.broadcast bitmap."""
+    pass per Arrow batch against the (cached) broadcast bitmap."""
+    probe_type = df.schema[col].dataType.simpleString()
+    if probe_type != bloom.dtype:
+        raise TypeError(
+            f"bloom probe column {col!r} is {probe_type} but the filter "
+            f"was built over {bloom.dtype} — xxhash64 is type-sensitive, "
+            "so a mismatched probe would silently void the "
+            "no-false-negative guarantee; cast explicitly to the build "
+            "type first"
+        )
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(bloom.bitmap)
+    bc = _bloom_broadcast(spark, bloom)
     bits, k = bloom.bits, bloom.k
     pos_cols = F.array(
         *[
@@ -1232,7 +1270,7 @@ def save_bloom_filter(spark, bloom: BloomFilter, path: str) -> None:
     write_text_file(
         spark,
         path,
-        f"{bloom.bits}\n{bloom.k}\n{bloom.n_items}\n"
+        f"{bloom.bits}\n{bloom.k}\n{bloom.n_items}\n{bloom.dtype}\n"
         + base64.b64encode(bloom.bitmap).decode("ascii"),
     )
 
@@ -1245,8 +1283,8 @@ def load_bloom_filter(spark, path: str) -> BloomFilter:
     text = read_text_file(spark, path)
     if text is None:
         raise FileNotFoundError(f"load_bloom_filter: no filter at {path!r}")
-    bits, k, n, payload = text.split("\n", 3)
+    bits, k, n, dtype, payload = text.split("\n", 4)
     return BloomFilter(
         bits=int(bits), k=int(k),
-        bitmap=base64.b64decode(payload), n_items=int(n),
+        bitmap=base64.b64decode(payload), n_items=int(n), dtype=dtype,
     )

@@ -119,7 +119,12 @@ def distinct_sketches(
     any union's cardinality later by merging sketches
     (:func:`merge_sketch_estimates`) without rescanning the corpus.
     Estimate error is the standard HLL ±~1.04/√2^lg_k (≈1.6% at the
-    default lg_k=12)."""
+    default lg_k=12). Rows with NULL group values are excluded — the
+    same contract as the MG and MRL builders, so the three families a
+    :class:`sketchstore.SketchStoreSpec` feeds from one input always
+    agree on the group set (coalesce first to keep a null group)."""
+    for g in group_cols:
+        df = df.filter(F.col(g).isNotNull())
     return df.groupBy(*group_cols).agg(
         F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch"),
         F.count(F.lit(1)).alias("n_rows"),

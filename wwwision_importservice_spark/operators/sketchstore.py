@@ -86,28 +86,57 @@ def append_batch(
     stats under at-least-once micro-batch delivery). Each family is a
     bounded frame (≤ counters items, ≤ k·levels values, one binary
     sketch per group), so the write is kilobytes per (group, batch) —
-    the corpus-sized input is scanned once, narrow, and never again."""
+    the corpus-sized input is scanned once, narrow, and never again.
+
+    A batch id AT OR BELOW a family's compaction watermark is SKIPPED
+    with a loud warning, never written: a genuine replay's mass is
+    already in the folded slice (skipping is the correct dedup), while
+    a NEW stream with recycled ids (a reset checkpoint re-issuing
+    batch 0 against an old store) would otherwise be written and then
+    silently excluded by the read-time filter forever — the warning
+    makes that misconfiguration visible at the write site (code-review
+    finding; pinned by test). Recycled-id streams need a fresh store
+    or remapped batch ids."""
     from wwwision_importservice_spark.operators.features import (
         distinct_sketches,
         heavy_hitter_summary,
         quantile_sketch,
     )
 
+    spark = df.sparkSession
     groups = list(spec.group_cols)
     b = int(batch_id)
-    if spec.item_col is not None:
+
+    def below_watermark(kind: str) -> bool:
+        marker = read_text_file(
+            spark, f"{store_dir}/{kind}/_compacted_through"
+        )
+        if marker is not None and b <= int(marker):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "append_batch: batch_id=%d is at or below %s's compaction "
+                "watermark %s — treated as a replay of already-folded "
+                "data and SKIPPED. If this is a new stream with recycled "
+                "batch ids (reset checkpoint), use a fresh store_dir.",
+                b, kind, marker,
+            )
+            return True
+        return False
+
+    if spec.item_col is not None and not below_watermark("heads"):
         (
             heavy_hitter_summary(df, spec.item_col, groups, spec.counters)
             .write.mode("overwrite")
             .parquet(f"{store_dir}/heads/batch_id={b}")
         )
-    if spec.value_col is not None:
+    if spec.value_col is not None and not below_watermark("quantiles"):
         (
             quantile_sketch(df, spec.value_col, groups, spec.k)
             .write.mode("overwrite")
             .parquet(f"{store_dir}/quantiles/batch_id={b}")
         )
-    if spec.distinct_col is not None:
+    if spec.distinct_col is not None and not below_watermark("distincts"):
         (
             distinct_sketches(df, groups, spec.distinct_col, spec.lg_k)
             .write.mode("overwrite")
