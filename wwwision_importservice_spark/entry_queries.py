@@ -53,6 +53,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x3_ann_ivf_persisted",  # NEW r7
     "x9_sketch_store",  # NEW r7
     "g1_pagerank",  # NEW r7
     "ts_gapfill_locf",  # NEW r7
@@ -2027,8 +2028,11 @@ def x3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # same oracle as x3_ann_ivf_topk: the persisted index must be result-
 # identical to the in-query IVF on the same centroids — putting the
-# build → append → search-from-disk lifecycle under the same hash
-@_register("x3_ann_ivf_persisted", _IVF_TOPK_SQL, driver=False)
+# build → append → search-from-disk lifecycle under the same hash.
+# Promoted to the driver tier in round 7 (slot ceded by x5_top_ngrams)
+# so the ANN index lifecycle sits under the hard driver hash like the
+# LSH one (x2_incremental_lsh_compact)
+@_register("x3_ann_ivf_persisted", _IVF_TOPK_SQL)
 def x3_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3b — the PERSISTED IVF index lifecycle
     (``operators/annindex.py``): the corpus lands in cell-partitioned
@@ -2495,6 +2499,12 @@ SELECT gram, gram_size, n, rank FROM (
   )
 ) WHERE rank <= 25
 """,
+    # demoted to the pytest tier in round 7 (driver-green r04-r06) to
+    # hold the 50-slot budget for x3_ann_ivf_persisted: frequency-heads
+    # value coverage stays driver-checked through x9_sketch_store
+    # (exact per-source token heads under the hash) and this row keeps
+    # full oracle parity in the pytest tier.
+    driver=False,
 )
 def x5_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 — the n-gram frequency heads in ONE driver slot: top-25
