@@ -75,7 +75,6 @@ _CHECK_FIRST = [
     "s3_window_session",
     "sink_e2e_state",
     "a3_quantiles",
-    "x5_top_ngrams",
     "m1_regex_mapping",
     "m1_json_extract",
 ]

@@ -77,6 +77,8 @@ def build_ivf_index(
     read during staging, before anything of the old index moves.
     Pinned by a PQ→flat in-place rebuild test."""
     spark = corpus.sparkSession
+    # a trailing slash would make the stage a CHILD of the live index
+    index_dir = index_dir.rstrip("/")
     stage = f"{index_dir}__building"
     delete_dir(spark, stage)  # leftover from an aborted earlier build
     (
@@ -110,6 +112,7 @@ def append_to_ivf_index(
     properties stay those of the trained quantizer; retrain + rebuild
     when the corpus distribution drifts (cf. ``store_drift``)."""
     spark = batch.sparkSession
+    index_dir = index_dir.rstrip("/")
     recover_dir(spark, index_dir)  # interrupted rebuild swap: restore
     centroids = spark.read.parquet(f"{index_dir}/centroids")
     if path_exists(spark, f"{index_dir}/codebooks"):
@@ -174,6 +177,7 @@ def ivf_search(
     :func:`similarity.cosine_topk_pq_rerank`, whose arithmetic this
     matches row-for-row). Ignored on a flat index — the flat cells
     already score exactly."""
+    index_dir = index_dir.rstrip("/")
     recover_dir(spark, index_dir)  # interrupted rebuild swap: restore
     if not path_exists(spark, f"{index_dir}/cells"):
         raise FileNotFoundError(

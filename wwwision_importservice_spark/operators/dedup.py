@@ -1114,10 +1114,13 @@ def build_bloom_filter(
     driver/broadcast comfort and the shuffle anti-join is the right
     tool again (this operator targets the decontamination regime:
     small-vs-huge). ``expected_items`` skips the sizing count when the
-    caller already knows n. The driver-side OR streams the per-
-    partition bitmaps one at a time (``toLocalIterator`` — peak driver
-    residency is TWO bitmaps, not partitions × bitmap_bytes); total
-    traffic partitions × bitmap_bytes is the justified collect."""
+    caller already knows n. The per-partition bitmaps are OR-reduced
+    in a SECOND parallel fold stage down to ≤ 4 before the driver sees
+    them — one wall-clock-parallel pass over the reference (a
+    sequential ``toLocalIterator`` drain would serialize the scan into
+    one job per partition), with driver residency bounded at ~5
+    bitmaps; total driver traffic ≤ 4 × bitmap_bytes, the justified
+    collect."""
     if not 0.0 < fpp < 1.0:
         raise ValueError(f"fpp must be in (0, 1), got {fpp}")
     import math
@@ -1149,15 +1152,30 @@ def build_bloom_filter(
         if seen:
             yield pd.DataFrame({"bm": [bm.tobytes()]})
 
+    def or_fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            for raw in pdf["bm"].values:
+                seen = True
+                bm |= np.frombuffer(raw, dtype=np.uint8)
+        if seen:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
     import numpy as np
 
     bm = np.zeros(nbytes, dtype=np.uint8)
-    # one partition bitmap resident at a time — never all at once
-    for r in (
+    parts = (
         ref.select(pos_cols.alias("__pos"))
         .mapInPandas(fold, schema="bm binary")
-        .toLocalIterator()
-    ):
+        .repartition(4)
+        .mapInPandas(or_fold, schema="bm binary")
+        .collect()
+    )
+    for r in parts:
         bm |= np.frombuffer(r["bm"], dtype=np.uint8)
     return BloomFilter(
         bits=bits, k=k, bitmap=bm.tobytes(), n_items=n,
@@ -1168,20 +1186,20 @@ def build_bloom_filter(
 #: one Broadcast per live BloomFilter object — repeated probes (the
 #: per-micro-batch anti + semi pair of a long-running ingest) reuse a
 #: single executor-resident copy instead of shipping a fresh bitmap
-#: per call; entries drop with the filter object (WeakKeyDictionary)
-_BLOOM_BROADCASTS: "weakref.WeakKeyDictionary" = None  # initialized below
+#: per call. Keyed by OBJECT IDENTITY, not value: the frozen
+#: dataclass's value hash would re-hash the whole multi-MB bitmap on
+#: every lookup. weakref.finalize evicts the entry with the filter.
+_BLOOM_BROADCASTS: dict = {}
 
 
 def _bloom_broadcast(spark, bloom: BloomFilter):
-    global _BLOOM_BROADCASTS
     import weakref
 
-    if _BLOOM_BROADCASTS is None:
-        _BLOOM_BROADCASTS = weakref.WeakKeyDictionary()
-    bc = _BLOOM_BROADCASTS.get(bloom)
+    bc = _BLOOM_BROADCASTS.get(id(bloom))
     if bc is None:
         bc = spark.sparkContext.broadcast(bloom.bitmap)
-        _BLOOM_BROADCASTS[bloom] = bc
+        _BLOOM_BROADCASTS[id(bloom)] = bc
+        weakref.finalize(bloom, _BLOOM_BROADCASTS.pop, id(bloom), None)
     return bc
 
 
@@ -1283,7 +1301,14 @@ def load_bloom_filter(spark, path: str) -> BloomFilter:
     text = read_text_file(spark, path)
     if text is None:
         raise FileNotFoundError(f"load_bloom_filter: no filter at {path!r}")
-    bits, k, n, dtype, payload = text.split("\n", 4)
+    parts = text.split("\n", 4)
+    if len(parts) != 5:
+        raise ValueError(
+            f"load_bloom_filter: {path!r} is not the 5-field "
+            "bits/k/n/dtype/payload format (old or foreign file?) — "
+            "rebuild with build_bloom_filter + save_bloom_filter"
+        )
+    bits, k, n, dtype, payload = parts
     return BloomFilter(
         bits=int(bits), k=int(k),
         bitmap=base64.b64decode(payload), n_items=int(n), dtype=dtype,
