@@ -1556,3 +1556,57 @@ def test_stats_hook_under_real_stream_engine(spark, tmp_path):
     # token-rows carry the doc length: per-source weights = token counts
     assert got_q["a"]["n_rows"] == 7 and got_q["b"]["n_rows"] == 7
     assert got_q["b"]["q_1_0"] == 9.0  # length("p p p q r")
+
+
+def test_stats_hook_chains_with_near_dup_gate(spark, tmp_path):
+    """The documented processor chain: stats_hook(transform=...,
+    inner=near_dup_gate(...)) — raw-feed statistics land per batch AND
+    the gate still admits/drops exactly as when driven alone, off one
+    foreachBatch callable."""
+    from wwwision_importservice_spark.operators.sketchstore import (
+        SketchStoreSpec,
+        merged_quantiles,
+        stats_hook,
+    )
+    from wwwision_importservice_spark.operators.features import (
+        sketch_quantile_values,
+    )
+    from wwwision_importservice_spark.streaming.neardup import near_dup_gate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm windowsill and birds sing in the tall green trees outside"
+    )
+    b1 = spark.createDataFrame(
+        [(0, base), (1, base + " today"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, base + " yesterday"),
+         (11, "one two three four five six seven eight nine ten eleven")],
+        "doc_id long, text string",
+    )
+
+    admitted: list = []
+    gate = near_dup_gate(
+        str(tmp_path / "idx"),
+        lambda df, bid: admitted.extend(r["doc_id"] for r in df.collect()),
+        n=3,
+    )
+    store = str(tmp_path / "stats")
+    spec = SketchStoreSpec(value_col="len", k=64)
+    chained = stats_hook(
+        store, spec,
+        transform=lambda df: df.select(
+            F.length("text").cast("double").alias("len")),
+        inner=gate,
+    )
+    chained(b1, 0)
+    chained(b2, 1)
+
+    assert sorted(admitted) == [0, 2, 11]  # gate semantics untouched
+    # the store saw the RAW feed (all 5 docs), not just survivors
+    q = sketch_quantile_values(
+        merged_quantiles(spark, store, spec), [1.0]).collect()[0]
+    assert q["n_rows"] == 5
