@@ -58,10 +58,27 @@ INGEST_CHECKS = [
 ]
 
 
-#: what the stats store tracks about the CURATED corpus (admitted docs)
+#: what the stats store tracks about the CURATED corpus (admitted docs).
+#: One combined spec for READERS (merged_heads / store_drift take the
+#: whole-store view); the writer appends each family from its own frame
+#: below — heads from exploded tokens, quantiles from one row per doc —
+#: because a single exploded frame would weight the length quantiles by
+#: token count (every doc's len appended once PER TOKEN), biasing
+#: p50/p90 toward long documents (review finding, r7 ADVICE).
 STATS_SPEC = SketchStoreSpec(
     group_cols=("source",), item_col="tok", value_col="len",
     counters=512, k=256,
+)
+#: writer-side per-family views of the same spec / same store_dir (each
+#: family lands under its own kind directory, so splitting the append
+#: is invisible to readers)
+HEADS_SPEC = SketchStoreSpec(
+    group_cols=STATS_SPEC.group_cols, item_col=STATS_SPEC.item_col,
+    counters=STATS_SPEC.counters,
+)
+LEN_SPEC = SketchStoreSpec(
+    group_cols=STATS_SPEC.group_cols, value_col=STATS_SPEC.value_col,
+    k=STATS_SPEC.k,
 )
 
 
@@ -81,18 +98,29 @@ def build_processor(
         survivors.write.mode("append").parquet(corpus_dir)
         if stats_store_dir is not None:
             # summaries of what was ADMITTED, per engine batch id —
-            # a replayed batch overwrites its identical slice
+            # a replayed batch overwrites its identical slice. Two
+            # appends from two frames: token heads from the exploded
+            # frame, length quantiles from ONE row per doc (an exploded
+            # len would be token-weighted — r7 ADVICE finding)
             append_batch(
                 survivors.select(
                     "source",
                     # the repo-wide tokenizer (lowercase, empties
                     # filtered) — same statistics the oracles state
                     F.explode(corpus_tokens(F.col("text"))).alias("tok"),
+                ),
+                stats_store_dir,
+                batch_id,
+                HEADS_SPEC,
+            )
+            append_batch(
+                survivors.select(
+                    "source",
                     F.length("text").cast("double").alias("len"),
                 ),
                 stats_store_dir,
                 batch_id,
-                STATS_SPEC,
+                LEN_SPEC,
             )
         if stats is not None:
             stats.append((batch_id, "admitted", n))

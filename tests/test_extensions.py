@@ -3640,6 +3640,118 @@ def test_sketch_store_retried_append_is_idempotent(spark, tmp_path):
     assert q["n_rows"] == 10 and q["q_1_0"] == 5.0
 
 
+def test_sketch_store_windowed_read_below_watermark_warns(
+    spark, tmp_path, caplog
+):
+    """A batch_range entirely at or below the compaction watermark reads
+    empty (its mass lives only in the folded batch_id=-1 slice, which
+    the range filter excludes) — the read must WARN instead of silently
+    returning an empty frame (r7 ADVICE finding)."""
+    import logging
+
+    from wwwision_importservice_spark.operators.sketchstore import (
+        append_batch,
+        compact_store,
+        merged_heads,
+    )
+
+    spec = _store_spec()
+    store = str(tmp_path / "stats")
+    schema = "src string, tok string, ln double"
+    append_batch(spark.createDataFrame([("a", "t1", 1.0)] * 4, schema),
+                 store, 0, spec)
+    append_batch(spark.createDataFrame([("a", "t2", 2.0)] * 3, schema),
+                 store, 1, spec)
+    compact_store(spark, store, spec)
+
+    with caplog.at_level(
+        logging.WARNING,
+        logger="wwwision_importservice_spark.operators.sketchstore",
+    ):
+        windowed = merged_heads(spark, store, spec, batch_range=(0, 1))
+    assert any("at or below the compaction watermark" in r.message
+               for r in caplog.records)
+    assert windowed.filter(F.col("tok").isNotNull()).count() == 0
+
+    # a window reaching PAST the watermark reads its tail, no warning
+    append_batch(spark.createDataFrame([("a", "t3", 3.0)] * 2, schema),
+                 store, 2, spec)
+    caplog.clear()
+    with caplog.at_level(
+        logging.WARNING,
+        logger="wwwision_importservice_spark.operators.sketchstore",
+    ):
+        tail = merged_heads(spark, store, spec, batch_range=(2, 2))
+    assert not caplog.records
+    assert {r["tok"]: r["c"] for r in tail.collect()
+            if r["tok"] is not None} == {"t3": 2}
+
+
+def test_sketch_store_churn_append_compact_crash_recover(spark, tmp_path):
+    """The read path under appends-after-compaction churn (r7 brief #7):
+    append → compact → append → crash mid-second-compaction → recovery
+    (triggered by the NEXT append, which must restore the swap before
+    probing the watermark) → read. Asserts the watermark is monotone
+    across the crash, replayed pre-watermark batches are skipped (no
+    double count), and every batch's mass appears exactly once."""
+    from wwwision_importservice_spark.fsutil import (
+        _backup_path,
+        _fs_and_path,
+        read_text_file,
+    )
+    from wwwision_importservice_spark.operators.features import (
+        sketch_quantile_values,
+    )
+    from wwwision_importservice_spark.operators.sketchstore import (
+        append_batch,
+        compact_store,
+        merged_heads,
+        merged_quantiles,
+    )
+
+    spec = _store_spec()
+    store = str(tmp_path / "stats")
+    schema = "src string, tok string, ln double"
+    b0 = spark.createDataFrame([("a", "t1", 1.0)] * 6, schema)
+    b1 = spark.createDataFrame([("a", "t2", 5.0)] * 4, schema)
+    b2 = spark.createDataFrame([("a", "t3", 9.0)] * 3, schema)
+    b3 = spark.createDataFrame([("a", "t4", 2.0)] * 2, schema)
+
+    append_batch(b0, store, 0, spec)
+    append_batch(b1, store, 1, spec)
+    compact_store(spark, store, spec)
+    wm1 = read_text_file(spark, f"{store}/heads/_compacted_through")
+    assert wm1 == "1"
+
+    append_batch(b2, store, 2, spec)
+    compact_store(spark, store, spec)
+    # crash window of compaction #2: heads/ sits under its backup name
+    heads_dir = f"{store}/heads"
+    fs, src = _fs_and_path(spark, heads_dir)
+    _, bak = _fs_and_path(spark, _backup_path(heads_dir))
+    assert fs.rename(src, bak)
+
+    # the next APPEND must recover the swap first (a write into the
+    # mid-swap-missing dir would orphan the folded history), and the
+    # recovered watermark must have advanced monotonically 1 -> 2
+    append_batch(b3, store, 3, spec)
+    wm2 = read_text_file(spark, f"{store}/heads/_compacted_through")
+    assert wm2 == "2"
+
+    # replays of pre-watermark batches are skipped, not re-landed
+    append_batch(b1, store, 1, spec)
+    append_batch(b2, store, 2, spec)
+
+    heads = {r["tok"]: (r["c"], r["n"])
+             for r in merged_heads(spark, store, spec).collect()
+             if r["tok"] is not None}
+    assert heads == {"t1": (6, 15), "t2": (4, 15),
+                     "t3": (3, 15), "t4": (2, 15)}
+    q = sketch_quantile_values(
+        merged_quantiles(spark, store, spec), [1.0], ["src"]).collect()[0]
+    assert q["n_rows"] == 15 and q["q_1_0"] == 9.0
+
+
 def test_sketch_ks_exact_degenerate_matches_definition(spark):
     """features.py:sketch_ks — with uncompacted sketches (n < k) the
     statistic is the textbook two-sample KS over the raw samples:

@@ -1244,12 +1244,22 @@ def test_streaming_ingest_example(spark, tmp_path):
         merged_quantiles,
     )
 
+    merged_q = merged_quantiles(spark, str(out / "stats"), mod.STATS_SPEC)
     q = {r["source"]: r for r in sketch_quantile_values(
-        merged_quantiles(spark, str(out / "stats"), mod.STATS_SPEC),
-        [1.0], ["source"]).collect()}
-    # weights are token rows of admitted docs; max len == longest text
+        merged_q, [1.0], ["source"]).collect()}
+    # quantiles are DOC-weighted (one len row per admitted doc — the
+    # heads family explodes tokens separately; r7 ADVICE fix): max len
+    # == longest admitted text, and the sketch's exact Σ 2^level per
+    # source is the admitted doc count (s0: docs 0+1, s1: doc 4)
     assert set(q) == {"s0", "s1"}
     assert q["s0"]["q_1_0"] == float(len(base))
+    n_docs = {
+        r["source"]: r["n"]
+        for r in merged_q.groupBy("source")
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), level)")).alias("n"))
+        .collect()
+    }
+    assert n_docs == {"s0": 2, "s1": 1}
     batch_dirs = {p.name for p in (out / "stats" / "quantiles").iterdir()
                   if p.name.startswith("batch_id=")}
     assert batch_dirs == {"batch_id=0", "batch_id=2"}

@@ -44,6 +44,44 @@ def test_time_bucket_ns_integer_exact(spark):
     assert [r.b for r in df.orderBy("b").collect()] == [0, 3600]
 
 
+def test_time_bucket_negative_epoch_floors(spark):
+    # pre-1970 timestamps must bucket to the interval START (floor
+    # semantics, like date_trunc / TimescaleDB time_bucket). Spark's %
+    # truncates toward zero, which would snap them to the bucket END —
+    # time_bucket uses pmod so both signs floor (r7 ADVICE fix).
+    df = spark.createDataFrame(
+        [(-1,), (-3600,), (-3601,), (0,), (1,)], ["ts"]
+    ).select(
+        F.col("ts"), time_bucket(F.col("ts"), 3600, ts_unit="s").alias("b")
+    )
+    got = {r.ts: r.b for r in df.collect()}
+    assert got == {-1: -3600, -3600: -3600, -3601: -7200, 0: 0, 1: 0}
+    # and the ns path, exact at the int64 boundary
+    ns = 3600 * 10**9
+    df_ns = spark.createDataFrame([(-1,), (-ns,)], ["ts"]).select(
+        F.col("ts"), time_bucket(F.col("ts"), 3600).alias("b")
+    )
+    assert {r.ts: r.b for r in df_ns.collect()} == {-1: -3600, -ns: -3600}
+
+
+def test_gapfill_rejects_misaligned_bucket_range(spark):
+    # a start off the bucket grid would spine-join against nothing and
+    # fabricate a fully-gap series — it must raise instead (r7 ADVICE)
+    with pytest.raises(ValueError, match="not aligned"):
+        gapfill(
+            _rolled(spark), 10, ["g"], {"n": "zero"}, bucket_range=(5, 45)
+        )
+    with pytest.raises(ValueError, match="not aligned"):
+        gapfill(
+            _rolled(spark), 10, ["g"], {"n": "zero"}, bucket_range=(0, 42)
+        )
+    # negative-but-aligned is fine (floor-mod check)
+    out = gapfill(
+        _rolled(spark), 10, ["g"], {"n": "zero"}, bucket_range=(-10, 40)
+    )
+    assert out.count() == 12  # 2 groups x 6 buckets
+
+
 def test_gapfill_zero_and_locf(spark):
     out = gapfill(
         _rolled(spark), 10, ["g"], {"n": "zero", "v": "locf"}, bucket_col="bucket"

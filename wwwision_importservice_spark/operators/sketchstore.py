@@ -171,6 +171,7 @@ def _read_kind(
     # finding, pinned by test). The marker rides inside the kind dir
     # through the same crash-safe swap as the fold itself.
     marker = read_text_file(spark, f"{path}/_compacted_through")
+    through: int | None = None
     if marker is not None:
         through = int(marker)
         raw = raw.filter(
@@ -178,6 +179,21 @@ def _read_kind(
         )
     if batch_range is not None:
         lo, hi = batch_range
+        if through is not None and int(hi) <= through:
+            # the requested window's mass EXISTS but lives only inside
+            # the folded batch_id=-1 slice, which the range filter
+            # excludes — the read would be silently empty and a drift
+            # comparison against it silently NULL. Make it loud.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s: batch_range (%s, %s) is entirely at or below the "
+                "compaction watermark %d — its batches were folded into "
+                "the compacted slice and a windowed read returns EMPTY. "
+                "Disable compaction for stores meant to be time-sliced, "
+                "or widen the window past the watermark.",
+                path, lo, hi, through,
+            )
         # batch_id IS the partition directory, so this filter prunes
         # whole batch dirs at planning time — a windowed read touches
         # only its window's files, never the full log. (A compacted

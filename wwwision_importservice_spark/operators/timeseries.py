@@ -44,14 +44,18 @@ def time_bucket(ts: Column, bucket_seconds: int, ts_unit: str = "ns") -> Column:
     normalizes parquet TIMESTAMP(NANOS), see ``streaming/windows.py:
     ensure_nanos``); ``'s'`` takes epoch seconds. Exact integer
     arithmetic — a double division of an int64 nanos value would lose
-    precision near bucket boundaries.
+    precision near bucket boundaries. Floor-mod (``F.pmod``), not ``%``:
+    Spark's ``%`` truncates toward zero, which would snap pre-1970
+    (negative-epoch) timestamps to the bucket END — floor semantics
+    (``date_trunc`` / TimescaleDB ``time_bucket``) require the start on
+    both sides of the epoch.
     """
     if ts_unit == "ns":
         step = F.lit(bucket_seconds * NS_PER_SEC)
-        return ((ts - ts % step) / NS_PER_SEC).cast("long")
+        return ((ts - F.pmod(ts, step)) / NS_PER_SEC).cast("long")
     if ts_unit == "s":
         step = F.lit(bucket_seconds)
-        return (ts - ts % step).cast("long")
+        return (ts - F.pmod(ts, step)).cast("long")
     raise ValueError(f"unsupported ts_unit {ts_unit!r} (expected 'ns' or 's')")
 
 
@@ -149,6 +153,22 @@ def gapfill(
         start, end = bucket_range
         if end < start:
             raise ValueError(f"bucket_range end {end} < start {start}")
+        # Bucket values produced by time_bucket are floor(ts/step)*step —
+        # exact multiples of bucket_seconds. A bucket_range start that is
+        # not on that grid would build a spine matching NO observed bucket:
+        # the left join nulls every row and the fills fabricate a fully-gap
+        # series with no error. Fail loudly instead (Python % is floor-mod,
+        # so the check is consistent for negative epochs too).
+        misaligned = [
+            v for v in (start, end) if int(v) % int(bucket_seconds) != 0
+        ]
+        if misaligned:
+            raise ValueError(
+                f"bucket_range value(s) {misaligned} are not aligned to the "
+                f"{bucket_seconds}s bucket grid (bucket values are multiples "
+                f"of bucket_seconds); snap start down with "
+                f"start - start % bucket_seconds"
+            )
         ranges = (
             rolled.select(*group_cols)
             .distinct()
