@@ -35,6 +35,23 @@ gained x2_dedup_spans, ~+1.1s) — a ±30% day-scale band on top of the
 ±45% back-to-back band above. Per-query ratios inside one run are
 meaningful; cross-run totals are weather. Compare plans, not seconds.
 
+Round-8 adjudication (2026-08-15, judge ask) of the uniform 1.25-1.56x
+r6→r7 step on 13 untouched small queries: re-measured SOLO (fresh
+session per query, load-gated at loadavg 0.1-1.1, warm + best-of-5 —
+``tools/bench_solo.py``) at sf0.1: ``k1_keying_dedup`` 1.43s and
+``agg_q1_lineitem`` 1.06s REPRODUCE the r7 artifact (1.51/1.02), not r6
+(1.05/0.80); ``j4_changeset`` 0.97s sits between (r6 0.82, r7 ~1.21).
+So the step is NOT session-level pressure from the r7 lifecycle queries
+and NOT a per-query regression: code, pinned plans, and session config
+are bitwise unchanged r6→r7 (``git diff`` on session.py is empty; the
+judge verified the plans). The remaining changed input is the
+environment itself: the driver regenerates ``/root/testdata/sf*`` and
+rebuilds the container at each round boundary (fixture mtimes coincide
+with round-7 start), so round-over-round per-query ratios straddle a
+possible environment step; WITHIN-round comparisons and plan shapes
+remain the meaningful signal — same conclusion as the r5 audit, now
+with the fresh-session control.
+
 Round-5 total (measured 18.3s quiet-load best-of-3 at sf0.1) is NOT
 like-for-like with r4's 13.99s:
 (+0.7s) the headline set gained x3_cosine_topk_blocked (the join-free
