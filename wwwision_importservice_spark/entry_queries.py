@@ -53,6 +53,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x9_store_drift",  # NEW r8
     "x3_ann_ivf_persisted",  # NEW r7
     "x9_sketch_store",  # NEW r7
     "g1_pagerank",  # NEW r7
@@ -841,6 +842,8 @@ SELECT CAST(s_suppkey AS VARCHAR), s_name, s_acctbal, 'supplier'
 FROM supplier
 WHERE CAST(s_suppkey AS VARCHAR) NOT IN (SELECT CAST(c_custkey AS VARCHAR) FROM customer)
 """,
+    driver=False,  # long-green since r2; slot ceded to x9_store_drift (r8 —
+    # the drift-monitoring story's driver row); same oracle, pytest tier
 )
 def k8_with_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K8 — withRecord: add records iff id absent (first-wins union);
@@ -3717,6 +3720,134 @@ def s5_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select("doc_id", "batch")
 
 
+# The composed ingest pipeline's admitted set: the s5 two-real-batch
+# rule verbatim (the poisoned middle batch admits nothing and appends
+# no summary slice, so it does not appear in the algebra).
+_S6_ADMITTED = f"""
+  SELECT d1.doc_id FROM ({_GATE_ADMITTED1}) d1
+  UNION ALL
+  SELECT d.doc_id
+  FROM documents d
+  WHERE d.doc_id % 2 = 1
+    AND NOT EXISTS (
+      SELECT 1 FROM ({_PAIRS_SQL}) p
+      WHERE (p.id_a = d.doc_id AND p.id_b IN (SELECT doc_id FROM ({_GATE_ADMITTED1})))
+         OR (p.id_b = d.doc_id AND p.id_a IN (SELECT doc_id FROM ({_GATE_ADMITTED1})))
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM ({_PAIRS_SQL}) p
+      WHERE p.id_b = d.doc_id AND p.id_a % 2 = 1
+    )
+"""
+
+
+@_register(
+    "s6_ingest_pipeline",
+    # one declarative statement of the whole composed pipeline: the
+    # corpus-side and store-side per-source answers BOTH equal the
+    # aggregates of the declaratively-admitted set — if either artifact
+    # (curated parquet corpus, sketch store) disagrees with the gate
+    # algebra, the hash breaks.
+    f"""
+SELECT c.source, c.n_docs_corpus, c.n_docs_store, c.max_chars_corpus,
+       c.max_len_store, h.top_tok, h.top_tok_c
+FROM (
+  SELECT g.source,
+         CAST(count(*) AS BIGINT) AS n_docs_corpus,
+         CAST(count(*) AS BIGINT) AS n_docs_store,
+         CAST(max(length(g.text)) AS BIGINT) AS max_chars_corpus,
+         CAST(max(length(g.text)) AS BIGINT) AS max_len_store
+  FROM documents g JOIN ({_S6_ADMITTED}) a ON a.doc_id = g.doc_id
+  GROUP BY g.source
+) c JOIN (
+  SELECT source, tok AS top_tok, cnt AS top_tok_c FROM (
+    SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY count(*) DESC, tok ASC) AS rn
+    FROM (
+      SELECT d.source,
+             unnest(list_filter(string_split(lower(d.text), ' '),
+                                x -> x <> '')) AS tok
+      FROM documents d JOIN ({_S6_ADMITTED}) a2 ON a2.doc_id = d.doc_id
+    ) GROUP BY source, tok
+  ) WHERE rn = 1
+) h ON h.source = c.source
+""",
+    driver=False,
+)
+def s6_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — the COMPOSED production ingest pipeline of
+    ``examples/streaming_ingest.py`` under one oracle (r7 brief #8):
+    quality gate → near-dup gate → curated-corpus append → sketch-store
+    summaries, run as three micro-batches over ``documents`` — evens
+    (batch 0), a POISONED batch (odd ids with NULL text: quality-
+    skipped, admits nothing, lands no summary slice), then the real
+    odds (batch 2). The result joins per-source answers computed from
+    the TWO independent persisted artifacts — doc count / max length
+    from the curated parquet corpus, and the same two plus the top
+    token from the sketch store — so the hash proves the artifacts
+    agree with each other AND with the declarative admission algebra
+    (the s5 gate rule; the parts are driver rows, this pins their
+    composition). Store numbers are exact by the degenerate-sketch
+    argument: counters/k exceed the fixture's vocabulary/row counts,
+    and quantiles are doc-weighted (one len row per admitted doc)."""
+    import importlib.util
+    import tempfile
+    from pathlib import Path
+
+    from wwwision_importservice_spark.operators.features import (
+        heavy_hitter_top_k,
+        sketch_quantile_values,
+    )
+    from wwwision_importservice_spark.operators.sketchstore import (
+        merged_heads,
+        merged_quantiles,
+    )
+
+    example = Path(__file__).resolve().parents[1] / "examples" / "streaming_ingest.py"
+    spec = importlib.util.spec_from_file_location("streaming_ingest", example)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    tmp = tempfile.mkdtemp(prefix="s6_ingest_pipeline_")
+    process = mod.build_processor(
+        f"{tmp}/lsh_index", f"{tmp}/corpus", None, f"{tmp}/stats"
+    )
+    process(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    process(
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("text", F.lit(None).cast("string")),
+        1,
+    )
+    process(docs.filter(F.col("doc_id") % 2 == 1), 2)
+
+    corpus = spark.read.parquet(f"{tmp}/corpus").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_corpus"),
+        F.max(F.length("text")).cast("long").alias("max_chars_corpus"),
+    )
+    q = sketch_quantile_values(
+        merged_quantiles(spark, f"{tmp}/stats", mod.STATS_SPEC),
+        [1.0], ["source"],
+    ).select(
+        "source",
+        F.col("n_rows").alias("n_docs_store"),
+        F.col("q_1_0").cast("long").alias("max_len_store"),
+    )
+    h = heavy_hitter_top_k(
+        merged_heads(spark, f"{tmp}/stats", mod.STATS_SPEC),
+        "tok", 1, ["source"], counters=mod.STATS_SPEC.counters,
+    ).select(
+        "source",
+        F.col("tok").alias("top_tok"),
+        F.col("est_count").alias("top_tok_c"),
+    )
+    return corpus.join(q, "source").join(h, "source").select(
+        "source", "n_docs_corpus", "n_docs_store", "max_chars_corpus",
+        "max_len_store", "top_tok", "top_tok_c",
+    )
+
+
 @_register(
     "dq_check_suite",
     """
@@ -4125,6 +4256,96 @@ def x9_sketch_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").alias("top_tok"),
         F.col("est_count").alias("top_tok_c"),
     )
+
+
+@_register(
+    "x9_store_drift",
+    # textbook two-sample KS per source between the raw and the
+    # truncation-drifted length distributions, stated over the raw
+    # table: per-(source, v) side weights, one cumulative window per
+    # side, sup |F_a - F_b| — every term one IEEE division of exact
+    # integer cumulative weights, so the double is bit-identical
+    # across engines (same discipline as x9_sketch_ks_drift).
+    """
+SELECT source,
+       max(CASE WHEN na = 0 OR nb = 0 THEN 1.0
+                ELSE abs(CAST(cwa AS DOUBLE) / CAST(na AS DOUBLE)
+                         - CAST(cwb AS DOUBLE) / CAST(nb AS DOUBLE))
+           END) AS ks,
+       CAST(max(na) AS BIGINT) AS n_before,
+       CAST(max(nb) AS BIGINT) AS n_after
+FROM (
+  SELECT source, v,
+         sum(wa) OVER (PARTITION BY source ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cwa,
+         sum(wb) OVER (PARTITION BY source ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cwb,
+         sum(wa) OVER (PARTITION BY source) AS na,
+         sum(wb) OVER (PARTITION BY source) AS nb
+  FROM (
+    SELECT source, v, CAST(sum(wa) AS BIGINT) AS wa,
+           CAST(sum(wb) AS BIGINT) AS wb
+    FROM (
+      SELECT source, CAST(length(text) AS DOUBLE) AS v, 1 AS wa, 0 AS wb
+      FROM documents
+      UNION ALL
+      SELECT source, CAST(least(length(text), 40) AS DOUBLE) AS v,
+             0 AS wa, 1 AS wb
+      FROM documents
+    ) GROUP BY source, v
+  )
+) GROUP BY source
+""",
+)
+def x9_store_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9c — drift monitoring over the PERSISTED store, end to end
+    (``operators/sketchstore.py:store_drift``; promoted to the driver
+    tier per the r7 brief #3 — the one r7 component that wasn't under
+    the hard driver hash). The crawl-ops story: four ingest batches
+    append per-source length sketches to one store — window A (batches
+    0-1) the raw corpus, window B (batches 2-3) the same corpus after
+    the crawler started TRUNCATING texts to 40 chars (a real
+    distribution shift, declaratively stated) — then ``store_drift``
+    answers "did the corpus change between windows?" from the store
+    alone: the windowed reads prune to their ``batch_id`` directories
+    (uncompacted time-slice mode — the documented configuration for
+    stores meant to be windowed), and the sketch-vs-sketch two-sample
+    KS runs at summary cost, never rescanning data.
+
+    Hash-exact: with ``k`` above every window's per-source row count
+    the MRL sketches are exact-degenerate, the weighted CDFs are the
+    empirical CDFs, and every KS term is one IEEE division of exact
+    integer cumulative weights — bit-identical to the textbook
+    statistic DuckDB computes from the raw table. PSI (the heads
+    family) stays differential-tier: its ln() terms cannot be made
+    integer-exact cross-engine."""
+    import tempfile
+
+    from wwwision_importservice_spark.operators.sketchstore import (
+        SketchStoreSpec,
+        append_batch,
+        store_drift,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    store = tempfile.mkdtemp(prefix="x9_store_drift_") + "/stats"
+    spec = SketchStoreSpec(group_cols=("source",), value_col="len", k=256)
+    raw_len = F.length("text").cast("double")
+    for batch_id, residue, length in (
+        (0, 0, raw_len), (1, 1, raw_len),
+        (2, 0, F.least(raw_len, F.lit(40.0))),
+        (3, 1, F.least(raw_len, F.lit(40.0))),
+    ):
+        append_batch(
+            docs.filter(F.col("doc_id") % 2 == residue).select(
+                "source", length.alias("len")
+            ),
+            store, batch_id, spec,
+        )
+    drift = store_drift(spark, store, spec, before=(0, 1), after=(2, 3))
+    # psi is structurally NULL (value-only spec); keep the hash on the
+    # populated monitoring columns
+    return drift.select("source", "ks", "n_before", "n_after")
 
 
 # --------------------------------------------------------------------------- #

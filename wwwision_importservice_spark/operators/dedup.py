@@ -1096,11 +1096,20 @@ class BloomFilter:
     dtype: str
 
 
+#: default ceiling on the materialized bitmap (512 MiB ≈ 430M items at
+#: 1% fpp). The bitmap lives ONCE on the driver (the OR-fold holds ≤ 5
+#: copies transiently) and once per executor as a broadcast — far below
+#: Spark's 8 GB broadcast hard cap, chosen so the decontamination path
+#: never silently becomes the thing that OOMs the driver.
+MAX_BLOOM_BITMAP_BYTES = 512 * 2**20
+
+
 def build_bloom_filter(
     ref: DataFrame,
     col: str,
     fpp: float = 0.01,
     expected_items: int | None = None,
+    max_bitmap_bytes: int = MAX_BLOOM_BITMAP_BYTES,
 ) -> BloomFilter:
     """Build a Bloom filter over ``ref[col]`` — ONE narrow pass: bit
     positions are computed JVM-side (xxhash64), each partition folds
@@ -1113,8 +1122,16 @@ def build_bloom_filter(
     one ~120 MB; beyond ~1e9 items the bitmap itself outgrows
     driver/broadcast comfort and the shuffle anti-join is the right
     tool again (this operator targets the decontamination regime:
-    small-vs-huge). ``expected_items`` skips the sizing count when the
-    caller already knows n. The per-partition bitmaps are OR-reduced
+    small-vs-huge). That ceiling is ENFORCED, not advisory
+    (``max_bitmap_bytes``, default :data:`MAX_BLOOM_BITMAP_BYTES` =
+    512 MiB ≈ 430M items at 1% fpp): a reference big enough to blow it
+    raises with the partitioned alternative named — a plain
+    ``left_anti``/``left_semi`` join on the reference, which shuffles
+    but never materializes anything driver-side — instead of building
+    toward a driver/broadcast OOM. Raise the cap explicitly only with
+    driver memory to match. ``expected_items`` skips the sizing count
+    when the caller already knows n. The per-partition bitmaps are
+    OR-reduced
     in a SECOND parallel fold stage down to ≤ 4 before the driver sees
     them — one wall-clock-parallel pass over the reference (a
     sequential ``toLocalIterator`` drain would serialize the scan into
@@ -1129,6 +1146,17 @@ def build_bloom_filter(
     bits = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
     k = max(1, round(bits / max(n, 1) * math.log(2)))
     nbytes = (bits + 7) // 8
+    if nbytes > max_bitmap_bytes:
+        raise ValueError(
+            f"build_bloom_filter: {n} items at fpp={fpp} need a "
+            f"{nbytes / 2**20:.0f} MiB bitmap, over the "
+            f"{max_bitmap_bytes / 2**20:.0f} MiB driver/broadcast ceiling "
+            "— this operator targets the small-vs-huge decontamination "
+            "regime. For a reference this large use the partitioned "
+            "alternative (df.join(ref, col, 'left_anti'/'left_semi'): "
+            "shuffles, but materializes nothing driver-side), loosen "
+            "fpp, or raise max_bitmap_bytes to match your driver memory"
+        )
 
     pos_cols = F.array(
         *[
