@@ -53,6 +53,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x6_dsir_select",  # NEW r8
     "x9_store_drift",  # NEW r8
     "x3_ann_ivf_persisted",  # NEW r7
     "x9_sketch_store",  # NEW r7
@@ -2664,6 +2665,100 @@ def x6_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR oracle building blocks: the hashed-n-gram feature map restated
+# declaratively — unigrams plus space-joined adjacent bigrams of the
+# lowercased whitespace tokens, md5-bucketed exactly like
+# operators/sampling.py:hash_bucket.
+_DSIR_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+def _dsir_feats(where: str) -> str:
+    return f"""
+  SELECT doc_id, unnest({_DSIR_TOKS}) AS feat FROM documents {where}
+  UNION ALL
+  SELECT doc_id, t[g] || ' ' || t[g+1] AS feat FROM (
+    SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g
+    FROM (SELECT doc_id, {_DSIR_TOKS} AS t FROM documents {where})
+  )
+"""
+
+
+_DSIR_FEATS_T = _dsir_feats("WHERE lang = 'en'")
+_DSIR_FEATS_R = _dsir_feats("")
+_DSIR_BUCKET = "CAST('0x' || substr(md5(feat), 1, 15) AS BIGINT) % 10000"
+_DSIR_TT = f"(SELECT count(*) FROM ({_DSIR_FEATS_T}))"
+_DSIR_TR = f"(SELECT count(*) FROM ({_DSIR_FEATS_R}))"
+
+
+@_register(
+    "x6_dsir_select",
+    # the whole DSIR pipeline restated declaratively: per-bucket add-1
+    # log-likelihood-ratio terms quantized to BIGINT micro-nats right
+    # after the ln (the one transcendental — identical association on
+    # both sides, so the double argument is bit-identical and the
+    # rounded term matches; see operators/selection.py module doc),
+    # integer per-doc sums, md5-derived Gumbel keys, top-100.
+    f"""
+SELECT doc_id, n_feats, logw_micro,
+       logw_micro + CAST(round(1000000.0 * -ln(-ln(
+         (CAST(CAST('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0
+       ))) AS BIGINT) AS key_micro
+FROM (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+         CAST(sum(cnt * term) AS BIGINT) AS logw_micro
+  FROM (
+    SELECT d.doc_id, d.cnt,
+           CAST(round(1000000.0 * ln(
+             (CAST(coalesce(t.c, 0) + 1 AS DOUBLE)
+              * (CAST({_DSIR_TR} AS DOUBLE) + 10000.0))
+             / (CAST(coalesce(r.c, 0) + 1 AS DOUBLE)
+                * (CAST({_DSIR_TT} AS DOUBLE) + 10000.0))
+           )) AS BIGINT) AS term
+    FROM (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, {_DSIR_BUCKET} AS bucket FROM ({_DSIR_FEATS_R}))
+      GROUP BY doc_id, bucket
+    ) d
+    LEFT JOIN (
+      SELECT bucket, count(*) AS c
+      FROM (SELECT {_DSIR_BUCKET} AS bucket FROM ({_DSIR_FEATS_T}))
+      GROUP BY bucket
+    ) t USING (bucket)
+    LEFT JOIN (
+      SELECT bucket, count(*) AS c
+      FROM (SELECT {_DSIR_BUCKET} AS bucket FROM ({_DSIR_FEATS_R}))
+      GROUP BY bucket
+    ) r USING (bucket)
+  ) GROUP BY doc_id
+)
+ORDER BY key_micro DESC, doc_id ASC LIMIT 100
+""",
+)
+def x6_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6b — DSIR data selection via importance resampling
+    (``operators/selection.py``; Xie et al., NeurIPS 2023,
+    arXiv:2302.03169): fit hashed-unigram+bigram multinomial models on
+    the target (``lang='en'`` docs — the "trusted corpus") and the raw
+    corpus (all docs), weigh every raw doc by the add-1-smoothed
+    log-likelihood ratio in integer micro-nats, then Gumbel-top-k
+    resample 100 docs without replacement ∝ w — the standard
+    pretraining data-selection step, end to end under the hard hash.
+
+    Hash-exact: counts/totals/buckets are BIGINT + md5 (engine-
+    portable); the only transcendentals (per-bucket ln, the two Gumbel
+    lns) are quantized to micro-nats immediately, so per-doc weights
+    and keys are integer sums — order-independent and bit-identical
+    cross-engine (ulp-flip odds bounded by the margin guard test in
+    tests/test_selection.py). Scale shape: both model joins broadcast
+    (≤ buckets rows), one corpus scan, TakeOrderedAndProject for the
+    top-k — no global sort."""
+    from wwwision_importservice_spark.operators.selection import dsir_select
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    return dsir_select(docs, docs.filter(F.col("lang") == "en"), 100)
+
+
 # Expected SCD2 history rebuilt in pure SQL: run 1 syncs the k%3!=0
 # slice of orders, run 2 the k%2!=0 slice with every 5th version bumped
 # one day. ed = epoch(o_orderdate).
@@ -3283,6 +3378,9 @@ SELECT doc_id,
        'fake' AS format
 FROM documents
 """,
+    driver=False,  # long-green since r3; slot ceded to x6_dsir_select (r8).
+    # x4_frame_sample keeps the X4 Arrow-batched decode path driver-covered;
+    # same oracle, pytest tier
 )
 def x4_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — binary media plumbing: text bytes stand in for media blobs;
