@@ -4452,6 +4452,72 @@ def test_bloom_anti_join_decontamination_guarantees(spark, tmp_path):
     assert big_ok.bits == bloom.bits
 
 
+def test_bloom_verified_anti_join_is_exact(spark):
+    """dedup.py:bloom_verified_anti_join — the two-stage (bitmap
+    prefilter + exact confirm join) decontamination equals a plain
+    left_anti ROW-FOR-ROW even at an adversarially coarse fpp, the
+    restore path does real work (innocents enter the confirm join and
+    come back), NULL keys survive like they do in a plain anti-join,
+    and a differently-named/typed reference column is cast onto the
+    probe's type before the exact equality."""
+    from wwwision_importservice_spark.operators.dedup import (
+        bloom_semi_join,
+        bloom_verified_anti_join,
+        build_bloom_filter,
+    )
+
+    ref = spark.range(500).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("fp"))
+    probe = spark.range(5_000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("fp"),
+        (F.col("id") % 3).alias("tag"),
+    ).unionByName(
+        spark.sql("SELECT CAST(NULL AS STRING) AS fp, CAST(99 AS LONG) AS tag")
+    )
+
+    # fpp=0.5: about half the innocents are 'maybe' — the confirm join
+    # must restore every one of them
+    bloom = build_bloom_filter(ref, "fp", fpp=0.5)
+    nullsafe = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
+    got = sorted(
+        (
+            (r["fp"], r["tag"])
+            for r in bloom_verified_anti_join(probe, bloom, ref, "fp").collect()
+        ),
+        key=nullsafe,
+    )
+    want = sorted(
+        (
+            (r["fp"], r["tag"])
+            for r in probe.join(ref, "fp", "left_anti").collect()
+        ),
+        key=nullsafe,
+    )
+    assert got == want
+    assert len(got) == 4_500 + 1  # non-members + the NULL-key row
+
+    # the restore path was non-trivially exercised: strictly more
+    # maybes than true members at this fpp
+    n_maybe = bloom_semi_join(probe, bloom, "fp").count()
+    assert n_maybe > 500, n_maybe
+
+    # ref_col with a different name and type: cast-to-probe-type makes
+    # the exact stage test the same equality the bitmap hashed
+    ref2 = spark.range(500).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("eval_fp"))
+    got2 = bloom_verified_anti_join(
+        probe, bloom, ref2, "fp", ref_col="eval_fp").count()
+    assert got2 == len(got)
+
+    # the confirm join must broadcast the (small-by-contract) reference
+    plan = (
+        bloom_verified_anti_join(probe, bloom, ref, "fp")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_bloom_build_probe_plans_have_no_shuffle(spark):
     """Scale pin: neither the build (per-partition bitmap fold) nor
     the probe (broadcast-bitmap map pass) may shuffle its input — the

@@ -53,6 +53,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x2_decontaminate",  # NEW r8
     "x6_dsir_select",  # NEW r8
     "x9_store_drift",  # NEW r8
     "x3_ann_ivf_persisted",  # NEW r7
@@ -1496,6 +1497,48 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, ["text"], "doc_id")
 
 
+@_register(
+    "x2_decontaminate",
+    # exact decontamination semantics, declaratively: a training doc
+    # survives iff its CONTENT appears in no eval-set doc — duplicate
+    # texts of an eval member are contaminated too, which is exactly
+    # why the check keys on text, not id.
+    """
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents e
+  WHERE e.doc_id % 7 = 0 AND e.text = d.text
+)
+""",
+)
+def x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2e — EXACT eval-set decontamination at Bloom cost
+    (``operators/dedup.py:bloom_verified_anti_join``): docs whose
+    ``doc_id % 7 == 0`` play the eval set; the training corpus drops
+    every doc whose TEXT matches an eval doc's text. The two-stage
+    operator — broadcast-bitmap probe splits the corpus into
+    definite-keeps and maybes, only the maybes meet the reference in
+    an exact broadcast anti-join — must equal a plain ``left_anti``
+    row-for-row; the oracle states that plain form, so the hash proves
+    the bitmap's over-drops were all restored and nothing contaminated
+    slipped through. ``fpp=0.25`` is deliberately coarse so the
+    restore path does real work on the fixture (~25% of innocents
+    enter the confirm join and come back) — correctness must not
+    depend on the fpp knob."""
+    from wwwision_importservice_spark.operators.dedup import (
+        bloom_verified_anti_join,
+        build_bloom_filter,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    evalset = docs.filter(F.col("doc_id") % 7 == 0)
+    bloom = build_bloom_filter(evalset, "text", fpp=0.25)
+    return bloom_verified_anti_join(docs, bloom, evalset, "text").select(
+        "doc_id", "lang", "source"
+    )
+
+
 @_register("x2_minhash_lsh_pairs", _PAIRS_SQL)
 def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — near-duplicate candidate pairs via MinHash (16 md5-seeded
@@ -2360,6 +2403,10 @@ WHERE (least(n_tokens / 64.0, 1.0) * 0.5 + stopword_ratio * 0.3
        + (1.0 - punct_ratio) * 0.2) >= 0.5
   AND n_tokens >= 5 AND punct_ratio <= 0.3
 """,
+    driver=False,  # long-green since r3; slot ceded to x2_decontaminate
+    # (r8). x5_text_stats keeps the X5 family driver-covered, and the
+    # same quality-gate predicate runs inside s6_ingest_pipeline's
+    # composed oracle; same oracle here, pytest tier
 )
 def x5_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 — the C4/Gopher-style rule gate as ONE filter expression:

@@ -1305,6 +1305,48 @@ def bloom_semi_join(
     )
 
 
+def bloom_verified_anti_join(
+    df: DataFrame,
+    bloom: BloomFilter,
+    ref: DataFrame,
+    col: str,
+    ref_col: str | None = None,
+) -> DataFrame:
+    """EXACT decontamination at Bloom cost: rows whose ``col`` is in
+    the reference are removed, and — unlike :func:`bloom_anti_join` —
+    the ~fpp of innocents the bitmap would over-drop are RESTORED by a
+    second-stage exact check, so the result equals a plain
+    ``left_anti`` join row-for-row (oracle-pinned: ``x2_decontaminate``).
+
+    Two-stage shape: the broadcast-bitmap probe (one narrow map pass,
+    no shuffle) splits the corpus into definite-keeps (~(1-fpp) of
+    non-members, which pass straight through untouched) and maybes
+    (every true member + ~fpp of the rest); only the maybes — a slice
+    ~``|ref|/|df| + fpp`` of the corpus — meet the reference in a real
+    ``left_anti`` join. The no-false-negative guarantee is what makes
+    the split sound: a row the bitmap clears is PROVABLY absent, so
+    skipping the join for it cannot change the answer.
+
+    At 100 TB this is the right exactness/cost trade: the join input
+    shrinks by ~1/(fpp + |ref|/|df|) (100× at fpp=1%), the reference
+    side is the small one by the operator's contract (eval sets), and
+    the surviving join broadcasts it. ``ref_col`` defaults to ``col``;
+    the exact stage casts it to the probe column's type so the equality
+    the join tests is the one the bitmap was built over."""
+    ref_col = col if ref_col is None else ref_col
+    keys = ref.select(
+        F.col(ref_col).cast(df.schema[col].dataType).alias(col)
+    ).distinct()
+    masked = _bloom_member_mask(df, bloom, col)
+    keeps = masked.filter(~F.col("__maybe")).drop("__maybe")
+    confirmed = (
+        masked.filter(F.col("__maybe"))
+        .drop("__maybe")
+        .join(F.broadcast(keys), col, "left_anti")
+    )
+    return keeps.unionByName(confirmed)
+
+
 def save_bloom_filter(spark, bloom: BloomFilter, path: str) -> None:
     """Persist as base64 text with a geometry header — the filter is
     state like the LSH index: build once per reference release, probe
