@@ -133,6 +133,12 @@ HEADLINE = [
     # PageRank (iterative join+agg over the purchase graph)
     "ts_gapfill_locf",
     "g1_pagerank",
+    # joined round 8: DSIR importance-resampling selection (two model
+    # fits + broadcast-scored corpus + Gumbel top-k) and exact
+    # decontamination at Bloom cost (bitmap prefilter + broadcast
+    # confirm join)
+    "x6_dsir_select",
+    "x2_decontaminate",
 ]
 
 

@@ -5,6 +5,9 @@ repo's operators over the driver testdata:
 
     raw documents
       → exact dedup            (X1: drop byte-identical bodies)
+      → decontamination        (X2: drop every doc whose text appears in
+                                the eval set — exact semantics at Bloom
+                                cost via bloom_verified_anti_join)
       → near-dup canonicals    (X2: MinHash-LSH → connected components,
                                 keep one doc per cluster)
       → span dedup             (X2: strip corpus-wide repeated 4-word
@@ -22,6 +25,9 @@ repo's operators over the driver testdata:
       → PII scrub              (X5: emails/phones/IPs → typed masks)
       → language ID            (X5: n-gram heuristic; drops docs the
                                 detector can't place — 'und')
+      → DSIR selection         (X6: importance-resample the docs whose
+                                hashed-n-gram profile matches the
+                                trusted target corpus — Xie et al. 2023)
       → per-domain cap         (X6: at most N docs per source — no
                                 template-heavy domain dominates)
       → mixture sampling       (X6: per-SOURCE token budgets — the
@@ -51,10 +57,15 @@ from wwwision_importservice_spark.operators.clustering import (  # noqa: E402
     semantic_dedup,
 )
 from wwwision_importservice_spark.operators.dedup import (  # noqa: E402
+    bloom_verified_anti_join,
+    build_bloom_filter,
     connected_components,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures_inline,
+)
+from wwwision_importservice_spark.operators.selection import (  # noqa: E402
+    dsir_select,
 )
 from wwwision_importservice_spark.operators.features import (  # noqa: E402
     hashing_tf_vectors,
@@ -79,12 +90,24 @@ from wwwision_importservice_spark.operators.text import (  # noqa: E402
 from wwwision_importservice_spark.session import get_spark  # noqa: E402
 
 
-def curate(spark, sf_dir: str):
+def curate(spark, sf_dir: str, eval_df=None, dsir_target=None, dsir_k=420):
+    """``eval_df`` (optional): documents-shaped frame whose TEXTS are
+    scrubbed from the corpus (benchmark decontamination). ``dsir_target``
+    (optional): documents-shaped trusted corpus; when given, the
+    language-gated corpus is importance-resampled down to ``dsir_k``
+    docs whose hashed-n-gram profile matches it before mixing."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     # X1 — exact dedup: keep the smallest doc_id per identical body
     survivors = exact_dedup(docs, ["text"], "doc_id").select("doc_id")
     deduped = docs.join(survivors, "doc_id", "left_semi")
+
+    # X2e — eval-set decontamination, exact at Bloom cost: the bitmap
+    # clears ~(1-fpp) of the corpus without a join; only the maybes
+    # meet the eval texts in a broadcast anti-join
+    if eval_df is not None:
+        bloom = build_bloom_filter(eval_df, "text", fpp=0.01)
+        deduped = bloom_verified_anti_join(deduped, bloom, eval_df, "text")
 
     # X2 — near-dup canonicals: LSH pairs → components → keep cluster min
     sig = minhash_signatures_inline(deduped, "doc_id", "text", n=3, num_hashes=16)
@@ -144,6 +167,16 @@ def curate(spark, sf_dir: str):
     # the gate is the stage a real crawl needs)
     identified = tagged.filter(F.col("detected_lang") != "und")
 
+    # X6b — DSIR: keep the dsir_k docs (sampled without replacement
+    # ∝ importance weight) whose hashed-n-gram distribution looks like
+    # the trusted target corpus — the data-selection step in front of
+    # the mixture spec. Deterministic per seed; models broadcast.
+    if dsir_target is not None:
+        picked = dsir_select(
+            identified, dsir_target, k=dsir_k, id_col="doc_id"
+        ).select("doc_id")
+        identified = identified.join(picked, "doc_id", "left_semi")
+
     # X6 — DOMAIN mixture: token budgets per crawl source; sources
     # without an explicit budget get the default (here: admitted at a
     # smaller budget, exercising both paths)
@@ -171,7 +204,16 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_corpus"
     spark = get_spark(app_name="corpus-pipeline")
-    packed = curate(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = curate(
+        spark,
+        sf_dir,
+        # demo eval set: a deterministic ~1% id-hash slice plays the
+        # held-out benchmark whose texts must not leak into training
+        eval_df=docs.filter(F.col("doc_id") % 97 == 0),
+        # demo trusted target: the ground-truth-English slice
+        dsir_target=docs.filter(F.col("lang") == "en"),
+    )
     (
         packed.write.mode("overwrite")
         .partitionBy("split", "source")

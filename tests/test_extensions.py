@@ -1690,7 +1690,9 @@ def test_fuzzy_self_pairs_property_vs_model(spark):
 def test_corpus_pipeline_example_runs(spark, sf_dir, tmp_path):
     """examples/corpus_pipeline.py end to end at test scale: the curated
     output respects the mixture budgets (per-lang token sums <= budget +
-    one overshoot doc) and both splits materialize."""
+    one overshoot doc), both splits materialize, and the r8 stages hold
+    their contracts — no eval-set text survives decontamination, and
+    DSIR selection caps the corpus entering the mixture."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -1699,11 +1701,26 @@ def test_corpus_pipeline_example_runs(spark, sf_dir, tmp_path):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    packed = mod.curate(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    packed = mod.curate(
+        spark,
+        sf_dir,
+        eval_df=eval_df,
+        dsir_target=docs.filter(F.col("lang") == "en"),
+        dsir_k=420,
+    )
     rows = packed.select(
         "doc_id", "source", "detected_lang", "split", "n_tokens"
     ).collect()
     assert rows
+    assert len({r["doc_id"] for r in rows}) <= 420  # DSIR cap upstream
+    eval_texts = {r["text"] for r in eval_df.collect()}
+    kept_ids = {r["doc_id"] for r in rows}
+    contaminated = {
+        r["doc_id"] for r in docs.collect() if r["text"] in eval_texts
+    }
+    assert not (kept_ids & contaminated)  # decontamination held
     # the language gate ran: nothing undetermined survives
     assert all(r["detected_lang"] != "und" for r in rows)
     budgets = {"src0": 1200, "src1": 1200, "src2": 800, "src3": 800}
