@@ -3703,6 +3703,22 @@ def test_sketch_store_windowed_read_below_watermark_warns(
     assert {r["tok"]: r["c"] for r in tail.collect()
             if r["tok"] is not None} == {"t3": 2}
 
+    # a window STRADDLING the watermark (names folded batch 1 AND live
+    # batch 2) undercounts — it must warn too, not just the fully-
+    # folded case (r8 code-review finding: the original check only
+    # fired on hi <= watermark)
+    caplog.clear()
+    with caplog.at_level(
+        logging.WARNING,
+        logger="wwwision_importservice_spark.operators.sketchstore",
+    ):
+        straddle = merged_heads(spark, store, spec, batch_range=(1, 2))
+    assert any("straddles the compaction watermark" in r.message
+               for r in caplog.records)
+    # the read itself returns only the un-folded tail (documented)
+    assert {r["tok"]: r["c"] for r in straddle.collect()
+            if r["tok"] is not None} == {"t3": 2}
+
 
 def test_sketch_store_churn_append_compact_crash_recover(spark, tmp_path):
     """The read path under appends-after-compaction churn (r7 brief #7):
@@ -4533,6 +4549,11 @@ def test_bloom_verified_anti_join_is_exact(spark):
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+    # ONE scan + ONE bloom probe: the compound-condition anti-join
+    # replaced the two-branch form that consumed the unpersisted probe
+    # output twice (r8 code-review finding — 2x corpus I/O + doubled
+    # Python probe cost at scale)
+    assert plan.count("MapInPandas") == 1, plan
 
 
 def test_bloom_build_probe_plans_have_no_shuffle(spark):

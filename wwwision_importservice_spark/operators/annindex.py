@@ -309,7 +309,9 @@ def ivf_search(
     return topk(scored, k, query_id, corpus_id)
 
 
-def centroid_staleness(spark: SparkSession, index_dir: str) -> dict:
+def centroid_staleness(
+    spark: SparkSession, index_dir: str, centroid_id: str = "cell"
+) -> dict:
     """How far the index has drifted from its trained quantizer — the
     observable that decides when :func:`rebuild_from_index` is worth
     its full retrain (the ANN twin of ``layout.clustering_staleness``;
@@ -351,9 +353,9 @@ def centroid_staleness(spark: SparkSession, index_dir: str) -> dict:
         )
     # partition-column-only scan: n_cells rows collected, metadata scale
     now = {
-        str(r["cell"]): r["count"]
+        str(r[centroid_id]): r["count"]
         for r in spark.read.parquet(f"{index_dir}/cells")
-        .groupBy(F.col("cell"))
+        .groupBy(F.col(centroid_id))
         .count()
         .collect()
     }
@@ -443,7 +445,7 @@ def rebuild_from_index(
     index_dir = index_dir.rstrip("/")
     claim_writer(spark, index_dir, writer_id)
     recover_dir(spark, index_dir)
-    before = centroid_staleness(spark, index_dir)
+    before = centroid_staleness(spark, index_dir, centroid_id)
     pq = path_exists(spark, f"{index_dir}/codebooks")
     if corpus is None:
         if pq:
@@ -474,6 +476,7 @@ def rebuild_from_index(
             codebooks = train_pq_codebooks(
                 corpus, corpus_id, vector_col,
                 m=int(shape["m"]), n_codes=int(shape["n_codes"]),
+                iterations=iterations,
                 sample_fraction=sample_fraction,
             )
         else:
@@ -490,5 +493,5 @@ def rebuild_from_index(
         corpus, centroids, index_dir, corpus_id, vector_col, centroid_id,
         codebooks=codebooks, writer_id=writer_id,
     )
-    after = centroid_staleness(spark, index_dir)
+    after = centroid_staleness(spark, index_dir, centroid_id)
     return {"before": before, "after": after}

@@ -1318,33 +1318,37 @@ def bloom_verified_anti_join(
     second-stage exact check, so the result equals a plain
     ``left_anti`` join row-for-row (oracle-pinned: ``x2_decontaminate``).
 
-    Two-stage shape: the broadcast-bitmap probe (one narrow map pass,
-    no shuffle) splits the corpus into definite-keeps (~(1-fpp) of
-    non-members, which pass straight through untouched) and maybes
-    (every true member + ~fpp of the rest); only the maybes — a slice
-    ~``|ref|/|df| + fpp`` of the corpus — meet the reference in a real
-    ``left_anti`` join. The no-false-negative guarantee is what makes
-    the split sound: a row the bitmap clears is PROVABLY absent, so
-    skipping the join for it cannot change the answer.
+    One-pass shape: the broadcast-bitmap probe (one narrow map pass,
+    no shuffle) tags each row ``__maybe`` (every true member + ~fpp of
+    the rest clear it; ~(1-fpp) of non-members don't), and ONE
+    ``left_anti`` join with the compound condition
+    ``col-equality AND __maybe`` removes exactly the confirmed
+    members: a cleared row can never satisfy the condition — the
+    bitmap's no-false-negative guarantee makes that sound — so it
+    passes through without probing the reference's hash relation,
+    while each maybe pays one exact hash probe. An earlier two-branch
+    form (filter keeps / filter maybes / union) had the same
+    semantics but consumed the unpersisted probe output twice, so the
+    corpus was scanned and bloom-probed TWICE (r8 code-review
+    finding); the compound condition folds both branches into one
+    scan + one probe — pinned by the plan test.
 
-    At 100 TB this is the right exactness/cost trade: the join input
-    shrinks by ~1/(fpp + |ref|/|df|) (100× at fpp=1%), the reference
-    side is the small one by the operator's contract (eval sets), and
-    the surviving join broadcasts it. ``ref_col`` defaults to ``col``;
-    the exact stage casts it to the probe column's type so the equality
-    the join tests is the one the bitmap was built over."""
+    At 100 TB this is the right exactness/cost trade: ~(1-fpp) of the
+    corpus skips the per-row hash probe, nothing is scanned twice, the
+    reference side is the small one by the operator's contract (eval
+    sets) and broadcasts. ``ref_col`` defaults to ``col``; the exact
+    stage casts it to the probe column's type so the equality the join
+    tests is the one the bitmap was built over."""
     ref_col = col if ref_col is None else ref_col
     keys = ref.select(
-        F.col(ref_col).cast(df.schema[col].dataType).alias(col)
+        F.col(ref_col).cast(df.schema[col].dataType).alias("__ref_key")
     ).distinct()
     masked = _bloom_member_mask(df, bloom, col)
-    keeps = masked.filter(~F.col("__maybe")).drop("__maybe")
-    confirmed = (
-        masked.filter(F.col("__maybe"))
-        .drop("__maybe")
-        .join(F.broadcast(keys), col, "left_anti")
-    )
-    return keeps.unionByName(confirmed)
+    return masked.join(
+        F.broadcast(keys),
+        (F.col(col) == F.col("__ref_key")) & F.col("__maybe"),
+        "left_anti",
+    ).drop("__maybe")
 
 
 def save_bloom_filter(spark, bloom: BloomFilter, path: str) -> None:

@@ -177,6 +177,24 @@ def dsir_log_weights(
     the only shuffle, keyed by the (unique) id — no skew. One corpus
     scan total, model size independent of corpus size."""
     doc = hashed_ngram_counts(df, id_col, text_col, buckets, ngram)
+    return dsir_log_weights_from_counts(
+        doc, target_model, raw_model, id_col, buckets
+    )
+
+
+def dsir_log_weights_from_counts(
+    doc_counts: DataFrame,
+    target_model: DataFrame,
+    raw_model: DataFrame,
+    id_col: str = "doc_id",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """:func:`dsir_log_weights` from PRE-COMPUTED per-doc bucket counts
+    (``(id, bucket, cnt)`` — :func:`hashed_ngram_counts`). This is the
+    seam that lets :func:`dsir_select` explode the raw corpus exactly
+    once: the raw model is a rollup of the same counts frame that
+    scoring probes (equal to a direct fit by count additivity — pinned
+    by test)."""
     tgt = target_model.select("bucket", F.col("c").alias("__ct"))
     raw = raw_model.select("bucket", F.col("c").alias("__cr"))
     totals = (
@@ -192,7 +210,7 @@ def dsir_log_weights(
     )
     term = F.round(F.lit(_MICRO) * F.log(num / den)).cast("long")
     return (
-        doc.join(F.broadcast(tgt), "bucket", "left")
+        doc_counts.join(F.broadcast(tgt), "bucket", "left")
         .join(F.broadcast(raw), "bucket", "left")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
@@ -271,12 +289,25 @@ def dsir_select(
     """The whole DSIR pipeline in one call: fit ``p_target`` on
     ``target_df`` and ``p_raw`` on ``raw_df``, weigh every raw doc,
     Gumbel-resample ``k`` — returns ``(id, n_feats, logw_micro,
-    key_micro)``. Two corpus scans (one per model fit; the raw scan is
-    shared with scoring via the model's lazy checkpoint) + one
-    broadcast-join scoring pass + a TakeOrderedAndProject."""
+    key_micro)``.
+
+    The RAW corpus — the huge side — is exploded exactly ONCE: its
+    per-doc bucket counts are lazily localCheckpoint'ed, ``p_raw`` is
+    a ≤ ``buckets``-row rollup of that same counts frame (equal to a
+    direct fit by count additivity — pinned by test), and scoring
+    probes the checkpointed counts instead of re-exploding the text.
+    (An earlier form fit ``p_raw`` straight from ``raw_df`` and
+    re-exploded the corpus for scoring — the model's checkpoint caches
+    only the model, not the scan; r8 code-review finding.) The
+    checkpoint materializes doc-bucket counts — rows ∝ corpus
+    token-diversity, written once to executor-local disk right after
+    the shuffle that produced them — in exchange for dropping a full
+    text scan + explode + feature-hash pass; only the small trusted
+    ``target_df`` gets a dedicated fit scan."""
     tgt = hashed_ngram_model(target_df, text_col, buckets, ngram)
-    raw = hashed_ngram_model(raw_df, text_col, buckets, ngram)
-    w = dsir_log_weights(
-        raw_df, tgt, raw, id_col, text_col, buckets, ngram
-    )
+    doc = hashed_ngram_counts(
+        raw_df, id_col, text_col, buckets, ngram
+    ).localCheckpoint(eager=False)
+    raw = doc.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+    w = dsir_log_weights_from_counts(doc, tgt, raw, id_col, buckets)
     return dsir_resample(w, k, id_col, seed=seed, gumbel=gumbel)

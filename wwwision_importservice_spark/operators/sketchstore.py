@@ -192,20 +192,34 @@ def _read_kind(
         )
     if batch_range is not None:
         lo, hi = batch_range
-        if through is not None and int(hi) <= through:
-            # the requested window's mass EXISTS but lives only inside
-            # the folded batch_id=-1 slice, which the range filter
-            # excludes — the read would be silently empty and a drift
-            # comparison against it silently NULL. Make it loud.
+        if through is not None and int(lo) <= through:
+            # some (or all) of the requested window's mass EXISTS but
+            # lives only inside the folded batch_id=-1 slice, which the
+            # range filter excludes — a fully-folded window reads
+            # EMPTY, and a window STRADDLING the watermark silently
+            # undercounts (its pre-watermark batches are missing), so a
+            # drift comparison against either is silently wrong. Make
+            # both loud (code-review finding: the original check only
+            # fired on hi <= through, letting straddles through).
             import logging
 
+            shape = (
+                "entirely at or below" if int(hi) <= through
+                else "straddles"
+            )
+            effect = (
+                "a windowed read returns EMPTY" if int(hi) <= through
+                else (
+                    "batches <= the watermark are missing from the "
+                    "windowed read (silent undercount)"
+                )
+            )
             logging.getLogger(__name__).warning(
-                "%s: batch_range (%s, %s) is entirely at or below the "
-                "compaction watermark %d — its batches were folded into "
-                "the compacted slice and a windowed read returns EMPTY. "
-                "Disable compaction for stores meant to be time-sliced, "
-                "or widen the window past the watermark.",
-                path, lo, hi, through,
+                "%s: batch_range (%s, %s) %s the compaction watermark "
+                "%d — folded batches live only in the compacted slice, "
+                "so %s. Disable compaction for stores meant to be "
+                "time-sliced, or widen the window past the watermark.",
+                path, lo, hi, shape, through, effect,
             )
         # batch_id IS the partition directory, so this filter prunes
         # whole batch dirs at planning time — a windowed read touches
