@@ -139,6 +139,11 @@ HEADLINE = [
     # confirm join)
     "x6_dsir_select",
     "x2_decontaminate",
+    # joined round 8: the zero-Exchange co-located join (bucketed write
+    # amortizes the shuffle; timing includes the two bucketed writes) and
+    # the 20-metric Gopher filter suite (single scan, pure expressions)
+    "x10_bucketed_join",
+    "x5_gopher_quality",
 ]
 
 

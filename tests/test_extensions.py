@@ -4602,3 +4602,86 @@ def test_ivf_rebuild_crash_window_recovers(spark, tmp_path, sf_dir):
     got = sorted(tuple(r) for r in
                  ivf_search(spark, idx, queries, k=5, nprobe=2).collect())
     assert got == want
+
+
+# --- Gopher quality rules (operators/text.py::gopher_quality, r8) -------
+
+
+def _gopher_rows(spark, docs, **kw):
+    from wwwision_importservice_spark.operators.text import gopher_quality
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = gopher_quality(df, **kw)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_gopher_ngram_metrics_hand_computed(spark):
+    """'the cat sat on the mat' repeated: every 2/3/4-gram metric checked
+    against pencil-and-paper counts (text length 70 chars)."""
+    text = "the cat sat on the mat and the cat sat on the mat again with that said"
+    rows = _gopher_rows(spark, [(1, text)])
+    r = rows[1]
+    assert r["n_words"] == 17
+    # most frequent 2-gram ties at count 3 ("the cat"? no: "the cat",
+    # "cat sat", "sat on", "on the", "the mat" all count 2; ties break
+    # toward chars): best is count 2 x len 7 = 14 chars / 70
+    assert r["top_2gram_char_frac"] == pytest.approx(0.2)
+    assert r["top_3gram_char_frac"] == pytest.approx(0.314286)  # "the cat sat" 2x11/70
+    assert r["top_4gram_char_frac"] == pytest.approx(0.4)  # "the cat sat on" 2x14/70
+    assert r["dup_5gram_char_frac"] == pytest.approx(0.285714)
+    assert r["dup_7gram_char_frac"] == 0.0
+
+
+def test_gopher_degenerate_overlap_exceeds_one(spark):
+    """Overlapping repeats ('a a a ...') push count x len past the text
+    length — the published formula's known property; thresholds still
+    order correctly (such docs fail harder), so no clamp."""
+    rows = _gopher_rows(spark, [(1, "a a a a a a a a")])
+    assert rows[1]["top_2gram_char_frac"] == pytest.approx(1.4)  # 7 x 3 / 15
+    assert rows[1]["dup_5gram_char_frac"] == pytest.approx(1.0)
+    assert rows[1]["gopher_keep"] is False
+
+
+def test_gopher_line_para_bullet_ellipsis(spark):
+    text = (
+        "- bullet one\n- bullet two\nnormal line\nnormal line\n\n"
+        "para two...\n\npara two..."
+    )
+    r = _gopher_rows(spark, [(1, text)])[1]
+    assert r["dup_line_frac"] == pytest.approx(1 - 4 / 6, abs=1e-6)
+    assert r["dup_line_char_frac"] == pytest.approx(1 - 46 / 68, abs=1e-6)
+    assert r["dup_para_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert r["bullet_line_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    assert r["ellipsis_line_frac"] == pytest.approx(2 / 6, abs=1e-6)
+    assert r["symbol_word_ratio"] == pytest.approx(2 / 14, abs=1e-6)  # two '...'
+    assert r["alpha_word_frac"] == pytest.approx(12 / 14, abs=1e-6)  # '-' words
+
+
+def test_gopher_empty_and_keep_gate(spark):
+    """Empty text yields all-zero metrics and fails keep; a clean long
+    document with >=2 stopwords and no repetition passes with the
+    published defaults."""
+    clean = " ".join(f"word{i:03d}" for i in range(60)) + " the and of that"
+    rows = _gopher_rows(spark, [(1, ""), (2, clean)])
+    assert rows[1]["n_words"] == 0
+    assert rows[1]["gopher_keep"] is False
+    assert all(
+        v == 0.0
+        for k, v in rows[1].items()
+        if k.endswith("_frac") or k.endswith("_ratio")
+    )
+    r2 = rows[2]
+    assert r2["n_words"] == 64
+    assert r2["stopword_hits"] == 4
+    assert r2["top_2gram_char_frac"] == 0.0  # nothing repeats
+    assert r2["gopher_keep"] is True
+
+
+def test_gopher_threshold_override(spark):
+    """min_words is a parameter: the same short doc flips keep when the
+    floor drops (corpora with different baselines tune, not fork)."""
+    text = "the quick brown fox jumps over that lazy dog with glee"
+    base = _gopher_rows(spark, [(1, text)])[1]
+    assert base["gopher_keep"] is False  # 11 words < 50
+    low = _gopher_rows(spark, [(1, text)], thresholds={"min_words": 5})[1]
+    assert low["gopher_keep"] is True

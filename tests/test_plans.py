@@ -572,3 +572,33 @@ def test_ivf_search_prunes_to_probed_cells(spark, sf_dir, tmp_path):
     pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
     assert pf, plan
     assert any("cell" in ln and "IN (" in ln for ln in pf), pf
+
+
+def test_x10_bucketed_join_query_plan_has_zero_exchanges(spark, sf_dir):
+    """The x10 driver query end to end: scan -> SortMergeJoin ->
+    HashAggregate with NO Exchange anywhere — the join AND the
+    aggregation both ride the bucket partitioning (groupBy keys include
+    the bucket column). At 100 TB this is the plan that amortizes the
+    join shuffle into the one-time bucketed write."""
+    from wwwision_importservice_spark.entry_queries import x10_bucketed_join
+
+    df = x10_bucketed_join(spark, sf_dir)
+    tree = tree_of(plan_of(spark, df))
+    assert count_exchanges(tree) == 0, tree
+    assert "SortMergeJoin" in tree, tree
+    assert "HashAggregate" in tree, tree
+
+
+def test_gopher_quality_is_single_scan_no_python(spark, sf_dir):
+    """All 20 Gopher metrics + keep evaluate in one projection over one
+    scan: no Exchange, no Python eval node — the filter is scan-bound."""
+    from wwwision_importservice_spark.entry_queries import x5_gopher_quality
+
+    plan = plan_of(spark, x5_gopher_quality(spark, sf_dir))
+    tree = tree_of(plan)
+    # the fixture-width RoundRobin spread (load(spread=True)) is the one
+    # allowed exchange; nothing key-based may appear
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in tree, tree

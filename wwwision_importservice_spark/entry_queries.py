@@ -53,6 +53,8 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x5_gopher_quality",  # NEW r8
+    "x10_bucketed_join",  # NEW r8
     "x2_decontaminate",  # NEW r8
     "x6_dsir_select",  # NEW r8
     "x9_store_drift",  # NEW r8
@@ -432,7 +434,13 @@ def j5_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("j6_id_prefix", _cdc_sql(with_hidden=False, id_prefix="node-"))
+@_register(
+    "j6_id_prefix",
+    _cdc_sql(with_hidden=False, id_prefix="node-"),
+    driver=False,  # long-green since r2; slot ceded to x10_bucketed_join
+    # (r8). j4/j3/j5 keep the diff family driver-checked; the prefix
+    # strip/prepend path stays under the pytest oracle tier.
+)
 def j6_id_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 — target ids carry an idPrefix, stripped on read."""
     return compute_changes(
@@ -1061,6 +1069,9 @@ SELECT event_type,
        CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """,
+    driver=False,  # long-green since r2; slot ceded to x5_gopher_quality
+    # (r8). m1_regex_mapping + k11_mapping keep the M1/Eel surface
+    # driver-checked; the JSON-extract path stays under the pytest tier.
 )
 def m1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1/§1.3 — nested JSON passes through opaquely and is queryable:
@@ -4819,6 +4830,214 @@ def ts_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"n_events_24h": F.sum("n_events"), "n_obs_24h": F.count(F.lit(1))},
         n_buckets=24,
         bucket_col="hour_epoch",
+    )
+
+
+_GOPHER_STOPWORDS_FIXTURE = [
+    "the", "a", "value", "table", "key", "row", "scan", "data",
+]
+
+
+def _gopher_oracle_sql() -> str:
+    """DuckDB twin of operators/text.py::gopher_quality over the shaped
+    documents fixture. The oracle uses the O(distinct × T) nested-scan
+    count form per n-gram size; the Spark side uses the O(T log T)
+    sorted-run fold — equal by definition, so a hash match proves the
+    fold. Generated (9 n-gram sizes × multi-line expressions), no WITH
+    (the harness wraps oracles in derived tables)."""
+    stop = "[" + ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS_FIXTURE) + "]"
+    cnt = lambda n: f"len(list_filter(g_{n}, y -> y = x))"  # noqa: E731
+    gram_defs = ", ".join(
+        f"CASE WHEN len(low_words) >= {n} THEN list_transform("
+        f"generate_series(1, len(low_words) - {n - 1}), "
+        f"i -> array_to_string(low_words[i:i+{n - 1}], ' ')) "
+        f"ELSE CAST([] AS VARCHAR[]) END AS g_{n}"
+        for n in range(2, 11)
+    )
+    dup_fracs = ", ".join(
+        f"CASE WHEN coalesce(list_sum(list_transform(g_{n}, x -> length(x))), 0) > 0 "
+        f"THEN round(coalesce(list_sum(list_transform(list_distinct(g_{n}), "
+        f"x -> CASE WHEN {cnt(n)} > 1 THEN {cnt(n)} * length(x) ELSE 0 END)), 0) * 1.0 "
+        f"/ list_sum(list_transform(g_{n}, x -> length(x))), 6) "
+        f"ELSE 0.0 END AS dup_{n}gram_char_frac"
+        for n in range(5, 11)
+    )
+    best_cs = ", ".join(
+        f"coalesce(list_max(list_transform(list_distinct(g_{n}), "
+        f"x -> {cnt(n)})), 0) AS best_c_{n}"
+        for n in (2, 3, 4)
+    )
+    top_fracs = ", ".join(
+        f"CASE WHEN best_c_{n} >= 2 AND text_chars > 0 "
+        f"THEN round(coalesce(list_max(list_transform(list_distinct(g_{n}), "
+        f"x -> CASE WHEN {cnt(n)} = best_c_{n} THEN best_c_{n} * length(x) "
+        f"ELSE 0 END)), 0) * 1.0 / text_chars, 6) "
+        f"ELSE 0.0 END AS top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    line_chars = "list_sum(list_transform(lines, l -> length(l)))"
+    para_chars = "list_sum(list_transform(paras, l -> length(l)))"
+    base_cols = ", ".join(
+        ["n_words", "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+         "ellipsis_line_frac", "alpha_word_frac", "stopword_hits",
+         "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+         "dup_para_char_frac"]
+        + [f"dup_{n}gram_char_frac" for n in range(5, 11)]
+    )
+    metric_cols = ", ".join(
+        ["n_words", "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+         "ellipsis_line_frac", "alpha_word_frac", "stopword_hits",
+         "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+         "dup_para_char_frac"]
+        + [f"top_{n}gram_char_frac" for n in (2, 3, 4)]
+        + [f"dup_{n}gram_char_frac" for n in range(5, 11)]
+    )
+    keep = " AND ".join(
+        ["n_words >= 50", "n_words <= 100000", "mean_word_len >= 3.0",
+         "mean_word_len <= 10.0", "symbol_word_ratio <= 0.1",
+         "bullet_line_frac <= 0.9", "ellipsis_line_frac <= 0.3",
+         "alpha_word_frac >= 0.8", "stopword_hits >= 2",
+         "dup_line_frac <= 0.30", "dup_para_frac <= 0.30",
+         "dup_line_char_frac <= 0.20", "dup_para_char_frac <= 0.20",
+         "top_2gram_char_frac <= 0.20", "top_3gram_char_frac <= 0.18",
+         "top_4gram_char_frac <= 0.16", "dup_5gram_char_frac <= 0.15",
+         "dup_6gram_char_frac <= 0.14", "dup_7gram_char_frac <= 0.13",
+         "dup_8gram_char_frac <= 0.12", "dup_9gram_char_frac <= 0.11",
+         "dup_10gram_char_frac <= 0.10"]
+    )
+    return f"""
+SELECT doc_id, {metric_cols}, ({keep}) AS gopher_keep
+FROM (
+  SELECT doc_id, {base_cols}, {top_fracs}
+  FROM (
+    SELECT doc_id, text_chars, g_2, g_3, g_4, {best_cs},
+      len(words) AS n_words,
+      CASE WHEN len(words) > 0 THEN round(coalesce(list_sum(list_transform(words, w -> length(w))), 0) * 1.0 / len(words), 6) ELSE 0.0 END AS mean_word_len,
+      CASE WHEN len(words) > 0 THEN round(((length(t) - length(replace(t, '#', ''))) + (length(t) - length(replace(t, '…', ''))) + (length(t) - length(replace(t, '...', ''))) / 3) * 1.0 / len(words), 6) ELSE 0.0 END AS symbol_word_ratio,
+      CASE WHEN len(lines) > 0 THEN round(len(list_filter(lines, l -> starts_with(l, '•') OR starts_with(l, '-') OR starts_with(l, '*'))) * 1.0 / len(lines), 6) ELSE 0.0 END AS bullet_line_frac,
+      CASE WHEN len(lines) > 0 THEN round(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) * 1.0 / len(lines), 6) ELSE 0.0 END AS ellipsis_line_frac,
+      CASE WHEN len(words) > 0 THEN round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(words), 6) ELSE 0.0 END AS alpha_word_frac,
+      len(list_intersect(list_distinct(list_transform(words, w -> lower(w))), {stop})) AS stopword_hits,
+      CASE WHEN len(lines) > 0 THEN round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 6) ELSE 0.0 END AS dup_line_frac,
+      CASE WHEN coalesce({line_chars}, 0) > 0 THEN round(1.0 - coalesce(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0) * 1.0 / {line_chars}, 6) ELSE 0.0 END AS dup_line_char_frac,
+      CASE WHEN len(paras) > 0 THEN round(1.0 - len(list_distinct(paras)) * 1.0 / len(paras), 6) ELSE 0.0 END AS dup_para_frac,
+      CASE WHEN coalesce({para_chars}, 0) > 0 THEN round(1.0 - coalesce(list_sum(list_transform(list_distinct(paras), l -> length(l))), 0) * 1.0 / {para_chars}, 6) ELSE 0.0 END AS dup_para_char_frac,
+      {dup_fracs}
+    FROM (
+      SELECT doc_id, t, text_chars, words, lines, paras, {gram_defs}
+      FROM (
+        SELECT doc_id, t, length(t) AS text_chars, words, lines, paras,
+               list_transform(words, w -> lower(w)) AS low_words
+        FROM (
+          SELECT doc_id, t,
+            list_filter(string_split_regex(t, '\\s+'), w -> w <> '') AS words,
+            list_filter(list_transform(string_split(t, chr(10)), s -> trim(s)), s -> s <> '') AS lines,
+            list_filter(list_transform(string_split_regex(t, '\\n{{2,}}'), s -> trim(s)), s -> s <> '') AS paras
+          FROM (
+            SELECT doc_id,
+                   replace(replace(text, ' table ', chr(10)), ' query ', chr(10) || chr(10)) AS t
+            FROM documents
+          )
+        )
+      )
+    )
+  )
+)
+"""
+
+
+@_register("x5_gopher_quality", _gopher_oracle_sql())
+def x5_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — the Gopher heuristic-filter suite (Rae et al. 2021 Table A1)
+    under the hard check: all 20 repetition/quality metrics + the keep
+    verdict per document. The fixture text is single-line, so the query
+    first fabricates line/paragraph structure with two literal
+    ``replace`` calls (identical left-to-right non-overlap semantics in
+    both engines) — whitespace-token streams are unchanged, so the
+    n-gram metrics measure the original corpus. Stopwords are tuned to
+    the fixture's 31-word vocabulary so ``gopher_keep`` varies.
+
+    Scale: every metric is a pure column expression — one sorted-run
+    fold per n-gram size, O(tokens log tokens) per document, no
+    shuffle, no Python; the whole filter is scan-bound at 100 TB. The
+    DuckDB oracle recomputes each count by nested scan (O(distinct×T))
+    — a hash match proves the fold equivalent."""
+    from wwwision_importservice_spark.operators.text import gopher_quality
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    shaped = docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" table "), F.lit("\n")),
+            F.lit(" query "),
+            F.lit("\n\n"),
+        ).alias("text"),
+    )
+    return gopher_quality(shaped, stopwords=_GOPHER_STOPWORDS_FIXTURE)
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT c_custkey, c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+@_register("x10_bucketed_join", _BUCKETED_JOIN_SQL)
+def x10_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join via native bucketing
+    (operators/bucketing.py) under the hard check: write customer and
+    orders bucketed on the join key, join + aggregate — and the entire
+    physical plan contains NO Exchange (pinned in tests/test_plans.py).
+    This is the 100 TB pattern the broadcast/shuffle joins elsewhere
+    can't cover: neither side fits a broadcast, and bucketing amortizes
+    the shuffle into the write once instead of per-join. The groupBy
+    keys include the bucket column, so the aggregation also rides the
+    bucket partitioning (partial+final collapse, no Exchange).
+
+    Side effect (registry exception, same protocol as sink_e2e_state):
+    maintains one deterministic scratch dir + table pair per
+    (tempdir, sf), overwritten on each invocation."""
+    import hashlib
+    import tempfile
+
+    from wwwision_importservice_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    scratch = os.path.join(tempfile.gettempdir(), f"x10_bucketed_{tag}")
+    n_buckets = 16
+    write_bucketed(
+        load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        f"t_orders_b_{tag}",
+        scratch + "/orders",
+        "o_custkey",
+        n_buckets,
+    )
+    write_bucketed(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        f"t_customer_b_{tag}",
+        scratch + "/customer",
+        "c_custkey",
+        n_buckets,
+    )
+    joined = bucketed_join(
+        spark,
+        f"t_customer_b_{tag}",
+        f"t_orders_b_{tag}",
+        "c_custkey",
+        "o_custkey",
+    )
+    return joined.groupBy("c_custkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
     )
 
 

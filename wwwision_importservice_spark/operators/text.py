@@ -517,3 +517,295 @@ def annotate_documents(
         repetition_ratio(text).alias("ann_repetition"),
         F.md5(normalized).alias("ann_fingerprint"),
     )
+
+
+# --- Gopher repetition / quality rules (Rae et al. 2021, arXiv:2112.11446,
+# Table A1) -------------------------------------------------------------
+#
+# The published heuristic-filter suite most large text pipelines start
+# from. Every metric below is a pure column expression — per-document
+# cost is O(tokens log tokens) (one sort_array + one linear fold per
+# n-gram size), independent of corpus size, zero shuffle, zero Python —
+# so at 100 TB the filter is scan-bound like the rest of X5.
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# (metric, threshold) pairs from Rae et al. Table A1; `gopher_keep` is
+# the conjunction. Overridable per-call for corpora with different
+# baseline statistics (the synthetic fixture has a 31-word vocabulary).
+GOPHER_THRESHOLDS: dict[str, float] = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stopword_hits": 2,
+    "max_dup_line_frac": 0.30,
+    "max_dup_para_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_dup_para_char_frac": 0.20,
+    "max_top_2gram_char_frac": 0.20,
+    "max_top_3gram_char_frac": 0.18,
+    "max_top_4gram_char_frac": 0.16,
+    "max_dup_5gram_char_frac": 0.15,
+    "max_dup_6gram_char_frac": 0.14,
+    "max_dup_7gram_char_frac": 0.13,
+    "max_dup_8gram_char_frac": 0.12,
+    "max_dup_9gram_char_frac": 0.11,
+    "max_dup_10gram_char_frac": 0.10,
+}
+
+
+def _ws_tokens(text: Column) -> Column:
+    """Whitespace tokens (regex split — documents may contain newlines,
+    unlike the single-space :func:`tokens` used by the X5 stats)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def _sum_len(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+
+
+def _nonempty_lines(text: Column, sep: str) -> Column:
+    return F.filter(
+        F.transform(F.split(text, sep), lambda s: F.trim(s)), lambda s: s != ""
+    )
+
+
+def _dup_fracs(arr: Column) -> tuple[Column, Column]:
+    """(duplicate-element fraction, duplicate-character fraction) of an
+    array — the line/paragraph form of the Gopher dup rules. 1 minus the
+    distinct share, by count and by characters."""
+    n = F.size(arr)
+    distinct = F.array_distinct(arr)
+    frac = F.when(
+        n > 0, F.round(F.lit(1.0) - F.size(distinct).cast("double") / n, 6)
+    ).otherwise(F.lit(0.0))
+    chars = _sum_len(arr)
+    char_frac = F.when(
+        chars > 0,
+        F.round(F.lit(1.0) - _sum_len(distinct).cast("double") / chars, 6),
+    ).otherwise(F.lit(0.0))
+    return frac, char_frac
+
+
+def _ngram_runs(grams: Column) -> Column:
+    """One linear fold over the SORTED n-gram array, producing
+    ``struct(best_c, best_ch, dup_ch, tot_ch)``:
+
+    - ``best_c``  — occurrence count of the most frequent n-gram
+    - ``best_ch`` — count × strlen of that n-gram (ties: max chars),
+                    i.e. the characters its repetitions cover
+    - ``dup_ch``  — Σ count × strlen over n-grams occurring > 1 time
+    - ``tot_ch``  — Σ strlen over all n-gram occurrences
+
+    Equal n-grams are adjacent after ``sort_array``, so per-gram counts
+    are run lengths — O(T log T) total per document instead of the
+    O(distinct × T) nested-scan form (which the DuckDB oracle uses; the
+    two are equal by definition). A run is folded into the summary when
+    the gram changes, and the final run in the finish lambda.
+    """
+
+    def flush(acc, nxt_best_c, nxt_best_ch, nxt_dup_ch):
+        run_ch = acc["run"] * F.length(acc["cur"])
+        best_c = F.when(acc["run"] > acc["best_c"], acc["run"]).otherwise(
+            acc["best_c"]
+        )
+        best_ch = (
+            F.when(acc["run"] > acc["best_c"], run_ch)
+            .when(
+                acc["run"] == acc["best_c"], F.greatest(acc["best_ch"], run_ch)
+            )
+            .otherwise(acc["best_ch"])
+        )
+        dup_ch = acc["dup_ch"] + F.when(acc["run"] > 1, run_ch).otherwise(
+            F.lit(0)
+        )
+        return best_c, best_ch, dup_ch
+
+    def merge(acc, x):
+        same = x == acc["cur"]
+        best_c, best_ch, dup_ch = flush(acc, None, None, None)
+        return F.struct(
+            F.when(same, acc["cur"]).otherwise(x).alias("cur"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["best_c"]).otherwise(best_c).alias("best_c"),
+            F.when(same, acc["best_ch"]).otherwise(best_ch).alias("best_ch"),
+            F.when(same, acc["dup_ch"]).otherwise(dup_ch).alias("dup_ch"),
+            (acc["tot_ch"] + F.length(x)).alias("tot_ch"),
+        )
+
+    def finish(acc):
+        best_c, best_ch, dup_ch = flush(acc, None, None, None)
+        has = acc["run"] > 0
+        return F.struct(
+            F.when(has, best_c).otherwise(F.lit(0)).alias("best_c"),
+            F.when(has, best_ch).otherwise(F.lit(0)).alias("best_ch"),
+            F.when(has, dup_ch).otherwise(F.lit(0).cast("long")).alias("dup_ch"),
+            acc["tot_ch"].alias("tot_ch"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("cur"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best_c"),
+        F.lit(0).alias("best_ch"),
+        F.lit(0).cast("long").alias("dup_ch"),
+        F.lit(0).cast("long").alias("tot_ch"),
+    )
+    return F.aggregate(F.sort_array(grams), init, merge, finish)
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-document Gopher quality metrics + the keep/drop verdict.
+
+    Implements the Rae et al. 2021 Table A1 rule suite (the filter set
+    C4/MassiveText-descended pipelines start from), with the exact
+    semantics pinned here so the DuckDB oracle can replicate them:
+
+    - words = whitespace tokens; n-grams over lowercased words.
+    - ``top_{2,3,4}gram_char_frac``: chars covered by the most frequent
+      n-gram (count × strlen, ties broken toward more chars) ÷ strlen of
+      the document; 0.0 when the max count is 1 (a gram seen once is not
+      repetition).
+    - ``dup_{5..10}gram_char_frac``: Σ count × strlen over n-grams with
+      count > 1 ÷ Σ strlen over all n-gram occurrences.
+    - ``dup_line/para[_char]_frac``: 1 − distinct share of trimmed
+      non-empty lines (split ``\\n``) / paragraphs (split ``\\n{2,}``),
+      by count and by characters.
+    - symbol/bullet/ellipsis/alpha/stopword gates as in Table A1;
+      ``#``/``…``/``...`` are the counted symbols, ``•``/``-``/``*`` the
+      bullet prefixes.
+
+    All fractions rounded to 6dp BEFORE thresholding, so ``gopher_keep``
+    is bit-stable across engines (the oracle convention).
+    """
+    stopwords = GOPHER_STOPWORDS if stopwords is None else stopwords
+    th = dict(GOPHER_THRESHOLDS)
+    th.update(thresholds or {})
+
+    text = F.col(text_col)
+    words = _ws_tokens(text)
+    n_words = F.size(words)
+    word_chars = _sum_len(words)
+    mean_word_len = F.when(
+        n_words > 0, F.round(word_chars.cast("double") / n_words, 6)
+    ).otherwise(F.lit(0.0))
+
+    def occurrences(pat: str) -> Column:
+        return (F.length(text) - F.length(F.replace(text, F.lit(pat)))) / len(pat)
+
+    symbol_ratio = F.when(
+        n_words > 0,
+        F.round(
+            (occurrences("#") + occurrences("…") + occurrences("..."))
+            / n_words.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+
+    lines = _nonempty_lines(text, "\n")
+    paras = _nonempty_lines(text, "\n{2,}")
+    n_lines = F.size(lines)
+
+    def line_frac(pred) -> Column:
+        return F.when(
+            n_lines > 0,
+            F.round(F.size(F.filter(lines, pred)).cast("double") / n_lines, 6),
+        ).otherwise(F.lit(0.0))
+
+    bullet_frac = line_frac(
+        lambda l: l.startswith("•") | l.startswith("-") | l.startswith("*")
+    )
+    ellipsis_frac = line_frac(lambda l: l.endswith("...") | l.endswith("…"))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.round(
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+            / n_words,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array([F.lit(s) for s in stopwords]),
+        )
+    )
+
+    dup_line_frac, dup_line_char_frac = _dup_fracs(lines)
+    dup_para_frac, dup_para_char_frac = _dup_fracs(paras)
+
+    low_words = F.transform(words, F.lower)
+    low_text = F.concat_ws(" ", low_words)
+    text_chars = F.length(text)
+
+    cols = [
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        dup_para_frac.alias("dup_para_frac"),
+        dup_para_char_frac.alias("dup_para_char_frac"),
+    ]
+    for n in (2, 3, 4):
+        runs = _ngram_runs(_word_ngrams(low_text, n))
+        cols.append(
+            F.when(
+                (runs["best_c"] >= 2) & (text_chars > 0),
+                F.round(runs["best_ch"].cast("double") / text_chars, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"top_{n}gram_char_frac")
+        )
+    for n in range(5, 11):
+        runs = _ngram_runs(_word_ngrams(low_text, n))
+        cols.append(
+            F.when(
+                runs["tot_ch"] > 0,
+                F.round(runs["dup_ch"].cast("double") / runs["tot_ch"], 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"dup_{n}gram_char_frac")
+        )
+
+    out = df.select(*cols)
+    keep = (
+        (F.col("n_words") >= th["min_words"])
+        & (F.col("n_words") <= th["max_words"])
+        & (F.col("mean_word_len") >= th["min_mean_word_len"])
+        & (F.col("mean_word_len") <= th["max_mean_word_len"])
+        & (F.col("symbol_word_ratio") <= th["max_symbol_word_ratio"])
+        & (F.col("bullet_line_frac") <= th["max_bullet_line_frac"])
+        & (F.col("ellipsis_line_frac") <= th["max_ellipsis_line_frac"])
+        & (F.col("alpha_word_frac") >= th["min_alpha_word_frac"])
+        & (F.col("stopword_hits") >= th["min_stopword_hits"])
+        & (F.col("dup_line_frac") <= th["max_dup_line_frac"])
+        & (F.col("dup_para_frac") <= th["max_dup_para_frac"])
+        & (F.col("dup_line_char_frac") <= th["max_dup_line_char_frac"])
+        & (F.col("dup_para_char_frac") <= th["max_dup_para_char_frac"])
+    )
+    for n in (2, 3, 4):
+        keep = keep & (
+            F.col(f"top_{n}gram_char_frac") <= th[f"max_top_{n}gram_char_frac"]
+        )
+    for n in range(5, 11):
+        keep = keep & (
+            F.col(f"dup_{n}gram_char_frac") <= th[f"max_dup_{n}gram_char_frac"]
+        )
+    return out.select(*out.columns, keep.alias("gopher_keep"))
