@@ -3204,16 +3204,22 @@ def test_ranking_metrics_matches_python_model(spark):
             ranked = rng.sample(docs, rng.randrange(1, 10))
             preds += [(q, d, r + 1) for r, d in enumerate(ranked)]
 
+        import math
+
+        micro = lambda r: round(1e9 / math.log2(r + 1))  # noqa: E731
         rel_by_q = {}
         for q, d in truth:
             rel_by_q.setdefault(q, set()).add(d)
-        recalls, rrs = [], []
+        recalls, rrs, ndcgs = [], [], []
         for q, rel in rel_by_q.items():
             mine = [(d, r) for (pq, d, r) in preds if pq == q]
             hits_at_k = sum(1 for d, r in mine if r <= k and d in rel)
             recalls.append(hits_at_k / min(len(rel), k))
             rel_ranks = [r for d, r in mine if d in rel]
             rrs.append(1.0 / min(rel_ranks) if rel_ranks else 0.0)
+            dcg = sum(micro(r) for d, r in mine if r <= k and d in rel)
+            idcg = sum(micro(i) for i in range(1, min(len(rel), k) + 1))
+            ndcgs.append(dcg / idcg)
         want = (
             round(sum(recalls) / len(recalls), 9),
             round(sum(rrs) / len(rrs), 9),
@@ -3231,6 +3237,10 @@ def test_ranking_metrics_matches_python_model(spark):
             got_row["n_queries"],
         )
         assert got == want, (trial, k)
+        assert got_row["ndcg_at_k"] == pytest.approx(
+            sum(ndcgs) / len(ndcgs), abs=1e-8
+        ), (trial, k)
+        assert 0.0 <= got_row["ndcg_at_k"] <= 1.0
 
 
 def test_approx_quantiles_within_rank_error_of_exact(spark, sf_dir):
@@ -4685,3 +4695,49 @@ def test_gopher_threshold_override(spark):
     assert base["gopher_keep"] is False  # 11 words < 50
     low = _gopher_rows(spark, [(1, text)], thresholds={"min_words": 5})[1]
     assert low["gopher_keep"] is True
+
+
+def test_temperature_budgets_flatten_toward_uniform(spark):
+    """alpha=1 is proportional, alpha->0 approaches uniform, and
+    budgets always sum to <= total (integer floor): the mT5 rebalancing
+    contract on a skewed 3-group corpus."""
+    from wwwision_importservice_spark.operators.sampling import (
+        temperature_budgets,
+    )
+
+    rows = [(i, "big" if i < 90 else ("mid" if i < 99 else "small"), 100)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "n_tokens"])
+    # tokens: big 9000, mid 900, small 100
+    prop = temperature_budgets(df, "grp", "n_tokens", 10_000, alpha=1.0)
+    assert prop == {"big": 9000, "mid": 900, "small": 100}
+    flat = temperature_budgets(df, "grp", "n_tokens", 10_000, alpha=0.0)
+    assert flat == {"big": 3333, "mid": 3333, "small": 3333}
+    mid = temperature_budgets(df, "grp", "n_tokens", 10_000, alpha=0.5)
+    assert prop["small"] < mid["small"] < flat["small"]
+    assert flat["big"] < mid["big"] < prop["big"]
+    for b in (prop, mid, flat):
+        assert sum(b.values()) <= 10_000
+
+
+def test_temperature_mixture_respects_budgets(spark):
+    """The composed pass admits per-group token mass within one document
+    of each temperature budget (the mixture_sample overshoot bound)."""
+    import pyspark.sql.functions as SF
+
+    from wwwision_importservice_spark.operators.sampling import (
+        temperature_budgets,
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "a" if i % 4 else "b", 10 + i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "n_tokens"])
+    budgets = temperature_budgets(df, "grp", "n_tokens", 1_000, alpha=0.5)
+    out = temperature_mixture_sample(df, "doc_id", "grp", "n_tokens", 1_000, 0.5)
+    got = {
+        r["grp"]: r["tok"]
+        for r in out.groupBy("grp").agg(SF.sum("n_tokens").alias("tok")).collect()
+    }
+    for g, tok in got.items():
+        assert tok >= budgets[g]  # filled (first token within budget)
+        assert tok < budgets[g] + 17  # overshoot < one max-size doc

@@ -2723,6 +2723,64 @@ def x6_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_MIX_BASE = """
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+                AS BIGINT) AS n_tokens
+    FROM documents
+"""
+
+
+@_register(
+    "x6_temperature_mixture",
+    # budgets restated declaratively: per-lang micro-weights
+    # wm = round(sqrt(token_total) * 1e6) quantized to BIGINT right
+    # after the one float op (pow — identical double argument on both
+    # engines since token totals are exact BIGINT sums), then pure
+    # integer math total*wm // SUM(wm) (window over the lang frame —
+    # no WITH, per the harness wrapping constraint).
+    f"""
+SELECT doc_id, lang, n_tokens FROM (
+  SELECT doc_id, lang, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cum_excl
+  FROM ({_TEMP_MIX_BASE})
+) b JOIN (
+  SELECT blang, CAST((4000 * wm) // (sum(wm) OVER ()) AS BIGINT) AS budget
+  FROM (
+    SELECT lang AS blang,
+           CAST(round(pow(sum(n_tokens) * 1.0, 0.5) * 1000000) AS BIGINT) AS wm
+    FROM ({_TEMP_MIX_BASE}) GROUP BY lang
+  )
+) ON lang = blang
+WHERE cum_excl < budget
+""",
+    driver=False,
+)
+def x6_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — temperature-scaled mixture rebalancing (mT5/XLM-R rule,
+    ``operators/sampling.py:temperature_budgets``): per-language budgets
+    ∝ sqrt(language token count) over a 4000-token total, then id-hash
+    admission per group (same pass as x6_mixture_sample). alpha = 0.5
+    upsamples the low-resource languages relative to their corpus share
+    — the standard multilingual pretraining correction. Budget
+    construction is exact integer math after one quantized pow, so both
+    engines admit identical documents."""
+    from wwwision_importservice_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    base = docs.select(
+        "doc_id", "lang", F.size(toks).cast("long").alias("n_tokens")
+    )
+    return temperature_mixture_sample(
+        base, "doc_id", "lang", "n_tokens", total_budget=4000, alpha=0.5
+    )
+
+
 # DSIR oracle building blocks: the hashed-n-gram feature map restated
 # declaratively — unigrams plus space-joined adjacent bigrams of the
 # lowercased whitespace tokens, md5-bucketed exactly like
@@ -2993,6 +3051,78 @@ def x7_bm25_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.withColumn(
         "sat", saturation("tf", "dl", "n_docs", "total_tokens")
     )
+
+
+_NDCG_PREDS = """
+  SELECT o_custkey AS q, o_orderkey AS d,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS r
+  FROM orders
+"""
+_NDCG_TRUTH = "SELECT o_custkey AS q, o_orderkey AS d FROM orders WHERE o_orderkey % 3 = 0"
+_NDCG_TERM = "CAST(round(1000000000 / log2({x} + 1)) AS BIGINT)"
+
+
+@_register(
+    "x7_ranking_ndcg",
+    # ranking_metrics restated declaratively. DCG terms are quantized
+    # to BIGINT micro-units right after the one transcendental (log2 of
+    # rank+1 <= 6 — every term sits far from a rounding boundary, unlike
+    # the ln-idf excluded from the bm25 oracle), so per-query DCG/IDCG
+    # are exact integer sums; macro averages ride decimal-exact sums.
+    f"""
+SELECT round(CAST(sum(CAST(recall AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS recall_at_k,
+       round(CAST(sum(CAST(rr AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS mrr,
+       round(CAST(sum(CAST(ndcg AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS ndcg_at_k,
+       count(*) AS n_queries
+FROM (
+  SELECT q,
+         coalesce(hits_at_k, 0) * 1.0 / least(n_rel, 5) AS recall,
+         coalesce(CAST(1.0 AS DOUBLE) / first_rank, 0.0) AS rr,
+         coalesce(dcg_micro, 0) * 1.0 / list_sum(list_transform(
+             generate_series(1, least(n_rel, 5)),
+             i -> {_NDCG_TERM.format(x="i")})) AS ndcg
+  FROM (
+    SELECT t.q, t.n_rel, h.hits_at_k, h.first_rank, h.dcg_micro
+    FROM (SELECT q, count(*) AS n_rel FROM ({_NDCG_TRUTH}) GROUP BY q) t
+    LEFT JOIN (
+      SELECT p.q AS q,
+             CAST(sum(CASE WHEN p.r <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+             min(p.r) AS first_rank,
+             CAST(sum(CASE WHEN p.r <= 5 THEN {_NDCG_TERM.format(x="p.r")} ELSE 0 END) AS BIGINT) AS dcg_micro
+      FROM ({_NDCG_PREDS}) p JOIN ({_NDCG_TRUTH}) tr ON p.q = tr.q AND p.d = tr.d
+      GROUP BY p.q
+    ) h ON t.q = h.q
+  )
+)
+""",
+    driver=False,
+)
+def x7_ranking_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 — the full retrieval eval harness (recall@k, MRR, nDCG@k)
+    under an oracle: a deterministic ranked-retrieval fixture (each
+    customer queries its own orders ranked by price; every third order
+    is relevant) pushed through operators/retrieval.py:ranking_metrics
+    at k=5. Pins the binary-relevance nDCG added in r8 — micro-unit
+    DCG/IDCG integer sums and decimal-exact macro averages, so one hash
+    row proves the whole metric pipeline cross-engine."""
+    from pyspark.sql import Window
+
+    from wwwision_importservice_spark.operators.retrieval import ranking_metrics
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    preds = orders.select(
+        F.col("o_custkey").alias("query_id"),
+        F.col("o_orderkey").alias("doc_id"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    truth = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_custkey").alias("query_id"), F.col("o_orderkey").alias("doc_id")
+    )
+    return ranking_metrics(preds, truth, k=5)
 
 
 @_register(

@@ -168,18 +168,33 @@ def ranking_metrics(
     """Retrieval-quality evaluation over a predictions table: one output
     row with ``recall_at_k`` (macro-averaged over queries), ``mrr``
     (mean reciprocal rank of the FIRST relevant hit, 0 when none is
-    retrieved), and ``n_queries`` — the eval harness for any of the
-    top-k operators (BM25, ANN, PQ) against a relevance-judgment table.
+    retrieved), ``ndcg_at_k`` (binary-relevance normalized discounted
+    cumulative gain), and ``n_queries`` — the eval harness for any of
+    the top-k operators (BM25, ANN, PQ) against a relevance-judgment
+    table.
 
     ``predictions``: (query, doc, rank) with rank 1 = best;
     ``relevant``: (query, doc) ground truth. Queries present only in
-    ``relevant`` count as zero-recall/zero-MRR rows — an eval must not
-    silently drop queries the retriever returned nothing for.
+    ``relevant`` count as zero-recall/zero-MRR/zero-nDCG rows — an eval
+    must not silently drop queries the retriever returned nothing for.
+
+    nDCG numerics: each DCG term 1/log2(rank+1) is quantized to BIGINT
+    micro-units (×1e9) BEFORE summation, so per-query DCG/IDCG are exact
+    integer sums — independent of aggregation order and engine-portable
+    (the g1_pagerank fixed-point convention); the macro average goes
+    through a decimal-exact sum for the same reason.
 
     Scale shape: one equi-join on (query, doc) + two hash aggregates —
     no window, no per-query loop; metrics stream out of partial
-    aggregation like any other rollup.
+    aggregation like any other rollup. IDCG folds a ≤k-element sequence
+    per query — constant work, no join.
     """
+
+    def dcg_micro_term(rank: Column) -> Column:
+        return F.round(F.lit(1e9) / F.log2(rank.cast("double") + F.lit(1.0))).cast(
+            "long"
+        )
+
     preds = predictions.select(
         F.col(query_col).alias("__q"),
         F.col(doc_col).alias("__d"),
@@ -196,27 +211,44 @@ def ranking_metrics(
             hits.groupBy("__q").agg(
                 F.sum((F.col("__r") <= k).cast("long")).alias("__hits_at_k"),
                 F.min("__r").alias("__first_rank"),
+                F.sum(
+                    F.when(F.col("__r") <= k, dcg_micro_term(F.col("__r"))).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).alias("__dcg_micro"),
             ),
             "__q",
             "left",
         )
     )
+    idcg_micro = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("__n_rel"), F.lit(k)).cast("int")),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + dcg_micro_term(i),
+    )
+    ndcg = F.coalesce(F.col("__dcg_micro"), F.lit(0).cast("long")).cast(
+        "double"
+    ) / idcg_micro.cast("double")
+    # macro averages go through decimal-exact sums (the corpus_report
+    # convention): each per-query ratio is a bit-identical double on any
+    # engine (integer÷integer), the 12dp quantization of it is therefore
+    # identical too, and the sum is then order-independent — avg() of raw
+    # doubles would drift with aggregation order at large n_queries.
+    def exact_avg(ratio: Column) -> Column:
+        return F.round(
+            F.sum(ratio.cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        )
+
+    recall = F.coalesce(F.col("__hits_at_k"), F.lit(0)).cast("double") / F.least(
+        F.col("__n_rel"), F.lit(k)
+    ).cast("double")
+    rr = F.coalesce(F.lit(1.0) / F.col("__first_rank").cast("double"), F.lit(0.0))
     return per_query.agg(
-        F.round(
-            F.avg(
-                F.coalesce(F.col("__hits_at_k"), F.lit(0)).cast("double")
-                / F.least(F.col("__n_rel"), F.lit(k)).cast("double")
-            ),
-            9,
-        ).alias("recall_at_k"),
-        F.round(
-            F.avg(
-                F.coalesce(
-                    F.lit(1.0) / F.col("__first_rank").cast("double"), F.lit(0.0)
-                )
-            ),
-            9,
-        ).alias("mrr"),
+        exact_avg(recall).alias("recall_at_k"),
+        exact_avg(rr).alias("mrr"),
+        exact_avg(ndcg).alias("ndcg_at_k"),
         F.count(F.lit(1)).alias("n_queries"),
     )
 

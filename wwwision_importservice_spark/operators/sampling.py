@@ -203,6 +203,66 @@ def epoch_shuffle(
     )
 
 
+def temperature_budgets(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    total_budget: int,
+    alpha: float = 0.5,
+) -> dict[str, int]:
+    """Temperature-scaled mixture budgets: per-group token budget
+    ∝ (group token count)^alpha — the multilingual/multi-source
+    rebalancing rule from mT5 / XLM-R (alpha < 1 upsamples the tail,
+    alpha = 1 is proportional, alpha = 0 is uniform). Feed the result
+    straight into :func:`mixture_sample`.
+
+    Exact integer construction so re-runs and engines agree bit-for-bit:
+    per-group counts are exact BIGINT sums; the one float op is
+    pow(n, alpha), quantized immediately to integer micro-weights
+    ``wm = round(n^alpha × 1e6)``; budgets are then pure integer math
+    ``total_budget × wm // Σwm`` (arbitrary-precision here; an SQL twin
+    needs total_budget × wm to fit int64 — documented bound).
+
+    The collect is one row per GROUP (a mixture spec is human-scale:
+    languages/domains, not documents) — metadata-sized by contract, like
+    the quality-report collects. The heavy lifting (the admission pass)
+    stays fully distributed in :func:`mixture_sample`.
+    """
+    rows = (
+        df.groupBy(group_col)
+        .agg(F.sum(F.col(token_col)).cast("long").alias("__n"))
+        .collect()  # one row per group — metadata-scale by contract
+    )
+    wm = {
+        r[group_col]: int(round(float(r["__n"]) ** alpha * 1_000_000))
+        for r in rows
+        if r["__n"] and r["__n"] > 0
+    }
+    tot = sum(wm.values())
+    if tot == 0:
+        return {g: 0 for g in wm}
+    return {g: int(total_budget) * w // tot for g, w in wm.items()}
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_col: str,
+    total_budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """:func:`temperature_budgets` composed with :func:`mixture_sample`:
+    rebalance a multi-source corpus to a total token budget with
+    temperature alpha, admitting documents per group in deterministic
+    id-hash order. Two scans of ``df`` (one metadata-scale rollup for
+    the spec, one admission pass)."""
+    budgets = temperature_budgets(df, group_col, token_col, total_budget, alpha)
+    return mixture_sample(
+        df, id_col, group_col, token_col, budgets, default_budget=0
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,
