@@ -4741,3 +4741,46 @@ def test_temperature_mixture_respects_budgets(spark):
     for g, tok in got.items():
         assert tok >= budgets[g]  # filled (first token within budget)
         assert tok < budgets[g] + 17  # overshoot < one max-size doc
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
+    """The property the operator exists for: every near-dup pair lands
+    in ONE split; and the split still covers all documents with roughly
+    the requested fractions (clusters are small, so the law of large
+    numbers still applies at corpus scale)."""
+    from wwwision_importservice_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_inline,
+    )
+    from wwwision_importservice_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = minhash_signatures_inline(docs, "doc_id", "text", n=3, num_hashes=16)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    out = leakage_safe_split(
+        docs.select("doc_id"), "doc_id", pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).cache()
+
+    a = out.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = out.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    straddles = pairs.join(a, "id_a").join(b, "id_b").filter("sa <> sb")
+    assert straddles.count() == 0
+
+    # the naive per-doc split DOES straddle on this corpus — the guard
+    # is not vacuous
+    naive = hash_split(docs.select("doc_id"), "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1})
+    na = naive.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    nb = naive.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    assert pairs.join(na, "id_a").join(nb, "id_b").filter("sa <> sb").count() > 0
+
+    n = out.count()
+    assert n == docs.count()  # total coverage, no NULL split
+    assert out.filter(F.col("split").isNull()).count() == 0
+    train_frac = out.filter(F.col("split") == "train").count() / n
+    assert 0.7 < train_frac < 0.9
+    out.unpersist()

@@ -1850,6 +1850,60 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x6_leakage_safe_split",
+    f"""
+WITH RECURSIVE sym AS (
+  SELECT id_a AS a, id_b AS b FROM ({_PAIRS_SQL})
+  UNION
+  SELECT id_b, id_a FROM ({_PAIRS_SQL})
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bkt < 8000 THEN 'train'
+            WHEN bkt < 9000 THEN 'val'
+            WHEN bkt < 10000 THEN 'test' END AS split
+FROM (
+  SELECT id AS doc_id, min(r) AS cluster_id,
+         CAST(('0x' || substr(md5(CAST(min(r) AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 10000 AS bkt
+  FROM reach GROUP BY id
+)
+""",
+    driver=False,  # downstream composition of driver-green
+    # x2_dedup_clusters + the md5-bucket split construction; pytest tier
+)
+def x6_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — leakage-safe train/val/test split
+    (``operators/sampling.py:leakage_safe_split``): near-dup clusters
+    (LSH pairs → connected components) are the split unit, so no
+    near-duplicate pair straddles a boundary — the guard a per-document
+    hash split cannot give (train/val contamination via near-twins).
+    One label draw per cluster from the md5 of its min-id, then a
+    narrow ids-only join back. The straddle-free property itself is
+    pinned in tests/test_extensions.py."""
+    from wwwision_importservice_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_inline,
+    )
+    from wwwision_importservice_spark.operators.sampling import leakage_safe_split
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    sig = minhash_signatures_inline(docs, "doc_id", "text", n=3, num_hashes=16)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    out = leakage_safe_split(
+        docs.select("doc_id"),
+        "doc_id",
+        pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.select("doc_id", "cluster_id", "split")
+
+
+@_register(
     "x2_canonical_docs",
     f"""
 WITH RECURSIVE sym AS (

@@ -60,6 +60,48 @@ def hash_split(
     return df.withColumn(split_col, split_column(F.col(id_col), fractions))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    split_col: str = "split",
+    edges_within_nodes: bool = True,
+) -> DataFrame:
+    """Group-aware train/val/test split: the split unit is the NEAR-DUP
+    CLUSTER, not the document, so no near-duplicate pair ever straddles
+    a split boundary — the eval-leakage failure mode a per-document
+    :func:`hash_split` cannot prevent (a doc and its near-twin hash
+    independently, and the twin lands in val while the original trains).
+
+    ``pairs`` is any near-dup pair frame (LSH candidates, embedding
+    pairs, fuzzy matches) with ``id_a``/``id_b`` columns; documents are
+    clustered by connected components over it, and each cluster draws
+    ONE split label from the md5 of its ``cluster_id`` (the cluster's
+    min id — stable under re-runs and appends that don't merge
+    clusters). Singleton documents form their own clusters, so the
+    realized fractions still track ``fractions`` at corpus scale.
+
+    Scale shape: CC is the pointer-doubling pass already used by the
+    dedup pipeline (O(log n) rounds); the label assignment is a pure
+    expression on the ids-only cluster frame plus one narrow join back
+    on ``id_col``. Pass ``edges_within_nodes=False`` when ``pairs`` may
+    reference ids outside ``df`` (see ``connected_components``).
+    """
+    from wwwision_importservice_spark.operators.dedup import connected_components
+
+    cc = connected_components(
+        df.select(id_col),
+        pairs,
+        id_col=id_col,
+        edges_within_nodes=edges_within_nodes,
+    )
+    labeled = cc.select(F.col("id").alias(id_col), "cluster_id").withColumn(
+        split_col, split_column(F.col("cluster_id"), fractions)
+    )
+    return df.join(labeled, id_col)
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str, fraction: float
 ) -> DataFrame:
