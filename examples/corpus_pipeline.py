@@ -18,7 +18,9 @@ repo's operators over the driver testdata:
                                 → drop members cosine-≥τ to a more
                                 central one — SemDeDup, no external
                                 embedding model needed)
-      → quality gate           (X5: C4/Gopher-style heuristics)
+      → quality gates          (X5: C4-style score, then the full
+                                Gopher repetition suite — 20 metrics,
+                                one projection)
       → LM perplexity gate     (X5: corpus-trained bigram LM; drop the
                                 high-perplexity gibberish tail —
                                 CCNet-style)
@@ -30,9 +32,12 @@ repo's operators over the driver testdata:
                                 trusted target corpus — Xie et al. 2023)
       → per-domain cap         (X6: at most N docs per source — no
                                 template-heavy domain dominates)
-      → mixture sampling       (X6: per-SOURCE token budgets — the
-                                domain-mixture spec)
-      → train/val split        (X6: deterministic id-hash buckets)
+      → mixture sampling       (X6: per-SOURCE token budgets — an
+                                explicit spec, or temperature-scaled
+                                budgets ∝ sqrt(source mass))
+      → leakage-safe split     (X6: near-dup clusters over the FINAL
+                                texts are the split unit — no twin
+                                straddles train/val)
       → sequence packing       (X6: token-budget packs per shard)
       → partitioned parquet    (split/lang-partitioned, pruned reads)
 
@@ -76,13 +81,15 @@ from wwwision_importservice_spark.operators.lm import (  # noqa: E402
 )
 from wwwision_importservice_spark.operators.sampling import (  # noqa: E402
     cap_per_group,
-    hash_split,
+    leakage_safe_split,
     mixture_sample,
     pack_sequences,
+    temperature_budgets,
 )
 from wwwision_importservice_spark.operators.text import (  # noqa: E402
     dedup_spans,
     detected_language,
+    gopher_quality,
     quality_filter,
     scrub_pii,
     token_count,
@@ -90,12 +97,23 @@ from wwwision_importservice_spark.operators.text import (  # noqa: E402
 from wwwision_importservice_spark.session import get_spark  # noqa: E402
 
 
-def curate(spark, sf_dir: str, eval_df=None, dsir_target=None, dsir_k=420):
+def curate(
+    spark,
+    sf_dir: str,
+    eval_df=None,
+    dsir_target=None,
+    dsir_k=420,
+    budgets=None,
+    total_budget=4000,
+):
     """``eval_df`` (optional): documents-shaped frame whose TEXTS are
     scrubbed from the corpus (benchmark decontamination). ``dsir_target``
     (optional): documents-shaped trusted corpus; when given, the
     language-gated corpus is importance-resampled down to ``dsir_k``
-    docs whose hashed-n-gram profile matches it before mixing."""
+    docs whose hashed-n-gram profile matches it before mixing.
+    ``budgets`` (optional): explicit per-source token budgets; when
+    None, temperature-scaled budgets (alpha=0.5 over ``total_budget``
+    tokens) rebalance the sources automatically — the mT5 rule."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     # X1 — exact dedup: keep the smallest doc_id per identical body
@@ -145,10 +163,35 @@ def curate(spark, sf_dir: str, eval_df=None, dsir_target=None, dsir_k=420):
         sem.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
     )
 
-    # X5 — quality gate, then the CCNet-style LM gate: train the bigram
-    # LM on the surviving corpus, drop the high-perplexity tail (fixed
+    # X5 — quality gates: the light C4-style score first, then the full
+    # Gopher repetition suite (r8: 20 metrics, one projection, no
+    # shuffle) with stopwords/floors tuned to the fixture's 31-word
+    # vocabulary, then the CCNet-style LM gate: train the bigram LM on
+    # the surviving corpus, drop the high-perplexity tail (fixed
     # ceiling — deterministic, no quantile job)
-    gated = quality_filter(sem_kept, "text", min_score=0.3, min_tokens=5)
+    # barrier BEFORE the Gopher suite, deliberately: its ~9 folded
+    # metric expressions are cheap to run but heavy to OPTIMIZE; placed
+    # on top of the full curation lineage, Catalyst pays minutes of
+    # driver-side analysis (measured 101s at sf0.001 vs 5s against a
+    # truncated plan). A real pipeline persists between curation phases
+    # anyway — the gate then analyzes against a leaf relation.
+    gated = quality_filter(
+        sem_kept, "text", min_score=0.3, min_tokens=5
+    ).localCheckpoint()
+    gq = gopher_quality(
+        gated,
+        "doc_id",
+        "text",
+        stopwords=["the", "a", "value", "table", "key", "row", "scan", "data"],
+        thresholds={"min_words": 20},
+    )
+    gated = gated.join(
+        gq.filter(F.col("gopher_keep")).select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint()
+    # ^ and a barrier AFTER the gate: without it every downstream action
+    # (LM fit, DSIR model collects, packing prefix sums) re-pays the
+    # fold analysis — measured 459s of pure driver-side plan time at
+    # sf0.001 with the folds left in the lineage, 0.4s of execution
     model = bigram_model(gated, id_col="doc_id")
     ppl = lm_perplexity(gated, model, id_col="doc_id")
     lm_ok = gated.join(
@@ -185,16 +228,43 @@ def curate(spark, sf_dir: str, eval_df=None, dsir_target=None, dsir_k=420):
     # hash-ordered docs
     capped = cap_per_group(identified, "doc_id", "source", max_rows=400)
 
-    budgets = {"src0": 1200, "src1": 1200, "src2": 800, "src3": 800}
+    # explicit spec when given; else temperature rebalancing (r8):
+    # budget per source ∝ sqrt(source token mass) over total_budget
+    if budgets is None:
+        # barrier: the spec rollup (a collect) and the admission pass
+        # both consume `capped` — checkpoint so the curation lineage
+        # executes once, not twice
+        capped = capped.localCheckpoint()
+        budgets = temperature_budgets(
+            capped, "source", "n_tokens", total_budget, alpha=0.5
+        )
+        default_budget = 0  # temperature covers every observed source
+    else:
+        default_budget = 300
     mixed = mixture_sample(
         capped,
         "doc_id",
         "source",
         "n_tokens",
         budgets=budgets,
-        default_budget=300,
+        default_budget=default_budget,
     )
-    split = hash_split(mixed, "doc_id", {"train": 0.9, "val": 0.1})
+
+    # X6c — leakage-safe split (r8): re-sign the POST-curation texts
+    # (span rewriting can converge two previously-distinct docs into
+    # near-twins the original pair set never saw) and split on the
+    # resulting clusters, so no surviving near-dup pair straddles
+    # train/val. The mixed frame is localCheckpoint'ed first: the split
+    # runs iterative connected components, and WITHOUT the barrier every
+    # CC round re-executes the entire curation lineage (LM fit, k-means,
+    # DSIR model fits) from the scan — a real pipeline persists between
+    # curation and split anyway.
+    mixed = mixed.localCheckpoint()
+    sig2 = minhash_signatures_inline(mixed, "doc_id", "text", n=3, num_hashes=16)
+    pairs2 = lsh_candidate_pairs(sig2, "doc_id", num_hashes=16, bands=4)
+    split = leakage_safe_split(
+        mixed, "doc_id", pairs2, {"train": 0.9, "val": 0.1}
+    )
     return pack_sequences(
         split, "doc_id", "n_tokens", budget=512, shards=16
     )

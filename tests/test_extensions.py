@@ -1703,12 +1703,14 @@ def test_corpus_pipeline_example_runs(spark, sf_dir, tmp_path):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    budgets = {"src0": 1200, "src1": 1200, "src2": 800, "src3": 800}
     packed = mod.curate(
         spark,
         sf_dir,
         eval_df=eval_df,
         dsir_target=docs.filter(F.col("lang") == "en"),
         dsir_k=420,
+        budgets=budgets,
     )
     rows = packed.select(
         "doc_id", "source", "detected_lang", "split", "n_tokens"
@@ -1723,7 +1725,6 @@ def test_corpus_pipeline_example_runs(spark, sf_dir, tmp_path):
     assert not (kept_ids & contaminated)  # decontamination held
     # the language gate ran: nothing undetermined survives
     assert all(r["detected_lang"] != "und" for r in rows)
-    budgets = {"src0": 1200, "src1": 1200, "src2": 800, "src3": 800}
     by_src = {}
     max_doc = {}
     for r in rows:
@@ -1733,6 +1734,33 @@ def test_corpus_pipeline_example_runs(spark, sf_dir, tmp_path):
     for src, total in by_src.items():
         assert total <= budgets.get(src, 300) + max_doc[src], (src, total)
     assert {r["split"] for r in rows} <= {"train", "val"}
+
+
+def test_corpus_pipeline_temperature_path(spark, sf_dir):
+    """curate() with no explicit budget spec: temperature-scaled budgets
+    bound the admitted token mass by the total (+ one overshoot doc per
+    source), and the leakage-safe split assigns one split per final
+    near-dup cluster (clusters carry through to the packed output)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "corpus_pipeline_t", "examples/corpus_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    packed = mod.curate(spark, sf_dir, total_budget=3000)
+    rows = packed.select(
+        "doc_id", "source", "split", "n_tokens", "cluster_id"
+    ).collect()
+    assert rows
+    n_sources = len({r["source"] for r in rows})
+    max_doc = max(r["n_tokens"] for r in rows)
+    assert sum(r["n_tokens"] for r in rows) <= 3000 + n_sources * max_doc
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
 
 
 # --------------------------------------------------------------------------- #
