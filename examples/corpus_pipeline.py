@@ -263,7 +263,8 @@ def curate(
     sig2 = minhash_signatures_inline(mixed, "doc_id", "text", n=3, num_hashes=16)
     pairs2 = lsh_candidate_pairs(sig2, "doc_id", num_hashes=16, bands=4)
     split = leakage_safe_split(
-        mixed, "doc_id", pairs2, {"train": 0.9, "val": 0.1}
+        mixed, "doc_id", pairs2, {"train": 0.9, "val": 0.1},
+        edges_within_nodes=True,  # pairs2 derives from mixed itself
     )
     return pack_sequences(
         split, "doc_id", "n_tokens", budget=512, shards=16

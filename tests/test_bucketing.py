@@ -90,3 +90,24 @@ def test_bucketed_join_zero_exchange_and_exact(spark, bucketed_pair):
         )
     )
     assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bucketed_join_conformed_key_name(spark, sf_dir, tmp_path):
+    """Both tables bucketed on the SAME column name (the conformed-key
+    case): the join must dedup the key column so the natural
+    groupBy(key) next step doesn't hit AMBIGUOUS_REFERENCE."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = orders.select(F.col("o_custkey").alias("custkey"), "o_totalprice")
+    b = orders.select(F.col("o_custkey").alias("custkey"), "o_orderkey")
+    write_bucketed(a, "tb_same_a", str(tmp_path / "a"), "custkey", 4)
+    write_bucketed(b, "tb_same_b", str(tmp_path / "b"), "custkey", 4)
+    try:
+        j = bucketed_join(spark, "tb_same_a", "tb_same_b", "custkey", "custkey")
+        assert j.columns.count("custkey") == 1
+        agg = j.groupBy("custkey").count()
+        tree = tree_of(plan_of(spark, agg))
+        assert count_exchanges(tree) == 0, tree
+        assert agg.count() == orders.select("o_custkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tb_same_a")
+        spark.sql("DROP TABLE IF EXISTS tb_same_b")

@@ -81,7 +81,6 @@ _CHECK_FIRST = [
     "sink_e2e_state",
     "a3_quantiles",
     "m1_regex_mapping",
-    "m1_json_extract",
 ]
 
 
@@ -1899,6 +1898,7 @@ def x6_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         pairs,
         {"train": 0.8, "val": 0.1, "test": 0.1},
+        edges_within_nodes=True,  # pairs derive from these same docs
     )
     return out.select("doc_id", "cluster_id", "split")
 
@@ -5119,7 +5119,8 @@ FROM (
             list_filter(list_transform(string_split_regex(t, '\\n{{2,}}'), s -> trim(s)), s -> s <> '') AS paras
           FROM (
             SELECT doc_id,
-                   replace(replace(text, ' table ', chr(10)), ' query ', chr(10) || chr(10)) AS t
+                   replace(replace(text, ' table ', ' table' || chr(10)),
+                           ' query ', ' query' || chr(10) || chr(10)) AS t
             FROM documents
           )
         )
@@ -5137,9 +5138,12 @@ def x5_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict per document. The fixture text is single-line, so the query
     first fabricates line/paragraph structure with two literal
     ``replace`` calls (identical left-to-right non-overlap semantics in
-    both engines) — whitespace-token streams are unchanged, so the
-    n-gram metrics measure the original corpus. Stopwords are tuned to
-    the fixture's 31-word vocabulary so ``gopher_keep`` varies.
+    both engines) that turn the separator AFTER space-surrounded
+    'table'/'query' tokens into newlines — the tokens themselves are
+    kept, so the whitespace-token stream (and with it every word/n-gram
+    metric and the 'table' stopword) measures the original corpus.
+    Stopwords are tuned to the fixture's 31-word vocabulary so
+    ``gopher_keep`` varies.
 
     Scale: every metric is a pure column expression — one sorted-run
     fold per n-gram size, O(tokens log tokens) per document, no
@@ -5152,9 +5156,9 @@ def x5_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shaped = docs.select(
         "doc_id",
         F.replace(
-            F.replace(F.col("text"), F.lit(" table "), F.lit("\n")),
+            F.replace(F.col("text"), F.lit(" table "), F.lit(" table\n")),
             F.lit(" query "),
-            F.lit("\n\n"),
+            F.lit(" query\n\n"),
         ).alias("text"),
     )
     return gopher_quality(shaped, stopwords=_GOPHER_STOPWORDS_FIXTURE)

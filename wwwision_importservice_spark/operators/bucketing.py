@@ -119,6 +119,12 @@ def bucketed_join(
         )
     left = spark.table(left_table)
     right = spark.table(right_table)
+    if left_on == right_on:
+        # conformed key names (both tables bucketed on e.g. user_id):
+        # USING-style join dedups the key column — the expression form
+        # would emit two same-named columns and break the natural
+        # joined.groupBy(key) next step with AMBIGUOUS_REFERENCE
+        return left.hint("merge").join(right, on=[left_on], how=how)
     return left.hint("merge").join(
         right, on=left[left_on] == right[right_on], how=how
     )

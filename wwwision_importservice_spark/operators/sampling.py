@@ -66,7 +66,7 @@ def leakage_safe_split(
     pairs: DataFrame,
     fractions: dict[str, float],
     split_col: str = "split",
-    edges_within_nodes: bool = True,
+    edges_within_nodes: bool = False,
 ) -> DataFrame:
     """Group-aware train/val/test split: the split unit is the NEAR-DUP
     CLUSTER, not the document, so no near-duplicate pair ever straddles
@@ -85,8 +85,12 @@ def leakage_safe_split(
     Scale shape: CC is the pointer-doubling pass already used by the
     dedup pipeline (O(log n) rounds); the label assignment is a pure
     expression on the ids-only cluster frame plus one narrow join back
-    on ``id_col``. Pass ``edges_within_nodes=False`` when ``pairs`` may
-    reference ids outside ``df`` (see ``connected_components``).
+    on ``id_col``. ``edges_within_nodes`` defaults to False (the safe
+    ``connected_components`` default): a stale or pre-filter pair table
+    with ids outside ``df`` would otherwise conduct connectivity through
+    removed documents and silently reshuffle split labels. Pass True
+    only when ``pairs`` provably derives from ``df`` itself — it skips
+    the three node-restriction joins.
     """
     from wwwision_importservice_spark.operators.dedup import connected_components
 
@@ -269,14 +273,24 @@ def temperature_budgets(
     languages/domains, not documents) — metadata-sized by contract, like
     the quality-report collects. The heavy lifting (the admission pass)
     stays fully distributed in :func:`mixture_sample`.
+
+    NULL groups are excluded from the weight mass entirely: a ``None``
+    budget key could never match in :func:`mixture_sample` (``col ==
+    NULL`` is never true), so including it would both drop those rows
+    AND dilute every real group's budget. NULL-group rows fall to
+    ``mixture_sample``'s ``default_budget`` like any unlisted group.
     """
     rows = (
-        df.groupBy(group_col)
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
         .agg(F.sum(F.col(token_col)).cast("long").alias("__n"))
         .collect()  # one row per group — metadata-scale by contract
     )
+    # int(x + 0.5) = half-AWAY rounding for non-negative x — matching
+    # DuckDB's round() in the SQL twin; Python's round() half-to-even
+    # would diverge exactly at .5 micro-boundaries
     wm = {
-        r[group_col]: int(round(float(r["__n"]) ** alpha * 1_000_000))
+        r[group_col]: int(float(r["__n"]) ** alpha * 1_000_000 + 0.5)
         for r in rows
         if r["__n"] and r["__n"] > 0
     }

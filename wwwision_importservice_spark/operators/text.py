@@ -609,7 +609,7 @@ def _ngram_runs(grams: Column) -> Column:
     the gram changes, and the final run in the finish lambda.
     """
 
-    def flush(acc, nxt_best_c, nxt_best_ch, nxt_dup_ch):
+    def flush(acc):
         run_ch = acc["run"] * F.length(acc["cur"])
         best_c = F.when(acc["run"] > acc["best_c"], acc["run"]).otherwise(
             acc["best_c"]
@@ -628,7 +628,7 @@ def _ngram_runs(grams: Column) -> Column:
 
     def merge(acc, x):
         same = x == acc["cur"]
-        best_c, best_ch, dup_ch = flush(acc, None, None, None)
+        best_c, best_ch, dup_ch = flush(acc)
         return F.struct(
             F.when(same, acc["cur"]).otherwise(x).alias("cur"),
             F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
@@ -639,7 +639,7 @@ def _ngram_runs(grams: Column) -> Column:
         )
 
     def finish(acc):
-        best_c, best_ch, dup_ch = flush(acc, None, None, None)
+        best_c, best_ch, dup_ch = flush(acc)
         has = acc["run"] > 0
         return F.struct(
             F.when(has, best_c).otherwise(F.lit(0)).alias("best_c"),
