@@ -4812,3 +4812,47 @@ def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
     train_frac = out.filter(F.col("split") == "train").count() / n
     assert 0.7 < train_frac < 0.9
     out.unpersist()
+
+
+def test_write_packed_shards_manifest_and_verify(spark, sf_dir, tmp_path):
+    """The training-export artifact contract: one file per shard dir,
+    shard-filter partition pruning, a deterministic manifest across
+    re-runs, verify_shards green on intact data and red on a lost
+    shard file."""
+    import glob
+
+    from wwwision_importservice_spark.operators.packing import (
+        verify_shards,
+        write_packed_shards,
+    )
+    from wwwision_importservice_spark.operators.sampling import pack_sequences
+    from wwwision_importservice_spark.operators.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counted = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(counted, "doc_id", "n_tokens", budget=512, shards=8)
+    out = str(tmp_path / "export")
+    m1 = sorted(tuple(r) for r in write_packed_shards(packed, out).collect())
+    m2 = sorted(tuple(r) for r in write_packed_shards(packed, out).collect())
+    assert m1 == m2  # re-run determinism, content-derived hashes
+    assert len(m1) == 8
+
+    for d in glob.glob(out + "/data/shard=*"):
+        assert len(glob.glob(d + "/*.parquet")) == 1, d  # one file/shard
+
+    pruned = spark.read.parquet(out + "/data").filter(F.col("shard") == 3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "shard" in plan and pruned.count() > 0
+
+    v = verify_shards(spark, out)
+    assert v.filter(~F.col("ok")).count() == 0
+
+    # lose one shard's data file -> that shard (and only it) goes red
+    import os as _os
+
+    victim = glob.glob(out + "/data/shard=5/*.parquet")[0]
+    _os.remove(victim)
+    bad = verify_shards(spark, out).filter(~F.col("ok")).collect()
+    assert [r["shard"] for r in bad] == [5]

@@ -2700,6 +2700,80 @@ def x6_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARD_SIG = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || "
+    "CAST(pack_id AS VARCHAR) || '|' || CAST(off AS VARCHAR) || '|' || "
+    "CAST(n AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@_register(
+    "x6_packed_shards_manifest",
+    # the whole write lifecycle restated declaratively: md5-bucket
+    # shards, per-shard cumsum packs, then the per-shard manifest row —
+    # count/distinct/sum plus the bit_xor fold of the per-row md5
+    # signatures (commutative, so write order is irrelevant on both
+    # sides). A hash match proves the files ON DISK carry exactly the
+    # packed rows the declarative form predicts.
+    f"""
+SELECT shard, count(*) AS n_docs,
+       CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       bit_xor({_SHARD_SIG}) AS content_hash
+FROM (
+  SELECT doc_id, n, shard,
+         (cum - n) // 512 AS pack_id,
+         (cum - n) - ((cum - n) // 512) * 512 AS off
+  FROM (
+    SELECT doc_id, n, shard,
+           CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS BIGINT) AS n,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 16 AS shard
+      FROM documents
+    )
+  )
+)
+GROUP BY shard
+""",
+    driver=False,
+)
+def x6_packed_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 — the training-export write lifecycle under an oracle
+    (``operators/packing.py:write_packed_shards``): pack the documents
+    into 16 md5 shards of 512-token packs, materialize shard files +
+    manifest through the crash-safe double swap, and return the manifest
+    READ BACK FROM DISK. The oracle recomputes every manifest row
+    declaratively from the fixture, so one hash row proves the packing,
+    the partitioned write, the read-back, and the content-hash fold all
+    agree cross-engine.
+
+    Side effect (registry exception, sink_e2e_state protocol): one
+    deterministic scratch dir per (tempdir, sf), swapped in place on
+    each invocation."""
+    import hashlib
+    import tempfile
+
+    from wwwision_importservice_spark.operators.packing import (
+        write_packed_shards,
+    )
+    from wwwision_importservice_spark.operators.sampling import pack_sequences
+    from wwwision_importservice_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    counted = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(counted, "doc_id", "n_tokens", budget=512, shards=16)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"x6_shards_{tag}")
+    return write_packed_shards(packed, out_dir)
+
+
 @_register(
     "x6_train_val_split",
     """

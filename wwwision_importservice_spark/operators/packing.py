@@ -288,3 +288,150 @@ def greedy_pack_bins(
             "bin_fill long, truncated boolean"
         ),
     )
+
+
+# --- training-shard materialization (r8) --------------------------------
+
+
+def _row_sig(
+    id_col: str, token_col: str, pack_col: str, offset_col: str
+):
+    """Order-independent per-row content signature: md5 of the packed
+    row's identity fields, folded to a BIGINT via the repo's standard
+    15-hex-digit construction (engine-portable: DuckDB reproduces it
+    byte-for-byte; xxhash64 would not). Aggregated with bit_xor —
+    commutative, associative, overflow-free (safe under ANSI mode,
+    unlike a sum of hashes)."""
+    sig = F.concat_ws(
+        "|",
+        F.col(id_col).cast("string"),
+        F.col(pack_col).cast("string"),
+        F.col(offset_col).cast("string"),
+        F.col(token_col).cast("string"),
+    )
+    return F.conv(F.substring(F.md5(sig), 1, 15), 16, 10).cast("long")
+
+
+def _shard_manifest(
+    data: DataFrame,
+    id_col: str,
+    token_col: str,
+    shard_col: str,
+    pack_col: str,
+    offset_col: str,
+) -> DataFrame:
+    return data.groupBy(F.col(shard_col).cast("long").alias(shard_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.col(pack_col)).alias("n_packs"),
+        F.sum(F.col(token_col)).cast("long").alias("n_tokens"),
+        F.bit_xor(_row_sig(id_col, token_col, pack_col, offset_col)).alias(
+            "content_hash"
+        ),
+    )
+
+
+def write_packed_shards(
+    packed: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    shard_col: str = "shard",
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> DataFrame:
+    """Materialize a packed corpus (``sampling.pack_sequences`` output)
+    as training shards plus a content manifest — the handoff artifact a
+    training job consumes and the transfer-integrity record ops teams
+    audit.
+
+    Layout::
+
+        <out_dir>/data/shard=N/*.parquet   one file per shard
+        <out_dir>/manifest/*.parquet       one row per shard:
+            shard, n_docs, n_packs, n_tokens, content_hash
+
+    One file per shard via ``repartitionByRange`` on the shard column
+    (equal keys land in one task, so each shard directory gets exactly
+    one file regardless of shard count — no small-file explosion, and
+    loaders stream one file per shard sequentially).
+
+    The manifest is computed from the STAGED FILES READ BACK, not from
+    the input frame — it certifies what is on disk. Both directories
+    ride the repo's crash-safe backup-rename swap (``fsutil``): data
+    first, manifest second, so every crash window leaves either the old
+    generation or new-data+old-manifest — the latter is exactly what
+    :func:`verify_shards` flags. Re-running on identical input yields a
+    byte-identical manifest (hashes are content-derived and
+    order-independent).
+    """
+    from wwwision_importservice_spark import fsutil
+
+    spark = packed.sparkSession
+    data_dir = f"{out_dir}/data"
+    man_dir = f"{out_dir}/manifest"
+    stage_data = f"{out_dir}/__stage_data"
+    stage_man = f"{out_dir}/__stage_manifest"
+    fsutil.recover_dir(spark, data_dir)
+    fsutil.recover_dir(spark, man_dir)
+    fsutil.delete_dir(spark, stage_data)
+    fsutil.delete_dir(spark, stage_man)
+
+    (
+        packed.repartitionByRange(F.col(shard_col))
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+        .parquet(stage_data)
+    )
+    staged = spark.read.parquet(stage_data)
+    manifest = _shard_manifest(
+        staged, id_col, token_col, shard_col, pack_col, offset_col
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(stage_man)
+
+    fsutil.replace_dir(spark, stage_data, data_dir)
+    fsutil.replace_dir(spark, stage_man, man_dir)
+    return spark.read.parquet(man_dir)
+
+
+def verify_shards(
+    spark,
+    out_dir: str,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    shard_col: str = "shard",
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> DataFrame:
+    """Recompute every shard's manifest row from the data files and
+    compare against the stored manifest: one row per shard with the
+    stored/actual values and an ``ok`` verdict. Full-outer on the shard
+    id, so a shard missing from either side (lost directory, stale
+    manifest after a crash between the two swaps) surfaces as
+    ``ok = false`` rather than silently vanishing. Cost: one scan of
+    the shard data — run it after transfers, not per read."""
+    from wwwision_importservice_spark import fsutil
+
+    fsutil.recover_dir(spark, f"{out_dir}/data")
+    fsutil.recover_dir(spark, f"{out_dir}/manifest")
+    actual = _shard_manifest(
+        spark.read.parquet(f"{out_dir}/data"),
+        id_col, token_col, shard_col, pack_col, offset_col,
+    ).select(
+        shard_col,
+        F.col("n_docs").alias("actual_n_docs"),
+        F.col("n_packs").alias("actual_n_packs"),
+        F.col("n_tokens").alias("actual_n_tokens"),
+        F.col("content_hash").alias("actual_hash"),
+    )
+    stored = spark.read.parquet(f"{out_dir}/manifest")
+    joined = stored.join(actual, shard_col, "full_outer")
+    ok = (
+        (F.col("n_docs") == F.col("actual_n_docs"))
+        & (F.col("n_packs") == F.col("actual_n_packs"))
+        & (F.col("n_tokens") == F.col("actual_n_tokens"))
+        & (F.col("content_hash") == F.col("actual_hash"))
+    )
+    return joined.select(
+        shard_col, "n_docs", "n_packs", "n_tokens", "content_hash",
+        "actual_hash", F.coalesce(ok, F.lit(False)).alias("ok"),
+    )
