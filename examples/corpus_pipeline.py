@@ -89,7 +89,7 @@ from wwwision_importservice_spark.operators.sampling import (  # noqa: E402
 from wwwision_importservice_spark.operators.text import (  # noqa: E402
     dedup_spans,
     detected_language,
-    gopher_quality,
+    gopher_quality_pandas,
     quality_filter,
     scrub_pii,
     token_count,
@@ -169,16 +169,8 @@ def curate(
     # vocabulary, then the CCNet-style LM gate: train the bigram LM on
     # the surviving corpus, drop the high-perplexity tail (fixed
     # ceiling — deterministic, no quantile job)
-    # barrier BEFORE the Gopher suite, deliberately: its ~9 folded
-    # metric expressions are cheap to run but heavy to OPTIMIZE; placed
-    # on top of the full curation lineage, Catalyst pays minutes of
-    # driver-side analysis (measured 101s at sf0.001 vs 5s against a
-    # truncated plan). A real pipeline persists between curation phases
-    # anyway — the gate then analyzes against a leaf relation.
-    gated = quality_filter(
-        sem_kept, "text", min_score=0.3, min_tokens=5
-    ).localCheckpoint()
-    gq = gopher_quality(
+    gated = quality_filter(sem_kept, "text", min_score=0.3, min_tokens=5)
+    gq = gopher_quality_pandas(
         gated,
         "doc_id",
         "text",
@@ -188,10 +180,13 @@ def curate(
     gated = gated.join(
         gq.filter(F.col("gopher_keep")).select("doc_id"), "doc_id", "left_semi"
     ).localCheckpoint()
-    # ^ and a barrier AFTER the gate: without it every downstream action
-    # (LM fit, DSIR model collects, packing prefix sums) re-pays the
-    # fold analysis — measured 459s of pure driver-side plan time at
-    # sf0.001 with the folds left in the lineage, 0.4s of execution
+    # ^ barrier after the gate: downstream runs several independent
+    # actions (LM fit, DSIR model collects, packing prefix sums), each
+    # of which would otherwise re-execute the whole curation lineage.
+    # (The Arrow scorer also keeps the gate out of Catalyst's analysis
+    # hot path — the expression twin's folds, left in a deep lineage,
+    # cost minutes of repeated driver-side plan time: measured 459s at
+    # sf0.001.)
     model = bigram_model(gated, id_col="doc_id")
     ppl = lm_perplexity(gated, model, id_col="doc_id")
     lm_ok = gated.join(

@@ -4856,3 +4856,30 @@ def test_write_packed_shards_manifest_and_verify(spark, sf_dir, tmp_path):
     _os.remove(victim)
     bad = verify_shards(spark, out).filter(~F.col("ok")).collect()
     assert [r["shard"] for r in bad] == [5]
+
+
+def test_gopher_pandas_matches_expression_form(spark):
+    """The Arrow scorer and the expression form are bit-equal on
+    adversarial documents (multi-line, bullets, unicode ellipsis,
+    degenerate overlap, empty, NULL) — the differential pin behind the
+    shared driver oracle."""
+    from wwwision_importservice_spark.operators.text import (
+        gopher_quality,
+        gopher_quality_pandas,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat and the cat sat on the mat again"),
+        (2, "a a a a a a a a"),
+        (3, "- b one\n- b two\nsame line\nsame line\n\npara...\n\npara..."),
+        (4, ""),
+        (5, None),
+        (6, "Mixed CASE Words # …  tab\there\x0bvtab"),
+        (7, " ".join(f"w{i}" for i in range(80)) + " the of and that"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # expression form needs non-null text (fixture contract); align
+    filled = df.fillna({"text": ""})
+    a = sorted(tuple(r) for r in gopher_quality(filled).collect())
+    b = sorted(tuple(r) for r in gopher_quality_pandas(filled).collect())
+    assert a == b

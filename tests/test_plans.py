@@ -589,12 +589,14 @@ def test_x10_bucketed_join_query_plan_has_zero_exchanges(spark, sf_dir):
     assert "HashAggregate" in tree, tree
 
 
-def test_gopher_quality_is_single_scan_no_python(spark, sf_dir):
-    """All 20 Gopher metrics + keep evaluate in one projection over one
-    scan: no Exchange, no Python eval node — the filter is scan-bound."""
-    from wwwision_importservice_spark.entry_queries import x5_gopher_quality
+def test_gopher_quality_expr_is_single_scan_no_python(spark, sf_dir):
+    """The expression twin: all 20 Gopher metrics + keep evaluate as
+    projections over one scan — no Exchange, no Python node at all."""
+    from wwwision_importservice_spark.entry_queries import (
+        x5_gopher_quality_expr,
+    )
 
-    plan = plan_of(spark, x5_gopher_quality(spark, sf_dir))
+    plan = plan_of(spark, x5_gopher_quality_expr(spark, sf_dir))
     tree = tree_of(plan)
     # the fixture-width RoundRobin spread (load(spread=True)) is the one
     # allowed exchange; nothing key-based may appear
@@ -602,3 +604,17 @@ def test_gopher_quality_is_single_scan_no_python(spark, sf_dir):
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in tree, tree
+
+
+def test_gopher_quality_driver_row_is_one_arrow_pass(spark, sf_dir):
+    """The driver row (Arrow scorer): one scan, ONE MapInPandas, no
+    key-based exchange, and no row-at-a-time Python eval — the
+    scan-parallel shape that holds at 100 TB."""
+    from wwwision_importservice_spark.entry_queries import x5_gopher_quality
+
+    plan = plan_of(spark, x5_gopher_quality(spark, sf_dir))
+    tree = tree_of(plan)
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert len(re.findall(r"Scan parquet", tree)) == 1, tree
+    assert len(re.findall(r"MapInPandas", tree)) == 1, tree
+    assert "BatchEvalPython" not in tree, tree

@@ -5205,29 +5205,16 @@ FROM (
 """
 
 
-@_register("x5_gopher_quality", _gopher_oracle_sql())
-def x5_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 — the Gopher heuristic-filter suite (Rae et al. 2021 Table A1)
-    under the hard check: all 20 repetition/quality metrics + the keep
-    verdict per document. The fixture text is single-line, so the query
-    first fabricates line/paragraph structure with two literal
-    ``replace`` calls (identical left-to-right non-overlap semantics in
-    both engines) that turn the separator AFTER space-surrounded
-    'table'/'query' tokens into newlines — the tokens themselves are
-    kept, so the whitespace-token stream (and with it every word/n-gram
-    metric and the 'table' stopword) measures the original corpus.
-    Stopwords are tuned to the fixture's 31-word vocabulary so
-    ``gopher_keep`` varies.
-
-    Scale: every metric is a pure column expression — one sorted-run
-    fold per n-gram size, O(tokens log tokens) per document, no
-    shuffle, no Python; the whole filter is scan-bound at 100 TB. The
-    DuckDB oracle recomputes each count by nested scan (O(distinct×T))
-    — a hash match proves the fold equivalent."""
-    from wwwision_importservice_spark.operators.text import gopher_quality
-
+def _gopher_shaped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared fixture shaping: the text is single-line, so fabricate
+    line/paragraph structure with two literal ``replace`` calls
+    (identical left-to-right non-overlap semantics in both engines) that
+    turn the separator AFTER space-surrounded 'table'/'query' tokens
+    into newlines — the tokens themselves are kept, so the
+    whitespace-token stream (and with it every word/n-gram metric and
+    the 'table' stopword) measures the original corpus."""
     docs = load(spark, sf_dir, "documents", spread=True)
-    shaped = docs.select(
+    return docs.select(
         "doc_id",
         F.replace(
             F.replace(F.col("text"), F.lit(" table "), F.lit(" table\n")),
@@ -5235,7 +5222,46 @@ def x5_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" query\n\n"),
         ).alias("text"),
     )
-    return gopher_quality(shaped, stopwords=_GOPHER_STOPWORDS_FIXTURE)
+
+
+@_register("x5_gopher_quality", _gopher_oracle_sql())
+def x5_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 — the Gopher heuristic-filter suite (Rae et al. 2021 Table A1)
+    under the hard check: all 20 repetition/quality metrics + the keep
+    verdict per document, via the Arrow-batched scorer
+    (``text.py:gopher_quality_pandas`` — linear Counter passes per doc;
+    the expression form's higher-order functions are CodegenFallback,
+    interpreted, ~3x slower end to end — see its docstring). Stopwords
+    are tuned to the fixture's 31-word vocabulary so ``gopher_keep``
+    varies.
+
+    Scale: one scan, no shuffle, Python cost amortized over Arrow
+    batches — scan-parallel at 100 TB. The DuckDB oracle recomputes
+    every metric declaratively; the pure-expression twin
+    (x5_gopher_quality_expr, pytest tier) runs under the SAME oracle,
+    so both implementations are pinned equal."""
+    from wwwision_importservice_spark.operators.text import (
+        gopher_quality_pandas,
+    )
+
+    return gopher_quality_pandas(
+        _gopher_shaped_docs(spark, sf_dir), stopwords=_GOPHER_STOPWORDS_FIXTURE
+    )
+
+
+@_register("x5_gopher_quality_expr", _gopher_oracle_sql(), driver=False)
+def x5_gopher_quality_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-expression Gopher suite (``text.py:gopher_quality``)
+    under the same oracle as the driver row: every metric a column
+    expression — one sorted-run fold per n-gram size, O(T log T) per
+    document, zero Python. Slower than the Arrow path (HOFs evaluate
+    interpreted) but dependency-free and whole-plan declarative; the
+    shared oracle pins the two implementations bit-equal."""
+    from wwwision_importservice_spark.operators.text import gopher_quality
+
+    return gopher_quality(
+        _gopher_shaped_docs(spark, sf_dir), stopwords=_GOPHER_STOPWORDS_FIXTURE
+    )
 
 
 _BUCKETED_JOIN_SQL = """

@@ -836,3 +836,182 @@ def gopher_quality(
             F.col(f"dup_{n}gram_char_frac") <= th[f"max_dup_{n}gram_char_frac"]
         )
     return out.select(*out.columns, keep.alias("gopher_keep"))
+
+
+def gopher_quality_pandas(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """Arrow-batched twin of :func:`gopher_quality` — identical output
+    (same 20 metrics, same rounding, same keep verdict; pinned by a
+    differential test and by sharing the driver oracle), different
+    execution strategy.
+
+    Why it exists: the expression form's higher-order functions
+    (``aggregate``/``transform``/``filter``) are CodegenFallback in
+    Spark — they evaluate interpreted, one expression-tree walk per
+    array element, so the 9 n-gram folds cost ~1.6 ms/doc. Here each
+    Arrow batch is scored by linear ``Counter`` passes (~20x less work
+    per doc), which is the right trade at 100 TB: still embarrassingly
+    scan-parallel, no shuffle, and the Python cost is amortized over
+    Arrow batches, not rows. The expression form remains the
+    zero-dependency reference implementation.
+
+    Numerics: fractions round through ``decimal.Decimal`` HALF_UP on the
+    exact binary expansion of the double — bit-for-bit the semantics of
+    Spark's ``round()`` (Java BigDecimal HALF_UP) used by the expression
+    form and the DuckDB oracle.
+
+    Closure note: everything the executor needs is constructed INSIDE
+    the factory below (workers do not have this repo on sys.path — the
+    ``_make_mrl_collapse`` convention).
+    """
+    stopwords_v = list(GOPHER_STOPWORDS if stopwords is None else stopwords)
+    th = dict(GOPHER_THRESHOLDS)
+    th.update(thresholds or {})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    metric_names = (
+        ["n_words", "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+         "ellipsis_line_frac", "alpha_word_frac", "stopword_hits",
+         "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+         "dup_para_char_frac"]
+        + [f"top_{n}gram_char_frac" for n in (2, 3, 4)]
+        + [f"dup_{n}gram_char_frac" for n in range(5, 11)]
+    )
+    schema = (
+        f"{id_col} {id_type}, n_words long, mean_word_len double, "
+        "symbol_word_ratio double, bullet_line_frac double, "
+        "ellipsis_line_frac double, alpha_word_frac double, "
+        "stopword_hits long, dup_line_frac double, dup_line_char_frac double, "
+        "dup_para_frac double, dup_para_char_frac double, "
+        + ", ".join(f"top_{n}gram_char_frac double" for n in (2, 3, 4))
+        + ", "
+        + ", ".join(f"dup_{n}gram_char_frac double" for n in range(5, 11))
+        + ", gopher_keep boolean"
+    )
+
+    def make_scorer(stop_list: list[str], th: dict):
+        import re
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        # mirror the JVM exactly: Java \s is [ \t\n\x0B\f\r] (not the
+        # wider Python \s), Spark trim() strips SPACES only
+        ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+        para_re = re.compile(r"\n{2,}")
+        alpha_re = re.compile(r"[A-Za-z]")
+        stop_set = set(stop_list)
+        q6 = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            return float(Decimal(x).quantize(q6, rounding=ROUND_HALF_UP))
+
+        def dup_fracs(items: list[str]) -> tuple[float, float]:
+            if not items:
+                return 0.0, 0.0
+            distinct = set(items)
+            frac = r6(1.0 - len(distinct) / len(items))
+            chars = sum(map(len, items))
+            if chars == 0:
+                return frac, 0.0
+            return frac, r6(1.0 - sum(map(len, distinct)) / chars)
+
+        def score(text: str) -> list:
+            words = [w for w in ws_re.split(text) if w]
+            n_words = len(words)
+            word_chars = sum(map(len, words))
+            mean_wl = r6(word_chars / n_words) if n_words else 0.0
+            symbols = (
+                text.count("#") + text.count("…") + text.count("...")
+            )
+            sym_ratio = r6(symbols / n_words) if n_words else 0.0
+            lines = [s for s in (x.strip(" ") for x in text.split("\n")) if s]
+            paras = [s for s in (x.strip(" ") for x in para_re.split(text)) if s]
+            n_lines = len(lines)
+            bullet = (
+                r6(sum(s.startswith(("•", "-", "*")) for s in lines) / n_lines)
+                if n_lines else 0.0
+            )
+            ellip = (
+                r6(sum(s.endswith(("...", "…")) for s in lines) / n_lines)
+                if n_lines else 0.0
+            )
+            alpha = (
+                r6(sum(bool(alpha_re.search(w)) for w in words) / n_words)
+                if n_words else 0.0
+            )
+            low = [w.lower() for w in words]
+            stop_hits = len(set(low) & stop_set)
+            dlf, dlcf = dup_fracs(lines)
+            dpf, dpcf = dup_fracs(paras)
+            text_chars = len(text)
+
+            tops, dups = [], []
+            for n in range(2, 11):
+                if len(low) < n:
+                    grams = []
+                else:
+                    grams = [" ".join(low[i:i + n]) for i in range(len(low) - n + 1)]
+                counts = Counter(grams)
+                if n <= 4:
+                    best_c, best_ch = 0, 0
+                    for g, c in counts.items():
+                        ch = c * len(g)
+                        if c > best_c or (c == best_c and ch > best_ch):
+                            best_c, best_ch = c, ch
+                    tops.append(
+                        r6(best_ch / text_chars)
+                        if best_c >= 2 and text_chars > 0 else 0.0
+                    )
+                else:
+                    tot_ch = sum(map(len, grams))
+                    dup_ch = sum(
+                        c * len(g) for g, c in counts.items() if c > 1
+                    )
+                    dups.append(r6(dup_ch / tot_ch) if tot_ch > 0 else 0.0)
+
+            m = [n_words, mean_wl, sym_ratio, bullet, ellip, alpha,
+                 stop_hits, dlf, dlcf, dpf, dpcf] + tops + dups
+            keep = (
+                th["min_words"] <= n_words <= th["max_words"]
+                and th["min_mean_word_len"] <= mean_wl <= th["max_mean_word_len"]
+                and sym_ratio <= th["max_symbol_word_ratio"]
+                and bullet <= th["max_bullet_line_frac"]
+                and ellip <= th["max_ellipsis_line_frac"]
+                and alpha >= th["min_alpha_word_frac"]
+                and stop_hits >= th["min_stopword_hits"]
+                and dlf <= th["max_dup_line_frac"]
+                and dpf <= th["max_dup_para_frac"]
+                and dlcf <= th["max_dup_line_char_frac"]
+                and dpcf <= th["max_dup_para_char_frac"]
+                and all(
+                    tops[i] <= th[f"max_top_{n}gram_char_frac"]
+                    for i, n in enumerate((2, 3, 4))
+                )
+                and all(
+                    dups[i] <= th[f"max_dup_{n}gram_char_frac"]
+                    for i, n in enumerate(range(5, 11))
+                )
+            )
+            return m + [bool(keep)]
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                scored = [score(t if t is not None else "") for t in pdf[text_col]]
+                out = pd.DataFrame(
+                    scored, columns=metric_names + ["gopher_keep"]
+                )
+                out.insert(0, id_col, pdf[id_col].values)
+                yield out
+
+        return run
+
+    return df.select(id_col, text_col).mapInPandas(
+        make_scorer(stopwords_v, th), schema
+    )
