@@ -169,7 +169,13 @@ def curate(
     # vocabulary, then the CCNet-style LM gate: train the bigram LM on
     # the surviving corpus, drop the high-perplexity tail (fixed
     # ceiling — deterministic, no quantile job)
-    gated = quality_filter(sem_kept, "text", min_score=0.3, min_tokens=5)
+    # barrier before the gate: the semi-join's two branches (gated and
+    # the scorer output derived FROM gated) are different subtrees, so
+    # without it one action executes the whole upstream curation lineage
+    # (MinHash dedup, semantic dedup, span rewrite) twice
+    gated = quality_filter(
+        sem_kept, "text", min_score=0.3, min_tokens=5
+    ).localCheckpoint()
     gq = gopher_quality_pandas(
         gated,
         "doc_id",

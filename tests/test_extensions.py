@@ -4868,6 +4868,14 @@ def test_gopher_pandas_matches_expression_form(spark):
         gopher_quality_pandas,
     )
 
+    # doc 8: 7 of 640 lines end in '...' -> ellipsis_line_frac 7/640 =
+    # 0.0109375, whose exact binary expansion is 0.0109374999...: a
+    # round() implementation working on the binary expansion instead of
+    # the shortest repr (BigDecimal.valueOf / repr semantics) yields
+    # 0.010937 instead of 0.010938 — the half-boundary regression
+    boundary = "\n".join(
+        [f"line {i}" for i in range(633)] + [f"dot {i}..." for i in range(7)]
+    )
     docs = [
         (1, "the cat sat on the mat and the cat sat on the mat again"),
         (2, "a a a a a a a a"),
@@ -4876,6 +4884,7 @@ def test_gopher_pandas_matches_expression_form(spark):
         (5, None),
         (6, "Mixed CASE Words # …  tab\there\x0bvtab"),
         (7, " ".join(f"w{i}" for i in range(80)) + " the of and that"),
+        (8, boundary),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     # expression form needs non-null text (fixture contract); align
@@ -4883,3 +4892,6 @@ def test_gopher_pandas_matches_expression_form(spark):
     a = sorted(tuple(r) for r in gopher_quality(filled).collect())
     b = sorted(tuple(r) for r in gopher_quality_pandas(filled).collect())
     assert a == b
+    by_id = {r[0]: r for r in b}
+    cols = gopher_quality_pandas(filled).columns
+    assert by_id[8][cols.index("ellipsis_line_frac")] == 0.010938

@@ -302,6 +302,8 @@ def _row_sig(
     byte-for-byte; xxhash64 would not). Aggregated with bit_xor —
     commutative, associative, overflow-free (safe under ANSI mode,
     unlike a sum of hashes)."""
+    from wwwision_importservice_spark.operators.sampling import md5_long
+
     sig = F.concat_ws(
         "|",
         F.col(id_col).cast("string"),
@@ -309,7 +311,7 @@ def _row_sig(
         F.col(offset_col).cast("string"),
         F.col(token_col).cast("string"),
     )
-    return F.conv(F.substring(F.md5(sig), 1, 15), 16, 10).cast("long")
+    return md5_long(sig)
 
 
 def _shard_manifest(
@@ -350,10 +352,13 @@ def write_packed_shards(
         <out_dir>/manifest/*.parquet       one row per shard:
             shard, n_docs, n_packs, n_tokens, content_hash
 
-    One file per shard via ``repartitionByRange`` on the shard column
+    One file per shard via a hash ``repartition`` on the shard column
     (equal keys land in one task, so each shard directory gets exactly
     one file regardless of shard count — no small-file explosion, and
-    loaders stream one file per shard sequentially).
+    loaders stream one file per shard sequentially). Hash, not
+    ``repartitionByRange``: range partitioning adds a sampling JOB that
+    would execute the whole packing lineage a second time for no extra
+    guarantee.
 
     The manifest is computed from the STAGED FILES READ BACK, not from
     the input frame — it certifies what is on disk. Both directories
@@ -377,7 +382,7 @@ def write_packed_shards(
     fsutil.delete_dir(spark, stage_man)
 
     (
-        packed.repartitionByRange(F.col(shard_col))
+        packed.repartition(F.col(shard_col))
         .write.mode("overwrite")
         .partitionBy(shard_col)
         .parquet(stage_data)
@@ -433,5 +438,6 @@ def verify_shards(
     )
     return joined.select(
         shard_col, "n_docs", "n_packs", "n_tokens", "content_hash",
-        "actual_hash", F.coalesce(ok, F.lit(False)).alias("ok"),
+        "actual_n_docs", "actual_n_packs", "actual_n_tokens", "actual_hash",
+        F.coalesce(ok, F.lit(False)).alias("ok"),
     )

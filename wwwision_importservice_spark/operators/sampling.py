@@ -18,12 +18,20 @@ from pyspark.sql import functions as F
 _BUCKETS = 10_000
 
 
+def md5_long(col: Column) -> Column:
+    """THE engine-portable 60-bit integer hash: first 15 hex digits of
+    the md5, as BIGINT — DuckDB reproduces it byte-for-byte via
+    ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``. One definition,
+    shared by every operator that must hash identically across engines
+    (buckets, splits, shard manifests); a drifted copy (16 digits,
+    xxhash64) would break oracle parity only for its caller."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def hash_bucket(id_col: Column, buckets: int = _BUCKETS) -> Column:
-    """Uniform deterministic bucket in [0, buckets) from the id's md5
-    (first 60 bits — same construction DuckDB reproduces byte-for-byte
-    via ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``)."""
-    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10).cast("long")
-    return h % buckets
+    """Uniform deterministic bucket in [0, buckets) from the id's
+    :func:`md5_long`."""
+    return md5_long(id_col.cast("string")) % buckets
 
 
 def split_column(

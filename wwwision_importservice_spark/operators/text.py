@@ -861,9 +861,12 @@ def gopher_quality_pandas(
     zero-dependency reference implementation.
 
     Numerics: fractions round through ``decimal.Decimal`` HALF_UP on the
-    exact binary expansion of the double — bit-for-bit the semantics of
-    Spark's ``round()`` (Java BigDecimal HALF_UP) used by the expression
-    form and the DuckDB oracle.
+    SHORTEST-REPR decimal of the double (``Decimal(repr(x))``) —
+    bit-for-bit the semantics of Spark's ``round()``
+    (``BigDecimal.valueOf``, which also rounds the shortest
+    representation) and DuckDB's, used by the expression form and the
+    oracle. Rounding the exact binary expansion instead diverges on
+    half-boundary fractions (7/640 → 0.010937 vs 0.010938).
 
     Closure note: everything the executor needs is constructed INSIDE
     the factory below (workers do not have this repo on sys.path — the
@@ -882,16 +885,13 @@ def gopher_quality_pandas(
         + [f"top_{n}gram_char_frac" for n in (2, 3, 4)]
         + [f"dup_{n}gram_char_frac" for n in range(5, 11)]
     )
-    schema = (
-        f"{id_col} {id_type}, n_words long, mean_word_len double, "
-        "symbol_word_ratio double, bullet_line_frac double, "
-        "ellipsis_line_frac double, alpha_word_frac double, "
-        "stopword_hits long, dup_line_frac double, dup_line_char_frac double, "
-        "dup_para_frac double, dup_para_char_frac double, "
-        + ", ".join(f"top_{n}gram_char_frac double" for n in (2, 3, 4))
-        + ", "
-        + ", ".join(f"dup_{n}gram_char_frac double" for n in range(5, 11))
-        + ", gopher_keep boolean"
+    # schema derives from metric_names so the column order has exactly
+    # one definition shared with score()'s positional output
+    types = {"n_words": "long", "stopword_hits": "long"}
+    schema = ", ".join(
+        [f"{id_col} {id_type}"]
+        + [f"{m} {types.get(m, 'double')}" for m in metric_names]
+        + ["gopher_keep boolean"]
     )
 
     def make_scorer(stop_list: list[str], th: dict):
@@ -908,7 +908,12 @@ def gopher_quality_pandas(
         q6 = Decimal("0.000001")
 
         def r6(x: float) -> float:
-            return float(Decimal(x).quantize(q6, rounding=ROUND_HALF_UP))
+            # repr(x) = shortest round-trip decimal — the SAME value
+            # Java's BigDecimal.valueOf(double) (Spark round()) and
+            # DuckDB round on; Decimal(x) directly would round the
+            # exact binary expansion and diverge on half-boundary
+            # fractions like 7/640 (0.010937 vs 0.010938)
+            return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
 
         def dup_fracs(items: list[str]) -> tuple[float, float]:
             if not items:
