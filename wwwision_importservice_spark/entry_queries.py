@@ -5102,7 +5102,10 @@ def _gopher_oracle_sql() -> str:
     count form per n-gram size; the Spark side uses the O(T log T)
     sorted-run fold — equal by definition, so a hash match proves the
     fold. Generated (9 n-gram sizes × multi-line expressions), no WITH
-    (the harness wraps oracles in derived tables)."""
+    (the harness wraps oracles in derived tables). The word split spells
+    out Java's whitespace class ``[ \\t\\n\\x0B\\f\\r]`` — RE2's ``\\s``
+    EXCLUDES vertical tab, so a bare ``\\s+`` here would silently
+    diverge from both Spark implementations on \\x0B-bearing text."""
     stop = "[" + ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS_FIXTURE) + "]"
     cnt = lambda n: f"len(list_filter(g_{n}, y -> y = x))"  # noqa: E731
     gram_defs = ", ".join(
@@ -5188,7 +5191,7 @@ FROM (
                list_transform(words, w -> lower(w)) AS low_words
         FROM (
           SELECT doc_id, t,
-            list_filter(string_split_regex(t, '\\s+'), w -> w <> '') AS words,
+            list_filter(string_split_regex(t, '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '') AS words,
             list_filter(list_transform(string_split(t, chr(10)), s -> trim(s)), s -> s <> '') AS lines,
             list_filter(list_transform(string_split_regex(t, '\\n{{2,}}'), s -> trim(s)), s -> s <> '') AS paras
           FROM (

@@ -27,8 +27,14 @@ caller:
 - **SMJ pinned.** AQE or the broadcast threshold could swap in a
   broadcast join (legal, but then the test proves nothing about
   bucketing), so the join applies a ``merge`` hint; with both sides
-  pre-partitioned the SortMergeJoin needs neither Exchange nor — given
-  one file per bucket and ``sortBy`` — a Sort.
+  pre-partitioned the SortMergeJoin needs no Exchange. A
+  partition-LOCAL Sort node remains above each scan (visible in
+  PLANS.md): since Spark 3.0 the reader only trusts per-bucket sort
+  order behind ``spark.sql.legacy.bucketedTableScan.outputOrdering``,
+  which forces the one-file-per-bucket read path globally — the local
+  sort of already-clustered rows is the cheaper default. ``sortBy``
+  still pays for itself via parquet row-group stats and faster local
+  sorts; the Exchange (the network cost) is what bucketing eliminates.
 
 Bucket count sizing: at 100 TB with ~128 MB target splits, n_buckets ≈
 data_size / (buckets_per_core × 128 MB); buckets are the unit of read
@@ -55,9 +61,10 @@ def write_bucketed(
     """Write ``df`` as an external bucketed table at ``path``.
 
     Repartitions to exactly one file per bucket (see module docstring)
-    so the read side gets both the partitioning AND the per-bucket sort
-    for free. ``mode("overwrite")`` + ``DROP TABLE`` first makes the
-    call idempotent across repeated driver/bench/pytest runs.
+    so reads avoid the many-files-per-bucket overhead and the per-bucket
+    ``sortBy`` yields clustered row groups. ``mode("overwrite")`` +
+    ``DROP TABLE`` first makes the call idempotent across repeated
+    driver/bench/pytest runs.
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")

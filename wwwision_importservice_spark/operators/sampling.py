@@ -294,11 +294,20 @@ def temperature_budgets(
         .agg(F.sum(F.col(token_col)).cast("long").alias("__n"))
         .collect()  # one row per group — metadata-scale by contract
     )
-    # int(x + 0.5) = half-AWAY rounding for non-negative x — matching
-    # DuckDB's round() in the SQL twin; Python's round() half-to-even
-    # would diverge exactly at .5 micro-boundaries
+    # exact-binary HALF_UP (= half-away for non-negative) via Decimal —
+    # bit-for-bit DuckDB's one-arg round() on the identical double in
+    # the SQL twin. Neither Python round() (half-to-even) nor
+    # int(x + 0.5) matches: the float ADDITION in the latter rounds up
+    # for x within half an ulp BELOW a .5 boundary, a window ~1e-6 wide
+    # at wm scale
+    from decimal import ROUND_HALF_UP, Decimal
+
     wm = {
-        r[group_col]: int(float(r["__n"]) ** alpha * 1_000_000 + 0.5)
+        r[group_col]: int(
+            Decimal(float(r["__n"]) ** alpha * 1_000_000).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
         for r in rows
         if r["__n"] and r["__n"] > 0
     }

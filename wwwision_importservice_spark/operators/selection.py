@@ -229,15 +229,11 @@ def gumbel_micro(id_col: Column, seed: int = 0) -> Column:
     to 1e-6. The md5 construction is the engine-portable one every
     sampler in :mod:`operators/sampling` uses; a different ``seed``
     re-deals every draw, the same seed replays them exactly."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(str(int(seed))), id_col.cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    from wwwision_importservice_spark.operators.sampling import md5_long
+
+    h = md5_long(
+        F.concat_ws(":", F.lit(str(int(seed))), id_col.cast("string"))
+    )
     u = (h.cast("double") + F.lit(0.5)) / F.lit(_HASH_RANGE)
     return F.round(F.lit(_MICRO) * -F.log(-F.log(u))).cast("long")
 

@@ -52,7 +52,15 @@ def time_bucket(ts: Column, bucket_seconds: int, ts_unit: str = "ns") -> Column:
     """
     if ts_unit == "ns":
         step = F.lit(bucket_seconds * NS_PER_SEC)
-        return ((ts - F.pmod(ts, step)) / NS_PER_SEC).cast("long")
+        # decimal, not double, division: the bucket start (ts - pmod)
+        # is an exact multiple of 1e9, but `/` on longs evaluates as
+        # DOUBLE and an int64 beyond 2^62 ns (outside ~1834-2106)
+        # rounds converting to double, so the quotient can land one ulp
+        # below the true integer and cast("long") truncates to an
+        # off-grid bucket (which gapfill's alignment check then
+        # rejects). Decimal division is exact at any int64 magnitude.
+        n = (ts - F.pmod(ts, step)).cast("decimal(38,0)")
+        return (n / F.lit(NS_PER_SEC)).cast("long")
     if ts_unit == "s":
         step = F.lit(bucket_seconds)
         return (ts - F.pmod(ts, step)).cast("long")
