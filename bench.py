@@ -52,6 +52,18 @@ possible environment step; WITHIN-round comparisons and plan shapes
 remain the meaningful signal — same conclusion as the r5 audit, now
 with the fresh-session control.
 
+Round-8 follow-up (2026-08-15, same environment-step story from the
+other side): a quiet-load full run inside round 8 measured the r7
+common set at 0.82x of the r7 artifact — the 13 "inflated" queries
+dropped back toward (and past) their r6 values with their code and
+plans still untouched, confirming the step was the round-7 environment,
+not the code. Round-8 set additions: x6_dsir_select, x2_decontaminate
+(joined earlier in r8), x10_bucketed_join (zero-Exchange co-located
+join; timing includes its two bucketed writes), and x5_gopher_quality
+(Arrow-batched scorer, ~0.5s; the pure-expression twin measured ~15s
+under the same noop-sink materialization — HOFs are CodegenFallback,
+see text.py:gopher_quality_pandas).
+
 Round-5 total (measured 18.3s quiet-load best-of-3 at sf0.1) is NOT
 like-for-like with r4's 13.99s:
 (+0.7s) the headline set gained x3_cosine_topk_blocked (the join-free
