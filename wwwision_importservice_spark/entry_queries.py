@@ -2639,9 +2639,12 @@ def x5_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "x5_token_count",
+    # the punct class spells out Java's whitespace set — RE2's \s
+    # excludes \x0B, so the negated class [^...\s] would count a
+    # vertical tab as a token only on the DuckDB side
     r"""
 SELECT doc_id,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS n_tokens
 FROM documents
 """,
     driver=False,

@@ -300,13 +300,15 @@ def temperature_budgets(
     # int(x + 0.5) matches: the float ADDITION in the latter rounds up
     # for x within half an ulp BELOW a .5 boundary, a window ~1e-6 wide
     # at wm scale
-    from decimal import ROUND_HALF_UP, Decimal
+    from decimal import ROUND_HALF_UP, Context, Decimal
 
+    # prec=400 covers the full double range (~1e308): the default
+    # 28-digit context makes quantize RAISE InvalidOperation once
+    # n^alpha × 1e6 passes 1e28 (reachable at alpha > 1)
+    ctx = Context(prec=400, rounding=ROUND_HALF_UP)
     wm = {
         r[group_col]: int(
-            Decimal(float(r["__n"]) ** alpha * 1_000_000).quantize(
-                Decimal(1), rounding=ROUND_HALF_UP
-            )
+            ctx.quantize(Decimal(float(r["__n"]) ** alpha * 1_000_000), Decimal(1))
         )
         for r in rows
         if r["__n"] and r["__n"] > 0

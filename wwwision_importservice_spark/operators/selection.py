@@ -53,7 +53,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from wwwision_importservice_spark.operators.sampling import hash_bucket
+from wwwision_importservice_spark.operators.sampling import hash_bucket, md5_long
 from wwwision_importservice_spark.operators.text import corpus_tokens
 
 DEFAULT_BUCKETS = 10_000
@@ -229,8 +229,6 @@ def gumbel_micro(id_col: Column, seed: int = 0) -> Column:
     to 1e-6. The md5 construction is the engine-portable one every
     sampler in :mod:`operators/sampling` uses; a different ``seed``
     re-deals every draw, the same seed replays them exactly."""
-    from wwwision_importservice_spark.operators.sampling import md5_long
-
     h = md5_long(
         F.concat_ws(":", F.lit(str(int(seed))), id_col.cast("string"))
     )
