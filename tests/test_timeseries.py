@@ -239,3 +239,30 @@ def test_gapfill_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate explode" in plan
+
+
+def test_time_bucket_exact_at_int64_extremes(spark):
+    """The ns path divides by 1e9 as DECIMAL: a double division of an
+    int64 beyond 2^62 ns rounds converting to double and can truncate
+    one bucket low (off-grid). Probe the extremes on both sides of the
+    epoch plus Long.MAX/MIN-adjacent values against Python's exact
+    integer arithmetic."""
+    from wwwision_importservice_spark.operators.timeseries import time_bucket
+
+    step = 3600
+    ns = 10**9
+    long_min = -(2**63)
+    vals = [
+        0, 1, -1, ns - 1, -ns, 2**62, 2**62 + step * ns - 1, -(2**62),
+        9_223_372_036_854_775_000,  # Long.MAX - 807
+        long_min + step * ns,  # domain floor: first representable bucket start
+        1_700_000_000 * ns + 123, -(3_000_000_000 * ns) - 7,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "ts long")
+    got = {
+        r["ts"]: r["b"]
+        for r in df.select("ts", time_bucket(F.col("ts"), step).alias("b")).collect()
+    }
+    for v in vals:
+        want = (v - (v % (step * ns))) // ns  # python %,// are floor ops
+        assert got[v] == want, (v, got[v], want)

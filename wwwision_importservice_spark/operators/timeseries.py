@@ -59,6 +59,10 @@ def time_bucket(ts: Column, bucket_seconds: int, ts_unit: str = "ns") -> Column:
         # below the true integer and cast("long") truncates to an
         # off-grid bucket (which gapfill's alignment check then
         # rejects). Decimal division is exact at any int64 magnitude.
+        # Domain: ts >= LONG_MIN + bucket_seconds*1e9 — in the first
+        # bucket above Long.MIN (year ~1677 at ns resolution) the bucket
+        # START is itself unrepresentable in ns, and the subtraction
+        # overflows loudly under ANSI rather than wrapping.
         n = (ts - F.pmod(ts, step)).cast("decimal(38,0)")
         return (n / F.lit(NS_PER_SEC)).cast("long")
     if ts_unit == "s":
