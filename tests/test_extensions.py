@@ -102,6 +102,30 @@ def test_cosine_topk_self_is_top1(spark, sf_dir):
     assert all(r["q_id"] == r["c_id"] for r in top1)  # self-similarity = 1.0
 
 
+def test_cosine_topk_pair_ceiling_is_loud(spark, sf_dir):
+    """|Q|·|C| over the ceiling must fail FAST and name the scale-safe
+    alternatives — never silently run the cartesian (VERDICT r8 #2)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
+    with pytest.raises(ValueError) as exc:
+        cosine_topk(queries, corpus, k=1, max_pairs=10)
+    msg = str(exc.value)
+    for alt in ("cosine_topk_blocked", "cosine_topk_lsh", "ivf"):
+        assert alt in msg
+    # below the ceiling the guard is transparent: same answer as ungated
+    small_q = queries.limit(3)
+    gated = {
+        (r["q_id"], r["c_id"])
+        for r in cosine_topk(small_q, corpus, k=2).collect()
+    }
+    ungated = {
+        (r["q_id"], r["c_id"])
+        for r in cosine_topk(small_q, corpus, k=2, max_pairs=0).collect()
+    }
+    assert gated == ungated
+
+
 def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(

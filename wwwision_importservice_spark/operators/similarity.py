@@ -28,6 +28,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: ceiling on the |Q|·|C| scored-pair count :func:`cosine_topk` will
+#: materialize through its cross join. 2e8 pairs ≈ a few GiB of scored
+#: rows spread over the cluster — comfortably cheap — while the failure
+#: mode this guards against (a "small" query set that is actually a
+#: corpus, turning the exactness baseline into an accidental 10^13-row
+#: cartesian) is caught loudly instead of running for hours. The two
+#: ``count()`` jobs the guard costs are metadata-only on parquet inputs.
+MAX_COSINE_PAIRS = 200_000_000
+
+
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -106,8 +116,33 @@ def cosine_topk(
     corpus_id: str = "c_id",
     vector_col: str = "embedding",
     broadcast_corpus: bool = False,
+    max_pairs: int = MAX_COSINE_PAIRS,
 ) -> DataFrame:
-    """Brute-force exact cosine top-k (the baseline)."""
+    """Brute-force exact cosine top-k (the baseline).
+
+    Deliberately |Q|×|C|: this is the exactness reference the
+    approximate strategies are measured against, and the right tool
+    when the query set is genuinely small. Because a cross join fails
+    *slowly* when that contract is broken, the pair count is checked up
+    front against ``max_pairs`` (default :data:`MAX_COSINE_PAIRS`) and
+    a too-large product raises immediately, naming the scale-safe
+    alternatives — same loud-ceiling pattern as the Bloom bitmap cap in
+    ``dedup.build_bloom_filter``. Pass ``max_pairs=0`` to disable (e.g.
+    when both counts are already known small by construction).
+    """
+    if max_pairs:
+        n_q, n_c = queries.count(), corpus.count()
+        if n_q * n_c > max_pairs:
+            raise ValueError(
+                f"cosine_topk: |Q|·|C| = {n_q}·{n_c} = {n_q * n_c:,} scored "
+                f"pairs exceeds the {max_pairs:,} cross-join ceiling. This "
+                "operator is the exact brute-force baseline for SMALL query "
+                "sets; at this scale use cosine_topk_blocked (exact, "
+                "corpus-scan, no join), cosine_topk_lsh (approximate, "
+                "bucketed), or annindex.build_ivf_index/search_ivf "
+                "(approximate, partition-pruned) — or raise max_pairs if "
+                "this pair count is genuinely intended"
+            )
     c = F.broadcast(corpus) if broadcast_corpus else corpus
     scored = cosine_scores(queries, c, query_id, corpus_id, vector_col)
     return topk(scored, k, query_id, corpus_id)
