@@ -94,6 +94,7 @@ from wwwision_importservice_spark.entry_queries import (  # noqa: E402
     PYTEST_QUERIES,
     QUERIES,
 )
+from wwwision_importservice_spark.plans.fingerprint import plan_digest  # noqa: E402
 from wwwision_importservice_spark.session import get_spark  # noqa: E402
 
 # Bench over the full query surface (driver-checked + pytest-only) so the
@@ -217,10 +218,20 @@ def main() -> None:
     # recorded so the artifact shows the noise band per query.
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    digests: dict[str, str] = {}
     for name in HEADLINE:
         fn = ALL_QUERIES.get(name)
         if fn is None:
             continue
+        # Plan fingerprint FIRST, untimed, on the unexecuted frame (AQE
+        # initial plan — deterministic; the post-run final plan embeds
+        # runtime partition counts). Round-over-round "did it regress?"
+        # is answered by diffing these digests (tools/diff_bench_plans.py)
+        # instead of re-measure adjudication — the r7/r8 lesson that
+        # wall-clock moves with the environment but plans don't.
+        # (For lifecycle queries this extra construction re-runs their
+        # internal jobs once, outside the timers — an extra warmup.)
+        digests[name] = plan_digest(fn(spark, SF_DIR))
         runs = []
         for _ in range(N_RUNS):
             start = time.perf_counter()
@@ -247,6 +258,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "plan_digest": digests,
                 "s5_neardup_gate_per_batch": s5_batches,
                 "sf": sf,
                 "n_runs": N_RUNS,

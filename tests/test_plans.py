@@ -618,3 +618,51 @@ def test_gopher_quality_driver_row_is_one_arrow_pass(spark, sf_dir):
     assert len(re.findall(r"Scan parquet", tree)) == 1, tree
     assert len(re.findall(r"MapInPandas", tree)) == 1, tree
     assert "BatchEvalPython" not in tree, tree
+
+
+# --- plan fingerprints (bench artifact digests, VERDICT r8 ask #4) ---
+
+
+def test_plan_digest_stable_and_path_insensitive(spark, sf_dir):
+    """Same query twice → same digest; same query at two sf dirs →
+    same digest (paths are normalized out; only a genuinely different
+    plan — e.g. a size-dependent broadcast choice — may differ, and
+    agg_q1's shape is sf-invariant). Digest must differ when the plan
+    actually changes."""
+    from wwwision_importservice_spark.plans.fingerprint import plan_digest
+
+    q1 = QUERIES["agg_q1_lineitem"]
+    a = plan_digest(q1(spark, sf_dir))
+    b = plan_digest(q1(spark, sf_dir))
+    assert a == b
+    other = "/root/testdata/sf0.001" if "0.001" not in sf_dir else "/root/testdata/sf0.01"
+    assert plan_digest(q1(spark, other)) == a
+    # a real plan change (extra filter) must move the digest
+    changed = q1(spark, sf_dir).filter(F.col("sum_qty") > 0)
+    assert plan_digest(changed) != a
+
+
+def test_normalize_plan_strips_ids_paths_keeps_shape():
+    from wwwision_importservice_spark.plans.fingerprint import normalize_plan
+
+    raw = (
+        "== Physical Plan ==\n"
+        "AdaptiveSparkPlan (7)\n"
+        "+- HashAggregate (6)\n"
+        "   +- Exchange (5)\n"
+        "\n"
+        "(1) Scan parquet \n"
+        "Output [2]: [l_quantity#42, l_price#43L]\n"
+        "Location: InMemoryFileIndex [file:/root/testdata/sf0.1/lineitem.parquet]\n"
+        "Arguments: round(x#7, 6), cast(y#8 as decimal(18,2)), plan_id=123\n"
+    )
+    norm = normalize_plan(raw)
+    assert "#42" not in norm and "#43" not in norm and "(6)" not in norm
+    assert "sf0.1" not in norm and "file:/" not in norm
+    # semantic content survives normalization
+    assert "decimal(18,2)" in norm
+    assert "round(x#, 6)" in norm
+    assert "HashAggregate ()" in norm
+    assert "plan_id=#" in norm
+    # indentation (tree shape) survives
+    assert "   +- Exchange ()" in norm

@@ -1,0 +1,121 @@
+"""Compare the plan fingerprints of two bench artifacts.
+
+Usage: python tools/diff_bench_plans.py BENCH_r08.json BENCH_r09.json
+       python tools/diff_bench_plans.py BENCH_r09.json --live [sf_dir]
+
+Answers the question that cost two rounds of solo re-measures (VERDICT
+r7 ask #2, r8 follow-up): when a query's wall-clock moves
+round-over-round, did its PLAN change, or was it the environment?
+Equal digests ⇒ byte-identical normalized plans — any timing delta is
+weather or data, not a plan regression, and needs no adjudication.
+
+Two-file mode diffs the ``plan_digest`` maps. ``--live`` mode
+recomputes the current working tree's plans at ``sf_dir`` (default
+$SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1) and, for each query whose
+digest differs from the artifact, prints a unified diff of the
+normalized plan text vs the one in git's PLANS.md history is NOT
+attempted — the live normalized text is shown so the regression is
+readable immediately.
+
+Exit code: 0 when all common queries' digests match, 1 otherwise
+(added/removed queries are reported but don't fail the diff — the
+headline set legitimately grows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_digests(path: str) -> dict[str, str]:
+    with open(path) as fh:
+        data = json.load(fh)
+    # the driver's BENCH_r{N}.json wraps bench.py's JSON line under "tail"
+    # or stores it flat; accept both shapes.
+    if "plan_digest" in data:
+        return data["plan_digest"]
+    for key in ("tail", "stdout"):
+        blob = data.get(key)
+        if isinstance(blob, str) and "plan_digest" in blob:
+            # tail may be a truncated JSON fragment; find the object
+            start = blob.find('"plan_digest"')
+            obj_start = blob.index("{", start)
+            depth, i = 0, obj_start
+            while i < len(blob):
+                depth += blob[i] == "{"
+                depth -= blob[i] == "}"
+                i += 1
+                if depth == 0:
+                    break
+            return json.loads(blob[obj_start:i].replace('\\"', '"'))
+    raise SystemExit(
+        f"{path}: no plan_digest map found (pre-round-9 artifacts don't have one)"
+    )
+
+
+def diff_maps(old: dict[str, str], new: dict[str, str], old_name: str, new_name: str) -> int:
+    changed = sorted(q for q in old.keys() & new.keys() if old[q] != new[q])
+    same = sorted(q for q in old.keys() & new.keys() if old[q] == new[q])
+    added = sorted(new.keys() - old.keys())
+    removed = sorted(old.keys() - new.keys())
+    print(f"# plan digests: {old_name} vs {new_name}")
+    print(f"unchanged: {len(same)}")
+    for q in changed:
+        print(f"CHANGED  {q}: {old[q]} -> {new[q]}")
+    for q in added:
+        print(f"added    {q}: {new[q]}")
+    for q in removed:
+        print(f"removed  {q}: {old[q]}")
+    if not changed:
+        print("all common queries have byte-identical normalized plans — "
+              "timing deltas are environment/data, not plan regressions")
+    return 1 if changed else 0
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[2] != "--live":
+        old = load_digests(sys.argv[1])
+        new = load_digests(sys.argv[2])
+        raise SystemExit(diff_maps(old, new, sys.argv[1], sys.argv[2]))
+
+    if len(sys.argv) >= 3 and sys.argv[2] == "--live":
+        from bench import ALL_QUERIES, HEADLINE  # noqa: E402
+        from wwwision_importservice_spark.plans.fingerprint import (  # noqa: E402
+            plan_digest,
+            plan_text,
+        )
+        from wwwision_importservice_spark.session import get_spark  # noqa: E402
+
+        sf_dir = (
+            sys.argv[3]
+            if len(sys.argv) > 3
+            else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        )
+        artifact = load_digests(sys.argv[1])
+        spark = get_spark("diff-bench-plans")
+        rc = 0
+        for name in HEADLINE:
+            fn = ALL_QUERIES.get(name)
+            if fn is None or name not in artifact:
+                continue
+            df = fn(spark, sf_dir)
+            live = plan_digest(df)
+            if live == artifact[name]:
+                print(f"ok       {name}: {live}")
+            else:
+                rc = 1
+                print(f"CHANGED  {name}: artifact {artifact[name]} -> live {live}")
+                print("--- live normalized plan ---")
+                print(plan_text(df))
+        raise SystemExit(rc)
+
+    print(__doc__)
+    raise SystemExit(2)
+
+
+if __name__ == "__main__":
+    main()

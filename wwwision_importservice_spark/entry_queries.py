@@ -53,6 +53,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x6_packed_shards_manifest",  # NEW r9 (driver-pinned per VERDICT r8 #5)
     "x5_gopher_quality",  # NEW r8
     "x10_bucketed_join",  # NEW r8
     "x2_decontaminate",  # NEW r8
@@ -66,7 +67,6 @@ _CHECK_FIRST = [
     "x2_planted_near_dup",  # NEW r6
     "s5_neardup_gate",  # NEW r6
     "dq_check_suite",
-    "x2_dedup_spans",
     "sink_scd2_history",
     "x8_fuzzy_pairs",
     "x6_mixture_sample",
@@ -2743,7 +2743,10 @@ FROM (
 )
 GROUP BY shard
 """,
-    driver=False,
+    # promoted to the driver tier in round 9 (VERDICT r8 ask #5): the shard
+    # manifest is the ops-facing handoff artifact, so the crash-safe
+    # data+manifest swap sits under the hard hash; x2_dedup_spans ceded the
+    # slot (long-green since r5, x2 family keeps 7 driver rows)
 )
 def x6_packed_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 — the training-export write lifecycle under an oracle
@@ -3947,6 +3950,9 @@ SELECT doc_id,
 FROM survivors WHERE rn = 1 AND tile <> ''
 GROUP BY doc_id
 """,
+    driver=False,  # long-green since r5; slot ceded to
+    # x6_packed_shards_manifest (r9 — VERDICT r8 ask #5). The x2 family
+    # keeps 7 driver rows; this exact oracle still runs in the pytest tier.
 )
 def x2_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — corpus-wide exact-SPAN dedup with text reassembly
