@@ -4919,3 +4919,41 @@ def test_gopher_pandas_matches_expression_form(spark):
     by_id = {r[0]: r for r in b}
     cols = gopher_quality_pandas(filled).columns
     assert by_id[8][cols.index("ellipsis_line_frac")] == 0.010938
+
+
+def test_split_churn_reports_cluster_merge_relabels(spark):
+    """VERDICT r8 ask #7: an append that MERGES two near-dup clusters
+    collapses them onto one cluster-min id, wholesale-relabeling the
+    cluster that lost its min. split_churn must surface exactly the
+    moved ids (the contamination delta) — and nothing else."""
+    from wwwision_importservice_spark.operators.sampling import (
+        leakage_safe_split,
+        split_churn,
+    )
+
+    fr = {"train": 0.5, "val": 0.5}
+    # md5-bucket labels (precomputed): 3→train, 10→val; cluster labels
+    # come from the cluster-min id, so A={3,4} trains and B={10,11} vals
+    docs1 = spark.createDataFrame([(3,), (4,), (10,), (11,), (6,)], "doc_id long")
+    pairs1 = spark.createDataFrame([(3, 4), (10, 11)], "id_a long, id_b long")
+    gen1 = leakage_safe_split(docs1, "doc_id", pairs1, fr)
+
+    # append doc 5, whose pairs BRIDGE A and B; drop doc 6
+    docs2 = spark.createDataFrame([(3,), (4,), (5,), (10,), (11,)], "doc_id long")
+    pairs2 = spark.createDataFrame(
+        [(3, 4), (10, 11), (4, 5), (5, 10)], "id_a long, id_b long"
+    )
+    gen2 = leakage_safe_split(docs2, "doc_id", pairs2, fr)
+    # merged cluster min is 3 → everything trains now
+    assert {r["split"] for r in gen2.collect()} == {"train"}
+
+    churn = {
+        r["doc_id"]: (r["old_split"], r["new_split"], r["churn"])
+        for r in split_churn(gen1, gen2, "doc_id").collect()
+    }
+    assert churn == {
+        10: ("val", "train", "relabeled"),  # old eval docs now train —
+        11: ("val", "train", "relabeled"),  # the silent-leak direction
+        5: (None, "train", "added"),
+        6: ("val", None, "removed"),
+    }  # 3 and 4 kept their labels: absent from the report

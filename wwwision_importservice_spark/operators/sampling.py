@@ -114,6 +114,73 @@ def leakage_safe_split(
     return df.join(labeled, id_col)
 
 
+def split_churn(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    split_col: str = "split",
+) -> DataFrame:
+    """The contamination delta between two :func:`leakage_safe_split`
+    generations (VERDICT r8 ask #7).
+
+    :func:`leakage_safe_split` labels each near-dup cluster from the md5
+    of its cluster-min id — stable under appends that leave clusters
+    intact, but an append that MERGES two clusters collapses them onto
+    ONE min id, so every document of the cluster that lost its min is
+    relabeled wholesale. That is correct behavior (the merged cluster
+    must not straddle a boundary going forward), but a model already
+    trained on the old generation has now *seen* documents that the new
+    generation assigns to val/test. This report makes that delta
+    explicit instead of silent.
+
+    ``old`` / ``new`` are two labeled outputs (only ``id_col`` +
+    ``split_col`` are read). Returns one row per id whose assignment
+    changed, with ``old_split`` / ``new_split`` (NULL on the missing
+    side) and ``churn``:
+
+    - ``relabeled`` — present in both, label moved (the cluster-merge
+      signature). ``old_split ∈ {val,test} ∧ new_split = train`` rows
+      are the ones that silently leak old eval docs into new training
+      sets; ``train → val/test`` rows invalidate the NEW eval for any
+      model trained on the OLD generation.
+    - ``added`` / ``removed`` — only in one generation (corpus append /
+      retention deletion), reported so realized-fraction drift is
+      attributable.
+
+    One narrow full-outer join on the id — ids-plus-label columns only,
+    no payload; scales as the split frames do. Retraining policy stays
+    with the caller (e.g. "abort if any relabeled row was in test").
+    """
+    # explicit presence flags: a NULL *label* (fractions summing < 1
+    # leave a remainder) must not masquerade as an absent *row*
+    o = old.select(
+        F.col(id_col),
+        F.col(split_col).alias("old_split"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.col(split_col).alias("new_split"),
+        F.lit(True).alias("__in_new"),
+    )
+    joined = o.join(n, on=id_col, how="full_outer")
+    churn = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("relabeled"))
+    )
+    # eqNullSafe: a NULL label (id in the "remainder" of fractions
+    # summing < 1) is a real assignment — NULL→train is churn too, and
+    # plain != would silently drop it. Presence changes always report,
+    # even when both labels are NULL (an added doc parked in the
+    # remainder still moves the realized fractions' denominator).
+    return joined.filter(
+        ~F.col("old_split").eqNullSafe(F.col("new_split"))
+        | F.col("__in_old").isNull()
+        | F.col("__in_new").isNull()
+    ).select(F.col(id_col), "old_split", "new_split", churn.alias("churn"))
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str, fraction: float
 ) -> DataFrame:
