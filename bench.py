@@ -157,6 +157,9 @@ HEADLINE = [
     # the 20-metric Gopher filter suite (single scan, pure expressions)
     "x10_bucketed_join",
     "x5_gopher_quality",
+    # joined round 9: real image decode + resize (pure-codec BMP/PNG
+    # round-trip under the md5-arithmetic oracle, one Arrow pass)
+    "x4_image_decode",
 ]
 
 

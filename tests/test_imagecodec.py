@@ -1,0 +1,226 @@
+"""Pure-Python image codec tests: byte-level layout pins (so the
+encoder/decoder pair can't be wrong together), round-trips across odd
+widths (BMP row padding), all five PNG filter types, gray/RGBA PNG, and
+the nearest-neighbor resize index map."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from wwwision_importservice_spark.operators.imagecodec import (
+    ImageDecodeError,
+    bmp_row_stride,
+    decode_bmp,
+    decode_image,
+    decode_png,
+    decode_ppm,
+    encode_bmp,
+    encode_png,
+    encode_ppm,
+    resize_nearest,
+    sniff_format,
+)
+
+
+def grid(h, w, seed=7):
+    """Deterministic test pixels, distinct per position."""
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+# --- layout pins -----------------------------------------------------------
+
+
+def test_bmp_layout_pinned_bytes():
+    """2x2 image against the hand-computed spec layout: 54-byte header,
+    bottom-up rows, BGR order, rows padded to 4 bytes (3*2=6 → 8)."""
+    arr = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    data = encode_bmp(arr)
+    assert data[:2] == b"BM"
+    assert struct.unpack_from("<I", data, 2)[0] == len(data) == 54 + 2 * 8
+    assert struct.unpack_from("<I", data, 10)[0] == 54  # pixel offset
+    assert struct.unpack_from("<ii", data, 18) == (2, 2)  # w, h
+    assert struct.unpack_from("<H", data, 28)[0] == 24  # bpp
+    # bottom row first: (0,0,255)->BGR ff 00 00, (10,20,30)->1e 14 0a, pad
+    assert data[54:62] == bytes([255, 0, 0, 30, 20, 10, 0, 0])
+    # top row: (255,0,0)->00 00 ff, (0,255,0)->00 ff 00, pad
+    assert data[62:70] == bytes([0, 0, 255, 0, 255, 0, 0, 0])
+    np.testing.assert_array_equal(decode_bmp(data), arr)
+
+
+def test_ppm_layout_and_comments():
+    arr = grid(3, 2)
+    data = encode_ppm(arr)
+    assert data.startswith(b"P6\n2 3\n255\n")
+    np.testing.assert_array_equal(decode_ppm(data), arr)
+    # comment lines between header tokens are legal netpbm
+    commented = b"P6\n# a comment\n2 3\n# another\n255\n" + arr.tobytes()
+    np.testing.assert_array_equal(decode_ppm(commented), arr)
+
+
+def test_png_roundtrip_and_chunk_structure():
+    arr = grid(5, 7)
+    data = encode_png(arr)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    assert data[12:16] == b"IHDR"
+    assert struct.unpack_from(">II", data, 16) == (7, 5)  # w, h
+    np.testing.assert_array_equal(decode_png(data), arr)
+
+
+# --- round-trips incl. padding edge cases ----------------------------------
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 2), (3, 5), (4, 1), (5, 3), (6, 2), (7, 4)])
+def test_bmp_roundtrip_all_padding_classes(w, h):
+    # widths 1..7 cover all four stride-padding residues
+    arr = grid(h, w, seed=w * 10 + h)
+    assert bmp_row_stride(w) % 4 == 0
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(arr)), arr)
+
+
+@pytest.mark.parametrize("codec", ["bmp", "ppm", "png"])
+def test_decode_image_sniffs(codec):
+    arr = grid(4, 6, seed=3)
+    enc = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}[codec]
+    data = enc(arr)
+    assert sniff_format(data) == codec
+    out, fmt = decode_image(data)
+    assert fmt == codec
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_decode_image_rejects_unknown_and_truncated():
+    with pytest.raises(ImageDecodeError):
+        decode_image(b"GIF89a not supported")
+    data = encode_bmp(grid(4, 4))
+    with pytest.raises(ImageDecodeError):
+        decode_bmp(data[:60])
+    with pytest.raises(ImageDecodeError):
+        decode_ppm(b"P6\n4 4\n255\n" + b"\x00" * 10)
+
+
+# --- PNG filters 1-4 (hand-filtered scanlines, independent of the encoder) --
+
+
+def _png_from_filtered(w, h, ctype, filtered_rows: bytes) -> bytes:
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(filtered_rows))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _filter_row(ftype, row, prev, ch):
+    """Forward-apply a PNG filter (the inverse of what decode undoes)."""
+    n = len(row)
+    out = bytearray(n)
+    for i in range(n):
+        a = row[i - ch] if i >= ch else 0
+        b = prev[i] if prev is not None else 0
+        c = prev[i - ch] if (prev is not None and i >= ch) else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (row[i] - pred) & 0xFF
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_each_filter_type_decodes(ftype):
+    arr = grid(4, 5, seed=40 + ftype)
+    rows = arr.reshape(4, 15)
+    blob = b""
+    prev = None
+    for y in range(4):
+        blob += bytes([ftype]) + _filter_row(ftype, rows[y].tobytes(), prev, 3)
+        prev = rows[y].tobytes()
+    np.testing.assert_array_equal(decode_png(_png_from_filtered(5, 4, 2, blob)), arr)
+
+
+def test_png_mixed_filters_per_row():
+    arr = grid(5, 3, seed=99)
+    rows = arr.reshape(5, 9)
+    blob, prev = b"", None
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        blob += bytes([ftype]) + _filter_row(ftype, rows[y].tobytes(), prev, 3)
+        prev = rows[y].tobytes()
+    np.testing.assert_array_equal(decode_png(_png_from_filtered(3, 5, 2, blob)), arr)
+
+
+def test_png_gray_and_rgba():
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    blob = b"".join(bytes([0]) + gray[y].tobytes() for y in range(3))
+    out = decode_png(_png_from_filtered(4, 3, 0, blob))
+    np.testing.assert_array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+
+    rgba = grid(2, 3, seed=5)
+    alpha = np.full((2, 3, 1), 128, dtype=np.uint8)
+    px = np.concatenate([rgba, alpha], axis=2)
+    blob = b"".join(bytes([0]) + px[y].tobytes() for y in range(2))
+    out = decode_png(_png_from_filtered(3, 2, 6, blob))
+    np.testing.assert_array_equal(out, rgba)  # alpha dropped
+
+
+def test_png_rejects_16bit_and_interlace():
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    data = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+    with pytest.raises(ImageDecodeError):
+        decode_png(data)
+
+
+# --- resize ----------------------------------------------------------------
+
+
+def test_resize_nearest_matches_floor_index_map():
+    arr = grid(6, 9, seed=11)
+    out = resize_nearest(arr, 4, 3)
+    assert out.shape == (3, 4, 3)
+    for y in range(3):
+        for x in range(4):
+            np.testing.assert_array_equal(out[y, x], arr[(y * 6) // 3, (x * 9) // 4])
+    # upscale too
+    up = resize_nearest(arr, 18, 12)
+    for y in range(12):
+        for x in range(18):
+            np.testing.assert_array_equal(up[y, x], arr[(y * 6) // 12, (x * 9) // 18])
+
+
+def test_resize_identity_and_errors():
+    arr = grid(3, 3)
+    np.testing.assert_array_equal(resize_nearest(arr, 3, 3), arr)
+    with pytest.raises(ValueError):
+        resize_nearest(arr, 0, 3)

@@ -53,6 +53,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x4_image_decode",  # NEW r9 (real in-sandbox decode per VERDICT r8 #3)
     "x6_packed_shards_manifest",  # NEW r9 (driver-pinned per VERDICT r8 #5)
     "x5_gopher_quality",  # NEW r8
     "x10_bucketed_join",  # NEW r8
@@ -933,6 +934,10 @@ SELECT l_returnflag,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag
 """,
+    driver=False,  # long-green since r2; slot ceded to x4_image_decode
+    # (r9 — VERDICT r8 ask #3). The A3 surface keeps agg_q1_lineitem,
+    # agg_rollup_orders, win_topk and join_q3/q5 driver rows; this exact
+    # oracle still runs in the pytest tier.
 )
 def a3_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 — exact interpolated percentiles per group (the hash-checkable
@@ -3773,6 +3778,103 @@ def x4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     blobs = attach_blob(docs, "doc_id", "text")
     return frame_sample(blobs, "doc_id", every_n_bytes=64, max_frames=8)
+
+
+@_register(
+    "x4_image_decode",
+    # The oracle PREDICTS, from pure md5 arithmetic, the exact pixel
+    # bytes the Spark side must recover by really encoding and really
+    # decoding BMP/PNG files (imagecodec.py) — and the exact bytes a
+    # 6x4 nearest-neighbor resize of those pixels must produce (the
+    # floor-index map restated with DuckDB integer //). A hash match
+    # proves the full synthesize → encode → DECODE → RESIZE chain is
+    # byte-faithful, cross-engine, over real image bytes in-sandbox —
+    # no Pillow anywhere (VERDICT r8 ask #3).
+    """
+SELECT doc_id,
+       CAST(4 + b % 12 AS INT) AS width,
+       CAST(4 + b // 12 AS INT) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+       sha256(substr(repeat(mh, 43), 1,
+                     6 * (4 + b % 12) * (4 + b // 12))) AS pixel_sha,
+       sha256(array_to_string(list_transform(range(0, 72), i ->
+         substr(repeat(mh, 43),
+                2 * ((((i // 18) * (4 + b // 12) // 4) * (4 + b % 12)
+                      + ((i % 18) // 3) * (4 + b % 12) // 6) * 3
+                     + (i % 3)) + 1,
+                2)), '')) AS resized_sha
+FROM (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mh,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 144 AS b
+  FROM documents
+)
+""",
+)
+def x4_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — REAL image decode + resize under a byte-exact oracle
+    (``operators/imagecodec.py``, ``operators/multimodal.py:
+    resize_images``): per document, deterministic pixels (the doc-id's
+    md5 digest cycled over a md5-derived WxH canvas) are encoded to an
+    actual BMP (even ids) or PNG (odd ids) file, decoded back through
+    the pure-stdlib codecs, nearest-neighbor-resized to 6x4, and
+    content-addressed — sha256 over the DECODED and RESIZED pixel hex.
+    The oracle recomputes both digests from md5 string arithmetic
+    alone, so the hash match proves the codec round-trip and the
+    resize index map byte-for-byte without any image library.
+
+    Scale shape: ONE Arrow mapInPandas pass over a doc_id projection —
+    per-image CPU, no shuffle, no driver participation; partition
+    count = scan parallelism. The kernel is self-contained (closure
+    convention): the codec module is imported worker-side via a
+    path-by-value fallback (``multimodal._codec_importer``)."""
+    from wwwision_importservice_spark.operators.multimodal import _codec_importer
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
+    import_codec = _codec_importer()
+    out_schema = (
+        "doc_id long, width int, height int, format string, "
+        "pixel_sha string, resized_sha string"
+    )
+
+    def kernel(it):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        codec = import_codec()
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mh = _hashlib.md5(str(did).encode()).hexdigest()
+                b = int(mh[:15], 16) % 144
+                w, h = 4 + b % 12, 4 + b // 12
+                pat = bytes.fromhex((mh * 43)[: 6 * w * h])
+                import numpy as np
+
+                arr = np.frombuffer(pat, dtype=np.uint8).reshape(h, w, 3)
+                blob = (codec.encode_bmp if did % 2 == 0 else codec.encode_png)(arr)
+                decoded, fmt = codec.decode_image(blob)
+                small = codec.resize_nearest(decoded, 6, 4)
+                rows.append(
+                    (
+                        did,
+                        decoded.shape[1],
+                        decoded.shape[0],
+                        fmt,
+                        _hashlib.sha256(decoded.tobytes().hex().encode()).hexdigest(),
+                        _hashlib.sha256(small.tobytes().hex().encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "format", "pixel_sha", "resized_sha",
+                ],
+            )
+
+    return docs.mapInPandas(kernel, schema=out_schema)
 
 
 # --------------------------------------------------------------------------- #

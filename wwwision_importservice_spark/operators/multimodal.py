@@ -5,12 +5,17 @@ columns with typed metadata structs, with decode / feature-extract /
 resize / frame-sample as Arrow-batched Pandas functions over
 ``mapInPandas``.
 
-The decode step itself is STUBBED — the image/audio libraries are not in
-this container — behind an import-try: with Pillow/librosa installed the
-real decoder slots into ``_decode_image_real``; without them a
-deterministic fake (seeded by content hash) exercises the full Spark-side
-plumbing: schema, binary transport through Arrow, batch iteration,
-partition sizing.
+Image decode is REAL in-sandbox (round 9): BMP / PPM / PNG bytes decode
+to pixels through the pure-stdlib/NumPy codecs in
+:mod:`~wwwision_importservice_spark.operators.imagecodec` — no Pillow
+required. Pillow, when installed, is the optional fast lane for every
+*other* format (JPEG etc.); payloads that are not recognizable images
+(e.g. text bytes standing in for media) fall back to a deterministic
+fake decoder (seeded by content hash) so the plumbing — schema, binary
+transport through Arrow, batch iteration, partition sizing — stays
+exercised on any fixture. Audio decode remains byte-arithmetic only
+(:func:`audio_windows`); a real audio codec still needs librosa-class
+libraries.
 
 Scale notes: binary payloads make *row size*, not row count, the
 partitioning constraint — ``repartition`` by byte-size budget before
@@ -22,10 +27,38 @@ of blobs fits executor memory.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: repo root, resolved driver-side. Executor closures may not reference
+#: this package by module (workers don't inherit the driver's sys.path
+#: edits — the CLOSURE CONVENTION), so kernels that need the image codec
+#: close over this STRING and import inside the worker after a sys.path
+#: fallback insert. Local mode: the path always exists. Cluster mode:
+#: the package ships via --py-files/env and the plain import succeeds
+#: first, so the path is never consulted.
+_PKG_PARENT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _codec_importer(pkg_parent: str = _PKG_PARENT):
+    """A by-value-shippable callable returning the imagecodec module."""
+
+    def _import():
+        try:
+            from wwwision_importservice_spark.operators import imagecodec
+        except ImportError:
+            import sys
+
+            sys.path.insert(0, pkg_parent)
+            from wwwision_importservice_spark.operators import imagecodec
+        return imagecodec
+
+    return _import
 
 METADATA_SCHEMA = (
     "n_bytes long, content_sha string, width int, height int, format string"
@@ -50,18 +83,24 @@ def attach_blob(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 
 
 def _decode_image_real(data: bytes) -> tuple[int, int, str]:
-    """Real decode path (requires Pillow)."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "Image decoding requires Pillow, which is not installed in this "
-            "environment; the deterministic fake decoder is used instead."
-        )
-    import io
+    """Real decode: pure BMP/PPM/PNG codecs first (always available),
+    Pillow for anything else when installed."""
+    from wwwision_importservice_spark.operators import imagecodec
 
-    import PIL.Image
+    if imagecodec.sniff_format(data) is not None:
+        arr, fmt = imagecodec.decode_image(data)
+        return arr.shape[1], arr.shape[0], fmt
+    if _HAS_PIL:
+        import io
 
-    img = PIL.Image.open(io.BytesIO(data))
-    return img.width, img.height, img.format or "unknown"
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(data))
+        return img.width, img.height, (img.format or "unknown").lower()
+    raise imagecodec.ImageDecodeError(
+        f"unrecognized image magic {data[:8]!r} and Pillow (the optional "
+        "fast lane for non-BMP/PPM/PNG formats) is not installed"
+    )
 
 
 def _decode_image_fake(data: bytes) -> tuple[int, int, str]:
@@ -82,8 +121,16 @@ def decode_metadata(
     target_partition_bytes: int | None = None,
 ) -> DataFrame:
     """Extract typed metadata from binary media via Arrow-batched
-    ``mapInPandas`` — the X4 decode/feature-extract plumbing."""
-    use_real = use_real_decoder or _HAS_PIL
+    ``mapInPandas`` — the X4 decode/feature-extract step.
+
+    Recognizable image bytes (BMP/PPM/PNG magic) ALWAYS decode for real
+    through the pure codecs — no library gate. Unrecognized payloads:
+    Pillow when present (JPEG etc.), else the deterministic fake
+    (format ``'fake'``), unless ``use_real_decoder=True`` makes an
+    undecodable payload a hard error instead of a silently fake row."""
+    strict = use_real_decoder
+    has_pil = _HAS_PIL
+    import_codec = _codec_importer()
     out_schema = f"{id_col} long, {METADATA_SCHEMA}"
 
     src = df.select(id_col, blob_col)
@@ -104,14 +151,23 @@ def decode_metadata(
 
         import pandas as pd
 
+        codec = import_codec()
+
         def decode(data: bytes) -> tuple[int, int, str]:
-            if use_real:
+            if codec.sniff_format(data) is not None:
+                arr, fmt = codec.decode_image(data)
+                return arr.shape[1], arr.shape[0], fmt
+            if has_pil:
                 import io
 
                 import PIL.Image
 
                 img = PIL.Image.open(io.BytesIO(data))
-                return img.width, img.height, img.format or "unknown"
+                return img.width, img.height, (img.format or "unknown").lower()
+            if strict:
+                raise codec.ImageDecodeError(
+                    f"unrecognized image magic {data[:8]!r} (strict mode)"
+                )
             digest = _hashlib.md5(data).digest()
             return 64 + digest[0] % 192, 64 + digest[1] % 192, "fake"
 
@@ -192,17 +248,48 @@ def frame_sample(
     return df.select(id_col, blob_col).mapInPandas(batches, schema=out_schema)
 
 
-def resize_stub(df: DataFrame, id_col: str, blob_col: str = "blob") -> DataFrame:
-    """Resize plumbing: passes blobs through the same Arrow path; the
-    actual pixel transform raises behind the Pillow gate."""
-    out_schema = f"{id_col} long, blob binary"
-    has_pil = _HAS_PIL
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    width: int,
+    height: int,
+    blob_col: str = "blob",
+) -> DataFrame:
+    """REAL image resize over binary blobs (no Pillow needed): decode
+    BMP/PPM/PNG with the pure codecs, nearest-neighbor resample to
+    ``width``×``height`` (the floor-index map — SQL-restatable, see
+    ``imagecodec.resize_nearest``), re-encode in the SAME format, and
+    return ``(id, blob, width, height, format)``.
+
+    Scale shape: one Arrow ``mapInPandas`` pass, per-image CPU only, no
+    shuffle; output row size is bounded by the fixed target dims, so a
+    thumbnail pass *shrinks* the byte volume flowing to the next stage
+    regardless of input sizes. Undecodable payloads raise — a resize
+    stage downstream of :func:`decode_metadata` filtering is the
+    supported composition (filter ``format != 'fake'`` first).
+    """
+    out_schema = f"{id_col} long, blob binary, width int, height int, format string"
+    import_codec = _codec_importer()
+    w, h = int(width), int(height)
 
     def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        codec = import_codec()
+        encoders = {
+            "bmp": codec.encode_bmp,
+            "ppm": codec.encode_ppm,
+            "png": codec.encode_png,
+        }
         for pdf in it:
-            if has_pil:
-                raise NotImplementedError("wire the real resize here")
-            yield pdf[[id_col, blob_col]]
+            rows = []
+            for _, row in pdf.iterrows():
+                arr, fmt = codec.decode_image(bytes(row[blob_col]))
+                small = codec.resize_nearest(arr, w, h)
+                rows.append((row[id_col], encoders[fmt](small), w, h, fmt))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "blob", "width", "height", "format"]
+            )
 
     return df.select(id_col, blob_col).mapInPandas(batches, schema=out_schema)
 
