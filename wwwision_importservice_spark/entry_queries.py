@@ -1455,7 +1455,10 @@ from wwwision_importservice_spark.operators.dedup import (  # noqa: E402
 # (mirrors operators/dedup.py hashed_word_shingles, n=3)
 
 
-def _shingles_sql(where: str = "1=1") -> str:
+def _shingles_from(src: str) -> str:
+    """Shingle fragment over any relation expression providing
+    (doc_id, text) — a table, a ``documents WHERE …``, or a CTE name
+    (the composed-pipeline oracle feeds CTEs through here)."""
     return f"""
   SELECT DISTINCT doc_id,
          ((((COALESCE(wh[i], 0) * {_SHINGLE_P} + COALESCE(wh[i+1], 0)) % {_SHINGLE_M})
@@ -1463,37 +1466,53 @@ def _shingles_sql(where: str = "1=1") -> str:
   FROM (SELECT doc_id,
                list_transform(string_split(text, ' '),
                               x -> CAST(('0x' || substr(md5(x), 1, 7)) AS BIGINT)) AS wh
-        FROM documents WHERE {where}),
+        FROM {src}),
        unnest(range(1, greatest(len(wh) - 2, 1) + 1)) AS u(i)
 """
+
+
+def _shingles_sql(where: str = "1=1") -> str:
+    return _shingles_from(f"documents WHERE {where}")
 
 
 _SHINGLES_SQL = _shingles_sql()
 
 # affine universal-hash permutations over the shingle hash
-_MINHASH_SQL = "SELECT doc_id, " + ", ".join(
-    f"min((shingle * {_MINHASH_A[i]} + {_MINHASH_B[i]}) % {_MINHASH_PRIME}) AS h{i}"
-    for i in range(16)
-) + f" FROM ({_SHINGLES_SQL}) GROUP BY doc_id"
+def _minhash_from(src: str) -> str:
+    return "SELECT doc_id, " + ", ".join(
+        f"min((shingle * {_MINHASH_A[i]} + {_MINHASH_B[i]}) % {_MINHASH_PRIME}) AS h{i}"
+        for i in range(16)
+    ) + f" FROM ({_shingles_from(src)}) GROUP BY doc_id"
 
-_BUCKETS_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, "
-    f"md5(h{4*b} || ':' || h{4*b+1} || ':' || h{4*b+2} || ':' || h{4*b+3}) AS sig "
-    f"FROM ({_MINHASH_SQL})"
-    for b in range(4)
-)
 
-# buckets wider than the engine's max_bucket_size (default 10k) are
-# excluded from pair expansion on BOTH sides, so the oracle models the
-# cap exactly and a giant boilerplate bucket can never turn the row red
-_PAIRS_SQL = f"""
+def _buckets_from(src: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(h{4*b} || ':' || h{4*b+1} || ':' || h{4*b+2} || ':' || h{4*b+3}) AS sig "
+        f"FROM ({_minhash_from(src)})"
+        for b in range(4)
+    )
+
+
+def _pairs_from(src: str) -> str:
+    """Banded-LSH candidate pairs over any (doc_id, text) relation.
+    Buckets wider than the engine's max_bucket_size (default 10k) are
+    excluded from pair expansion on BOTH sides, so the oracle models the
+    cap exactly and a giant boilerplate bucket can never turn a row red."""
+    bsql = _buckets_from(src)
+    return f"""
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-FROM ({_BUCKETS_SQL}) l JOIN ({_BUCKETS_SQL}) r
+FROM ({bsql}) l JOIN ({bsql}) r
   ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-JOIN (SELECT band, sig FROM ({_BUCKETS_SQL})
+JOIN (SELECT band, sig FROM ({bsql})
       GROUP BY band, sig HAVING count(*) <= 10000) ok
   ON ok.band = l.band AND ok.sig = l.sig
 """
+
+
+_MINHASH_SQL = _minhash_from("documents WHERE 1=1")
+_BUCKETS_SQL = _buckets_from("documents WHERE 1=1")
+_PAIRS_SQL = _pairs_from("documents WHERE 1=1")
 
 
 @_register(
@@ -2785,6 +2804,314 @@ def x6_packed_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return write_packed_shards(packed, out_dir)
 
 
+# DSIR oracle building blocks: the hashed-n-gram feature map restated
+# declaratively — unigrams plus space-joined adjacent bigrams of the
+# lowercased whitespace tokens, md5-bucketed exactly like
+# operators/sampling.py:hash_bucket.
+_DSIR_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+def _dsir_feats_from(src: str) -> str:
+    """Hashed unigram+bigram feature stream over any (doc_id, text)
+    relation — CTE names welcome (composed-pipeline oracle)."""
+    return f"""
+  SELECT doc_id, unnest({_DSIR_TOKS}) AS feat FROM {src}
+  UNION ALL
+  SELECT doc_id, t[g] || ' ' || t[g+1] AS feat FROM (
+    SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g
+    FROM (SELECT doc_id, {_DSIR_TOKS} AS t FROM {src})
+  )
+"""
+
+
+def _dsir_feats(where: str) -> str:
+    return _dsir_feats_from(f"documents {where}")
+
+
+_DSIR_FEATS_T = _dsir_feats("WHERE lang = 'en'")
+_DSIR_FEATS_R = _dsir_feats("")
+_DSIR_BUCKET = "CAST('0x' || substr(md5(feat), 1, 15) AS BIGINT) % 10000"
+_DSIR_TT = f"(SELECT count(*) FROM ({_DSIR_FEATS_T}))"
+_DSIR_TR = f"(SELECT count(*) FROM ({_DSIR_FEATS_R}))"
+
+# --------------------------------------------------------------------------- #
+# The COMPOSED curation pipeline under ONE oracle hash (VERDICT r8 ask #1):
+# exact dedup → decontaminate → near-dup canonicals → DSIR-select →
+# temperature mixture → leakage-safe split → pack → shard write + verify,
+# the membership-flow chain of examples/corpus_pipeline.py:curate (the
+# per-doc gates that chain also runs — span/semantic dedup, Gopher, LM,
+# PII, langid — are each individually oracle-pinned by their own rows;
+# this row pins the COMPOSITION end to end: every stage's oracle SQL is
+# re-derived from the previous stage's CTE instead of `documents`, so a
+# membership error anywhere upstream changes the final shard hashes).
+# CTEs are MATERIALIZED: DuckDB would otherwise inline the minhash
+# fragment per reference and exhaust file handles re-opening the scan.
+_H60 = lambda e: f"CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"  # noqa: E731
+_CURATION_NTOK = (
+    "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)"
+)
+_CURATION_SQL = f"""
+WITH RECURSIVE
+dedup1 AS MATERIALIZED (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+decon AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.source
+  FROM documents d JOIN dedup1 USING (doc_id)
+  WHERE NOT EXISTS (SELECT 1 FROM documents e
+                    WHERE e.doc_id % 97 = 0 AND e.text = d.text)
+),
+p1 AS MATERIALIZED ({_pairs_from('decon')}),
+sym1 AS (SELECT id_a AS a, id_b AS b FROM p1 UNION SELECT id_b, id_a FROM p1),
+reach1(id, r) AS (
+  SELECT doc_id, doc_id FROM decon
+  UNION
+  SELECT reach1.id, sym1.b FROM reach1 JOIN sym1 ON reach1.r = sym1.a
+),
+canon AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.source FROM decon d
+  JOIN (SELECT id, min(r) AS cid FROM reach1 GROUP BY id) c
+    ON c.id = d.doc_id AND c.cid = d.doc_id
+),
+tgt AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+feats_t AS MATERIALIZED ({_dsir_feats_from('tgt')}),
+feats_r AS MATERIALIZED ({_dsir_feats_from('canon')}),
+dsir AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id, logw_micro + CAST(round(1000000.0 * -ln(-ln(
+             (CAST({_H60("'0:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 0.5)
+             / 1152921504606846976.0
+           ))) AS BIGINT) AS key_micro
+    FROM (
+      SELECT doc_id, CAST(sum(cnt * term) AS BIGINT) AS logw_micro
+      FROM (
+        SELECT d.doc_id, d.cnt,
+               CAST(round(1000000.0 * ln(
+                 (CAST(coalesce(t.c, 0) + 1 AS DOUBLE)
+                  * (CAST((SELECT count(*) FROM feats_r) AS DOUBLE) + 10000.0))
+                 / (CAST(coalesce(r.c, 0) + 1 AS DOUBLE)
+                    * (CAST((SELECT count(*) FROM feats_t) AS DOUBLE) + 10000.0))
+               )) AS BIGINT) AS term
+        FROM (
+          SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT doc_id, {_DSIR_BUCKET} AS bucket FROM feats_r)
+          GROUP BY doc_id, bucket
+        ) d
+        LEFT JOIN (SELECT bucket, count(*) AS c
+                   FROM (SELECT {_DSIR_BUCKET} AS bucket FROM feats_t)
+                   GROUP BY bucket) t USING (bucket)
+        LEFT JOIN (SELECT bucket, count(*) AS c
+                   FROM (SELECT {_DSIR_BUCKET} AS bucket FROM feats_r)
+                   GROUP BY bucket) r USING (bucket)
+      ) GROUP BY doc_id
+    )
+  ) ORDER BY key_micro DESC, doc_id ASC LIMIT 150
+),
+counted AS MATERIALIZED (
+  SELECT c.doc_id, c.text, c.source, {_CURATION_NTOK} AS n_tokens
+  FROM canon c JOIN dsir USING (doc_id)
+),
+budgets AS MATERIALIZED (
+  SELECT bsrc, CAST((4000 * wm) // (sum(wm) OVER ()) AS BIGINT) AS budget
+  FROM (SELECT source AS bsrc,
+               CAST(round(pow(sum(n_tokens) * 1.0, 0.5) * 1000000) AS BIGINT) AS wm
+        FROM counted GROUP BY source)
+),
+mixed AS MATERIALIZED (
+  SELECT doc_id, text, n_tokens FROM (
+    SELECT doc_id, text, source, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cum_excl
+    FROM counted
+  ) b JOIN budgets ON source = bsrc
+  WHERE cum_excl < budget
+),
+p2 AS MATERIALIZED ({_pairs_from('mixed')}),
+sym2 AS (SELECT id_a AS a, id_b AS b FROM p2 UNION SELECT id_b, id_a FROM p2),
+reach2(id, r) AS (
+  SELECT doc_id, doc_id FROM mixed
+  UNION
+  SELECT reach2.id, sym2.b FROM reach2 JOIN sym2 ON reach2.r = sym2.a
+),
+labeled AS MATERIALIZED (
+  SELECT m.doc_id, m.n_tokens,
+         CASE WHEN c.bkt < 9000 THEN 'train' ELSE 'val' END AS split
+  FROM mixed m JOIN (
+    SELECT id, {_H60("CAST(min(r) AS VARCHAR)")} % 10000 AS bkt
+    FROM reach2 GROUP BY id) c ON c.id = m.doc_id
+),
+packed AS MATERIALIZED (
+  SELECT doc_id, n_tokens, split, shard,
+         (cum - n_tokens) // 512 AS pack_id,
+         (cum - n_tokens) - ((cum - n_tokens) // 512) * 512 AS off
+  FROM (
+    SELECT doc_id, n_tokens, split, shard,
+           CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM (SELECT doc_id, n_tokens, split,
+                 {_H60("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+          FROM labeled)
+  )
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       bit_xor({_H60("CAST(doc_id AS VARCHAR) || '|' || CAST(pack_id AS VARCHAR)"
+                     " || '|' || CAST(off AS VARCHAR) || '|' ||"
+                     " CAST(n_tokens AS VARCHAR)")}) AS content_hash,
+       bit_xor({_H60("CAST(doc_id AS VARCHAR) || '|' || split")}) AS split_hash,
+       TRUE AS verified
+FROM packed GROUP BY shard
+"""
+
+
+@_register(
+    "x6_curation_pipeline",
+    _CURATION_SQL,
+    driver=False,  # pytest tier per the ask ("pytest tier is fine") —
+    # the heaviest oracle in the registry (two recursive CCs, two LSH
+    # banding passes, a DSIR fit, a shard write); every stage also
+    # holds its own driver/pytest row
+)
+def x6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus curation chain under ONE hash
+    (VERDICT r8 ask #1; ``examples/corpus_pipeline.py:curate`` is the
+    full production shape this row distills to its membership-flow
+    stages): exact dedup (X1) → eval-set decontamination at Bloom cost
+    (doc_id%97 plays the benchmark; X2e) → MinHash-LSH near-dup
+    canonicals via connected components (X2) → DSIR importance
+    resampling toward the lang='en' target, k=150 (X6b) →
+    temperature-scaled per-source token budgets (alpha=0.5, 4000
+    tokens) with hash-ordered admission (X6) → leakage-safe train/val
+    split over RE-SIGNED final texts (X6c) → 512-token packs in 8
+    md5 shards → ``write_packed_shards`` + ``verify_shards``. The
+    returned frame is the per-shard manifest READ BACK FROM DISK,
+    verified, joined with a split-assignment hash also read from disk —
+    so the oracle match proves every stage's membership decision, the
+    pack/offset arithmetic, the crash-safe write, and the split labels
+    simultaneously; a single wrong doc anywhere upstream flips a shard
+    hash.
+
+    Scale shape: each stage keeps its individually-pinned plan (LSH
+    banding never all-pairs, CC pointer-doubling, DSIR models
+    broadcast, mixture one window, packs two-level prefix sums); the
+    ``localCheckpoint`` calls are lineage barriers between the
+    iterative stages — without them every CC round re-executes the
+    whole upstream chain (same rationale as the example pipeline's
+    barriers). Side effect (registry exception, sink_e2e_state
+    protocol): one deterministic scratch dir per (tempdir, sf),
+    swapped in place on each invocation."""
+    import hashlib
+    import tempfile
+
+    from wwwision_importservice_spark.operators.dedup import (
+        bloom_verified_anti_join,
+        build_bloom_filter,
+        connected_components,
+        exact_dedup,
+        lsh_candidate_pairs,
+        minhash_signatures_inline,
+    )
+    from wwwision_importservice_spark.operators.packing import (
+        verify_shards,
+        write_packed_shards,
+    )
+    from wwwision_importservice_spark.operators.sampling import (
+        leakage_safe_split,
+        md5_long,
+        mixture_sample,
+        pack_sequences,
+        temperature_budgets,
+    )
+    from wwwision_importservice_spark.operators.selection import dsir_select
+    from wwwision_importservice_spark.operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    # X1 — exact dedup: keep the min doc_id per identical body
+    deduped = docs.join(
+        exact_dedup(docs, ["text"], "doc_id").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    # X2e — decontamination, exact at Bloom cost (coarse fpp so the
+    # confirm join does real restore work — correctness can't depend on it)
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    bloom = build_bloom_filter(evalset, "text", fpp=0.25)
+    decon = bloom_verified_anti_join(deduped, bloom, evalset, "text")
+    # X2 — near-dup canonicals: cluster-min representative per component
+    sig = minhash_signatures_inline(decon, "doc_id", "text", n=3, num_hashes=16)
+    pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    clusters = connected_components(
+        decon.select("doc_id"), pairs, id_col="doc_id", edges_within_nodes=True
+    )
+    canon = decon.join(
+        clusters.filter(F.col("id") == F.col("cluster_id")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    ).localCheckpoint()  # barrier: DSIR + mixture + split each re-consume
+    # X6b — DSIR toward the trusted lang='en' slice of the RAW corpus
+    picked = dsir_select(canon, docs.filter(F.col("lang") == "en"), 150).select(
+        "doc_id"
+    )
+    counted = (
+        canon.join(picked, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "text",
+            "source",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint()  # barrier: budgets rollup (a collect) + admission
+    )
+    # X6 — temperature mixture (alpha=0.5 over 4000 tokens)
+    budgets = temperature_budgets(counted, "source", "n_tokens", 4000, alpha=0.5)
+    mixed = mixture_sample(
+        counted, "doc_id", "source", "n_tokens", budgets, default_budget=0
+    ).localCheckpoint()  # barrier: the split's CC rounds re-consume mixed
+    # X6c — leakage-safe split over RE-SIGNED final texts
+    sig2 = minhash_signatures_inline(mixed, "doc_id", "text", n=3, num_hashes=16)
+    pairs2 = lsh_candidate_pairs(sig2, "doc_id", num_hashes=16, bands=4)
+    labeled = leakage_safe_split(
+        mixed.select("doc_id", "n_tokens"),
+        "doc_id",
+        pairs2,
+        {"train": 0.9, "val": 0.1},
+        edges_within_nodes=True,  # pairs2 derive from mixed itself
+    )
+    # X6 — pack and materialize; manifest and split labels read from DISK
+    packed = pack_sequences(labeled, "doc_id", "n_tokens", budget=512, shards=8)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"x6_curated_{tag}")
+    write_packed_shards(packed, out_dir)
+    verified = verify_shards(spark, out_dir).select(
+        "shard", "n_docs", "n_packs", "n_tokens", "content_hash", "ok"
+    )
+    split_sig = (
+        spark.read.parquet(f"{out_dir}/data")
+        .groupBy("shard")
+        .agg(
+            F.bit_xor(
+                md5_long(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("|"), F.col("split")
+                    )
+                )
+            ).alias("split_hash")
+        )
+    )
+    return verified.join(split_sig, "shard").select(
+        "shard",
+        "n_docs",
+        "n_packs",
+        "n_tokens",
+        "content_hash",
+        "split_hash",
+        F.col("ok").alias("verified"),
+    )
+
+
 @_register(
     "x6_train_val_split",
     """
@@ -2920,29 +3247,6 @@ def x6_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DSIR oracle building blocks: the hashed-n-gram feature map restated
-# declaratively — unigrams plus space-joined adjacent bigrams of the
-# lowercased whitespace tokens, md5-bucketed exactly like
-# operators/sampling.py:hash_bucket.
-_DSIR_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
-
-
-def _dsir_feats(where: str) -> str:
-    return f"""
-  SELECT doc_id, unnest({_DSIR_TOKS}) AS feat FROM documents {where}
-  UNION ALL
-  SELECT doc_id, t[g] || ' ' || t[g+1] AS feat FROM (
-    SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g
-    FROM (SELECT doc_id, {_DSIR_TOKS} AS t FROM documents {where})
-  )
-"""
-
-
-_DSIR_FEATS_T = _dsir_feats("WHERE lang = 'en'")
-_DSIR_FEATS_R = _dsir_feats("")
-_DSIR_BUCKET = "CAST('0x' || substr(md5(feat), 1, 15) AS BIGINT) % 10000"
-_DSIR_TT = f"(SELECT count(*) FROM ({_DSIR_FEATS_T}))"
-_DSIR_TR = f"(SELECT count(*) FROM ({_DSIR_FEATS_R}))"
 
 
 @_register(
