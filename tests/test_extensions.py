@@ -566,10 +566,23 @@ def test_decode_metadata_real_images_no_pillow(spark):
         assert meta[did]["format"] == fmt
         assert (meta[did]["width"], meta[did]["height"]) == (7, 5)
     assert meta[4]["format"] == "fake"
+    # corrupt body behind a VALID magic must not kill the corpus pass:
+    # it degrades to the fake row (and never leaks a raw zlib.error)
+    corrupt = bytearray(encode_png(arr))
+    corrupt[40:] = b"\x00" * (len(corrupt) - 40)  # wreck the IDAT
+    both = blobs.union(
+        spark.createDataFrame([(5, corrupt)], "doc_id long, blob binary")
+    )
+    meta5 = {r["doc_id"]: r for r in decode_metadata(both, "doc_id").collect()}
+    assert meta5[5]["format"] == "fake" and meta5[1]["format"] == "bmp"
     # strict mode: the undecodable payload is a hard error, not a fake row
     with pytest.raises(Exception, match="unrecognized image magic"):
         decode_metadata(
             blobs.filter("doc_id = 4"), "doc_id", use_real_decoder=True
+        ).collect()
+    with pytest.raises(Exception, match="corrupt image bytes"):
+        decode_metadata(
+            both.filter("doc_id = 5"), "doc_id", use_real_decoder=True
         ).collect()
 
 

@@ -40,10 +40,14 @@ def load_digests(path: str) -> dict[str, str]:
         return data["plan_digest"]
     for key in ("tail", "stdout"):
         blob = data.get(key)
-        if isinstance(blob, str) and "plan_digest" in blob:
-            # tail may be a truncated JSON fragment; find the object
+        if isinstance(blob, str) and '"plan_digest"' in blob:
+            # tail may be a truncated JSON fragment; find the object.
+            # Every parse step can fail on a tail cut near/inside the
+            # map — degrade to the explanatory exit, never a traceback.
             start = blob.find('"plan_digest"')
-            obj_start = blob.index("{", start)
+            obj_start = blob.find("{", start)
+            if obj_start == -1:
+                break
             depth, i = 0, obj_start
             while i < len(blob):
                 depth += blob[i] == "{"
@@ -51,9 +55,15 @@ def load_digests(path: str) -> dict[str, str]:
                 i += 1
                 if depth == 0:
                     break
-            return json.loads(blob[obj_start:i].replace('\\"', '"'))
+            if depth != 0:
+                break  # tail truncated inside the map
+            try:
+                return json.loads(blob[obj_start:i])
+            except json.JSONDecodeError:
+                break
     raise SystemExit(
-        f"{path}: no plan_digest map found (pre-round-9 artifacts don't have one)"
+        f"{path}: no usable plan_digest map found (pre-round-9 artifacts "
+        "don't have one; a truncated tail can also cut it off)"
     )
 
 

@@ -1744,7 +1744,10 @@ SELECT q_id, c_id, score, rank FROM (
 )
 def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 — brute-force exact cosine top-5 for every 100th vector as a
-    query against the full corpus."""
+    query against the full corpus. ``max_pairs=0``: |Q| is a 1% slice
+    by construction, so the pair-count guard's two count() jobs would
+    only distort this row's bench timing (the guard itself is pinned by
+    ``test_cosine_topk_pair_ceiling_is_loud``)."""
     from wwwision_importservice_spark.operators.similarity import cosine_topk
 
     emb = load(spark, sf_dir, "embeddings")
@@ -1754,7 +1757,7 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(F.col("vec_id").alias("c_id"), "embedding")
     return cosine_topk(
         queries, corpus, k=5, query_id="q_id", corpus_id="c_id",
-        broadcast_corpus=True,
+        broadcast_corpus=True, max_pairs=0,
     )
 
 
@@ -3024,7 +3027,6 @@ def x6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         temperature_budgets,
     )
     from wwwision_importservice_spark.operators.selection import dsir_select
-    from wwwision_importservice_spark.operators.text import token_count
 
     docs = load(spark, sf_dir, "documents", spread=True)
     # X1 — exact dedup: keep the min doc_id per identical body
@@ -3061,7 +3063,16 @@ def x6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "text",
             "source",
-            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            # whitespace token count, NOT the regex token_count: the
+            # oracle's _CURATION_NTOK is string_split(text, ' ') and the
+            # two diverge on punctuation/digit-adjacent text ('foo-bar'
+            # = 3 regex tokens vs 1 whitespace token) — same convention
+            # as x6_mixture_sample / x6_packed_shards_manifest
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+            )
+            .cast("long")
+            .alias("n_tokens"),
         )
         .localCheckpoint()  # barrier: budgets rollup (a collect) + admission
     )

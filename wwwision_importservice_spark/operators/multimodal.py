@@ -82,25 +82,55 @@ def attach_blob(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     )
 
 
+def _make_image_decoder(strict: bool, has_pil: bool, import_codec):
+    """THE decode policy, one definition (driver and executor share it):
+    recognizable BMP/PPM/PNG bytes decode through the pure codecs;
+    unrecognized payloads go to Pillow when installed (JPEG etc.); any
+    failure — unknown magic, corrupt-but-sniffable bytes (truncated
+    IDAT, bad stride), Pillow rejection — becomes the deterministic
+    fake row, or an ``ImageDecodeError`` in strict mode. Never lets a
+    raw ``zlib.error``/``struct.error`` escape: one bad blob must not
+    kill a corpus-wide metadata pass. Returns a NESTED function so
+    cloudpickle ships it by value (closure convention)."""
+
+    def decode(data: bytes) -> tuple[int, int, str]:
+        import hashlib as _hashlib
+
+        codec = import_codec()
+
+        def fallback(reason: str) -> tuple[int, int, str]:
+            if strict:
+                raise codec.ImageDecodeError(f"{reason} (strict mode)")
+            digest = _hashlib.md5(data).digest()
+            return 64 + digest[0] % 192, 64 + digest[1] % 192, "fake"
+
+        if codec.sniff_format(data) is not None:
+            try:
+                arr, fmt = codec.decode_image(data)
+            except Exception as exc:  # corrupt body behind a valid magic
+                return fallback(f"corrupt image bytes: {exc}")
+            return arr.shape[1], arr.shape[0], fmt
+        if has_pil:
+            import io
+
+            import PIL.Image
+
+            try:
+                img = PIL.Image.open(io.BytesIO(data))
+                return img.width, img.height, (img.format or "unknown").lower()
+            except Exception as exc:
+                return fallback(f"Pillow could not decode: {exc}")
+        return fallback(f"unrecognized image magic {data[:8]!r}")
+
+    return decode
+
+
 def _decode_image_real(data: bytes) -> tuple[int, int, str]:
-    """Real decode: pure BMP/PPM/PNG codecs first (always available),
-    Pillow for anything else when installed."""
-    from wwwision_importservice_spark.operators import imagecodec
-
-    if imagecodec.sniff_format(data) is not None:
-        arr, fmt = imagecodec.decode_image(data)
-        return arr.shape[1], arr.shape[0], fmt
-    if _HAS_PIL:
-        import io
-
-        import PIL.Image
-
-        img = PIL.Image.open(io.BytesIO(data))
-        return img.width, img.height, (img.format or "unknown").lower()
-    raise imagecodec.ImageDecodeError(
-        f"unrecognized image magic {data[:8]!r} and Pillow (the optional "
-        "fast lane for non-BMP/PPM/PNG formats) is not installed"
-    )
+    """Strict single-blob decode (driver-side convenience): pure
+    BMP/PPM/PNG codecs first, Pillow for anything else when installed,
+    ``ImageDecodeError`` otherwise. Same policy object as the
+    ``decode_metadata`` kernel — they cannot drift."""
+    return _make_image_decoder(True, _HAS_PIL, _codec_importer())(data)
 
 
 def _decode_image_fake(data: bytes) -> tuple[int, int, str]:
@@ -127,10 +157,11 @@ def decode_metadata(
     through the pure codecs — no library gate. Unrecognized payloads:
     Pillow when present (JPEG etc.), else the deterministic fake
     (format ``'fake'``), unless ``use_real_decoder=True`` makes an
-    undecodable payload a hard error instead of a silently fake row."""
-    strict = use_real_decoder
-    has_pil = _HAS_PIL
-    import_codec = _codec_importer()
+    undecodable payload a hard error instead of a silently fake row.
+    Decode failures of every kind (corrupt body behind a valid magic,
+    Pillow rejection) follow the same fake/strict policy — one bad
+    blob never kills the corpus pass (see :func:`_make_image_decoder`)."""
+    decode = _make_image_decoder(use_real_decoder, _HAS_PIL, _codec_importer())
     out_schema = f"{id_col} long, {METADATA_SCHEMA}"
 
     src = df.select(id_col, blob_col)
@@ -150,26 +181,6 @@ def decode_metadata(
         import hashlib as _hashlib
 
         import pandas as pd
-
-        codec = import_codec()
-
-        def decode(data: bytes) -> tuple[int, int, str]:
-            if codec.sniff_format(data) is not None:
-                arr, fmt = codec.decode_image(data)
-                return arr.shape[1], arr.shape[0], fmt
-            if has_pil:
-                import io
-
-                import PIL.Image
-
-                img = PIL.Image.open(io.BytesIO(data))
-                return img.width, img.height, (img.format or "unknown").lower()
-            if strict:
-                raise codec.ImageDecodeError(
-                    f"unrecognized image magic {data[:8]!r} (strict mode)"
-                )
-            digest = _hashlib.md5(data).digest()
-            return 64 + digest[0] % 192, 64 + digest[1] % 192, "fake"
 
         for pdf in it:
             metas = []
