@@ -680,3 +680,24 @@ def test_x4_image_decode_is_one_arrow_pass(spark, sf_dir):
     assert len(re.findall(r"MapInPandas", tree)) == 1, tree
     assert "hashpartitioning" not in plan.lower(), plan
     assert "BatchEvalPython" not in tree, tree
+
+
+def test_plan_digest_immune_to_session_counters(spark, sf_dir):
+    """Lambda-variable numbering and localCheckpoint RDD ids come from
+    SESSION-GLOBAL counters — the same query must digest identically
+    even when other plans compiled in between (found when two identical
+    bench runs disagreed on 3 of 35 digests)."""
+    from wwwision_importservice_spark.entry_queries import (
+        PYTEST_QUERIES,
+        QUERIES,
+    )
+    from wwwision_importservice_spark.plans.fingerprint import plan_digest
+
+    allq = {**QUERIES, **PYTEST_QUERIES}
+    # x6_sequence_pack: HOF lambdas; g1_pagerank: localCheckpoint scans
+    names = ["x6_sequence_pack", "g1_pagerank"]
+    first = {n: plan_digest(allq[n](spark, sf_dir)) for n in names}
+    # advance the counters with an unrelated HOF-heavy construction
+    allq["x5_text_stats"](spark, sf_dir)
+    second = {n: plan_digest(allq[n](spark, sf_dir)) for n in names}
+    assert first == second

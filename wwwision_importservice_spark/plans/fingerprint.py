@@ -43,6 +43,14 @@ from pyspark.sql import DataFrame
 _NORMALIZERS: list[tuple[re.Pattern[str], str]] = [
     # expression ids: name#123 / name#123L → name#
     (re.compile(r"#\d+L?"), "#"),
+    # higher-order-function lambda variables (lambda x_7#, t_12#): the
+    # numeric suffix comes from a SESSION-GLOBAL counter, so the same
+    # query digests differently depending on what compiled before it —
+    # strip the counter (runs after the rule above, so the trailing #
+    # is already bare)
+    (re.compile(r"\b([A-Za-z]\w*?)_\d+#"), r"\1_#"),
+    # localCheckpoint scans embed a session-monotonic RDD id
+    (re.compile(r"\bMapPartitionsRDD\[\d+\]"), "MapPartitionsRDD[#]"),
     # formatted-explain node ids: "HashAggregate (6)" / "(1) Scan parquet"
     # — a standalone parenthesized integer. decimal(18,2) / round(x, 6)
     # never match (comma / non-digit inside the parens).
