@@ -4155,6 +4155,7 @@ def x4_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def kernel(it):
         import hashlib as _hashlib
 
+        import numpy as np
         import pandas as pd
 
         codec = import_codec()
@@ -4166,8 +4167,6 @@ def x4_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b = int(mh[:15], 16) % 144
                 w, h = 4 + b % 12, 4 + b // 12
                 pat = bytes.fromhex((mh * 43)[: 6 * w * h])
-                import numpy as np
-
                 arr = np.frombuffer(pat, dtype=np.uint8).reshape(h, w, 3)
                 blob = (codec.encode_bmp if did % 2 == 0 else codec.encode_png)(arr)
                 decoded, fmt = codec.decode_image(blob)
