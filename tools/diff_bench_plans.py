@@ -47,7 +47,7 @@ def load_digests(path: str) -> dict[str, str]:
             start = blob.find('"plan_digest"')
             obj_start = blob.find("{", start)
             if obj_start == -1:
-                break
+                continue  # try the next key — stdout may hold a full map
             depth, i = 0, obj_start
             while i < len(blob):
                 depth += blob[i] == "{"
@@ -56,11 +56,11 @@ def load_digests(path: str) -> dict[str, str]:
                 if depth == 0:
                     break
             if depth != 0:
-                break  # tail truncated inside the map
+                continue  # tail truncated inside the map
             try:
                 return json.loads(blob[obj_start:i])
             except json.JSONDecodeError:
-                break
+                continue
     raise SystemExit(
         f"{path}: no usable plan_digest map found (pre-round-9 artifacts "
         "don't have one; a truncated tail can also cut it off)"

@@ -2914,10 +2914,14 @@ counted AS MATERIALIZED (
   FROM canon c JOIN dsir USING (doc_id)
 ),
 budgets AS MATERIALIZED (
+  -- NULL sources are excluded from the WEIGHT MASS, matching
+  -- temperature_budgets' documented NULL-group exclusion (the r8
+  -- budget-dilution fix) — the equi-join below already drops their
+  -- rows, but their wm must not dilute the denominator either
   SELECT bsrc, CAST((4000 * wm) // (sum(wm) OVER ()) AS BIGINT) AS budget
   FROM (SELECT source AS bsrc,
                CAST(round(pow(sum(n_tokens) * 1.0, 0.5) * 1000000) AS BIGINT) AS wm
-        FROM counted GROUP BY source)
+        FROM counted WHERE source IS NOT NULL GROUP BY source)
 ),
 mixed AS MATERIALIZED (
   SELECT doc_id, text, n_tokens FROM (
@@ -3228,7 +3232,7 @@ SELECT doc_id, lang, n_tokens FROM (
   FROM (
     SELECT lang AS blang,
            CAST(round(pow(sum(n_tokens) * 1.0, 0.5) * 1000000) AS BIGINT) AS wm
-    FROM ({_TEMP_MIX_BASE}) GROUP BY lang
+    FROM ({_TEMP_MIX_BASE}) WHERE lang IS NOT NULL GROUP BY lang
   )
 ) ON lang = blang
 WHERE cum_excl < budget

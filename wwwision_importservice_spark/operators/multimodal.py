@@ -26,7 +26,6 @@ of blobs fits executor memory.
 
 from __future__ import annotations
 
-import hashlib
 import os
 from collections.abc import Iterator
 
@@ -91,16 +90,21 @@ def _make_image_decoder(strict: bool, has_pil: bool, import_codec):
     fake row, or an ``ImageDecodeError`` in strict mode. Never lets a
     raw ``zlib.error``/``struct.error`` escape: one bad blob must not
     kill a corpus-wide metadata pass. Returns a NESTED function so
-    cloudpickle ships it by value (closure convention)."""
+    cloudpickle ships it by value (closure convention); the codec
+    module resolves ONCE per worker through a captured cache — the
+    decode loop is the Arrow hot path, no per-blob import machinery."""
+    cache: dict = {}
 
     def decode(data: bytes) -> tuple[int, int, str]:
-        import hashlib as _hashlib
-
-        codec = import_codec()
+        codec = cache.get("codec")
+        if codec is None:
+            codec = cache["codec"] = import_codec()
 
         def fallback(reason: str) -> tuple[int, int, str]:
             if strict:
                 raise codec.ImageDecodeError(f"{reason} (strict mode)")
+            import hashlib as _hashlib
+
             digest = _hashlib.md5(data).digest()
             return 64 + digest[0] % 192, 64 + digest[1] % 192, "fake"
 
@@ -125,22 +129,13 @@ def _make_image_decoder(strict: bool, has_pil: bool, import_codec):
     return decode
 
 
-def _decode_image_real(data: bytes) -> tuple[int, int, str]:
-    """Strict single-blob decode (driver-side convenience): pure
-    BMP/PPM/PNG codecs first, Pillow for anything else when installed,
-    ``ImageDecodeError`` otherwise. Same policy object as the
-    ``decode_metadata`` kernel — they cannot drift."""
-    return _make_image_decoder(True, _HAS_PIL, _codec_importer())(data)
-
-
-def _decode_image_fake(data: bytes) -> tuple[int, int, str]:
-    """Deterministic fake decode: dimensions derived from the content
-    hash, so tests are stable and the plumbing (batch shapes, schema,
-    null handling) is fully exercised."""
-    digest = hashlib.md5(data).digest()
-    width = 64 + digest[0] % 192
-    height = 64 + digest[1] % 192
-    return width, height, "fake"
+def decode_image_meta(data: bytes, strict: bool = True) -> tuple[int, int, str]:
+    """Single-blob (width, height, format) — the same policy object the
+    ``decode_metadata`` kernel ships to executors, exposed for
+    driver-side spot checks and debugging (so the two cannot drift).
+    ``strict=True`` raises ``ImageDecodeError`` on anything undecodable;
+    ``strict=False`` returns the deterministic fake row instead."""
+    return _make_image_decoder(strict, _HAS_PIL, _codec_importer())(data)
 
 
 def decode_metadata(
