@@ -566,6 +566,16 @@ def test_decode_metadata_real_images_no_pillow(spark):
         assert meta[did]["format"] == fmt
         assert (meta[did]["width"], meta[did]["height"]) == (7, 5)
     assert meta[4]["format"] == "fake"
+    # the driver-side spot-check helper is the SAME policy object the
+    # kernel ships — identical verdicts on the same bytes
+    from wwwision_importservice_spark.operators.multimodal import (
+        decode_image_meta,
+    )
+
+    assert decode_image_meta(bytes(rows[0][1])) == (7, 5, "bmp")
+    assert decode_image_meta(b"not an image", strict=False)[2] == "fake"
+    with pytest.raises(Exception, match="unrecognized image magic"):
+        decode_image_meta(b"not an image")
     # corrupt body behind a VALID magic must not kill the corpus pass:
     # it degrades to the fake row (and never leaks a raw zlib.error)
     corrupt = bytearray(encode_png(arr))
