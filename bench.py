@@ -64,6 +64,17 @@ join; timing includes its two bucketed writes), and x5_gopher_quality
 under the same noop-sink materialization — HOFs are CodegenFallback,
 see text.py:gopher_quality_pandas).
 
+Round-9 set addition: x4_image_decode (real BMP/PNG encode→decode→resize
+round-trip, one Arrow pass, ~0.45s). Round-9 methodology addition: each
+headline query's PHYSICAL PLAN DIGEST is recorded alongside its timing
+(plans/fingerprint.py — normalized formatted explain of the unexecuted
+frame, hashed). Equal digests across rounds mean the plan did not change
+and any timing delta is environment or data — the adjudication that
+previously took solo re-measures (r7 ask #2, r8 follow-up) is now
+`python tools/diff_bench_plans.py BENCH_rA.json BENCH_rB.json`. Digests
+are pinned byte-stable across back-to-back full runs (session-global
+lambda/RDD counters are normalized out; test_plans.py pins it).
+
 Round-5 total (measured 18.3s quiet-load best-of-3 at sf0.1) is NOT
 like-for-like with r4's 13.99s:
 (+0.7s) the headline set gained x3_cosine_topk_blocked (the join-free

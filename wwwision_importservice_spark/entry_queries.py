@@ -1485,21 +1485,22 @@ def _minhash_from(src: str) -> str:
     ) + f" FROM ({_shingles_from(src)}) GROUP BY doc_id"
 
 
-def _buckets_from(src: str) -> str:
+def _buckets_from(src: str, bands: int = 4) -> str:
+    rows = 16 // bands
     return " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
-        f"md5(h{4*b} || ':' || h{4*b+1} || ':' || h{4*b+2} || ':' || h{4*b+3}) AS sig "
+        "md5(" + " || ':' || ".join(f"h{rows*b+i}" for i in range(rows)) + ") AS sig "
         f"FROM ({_minhash_from(src)})"
-        for b in range(4)
+        for b in range(bands)
     )
 
 
-def _pairs_from(src: str) -> str:
+def _pairs_from(src: str, bands: int = 4) -> str:
     """Banded-LSH candidate pairs over any (doc_id, text) relation.
     Buckets wider than the engine's max_bucket_size (default 10k) are
     excluded from pair expansion on BOTH sides, so the oracle models the
     cap exactly and a giant boilerplate bucket can never turn a row red."""
-    bsql = _buckets_from(src)
+    bsql = _buckets_from(src, bands)
     return f"""
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 FROM ({bsql}) l JOIN ({bsql}) r
@@ -1513,6 +1514,9 @@ JOIN (SELECT band, sig FROM ({bsql})
 _MINHASH_SQL = _minhash_from("documents WHERE 1=1")
 _BUCKETS_SQL = _buckets_from("documents WHERE 1=1")
 _PAIRS_SQL = _pairs_from("documents WHERE 1=1")
+
+#: the engine-portable 60-bit md5 integer (sampling.md5_long's SQL twin)
+_H60 = lambda e: f"CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"  # noqa: E731
 
 
 @_register(
@@ -1928,6 +1932,102 @@ def x6_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges_within_nodes=True,  # pairs derive from these same docs
     )
     return out.select("doc_id", "cluster_id", "split")
+
+
+@_register(
+    "x6_split_churn",
+    # two split GENERATIONS restated declaratively: gen1 = the 4-band
+    # pair table over the base corpus; gen2 = an 8-band (looser) pair
+    # table over an appended+pruned corpus — exact twins of every 11th
+    # doc appended at doc_id+100000, every 89th doc dropped. Looser
+    # banding merges clusters (relabeled), twins appear (added), pruned
+    # docs vanish (removed); rows whose label survived are excluded.
+    f"""
+WITH RECURSIVE
+g2 AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id % 89 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+  WHERE doc_id % 11 = 0 AND doc_id % 89 <> 0
+),
+p1 AS MATERIALIZED ({_pairs_from('documents')}),
+sym1 AS (SELECT id_a AS a, id_b AS b FROM p1 UNION SELECT id_b, id_a FROM p1),
+reach1(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach1.id, sym1.b FROM reach1 JOIN sym1 ON reach1.r = sym1.a
+),
+l1 AS MATERIALIZED (
+  SELECT id AS doc_id,
+         CASE WHEN bkt < 8000 THEN 'train'
+              WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT id, {_H60("CAST(min(r) AS VARCHAR)")} % 10000 AS bkt
+        FROM reach1 GROUP BY id)
+),
+p2 AS MATERIALIZED ({_pairs_from('g2', bands=8)}),
+sym2 AS (SELECT id_a AS a, id_b AS b FROM p2 UNION SELECT id_b, id_a FROM p2),
+reach2(id, r) AS (
+  SELECT doc_id, doc_id FROM g2
+  UNION
+  SELECT reach2.id, sym2.b FROM reach2 JOIN sym2 ON reach2.r = sym2.a
+),
+l2 AS MATERIALIZED (
+  SELECT id AS doc_id,
+         CASE WHEN bkt < 8000 THEN 'train'
+              WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT id, {_H60("CAST(min(r) AS VARCHAR)")} % 10000 AS bkt
+        FROM reach2 GROUP BY id)
+)
+SELECT doc_id, o.split AS old_split, n.split AS new_split,
+       CASE WHEN o.split IS NULL AND o.doc_id IS NULL THEN 'added'
+            WHEN n.split IS NULL AND n.doc_id IS NULL THEN 'removed'
+            ELSE 'relabeled' END AS churn
+FROM l1 o FULL OUTER JOIN l2 n USING (doc_id)
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+   OR o.split IS DISTINCT FROM n.split
+""",
+    driver=False,
+)
+def x6_split_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6c — the contamination delta between two leakage-safe split
+    generations (``operators/sampling.py:split_churn``; VERDICT r8 ask
+    #7 made operational): generation 1 splits the base corpus on its
+    4-band LSH clusters; generation 2 re-pairs a GROWN corpus (exact
+    twins of every 11th doc appended, every 89th pruned) with looser
+    8-band LSH — merged clusters collapse onto new min ids and relabel
+    wholesale. The report is exactly the moved ids: ``relabeled`` rows
+    are the old-eval-docs-now-train leak a retraining run must know
+    about, ``added``/``removed`` attribute realized-fraction drift.
+    One narrow full-outer join; both generations' CCs stay
+    pointer-doubling (oracle: two recursive CTEs)."""
+    from wwwision_importservice_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_inline,
+    )
+    from wwwision_importservice_spark.operators.sampling import (
+        leakage_safe_split,
+        split_churn,
+    )
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = load(spark, sf_dir, "documents", spread=True)
+    sig1 = minhash_signatures_inline(docs, "doc_id", "text", n=3, num_hashes=16)
+    pairs1 = lsh_candidate_pairs(sig1, "doc_id", num_hashes=16, bands=4)
+    gen1 = leakage_safe_split(
+        docs.select("doc_id"), "doc_id", pairs1, fr, edges_within_nodes=True
+    )
+
+    kept = docs.filter(F.col("doc_id") % 89 != 0)
+    twins = kept.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    g2 = kept.select("doc_id", "text").unionByName(twins)
+    sig2 = minhash_signatures_inline(g2, "doc_id", "text", n=3, num_hashes=16)
+    pairs2 = lsh_candidate_pairs(sig2, "doc_id", num_hashes=16, bands=8)
+    gen2 = leakage_safe_split(
+        g2.select("doc_id"), "doc_id", pairs2, fr, edges_within_nodes=True
+    )
+    return split_churn(gen1, gen2, "doc_id")
 
 
 @_register(
@@ -2849,7 +2949,6 @@ _DSIR_TR = f"(SELECT count(*) FROM ({_DSIR_FEATS_R}))"
 # membership error anywhere upstream changes the final shard hashes).
 # CTEs are MATERIALIZED: DuckDB would otherwise inline the minhash
 # fragment per reference and exhaust file handles re-opening the scan.
-_H60 = lambda e: f"CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"  # noqa: E731
 _CURATION_NTOK = (
     "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)"
 )
