@@ -5154,3 +5154,54 @@ def test_ivf_staleness_recall_floors_at_bench_scale(spark, tmp_path):
     assert pf and any(
         "cell" in ln and ("IN (" in ln or "INSET" in ln) for ln in pf
     ), plan
+
+
+def test_audio_windows_wav_real_decode(spark):
+    """Real WAV windowing: header-derived sample rate, frame-exact
+    windows on mono AND stereo, loud failure on non-WAV payloads."""
+    import numpy as np
+
+    from wwwision_importservice_spark.operators.audiocodec import encode_wav
+    from wwwision_importservice_spark.operators.multimodal import (
+        audio_windows_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    mono = rng.randint(-1000, 1000, size=95, dtype=np.int64).astype(np.int16)
+    stereo = rng.randint(-1000, 1000, size=(30, 2), dtype=np.int64).astype(
+        np.int16
+    )
+    blobs = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(mono, 16000))),
+            (2, bytearray(encode_wav(stereo, 8000))),
+        ],
+        "doc_id long, blob binary",
+    )
+    out = audio_windows_wav(blobs, "doc_id", window_s=0.005).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 16 kHz * 0.005 s = 80-frame windows over 95 frames -> 80 + 15
+    w1 = sorted(by[1], key=lambda r: r["window_index"])
+    assert [r["n_samples"] for r in w1] == [80, 15]
+    assert [r["start_ms"] for r in w1] == [0, 5]
+    assert all(r["sample_rate"] == 16000 for r in w1)
+    # doc 2: 8 kHz * 0.005 s = 40-frame windows over 30 stereo frames
+    w2 = by[2]
+    assert len(w2) == 1 and w2[0]["n_samples"] == 30 and w2[0]["sample_rate"] == 8000
+    # window hashes are the actual sample bytes
+    import hashlib
+
+    assert w1[0]["window_sha"] == hashlib.sha256(
+        mono[:80].astype("<i2").tobytes().hex().encode()
+    ).hexdigest()
+    assert w2[0]["window_sha"] == hashlib.sha256(
+        stereo.astype("<i2").tobytes().hex().encode()
+    ).hexdigest()
+
+    bad = spark.createDataFrame(
+        [(3, bytearray(b"OggS nope"))], "doc_id long, blob binary"
+    )
+    with pytest.raises(Exception, match="RIFF"):
+        audio_windows_wav(bad, "doc_id").collect()

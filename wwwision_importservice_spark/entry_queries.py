@@ -4174,6 +4174,74 @@ def x4_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x4_wav_windows",
+    # the oracle PREDICTS, from md5 arithmetic alone, the exact sample
+    # bytes every window of a REAL WAV file must carry after encode →
+    # decode: n = 40 + md5_60(doc_id) % 100 frames of int16 pattern at
+    # 8 kHz, 0.005 s windows = 40 frames = 160 hex chars each. A hash
+    # match proves the RIFF layout, the header-derived sample rate, the
+    # frame slicing, and the int16-LE byte identity cross-engine — the
+    # audio twin of x4_image_decode's pixel proof.
+    f"""
+SELECT doc_id, CAST(i AS INT) AS window_index,
+       CAST(i * 5 AS BIGINT) AS start_ms,
+       CAST(least(40, n - i * 40) AS INT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       sha256(substr(pat, CAST(i * 160 + 1 AS INT),
+                     CAST(least(40, n - i * 40) * 4 AS INT))) AS window_sha
+FROM (
+  SELECT doc_id,
+         40 + {_H60("CAST(doc_id AS VARCHAR)")} % 100 AS n,
+         repeat(md5(CAST(doc_id AS VARCHAR)), 18) AS pat
+  FROM documents
+), unnest(range(0, CAST(ceil(n / 40.0) AS BIGINT))) AS t(i)
+""",
+    driver=False,
+)
+def x4_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — REAL audio decode + windowing under a byte-exact oracle
+    (``operators/audiocodec.py``, ``operators/multimodal.py:
+    audio_windows_wav``): per document, a deterministic int16 PCM
+    signal (the doc-id's md5 digest cycled over an md5-derived frame
+    count) is encoded to an actual RIFF WAV file, decoded back through
+    the pure-stdlib codec — sample rate read from the HEADER, not
+    caller metadata — sliced into 0.005 s windows, and each window's
+    samples content-addressed. The oracle recomputes every window hash
+    from md5 string arithmetic alone. Same scale shape as
+    x4_image_decode: one Arrow pass over a doc_id projection,
+    per-file CPU, no shuffle."""
+    from wwwision_importservice_spark.operators.multimodal import (
+        _codec_importer,
+        audio_windows_wav,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
+    import_codec = _codec_importer("audiocodec")
+
+    def synth(it):
+        import hashlib as _hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        codec = import_codec()
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mh = _hashlib.md5(str(did).encode()).hexdigest()
+                n = 40 + int(mh[:15], 16) % 100
+                samples = np.frombuffer(
+                    bytes.fromhex((mh * 18)[: 4 * n]), dtype="<i2"
+                )
+                rows.append((did, bytearray(codec.encode_wav(samples, 8000))))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    blobs = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return audio_windows_wav(blobs, "doc_id", window_s=0.005)
+
+
+@_register(
     "x4_frame_sample",
     """
 SELECT doc_id, CAST(i AS INT) AS frame_index, CAST(i * 64 AS BIGINT) AS offset,

@@ -13,9 +13,12 @@ required. Pillow, when installed, is the optional fast lane for every
 (e.g. text bytes standing in for media) fall back to a deterministic
 fake decoder (seeded by content hash) so the plumbing — schema, binary
 transport through Arrow, batch iteration, partition sizing — stays
-exercised on any fixture. Audio decode remains byte-arithmetic only
-(:func:`audio_windows`); a real audio codec still needs librosa-class
-libraries.
+exercised on any fixture. Audio decode is REAL for RIFF PCM WAV
+(:func:`audio_windows_wav` via :mod:`~wwwision_importservice_spark.
+operators.audiocodec` — header-derived sample rate, sample-window
+hashing); :func:`audio_windows` remains the byte-arithmetic form for
+opaque/compressed payloads, whose codecs (MP3/FLAC) genuinely need
+third-party libraries.
 
 Scale notes: binary payloads make *row size*, not row count, the
 partitioning constraint — ``repartition`` by byte-size budget before
@@ -44,18 +47,21 @@ _PKG_PARENT = os.path.dirname(
 )
 
 
-def _codec_importer(pkg_parent: str = _PKG_PARENT):
-    """A by-value-shippable callable returning the imagecodec module."""
+def _codec_importer(module: str = "imagecodec", pkg_parent: str = _PKG_PARENT):
+    """A by-value-shippable callable returning a codec module
+    (``imagecodec`` or ``audiocodec``) on the worker."""
 
     def _import():
+        import importlib
+
+        name = f"wwwision_importservice_spark.operators.{module}"
         try:
-            from wwwision_importservice_spark.operators import imagecodec
+            return importlib.import_module(name)
         except ImportError:
             import sys
 
             sys.path.insert(0, pkg_parent)
-            from wwwision_importservice_spark.operators import imagecodec
-        return imagecodec
+            return importlib.import_module(name)
 
     return _import
 
@@ -347,3 +353,73 @@ def audio_windows(
         F.length(chunk).alias("n_bytes"),
         F.sha2(F.hex(chunk), 256).alias("window_sha"),
     )
+
+
+def audio_windows_wav(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str = "blob",
+    window_s: float = 0.005,
+) -> DataFrame:
+    """REAL audio windowing: decode RIFF PCM WAV blobs with the pure
+    codec (``operators/audiocodec.py`` — no librosa), derive the sample
+    rate from the file HEADER instead of trusting caller metadata, and
+    emit fixed-duration windows of actual SAMPLES, content-addressed by
+    the sha256 of each window's int16-LE hex. The upgrade over
+    :func:`audio_windows` (byte arithmetic on opaque blobs): a blob
+    whose header lies about its own byte math, or a 44-byte header
+    offset, can no longer silently shift every window.
+
+    Output: ``(id, window_index, start_ms, n_samples, sample_rate,
+    window_sha)`` — ``start_ms`` is exact integer milliseconds (no
+    float rounding to replicate cross-engine). Multi-channel files
+    window interleaved frames (a window holds ``n_samples`` FRAMES).
+
+    Scale shape: one Arrow ``mapInPandas`` pass, per-file CPU, no
+    shuffle; output rows ∝ duration/window_s but each row carries only
+    a hash, so the pass SHRINKS byte volume like the image thumbnail
+    path. Undecodable payloads raise (compose after a sniff filter for
+    mixed corpora — ``audiocodec.sniff_wav`` is a cheap prefix check).
+    """
+    out_schema = (
+        f"{id_col} long, window_index int, start_ms long, n_samples int, "
+        "sample_rate int, window_sha string"
+    )
+    import_codec = _codec_importer("audiocodec")
+    win_s = float(window_s)
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        codec = import_codec()
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                arr, sr = codec.decode_wav(bytes(row[blob_col]))
+                wlen = max(1, int(round(sr * win_s)))
+                n = arr.shape[0]
+                for i in range(max(1, -(-n // wlen))):
+                    win = arr[i * wlen : (i + 1) * wlen]
+                    rows.append(
+                        (
+                            row[id_col],
+                            i,
+                            i * wlen * 1000 // sr,
+                            win.shape[0],
+                            sr,
+                            _hashlib.sha256(
+                                win.astype("<i2").tobytes().hex().encode()
+                            ).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "window_index", "start_ms", "n_samples",
+                    "sample_rate", "window_sha",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema=out_schema)
