@@ -224,3 +224,34 @@ def test_resize_identity_and_errors():
     np.testing.assert_array_equal(resize_nearest(arr, 3, 3), arr)
     with pytest.raises(ValueError):
         resize_nearest(arr, 0, 3)
+
+
+def test_split_png_stream_walks_chunks_not_magic():
+    """Frame boundaries come from chunk walking; a frame whose zlib body
+    happens to contain the 8-byte PNG magic must NOT split."""
+    from wwwision_importservice_spark.operators.imagecodec import (
+        split_png_stream,
+    )
+
+    frames = [grid(3, 4, seed=s) for s in range(3)]
+    blobs = [encode_png(f) for f in frames]
+    parts = split_png_stream(b"".join(blobs))
+    assert parts == blobs
+    for part, want in zip(parts, frames):
+        np.testing.assert_array_equal(decode_png(part), want)
+
+    # adversarial: embed the magic INSIDE a frame via crafted pixels
+    # that zlib stores nearly verbatim (stored blocks for random data)
+    evil = np.frombuffer(
+        (b"\x89PNG\r\n\x1a\n" * 20)[: 4 * 5 * 3], dtype=np.uint8
+    ).reshape(5, 4, 3)
+    blob_evil = encode_png(evil)
+    inner = blob_evil.count(b"\x89PNG\r\n\x1a\n", 8)
+    stream = blob_evil + encode_png(grid(2, 2, seed=9))
+    assert len(split_png_stream(stream)) == 2  # regardless of inner magics
+    del inner  # informational only — stored blocks may or may not embed it
+
+    with pytest.raises(ImageDecodeError, match="truncated"):
+        split_png_stream(b"".join(blobs)[:-4])
+    with pytest.raises(ImageDecodeError, match="expected frame magic"):
+        split_png_stream(blobs[0] + b"JUNK" + blobs[1])

@@ -4242,6 +4242,71 @@ def x4_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x4_frame_sample_real",
+    # every 2nd frame of a REAL multi-frame container: the stream is
+    # 2 + md5_60(doc_id)%5 standalone PNG files back to back, frame j's
+    # 4x3 pixels are md5(doc_id:j) cycled; the sampler must chunk-walk
+    # frame boundaries, really decode the sampled frames, and recover
+    # exactly the predicted pixels.
+    f"""
+SELECT doc_id, CAST(j AS INT) AS frame_index,
+       CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+       sha256(substr(repeat(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                CAST(j AS VARCHAR)), 3), 1, 72)) AS frame_sha
+FROM (
+  SELECT doc_id, 2 + {_H60("CAST(doc_id AS VARCHAR)")} % 5 AS nf
+  FROM documents
+), unnest(range(0, nf)) AS t(j)
+WHERE j % 2 = 0
+""",
+    driver=False,
+)
+def x4_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — REAL frame sampling from a real multi-frame container
+    (``operators/multimodal.py:sample_frames_png_stream``): per
+    document, 2-6 actual PNG files (4x3, md5-derived pixels) are
+    concatenated MJPEG-style; the sampler splits the stream by
+    chunk-walking each frame to its IEND (magic-scanning would
+    false-positive inside zlib bodies), decodes every 2nd frame for
+    real, and content-addresses its pixels. The oracle predicts every
+    sampled frame's hash from md5 arithmetic — completing the
+    real-bytes X4 trio (decode/resize: x4_image_decode; audio:
+    x4_wav_windows; frames: this row). One Arrow pass, no shuffle."""
+    from wwwision_importservice_spark.operators.multimodal import (
+        _codec_importer,
+        sample_frames_png_stream,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
+    import_codec = _codec_importer()
+
+    def synth(it):
+        import hashlib as _hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        codec = import_codec()
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mh = _hashlib.md5(str(did).encode()).hexdigest()
+                nf = 2 + int(mh[:15], 16) % 5
+                stream = b""
+                for j in range(nf):
+                    fh = _hashlib.md5(f"{did}:{j}".encode()).hexdigest()
+                    px = bytes.fromhex((fh * 3)[:72])
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(3, 4, 3)
+                    stream += codec.encode_png(arr)
+                rows.append((did, bytearray(stream)))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    blobs = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return sample_frames_png_stream(blobs, "doc_id", every_n=2, max_frames=8)
+
+
+@_register(
     "x4_frame_sample",
     """
 SELECT doc_id, CAST(i AS INT) AS frame_index, CAST(i * 64 AS BIGINT) AS offset,

@@ -274,6 +274,40 @@ def _unfilter_row(
     return cur.astype(np.uint8)
 
 
+def split_png_stream(data: bytes) -> list[bytes]:
+    """Split a concatenated-PNG stream (the simplest real multi-frame
+    container: frame files back to back, MJPEG-style) into per-frame
+    byte slices by WALKING CHUNKS to each IEND — not by scanning for
+    the magic, which can false-positive inside a frame's own zlib
+    stream. Each returned slice is a complete standalone PNG."""
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 8] != _PNG_MAGIC:
+            raise ImageDecodeError(
+                f"PNG stream: expected frame magic at byte {pos}, "
+                f"got {data[pos:pos + 8]!r}"
+            )
+        p = pos + 8
+        while True:
+            if p + 8 > len(data):
+                raise ImageDecodeError(
+                    f"PNG stream: frame at byte {pos} truncated mid-chunk"
+                )
+            (length,) = struct.unpack_from(">I", data, p)
+            tag = data[p + 4 : p + 8]
+            p += 12 + length
+            if tag == b"IEND":
+                break
+        if p > len(data):
+            raise ImageDecodeError(
+                f"PNG stream: frame at byte {pos} truncated before IEND"
+            )
+        frames.append(data[pos:p])
+        pos = p
+    return frames
+
+
 # --------------------------------------------------------------------------
 # resize
 

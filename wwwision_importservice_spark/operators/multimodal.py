@@ -423,3 +423,70 @@ def audio_windows_wav(
             )
 
     return df.select(id_col, blob_col).mapInPandas(batches, schema=out_schema)
+
+
+def sample_frames_png_stream(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str = "blob",
+    every_n: int = 2,
+    max_frames: int = 8,
+) -> DataFrame:
+    """REAL video-style frame sampling: the blob is a concatenated-PNG
+    stream (the simplest real multi-frame container — frame files back
+    to back, MJPEG-style); frames are split by chunk-walking each file
+    to its IEND (``imagecodec.split_png_stream`` — magic-scanning would
+    false-positive inside zlib data), every ``every_n``-th frame is
+    REALLY decoded, and its pixels content-addressed. The fake-window
+    :func:`frame_sample` stays for opaque containers (MP4/WebM need
+    real demuxers); this is the real-bytes path the PNG family can
+    carry end to end in-sandbox.
+
+    Output: ``(id, frame_index, width, height, frame_sha)`` —
+    ``frame_index`` is the index in the STREAM (sampled indices are
+    0, every_n, 2·every_n, …), so downstream joins can reason about
+    what was skipped. Byte offsets are deliberately absent: a frame's
+    file size is zlib-dependent, so offsets would be
+    compression-version-coupled — index + content hash is the stable
+    contract.
+
+    Scale shape: one Arrow pass, per-stream CPU; only sampled frames
+    are decoded (the splitter walks chunk HEADERS, not pixels), so
+    cost ∝ sampled frames + stream length/4KB header skips.
+    """
+    out_schema = (
+        f"{id_col} long, frame_index int, width int, height int, "
+        "frame_sha string"
+    )
+    import_codec = _codec_importer()
+    step, cap = int(every_n), int(max_frames)
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        codec = import_codec()
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                frames = codec.split_png_stream(bytes(row[blob_col]))
+                for j in range(0, min(len(frames), step * cap), step):
+                    arr, _fmt = codec.decode_image(frames[j])
+                    rows.append(
+                        (
+                            row[id_col],
+                            j,
+                            arr.shape[1],
+                            arr.shape[0],
+                            _hashlib.sha256(
+                                arr.tobytes().hex().encode()
+                            ).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_index", "width", "height", "frame_sha"],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema=out_schema)
