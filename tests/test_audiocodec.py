@@ -88,3 +88,12 @@ def test_wav_rejects_unsupported():
     # missing data chunk
     with pytest.raises(AudioDecodeError, match="missing fmt or data"):
         decode_wav(bytes(data[:36]))
+
+
+def test_wav_rejects_zero_sample_rate():
+    """sample_rate=0 in the fmt chunk must be a decode error, not a
+    downstream ZeroDivisionError in duration math."""
+    data = bytearray(encode_wav(sig(3), 8000))
+    struct.pack_into("<I", data, 24, 0)  # fmt.sample_rate = 0
+    with pytest.raises(AudioDecodeError, match="bad sample rate"):
+        decode_wav(bytes(data))

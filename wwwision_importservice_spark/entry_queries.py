@@ -2011,6 +2011,17 @@ def x6_split_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fr = {"train": 0.8, "val": 0.1, "test": 0.1}
     docs = load(spark, sf_dir, "documents", spread=True)
+    # the +100000 twin offset must not collide with a real doc_id — on
+    # collision the engine (duplicate-id join fan-out) and the oracle
+    # (GROUP BY collapse) would diverge silently. One 1-row max() probe
+    # (metadata-scale collect), same contract-check pattern as the
+    # sink state scans.
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    if mx is not None and mx >= 100000:
+        raise ValueError(
+            f"x6_split_churn: fixture doc_id {mx} >= the 100000 twin "
+            "offset; raise the offset in BOTH the query and its oracle"
+        )
     sig1 = minhash_signatures_inline(docs, "doc_id", "text", n=3, num_hashes=16)
     pairs1 = lsh_candidate_pairs(sig1, "doc_id", num_hashes=16, bands=4)
     gen1 = leakage_safe_split(

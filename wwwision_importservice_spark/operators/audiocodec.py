@@ -92,6 +92,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         )
     if ch < 1:
         raise AudioDecodeError("zero channels")
+    if sample_rate < 1:
+        # a declared rate of 0 would turn every downstream duration
+        # computation into a ZeroDivisionError — fail as a decode error
+        raise AudioDecodeError(f"bad sample rate {sample_rate}")
     frame = ch * 2
     usable = len(pcm) - len(pcm) % frame
     arr = np.frombuffer(pcm, dtype="<i2", count=usable // 2).reshape(-1, ch)

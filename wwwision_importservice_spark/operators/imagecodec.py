@@ -274,13 +274,14 @@ def _unfilter_row(
     return cur.astype(np.uint8)
 
 
-def split_png_stream(data: bytes) -> list[bytes]:
-    """Split a concatenated-PNG stream (the simplest real multi-frame
-    container: frame files back to back, MJPEG-style) into per-frame
-    byte slices by WALKING CHUNKS to each IEND — not by scanning for
-    the magic, which can false-positive inside a frame's own zlib
-    stream. Each returned slice is a complete standalone PNG."""
-    frames: list[bytes] = []
+def png_stream_offsets(data: bytes) -> list[tuple[int, int]]:
+    """Frame boundaries ``(start, end)`` of a concatenated-PNG stream
+    (the simplest real multi-frame container: frame files back to
+    back, MJPEG-style), found by WALKING CHUNKS to each IEND — not by
+    scanning for the magic, which can false-positive inside a frame's
+    own zlib stream. Offsets-only so a sampler can slice just the
+    frames it decodes — the walk copies nothing."""
+    offsets: list[tuple[int, int]] = []
     pos = 0
     while pos < len(data):
         if data[pos : pos + 8] != _PNG_MAGIC:
@@ -303,9 +304,17 @@ def split_png_stream(data: bytes) -> list[bytes]:
             raise ImageDecodeError(
                 f"PNG stream: frame at byte {pos} truncated before IEND"
             )
-        frames.append(data[pos:p])
+        offsets.append((pos, p))
         pos = p
-    return frames
+    return offsets
+
+
+def split_png_stream(data: bytes) -> list[bytes]:
+    """All frames of a concatenated-PNG stream as standalone PNG byte
+    slices. Convenience over :func:`png_stream_offsets`; samplers that
+    decode only a subset should slice from the offsets instead of
+    materializing every frame."""
+    return [data[a:b] for a, b in png_stream_offsets(data)]
 
 
 # --------------------------------------------------------------------------

@@ -435,7 +435,7 @@ def sample_frames_png_stream(
     """REAL video-style frame sampling: the blob is a concatenated-PNG
     stream (the simplest real multi-frame container — frame files back
     to back, MJPEG-style); frames are split by chunk-walking each file
-    to its IEND (``imagecodec.split_png_stream`` — magic-scanning would
+    to its IEND (``imagecodec.png_stream_offsets`` — magic-scanning would
     false-positive inside zlib data), every ``every_n``-th frame is
     REALLY decoded, and its pixels content-addressed. The fake-window
     :func:`frame_sample` stays for opaque containers (MP4/WebM need
@@ -470,9 +470,13 @@ def sample_frames_png_stream(
         for pdf in it:
             rows = []
             for _, row in pdf.iterrows():
-                frames = codec.split_png_stream(bytes(row[blob_col]))
-                for j in range(0, min(len(frames), step * cap), step):
-                    arr, _fmt = codec.decode_image(frames[j])
+                data = bytes(row[blob_col])
+                # offsets-only walk: nothing is copied for skipped
+                # frames — only the sampled ones are sliced and decoded
+                bounds = codec.png_stream_offsets(data)
+                for j in range(0, min(len(bounds), step * cap), step):
+                    a, b = bounds[j]
+                    arr, _fmt = codec.decode_image(data[a:b])
                     rows.append(
                         (
                             row[id_col],
