@@ -2016,11 +2016,18 @@ def x6_split_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (GROUP BY collapse) would diverge silently. One 1-row max() probe
     # (metadata-scale collect), same contract-check pattern as the
     # sink state scans.
-    mx = docs.agg(F.max("doc_id")).first()[0]
-    if mx is not None and mx >= 100000:
+    bounds = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    ).first()
+    # negatives could collide too: -11 + 100000 = 99989 duplicates a
+    # real id while max() alone stays under the offset
+    if bounds["mx"] is not None and (
+        bounds["mx"] >= 100000 or bounds["mn"] < 0
+    ):
         raise ValueError(
-            f"x6_split_churn: fixture doc_id {mx} >= the 100000 twin "
-            "offset; raise the offset in BOTH the query and its oracle"
+            f"x6_split_churn: fixture doc_id range [{bounds['mn']}, "
+            f"{bounds['mx']}] incompatible with the 100000 twin offset; "
+            "raise the offset in BOTH the query and its oracle"
         )
     sig1 = minhash_signatures_inline(docs, "doc_id", "text", n=3, num_hashes=16)
     pairs1 = lsh_candidate_pairs(sig1, "doc_id", num_hashes=16, bands=4)

@@ -460,6 +460,13 @@ def sample_frames_png_stream(
     )
     import_codec = _codec_importer()
     step, cap = int(every_n), int(max_frames)
+    if step < 1 or cap < 1:
+        # fail at call time with a clear message, not as a cryptic
+        # range() ValueError inside a Spark task
+        raise ValueError(
+            f"sample_frames_png_stream: every_n={every_n} and "
+            f"max_frames={max_frames} must both be >= 1"
+        )
 
     def batches(it: Iterator) -> Iterator:
         import hashlib as _hashlib
