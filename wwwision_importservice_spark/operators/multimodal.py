@@ -185,12 +185,12 @@ def decode_metadata(
 
         for pdf in it:
             metas = []
-            for _, row in pdf.iterrows():
-                data = bytes(row[blob_col])
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(blob)
                 width, height, fmt = decode(data)
                 metas.append(
                     (
-                        row[id_col],
+                        rid,
                         len(data),
                         _hashlib.sha256(data).hexdigest(),
                         width,
@@ -237,15 +237,15 @@ def frame_sample(
 
         for pdf in it:
             rows = []
-            for _, row in pdf.iterrows():
-                data = bytes(row[blob_col])
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(blob)
                 n = min(max_frames, max(1, len(data) // every_n_bytes))
                 for i in range(n):
                     off = i * every_n_bytes
                     window = data[off : off + every_n_bytes]
                     rows.append(
                         (
-                            row[id_col],
+                            rid,
                             i,
                             off,
                             _hashlib.sha256(
@@ -295,10 +295,10 @@ def resize_images(
         }
         for pdf in it:
             rows = []
-            for _, row in pdf.iterrows():
-                arr, fmt = codec.decode_image(bytes(row[blob_col]))
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                arr, fmt = codec.decode_image(bytes(blob))
                 small = codec.resize_nearest(arr, w, h)
-                rows.append((row[id_col], encoders[fmt](small), w, h, fmt))
+                rows.append((rid, encoders[fmt](small), w, h, fmt))
             yield pd.DataFrame(
                 rows, columns=[id_col, "blob", "width", "height", "format"]
             )
@@ -396,15 +396,15 @@ def audio_windows_wav(
         codec = import_codec()
         for pdf in it:
             rows = []
-            for _, row in pdf.iterrows():
-                arr, sr = codec.decode_wav(bytes(row[blob_col]))
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                arr, sr = codec.decode_wav(bytes(blob))
                 wlen = max(1, int(round(sr * win_s)))
                 n = arr.shape[0]
                 for i in range(max(1, -(-n // wlen))):
                     win = arr[i * wlen : (i + 1) * wlen]
                     rows.append(
                         (
-                            row[id_col],
+                            rid,
                             i,
                             i * wlen * 1000 // sr,
                             win.shape[0],
@@ -476,8 +476,8 @@ def sample_frames_png_stream(
         codec = import_codec()
         for pdf in it:
             rows = []
-            for _, row in pdf.iterrows():
-                data = bytes(row[blob_col])
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(blob)
                 # offsets-only walk: nothing is copied for skipped
                 # frames — only the sampled ones are sliced and decoded
                 bounds = codec.png_stream_offsets(data)
@@ -486,7 +486,7 @@ def sample_frames_png_stream(
                     arr, _fmt = codec.decode_image(data[a:b])
                     rows.append(
                         (
-                            row[id_col],
+                            rid,
                             j,
                             arr.shape[1],
                             arr.shape[0],
