@@ -255,3 +255,112 @@ def test_split_png_stream_walks_chunks_not_magic():
         split_png_stream(b"".join(blobs)[:-4])
     with pytest.raises(ImageDecodeError, match="expected frame magic"):
         split_png_stream(blobs[0] + b"JUNK" + blobs[1])
+
+
+# --- GIF (LZW) ---------------------------------------------------------------
+
+
+def test_gif_layout_and_handpinned_lzw_bits():
+    """2x1 two-color GIF against hand-computed bytes: codes
+    [CLEAR=4, 0, 1, END=5] at width 3, LSB-first → 0x44 0x0A."""
+    from wwwision_importservice_spark.operators.imagecodec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    arr = np.array([[[0, 0, 0], [255, 255, 255]]], dtype=np.uint8)
+    data = encode_gif([arr])
+    assert data[:6] == b"GIF89a"
+    assert struct.unpack_from("<HH", data, 6) == (2, 1)  # canvas w, h
+    # GCT present, 2 entries (pal_bits=1): packed size field = 0
+    assert data[10] & 0x80 and (data[10] & 0x07) == 0
+    pal = data[13:19]
+    assert pal == bytes([0, 0, 0, 255, 255, 255])
+    assert data[19] == 0x2C  # image separator
+    assert struct.unpack_from("<HHHH", data, 20) == (0, 0, 2, 1)
+    assert data[29] == 2  # LZW min code size (spec floor)
+    assert data[30] == 2 and data[31:33] == bytes([0x44, 0x0A])  # the bits
+    assert data[33] == 0 and data[34] == 0x3B  # terminator + trailer
+    (off, out), = decode_gif(data)
+    assert off == (0, 0)
+    np.testing.assert_array_equal(out, arr)
+
+
+@pytest.mark.parametrize("w,h,ncolors", [(1, 1, 1), (5, 3, 4), (16, 16, 200)])
+def test_gif_roundtrip(w, h, ncolors):
+    from wwwision_importservice_spark.operators.imagecodec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(w * h + ncolors)
+    palette = rng.randint(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    arr = palette[rng.randint(0, ncolors, size=(h, w))]
+    (_, out), = decode_gif(encode_gif([arr]))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_gif_lzw_width_growth_and_table_reset():
+    """A 160x160 noisy frame forces LZW through every code width up to
+    12 bits AND past the 4096-entry table reset (CLEAR mid-stream)."""
+    from wwwision_importservice_spark.operators.imagecodec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(0)
+    palette = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+    palette = np.unique(palette, axis=0)
+    arr = palette[rng.randint(0, len(palette), size=(160, 160))]
+    (_, out), = decode_gif(encode_gif([arr]))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_gif_animated_frames_and_extension_skipping():
+    from wwwision_importservice_spark.operators.imagecodec import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+        sniff_format,
+    )
+
+    rng = np.random.RandomState(5)
+    palette = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    frames = [palette[rng.randint(0, 16, size=(4, 6))] for _ in range(3)]
+    data = encode_gif(frames)
+    assert sniff_format(data) == "gif"
+    decoded = decode_gif(data)
+    assert len(decoded) == 3
+    for (off, out), want in zip(decoded, frames):
+        assert off == (0, 0)
+        np.testing.assert_array_equal(out, want)
+    # decode_image returns the FIRST frame
+    first, fmt = decode_image(data)
+    assert fmt == "gif"
+    np.testing.assert_array_equal(first, frames[0])
+    # splice a graphic-control extension before each frame: still decodes
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = data.replace(b"\x2c", gce + b"\x2c")
+    assert len(decode_gif(spliced)) == 3
+
+
+def test_gif_rejects_malformed():
+    from wwwision_importservice_spark.operators.imagecodec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    data = bytearray(encode_gif([arr]))
+    with pytest.raises(ImageDecodeError, match="not a GIF"):
+        decode_gif(b"JIF89a" + bytes(data[6:]))
+    with pytest.raises(ImageDecodeError):
+        decode_gif(bytes(data[:-2]))  # no trailer
+    # image descriptor: separator at 19, then left/top/w/h (8 bytes),
+    # packed byte at 19+1+8 = 28 — set its interlace bit
+    data[28] |= 0x40
+    with pytest.raises(ImageDecodeError, match="interlaced"):
+        decode_gif(bytes(data))
+    with pytest.raises(ValueError, match="> 256"):
+        rng = np.random.RandomState(1)
+        encode_gif([rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)])

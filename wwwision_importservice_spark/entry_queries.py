@@ -4325,6 +4325,88 @@ def x4_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "x4_gif_frames",
+    # ANIMATED GIF through real LZW: 2-5 gray frames per doc on a 4x3
+    # canvas, frame j's 12 gray levels = the first 12 bytes of
+    # md5(doc_id:g:j). Gray pixels (g,g,g) survive the palette round
+    # trip byte-exactly, so the oracle predicts each decoded frame's
+    # RGB hex as every pattern byte TRIPLED — proving the LZW encode →
+    # decode → palette mapping end to end with md5 arithmetic alone.
+    f"""
+SELECT doc_id, CAST(j AS INT) AS frame_index,
+       CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+       sha256(array_to_string(list_transform(range(0, 12), k ->
+         repeat(substr(md5(CAST(doc_id AS VARCHAR) || ':g:' ||
+                           CAST(j AS VARCHAR)), CAST(2 * k + 1 AS INT), 2),
+                3)), '')) AS frame_sha
+FROM (
+  SELECT doc_id, 2 + {_H60("CAST(doc_id AS VARCHAR)")} % 4 AS nf
+  FROM documents
+), unnest(range(0, nf)) AS t(j)
+""",
+    driver=False,
+)
+def x4_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — REAL animated-GIF decode under a byte-exact oracle
+    (``operators/imagecodec.py:decode_gif`` — pure-Python GIF-variant
+    LZW with code-width growth and 12-bit table resets, global
+    palettes, extension skipping): per document, 2-5 grayscale frames
+    are encoded into one actual GIF89a file, decoded back, and every
+    frame's pixels content-addressed. The oracle recomputes each hash
+    from md5 string arithmetic (gray bytes tripled to RGB). The fourth
+    real in-sandbox media codec family (BMP/PPM/PNG pixels, WAV
+    samples, PNG-stream frames, GIF animation). Same scale shape: one
+    Arrow pass, per-file CPU, no shuffle."""
+    from wwwision_importservice_spark.operators.multimodal import _codec_importer
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
+    import_codec = _codec_importer()
+    out_schema = (
+        "doc_id long, frame_index int, width int, height int, frame_sha string"
+    )
+
+    def kernel(it):
+        import hashlib as _hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        codec = import_codec()
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mh = _hashlib.md5(str(did).encode()).hexdigest()
+                nf = 2 + int(mh[:15], 16) % 4
+                frames = []
+                for j in range(nf):
+                    fh = _hashlib.md5(f"{did}:g:{j}".encode()).hexdigest()
+                    gray = np.frombuffer(
+                        bytes.fromhex(fh[:24]), dtype=np.uint8
+                    ).reshape(3, 4, 1)
+                    frames.append(np.repeat(gray, 3, axis=2))
+                blob = codec.encode_gif(frames)
+                for j, (_off, arr) in enumerate(codec.decode_gif(blob)):
+                    rows.append(
+                        (
+                            did,
+                            j,
+                            arr.shape[1],
+                            arr.shape[0],
+                            _hashlib.sha256(
+                                arr.tobytes().hex().encode()
+                            ).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_index", "width", "height", "frame_sha"],
+            )
+
+    return docs.mapInPandas(kernel, schema=out_schema)
+
+
+@_register(
     "x4_frame_sample",
     """
 SELECT doc_id, CAST(i AS INT) AS frame_index, CAST(i * 64 AS BIGINT) AS offset,

@@ -41,18 +41,22 @@ class ImageDecodeError(ValueError):
 
 
 def sniff_format(data: bytes) -> str | None:
-    """'bmp' | 'ppm' | 'png' from magic bytes, None if unrecognized."""
+    """'bmp' | 'ppm' | 'png' | 'gif' from magic bytes, None if unrecognized."""
     if data[:2] == b"BM":
         return "bmp"
     if data[:2] == b"P6":
         return "ppm"
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:
-    """Decode any supported format to ``((H, W, 3) uint8 RGB, format)``."""
+    """Decode any supported format to ``((H, W, 3) uint8 RGB, format)``.
+    For animated GIFs this is the FIRST frame; :func:`decode_gif`
+    returns them all."""
     fmt = sniff_format(data)
     if fmt == "bmp":
         return decode_bmp(data), "bmp"
@@ -60,8 +64,13 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         return decode_ppm(data), "ppm"
     if fmt == "png":
         return decode_png(data), "png"
+    if fmt == "gif":
+        frames = decode_gif(data)
+        if not frames:
+            raise ImageDecodeError("GIF with no image frames")
+        return frames[0][1], "gif"
     raise ImageDecodeError(
-        f"unsupported image magic {data[:8]!r} (supported: BMP/PPM/PNG)"
+        f"unsupported image magic {data[:8]!r} (supported: BMP/PPM/PNG/GIF)"
     )
 
 
@@ -272,6 +281,216 @@ def _unfilter_row(
     else:
         raise ImageDecodeError(f"bad PNG filter type {ftype}")
     return cur.astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# GIF — 87a/89a, LZW, global/local palettes, multi-frame (animated)
+
+
+def _lzw_decode(buf: bytes, mcs: int) -> bytearray:
+    """GIF-variant LZW: LSB-first bit packing, CLEAR/END codes, code
+    width grows when the table hits 2^width (max 12 bits / 4096 codes).
+    The width-growth phase pairs exactly with :func:`_lzw_encode` —
+    decoder grows at ``next_code == 2^width``, encoder one code later."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = clear + 2
+    out = bytearray()
+    prev: int | None = None
+    pos, total = 0, len(buf) * 8
+    while pos + width <= total:
+        byte_i, bit_o = divmod(pos, 8)
+        chunk = int.from_bytes(buf[byte_i : byte_i + 3], "little")
+        code = (chunk >> bit_o) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code, width, prev = clear + 2, mcs + 1, None
+            continue
+        if code == end:
+            return out
+        if prev is None:
+            if code not in table:
+                raise ImageDecodeError(f"LZW: first code {code} not a root")
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = table[prev] + table[prev][:1]
+            else:
+                raise ImageDecodeError(f"LZW: code {code} out of sequence")
+            if next_code < 4096:
+                table[next_code] = table[prev] + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        prev = code
+    raise ImageDecodeError("LZW: stream ended before END code")
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """Real LZW (not the uncompressed-GIF trick): dictionary phrases,
+    width growth one code after the decoder's (see :func:`_lzw_decode`),
+    CLEAR + reset when the 12-bit table fills."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    bits: list[tuple[int, int]] = []  # (code, width)
+    width = mcs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    bits.append((clear, width))
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        bits.append((table[w], width))
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: reset both sides
+            bits.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = clear + 2, mcs + 1
+        w = bytes([k])
+    if w:
+        bits.append((table[w], width))
+    bits.append((end, width))
+    # LSB-first packing
+    out = bytearray()
+    acc = n = 0
+    for code, wd in bits:
+        acc |= code << n
+        n += wd
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(frames: list[np.ndarray]) -> bytes:
+    """Full-canvas ``(H, W, 3) uint8`` frames → GIF89a bytes with ONE
+    global palette built from the union of colors (≤ 256 distinct or
+    ``ValueError`` — quantization is a modeling choice, not a codec's)."""
+    if not frames:
+        raise ValueError("encode_gif: no frames")
+    arrs = [_as_rgb(f) for f in frames]
+    h, w = arrs[0].shape[:2]
+    if any(a.shape != (h, w, 3) for a in arrs):
+        raise ValueError("encode_gif: all frames must share the canvas size")
+    colors = np.unique(
+        np.concatenate([a.reshape(-1, 3) for a in arrs], axis=0), axis=0
+    )
+    if len(colors) > 256:
+        raise ValueError(
+            f"encode_gif: {len(colors)} distinct colors > 256 (quantize first)"
+        )
+    pal_bits = max(1, (max(len(colors), 2) - 1).bit_length())  # 2^n slots
+    pal = np.zeros((1 << pal_bits, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    # vectorized palette lookup: np.unique rows are lex-sorted, so the
+    # packed 24-bit keys are numerically sorted — searchsorted maps
+    # every pixel (guaranteed present) to its palette index
+    ckeys = (
+        (colors[:, 0].astype(np.int64) << 16)
+        | (colors[:, 1].astype(np.int64) << 8)
+        | colors[:, 2].astype(np.int64)
+    )
+    mcs = max(2, pal_bits)  # spec: LZW min code size >= 2
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) << 4) | (pal_bits - 1), 0, 0)
+    out += pal.tobytes()
+    for a in arrs:
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        flat = a.reshape(-1, 3).astype(np.int64)
+        pkeys = (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
+        idx = np.searchsorted(ckeys, pkeys).astype(np.uint8).tobytes()
+        out.append(mcs)
+        comp = _lzw_encode(idx, mcs)
+        for i in range(0, len(comp), 255):
+            block = comp[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> list[tuple[tuple[int, int], np.ndarray]]:
+    """GIF bytes → list of ``((left, top), (H, W, 3) uint8 RGB)`` — one
+    entry per image frame, in stream order. Frames are returned as
+    their OWN rectangles with canvas offsets; compositing/disposal
+    (transparency accumulation across animated frames) is a renderer
+    concern, deliberately out of codec scope. Extensions (graphic
+    control, comments, application) are skipped per spec; interlaced
+    frames are rejected loudly."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ImageDecodeError("not a GIF")
+    if len(data) < 13:
+        raise ImageDecodeError("truncated GIF header")
+    _w, _h, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    frames: list[tuple[tuple[int, int], np.ndarray]] = []
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            return frames
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ImageDecodeError(f"GIF: unknown block 0x{block:02x} at {pos - 1}")
+        if pos + 9 > len(data):
+            raise ImageDecodeError("GIF: truncated image descriptor")
+        left, top, fw, fh, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise ImageDecodeError("GIF: interlaced frames not supported")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ImageDecodeError("GIF: frame without any color table")
+        if pos >= len(data):
+            raise ImageDecodeError("GIF: truncated before LZW data")
+        mcs = data[pos]
+        pos += 1
+        comp = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            comp += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        if pos >= len(data):
+            raise ImageDecodeError("GIF: truncated LZW sub-blocks")
+        pos += 1  # block terminator
+        idx = _lzw_decode(bytes(comp), mcs)
+        if len(idx) < fw * fh:
+            raise ImageDecodeError(
+                f"GIF: frame decoded {len(idx)} pixels, needs {fw * fh}"
+            )
+        arr = pal[np.frombuffer(bytes(idx[: fw * fh]), np.uint8)].reshape(fh, fw, 3)
+        frames.append(((left, top), arr.copy()))
+    raise ImageDecodeError("GIF: stream ended without trailer")
 
 
 def png_stream_offsets(data: bytes) -> list[tuple[int, int]]:

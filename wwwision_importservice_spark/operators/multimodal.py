@@ -5,7 +5,7 @@ columns with typed metadata structs, with decode / feature-extract /
 resize / frame-sample as Arrow-batched Pandas functions over
 ``mapInPandas``.
 
-Image decode is REAL in-sandbox (round 9): BMP / PPM / PNG bytes decode
+Image decode is REAL in-sandbox (round 9): BMP / PPM / PNG / GIF bytes decode
 to pixels through the pure-stdlib/NumPy codecs in
 :mod:`~wwwision_importservice_spark.operators.imagecodec` — no Pillow
 required. Pillow, when installed, is the optional fast lane for every
@@ -89,7 +89,7 @@ def attach_blob(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 
 def _make_image_decoder(strict: bool, has_pil: bool, import_codec):
     """THE decode policy, one definition (driver and executor share it):
-    recognizable BMP/PPM/PNG bytes decode through the pure codecs;
+    recognizable BMP/PPM/PNG/GIF bytes decode through the pure codecs;
     unrecognized payloads go to Pillow when installed (JPEG etc.); any
     failure — unknown magic, corrupt-but-sniffable bytes (truncated
     IDAT, bad stride), Pillow rejection — becomes the deterministic
@@ -154,7 +154,7 @@ def decode_metadata(
     """Extract typed metadata from binary media via Arrow-batched
     ``mapInPandas`` — the X4 decode/feature-extract step.
 
-    Recognizable image bytes (BMP/PPM/PNG magic) ALWAYS decode for real
+    Recognizable image bytes (BMP/PPM/PNG/GIF magic) ALWAYS decode for real
     through the pure codecs — no library gate. Unrecognized payloads:
     Pillow when present (JPEG etc.), else the deterministic fake
     (format ``'fake'``), unless ``use_real_decoder=True`` makes an
