@@ -338,7 +338,12 @@ def test_gif_animated_frames_and_extension_skipping():
     first, fmt = decode_image(data)
     assert fmt == "gif"
     np.testing.assert_array_equal(first, frames[0])
-    # splice a graphic-control extension before each frame: still decodes
+    # splice a graphic-control extension before each frame: still decodes.
+    # PRECONDITION for the blind replace: the only 0x2C bytes in this
+    # stream are the three image separators (palette/LZW bytes happen to
+    # avoid it at this seed) — assert it so an encoder/seed change fails
+    # loudly here instead of silently corrupting the spliced stream.
+    assert data.count(b"\x2c") == 3
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     spliced = data.replace(b"\x2c", gce + b"\x2c")
     assert len(decode_gif(spliced)) == 3
@@ -364,3 +369,88 @@ def test_gif_rejects_malformed():
     with pytest.raises(ValueError, match="> 256"):
         rng = np.random.RandomState(1)
         encode_gif([rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)])
+
+
+def test_gif_error_contract_and_canvas_semantics():
+    """Malformed-but-sniffable GIFs raise ImageDecodeError (never raw
+    numpy/struct errors); decode_image reports LOGICAL SCREEN dims for
+    a sub-rect first frame, matching what standard tools report."""
+    from wwwision_importservice_spark.operators.imagecodec import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+    )
+
+    arr = np.array([[[0, 0, 0], [255, 255, 255]]], dtype=np.uint8)
+    data = bytearray(encode_gif([arr]))
+
+    # out-of-palette LZW index: 2-entry palette, root code 3 in stream
+    bad_idx = bytearray(data)
+    # rebuild the LZW sub-block with codes [CLEAR=4, 3, 3, END=5] (width 3)
+    # -> bits: 100 110 110 101 LSB-first = 0x34 0x0B... compute directly:
+    codes = [(4, 3), (3, 3), (3, 3), (5, 3)]
+    acc = n = 0
+    packed = bytearray()
+    for c, wd in codes:
+        acc |= c << n
+        n += wd
+        while n >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        packed.append(acc & 0xFF)
+    bad_idx[30:33] = bytes([len(packed)]) + bytes(packed)
+    with pytest.raises(ImageDecodeError, match="outside the"):
+        decode_gif(bytes(bad_idx))
+
+    # truncated global color table
+    with pytest.raises(ImageDecodeError, match="truncated global color"):
+        decode_gif(bytes(data[:15]))
+
+    # bad LZW min code size
+    bad_mcs = bytearray(data)
+    bad_mcs[29] = 9
+    with pytest.raises(ImageDecodeError, match="bad LZW min code size"):
+        decode_gif(bytes(bad_mcs))
+
+    # 16-bit dimension ceiling is a ValueError, not struct.error
+    with pytest.raises(ValueError, match="16-bit"):
+        encode_gif([np.zeros((1, 65536, 3), dtype=np.uint8)])
+
+    # sub-rect first frame: decode_image reports the logical screen
+    full = encode_gif([np.tile(arr, (4, 2, 1))])  # 4x4 canvas
+    sub = bytearray(full)
+    # shrink the image descriptor to a 2x2 rect at (1,1) and re-encode
+    # its pixel data for the smaller rect
+    import struct as _struct
+
+    inner = encode_gif([np.tile(arr, (2, 1, 1))])  # 2x2 frame, same palette
+    stitched = bytes(full[:19]) + inner[19:-1] + b"\x3b"
+    stitched = bytearray(stitched)
+    _struct.pack_into("<HHHH", stitched, 20, 1, 1, 2, 2)
+    out, fmt = decode_image(bytes(stitched))
+    assert fmt == "gif" and out.shape == (4, 4, 3)  # logical screen
+    np.testing.assert_array_equal(out[1:3, 1:3], np.tile(arr, (2, 1, 1)))
+    assert (out[0] == 0).all()  # uncovered canvas is black
+
+
+def test_resize_images_handles_gif(spark):
+    from wwwision_importservice_spark.operators.imagecodec import (
+        decode_image,
+        encode_gif,
+        resize_nearest,
+    )
+    from wwwision_importservice_spark.operators.multimodal import resize_images
+
+    rng = np.random.RandomState(2)
+    palette = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    arr = palette[rng.randint(0, 8, size=(6, 9))]
+    blobs = spark.createDataFrame(
+        [(1, bytearray(encode_gif([arr])))], "doc_id long, blob binary"
+    )
+    (row,) = resize_images(blobs, "doc_id", 4, 3).collect()
+    assert (row["width"], row["height"], row["format"]) == (4, 3, "gif")
+    dec, fmt = decode_image(bytes(row["blob"]))
+    assert fmt == "gif"
+    np.testing.assert_array_equal(dec, resize_nearest(arr, 4, 3))

@@ -65,10 +65,7 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     if fmt == "png":
         return decode_png(data), "png"
     if fmt == "gif":
-        frames = decode_gif(data)
-        if not frames:
-            raise ImageDecodeError("GIF with no image frames")
-        return frames[0][1], "gif"
+        return decode_gif_canvas(data), "gif"
     raise ImageDecodeError(
         f"unsupported image magic {data[:8]!r} (supported: BMP/PPM/PNG/GIF)"
     )
@@ -386,6 +383,10 @@ def encode_gif(frames: list[np.ndarray]) -> bytes:
     h, w = arrs[0].shape[:2]
     if any(a.shape != (h, w, 3) for a in arrs):
         raise ValueError("encode_gif: all frames must share the canvas size")
+    if w > 0xFFFF or h > 0xFFFF:
+        raise ValueError(
+            f"encode_gif: canvas {w}x{h} exceeds GIF's 16-bit dimension limit"
+        )
     colors = np.unique(
         np.concatenate([a.reshape(-1, 3) for a in arrs], axis=0), axis=0
     )
@@ -442,6 +443,8 @@ def decode_gif(data: bytes) -> list[tuple[tuple[int, int], np.ndarray]]:
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
+        if len(data) < pos + n * 3:
+            raise ImageDecodeError("GIF: truncated global color table")
         gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
     frames: list[tuple[tuple[int, int], np.ndarray]] = []
@@ -467,6 +470,8 @@ def decode_gif(data: bytes) -> list[tuple[tuple[int, int], np.ndarray]]:
         pal = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
+            if len(data) < pos + n * 3:
+                raise ImageDecodeError("GIF: truncated local color table")
             pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
             pos += n * 3
         if pal is None:
@@ -475,6 +480,8 @@ def decode_gif(data: bytes) -> list[tuple[tuple[int, int], np.ndarray]]:
             raise ImageDecodeError("GIF: truncated before LZW data")
         mcs = data[pos]
         pos += 1
+        if not 2 <= mcs <= 8:
+            raise ImageDecodeError(f"GIF: bad LZW min code size {mcs}")
         comp = bytearray()
         while pos < len(data) and data[pos] != 0:
             ln = data[pos]
@@ -488,9 +495,35 @@ def decode_gif(data: bytes) -> list[tuple[tuple[int, int], np.ndarray]]:
             raise ImageDecodeError(
                 f"GIF: frame decoded {len(idx)} pixels, needs {fw * fh}"
             )
-        arr = pal[np.frombuffer(bytes(idx[: fw * fh]), np.uint8)].reshape(fh, fw, 3)
+        codes = np.frombuffer(bytes(idx[: fw * fh]), np.uint8)
+        if codes.size and int(codes.max()) >= len(pal):
+            raise ImageDecodeError(
+                f"GIF: pixel index {int(codes.max())} outside the "
+                f"{len(pal)}-entry color table"
+            )
+        arr = pal[codes].reshape(fh, fw, 3)
         frames.append(((left, top), arr.copy()))
     raise ImageDecodeError("GIF: stream ended without trailer")
+
+
+def decode_gif_canvas(data: bytes) -> np.ndarray:
+    """The first frame composited onto the LOGICAL SCREEN — what every
+    standard tool reports as 'the' GIF image. Optimized real-world GIFs
+    often store the first frame as a sub-rectangle; returning the bare
+    rect would make :func:`decode_image` metadata disagree with
+    Pillow/ImageMagick on the same bytes. Uncovered canvas is black
+    (index-0 backgrounds are a renderer policy this codec stays out of;
+    per-frame rects + offsets are available via :func:`decode_gif`)."""
+    w, h = struct.unpack_from("<HH", data, 6) if len(data) >= 10 else (0, 0)
+    frames = decode_gif(data)
+    if not frames:
+        raise ImageDecodeError("GIF with no image frames")
+    (left, top), first = frames[0]
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    fh = min(first.shape[0], max(h - top, 0))
+    fw = min(first.shape[1], max(w - left, 0))
+    canvas[top : top + fh, left : left + fw] = first[:fh, :fw]
+    return canvas
 
 
 def png_stream_offsets(data: bytes) -> list[tuple[int, int]]:

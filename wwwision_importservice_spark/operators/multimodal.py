@@ -292,6 +292,10 @@ def resize_images(
             "bmp": codec.encode_bmp,
             "ppm": codec.encode_ppm,
             "png": codec.encode_png,
+            # a resized GIF frame only draws colors the source palette
+            # had, so the <=256-color encode contract holds by
+            # construction (nearest-neighbor never invents pixels)
+            "gif": lambda a: codec.encode_gif([a]),
         }
         for pdf in it:
             rows = []
