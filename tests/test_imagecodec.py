@@ -454,3 +454,40 @@ def test_resize_images_handles_gif(spark):
     dec, fmt = decode_image(bytes(row["blob"]))
     assert fmt == "gif"
     np.testing.assert_array_equal(dec, resize_nearest(arr, 4, 3))
+
+
+def test_gif_canvas_background_growth_and_allocation_cap():
+    """Canvas padding uses the header background color (stays inside the
+    palette so re-encode can't overflow 256 colors); the canvas grows to
+    fit oversized frames like Pillow; attacker-controlled screen dims
+    hit the allocation ceiling instead of a 12.9 GB np.zeros."""
+    from wwwision_importservice_spark.operators.imagecodec import (
+        decode_gif_canvas,
+        encode_gif,
+    )
+
+    arr = np.array([[[10, 20, 30], [200, 100, 50]]], dtype=np.uint8)
+    data = bytearray(encode_gif([arr]))  # 2x1, palette of two colors
+    # declare a 4x3 logical screen and background index 1
+    struct.pack_into("<HH", data, 6, 4, 3)
+    data[11] = 1  # background color index
+    out = decode_gif_canvas(bytes(data))
+    assert out.shape == (3, 4, 3)
+    np.testing.assert_array_equal(out[0, :2], arr[0])
+    # padding is palette entry 1 — sorted palette puts (10,20,30) first
+    np.testing.assert_array_equal(out[2, 3], [200, 100, 50])
+    # only palette colors on the whole canvas → GIF re-encode stays legal
+    assert len(np.unique(out.reshape(-1, 3), axis=0)) <= 2
+    encode_gif([out])
+
+    # undersized screen: canvas grows to the frame, nothing clipped
+    small = bytearray(encode_gif([np.tile(arr, (4, 2, 1))]))  # 4x4 frame
+    struct.pack_into("<HH", small, 6, 1, 1)
+    grown = decode_gif_canvas(bytes(small))
+    assert grown.shape == (4, 4, 3)
+
+    # allocation ceiling on crafted header dims
+    evil = bytearray(encode_gif([arr]))
+    struct.pack_into("<HH", evil, 6, 65535, 65535)
+    with pytest.raises(ImageDecodeError, match="canvas ceiling"):
+        decode_gif_canvas(bytes(evil))

@@ -55,8 +55,10 @@ def sniff_format(data: bytes) -> str | None:
 
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     """Decode any supported format to ``((H, W, 3) uint8 RGB, format)``.
-    For animated GIFs this is the FIRST frame; :func:`decode_gif`
-    returns them all."""
+    For GIFs this is the first frame COMPOSITED ONTO THE LOGICAL SCREEN
+    (background-color padding — see :func:`decode_gif_canvas`), so
+    dimensions agree with what Pillow/ImageMagick report; the raw
+    per-frame rects of an animation come from :func:`decode_gif`."""
     fmt = sniff_format(data)
     if fmt == "bmp":
         return decode_bmp(data), "bmp"
@@ -506,24 +508,56 @@ def decode_gif(data: bytes) -> list[tuple[tuple[int, int], np.ndarray]]:
     raise ImageDecodeError("GIF: stream ended without trailer")
 
 
+#: ceiling on the composited canvas (64M px ≈ 192 MB RGB). The logical
+#: screen dims are ATTACKER-CONTROLLED header shorts — without a cap, a
+#: 40-byte GIF declaring 65535x65535 forces a ~12.9 GB allocation on
+#: the executor regardless of actual frame data.
+MAX_GIF_CANVAS_PIXELS = 1 << 26
+
+
 def decode_gif_canvas(data: bytes) -> np.ndarray:
     """The first frame composited onto the LOGICAL SCREEN — what every
     standard tool reports as 'the' GIF image. Optimized real-world GIFs
     often store the first frame as a sub-rectangle; returning the bare
     rect would make :func:`decode_image` metadata disagree with
-    Pillow/ImageMagick on the same bytes. Uncovered canvas is black
-    (index-0 backgrounds are a renderer policy this codec stays out of;
-    per-frame rects + offsets are available via :func:`decode_gif`)."""
-    w, h = struct.unpack_from("<HH", data, 6) if len(data) >= 10 else (0, 0)
-    frames = decode_gif(data)
+    Pillow/ImageMagick on the same bytes. Like Pillow, the canvas GROWS
+    to fit a frame that extends past the declared screen (old encoders
+    emit undersized or zero screens), so no decoded pixel is silently
+    dropped. Uncovered canvas takes the header's BACKGROUND COLOR from
+    the global palette (falling back to the first palette entry, then
+    black) — staying inside the palette keeps a later palettized
+    re-encode (``multimodal.resize_images``) within GIF's 256-color
+    limit. Per-frame rects + offsets: :func:`decode_gif`."""
+    frames = decode_gif(data)  # validates header length (>= 13) first
     if not frames:
         raise ImageDecodeError("GIF with no image frames")
+    w, h = struct.unpack_from("<HH", data, 6)
     (left, top), first = frames[0]
-    canvas = np.zeros((h, w, 3), dtype=np.uint8)
-    fh = min(first.shape[0], max(h - top, 0))
-    fw = min(first.shape[1], max(w - left, 0))
-    canvas[top : top + fh, left : left + fw] = first[:fh, :fw]
+    w = max(w, left + first.shape[1])
+    h = max(h, top + first.shape[0])
+    if w * h > MAX_GIF_CANVAS_PIXELS:
+        raise ImageDecodeError(
+            f"GIF logical screen {w}x{h} exceeds the "
+            f"{MAX_GIF_CANVAS_PIXELS}-pixel canvas ceiling (header dims "
+            "are untrusted; use decode_gif for the raw frame rects)"
+        )
+    bg = _gif_background_rgb(data)
+    canvas = np.empty((h, w, 3), dtype=np.uint8)
+    canvas[:, :] = bg
+    canvas[top : top + first.shape[0], left : left + first.shape[1]] = first
     return canvas
+
+
+def _gif_background_rgb(data: bytes) -> tuple[int, int, int]:
+    """Header background color from the global palette; first palette
+    entry when the index is out of range; black when there is no GCT."""
+    packed, bg = data[10], data[11]
+    if not packed & 0x80:
+        return (0, 0, 0)
+    n = 2 << (packed & 0x07)
+    idx = bg if bg < n else 0
+    off = 13 + idx * 3
+    return (data[off], data[off + 1], data[off + 2])
 
 
 def png_stream_offsets(data: bytes) -> list[tuple[int, int]]:

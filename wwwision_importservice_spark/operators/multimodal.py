@@ -292,9 +292,12 @@ def resize_images(
             "bmp": codec.encode_bmp,
             "ppm": codec.encode_ppm,
             "png": codec.encode_png,
-            # a resized GIF frame only draws colors the source palette
-            # had, so the <=256-color encode contract holds by
-            # construction (nearest-neighbor never invents pixels)
+            # a resized GIF canvas draws only source-palette colors
+            # (background padding comes FROM the palette — see
+            # decode_gif_canvas), so single-palette GIFs re-encode
+            # within the 256-color limit by construction; a pathological
+            # multi-LCT GIF whose union exceeds 256 fails with
+            # encode_gif's loud quantize-first ValueError
             "gif": lambda a: codec.encode_gif([a]),
         }
         for pdf in it:
