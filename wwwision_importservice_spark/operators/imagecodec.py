@@ -9,9 +9,10 @@ layout for everything downstream (resize, hashing, feature stubs).
 
 Scale/usage notes: these run *inside* Arrow-batched ``mapInPandas``
 kernels (see ``multimodal.py``), one image per call — per-image CPU,
-no driver involvement. The BMP/PPM paths and PNG filter-0 unfiltering
-are vectorized numpy; PNG filters 1-4 fall back to a per-pixel loop
-(sub/up/avg/Paeth are sequentially dependent within a scanline), which
+no driver involvement. The BMP/PPM paths and PNG filter-0/1/2
+unfiltering are vectorized numpy (Sub is a per-stride cumsum mod 256);
+PNG filters 3-4 fall back to a per-pixel loop
+(avg/Paeth are sequentially dependent within a scanline), which
 is fine for metadata extraction and thumbnails but is where Pillow-as-
 fast-lane pays off when installed (``multimodal._HAS_PIL``). Encoders
 exist so the round-trip (synthesize → encode → decode) can be pinned
@@ -34,6 +35,20 @@ import numpy as np
 
 class ImageDecodeError(ValueError):
     """Malformed or unsupported image bytes."""
+
+
+#: ceiling on any single decoded surface (64M px ≈ 192 MB as RGB).
+#: Header dimensions are ATTACKER-CONTROLLED in every supported format,
+#: and both compressed paths amplify: zlib inflates ~1000:1 (a ~1 MB
+#: crafted PNG would expand to gigabytes), GIF LZW is unbounded with
+#: crafted dictionaries (~260x measured on trivial input). So the
+#: ceiling is enforced BEFORE any decompression allocates (PNG IHDR,
+#: GIF frame descriptor, GIF logical screen), and the inflate loops
+#: themselves are output-bounded (``decompressobj`` ``max_length`` for
+#: PNG, an explicit stop bound inside :func:`_lzw_decode` for GIF) so
+#: even a stream that lies about its dimensions cannot out-allocate
+#: the declared surface by more than one phrase/byte.
+MAX_DECODE_PIXELS = 1 << 26
 
 
 # --------------------------------------------------------------------------
@@ -217,11 +232,20 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ImageDecodeError("truncated PNG chunk")
         pos += 12 + length  # len + tag + body + crc (crc not verified)
         if tag == b"IHDR":
-            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if len(body) < 13:
+                raise ImageDecodeError(f"PNG IHDR body {len(body)} bytes < 13")
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack_from(
+                ">IIBBBBB", body
+            )
             if depth != 8 or ctype not in _CHANNELS or interlace != 0:
                 raise ImageDecodeError(
                     f"unsupported PNG (depth={depth}, color_type={ctype}, "
                     f"interlace={interlace}); 8-bit gray/RGB/RGBA non-interlaced only"
+                )
+            if w * h > MAX_DECODE_PIXELS:
+                raise ImageDecodeError(
+                    f"PNG {w}x{h} exceeds the {MAX_DECODE_PIXELS}-pixel "
+                    "decode ceiling (IHDR dims are untrusted)"
                 )
         elif tag == b"IDAT":
             idat += body
@@ -230,10 +254,19 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None:
         raise ImageDecodeError("PNG without IHDR")
     ch = _CHANNELS[ctype]
-    raw = zlib.decompress(bytes(idat))
     rowlen = 1 + ch * w
-    if len(raw) != rowlen * h:
-        raise ImageDecodeError(f"PNG data length {len(raw)} != {rowlen * h}")
+    expected = rowlen * h
+    # bounded inflate: ask the decompressor for at most expected+1 bytes,
+    # so a PNG bomb (zlib amplifies ~1000:1) over-produces by at most ONE
+    # byte before the length check fires, instead of materializing the
+    # whole stream and checking after (the r9 weak).
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ImageDecodeError(f"PNG IDAT inflate failed: {exc}") from exc
+    if len(raw) != expected:
+        raise ImageDecodeError(f"PNG data length {len(raw)} != {expected}")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, rowlen)
     filters, lines = raw[:, 0], raw[:, 1:]
     out = np.zeros((h, ch * w), dtype=np.uint8)
@@ -259,9 +292,13 @@ def _unfilter_row(
     n = len(cur)
     if ftype == 0:
         pass
-    elif ftype == 1:  # Sub
-        for i in range(ch, n):
-            cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+    elif ftype == 1:  # Sub — recon(i) = raw(i) + recon(i-ch), i.e. each
+        # channel stride is a running sum of its raw bytes mod 256, so a
+        # per-stride cumsum (int64 to avoid overflow, wrap after)
+        # replaces the per-pixel loop; byte-exactness pinned by the
+        # filter-matrix test, micro-bench in its docstring
+        for j in range(ch):
+            cur[j::ch] = np.cumsum(cur[j::ch], dtype=np.int64) & 0xFF
     elif ftype == 2:  # Up
         cur = (cur + up) & 0xFF
     elif ftype == 3:  # Average
@@ -286,11 +323,18 @@ def _unfilter_row(
 # GIF — 87a/89a, LZW, global/local palettes, multi-frame (animated)
 
 
-def _lzw_decode(buf: bytes, mcs: int) -> bytearray:
+def _lzw_decode(buf: bytes, mcs: int, max_out: int | None = None) -> bytearray:
     """GIF-variant LZW: LSB-first bit packing, CLEAR/END codes, code
     width grows when the table hits 2^width (max 12 bits / 4096 codes).
     The width-growth phase pairs exactly with :func:`_lzw_encode` —
-    decoder grows at ``next_code == 2^width``, encoder one code later."""
+    decoder grows at ``next_code == 2^width``, encoder one code later.
+
+    ``max_out`` is the decompression-bomb stop bound: LZW amplification
+    is unbounded with crafted dictionaries, so callers pass the frame's
+    declared pixel count (plus slack for sloppy real-world encoders that
+    emit a few trailing pixels) and the decode aborts with
+    ``ImageDecodeError`` the moment output exceeds it — overshoot is
+    bounded by one dictionary phrase (< 4096 bytes), never gigabytes."""
     clear, end = 1 << mcs, (1 << mcs) + 1
     width = mcs + 1
     table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
@@ -326,6 +370,11 @@ def _lzw_decode(buf: bytes, mcs: int) -> bytearray:
                 if next_code == (1 << width) and width < 12:
                     width += 1
         out += entry
+        if max_out is not None and len(out) > max_out:
+            raise ImageDecodeError(
+                f"LZW: output exceeded the {max_out}-byte stop bound "
+                "(decompression bomb or corrupt stream)"
+            )
         prev = code
     raise ImageDecodeError("LZW: stream ended before END code")
 
@@ -484,6 +533,14 @@ def decode_gif(data: bytes) -> list[tuple[tuple[int, int], np.ndarray]]:
         pos += 1
         if not 2 <= mcs <= 8:
             raise ImageDecodeError(f"GIF: bad LZW min code size {mcs}")
+        if fw * fh > MAX_DECODE_PIXELS:
+            # checked BEFORE the LZW loop and the pal[codes] expansion:
+            # descriptor dims are untrusted 16-bit shorts (up to 4.3G
+            # pixels/frame = ~12.9 GB as RGB)
+            raise ImageDecodeError(
+                f"GIF frame {fw}x{fh} exceeds the {MAX_DECODE_PIXELS}-pixel "
+                "decode ceiling (descriptor dims are untrusted)"
+            )
         comp = bytearray()
         while pos < len(data) and data[pos] != 0:
             ln = data[pos]
@@ -492,7 +549,10 @@ def decode_gif(data: bytes) -> list[tuple[tuple[int, int], np.ndarray]]:
         if pos >= len(data):
             raise ImageDecodeError("GIF: truncated LZW sub-blocks")
         pos += 1  # block terminator
-        idx = _lzw_decode(bytes(comp), mcs)
+        # stop bound = declared pixels + one max dictionary phrase of
+        # slack (tolerates sloppy encoders that emit a few extra pixels,
+        # which the slice below has always discarded)
+        idx = _lzw_decode(bytes(comp), mcs, max_out=fw * fh + 4096)
         if len(idx) < fw * fh:
             raise ImageDecodeError(
                 f"GIF: frame decoded {len(idx)} pixels, needs {fw * fh}"
@@ -508,11 +568,11 @@ def decode_gif(data: bytes) -> list[tuple[tuple[int, int], np.ndarray]]:
     raise ImageDecodeError("GIF: stream ended without trailer")
 
 
-#: ceiling on the composited canvas (64M px ≈ 192 MB RGB). The logical
-#: screen dims are ATTACKER-CONTROLLED header shorts — without a cap, a
-#: 40-byte GIF declaring 65535x65535 forces a ~12.9 GB allocation on
-#: the executor regardless of actual frame data.
-MAX_GIF_CANVAS_PIXELS = 1 << 26
+#: back-compat alias: the composited logical-screen canvas shares the
+#: one decode-surface budget (see :data:`MAX_DECODE_PIXELS` for the
+#: threat model — a 40-byte GIF declaring 65535x65535 would otherwise
+#: force a ~12.9 GB allocation regardless of actual frame data).
+MAX_GIF_CANVAS_PIXELS = MAX_DECODE_PIXELS
 
 
 def decode_gif_canvas(data: bytes) -> np.ndarray:

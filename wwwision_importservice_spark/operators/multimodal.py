@@ -69,6 +69,11 @@ METADATA_SCHEMA = (
     "n_bytes long, content_sha string, width int, height int, format string"
 )
 
+#: rows read by the partition-sizing avg-blob-size estimate in
+#: :func:`decode_metadata` — keeps the opt-in knob O(sample) instead of
+#: a full-column pass at corpus scale
+_SIZING_SAMPLE_ROWS = 10_000
+
 try:  # the real decoder gate — not present in this container
     import PIL.Image  # type: ignore  # noqa: F401
 
@@ -148,8 +153,9 @@ def decode_metadata(
     df: DataFrame,
     id_col: str,
     blob_col: str = "blob",
-    use_real_decoder: bool = False,
+    strict: bool = False,
     target_partition_bytes: int | None = None,
+    use_real_decoder: bool | None = None,
 ) -> DataFrame:
     """Extract typed metadata from binary media via Arrow-batched
     ``mapInPandas`` — the X4 decode/feature-extract step.
@@ -157,19 +163,44 @@ def decode_metadata(
     Recognizable image bytes (BMP/PPM/PNG/GIF magic) ALWAYS decode for real
     through the pure codecs — no library gate. Unrecognized payloads:
     Pillow when present (JPEG etc.), else the deterministic fake
-    (format ``'fake'``), unless ``use_real_decoder=True`` makes an
+    (format ``'fake'``), unless ``strict=True`` makes an
     undecodable payload a hard error instead of a silently fake row.
     Decode failures of every kind (corrupt body behind a valid magic,
     Pillow rejection) follow the same fake/strict policy — one bad
-    blob never kills the corpus pass (see :func:`_make_image_decoder`)."""
-    decode = _make_image_decoder(use_real_decoder, _HAS_PIL, _codec_importer())
+    blob never kills the corpus pass (see :func:`_make_image_decoder`).
+
+    ``use_real_decoder`` is the DEPRECATED r8 name for ``strict`` (kept
+    as an alias because its meaning changed when the pure codecs made
+    real decode unconditional: it used to opt into Pillow, now the only
+    knob left is strictness — callers passing it should audit whether
+    they want whole-corpus passes to fail on the first bad blob)."""
+    if use_real_decoder is not None:
+        strict = use_real_decoder
+    decode = _make_image_decoder(strict, _HAS_PIL, _codec_importer())
     out_schema = f"{id_col} long, {METADATA_SCHEMA}"
 
     src = df.select(id_col, blob_col)
     if target_partition_bytes:
-        # row-size-aware repartitioning: estimate rows per partition from
-        # the average blob size of a sample
-        sample = src.select(F.avg(F.length(F.col(blob_col)))).first()[0] or 1
+        # row-size-aware repartitioning. Sizing jobs are bounded, not
+        # corpus-wide: avg blob bytes comes from a LIMIT-sample (reads
+        # <= _SIZING_SAMPLE_ROWS blobs, one small job) and the row count
+        # from count() (column-pruned — under parquet that's a
+        # metadata/statistics aggregate, not a data read). A head-sample
+        # mean is biased when blob sizes correlate with position, but a
+        # partition-SIZING heuristic only needs the right order of
+        # magnitude: a 2x misestimate makes partitions 2x off-budget,
+        # never incorrect. Jobs-before-the-Arrow-pass are pinned by
+        # tests/test_extensions.py (sizing-jobs test).
+        # collect(), not first(): first() = limit(1).collect() and its
+        # CollectLimitExec launches incremental jobs — collect() on the
+        # 1-row aggregate is exactly one job (pinned by the sizing test)
+        sample = (
+            src.select(F.col(blob_col).alias("b"))
+            .limit(_SIZING_SAMPLE_ROWS)
+            .select(F.avg(F.length(F.col("b"))))
+            .collect()[0][0]
+            or 1
+        )
         total = src.count()
         rows_per_part = max(1, int(target_partition_bytes / max(sample, 1)))
         src = src.repartition(max(1, total // rows_per_part))
