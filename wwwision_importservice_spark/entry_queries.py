@@ -53,6 +53,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x6_curation_pipeline",  # PROMOTED r10 (VERDICT r9 ask #2)
     "x4_image_decode",  # NEW r9 (real in-sandbox decode per VERDICT r8 #3)
     "x6_packed_shards_manifest",  # NEW r9 (driver-pinned per VERDICT r8 #5)
     "x5_gopher_quality",  # NEW r8
@@ -3092,10 +3093,11 @@ FROM packed GROUP BY shard
 @_register(
     "x6_curation_pipeline",
     _CURATION_SQL,
-    driver=False,  # pytest tier per the ask ("pytest tier is fine") —
-    # the heaviest oracle in the registry (two recursive CCs, two LSH
-    # banding passes, a DSIR fit, a shard write); every stage also
-    # holds its own driver/pytest row
+    # promoted to the driver 50 in r10 (VERDICT r9 ask #2): the most
+    # compositional row in the registry — 8 stages under ONE hash; the
+    # heaviest oracle too (two recursive CCs, two LSH banding passes, a
+    # DSIR fit, a shard write), every stage also holds its own
+    # driver/pytest row. Slot ceded by x6_mixture_sample.
 )
 def x6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-corpus curation chain under ONE hash
@@ -3298,6 +3300,11 @@ SELECT doc_id, lang, n_tokens FROM (
                              WHEN 'es' THEN 600 WHEN 'de' THEN 600
                              ELSE 0 END
 """,
+    driver=False,  # long-green since r5; slot ceded to x6_curation_pipeline
+    # (r10, VERDICT r9 ask #2) — the composed row re-derives the same
+    # temperature-mixture admission under its single hash, and this
+    # oracle stays pinned in the pytest tier
+
 )
 def x6_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 — token-budget data-mixture construction
