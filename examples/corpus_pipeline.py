@@ -69,6 +69,9 @@ from wwwision_importservice_spark.operators.dedup import (  # noqa: E402
     lsh_candidate_pairs,
     minhash_signatures_inline,
 )
+from wwwision_importservice_spark.operators.bpe import (  # noqa: E402
+    bpe_encode,
+)
 from wwwision_importservice_spark.operators.selection import (  # noqa: E402
     dsir_select,
 )
@@ -94,6 +97,9 @@ from wwwision_importservice_spark.operators.text import (  # noqa: E402
     scrub_pii,
     token_count,
 )
+from wwwision_importservice_spark.entry_queries import (  # noqa: E402
+    _BPE_MERGES,
+)
 from wwwision_importservice_spark.session import get_spark  # noqa: E402
 
 
@@ -105,6 +111,7 @@ def curate(
     dsir_k=420,
     budgets=None,
     total_budget=4000,
+    bpe_merges=None,
 ):
     """``eval_df`` (optional): documents-shaped frame whose TEXTS are
     scrubbed from the corpus (benchmark decontamination). ``dsir_target``
@@ -113,7 +120,13 @@ def curate(
     docs whose hashed-n-gram profile matches it before mixing.
     ``budgets`` (optional): explicit per-source token budgets; when
     None, temperature-scaled budgets (alpha=0.5 over ``total_budget``
-    tokens) rebalance the sources automatically — the mT5 rule."""
+    tokens) rebalance the sources automatically — the mT5 rule.
+    ``bpe_merges`` (optional): a frozen BPE merge table; when given,
+    ``n_tokens`` is the TRAINED tokenizer's count (``bpe_encode`` in one
+    Arrow pass, the merge dict broadcast by value), so the temperature
+    budgets, mixture admission, and sequence packs are all spent in the
+    tokens a training run actually consumes — whitespace counts can
+    misprice a budget by the full subword blow-up factor."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     # X1 — exact dedup: keep the smallest doc_id per identical body
@@ -203,7 +216,18 @@ def curate(
     cleaned = lm_ok.withColumn("text", scrub_pii(F.col("text")))
     tagged = cleaned.withColumn(
         "detected_lang", detected_language(F.col("text"))
-    ).withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+    )
+    if bpe_merges is not None:
+        # tokenizer-true budgets: every downstream n_tokens consumer
+        # (temperature_budgets → mixture_sample → pack_sequences) now
+        # spends BPE tokens, not whitespace words
+        tagged = bpe_encode(tagged, bpe_merges, "text").withColumn(
+            "n_tokens", F.size("bpe_tokens").cast("long")
+        ).drop("bpe_tokens")
+    else:
+        tagged = tagged.withColumn(
+            "n_tokens", token_count(F.col("text")).cast("long")
+        )
 
     # language-ID gate: docs the detector can't place are dropped (on
     # this synthetic fixture the text is English-ish regardless of the
@@ -285,6 +309,10 @@ def main() -> None:
         eval_df=docs.filter(F.col("doc_id") % 97 == 0),
         # demo trusted target: the ground-truth-English slice
         dsir_target=docs.filter(F.col("lang") == "en"),
+        # tokenizer-true budgets: the frozen merge table the x6_bpe_pack
+        # oracle row pins (a production run would pass its own trained
+        # tokenizer's merges)
+        bpe_merges=_BPE_MERGES,
     )
     (
         packed.write.mode("overwrite")

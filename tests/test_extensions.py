@@ -670,6 +670,55 @@ def test_multimodal_partition_sizing_jobs_bounded(spark):
     assert meta.count() == 40
 
 
+def test_bpe_replace_chain_oracle(spark):
+    """The x6_bpe_pack oracle's string-algebra encode (boundary-
+    delimited symbols, one replace() per merge in rank order) is
+    token-count-identical to the REAL bpe_encode priority loop — pinned
+    on 500 seeded random words over the merge table's own alphabet,
+    well beyond the fixture vocabulary the parity row covers. This is
+    the equivalence the oracle rests on: with all merged-symbol strings
+    distinct, rank-order sequential application == lowest-rank-first
+    priority encoding."""
+    import random
+
+    import duckdb
+
+    from wwwision_importservice_spark.entry_queries import (
+        _BPE_MERGES,
+        _bpe_chain_sql,
+    )
+    from wwwision_importservice_spark.operators.bpe import bpe_encode
+
+    merged = [left + right for left, right in _BPE_MERGES]
+    assert len(set(merged)) == len(merged)  # the collision-freedom premise
+
+    rnd = random.Random(42)
+    alpha = "erntowsathluigjpy"
+    words = sorted(
+        {
+            "".join(rnd.choice(alpha) for _ in range(rnd.randint(1, 9)))
+            for _ in range(500)
+        }
+    )
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r["text"]: len(r["bpe_tokens"])
+        for r in bpe_encode(df, _BPE_MERGES, "text").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE words(w VARCHAR)")
+    con.executemany("INSERT INTO words VALUES (?)", [(w,) for w in words])
+    rows = con.execute(
+        f"SELECT w, (len(m) - len(replace(m, '|', ''))) // 2 AS n "
+        f"FROM (SELECT w, {_bpe_chain_sql('w')} AS m FROM words)"
+    ).fetchall()
+    assert len(rows) == len(words)
+    mismatches = [(w, n, got[w]) for w, n in rows if got[w] != n]
+    assert not mismatches, mismatches[:5]
+
+
 def test_train_ivf_centroids_improves_recall(spark, sf_dir):
     """Lloyd-trained centroids must (a) be deterministic, (b) not regress
     IVF recall vs the naive every-Nth-vector centroids at equal cell
@@ -1908,6 +1957,38 @@ def test_corpus_pipeline_temperature_path(spark, sf_dir):
     for r in rows:
         by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
     assert all(len(s) == 1 for s in by_cluster.values())
+
+
+def test_corpus_pipeline_bpe_budget_path(spark, sf_dir):
+    """curate() with a frozen merge table (VERDICT r9 ask #3): every
+    n_tokens the budgets/mixture/packing consumed is the TOKENIZER's
+    count — re-encoding each packed document's own (curated) text with
+    bpe_encode under the same merges reproduces it exactly — and the
+    temperature budget still bounds the admitted BPE-token mass."""
+    import importlib.util
+
+    from wwwision_importservice_spark.entry_queries import _BPE_MERGES
+    from wwwision_importservice_spark.operators.bpe import bpe_encode
+
+    spec = importlib.util.spec_from_file_location(
+        "corpus_pipeline_b", "examples/corpus_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    packed = mod.curate(
+        spark, sf_dir, total_budget=3000, bpe_merges=_BPE_MERGES
+    )
+    out = packed.select("doc_id", "text", "n_tokens", "source")
+    re_enc = bpe_encode(out, _BPE_MERGES, "text")
+    rows = re_enc.select(
+        "doc_id", "n_tokens", "source", F.size("bpe_tokens").alias("n_re")
+    ).collect()
+    assert rows
+    assert all(r["n_tokens"] == r["n_re"] for r in rows)
+    n_sources = len({r["source"] for r in rows})
+    max_doc = max(r["n_tokens"] for r in rows)
+    assert sum(r["n_tokens"] for r in rows) <= 3000 + n_sources * max_doc
 
 
 # --------------------------------------------------------------------------- #
