@@ -5086,6 +5086,54 @@ def test_write_packed_shards_manifest_and_verify(spark, sf_dir, tmp_path):
     assert [r["shard"] for r in bad] == [5]
 
 
+def test_append_packed_shards_cursor_retry_and_verify(spark, tmp_path):
+    """The incremental shard append (r10): batch 1 CONTINUES batch 0's
+    per-shard token cursor (pack offsets pick up exactly where the
+    prior batch stopped, packs fill across the batch seam), a replayed
+    batch is a byte-identical overwrite (manifest unchanged), a replay
+    of an EARLIER batch after later state exists ignores the later rows
+    when re-deriving its cursor, and verify_shards holds throughout."""
+    from wwwision_importservice_spark.operators.packing import (
+        append_packed_shards,
+        verify_shards,
+    )
+
+    # one shard (shards=1) so the cursor arithmetic is hand-checkable
+    b0 = spark.createDataFrame(
+        [(1, 300), (2, 300)], "doc_id long, n_tokens long"
+    )
+    b1 = spark.createDataFrame(
+        [(3, 100), (4, 500)], "doc_id long, n_tokens long"
+    )
+    out = str(tmp_path / "inc")
+    m0 = {r["shard"]: r for r in
+          append_packed_shards(b0, out, 0, budget=512, shards=1).collect()}
+    assert m0[0]["n_docs"] == 2 and m0[0]["n_tokens"] == 600
+    m1 = sorted(tuple(r) for r in
+                append_packed_shards(b1, out, 1, budget=512, shards=1).collect())
+    rows = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in spark.read.parquet(out + "/data").collect()
+    }
+    # stream: doc1@0, doc2@300, doc3@600 (pack 1 off 88), doc4@700
+    assert rows == {1: (0, 0), 2: (0, 300), 3: (1, 88), 4: (1, 188)}
+
+    # retry of batch 1 against state that already contains it
+    m1_retry = sorted(tuple(r) for r in
+                      append_packed_shards(b1, out, 1, budget=512, shards=1).collect())
+    assert m1 == m1_retry
+    # retry of batch 0 must derive its cursor from batches < 0 (none),
+    # not from batch 1's rows now on disk
+    append_packed_shards(b0, out, 0, budget=512, shards=1)
+    rows2 = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in spark.read.parquet(out + "/data").collect()
+    }
+    assert rows2 == rows
+    v = verify_shards(spark, out)
+    assert v.filter(~F.col("ok")).count() == 0
+
+
 def test_gopher_pandas_matches_expression_form(spark):
     """The Arrow scorer and the expression form are bit-equal on
     adversarial documents (multi-line, bullets, unicode ellipsis,

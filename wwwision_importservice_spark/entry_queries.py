@@ -5139,6 +5139,155 @@ def s6_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------- #
+# The INCREMENTAL curation loop under one oracle (r10, VERDICT r9 ask #4):
+# per crawl batch, quality gate → Bloom decontamination → streaming
+# near-dup gate → shard APPEND with manifest update. The batch chain
+# (x6_curation_pipeline) pins the one-shot shape; this row pins the
+# production shape — state accrued across batches (the LSH index, the
+# per-shard token cursors) must make the composed two-batch run land
+# exactly where the declarative algebra says, and a retried admit must
+# change nothing.
+#
+# qc = the docs that REACH the gate (token floor + exact decontamination
+# against the doc_id%97 eval slice); the LSH pair set is over qc, not
+# documents — a doc dropped by quality/decontamination never enters the
+# index, so it can't suppress a later near-duplicate. MATERIALIZED CTEs:
+# the pair fragment references qc three times and DuckDB inlines CTEs
+# per reference otherwise (the r9 "too many open files" lesson).
+_INC_CUR_TOK = (
+    "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)"
+)
+
+_INC_CURATION_SQL = f"""
+WITH
+qc AS MATERIALIZED (
+  SELECT doc_id, text, {_INC_CUR_TOK} AS n
+  FROM documents
+  WHERE {_INC_CUR_TOK} >= 12
+    AND text NOT IN (SELECT text FROM documents WHERE doc_id % 97 = 0)
+),
+prs AS MATERIALIZED (
+  {_pairs_from("qc")}
+),
+a0 AS MATERIALIZED (
+  SELECT q.doc_id, q.n FROM qc q
+  WHERE q.doc_id % 2 = 0 AND NOT EXISTS (
+    SELECT 1 FROM prs p WHERE p.id_b = q.doc_id AND p.id_a % 2 = 0)
+),
+adm AS MATERIALIZED (
+  SELECT doc_id, n, 0 AS batch FROM a0
+  UNION ALL
+  SELECT q.doc_id, q.n, 1 AS batch FROM qc q
+  WHERE q.doc_id % 2 = 1
+    AND NOT EXISTS (
+      SELECT 1 FROM prs p
+      WHERE (p.id_a = q.doc_id AND p.id_b IN (SELECT doc_id FROM a0))
+         OR (p.id_b = q.doc_id AND p.id_a IN (SELECT doc_id FROM a0)))
+    AND NOT EXISTS (
+      SELECT 1 FROM prs p WHERE p.id_b = q.doc_id AND p.id_a % 2 = 1)
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       bit_xor({_SHARD_SIG}) AS content_hash,
+       TRUE AS verified
+FROM (
+  SELECT doc_id, n, shard,
+         (cum - n) // 512 AS pack_id,
+         (cum - n) - ((cum - n) // 512) * 512 AS off
+  FROM (
+    SELECT doc_id, n, shard,
+           CAST(sum(n) OVER (PARTITION BY shard ORDER BY batch, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM (
+      SELECT doc_id, n, batch,
+             {_H60("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+      FROM adm)
+  )
+) GROUP BY shard
+"""
+
+
+@_register("x6_incremental_curation", _INC_CURATION_SQL, driver=False)
+def x6_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6/S5 — the incremental curation loop end to end (VERDICT r9 ask
+    #4): two crawl batches (even doc_ids, then odd) each flow through
+    the quality floor (whitespace tokens ≥ 12) → exact-at-Bloom-cost
+    eval-set decontamination (``bloom_verified_anti_join``) → the
+    persisted streaming near-dup gate (``streaming/neardup.py``) → an
+    incremental shard APPEND with manifest update
+    (``packing.append_packed_shards`` — per-shard token cursors carry
+    across batches, so batch-1 docs keep filling batch-0's partial
+    packs). The LAST admit is then REPLAYED verbatim (the crash window
+    where admit succeeded but the stream checkpoint didn't) before the
+    manifest is read — the oracle hash passes only if the retry
+    reproduced byte-identical packs. Returned manifest rows carry a
+    ``verified`` flag recomputed from the data files by
+    ``verify_shards``, so the hash also proves manifest⇔disk agreement.
+
+    The oracle restates BOTH batches declaratively: gated corpus ``qc``,
+    LSH pairs over ``qc``, the s5 admission algebra per batch, then one
+    window cumsum ordered by (batch, doc_id) within each md5 shard —
+    the cross-batch cursor continuation stated as a single prefix sum.
+
+    Scale shape: per batch, the gate prunes the index by the batch's
+    broadcast bucket keys (never shuffles it), the Bloom bitmap clears
+    non-members without a join, the append writes only the batch's rows
+    and derives cursors from a two-column pruned scan. Nothing in the
+    loop re-touches the accumulated corpus except the manifest
+    recompute (a per-append audit that a steady-state deployment would
+    amortize with ``verify_shards`` runs instead)."""
+    import tempfile
+
+    from wwwision_importservice_spark.operators.dedup import (
+        bloom_verified_anti_join,
+        build_bloom_filter,
+    )
+    from wwwision_importservice_spark.operators.packing import (
+        append_packed_shards,
+        verify_shards,
+    )
+    from wwwision_importservice_spark.operators.text import tokens
+    from wwwision_importservice_spark.streaming.neardup import near_dup_gate
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    evals = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    bloom = build_bloom_filter(evals, "text", fpp=0.01)
+    ntok = F.size(tokens(F.col("text"))).cast("long")
+
+    tmp = tempfile.mkdtemp(prefix="x6_inc_curation_")
+    out_dir = f"{tmp}/shards"
+    last_admit: dict = {}
+
+    def admit(df: DataFrame, batch_id: int) -> None:
+        counted = df.select("doc_id", ntok.alias("n_tokens"))
+        last_admit["batch_id"], last_admit["counted"] = batch_id, counted
+        append_packed_shards(
+            counted, out_dir, batch_id, budget=512, shards=8
+        )
+
+    gate = near_dup_gate(f"{tmp}/index", admit, n=3, num_hashes=16, bands=4)
+    for batch_id, parity in ((0, 0), (1, 1)):
+        batch = docs.filter(F.col("doc_id") % 2 == parity).filter(ntok >= 12)
+        clean = bloom_verified_anti_join(batch, bloom, evals, "text")
+        gate(clean, batch_id)
+    # retry-idempotence pin: replay the last admit against state that
+    # already contains it — must be a byte-identical overwrite
+    append_packed_shards(
+        last_admit["counted"], out_dir, last_admit["batch_id"],
+        budget=512, shards=8,
+    )
+    ok = verify_shards(spark, out_dir).select(
+        F.col("shard").cast("long").alias("shard"), F.col("ok").alias("verified")
+    )
+    manifest = spark.read.parquet(f"{out_dir}/manifest").select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs", "n_packs", "n_tokens", "content_hash",
+    )
+    return manifest.join(ok, "shard")
+
+
 @_register(
     "dq_check_suite",
     """

@@ -441,3 +441,104 @@ def verify_shards(
         "actual_n_docs", "actual_n_packs", "actual_n_tokens", "actual_hash",
         F.coalesce(ok, F.lit(False)).alias("ok"),
     )
+
+
+def append_packed_shards(
+    batch: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    budget: int,
+    shards: int = 1024,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Incrementally pack ONE crawl batch into an existing shard store —
+    the per-batch ``admit`` step of a continuously-fed corpus, where
+    :func:`write_packed_shards`'s whole-corpus swap would re-write 100 TB
+    per micro-batch.
+
+    Each doc lands in shard ``md5(id) % shards`` and continues that
+    shard's RUNNING token stream: the shard's cursor (tokens packed by
+    all strictly-older batches) seeds the batch's per-shard window
+    cumsum, so ``pack_id``/``pack_offset`` are exactly what a one-shot
+    ``sampling.pack_sequences`` over the concatenation of all batches
+    (ordered by ``(batch_id, id)`` within shard) would assign — packs
+    keep filling across batch boundaries, no padding gaps at the seams.
+
+    Idempotence (the sketchstore batch-dir protocol): the batch's rows
+    OVERWRITE their own ``data/batch_id=N/`` directory, and the cursor
+    is derived from strictly-older batches read back from DATA (not the
+    manifest), so a retried batch reproduces byte-identical packs even
+    after its own half-write, and works when the previous attempt
+    crashed between the data write and the manifest swap. The manifest
+    (same schema/signatures as :func:`write_packed_shards` — one row
+    per shard over ALL batches so far) is recomputed from the files
+    read back and swapped crash-safe.
+
+    Scale shape: cursor derivation is one scan of prior data pruned to
+    two columns (shard, n_tokens) aggregated to ≤ ``shards`` rows — at
+    a steady state this should be replaced by reading the cursors from
+    the manifest, but re-deriving from data is the crash-consistent
+    choice and the scan is column-pruned; the batch itself packs with
+    one per-shard window (parallel across shards, no global order); the
+    append writes only the batch's rows.
+    """
+    from wwwision_importservice_spark import fsutil
+    from wwwision_importservice_spark.operators.sampling import hash_bucket
+
+    spark = batch.sparkSession
+    b = int(batch_id)
+    data_dir = f"{out_dir}/data"
+    man_dir = f"{out_dir}/manifest"
+    fsutil.recover_dir(spark, data_dir)
+    fsutil.recover_dir(spark, man_dir)
+
+    sharded = batch.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias(token_col),
+        hash_bucket(F.col(id_col), shards).alias("shard"),
+    )
+    if fsutil.path_exists(spark, data_dir):
+        cursors = (
+            spark.read.parquet(data_dir)
+            .filter(F.col("batch_id") < b)
+            .groupBy("shard")
+            .agg(F.sum(token_col).cast("long").alias("_base"))
+        )
+        sharded = sharded.join(F.broadcast(cursors), "shard", "left").withColumn(
+            "_base", F.coalesce(F.col("_base"), F.lit(0).cast("long"))
+        )
+    else:
+        sharded = sharded.withColumn("_base", F.lit(0).cast("long"))
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_excl = (
+        F.col("_base") + F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    )
+    packed = (
+        sharded.withColumn("pack_id", F.floor(cum_excl / budget).cast("long"))
+        .withColumn(
+            "pack_offset", (cum_excl - F.col("pack_id") * budget).cast("long")
+        )
+        .drop("_base")
+    )
+    (
+        packed.repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{data_dir}/batch_id={b}")
+    )
+
+    stage_man = f"{out_dir}/__stage_manifest"
+    fsutil.delete_dir(spark, stage_man)
+    manifest = _shard_manifest(
+        spark.read.parquet(data_dir),
+        id_col, token_col, "shard", "pack_id", "pack_offset",
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(stage_man)
+    fsutil.replace_dir(spark, stage_man, man_dir)
+    return spark.read.parquet(man_dir)
