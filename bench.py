@@ -97,6 +97,7 @@ import json
 import os
 import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -105,8 +106,11 @@ from wwwision_importservice_spark.entry_queries import (  # noqa: E402
     PYTEST_QUERIES,
     QUERIES,
 )
+from pyspark.sql import functions as F  # noqa: E402
+
 from wwwision_importservice_spark.plans.fingerprint import plan_digest  # noqa: E402
 from wwwision_importservice_spark.session import get_spark  # noqa: E402
+from wwwision_importservice_spark.streaming.neardup import near_dup_gate  # noqa: E402
 
 # Bench over the full query surface (driver-checked + pytest-only) so the
 # headline set stays comparable round over round even as the driver-facing
@@ -264,6 +268,33 @@ def main() -> None:
     from wwwision_importservice_spark import entry_queries  # noqa: E402
 
     s5_batches = entry_queries.LAST_GATE_STATS.get("batches")
+
+    # Amortization curve (round-9 judge ask #5): the SAME gate run as
+    # FOUR micro-batches (doc_id % 4 residues), so the artifact carries
+    # the marginal-cost series instead of a 2-point blur someone must
+    # re-derive each round. Batch 0 pays index bootstrap + first-write
+    # setup; the steady-state number at crawl scale is the tail of this
+    # curve. Untimed by the headline metric (it is not a query); the
+    # per-batch seconds come from the gate's own stats hook.
+    amort_stats: dict = {}
+    amort_tmp = tempfile.mkdtemp(prefix="bench_s5_amort_")
+    docs4 = entry_queries.load(spark, SF_DIR, "documents", spread=True)
+
+    def _amort_admit(df, batch_id):
+        (
+            df.select("doc_id")
+            .withColumn("batch", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(f"{amort_tmp}/admitted")
+        )
+
+    amort_gate = near_dup_gate(
+        f"{amort_tmp}/index", _amort_admit,
+        n=3, num_hashes=16, bands=4, stats=amort_stats,
+    )
+    for b in range(4):
+        amort_gate(docs4.filter(F.col("doc_id") % 4 == b), b)
+    s5_amortization = amort_stats.get("batches")
     print(
         json.dumps(
             {
@@ -274,6 +305,7 @@ def main() -> None:
                 "queries_median": medians,
                 "plan_digest": digests,
                 "s5_neardup_gate_per_batch": s5_batches,
+                "s5_amortization_per_batch": s5_amortization,
                 "sf": sf,
                 "n_runs": N_RUNS,
                 "loadavg_at_start": round(load_at_start, 2),
