@@ -1,0 +1,188 @@
+"""Baseline JPEG codec (operators/jpegcodec.py) — spec pins, exact
+round-trips, lossy error bounds, bomb guards, family integration."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from wwwision_importservice_spark.operators.imagecodec import (
+    ImageDecodeError,
+    decode_image,
+    sniff_format,
+)
+from wwwision_importservice_spark.operators.jpegcodec import (
+    _AC_CHROMA,
+    _AC_LUMA,
+    _DC_CHROMA,
+    _DC_LUMA,
+    _canonical_codes,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _block_gray(bh, bw, seed=7):
+    """Block-constant gray image with EVEN sample values — the exact
+    round-trip construction (see jpegcodec module docstring)."""
+    rng = np.random.RandomState(seed)
+    g = (rng.randint(0, 128, (bh, bw)) * 2).astype(np.uint8)
+    img = np.repeat(np.repeat(g, 8, 0), 8, 1)
+    return np.repeat(img[:, :, None], 3, axis=2)
+
+
+# --- spec pins ---------------------------------------------------------------
+
+
+def test_annex_k_huffman_codes_match_published_values():
+    """The canonical-code generator reproduces the PUBLISHED T.81 Annex
+    K.3 codes — the cross-check that encoder and decoder can't share a
+    mirrored table bug: DC luma category 1 is '010', the luminance EOB
+    is the famous '1010', the chrominance EOB is '00', ZRL is
+    11 bits of 0x7F9 = '11111111001'."""
+    dc_l, _ = _canonical_codes(*_DC_LUMA)
+    ac_l, _ = _canonical_codes(*_AC_LUMA)
+    dc_c, _ = _canonical_codes(*_DC_CHROMA)
+    ac_c, _ = _canonical_codes(*_AC_CHROMA)
+    assert dc_l[0] == (0b00, 2) and dc_l[1] == (0b010, 3)
+    assert ac_l[0x00] == (0b1010, 4)  # EOB
+    assert ac_l[0xF0] == (0b11111111001, 11)  # ZRL
+    assert dc_c[0] == (0b00, 2)
+    assert ac_c[0x00] == (0b00, 2)  # chroma EOB
+
+
+def test_entropy_bytes_hand_pinned():
+    """One 8x8 constant-gray (130) block at q50/444: the entropy segment
+    is exactly two bytes, hand-derived from the published codes —
+    Y DC cat1 '010'+bit '1', Y EOB '1010', Cb/Cr DC cat0 '00' + EOB
+    '00' each → 0101 1010 0000 0000 = 0x5A 0x00."""
+    blob = encode_jpeg(np.full((8, 8, 3), 130, np.uint8), quality=50,
+                       subsampling="444")
+    i = blob.index(b"\xff\xda")
+    (seglen,) = struct.unpack_from(">H", blob, i + 2)
+    entropy = blob[i + 2 + seglen : blob.rindex(b"\xff\xd9")]
+    assert entropy == bytes([0x5A, 0x00])
+
+
+# --- exact round-trips -------------------------------------------------------
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("bh,bw", [(1, 1), (2, 2), (3, 4)])
+def test_block_gray_roundtrip_exact(sub, bh, bw):
+    """Block-constant gray with even values at q50 is EXACT through the
+    lossy pipeline (DC quantizer 16 divides 8·(v-128); every AC and
+    chroma coefficient is exactly zero) — for both subsamplings and
+    for dims that force MCU edge padding (3x4 blocks under 4:2:0)."""
+    arr = _block_gray(bh, bw, seed=40 + bh * 4 + bw)
+    out = decode_jpeg(encode_jpeg(arr, quality=50, subsampling=sub))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_grayscale_scan_roundtrip_exact():
+    arr = _block_gray(2, 3, seed=3)
+    blob = encode_jpeg(arr, quality=50, grayscale=True)
+    np.testing.assert_array_equal(decode_jpeg(blob), arr)
+
+
+def test_restart_markers_roundtrip():
+    """DRI + RSTn: the decoder resyncs at restart markers and resets DC
+    predictors; output is identical to the no-restart encode."""
+    arr = _block_gray(4, 4, seed=11)
+    with_rst = encode_jpeg(arr, quality=50, subsampling="444",
+                           restart_interval=3)
+    assert any(
+        with_rst[i] == 0xFF and 0xD0 <= with_rst[i + 1] <= 0xD7
+        for i in range(len(with_rst) - 1)
+    )
+    np.testing.assert_array_equal(decode_jpeg(with_rst), arr)
+    rng = np.random.RandomState(5)
+    noisy = rng.randint(0, 256, (32, 48, 3), dtype=np.uint8)
+    d1 = decode_jpeg(encode_jpeg(noisy, quality=80, subsampling="420",
+                                 restart_interval=2))
+    d2 = decode_jpeg(encode_jpeg(noisy, quality=80, subsampling="420"))
+    np.testing.assert_array_equal(d1, d2)
+
+
+# --- lossy fidelity ----------------------------------------------------------
+
+
+def test_lossy_error_bounds():
+    """JPEG is lossy; the pin is an error BOUND, not equality: a smooth
+    gradient at q95/444 is near-lossless (max err ≤ 2), and even noise
+    at q95/444 keeps mean abs error under 8."""
+    xs = np.linspace(0, 255, 64)
+    grad = np.round(np.add.outer(xs, xs) / 2).astype(np.uint8)
+    arr = np.stack([grad, grad, grad], axis=2)
+    out = decode_jpeg(encode_jpeg(arr, quality=95, subsampling="444"))
+    assert int(np.abs(out.astype(int) - arr.astype(int)).max()) <= 2
+
+    rng = np.random.RandomState(9)
+    noise = rng.randint(0, 256, (24, 40, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, quality=95, subsampling="444"))
+    assert np.abs(out.astype(int) - noise.astype(int)).mean() < 8
+
+
+def test_odd_dimensions_crop():
+    rng = np.random.RandomState(13)
+    arr = rng.randint(0, 256, (13, 21, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(arr, quality=90, subsampling="420"))
+    assert out.shape == (13, 21, 3)
+
+
+# --- rejection + bomb guards -------------------------------------------------
+
+
+def test_rejects_non_baseline_and_malformed():
+    arr = _block_gray(1, 1)
+    blob = bytearray(encode_jpeg(arr, quality=50, subsampling="444"))
+    # flip SOF0 -> SOF2 (progressive): loud, named rejection
+    i = bytes(blob).index(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with pytest.raises(ImageDecodeError, match="non-baseline"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ImageDecodeError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    # truncated entropy data
+    whole = encode_jpeg(arr, quality=50, subsampling="444")
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(whole[:-4] )
+    # 12-bit precision rejected
+    blob = bytearray(whole)
+    i = bytes(blob).index(b"\xff\xc0")
+    blob[i + 4] = 12
+    with pytest.raises(ImageDecodeError, match="precision"):
+        decode_jpeg(bytes(blob))
+
+
+def test_bomb_huge_sof_rejected_before_alloc():
+    """A sub-KB JPEG declaring 65535x65535 in SOF dies on the shared
+    pixel ceiling before any plane allocates (same threat model as the
+    PNG/GIF caps)."""
+    import tracemalloc
+
+    blob = bytearray(encode_jpeg(_block_gray(1, 1), quality=50,
+                                 subsampling="444"))
+    i = bytes(blob).index(b"\xff\xc0")
+    struct.pack_into(">HH", blob, i + 5, 65535, 65535)
+    assert len(blob) < 1024
+    tracemalloc.start()
+    with pytest.raises(ImageDecodeError, match="decode ceiling"):
+        decode_jpeg(bytes(blob))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 1 << 20, f"peak {peak} bytes — SOF dims were trusted"
+
+
+# --- family integration ------------------------------------------------------
+
+
+def test_family_sniff_and_decode_image():
+    arr = _block_gray(2, 2, seed=21)
+    blob = encode_jpeg(arr, quality=50, subsampling="444")
+    assert sniff_format(blob) == "jpeg"
+    out, fmt = decode_image(blob)
+    assert fmt == "jpeg"
+    np.testing.assert_array_equal(out, arr)

@@ -4643,6 +4643,109 @@ def x4_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(kernel, schema=out_schema)
 
 
+@_register(
+    "x4_jpeg_decode",
+    # The oracle PREDICTS, from md5 arithmetic alone, the exact pixels a
+    # real baseline-JPEG encode→decode must recover — possible for a
+    # LOSSY format because block-constant gray images with EVEN sample
+    # values at quality 50 round-trip exactly (the DC quantizer 16
+    # divides 8·(v-128); every AC and chroma coefficient is exactly
+    # zero — jpegcodec module docstring). Half the docs take 4:2:0, so
+    # the subsampled MCU path (incl. edge padding at odd block counts)
+    # sits under the same hash.
+    """
+SELECT doc_id,
+       CAST(8 * bw AS INT) AS width,
+       CAST(8 * bh AS INT) AS height,
+       'jpeg' AS format,
+       CASE WHEN doc_id % 2 = 0 THEN '444' ELSE '420' END AS subsampling,
+       sha256(array_to_string(list_transform(range(0, (8*bw)*(8*bh)), i ->
+         repeat(printf('%02x',
+                gs[((i // (8*bw)) // 8) * bw + ((i % (8*bw)) // 8) + 1]), 3)),
+         '')) AS pixel_sha
+FROM (
+  SELECT doc_id, bw, bh,
+         list_transform(range(0, bw*bh), k ->
+           (CAST('0x' || substr(mh, 2*k+1, 2) AS INT) % 128) * 2) AS gs
+  FROM (
+    SELECT doc_id, mh, 2 + b % 3 AS bw, 2 + (b // 3) % 3 AS bh
+    FROM (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mh,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS b
+      FROM documents)
+  )
+)
+""",
+    driver=False,
+)
+def x4_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — REAL baseline-JPEG decode under a byte-exact oracle
+    (``operators/jpegcodec.py``, r10 VERDICT ask #8): per document, a
+    block-constant gray canvas (block values = the doc-id's md5 digest
+    bytes forced even, md5-derived block grid up to 4x4) is encoded to
+    an actual baseline JFIF file — 4:4:4 for even ids, 4:2:0 for odd —
+    decoded back through the pure-stdlib Huffman → dequant → IDCT →
+    color-convert pipeline, and content-addressed. The construction
+    makes the lossy codec exact (see the registered SQL's comment), so
+    the oracle recomputes the digests from md5 arithmetic alone; the
+    general lossy path is pinned by error-bound round-trip tests and
+    the Annex-K spec-published Huffman code pins
+    (``tests/test_jpegcodec.py``).
+
+    Scale shape: ONE Arrow mapInPandas pass over a doc_id projection —
+    per-image CPU, no shuffle, no driver participation; the codec module
+    resolves worker-side via the closure-convention importer."""
+    from wwwision_importservice_spark.operators.multimodal import _codec_importer
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
+    import_codec = _codec_importer("jpegcodec")
+    out_schema = (
+        "doc_id long, width int, height int, format string, "
+        "subsampling string, pixel_sha string"
+    )
+
+    def kernel(it):
+        import hashlib as _hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        codec = import_codec()
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mh = _hashlib.md5(str(did).encode()).hexdigest()
+                b = int(mh[:15], 16)
+                bw, bh = 2 + b % 3, 2 + (b // 3) % 3
+                gs = [
+                    (int(mh[2 * k : 2 * k + 2], 16) % 128) * 2
+                    for k in range(bw * bh)
+                ]
+                grid = np.array(gs, np.uint8).reshape(bh, bw)
+                img = np.repeat(np.repeat(grid, 8, 0), 8, 1)
+                arr = np.repeat(img[:, :, None], 3, 2)
+                sub = "444" if did % 2 == 0 else "420"
+                blob = codec.encode_jpeg(arr, quality=50, subsampling=sub)
+                dec = codec.decode_jpeg(blob)
+                rows.append(
+                    (
+                        did, dec.shape[1], dec.shape[0], "jpeg", sub,
+                        _hashlib.sha256(dec.tobytes().hex().encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "format",
+                    "subsampling", "pixel_sha",
+                ],
+            )
+
+    return docs.mapInPandas(kernel, schema=out_schema)
+
+
 # --------------------------------------------------------------------------- #
 # Streaming window operators, oracle-checked in batch mode (the SAME
 # tumbling/sliding/session code path serves readStream frames; SURVEY §2.8)

@@ -1,11 +1,13 @@
 """Pure-stdlib/NumPy image codecs for the multimodal column family.
 
-The container has no Pillow, but three real formats need nothing beyond
+The container has no Pillow, but the real formats need nothing beyond
 ``zlib`` + ``struct`` + numpy, so the X4 decode step is real in-sandbox
 (VERDICT r8 ask #3): uncompressed 24-bit **BMP**, binary **PPM** (P6),
-and 8-bit **PNG** (gray / RGB / RGBA, all five scanline filters). All
-decoders return an ``(H, W, 3) uint8`` RGB array — one canonical pixel
-layout for everything downstream (resize, hashing, feature stubs).
+8-bit **PNG** (gray / RGB / RGBA, all five scanline filters), animated
+**GIF** (real LZW), and — in the sibling :mod:`jpegcodec` (r10) —
+baseline sequential **JPEG**. All decoders return an ``(H, W, 3)
+uint8`` RGB array — one canonical pixel layout for everything
+downstream (resize, hashing, feature stubs).
 
 Scale/usage notes: these run *inside* Arrow-batched ``mapInPandas``
 kernels (see ``multimodal.py``), one image per call — per-image CPU,
@@ -56,7 +58,8 @@ MAX_DECODE_PIXELS = 1 << 26
 
 
 def sniff_format(data: bytes) -> str | None:
-    """'bmp' | 'ppm' | 'png' | 'gif' from magic bytes, None if unrecognized."""
+    """'bmp' | 'ppm' | 'png' | 'gif' | 'jpeg' from magic bytes, None if
+    unrecognized."""
     if data[:2] == b"BM":
         return "bmp"
     if data[:2] == b"P6":
@@ -65,6 +68,8 @@ def sniff_format(data: bytes) -> str | None:
         return "png"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -83,8 +88,14 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         return decode_png(data), "png"
     if fmt == "gif":
         return decode_gif_canvas(data), "gif"
+    if fmt == "jpeg":
+        # lazy import: jpegcodec imports this module's error type and
+        # pixel ceiling, so the dependency must point one way at load
+        from wwwision_importservice_spark.operators.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data), "jpeg"
     raise ImageDecodeError(
-        f"unsupported image magic {data[:8]!r} (supported: BMP/PPM/PNG/GIF)"
+        f"unsupported image magic {data[:8]!r} (supported: BMP/PPM/PNG/GIF/JPEG)"
     )
 
 

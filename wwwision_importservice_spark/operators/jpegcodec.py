@@ -1,0 +1,634 @@
+"""Baseline JPEG codec (ITU-T T.81 / ISO 10918-1), pure stdlib + NumPy.
+
+Closes the last real-world image-format gap behind the optional Pillow
+lane (VERDICT r9 ask #8): baseline sequential DCT JPEGs — the format of
+essentially every web-crawl photo — decode for real in-sandbox. Scope
+is the baseline process exactly:
+
+- SOF0 (baseline sequential, 8-bit) only; progressive (SOF2),
+  extended/arithmetic/lossless SOFs are rejected loudly by marker.
+- Huffman entropy coding with 0xFF00 byte unstuffing and RSTn restart
+  markers (DRI honored; DC predictors reset at restarts).
+- 1-component (grayscale) and 3-component (YCbCr) interleaved scans,
+  any sampling factors up to 4 (4:4:4, 4:2:2, 4:2:0 in the wild);
+  chroma upsampling is sample replication (nearest), the spec's
+  suggested simple filter.
+- Dequantize → dezigzag → 8x8 IDCT (separable orthonormal DCT matrix,
+  float64) → level shift → BT.601 YCbCr→RGB (JFIF full-range).
+
+The encoder emits baseline 4:4:4 or 4:2:0 with the Annex K example
+quantization (IJG quality scaling) and Huffman tables — it exists so
+the decode path can be pinned: for block-constant GRAY images with EVEN
+sample values at quality 50, encode→decode is EXACT (the DC quantizer
+16 divides 8·(v-128); every AC and chroma coefficient is exactly zero),
+which gives the x4 family a cross-engine md5-arithmetic oracle over a
+genuinely lossy format. General-image fidelity is pinned by
+error-bound round-trip tests instead (JPEG is lossy by design).
+
+Threat model (same as :mod:`imagecodec`): header dimensions are
+attacker-controlled, so the frame surface is capped by
+``imagecodec.MAX_DECODE_PIXELS`` BEFORE any plane allocates, and every
+entropy-decode loop is bounded by the block count the header implies —
+a crafted stream can waste its own bytes, never multi-GB allocations.
+
+No reference counterpart (the reference imports CMS assets as opaque
+resources); layout and tables follow the public spec (T.81 Annexes B,
+C, F, K) and the JFIF 1.02 color conventions.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from wwwision_importservice_spark.operators.imagecodec import (
+    MAX_DECODE_PIXELS,
+    ImageDecodeError,
+)
+
+# --------------------------------------------------------------------------
+# spec tables
+
+#: zigzag scan order: ZIGZAG[k] = (row*8 + col) of the k-th coefficient
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+#: T.81 Annex K.1 example luminance/chrominance quantization (zigzag order
+#: is NOT used here — these are in natural row-major order)
+STD_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+STD_CHROMA_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# T.81 Annex K.3 typical Huffman tables: (BITS counts for lengths 1..16,
+# HUFFVAL symbol list)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+#: orthonormal 8-point DCT-II matrix: IDCT(B) = C.T @ B @ C, FDCT = C @ b @ C.T
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _C[_u, _x] = np.cos((2 * _x + 1) * _u * np.pi / 16) * (
+            np.sqrt(1 / 8) if _u == 0 else np.sqrt(2 / 8)
+        )
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """T.81 Annex C code generation: (symbol → (code, length)) and the
+    decode map ((length, code) → symbol)."""
+    enc: dict[int, tuple[int, int]] = {}
+    dec: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = vals[k]
+            enc[sym] = (code, length)
+            dec[(length, code)] = sym
+            code += 1
+            k += 1
+        code <<= 1
+    return enc, dec
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables (libjpeg convention)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    luma = np.clip((STD_LUMA_Q * scale + 50) // 100, 1, 255)
+    chroma = np.clip((STD_CHROMA_Q * scale + 50) // 100, 1, 255)
+    return luma, chroma
+
+
+# --------------------------------------------------------------------------
+# encoder
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1-bits per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, raw bits) of a DC diff / AC value (T.81 F.1.2)."""
+    if v == 0:
+        return 0, 0
+    a, bits = abs(v), v
+    size = a.bit_length()
+    if v < 0:
+        bits = v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_block(
+    w: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int,
+    dc_enc: dict, ac_enc: dict,
+) -> int:
+    coef = _C @ (block.astype(np.float64) - 128.0) @ _C.T
+    # JPEG's DCT scaling is 8x the orthonormal one per axis pair: the
+    # orthonormal matrix already matches the spec's S(u,v) definition
+    qz = np.round(coef / q.reshape(8, 8)).astype(np.int64)
+    zz = qz.reshape(64)[ZIGZAG]
+    diff = int(zz[0]) - pred
+    size, bits = _magnitude(diff)
+    code, ln = dc_enc[size]
+    w.write(code, ln)
+    w.write(bits, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = ac_enc[(run << 4) | size]
+        w.write(code, ln)
+        w.write(bits, size)
+        run = 0
+    if run:
+        code, ln = ac_enc[0x00]  # EOB
+        w.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 50,
+    subsampling: str = "420",
+    grayscale: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) uint8 RGB → baseline JFIF bytes (Annex K tables, IJG
+    quality scaling, ``'444'`` or ``'420'`` chroma). Lossy in general;
+    exact for block-constant gray with even values at quality 50 (see
+    module docstring — the property the oracle row rests on).
+    ``grayscale=True`` writes a 1-component scan from the luma plane;
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exercises the decoder's restart resync path)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+    rgb = arr.astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
+    cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
+    y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
+
+    luma_q, chroma_q = _quality_tables(quality)
+    sub = 2 if subsampling == "420" else 1
+    if sub == 2:
+        # pad to even dims with edge replication, then 2x2 mean
+        cb2 = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+        cr2 = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+        cb = np.round(
+            (cb2[0::2, 0::2] + cb2[0::2, 1::2] + cb2[1::2, 0::2] + cb2[1::2, 1::2]) / 4
+        )
+        cr = np.round(
+            (cr2[0::2, 0::2] + cr2[0::2, 1::2] + cr2[1::2, 0::2] + cr2[1::2, 1::2]) / 4
+        )
+
+    def pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+        ph = (-plane.shape[0]) % mult
+        pw = (-plane.shape[1]) % mult
+        return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+    y = pad_to(y, 8 * sub)
+    cb = pad_to(cb, 8)
+    cr = pad_to(cr, 8)
+
+    dc_l_enc, _ = _canonical_codes(*_DC_LUMA)
+    ac_l_enc, _ = _canonical_codes(*_AC_LUMA)
+    dc_c_enc, _ = _canonical_codes(*_DC_CHROMA)
+    ac_c_enc, _ = _canonical_codes(*_AC_CHROMA)
+
+    if grayscale:
+        sub = 1
+        y = pad_to(np.clip(np.round(
+            0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        ), 0, 255), 8)
+
+    wtr = _BitWriter()
+    pred = [0, 0, 0]
+    mcuy, mcux = y.shape[0] // (8 * sub), y.shape[1] // (8 * sub)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            for by in range(sub):
+                for bx in range(sub):
+                    r0, c0 = (my * sub + by) * 8, (mx * sub + bx) * 8
+                    pred[0] = _encode_block(
+                        wtr, y[r0 : r0 + 8, c0 : c0 + 8], luma_q,
+                        pred[0], dc_l_enc, ac_l_enc,
+                    )
+            if not grayscale:
+                for ci, plane in ((1, cb), (2, cr)):
+                    r0, c0 = my * 8, mx * 8
+                    pred[ci] = _encode_block(
+                        wtr, plane[r0 : r0 + 8, c0 : c0 + 8], chroma_q,
+                        pred[ci], dc_c_enc, ac_c_enc,
+                    )
+            mcu_count += 1
+    wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(v) for v in table[ZIGZAG]))
+
+    def dht(cls: int, tid: int, spec: tuple) -> bytes:
+        bits, vals = spec
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    if grayscale:
+        sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        tables = dqt(0, luma_q) + dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
+    else:
+        sof = seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, (sub << 4) | sub, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        tables = (
+            dqt(0, luma_q) + dqt(1, chroma_q)
+            + dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
+            + dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
+        )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval else b""
+    )
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + tables + dri
+        + sof + sos + bytes(wtr.out) + b"\xff\xd9"
+    )
+
+
+# --------------------------------------------------------------------------
+# decoder
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    unstuffing; RSTn markers surface through :meth:`at_restart`."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        while self.n <= 24:
+            if self.pos >= len(d):
+                return False
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    return True  # restart marker: stop filling
+                else:
+                    return True  # EOI or next segment
+                self.acc = (self.acc << 8) | 0xFF
+            else:
+                self.pos += 1
+                self.acc = (self.acc << 8) | b
+            self.n += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+            if self.n == 0:
+                raise ImageDecodeError("JPEG: entropy data exhausted")
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huffman(self, dec: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = dec.get((length, code))
+            if sym is not None:
+                return sym
+        raise ImageDecodeError("JPEG: invalid Huffman code")
+
+    def sync_restart(self) -> None:
+        """Consume a RSTn marker and realign to the byte boundary."""
+        self.acc, self.n = 0, 0
+        d = self.data
+        # skip any pad bits already consumed; marker begins at self.pos
+        if (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+            return
+        raise ImageDecodeError("JPEG: expected restart marker")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map ``size`` raw bits to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (H, W, 3) uint8 RGB. Grayscale files are
+    replicated to RGB (the family's canonical layout). Rejects loudly:
+    non-baseline SOFs, >4 sampling factors, missing tables, truncated
+    entropy data, frames past the ``MAX_DECODE_PIXELS`` ceiling."""
+    if data[:2] != b"\xff\xd8":
+        raise ImageDecodeError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    comps: list[dict] = []
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ImageDecodeError(f"JPEG: expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before any scan
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ImageDecodeError("JPEG: truncated segment")
+        nxt = pos + 2 + seglen
+
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                n = 64 * (2 if pq else 1)
+                if p + n > len(body):
+                    raise ImageDecodeError("JPEG: truncated DQT")
+                if pq:
+                    vals = np.frombuffer(body, ">u2", 64, p).astype(np.int64)
+                else:
+                    vals = np.frombuffer(body, np.uint8, 64, p).astype(np.int64)
+                table = np.zeros(64, dtype=np.int64)
+                table[ZIGZAG] = vals  # stored in zigzag order
+                qt[tq] = table
+                p += n
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                total = sum(bits)
+                vals = list(body[p + 17 : p + 17 + total])
+                if len(vals) < total:
+                    raise ImageDecodeError("JPEG: truncated DHT")
+                _, dec = _canonical_codes(bits, vals)
+                (huff_ac if cls else huff_dc)[tid] = dec
+                p += 17 + total
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both Huffman sequential)
+            prec, fh, fw, nf = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ImageDecodeError(f"JPEG: unsupported precision {prec}")
+            if nf not in (1, 3):
+                raise ImageDecodeError(f"JPEG: {nf} components unsupported")
+            if fw * fh > MAX_DECODE_PIXELS:
+                raise ImageDecodeError(
+                    f"JPEG {fw}x{fh} exceeds the {MAX_DECODE_PIXELS}-pixel "
+                    "decode ceiling (SOF dims are untrusted)"
+                )
+            comps = []
+            for i in range(nf):
+                cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ImageDecodeError(f"JPEG: bad sampling {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            frame = (fw, fh, nf)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ImageDecodeError(
+                f"JPEG: non-baseline SOF 0x{marker:02x} unsupported "
+                "(progressive/arithmetic/lossless out of scope)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ImageDecodeError("JPEG: SOS before SOF")
+            ns = body[0]
+            if ns != frame[2]:
+                raise ImageDecodeError(
+                    "JPEG: non-interleaved multi-scan files unsupported"
+                )
+            scan_sel = {}
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan_sel[cs] = (tt >> 4, tt & 0x0F)
+            return _decode_scan(
+                data, nxt, frame, comps, scan_sel, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        # APPn / COM / others: skipped
+        pos = nxt
+    raise ImageDecodeError("JPEG: no scan data (missing SOS)")
+
+
+def _decode_scan(
+    data, pos, frame, comps, scan_sel, qt, huff_dc, huff_ac, restart_interval
+) -> np.ndarray:
+    fw, fh, nf = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    planes = []
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+        if c["tq"] not in qt:
+            raise ImageDecodeError(f"JPEG: missing quant table {c['tq']}")
+        dc_id, ac_id = scan_sel[c["id"]]
+        if dc_id not in huff_dc or ac_id not in huff_ac:
+            raise ImageDecodeError("JPEG: missing Huffman table")
+        c["q"] = qt[c["tq"]].reshape(8, 8)
+        c["dc"] = huff_dc[dc_id]
+        c["ac"] = huff_ac[ac_id]
+
+    rdr = _BitReader(data, pos)
+    pred = [0] * nf
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                rdr.sync_restart()
+                pred = [0] * nf
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = rdr.decode_huffman(c["dc"])
+                        diff = _extend(rdr.receive(size), size)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rdr.decode_huffman(c["ac"])
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ImageDecodeError(
+                                    "JPEG: AC run past block end"
+                                )
+                            zz[k] = _extend(rdr.receive(size), size)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.int64)
+                        coef[ZIGZAG] = zz
+                        block = _C.T @ (
+                            coef.reshape(8, 8) * c["q"]
+                        ).astype(np.float64) @ _C + 128.0
+                        r0 = (my * c["v"] + by) * 8
+                        c0 = (mx * c["h"] + bx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
+            mcu_count += 1
+
+    # crop + upsample (sample replication) to full resolution
+    out = []
+    for c, plane in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out.append(plane[:fh, :fw])
+    if nf == 1:
+        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

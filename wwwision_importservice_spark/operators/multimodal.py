@@ -5,11 +5,12 @@ columns with typed metadata structs, with decode / feature-extract /
 resize / frame-sample as Arrow-batched Pandas functions over
 ``mapInPandas``.
 
-Image decode is REAL in-sandbox (round 9): BMP / PPM / PNG / GIF bytes decode
-to pixels through the pure-stdlib/NumPy codecs in
-:mod:`~wwwision_importservice_spark.operators.imagecodec` — no Pillow
+Image decode is REAL in-sandbox (rounds 9-10): BMP / PPM / PNG / GIF /
+baseline JPEG bytes decode to pixels through the pure-stdlib/NumPy
+codecs in :mod:`~wwwision_importservice_spark.operators.imagecodec` and
+:mod:`~wwwision_importservice_spark.operators.jpegcodec` — no Pillow
 required. Pillow, when installed, is the optional fast lane for every
-*other* format (JPEG etc.); payloads that are not recognizable images
+*other* format (WebP, progressive JPEG …); payloads that are not recognizable images
 (e.g. text bytes standing in for media) fall back to a deterministic
 fake decoder (seeded by content hash) so the plumbing — schema, binary
 transport through Arrow, batch iteration, partition sizing — stays
@@ -160,9 +161,9 @@ def decode_metadata(
     """Extract typed metadata from binary media via Arrow-batched
     ``mapInPandas`` — the X4 decode/feature-extract step.
 
-    Recognizable image bytes (BMP/PPM/PNG/GIF magic) ALWAYS decode for real
-    through the pure codecs — no library gate. Unrecognized payloads:
-    Pillow when present (JPEG etc.), else the deterministic fake
+    Recognizable image bytes (BMP/PPM/PNG/GIF/JPEG magic) ALWAYS decode
+    for real through the pure codecs — no library gate. Unrecognized
+    payloads: Pillow when present (WebP etc.), else the deterministic fake
     (format ``'fake'``), unless ``strict=True`` makes an
     undecodable payload a hard error instead of a silently fake row.
     Decode failures of every kind (corrupt body behind a valid magic,
@@ -331,6 +332,18 @@ def resize_images(
             # encode_gif's loud quantize-first ValueError
             "gif": lambda a: codec.encode_gif([a]),
         }
+
+        def _encode_jpeg(a):
+            # lazy per the one-way codec dependency; re-encode is lossy
+            # (JPEG by design) but deterministic — thumbnails stay
+            # thumbnails, hashes stay stable across runs
+            from wwwision_importservice_spark.operators.jpegcodec import (
+                encode_jpeg,
+            )
+
+            return encode_jpeg(a, quality=90, subsampling="444")
+
+        encoders["jpeg"] = _encode_jpeg
         for pdf in it:
             rows = []
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
