@@ -258,10 +258,6 @@ def main() -> None:
         timings[name] = round(min(runs), 4)
         medians[name] = round(statistics.median(runs), 4)
 
-    try:
-        load_at_end = round(os.getloadavg()[0], 2)
-    except (OSError, AttributeError):
-        load_at_end = -1.0
     # Per-batch gate cost (round-7 judge ask): the s5 whole-run number is
     # a 2-micro-batch e2e with parquet round-trips — the per-batch split
     # is the steady-state cost a production crawl would pay per batch.
@@ -295,6 +291,13 @@ def main() -> None:
     for b in range(4):
         amort_gate(docs4.filter(F.col("doc_id") % 4 == b), b)
     s5_amortization = amort_stats.get("batches")
+
+    # captured AFTER the amortization lifecycle — loadavg_at_end exists
+    # to describe machine state when the bench's real work finished
+    try:
+        load_at_end = round(os.getloadavg()[0], 2)
+    except (OSError, AttributeError):
+        load_at_end = -1.0
     print(
         json.dumps(
             {

@@ -97,8 +97,8 @@ from wwwision_importservice_spark.operators.text import (  # noqa: E402
     scrub_pii,
     token_count,
 )
-from wwwision_importservice_spark.entry_queries import (  # noqa: E402
-    _BPE_MERGES,
+from wwwision_importservice_spark.operators.bpe import (  # noqa: E402
+    PINNED_MERGES,
 )
 from wwwision_importservice_spark.session import get_spark  # noqa: E402
 
@@ -312,7 +312,7 @@ def main() -> None:
         # tokenizer-true budgets: the frozen merge table the x6_bpe_pack
         # oracle row pins (a production run would pass its own trained
         # tokenizer's merges)
-        bpe_merges=_BPE_MERGES,
+        bpe_merges=PINNED_MERGES,
     )
     (
         packed.write.mode("overwrite")

@@ -693,7 +693,11 @@ def test_bpe_replace_chain_oracle(spark):
     assert len(set(merged)) == len(merged)  # the collision-freedom premise
 
     rnd = random.Random(42)
-    alpha = "erntowsathluigjpy"
+    # the merge alphabet PLUS the oracle's own framing characters ('|',
+    # '~'), the end-of-word marker, and non-ASCII — a raw-delimiter
+    # rendering diverges on these (the r10 review catch); the hex
+    # rendering must not
+    alpha = "erntowsathluigjpy|~▁é"
     words = sorted(
         {
             "".join(rnd.choice(alpha) for _ in range(rnd.randint(1, 9)))

@@ -660,3 +660,25 @@ def test_png_filter1_sub_vectorized():
         np.testing.assert_array_equal(
             _unfilter_row(1, line, prev, ch), ref.astype(np.uint8)
         )
+
+
+def test_png_truncated_trailer_rejected_despite_exact_length():
+    """A deflate stream cut AFTER all pixel data but before its final
+    block/adler32 trailer must still be rejected: the bounded inflate
+    yields the exact expected byte count, so only the stream-eof check
+    stands between a corrupt-in-transit blob and silent acceptance
+    (r10 review catch on the bounded-inflate rewrite)."""
+    arr = grid(6, 6, seed=17)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(6))
+    full = zlib.compress(raw)
+    # verify the attack is real: the truncated stream still inflates to
+    # the full expected length
+    for cut in range(1, 8):
+        d = zlib.decompressobj()
+        out = d.decompress(full[:-cut], len(raw) + 1)
+        if len(out) == len(raw) and not d.eof:
+            blob = _png_raw_idat(6, 6, 2, full[:-cut])
+            with pytest.raises(ImageDecodeError, match="incomplete"):
+                decode_png(blob)
+            return
+    pytest.skip("no cut point yields full-length output for this stream")

@@ -186,3 +186,73 @@ def test_family_sniff_and_decode_image():
     out, fmt = decode_image(blob)
     assert fmt == "jpeg"
     np.testing.assert_array_equal(out, arr)
+
+
+# --- r10 review-pass regressions ---------------------------------------------
+
+
+def test_float_plane_budget_quarter_ceiling():
+    """The JPEG surface ceiling is a QUARTER of the uint8 formats'
+    (float32 planes + a float64 conversion temp ≈ 20 bytes/px): a
+    sub-KB JPEG declaring 8190x8190 — UNDER the family's 64M-px cap but
+    1.6 GB of float planes — is rejected before any plane allocates."""
+    import tracemalloc
+
+    from wwwision_importservice_spark.operators.jpegcodec import (
+        MAX_JPEG_PIXELS,
+    )
+    from wwwision_importservice_spark.operators.imagecodec import (
+        MAX_DECODE_PIXELS,
+    )
+
+    assert MAX_JPEG_PIXELS == MAX_DECODE_PIXELS // 4
+    blob = bytearray(encode_jpeg(_block_gray(1, 1), quality=50,
+                                 subsampling="444"))
+    i = bytes(blob).index(b"\xff\xc0")
+    struct.pack_into(">HH", blob, i + 5, 8190, 8190)
+    assert 8190 * 8190 < MAX_DECODE_PIXELS
+    tracemalloc.start()
+    with pytest.raises(ImageDecodeError, match="decode ceiling"):
+        decode_jpeg(bytes(blob))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 1 << 20, f"peak {peak} bytes — float planes allocated"
+
+
+def test_malformed_headers_raise_decode_error_not_struct_error():
+    """Truncated SOF/DRI/SOS bodies and a scan that doesn't cover a
+    frame component all surface as ImageDecodeError — the same contract
+    the PNG short-IHDR fix pinned, applied to this codec's own headers."""
+    arr = _block_gray(1, 1)
+    whole = encode_jpeg(arr, quality=50, subsampling="444")
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    i = whole.index(b"\xff\xc0")
+    (soflen,) = struct.unpack_from(">H", whole, i + 2)
+    head, sof, tail = whole[:i], whole[i : i + 2 + soflen], whole[i + 2 + soflen :]
+
+    # SOF body shorter than its component list
+    with pytest.raises(ImageDecodeError, match="SOF"):
+        decode_jpeg(head + seg(0xFFC0, sof[4:10]) + tail)
+    # empty DRI body
+    with pytest.raises(ImageDecodeError, match="DRI"):
+        decode_jpeg(head + seg(0xFFDD, b"") + sof + tail)
+    # scan selector naming a component id the frame doesn't have
+    j = whole.index(b"\xff\xda")
+    mutated = bytearray(whole)
+    mutated[j + 5] = 9  # first scan component id 1 -> 9
+    with pytest.raises(ImageDecodeError, match="component"):
+        decode_jpeg(bytes(mutated))
+
+
+def test_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; real encoders emit them, so decode must skip them instead
+    of misparsing the padded marker's length."""
+    arr = _block_gray(2, 2, seed=33)
+    whole = encode_jpeg(arr, quality=50, subsampling="444")
+    i = whole.index(b"\xff\xdb")  # pad before DQT
+    padded = whole[:i] + b"\xff\xff\xff" + whole[i:]
+    np.testing.assert_array_equal(decode_jpeg(padded), arr)

@@ -2945,29 +2945,42 @@ def x6_packed_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # loop: a merge can only become applicable after the merge that CREATES
 # one of its constituent symbols, which always has a lower rank.
 #
-# The DuckDB twin restates encode as pure string algebra: render the
-# symbol sequence with BOTH boundaries delimited ('|s|' per symbol, so
-# 'st|▁|' can never false-match a '|t||▁|' pattern and a pattern can
-# never split a longer symbol), then one replace() per merge in rank
-# order — SQL replace is exactly BPE's non-overlapping left-to-right
-# semantics. Token count = bar-count / 2. Pinned differentially against
-# bpe_encode's loop on the full fixture vocabulary AND 500 adversarial
-# random words (tests/test_extensions.py::test_bpe_replace_chain_oracle).
-_BPE_MERGES: list[tuple[str, str]] = [
-    ("e", "r"), ("e", "▁"), ("n", "▁"), ("er", "▁"), ("o", "w"),
-    ("ow", "▁"), ("o", "r"), ("s", "t"), ("h", "▁"), ("a", "t"),
-    ("l", "u"), ("i", "n"), ("a", "▁"), ("g", "▁"), ("y", "▁"),
-    ("a", "r"), ("p", "ar"), ("t", "▁"), ("i", "n▁"), ("j", "o"),
-    ("jo", "in▁"), ("a", "s"), ("as", "h▁"), ("h", "ash▁"),
-]
+# The DuckDB twin restates encode as pure string algebra: every symbol
+# renders as '|' + the '~'-joined HEX CODE POINTS of its characters +
+# '|' (hex-rendering makes the alphabet delimiter-free, so a literal
+# '|' or '~' or '▁' in crawl text can never collide with the framing —
+# the r10 review catch), then one replace() per merge in rank order —
+# SQL replace is exactly BPE's non-overlapping left-to-right semantics,
+# and the double boundary means 'st'+'▁' can never false-match a
+# ('t','▁') pattern nor a pattern split a longer symbol. Token count =
+# bar-count / 2. Pinned differentially against bpe_encode's loop on the
+# full fixture vocabulary AND adversarial random words including the
+# delimiter characters themselves
+# (tests/test_extensions.py::test_bpe_replace_chain_oracle).
+from wwwision_importservice_spark.operators.bpe import (  # noqa: E402
+    PINNED_MERGES as _BPE_MERGES,
+)
+
+
+def _hex_sym(sym: str) -> str:
+    """A symbol as '~'-joined lowercase hex code points — the exact
+    rendering ``printf('%x', unicode(c))`` produces per character."""
+    return "~".join(format(ord(c), "x") for c in sym)
 
 
 def _bpe_chain_sql(var: str) -> str:
     """The merge table as a rank-ordered replace() chain over the
-    boundary-delimited symbol string of ``var`` (a word expression)."""
-    expr = f"regexp_replace({var} || '▁', '(.)', '|\\1|', 'g')"
+    boundary-delimited hex symbol string of ``var`` (a word expression)."""
+    chars = (
+        f"list_transform(string_split_regex({var} || '▁', ''), "
+        "c -> printf('%x', unicode(c)))"
+    )
+    expr = f"('|' || array_to_string({chars}, '||') || '|')"
     for left, right in _BPE_MERGES:
-        expr = f"replace({expr}, '|{left}||{right}|', '|{left}{right}|')"
+        expr = (
+            f"replace({expr}, '|{_hex_sym(left)}||{_hex_sym(right)}|', "
+            f"'|{_hex_sym(left)}~{_hex_sym(right)}|')"
+        )
     return expr
 
 

@@ -40,6 +40,21 @@ from pyspark.sql import functions as F
 
 END_OF_WORD = "▁"  # sentencepiece-style marker, appended per word
 
+#: A FROZEN merge table — ``train_bpe(documents sf0.01, num_merges=24)``
+#: run once and committed, because a tokenizer is an artifact: the whole
+#: point is that the SAME merges apply to any future text. Consumed by
+#: the x6_bpe_pack oracle row (entry_queries), the corpus-pipeline demo,
+#: and the BPE differential tests. All 24 merged-symbol strings are
+#: distinct, which is the premise the oracle's rank-order sequential
+#: restatement of the encode loop rests on (see entry_queries).
+PINNED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "▁"), ("n", "▁"), ("er", "▁"), ("o", "w"),
+    ("ow", "▁"), ("o", "r"), ("s", "t"), ("h", "▁"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "▁"), ("g", "▁"), ("y", "▁"),
+    ("a", "r"), ("p", "ar"), ("t", "▁"), ("i", "n▁"), ("j", "o"),
+    ("jo", "in▁"), ("a", "s"), ("as", "h▁"), ("h", "ash▁"),
+]
+
 
 def word_frequencies(
     corpus: DataFrame, text_col: str = "text"

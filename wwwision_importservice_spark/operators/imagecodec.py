@@ -278,6 +278,13 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ImageDecodeError(f"PNG IDAT inflate failed: {exc}") from exc
     if len(raw) != expected:
         raise ImageDecodeError(f"PNG data length {len(raw)} != {expected}")
+    if not d.eof:
+        # right length but the deflate stream never finished: a stream
+        # cut before its final block / adler32 trailer skips zlib's
+        # checksum — without this check the bounded inflate would accept
+        # corrupt-in-transit pixel data the unbounded zlib.decompress
+        # used to reject
+        raise ImageDecodeError("PNG IDAT stream incomplete (missing trailer)")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, rowlen)
     filters, lines = raw[:, 0], raw[:, 1:]
     out = np.zeros((h, ch * w), dtype=np.uint8)

@@ -47,6 +47,13 @@ from wwwision_importservice_spark.operators.imagecodec import (
     ImageDecodeError,
 )
 
+#: JPEG works in float32 component planes plus one float64 conversion
+#: temp (~20 bytes/pixel worst case vs 3 for the uint8 decoders), so its
+#: surface ceiling is a quarter of the family budget — 16M px still
+#: clears every phone/DSLR photo (12-16 MP) while capping the worst-case
+#: working set near the ~300 MB the uint8 formats can already reach.
+MAX_JPEG_PIXELS = MAX_DECODE_PIXELS // 4
+
 # --------------------------------------------------------------------------
 # spec tables
 
@@ -266,43 +273,47 @@ def encode_jpeg(
         raise ValueError(f"expected (H, W, 3) uint8, got {arr.shape}")
     h, w = arr.shape[:2]
     rgb = arr.astype(np.float64)
-    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
-    cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2]
-    cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2]
-    y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
-
-    luma_q, chroma_q = _quality_tables(quality)
-    sub = 2 if subsampling == "420" else 1
-    if sub == 2:
-        # pad to even dims with edge replication, then 2x2 mean
-        cb2 = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
-        cr2 = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
-        cb = np.round(
-            (cb2[0::2, 0::2] + cb2[0::2, 1::2] + cb2[1::2, 0::2] + cb2[1::2, 1::2]) / 4
-        )
-        cr = np.round(
-            (cr2[0::2, 0::2] + cr2[0::2, 1::2] + cr2[1::2, 0::2] + cr2[1::2, 1::2]) / 4
-        )
+    y = np.clip(np.round(
+        0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    ), 0, 255)
 
     def pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
         ph = (-plane.shape[0]) % mult
         pw = (-plane.shape[1]) % mult
         return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
+    luma_q, chroma_q = _quality_tables(quality)
+    sub = 1 if grayscale else (2 if subsampling == "420" else 1)
+    cb = cr = None
+    if not grayscale:
+        cb = np.clip(np.round(
+            128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1]
+            + 0.5 * rgb[:, :, 2]
+        ), 0, 255)
+        cr = np.clip(np.round(
+            128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1]
+            - 0.081312 * rgb[:, :, 2]
+        ), 0, 255)
+        if sub == 2:
+            # pad to even dims with edge replication, then 2x2 mean
+            cb2 = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
+            cr2 = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
+            cb = np.round(
+                (cb2[0::2, 0::2] + cb2[0::2, 1::2]
+                 + cb2[1::2, 0::2] + cb2[1::2, 1::2]) / 4
+            )
+            cr = np.round(
+                (cr2[0::2, 0::2] + cr2[0::2, 1::2]
+                 + cr2[1::2, 0::2] + cr2[1::2, 1::2]) / 4
+            )
+        cb = pad_to(cb, 8)
+        cr = pad_to(cr, 8)
     y = pad_to(y, 8 * sub)
-    cb = pad_to(cb, 8)
-    cr = pad_to(cr, 8)
 
     dc_l_enc, _ = _canonical_codes(*_DC_LUMA)
     ac_l_enc, _ = _canonical_codes(*_AC_LUMA)
     dc_c_enc, _ = _canonical_codes(*_DC_CHROMA)
     ac_c_enc, _ = _canonical_codes(*_AC_CHROMA)
-
-    if grayscale:
-        sub = 1
-        y = pad_to(np.clip(np.round(
-            0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
-        ), 0, 255), 8)
 
     wtr = _BitWriter()
     pred = [0, 0, 0]
@@ -468,6 +479,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ImageDecodeError(f"JPEG: expected marker at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — skip them or a spec-valid file misparses its length
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI before any scan
             break
@@ -511,11 +526,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ImageDecodeError(f"JPEG: unsupported precision {prec}")
             if nf not in (1, 3):
                 raise ImageDecodeError(f"JPEG: {nf} components unsupported")
-            if fw * fh > MAX_DECODE_PIXELS:
+            if fw * fh > MAX_JPEG_PIXELS:
                 raise ImageDecodeError(
-                    f"JPEG {fw}x{fh} exceeds the {MAX_DECODE_PIXELS}-pixel "
-                    "decode ceiling (SOF dims are untrusted)"
+                    f"JPEG {fw}x{fh} exceeds the {MAX_JPEG_PIXELS}-pixel "
+                    "decode ceiling (SOF dims are untrusted; JPEG decodes "
+                    "into float planes, so its pixel budget is a quarter "
+                    "of the uint8 formats' ceiling)"
                 )
+            if len(body) < 6 + 3 * nf:
+                raise ImageDecodeError("JPEG: truncated SOF component list")
             comps = []
             for i in range(nf):
                 cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
@@ -531,15 +550,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 "(progressive/arithmetic/lossless out of scope)"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ImageDecodeError("JPEG: truncated DRI")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ImageDecodeError("JPEG: SOS before SOF")
+            if not body:
+                raise ImageDecodeError("JPEG: truncated SOS")
             ns = body[0]
             if ns != frame[2]:
                 raise ImageDecodeError(
                     "JPEG: non-interleaved multi-scan files unsupported"
                 )
+            if len(body) < 1 + 2 * ns + 3:
+                raise ImageDecodeError("JPEG: truncated SOS component list")
             scan_sel = {}
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
@@ -564,9 +589,17 @@ def _decode_scan(
     planes = []
     for c in comps:
         pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
+        # float32, not float64: integral sample values to 255 are exact
+        # in both, and the planes are the decoder's dominant allocation
+        # (see MAX_JPEG_PIXELS — the ceiling and this dtype are one
+        # budget decision)
+        planes.append(np.zeros((ph, pw), dtype=np.float32))
         if c["tq"] not in qt:
             raise ImageDecodeError(f"JPEG: missing quant table {c['tq']}")
+        if c["id"] not in scan_sel:
+            raise ImageDecodeError(
+                f"JPEG: scan does not cover frame component {c['id']}"
+            )
         dc_id, ac_id = scan_sel[c["id"]]
         if dc_id not in huff_dc or ac_id not in huff_ac:
             raise ImageDecodeError("JPEG: missing Huffman table")
@@ -626,9 +659,14 @@ def _decode_scan(
     if nf == 1:
         g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    # channel-at-a-time conversion into a preallocated uint8 surface:
+    # one float64 temp lives at a time instead of a 3-plane stack plus
+    # its round/clip copies (the allocation-budget story again)
+    y = out[0].astype(np.float64)
+    cb = out[1].astype(np.float64) - 128.0
+    cr = out[2].astype(np.float64) - 128.0
+    rgb = np.empty((fh, fw, 3), dtype=np.uint8)
+    rgb[:, :, 0] = np.clip(np.round(y + 1.402 * cr), 0, 255)
+    rgb[:, :, 1] = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+    rgb[:, :, 2] = np.clip(np.round(y + 1.772 * cb), 0, 255)
+    return rgb
