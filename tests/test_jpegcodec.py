@@ -191,32 +191,44 @@ def test_family_sniff_and_decode_image():
 # --- r10 review-pass regressions ---------------------------------------------
 
 
-def test_float_plane_budget_quarter_ceiling():
-    """The JPEG surface ceiling is a QUARTER of the uint8 formats'
-    (float32 planes + a float64 conversion temp ≈ 20 bytes/px): a
-    sub-KB JPEG declaring 8190x8190 — UNDER the family's 64M-px cap but
-    1.6 GB of float planes — is rejected before any plane allocates."""
+def test_decode_bytes_per_pixel_budget():
+    """The decoder's working set is priced at ≈19 bytes/pixel (float32
+    planes + one reused float32 conversion temp) — the figure the
+    shared 64M-px ceiling is justified by in MAX_JPEG_PIXELS' docs. Pin
+    it: decoding a 256x256 4:4:4 photo-like image stays under 48 B/px
+    traced peak, so a float64-stack regression (~70+ B/px, the r10
+    review catch) fails here instead of silently tripling executor
+    memory at crawl scale. Also: a 24 MP frame header — a real camera's
+    output, UNDER the family ceiling — must reach entropy decode, not
+    die at the SOF gate (the over-eager quarter-ceiling regression)."""
     import tracemalloc
 
-    from wwwision_importservice_spark.operators.jpegcodec import (
-        MAX_JPEG_PIXELS,
-    )
     from wwwision_importservice_spark.operators.imagecodec import (
         MAX_DECODE_PIXELS,
     )
+    from wwwision_importservice_spark.operators.jpegcodec import (
+        MAX_JPEG_PIXELS,
+    )
 
-    assert MAX_JPEG_PIXELS == MAX_DECODE_PIXELS // 4
-    blob = bytearray(encode_jpeg(_block_gray(1, 1), quality=50,
-                                 subsampling="444"))
-    i = bytes(blob).index(b"\xff\xc0")
-    struct.pack_into(">HH", blob, i + 5, 8190, 8190)
-    assert 8190 * 8190 < MAX_DECODE_PIXELS
+    assert MAX_JPEG_PIXELS == MAX_DECODE_PIXELS  # 24-61 MP photos decode
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (256, 256, 3), dtype=np.uint8)
+    blob = encode_jpeg(arr, quality=75, subsampling="444")
+    decode_jpeg(blob)  # warm numpy/zlib internals out of the trace
     tracemalloc.start()
-    with pytest.raises(ImageDecodeError, match="decode ceiling"):
-        decode_jpeg(bytes(blob))
+    decode_jpeg(blob)
     _, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
-    assert peak < 1 << 20, f"peak {peak} bytes — float planes allocated"
+    assert peak < 256 * 256 * 48, f"peak {peak} = {peak/65536:.1f} B/px"
+
+    # 6000x4000 (24 MP) header passes the gate; it fails later only for
+    # lack of entropy data — proving the ceiling doesn't tax real photos
+    big = bytearray(encode_jpeg(_block_gray(1, 1), quality=50,
+                                subsampling="444"))
+    i = bytes(big).index(b"\xff\xc0")
+    struct.pack_into(">HH", big, i + 5, 4000, 6000)
+    with pytest.raises(ImageDecodeError, match="exhausted|Huffman"):
+        decode_jpeg(bytes(big))
 
 
 def test_malformed_headers_raise_decode_error_not_struct_error():

@@ -47,12 +47,17 @@ from wwwision_importservice_spark.operators.imagecodec import (
     ImageDecodeError,
 )
 
-#: JPEG works in float32 component planes plus one float64 conversion
-#: temp (~20 bytes/pixel worst case vs 3 for the uint8 decoders), so its
-#: surface ceiling is a quarter of the family budget — 16M px still
-#: clears every phone/DSLR photo (12-16 MP) while capping the worst-case
-#: working set near the ~300 MB the uint8 formats can already reach.
-MAX_JPEG_PIXELS = MAX_DECODE_PIXELS // 4
+#: JPEG shares the family's surface ceiling: shrinking it would silently
+#: reject real 24-61 MP camera photos (standard DSLR output since ~2012),
+#: which is worse than the honest cost of float planes. That cost is
+#: bounded and documented: float32 planes + one reused float32
+#: conversion temp ≈ 19 bytes/pixel peak (pinned by a tracemalloc test),
+#: ≈ 1.2 GB transient at the 64M-px ceiling — per-image, within a
+#: 4 GB/thread executor budget; size Arrow batches accordingly
+#: (``spark.sql.execution.arrow.maxRecordsPerBatch``). The cap's job is
+#: the 65535x65535 (4.3 Gpx, 80+ GB) crafted-header case, not taxing
+#: legitimate photographs.
+MAX_JPEG_PIXELS = MAX_DECODE_PIXELS
 
 # --------------------------------------------------------------------------
 # spec tables
@@ -483,6 +488,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         # marker — skip them or a spec-valid file misparses its length
         while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        if pos + 4 > len(data):
+            break  # fill bytes ran to EOF → the no-SOS error below
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI before any scan
             break
@@ -511,6 +518,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(body):
+                if p + 17 > len(body):
+                    raise ImageDecodeError("JPEG: truncated DHT header")
                 cls, tid = body[p] >> 4, body[p] & 0x0F
                 bits = list(body[p + 1 : p + 17])
                 total = sum(bits)
@@ -521,6 +530,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 (huff_ac if cls else huff_dc)[tid] = dec
                 p += 17 + total
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both Huffman sequential)
+            if len(body) < 6:
+                raise ImageDecodeError("JPEG: truncated SOF header")
             prec, fh, fw, nf = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ImageDecodeError(f"JPEG: unsupported precision {prec}")
@@ -659,14 +670,32 @@ def _decode_scan(
     if nf == 1:
         g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
-    # channel-at-a-time conversion into a preallocated uint8 surface:
-    # one float64 temp lives at a time instead of a 3-plane stack plus
-    # its round/clip copies (the allocation-budget story again)
-    y = out[0].astype(np.float64)
-    cb = out[1].astype(np.float64) - 128.0
-    cr = out[2].astype(np.float64) - 128.0
+    # channel-at-a-time conversion: ONE reused float32 temp plus the
+    # float32 planes themselves (shifted in place through the cropped
+    # views) — peak ≈ 19 bytes/pixel, the budget MAX_JPEG_PIXELS is
+    # priced against (pinned by the bytes-per-pixel tracemalloc test).
+    # float32 arithmetic error on values ≤ ~440 is ~3e-5 — five orders
+    # of magnitude under the 0.5 integer-rounding boundary, and the
+    # exact-gray oracle path carries integer values where it is zero.
+    y, cb, cr = out
+    cb -= np.float32(128.0)
+    cr -= np.float32(128.0)
     rgb = np.empty((fh, fw, 3), dtype=np.uint8)
-    rgb[:, :, 0] = np.clip(np.round(y + 1.402 * cr), 0, 255)
-    rgb[:, :, 1] = np.clip(np.round(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
-    rgb[:, :, 2] = np.clip(np.round(y + 1.772 * cb), 0, 255)
+    tmp = np.empty((fh, fw), dtype=np.float32)
+    # R = y + 1.402 cr
+    np.multiply(cr, np.float32(1.402), out=tmp)
+    tmp += y
+    np.round(tmp, out=tmp)
+    rgb[:, :, 0] = np.clip(tmp, 0, 255, out=tmp)
+    # G = y - 0.344136 cb - 0.714136 cr
+    np.multiply(cb, np.float32(-0.344136), out=tmp)
+    tmp += y
+    tmp -= np.float32(0.714136) * cr  # one transient, freed immediately
+    np.round(tmp, out=tmp)
+    rgb[:, :, 1] = np.clip(tmp, 0, 255, out=tmp)
+    # B = y + 1.772 cb
+    np.multiply(cb, np.float32(1.772), out=tmp)
+    tmp += y
+    np.round(tmp, out=tmp)
+    rgb[:, :, 2] = np.clip(tmp, 0, 255, out=tmp)
     return rgb
