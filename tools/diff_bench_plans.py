@@ -20,6 +20,16 @@ readable immediately.
 Exit code: 0 when all common queries' digests match, 1 otherwise
 (added/removed queries are reported but don't fail the diff — the
 headline set legitimately grows).
+
+Known ``--live`` caveat (measured r10, reproduces on the untouched r9
+tree): ``g1_pagerank`` and ``x6_dsir_select`` build their frames over
+``localCheckpoint`` RDDs whose size ESTIMATES steer join strategy
+(broadcast vs SMJ), so their initial-plan structure depends on session
+history — a cold ``--live`` session can legitimately differ from the
+artifact digest that bench.py recorded mid-run, on identical code.
+For those two queries, artifact-vs-artifact (two-file mode) is the
+authoritative comparison; bench-to-bench digests are stable (the r9
+judge rerun reproduced all 35).
 """
 
 from __future__ import annotations
