@@ -175,6 +175,10 @@ HEADLINE = [
     # joined round 9: real image decode + resize (pure-codec BMP/PNG
     # round-trip under the md5-arithmetic oracle, one Arrow pass)
     "x4_image_decode",
+    # joined round 10: baseline JPEG encode→decode (Huffman entropy +
+    # IDCT per block, the heaviest per-byte codec work in the family —
+    # same one-Arrow-pass shape as x4_image_decode)
+    "x4_jpeg_decode",
 ]
 
 

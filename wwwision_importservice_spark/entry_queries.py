@@ -53,6 +53,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x4_jpeg_decode",  # NEW r10 (baseline JPEG per VERDICT r9 ask #8)
     "x6_bpe_pack",  # NEW r10 (tokenizer-true packing per VERDICT r9 ask #3)
     "x6_curation_pipeline",  # PROMOTED r10 (VERDICT r9 ask #2)
     "x4_image_decode",  # NEW r9 (real in-sandbox decode per VERDICT r8 #3)
@@ -4543,6 +4544,11 @@ SELECT doc_id, CAST(i AS INT) AS frame_index, CAST(i * 64 AS BIGINT) AS offset,
 FROM documents,
      unnest(range(0, least(8, greatest(1, octet_length(encode(text)) // 64)))) AS t(i)
 """,
+    driver=False,  # long-green since r5; slot ceded to x4_jpeg_decode
+    # (r10) — this is the deterministic FAKE byte-window sampler (real
+    # demuxers are out of sandbox scope), while its REAL twin
+    # x4_frame_sample_real already holds the pytest tier; the x4 driver
+    # slots now carry the two REAL decode chains (bmp/png + jpeg)
 )
 def x4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — frame sampling: one media blob fans out to N frame rows
@@ -4690,7 +4696,9 @@ FROM (
   )
 )
 """,
-    driver=False,
+    # driver tier since r10 (slot ceded by the fake-window
+    # x4_frame_sample): the lossy-format byte-exact proof belongs under
+    # the hard driver hash alongside x4_image_decode
 )
 def x4_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — REAL baseline-JPEG decode under a byte-exact oracle
