@@ -192,15 +192,17 @@ def test_family_sniff_and_decode_image():
 
 
 def test_decode_bytes_per_pixel_budget():
-    """The decoder's working set is priced at ≈19 bytes/pixel (float32
-    planes + one reused float32 conversion temp) — the figure the
-    shared 64M-px ceiling is justified by in MAX_JPEG_PIXELS' docs. Pin
-    it: decoding a 256x256 4:4:4 photo-like image stays under 48 B/px
-    traced peak, so a float64-stack regression (~70+ B/px, the r10
-    review catch) fails here instead of silently tripling executor
-    memory at crawl scale. Also: a 24 MP frame header — a real camera's
-    output, UNDER the family ceiling — must reach entropy decode, not
-    die at the SOF gate (the over-eager quarter-ceiling regression)."""
+    """The decoder's working set is priced at ~20.5 bytes/pixel
+    measured (float32 planes 12 + rgb 3 + one reused float32 temp 4 +
+    small block transients) — the figure the shared 64M-px ceiling is
+    justified by in MAX_JPEG_PIXELS' docs. Pin it: decoding a 256x256
+    4:4:4 photo-like image stays under 32 B/px traced peak, so either a
+    float64-stack regression (~50+ B/px) or a new full-size transient
+    (the r10 review catches) fails here instead of silently inflating
+    executor memory at crawl scale. Also: a 24 MP frame header — a real
+    camera's output, UNDER the family ceiling — must reach entropy
+    decode, not die at the SOF gate (the over-eager quarter-ceiling
+    regression)."""
     import tracemalloc
 
     from wwwision_importservice_spark.operators.imagecodec import (
@@ -219,7 +221,7 @@ def test_decode_bytes_per_pixel_budget():
     decode_jpeg(blob)
     _, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
-    assert peak < 256 * 256 * 48, f"peak {peak} = {peak/65536:.1f} B/px"
+    assert peak < 256 * 256 * 32, f"peak {peak} = {peak/65536:.1f} B/px"
 
     # 6000x4000 (24 MP) header passes the gate; it fails later only for
     # lack of entropy data — proving the ceiling doesn't tax real photos
@@ -268,3 +270,20 @@ def test_fill_bytes_before_markers_accepted():
     i = whole.index(b"\xff\xdb")  # pad before DQT
     padded = whole[:i] + b"\xff\xff\xff" + whole[i:]
     np.testing.assert_array_equal(decode_jpeg(padded), arr)
+
+
+def test_non_integral_sampling_ratio_rejected():
+    """Spec-legal but wild sampling grids (luma 3x3 over chroma 2x2)
+    need fractional upsampling; they must be rejected loudly as
+    ImageDecodeError, not crash the conversion with a numpy shape
+    ValueError (r10 review catch)."""
+    blob = bytearray(encode_jpeg(_block_gray(1, 1), quality=50,
+                                 subsampling="444"))
+    i = bytes(blob).index(b"\xff\xc0")
+    # component params start at i+4 (marker+len) +6 (fixed header):
+    # [id, hv, tq] per component
+    blob[i + 4 + 6 + 1] = 0x33  # luma 3x3
+    blob[i + 4 + 6 + 4] = 0x22  # Cb 2x2
+    blob[i + 4 + 6 + 7] = 0x22  # Cr 2x2
+    with pytest.raises(ImageDecodeError, match="non-integral sampling"):
+        decode_jpeg(bytes(blob))

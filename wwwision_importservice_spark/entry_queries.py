@@ -73,19 +73,21 @@ _CHECK_FIRST = [
     "dq_check_suite",
     "sink_scd2_history",
     "x8_fuzzy_pairs",
-    "x6_mixture_sample",
     "x7_bm25_stats",
     "j7_incremental_sync",
     "o3_quarantine",
     "s3b_sessionize",
     "x3_ann_lsh_topk",
     "x3_ann_ivf_topk",
-    "x4_frame_sample",
     "s3_window_session",
     "sink_e2e_state",
-    "a3_quantiles",
     "m1_regex_mapping",
 ]
+# (names demoted to the pytest tier are REMOVED from this list — a
+# stale entry is filtered out harmlessly by _finalize_registration_order
+# but misstates what the driver checks, and a future re-promotion would
+# silently inherit a mid-list slot instead of the deliberate
+# newest-first position; r10 review catch)
 
 
 def _register(name: str, oracle: str | None = None, driver: bool = True):

@@ -50,13 +50,13 @@ from wwwision_importservice_spark.operators.imagecodec import (
 #: JPEG shares the family's surface ceiling: shrinking it would silently
 #: reject real 24-61 MP camera photos (standard DSLR output since ~2012),
 #: which is worse than the honest cost of float planes. That cost is
-#: bounded and documented: float32 planes + one reused float32
-#: conversion temp ≈ 19 bytes/pixel peak (pinned by a tracemalloc test),
-#: ≈ 1.2 GB transient at the 64M-px ceiling — per-image, within a
-#: 4 GB/thread executor budget; size Arrow batches accordingly
-#: (``spark.sql.execution.arrow.maxRecordsPerBatch``). The cap's job is
-#: the 65535x65535 (4.3 Gpx, 80+ GB) crafted-header case, not taxing
-#: legitimate photographs.
+#: bounded and documented: float32 planes + rgb out + one reused float32
+#: conversion temp, measured 20.5 bytes/pixel peak at 4:4:4 (tracemalloc
+#: test pins < 32 B/px), ≈ 1.4 GB transient at the 64M-px ceiling —
+#: per-image, within a 4 GB/thread executor budget; size Arrow batches
+#: accordingly (``spark.sql.execution.arrow.maxRecordsPerBatch``). The
+#: cap's job is the 65535x65535 (4.3 Gpx, 80+ GB) crafted-header case,
+#: not taxing legitimate photographs.
 MAX_JPEG_PIXELS = MAX_DECODE_PIXELS
 
 # --------------------------------------------------------------------------
@@ -540,9 +540,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if fw * fh > MAX_JPEG_PIXELS:
                 raise ImageDecodeError(
                     f"JPEG {fw}x{fh} exceeds the {MAX_JPEG_PIXELS}-pixel "
-                    "decode ceiling (SOF dims are untrusted; JPEG decodes "
-                    "into float planes, so its pixel budget is a quarter "
-                    "of the uint8 formats' ceiling)"
+                    "decode ceiling (SOF dims are untrusted; see "
+                    "MAX_JPEG_PIXELS for the float-plane byte budget)"
                 )
             if len(body) < 6 + 3 * nf:
                 raise ImageDecodeError("JPEG: truncated SOF component list")
@@ -599,6 +598,14 @@ def _decode_scan(
     mcuy = -(-fh // (8 * vmax))
     planes = []
     for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            # spec-legal but wild sampling grids (e.g. luma 3x3 over
+            # chroma 2x2) need fractional upsampling — out of scope,
+            # rejected loudly like every other unsupported shape
+            raise ImageDecodeError(
+                f"JPEG: non-integral sampling ratio {c['h']}x{c['v']} "
+                f"vs max {hmax}x{vmax} unsupported"
+            )
         pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
         # float32, not float64: integral sample values to 255 are exact
         # in both, and the planes are the decoder's dominant allocation
@@ -671,9 +678,10 @@ def _decode_scan(
         g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
     # channel-at-a-time conversion: ONE reused float32 temp plus the
-    # float32 planes themselves (shifted in place through the cropped
-    # views) — peak ≈ 19 bytes/pixel, the budget MAX_JPEG_PIXELS is
-    # priced against (pinned by the bytes-per-pixel tracemalloc test).
+    # float32 planes themselves (shifted/scaled in place through the
+    # cropped views) — measured peak 20.5 bytes/pixel, the budget
+    # MAX_JPEG_PIXELS is priced against (pinned by the bytes-per-pixel
+    # tracemalloc test).
     # float32 arithmetic error on values ≤ ~440 is ~3e-5 — five orders
     # of magnitude under the 0.5 integer-rounding boundary, and the
     # exact-gray oracle path carries integer values where it is zero.
@@ -687,10 +695,12 @@ def _decode_scan(
     tmp += y
     np.round(tmp, out=tmp)
     rgb[:, :, 0] = np.clip(tmp, 0, 255, out=tmp)
-    # G = y - 0.344136 cb - 0.714136 cr
+    # G = y - 0.344136 cb - 0.714136 cr; cr is dead after this row, so
+    # scale it in place instead of allocating a transient
     np.multiply(cb, np.float32(-0.344136), out=tmp)
     tmp += y
-    tmp -= np.float32(0.714136) * cr  # one transient, freed immediately
+    cr *= np.float32(0.714136)
+    tmp -= cr
     np.round(tmp, out=tmp)
     rgb[:, :, 1] = np.clip(tmp, 0, 255, out=tmp)
     # B = y + 1.772 cb
