@@ -69,13 +69,14 @@ def test_entropy_bytes_hand_pinned():
 # --- exact round-trips -------------------------------------------------------
 
 
-@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
 @pytest.mark.parametrize("bh,bw", [(1, 1), (2, 2), (3, 4)])
 def test_block_gray_roundtrip_exact(sub, bh, bw):
     """Block-constant gray with even values at q50 is EXACT through the
     lossy pipeline (DC quantizer 16 divides 8·(v-128); every AC and
-    chroma coefficient is exactly zero) — for both subsamplings and
-    for dims that force MCU edge padding (3x4 blocks under 4:2:0)."""
+    chroma coefficient is exactly zero) — for all three subsamplings
+    (4:2:2 exercises the decoder's ASYMMETRIC upsample path) and for
+    dims that force MCU edge padding (3x4 blocks under 4:2:0)."""
     arr = _block_gray(bh, bw, seed=40 + bh * 4 + bw)
     out = decode_jpeg(encode_jpeg(arr, quality=50, subsampling=sub))
     np.testing.assert_array_equal(out, arr)
@@ -128,8 +129,9 @@ def test_lossy_error_bounds():
 def test_odd_dimensions_crop():
     rng = np.random.RandomState(13)
     arr = rng.randint(0, 256, (13, 21, 3), dtype=np.uint8)
-    out = decode_jpeg(encode_jpeg(arr, quality=90, subsampling="420"))
-    assert out.shape == (13, 21, 3)
+    for sub in ("420", "422"):
+        out = decode_jpeg(encode_jpeg(arr, quality=90, subsampling=sub))
+        assert out.shape == (13, 21, 3), sub
 
 
 # --- rejection + bomb guards -------------------------------------------------

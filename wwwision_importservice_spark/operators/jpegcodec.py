@@ -16,9 +16,9 @@ is the baseline process exactly:
 - Dequantize → dezigzag → 8x8 IDCT (separable orthonormal DCT matrix,
   float64) → level shift → BT.601 YCbCr→RGB (JFIF full-range).
 
-The encoder emits baseline 4:4:4 or 4:2:0 with the Annex K example
-quantization (IJG quality scaling) and Huffman tables — it exists so
-the decode path can be pinned: for block-constant GRAY images with EVEN
+The encoder emits baseline 4:4:4, 4:2:2 or 4:2:0 with the Annex K
+example quantization (IJG quality scaling) and Huffman tables — it
+exists so the decode path can be pinned: for block-constant GRAY images with EVEN
 sample values at quality 50, encode→decode is EXACT (the DC quantizer
 16 divides 8·(v-128); every AC and chroma coefficient is exactly zero),
 which gives the x4 family a cross-engine md5-arithmetic oracle over a
@@ -148,6 +148,9 @@ _AC_CHROMA = (
     ],
 )
 
+#: encoder chroma grids: (horizontal, vertical) luma sampling factors
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
 #: orthonormal 8-point DCT-II matrix: IDCT(B) = C.T @ B @ C, FDCT = C @ b @ C.T
 _C = np.zeros((8, 8))
 for _u in range(8):
@@ -265,13 +268,13 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """(H, W, 3) uint8 RGB → baseline JFIF bytes (Annex K tables, IJG
-    quality scaling, ``'444'`` or ``'420'`` chroma). Lossy in general;
-    exact for block-constant gray with even values at quality 50 (see
-    module docstring — the property the oracle row rests on).
+    quality scaling, ``'444'``, ``'422'`` or ``'420'`` chroma). Lossy in
+    general; exact for block-constant gray with even values at quality
+    50 (see module docstring — the property the oracle row rests on).
     ``grayscale=True`` writes a 1-component scan from the luma plane;
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     MCUs (exercises the decoder's restart resync path)."""
-    if subsampling not in ("444", "420"):
+    if subsampling not in _SUBSAMPLING:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim != 3 or arr.shape[2] != 3:
@@ -282,13 +285,13 @@ def encode_jpeg(
         0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
     ), 0, 255)
 
-    def pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
-        ph = (-plane.shape[0]) % mult
-        pw = (-plane.shape[1]) % mult
+    def pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+        ph = (-plane.shape[0]) % mh
+        pw = (-plane.shape[1]) % mw
         return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
     luma_q, chroma_q = _quality_tables(quality)
-    sub = 1 if grayscale else (2 if subsampling == "420" else 1)
+    sh, sv = (1, 1) if grayscale else _SUBSAMPLING[subsampling]
     cb = cr = None
     if not grayscale:
         cb = np.clip(np.round(
@@ -299,21 +302,18 @@ def encode_jpeg(
             128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1]
             - 0.081312 * rgb[:, :, 2]
         ), 0, 255)
-        if sub == 2:
-            # pad to even dims with edge replication, then 2x2 mean
-            cb2 = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
-            cr2 = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
-            cb = np.round(
-                (cb2[0::2, 0::2] + cb2[0::2, 1::2]
-                 + cb2[1::2, 0::2] + cb2[1::2, 1::2]) / 4
-            )
-            cr = np.round(
-                (cr2[0::2, 0::2] + cr2[0::2, 1::2]
-                 + cr2[1::2, 0::2] + cr2[1::2, 1::2]) / 4
-            )
-        cb = pad_to(cb, 8)
-        cr = pad_to(cr, 8)
-    y = pad_to(y, 8 * sub)
+        if sh > 1 or sv > 1:
+            # pad to the pooling grid with edge replication, then mean
+            # over each sv x sh cell (horizontal-only for 4:2:2)
+            def pool(p):
+                p = np.pad(p, ((0, (-h) % sv), (0, (-w) % sh)), mode="edge")
+                hh, ww = p.shape[0] // sv, p.shape[1] // sh
+                return np.round(p.reshape(hh, sv, ww, sh).mean(axis=(1, 3)))
+
+            cb, cr = pool(cb), pool(cr)
+        cb = pad_to(cb, 8, 8)
+        cr = pad_to(cr, 8, 8)
+    y = pad_to(y, 8 * sv, 8 * sh)
 
     dc_l_enc, _ = _canonical_codes(*_DC_LUMA)
     ac_l_enc, _ = _canonical_codes(*_AC_LUMA)
@@ -322,7 +322,7 @@ def encode_jpeg(
 
     wtr = _BitWriter()
     pred = [0, 0, 0]
-    mcuy, mcux = y.shape[0] // (8 * sub), y.shape[1] // (8 * sub)
+    mcuy, mcux = y.shape[0] // (8 * sv), y.shape[1] // (8 * sh)
     mcu_count = 0
     rst = 0
     for my in range(mcuy):
@@ -332,9 +332,9 @@ def encode_jpeg(
                 wtr.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 pred = [0, 0, 0]
-            for by in range(sub):
-                for bx in range(sub):
-                    r0, c0 = (my * sub + by) * 8, (mx * sub + bx) * 8
+            for by in range(sv):
+                for bx in range(sh):
+                    r0, c0 = (my * sv + by) * 8, (mx * sh + bx) * 8
                     pred[0] = _encode_block(
                         wtr, y[r0 : r0 + 8, c0 : c0 + 8], luma_q,
                         pred[0], dc_l_enc, ac_l_enc,
@@ -367,7 +367,7 @@ def encode_jpeg(
         sof = seg(
             0xFFC0,
             struct.pack(">BHHB", 8, h, w, 3)
-            + bytes([1, (sub << 4) | sub, 0, 2, 0x11, 1, 3, 0x11, 1]),
+            + bytes([1, (sh << 4) | sv, 0, 2, 0x11, 1, 3, 0x11, 1]),
         )
         sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
         tables = (
