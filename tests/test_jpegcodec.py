@@ -198,10 +198,11 @@ def test_decode_bytes_per_pixel_budget():
     measured (float32 planes 12 + rgb 3 + one reused float32 temp 4 +
     small block transients) — the figure the shared 64M-px ceiling is
     justified by in MAX_JPEG_PIXELS' docs. Pin it: decoding a 256x256
-    4:4:4 photo-like image stays under 32 B/px traced peak, so either a
-    float64-stack regression (~50+ B/px) or a new full-size transient
-    (the r10 review catches) fails here instead of silently inflating
-    executor memory at crawl scale. Also: a 24 MP frame header — a real
+    4:4:4 photo-like image stays under 24 B/px traced peak (measured
+    20.9), so either a float64-stack regression (~50+ B/px) or even ONE
+    reintroduced full-size float32 transient (+4 B/px → 24.9, measured)
+    fails here instead of silently inflating executor memory at crawl
+    scale. Also: a 24 MP frame header — a real
     camera's output, UNDER the family ceiling — must reach entropy
     decode, not die at the SOF gate (the over-eager quarter-ceiling
     regression)."""
@@ -223,7 +224,7 @@ def test_decode_bytes_per_pixel_budget():
     decode_jpeg(blob)
     _, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
-    assert peak < 256 * 256 * 32, f"peak {peak} = {peak/65536:.1f} B/px"
+    assert peak < 256 * 256 * 24, f"peak {peak} = {peak/65536:.1f} B/px"
 
     # 6000x4000 (24 MP) header passes the gate; it fails later only for
     # lack of entropy data — proving the ceiling doesn't tax real photos
