@@ -290,3 +290,75 @@ def test_non_integral_sampling_ratio_rejected():
     blob[i + 4 + 6 + 7] = 0x22  # Cr 2x2
     with pytest.raises(ImageDecodeError, match="non-integral sampling"):
         decode_jpeg(bytes(blob))
+
+
+def test_crafted_dht_huge_dc_category_rejected():
+    """A spec-valid DHT mapping a 1-bit code to symbol 255 makes the DC
+    magnitude receive 255 bits → a 2^255 Python int → numpy
+    OverflowError on the int64 store, escaping the error contract
+    (found by targeted fuzzing, r10). The decoder caps DC categories at
+    the 8-bit baseline maximum of 11 (T.81 F.1.2.1.2)."""
+    blob = bytearray(encode_jpeg(np.full((8, 8, 3), 130, np.uint8),
+                                 quality=50, subsampling="444"))
+    i = bytes(blob).index(b"\xff\xc4")
+    (seglen,) = struct.unpack_from(">H", blob, i + 2)
+    body = bytes([0x00]) + bytes([1] + [0] * 15) + bytes([255])
+    seg = struct.pack(">HH", 0xFFC4, len(body) + 2) + body
+    head = bytes(blob[:i]) + seg + bytes(blob[i + 2 + seglen:])
+    j = head.rindex(b"\xff\xd9")
+    attack = head[:j] + b"\x55" * 200 + b"\xff\xd9"
+    with pytest.raises(ImageDecodeError, match="DC category"):
+        decode_jpeg(attack)
+
+
+def test_mutation_fuzz_error_contract():
+    """Seeded mutation fuzz over every codec in the family: byte flips,
+    truncations, and garbage insertions on valid BMP/PPM/PNG/GIF/JPEG
+    blobs must either decode or raise ImageDecodeError — never
+    struct.error / IndexError / OverflowError / numpy errors (the
+    escape classes three r10 review passes found one at a time). 200
+    mutations per format, deterministic seed."""
+    import random
+
+    from wwwision_importservice_spark.operators.imagecodec import (
+        encode_bmp,
+        encode_gif,
+        encode_ppm,
+        encode_png,
+    )
+
+    rng = random.Random(1234)
+    npr = np.random.RandomState(7)
+    arr = npr.randint(0, 256, (24, 24, 3), dtype=np.uint8)
+    pal = (npr.randint(0, 4, (4, 4)) * 60).astype(np.uint8)
+    gif_frame = np.repeat(np.repeat(pal, 6, 0), 6, 1)[:, :, None].repeat(3, 2)
+    bases = {
+        "bmp": encode_bmp(arr),
+        "ppm": encode_ppm(arr),
+        "png": encode_png(arr),
+        "gif": encode_gif([gif_frame]),
+        "jpeg": encode_jpeg(_block_gray(3, 3), quality=50,
+                            subsampling="420"),
+    }
+    escapes = []
+    for fmt, base in bases.items():
+        for _ in range(200):
+            blob = bytearray(base)
+            op = rng.randrange(3)
+            if op == 0:
+                for _ in range(rng.randint(1, 4)):
+                    blob[rng.randrange(len(blob))] = rng.randrange(256)
+            elif op == 1:
+                blob = blob[: rng.randrange(1, len(blob))]
+            else:
+                pos = rng.randrange(len(blob))
+                blob[pos:pos] = bytes(
+                    rng.randrange(256) for _ in range(rng.randint(1, 8))
+                )
+            try:
+                decode_image(bytes(blob))
+            except ImageDecodeError:
+                pass
+            except Exception as exc:  # noqa: BLE001 — the assertion itself
+                escapes.append((fmt, type(exc).__name__, str(exc)[:60]))
+    assert not escapes, escapes[:5]

@@ -638,6 +638,14 @@ def _decode_scan(
                     for bx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int64)
                         size = rdr.decode_huffman(c["dc"])
+                        if size > 11:
+                            # 8-bit baseline caps DC categories at 11
+                            # (T.81 F.1.2.1.2); a crafted DHT mapping a
+                            # code to e.g. 255 would otherwise produce a
+                            # 2^255 int that overflows the int64 store
+                            raise ImageDecodeError(
+                                f"JPEG: DC category {size} out of range"
+                            )
                         diff = _extend(rdr.receive(size), size)
                         pred[ci] += diff
                         zz[0] = pred[ci]
