@@ -97,3 +97,44 @@ def test_wav_rejects_zero_sample_rate():
     struct.pack_into("<I", data, 24, 0)  # fmt.sample_rate = 0
     with pytest.raises(AudioDecodeError, match="bad sample rate"):
         decode_wav(bytes(data))
+
+
+def test_mutation_fuzz_error_contract_wav():
+    """Seeded mutation fuzz (flips, truncations, garbage insertions) on
+    a valid RIFF PCM WAV: decode_wav must either decode or raise
+    AudioDecodeError — never struct.error/IndexError/numpy errors (the
+    image-family fuzz's audio twin, r10)."""
+    import random
+
+    import numpy as np
+
+    from wwwision_importservice_spark.operators.audiocodec import (
+        AudioDecodeError,
+        decode_wav,
+        encode_wav,
+    )
+
+    sig = np.round(1000 * np.sin(np.arange(800) * 0.1)).astype(np.int16)
+    base = encode_wav(sig.reshape(-1, 1), 16000)
+    rng = random.Random(99)
+    escapes = []
+    for _ in range(300):
+        blob = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            for _ in range(rng.randint(1, 4)):
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+        elif op == 1:
+            blob = blob[: rng.randrange(1, len(blob))]
+        else:
+            pos = rng.randrange(len(blob))
+            blob[pos:pos] = bytes(
+                rng.randrange(256) for _ in range(rng.randint(1, 8))
+            )
+        try:
+            decode_wav(bytes(blob))
+        except AudioDecodeError:
+            pass
+        except Exception as exc:  # noqa: BLE001 — the assertion itself
+            escapes.append((type(exc).__name__, str(exc)[:60]))
+    assert not escapes, escapes[:5]
