@@ -108,6 +108,8 @@ def test_mutation_fuzz_error_contract_wav():
 
     import numpy as np
 
+    from conftest import mutate_blob
+
     from wwwision_importservice_spark.operators.audiocodec import (
         AudioDecodeError,
         decode_wav,
@@ -119,20 +121,9 @@ def test_mutation_fuzz_error_contract_wav():
     rng = random.Random(99)
     escapes = []
     for _ in range(300):
-        blob = bytearray(base)
-        op = rng.randrange(3)
-        if op == 0:
-            for _ in range(rng.randint(1, 4)):
-                blob[rng.randrange(len(blob))] = rng.randrange(256)
-        elif op == 1:
-            blob = blob[: rng.randrange(1, len(blob))]
-        else:
-            pos = rng.randrange(len(blob))
-            blob[pos:pos] = bytes(
-                rng.randrange(256) for _ in range(rng.randint(1, 8))
-            )
+        blob = mutate_blob(rng, base)
         try:
-            decode_wav(bytes(blob))
+            decode_wav(blob)
         except AudioDecodeError:
             pass
         except Exception as exc:  # noqa: BLE001 — the assertion itself

@@ -320,6 +320,8 @@ def test_mutation_fuzz_error_contract():
     mutations per format, deterministic seed."""
     import random
 
+    from conftest import mutate_blob
+
     from wwwision_importservice_spark.operators.imagecodec import (
         encode_bmp,
         encode_gif,
@@ -343,20 +345,9 @@ def test_mutation_fuzz_error_contract():
     escapes = []
     for fmt, base in bases.items():
         for _ in range(200):
-            blob = bytearray(base)
-            op = rng.randrange(3)
-            if op == 0:
-                for _ in range(rng.randint(1, 4)):
-                    blob[rng.randrange(len(blob))] = rng.randrange(256)
-            elif op == 1:
-                blob = blob[: rng.randrange(1, len(blob))]
-            else:
-                pos = rng.randrange(len(blob))
-                blob[pos:pos] = bytes(
-                    rng.randrange(256) for _ in range(rng.randint(1, 8))
-                )
+            blob = mutate_blob(rng, base)
             try:
-                decode_image(bytes(blob))
+                decode_image(blob)
             except ImageDecodeError:
                 pass
             except Exception as exc:  # noqa: BLE001 — the assertion itself

@@ -527,6 +527,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if len(vals) < total:
                     raise ImageDecodeError("JPEG: truncated DHT")
                 _, dec = _canonical_codes(bits, vals)
+                if cls == 0 and vals and max(vals) > 11:
+                    # 8-bit baseline caps DC categories at 11 (T.81
+                    # F.1.2.1.2); a crafted table mapping a code to e.g.
+                    # 255 would make the magnitude read produce a 2^255
+                    # int that overflows the int64 coefficient store —
+                    # reject the table ONCE at parse, keeping the hot
+                    # per-block decode loop validation-free
+                    raise ImageDecodeError(
+                        f"JPEG: DC category {max(vals)} out of range"
+                    )
                 (huff_ac if cls else huff_dc)[tid] = dec
                 p += 17 + total
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both Huffman sequential)
@@ -637,15 +647,10 @@ def _decode_scan(
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int64)
+                        # size <= 11 guaranteed: DC tables are rejected
+                        # at DHT parse if any symbol exceeds the 8-bit
+                        # baseline category maximum
                         size = rdr.decode_huffman(c["dc"])
-                        if size > 11:
-                            # 8-bit baseline caps DC categories at 11
-                            # (T.81 F.1.2.1.2); a crafted DHT mapping a
-                            # code to e.g. 255 would otherwise produce a
-                            # 2^255 int that overflows the int64 store
-                            raise ImageDecodeError(
-                                f"JPEG: DC category {size} out of range"
-                            )
                         diff = _extend(rdr.receive(size), size)
                         pred[ci] += diff
                         zz[0] = pred[ci]
