@@ -353,3 +353,56 @@ def test_mutation_fuzz_error_contract():
             except Exception as exc:  # noqa: BLE001 — the assertion itself
                 escapes.append((fmt, type(exc).__name__, str(exc)[:60]))
     assert not escapes, escapes[:5]
+
+
+# --- r11 ADVICE regressions ---------------------------------------------------
+
+
+def test_decode_throughput_linear_on_large_stream():
+    """Decode time must stay linear in entropy-stream length: the r10
+    _BitReader never masked consumed bits out of its accumulator, so
+    acc grew ~8 bits per entropy byte and every shift copied the
+    growing bignum — 512x512 (0.49 MB stream) took 225 s. With the
+    mask restored the same decode is ~1 s. Pin it with a wall-clock
+    ceiling generous enough for a loaded CI box but far below the
+    quadratic regime."""
+    import time
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (512, 512, 3), dtype=np.uint8)
+    blob = encode_jpeg(arr, quality=90, subsampling="444")
+    assert len(blob) > 300_000, "stream too small to exercise the regime"
+    t0 = time.monotonic()
+    out = decode_jpeg(blob)
+    elapsed = time.monotonic() - t0
+    assert out.shape == (512, 512, 3)
+    assert elapsed < 30.0, (
+        f"512x512 decode took {elapsed:.1f}s — quadratic _BitReader "
+        "accumulator regressed (expected ~1-2s, 225s unmasked)"
+    )
+
+
+def test_zero_dimension_sof_rejected():
+    """SOF with fw=0 or fh=0 passes the pixel ceiling (0 <= MAX) but is
+    spec-invalid; the decoder must reject it rather than return a
+    degenerate (0, W, 3) array."""
+    for axis in (0, 1):
+        blob = bytearray(encode_jpeg(_block_gray(1, 1), quality=50,
+                                     subsampling="444"))
+        i = bytes(blob).index(b"\xff\xc0")
+        dims = [8, 8]
+        dims[axis] = 0
+        struct.pack_into(">HH", blob, i + 5, *dims)
+        with pytest.raises(ImageDecodeError, match="zero frame dimension"):
+            decode_jpeg(bytes(blob))
+
+
+def test_encoder_rejects_oversized_and_empty_dims():
+    """Encoder input is trusted but the error contract is loud
+    ValueError, not struct.error from pack('>H', ...)."""
+    with pytest.raises(ValueError, match="capped at 65535"):
+        encode_jpeg(np.zeros((65536, 8, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="capped at 65535"):
+        encode_jpeg(np.zeros((8, 70000, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="must be positive"):
+        encode_jpeg(np.zeros((0, 8, 3), dtype=np.uint8))

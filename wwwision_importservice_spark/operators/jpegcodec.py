@@ -280,6 +280,12 @@ def encode_jpeg(
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) uint8, got {arr.shape}")
     h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError(f"image dimensions must be positive, got {h}x{w}")
+    if h > 65535 or w > 65535:
+        # SOF0 stores dimensions as big-endian u16; fail loudly rather
+        # than letting struct.pack raise an opaque struct.error later.
+        raise ValueError(f"JPEG dimensions capped at 65535, got {h}x{w}")
     rgb = arr.astype(np.float64)
     y = np.clip(np.round(
         0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
@@ -401,6 +407,11 @@ class _BitReader:
         self.n = 0
 
     def _fill(self) -> bool:
+        # Mask consumed bits out of the accumulator (mirrors _BitWriter):
+        # without this, acc grows ~8 bits per entropy byte and every shift
+        # copies an ever-growing bignum, making decode quadratic in stream
+        # length (measured 225s for a 0.49 MB stream; linear after masking).
+        self.acc &= (1 << self.n) - 1
         d = self.data
         while self.n <= 24:
             if self.pos >= len(d):
@@ -547,6 +558,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ImageDecodeError(f"JPEG: unsupported precision {prec}")
             if nf not in (1, 3):
                 raise ImageDecodeError(f"JPEG: {nf} components unsupported")
+            if fw == 0 or fh == 0:
+                # 0 <= ceiling passes the pixel check but would yield a
+                # degenerate (0, W, 3) array; spec-invalid, reject loudly.
+                raise ImageDecodeError(f"JPEG: zero frame dimension {fw}x{fh}")
             if fw * fh > MAX_JPEG_PIXELS:
                 raise ImageDecodeError(
                     f"JPEG {fw}x{fh} exceeds the {MAX_JPEG_PIXELS}-pixel "
