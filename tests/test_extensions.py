@@ -643,6 +643,30 @@ def test_multimodal_partition_sizing(spark):
     assert meta.count() == 20
 
 
+def test_multimodal_sizing_hash_sample_unbiased(spark, monkeypatch):
+    """Size-sorted input (VERDICT r10 ask #6's failure shape: crawls
+    append ever-larger media): the first half of the corpus is 10-byte
+    blobs, the second half 1000-byte. The old LIMIT-prefix sample would
+    see only the 10-byte head — avg off by ~50x, so rows_per_part lands
+    ~50x too high (1 partition where ~100 belong). The md5(id) % k
+    sample is position-independent: the estimate stays within ~1.5x of
+    the true 505-byte mean and the partition count lands in range."""
+    from wwwision_importservice_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "_SIZING_SAMPLE_ROWS", 100)
+    rows = [(i, "x" * (10 if i < 500 else 1000)) for i in range(1000)]
+    blobs = (
+        attach_blob(docs(spark, rows), "doc_id", "text")
+        .coalesce(1)  # one partition, original order — the prefix IS the head
+        .localCheckpoint()
+    )
+    meta = mm.decode_metadata(blobs, "doc_id", target_partition_bytes=5050)
+    nparts = meta.rdd.getNumPartitions()
+    # true mean 505 → 10 rows/part → 100 parts; prefix would give 1
+    assert 60 <= nparts <= 160, f"biased sizing: {nparts} partitions"
+    assert meta.count() == 1000
+
+
 def test_multimodal_partition_sizing_jobs_bounded(spark):
     """The sizing knob's pre-pass costs are pinned: exactly two logical
     queries before the Arrow pass (one LIMIT-sample avg over at most
@@ -5136,6 +5160,253 @@ def test_append_packed_shards_cursor_retry_and_verify(spark, tmp_path):
     assert rows2 == rows
     v = verify_shards(spark, out)
     assert v.filter(~F.col("ok")).count() == 0
+
+
+def _corrupt_files(paths):
+    """Overwrite each file with garbage, returning {path: original_bytes}
+    so the caller can restore. Any read of a corrupted file raises —
+    the observable for 'this code path never touched these files'."""
+    saved = {}
+    for p in paths:
+        with open(p, "rb") as f:
+            saved[p] = f.read()
+        with open(p, "wb") as f:
+            f.write(b"\x00garbage-not-parquet\x00")
+    return saved
+
+
+def _restore_files(saved):
+    for p, data in saved.items():
+        with open(p, "wb") as f:
+            f.write(data)
+
+
+def test_append_steady_state_never_reads_prior_batches(spark, tmp_path):
+    """The r11 scale fix (VERDICT r10 ask #1): a strictly-new batch
+    append is O(batch) — cursors come from the manifest, the manifest
+    update merges a delta computed from the batch's own files, and NO
+    job opens a prior batch's data. Pinned mechanically: every parquet
+    file of batches 0-1 is overwritten with garbage before batch 2
+    appends; any scan of them would throw, so success proves absence.
+    The merged manifest must then equal the full recompute (restored
+    files), and batch 2's packs must continue the cursor exactly."""
+    import glob
+
+    from wwwision_importservice_spark.operators.packing import (
+        append_packed_shards,
+        verify_shards,
+    )
+
+    out = str(tmp_path / "steady")
+    b0 = spark.createDataFrame([(1, 300), (2, 300)], "doc_id long, n_tokens long")
+    b1 = spark.createDataFrame([(3, 100), (4, 500)], "doc_id long, n_tokens long")
+    b2 = spark.createDataFrame([(5, 50), (6, 700)], "doc_id long, n_tokens long")
+    append_packed_shards(b0, out, 0, budget=512, shards=1)
+    append_packed_shards(b1, out, 1, budget=512, shards=1)
+
+    prior = glob.glob(out + "/data/batch_id=0/**/*.parquet", recursive=True)
+    prior += glob.glob(out + "/data/batch_id=1/**/*.parquet", recursive=True)
+    assert prior, "fixture should have prior batch files"
+    saved = _corrupt_files(prior)
+    try:
+        m2 = {r["shard"]: r for r in
+              append_packed_shards(b2, out, 2, budget=512, shards=1).collect()}
+    finally:
+        _restore_files(saved)
+    # stream: 300+300+100+500 = 1200 tokens before batch 2;
+    # doc5 cum 1200 -> pack 2 off 176; doc6 cum 1250 -> pack 2 off 226
+    rows = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in spark.read.parquet(out + "/data/batch_id=2").collect()
+    }
+    assert rows == {5: (2, 176), 6: (2, 226)}
+    assert m2[0]["n_docs"] == 6 and m2[0]["n_tokens"] == 1950
+    # merged manifest == full recompute, for every column incl. n_packs
+    v = verify_shards(spark, out)
+    assert v.filter(~F.col("ok")).count() == 0
+
+
+def test_append_manifest_n_packs_merge_boundary_cases(spark, tmp_path):
+    """The countDistinct(pack_id) merge is exact in all three boundary
+    shapes: (a) the batch CONTINUES a partially-filled pack (overlap 1);
+    (b) the prior shard ends with a doc longer than the budget, so the
+    batch's first pack SKIPS ids (no overlap — the case where a naive
+    max+1 merge would be wrong); (c) the batch lands in a brand-new
+    shard. verify_shards recomputes from data, so ok=true IS the pin."""
+    from wwwision_importservice_spark.operators.packing import (
+        append_packed_shards,
+        verify_shards,
+    )
+
+    # (a) continuation: cursor 300 % 512 != 0, next doc shares pack 0
+    out_a = str(tmp_path / "cont")
+    append_packed_shards(
+        spark.createDataFrame([(1, 300)], "doc_id long, n_tokens long"),
+        out_a, 0, budget=512, shards=1)
+    ma = {r["shard"]: r for r in append_packed_shards(
+        spark.createDataFrame([(2, 100)], "doc_id long, n_tokens long"),
+        out_a, 1, budget=512, shards=1).collect()}
+    assert ma[0]["n_packs"] == 1  # 2 - overlap(1)
+    assert verify_shards(spark, out_a).filter(~F.col("ok")).count() == 0
+
+    # (b) gap: one 1300-token doc spans packs 0..2 but OCCUPIES only
+    # pack 0 (a doc belongs to the pack its first token lands in);
+    # next doc at cum 1300 -> pack 2. Distinct packs {0, 2} = 2.
+    out_b = str(tmp_path / "gap")
+    append_packed_shards(
+        spark.createDataFrame([(1, 1300)], "doc_id long, n_tokens long"),
+        out_b, 0, budget=512, shards=1)
+    mb = {r["shard"]: r for r in append_packed_shards(
+        spark.createDataFrame([(2, 100)], "doc_id long, n_tokens long"),
+        out_b, 1, budget=512, shards=1).collect()}
+    assert mb[0]["n_packs"] == 2  # {0, 2}: no overlap subtracted
+    assert verify_shards(spark, out_b).filter(~F.col("ok")).count() == 0
+
+    # (c) new shard in batch 1 + untouched shard keeps its row
+    out_c = str(tmp_path / "newshard")
+    append_packed_shards(
+        spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long"),
+        out_c, 0, budget=512, shards=64)
+    mc = {r["shard"]: r for r in append_packed_shards(
+        spark.createDataFrame([(2, 20)], "doc_id long, n_tokens long"),
+        out_c, 1, budget=512, shards=64).collect()}
+    assert len(mc) == 2 and sum(r["n_docs"] for r in mc.values()) == 2
+    assert verify_shards(spark, out_c).filter(~F.col("ok")).count() == 0
+
+
+def test_append_recovery_reproduces_manifest_byte_identically(spark, tmp_path):
+    """Crash recovery (VERDICT r10 ask #1 'Done' clause): delete the
+    manifest (and its hidden state) mid-protocol — the next append must
+    take the full-recompute path and reproduce manifest rows IDENTICAL
+    to an uninterrupted control store fed the same batches, and later
+    appends return to the fast path seamlessly."""
+    import shutil
+
+    from wwwision_importservice_spark.operators.packing import (
+        append_packed_shards,
+    )
+
+    batches = [
+        spark.createDataFrame([(1, 300), (2, 300)], "doc_id long, n_tokens long"),
+        spark.createDataFrame([(3, 100), (4, 500)], "doc_id long, n_tokens long"),
+        spark.createDataFrame([(5, 50), (6, 700)], "doc_id long, n_tokens long"),
+    ]
+    out = str(tmp_path / "crash")
+    ctl = str(tmp_path / "control")
+    for i, b in enumerate(batches[:2]):
+        append_packed_shards(b, out, i, budget=512, shards=4)
+        append_packed_shards(b, ctl, i, budget=512, shards=4)
+    shutil.rmtree(out + "/manifest")  # crash window: data newer than manifest
+    m = sorted(tuple(r) for r in
+               append_packed_shards(batches[2], out, 2, budget=512,
+                                    shards=4).collect())
+    mc = sorted(tuple(r) for r in
+                append_packed_shards(batches[2], ctl, 2, budget=512,
+                                     shards=4).collect())
+    assert m == mc
+    d = sorted(tuple(r) for r in spark.read.parquet(out + "/data").collect())
+    dc = sorted(tuple(r) for r in spark.read.parquet(ctl + "/data").collect())
+    assert d == dc
+
+
+def test_append_recovery_fuzz_protocol_mutations(spark, tmp_path):
+    """Seeded adversarial loop over the append protocol's own state
+    (VERDICT r10 ask #7): between appends, delete or corrupt the
+    manifest / hidden state / both, or leave a half-swapped backup.
+    The invariant: the NEXT append either succeeds or raises and then
+    succeeds on verbatim retry (the recovery path), and the final
+    store's manifest and pack assignments are IDENTICAL to an
+    unmutated control run — never silently wrong cursors."""
+    import glob
+    import random
+    import shutil
+
+    from wwwision_importservice_spark.operators.packing import (
+        append_packed_shards,
+    )
+
+    rng = random.Random(20260815)
+    batches = [
+        spark.createDataFrame(
+            [(i * 10 + j, (i * 37 + j * 13) % 600 + 1) for j in range(6)],
+            "doc_id long, n_tokens long",
+        )
+        for i in range(4)
+    ]
+
+    def mutate(out, kind):
+        man = out + "/manifest"
+        if kind == "drop_manifest":
+            shutil.rmtree(man, ignore_errors=True)
+        elif kind == "drop_state":
+            shutil.rmtree(man + "/_state", ignore_errors=True)
+        elif kind == "truncate_manifest":
+            for p in glob.glob(man + "/*.parquet"):
+                with open(p, "r+b") as f:
+                    f.truncate(max(1, len(f.read()) // 2))
+        elif kind == "truncate_state":
+            for p in glob.glob(man + "/_state/*.parquet"):
+                with open(p, "r+b") as f:
+                    f.truncate(max(1, len(f.read()) // 2))
+        elif kind == "half_swap_backup":
+            # crash between the two renames: backup holds the only copy
+            shutil.move(man, man + "__replaced")
+
+    kinds = ["drop_manifest", "drop_state", "truncate_manifest",
+             "truncate_state", "half_swap_backup", "none"]
+    for trial in range(6):
+        out = str(tmp_path / f"fuzz{trial}")
+        ctl = str(tmp_path / f"ctl{trial}")
+        for i, b in enumerate(batches):
+            append_packed_shards(b, ctl, i, budget=256, shards=4)
+            if i > 0:
+                mutate(out, rng.choice(kinds))
+            try:
+                append_packed_shards(b, out, i, budget=256, shards=4)
+            except Exception:
+                # typed-or-recover: a verbatim retry must recover
+                append_packed_shards(b, out, i, budget=256, shards=4)
+        m = sorted(tuple(r) for r in
+                   spark.read.parquet(out + "/manifest").collect())
+        mc = sorted(tuple(r) for r in
+                    spark.read.parquet(ctl + "/manifest").collect())
+        assert m == mc, f"trial {trial}: manifest diverged"
+        d = sorted(tuple(r) for r in
+                   spark.read.parquet(out + "/data").collect())
+        dc = sorted(tuple(r) for r in
+                    spark.read.parquet(ctl + "/data").collect())
+        assert d == dc, f"trial {trial}: pack assignments diverged"
+
+
+def test_append_empty_batch_keeps_fast_path(spark, tmp_path):
+    """An empty batch (quality gate admitted nothing) writes an empty
+    batch directory; the sentinel watermark row still advances, so the
+    NEXT append stays on the manifest-cursor fast path — pinned the
+    same way as the steady-state test (prior files corrupted)."""
+    import glob
+
+    from wwwision_importservice_spark.operators.packing import (
+        append_packed_shards,
+        verify_shards,
+    )
+
+    out = str(tmp_path / "empty")
+    schema = "doc_id long, n_tokens long"
+    append_packed_shards(
+        spark.createDataFrame([(1, 300)], schema), out, 0, budget=512, shards=1)
+    append_packed_shards(
+        spark.createDataFrame([], schema), out, 1, budget=512, shards=1)
+    prior = glob.glob(out + "/data/batch_id=0/**/*.parquet", recursive=True)
+    saved = _corrupt_files(prior)
+    try:
+        m = {r["shard"]: r for r in append_packed_shards(
+            spark.createDataFrame([(2, 100)], schema),
+            out, 2, budget=512, shards=1).collect()}
+    finally:
+        _restore_files(saved)
+    assert m[0]["n_docs"] == 2 and m[0]["n_tokens"] == 400
+    assert m[0]["n_packs"] == 1  # doc2 continues pack 0 across the gap
+    assert verify_shards(spark, out).filter(~F.col("ok")).count() == 0
 
 
 def test_gopher_pandas_matches_expression_form(spark):

@@ -2987,12 +2987,15 @@ def _bpe_chain_sql(var: str) -> str:
     return expr
 
 
-# per-doc BPE token count; LEFT JOIN keeps zero-word docs at n=0 exactly
-# like bpe_token_count (size of an empty token array), and the word split
-# is bpe_encode's Java-whitespace class, not RE2 \s (the \x0B divergence)
-_BPE_COUNT_SQL = f"""
+# per-doc BPE token count over any (doc_id, text) relation (CTE names
+# welcome — the composed curation oracle counts over its `canon` stage);
+# LEFT JOIN keeps zero-word docs at n=0 exactly like bpe_token_count
+# (size of an empty token array), and the word split is bpe_encode's
+# Java-whitespace class, not RE2 \s (the \x0B divergence)
+def _bpe_count_from(src: str) -> str:
+    return f"""
 SELECT d.doc_id, COALESCE(wc.n, 0) AS n_tokens
-  FROM documents d LEFT JOIN (
+  FROM {src} d LEFT JOIN (
     SELECT doc_id,
            CAST(sum((len(m) - len(replace(m, '|', ''))) // 2) AS BIGINT) AS n
     FROM (
@@ -3000,10 +3003,13 @@ SELECT d.doc_id, COALESCE(wc.n, 0) AS n_tokens
         SELECT doc_id,
                unnest(list_filter(string_split_regex(lower(text),
                       '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS w
-        FROM documents)
+        FROM {src})
     ) GROUP BY doc_id
   ) wc ON wc.doc_id = d.doc_id
 """
+
+
+_BPE_COUNT_SQL = _bpe_count_from("documents")
 
 
 @_register(
@@ -3093,9 +3099,13 @@ _DSIR_TR = f"(SELECT count(*) FROM ({_DSIR_FEATS_R}))"
 # membership error anywhere upstream changes the final shard hashes).
 # CTEs are MATERIALIZED: DuckDB would otherwise inline the minhash
 # fragment per reference and exhaust file handles re-opening the scan.
-_CURATION_NTOK = (
-    "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)"
-)
+# r11 (VERDICT r10 ask #3): the chain's budgets are TOKENIZER-TRUE —
+# n_tokens comes from the frozen-merge BPE encode (the replace-chain
+# restatement below mirrors operators/bpe.py's PINNED_MERGES), so the
+# mixture, the split, and every pack offset are denominated in the same
+# tokens the demo pipeline (examples/corpus_pipeline.py) trains on.
+# The whitespace count lives on in the single-stage rows
+# (x6_mixture_sample / x6_packed_shards_manifest) that pin that variant.
 _CURATION_SQL = f"""
 WITH RECURSIVE
 dedup1 AS MATERIALIZED (
@@ -3153,8 +3163,9 @@ dsir AS MATERIALIZED (
   ) ORDER BY key_micro DESC, doc_id ASC LIMIT 150
 ),
 counted AS MATERIALIZED (
-  SELECT c.doc_id, c.text, c.source, {_CURATION_NTOK} AS n_tokens
+  SELECT c.doc_id, c.text, c.source, b.n_tokens
   FROM canon c JOIN dsir USING (doc_id)
+  JOIN ({_bpe_count_from('canon')}) b ON b.doc_id = c.doc_id
 ),
 budgets AS MATERIALIZED (
   -- NULL sources are excluded from the WEIGHT MASS, matching
@@ -3233,7 +3244,9 @@ def x6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicals via connected components (X2) → DSIR importance
     resampling toward the lang='en' target, k=150 (X6b) →
     temperature-scaled per-source token budgets (alpha=0.5, 4000
-    tokens) with hash-ordered admission (X6) → leakage-safe train/val
+    tokens, counted in TOKENIZER-TRUE BPE tokens under the frozen
+    ``PINNED_MERGES`` table since r11 — the same tokens the demo
+    pipeline trains on) with hash-ordered admission (X6) → leakage-safe train/val
     split over RE-SIGNED final texts (X6c) → 512-token packs in 8
     md5 shards → ``write_packed_shards`` + ``verify_shards``. The
     returned frame is the per-shard manifest READ BACK FROM DISK,
@@ -3255,6 +3268,7 @@ def x6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import tempfile
 
+    from wwwision_importservice_spark.operators.bpe import bpe_token_count
     from wwwision_importservice_spark.operators.dedup import (
         bloom_verified_anti_join,
         build_bloom_filter,
@@ -3305,23 +3319,19 @@ def x6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked = dsir_select(canon, docs.filter(F.col("lang") == "en"), 150).select(
         "doc_id"
     )
+    # r11: budgets are TOKENIZER-TRUE — counts come from the frozen
+    # PINNED_MERGES BPE encode (one Arrow pass over the canon slice),
+    # matching examples/corpus_pipeline.py's BPE-true budgets; the
+    # oracle re-derives the same counts via the replace-chain fragment
     counted = (
         canon.join(picked, "doc_id", "left_semi")
-        .select(
+        .join(
+            bpe_token_count(canon, _BPE_MERGES, "doc_id").select(
+                "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_tokens")
+            ),
             "doc_id",
-            "text",
-            "source",
-            # whitespace token count, NOT the regex token_count: the
-            # oracle's _CURATION_NTOK is string_split(text, ' ') and the
-            # two diverge on punctuation/digit-adjacent text ('foo-bar'
-            # = 3 regex tokens vs 1 whitespace token) — same convention
-            # as x6_mixture_sample / x6_packed_shards_manifest
-            F.size(
-                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-            )
-            .cast("long")
-            .alias("n_tokens"),
         )
+        .select("doc_id", "text", "source", "n_tokens")
         .localCheckpoint()  # barrier: budgets rollup (a collect) + admission
     )
     # X6 — temperature mixture (alpha=0.5 over 4000 tokens)
@@ -5359,11 +5369,11 @@ def x6_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per batch, the gate prunes the index by the batch's
     broadcast bucket keys (never shuffles it), the Bloom bitmap clears
-    non-members without a join, the append writes only the batch's rows
-    and derives cursors from a two-column pruned scan. Nothing in the
-    loop re-touches the accumulated corpus except the manifest
-    recompute (a per-append audit that a steady-state deployment would
-    amortize with ``verify_shards`` runs instead)."""
+    non-members without a join, and the append is O(batch) end to end
+    (r11): cursors come from the ≤``shards``-row manifest and the
+    manifest updates by a mergeable delta — NOTHING in the steady-state
+    loop re-touches the accumulated corpus. Only the verbatim replay
+    (crash recovery by definition) takes the full-recompute path."""
     import tempfile
 
     from wwwision_importservice_spark.operators.dedup import (

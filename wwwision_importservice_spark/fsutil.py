@@ -41,6 +41,24 @@ def list_data_files(spark: SparkSession, path: str) -> list[str]:
     return out
 
 
+def list_child_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Immediate child directory NAMES under ``path`` (no recursion, no
+    data reads) — the cheap namespace probe the incremental shard
+    append uses to detect crash windows: a ``batch_id=N`` directory
+    present in data that the manifest's watermark hasn't covered means
+    a prior append crashed between its data write and its manifest
+    swap. One ``listStatus`` call; cost is proportional to the child
+    COUNT (number of batches), never to data size."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isDirectory()
+    ]
+
+
 def _backup_path(dst: str) -> str:
     return dst.rstrip("/") + "__replaced"
 

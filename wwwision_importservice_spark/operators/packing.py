@@ -466,22 +466,44 @@ def append_packed_shards(
     keep filling across batch boundaries, no padding gaps at the seams.
 
     Idempotence (the sketchstore batch-dir protocol): the batch's rows
-    OVERWRITE their own ``data/batch_id=N/`` directory, and the cursor
-    is derived from strictly-older batches read back from DATA (not the
-    manifest), so a retried batch reproduces byte-identical packs even
-    after its own half-write, and works when the previous attempt
-    crashed between the data write and the manifest swap. The manifest
-    (same schema/signatures as :func:`write_packed_shards` — one row
-    per shard over ALL batches so far) is recomputed from the files
-    read back and swapped crash-safe.
+    OVERWRITE their own ``data/batch_id=N/`` directory, so a retried
+    batch reproduces byte-identical packs even after its own
+    half-write. The manifest (same schema/signatures as
+    :func:`write_packed_shards` — one row per shard over ALL batches so
+    far) is swapped crash-safe after the data write.
 
-    Scale shape: cursor derivation is one scan of prior data pruned to
-    two columns (shard, n_tokens) aggregated to ≤ ``shards`` rows — at
-    a steady state this should be replaced by reading the cursors from
-    the manifest, but re-deriving from data is the crash-consistent
-    choice and the scan is column-pruned; the batch itself packs with
-    one per-shard window (parallel across shards, no global order); the
-    append writes only the batch's rows.
+    Scale shape — steady state is O(batch), never O(corpus): a
+    strictly-new batch (its id above the store's watermark, no
+    uncovered batch directories on disk) reads its per-shard cursors
+    from the MANIFEST (≤ ``shards`` rows — the manifest's ``n_tokens``
+    IS the cursor), packs with one per-shard window (parallel across
+    shards, no global order), writes only its own rows, reads only
+    those rows back, and MERGES the resulting delta-manifest into the
+    stored one: ``n_docs``/``n_tokens`` add, ``content_hash`` XORs
+    (disjoint row sets), and ``n_packs`` adds minus a boundary overlap
+    — the batch's first pack in a shard can only coincide with the
+    store's LAST pack there (every delta pack id ≥ floor(cursor /
+    budget) ≥ the old max pack id), so ``countDistinct`` semantics
+    merge exactly as ``old + delta - (min_delta_pack == old_max_pack)``.
+    The old max pack per shard rides in a small state table
+    (``manifest/_state`` — underscore-hidden from the manifest read,
+    swapped in the SAME rename as the manifest, so the two can never
+    diverge) together with the per-shard last-covered batch id whose
+    max is the watermark.
+
+    The full data-scan recompute survives ONLY as the crash-recovery /
+    replay path, taken when the watermark doesn't match the batch
+    directories on disk (a prior append crashed between its data write
+    and its manifest swap), when the state table is missing, or when
+    ``batch_id`` is not strictly newer (a verbatim retry after the
+    admit-succeeded/checkpoint-lost window): cursors re-derive from
+    ``data/batch_id < N`` pruned to two columns, and the manifest and
+    state recompute from all files read back — byte-identical to what
+    the incremental merges would have produced, which the recovery
+    tests pin. If the fast path's manifest/state read itself fails
+    (corrupted files), the append raises mid-write and the RETRY lands
+    in the recovery path (the half-written batch directory raises the
+    on-disk max above the watermark).
     """
     from wwwision_importservice_spark import fsutil
     from wwwision_importservice_spark.operators.sampling import hash_bucket
@@ -490,21 +512,64 @@ def append_packed_shards(
     b = int(batch_id)
     data_dir = f"{out_dir}/data"
     man_dir = f"{out_dir}/manifest"
+    state_dir = f"{man_dir}/_state"
     fsutil.recover_dir(spark, data_dir)
     fsutil.recover_dir(spark, man_dir)
+
+    # crash-window probe: names only, one listStatus call — no data read
+    batch_ids = [
+        int(name.split("=", 1)[1])
+        for name in fsutil.list_child_dirs(spark, data_dir)
+        if name.startswith("batch_id=")
+    ]
+    watermark = None
+    if fsutil.path_exists(spark, state_dir):
+        try:
+            watermark = (
+                spark.read.parquet(state_dir)
+                .agg(F.max("last_batch_id"))
+                .first()[0]
+            )
+        except Exception:
+            # unreadable state (truncated/corrupt file): the state table
+            # is DERIVED — fall through to the recovery path, which
+            # recomputes and overwrites it rather than bricking the store
+            watermark = None
+    fast = (
+        watermark is not None
+        and bool(batch_ids)
+        and watermark == max(batch_ids)
+        and b > watermark
+    )
 
     sharded = batch.select(
         F.col(id_col),
         F.col(token_col).cast("long").alias(token_col),
         hash_bucket(F.col(id_col), shards).alias("shard"),
     )
-    if fsutil.path_exists(spark, data_dir):
+    cursors = None
+    if fast:
+        try:
+            # steady state: the manifest's n_tokens is the shard cursor
+            cursors = spark.read.parquet(man_dir).select(
+                F.col("shard").cast("long").alias("shard"),
+                F.col("n_tokens").alias("_base"),
+            )
+        except Exception:
+            # unreadable manifest (schema inference reads the footer, so
+            # corruption surfaces HERE): recompute from data instead of
+            # failing every retry identically
+            fast = False
+    if not fast and batch_ids:
+        # recovery / replay: re-derive from strictly-older batches on
+        # disk, pruned to two columns (the r10 behavior, now exceptional)
         cursors = (
             spark.read.parquet(data_dir)
             .filter(F.col("batch_id") < b)
-            .groupBy("shard")
+            .groupBy(F.col("shard").cast("long").alias("shard"))
             .agg(F.sum(token_col).cast("long").alias("_base"))
         )
+    if cursors is not None:
         sharded = sharded.join(F.broadcast(cursors), "shard", "left").withColumn(
             "_base", F.coalesce(F.col("_base"), F.lit(0).cast("long"))
         )
@@ -533,12 +598,130 @@ def append_packed_shards(
         .parquet(f"{data_dir}/batch_id={b}")
     )
 
+    id_type = batch.schema[id_col].dataType.simpleString()
+    if fast:
+        manifest, state = _merged_manifest_and_state(
+            spark, man_dir, state_dir,
+            f"{data_dir}/batch_id={b}",
+            # explicit schema so an EMPTY batch directory reads as zero
+            # rows instead of failing schema inference
+            f"{id_col} {id_type}, {token_col} long, pack_id long, "
+            "pack_offset long, shard long",
+            b, id_col, token_col,
+        )
+    else:
+        full = spark.read.parquet(data_dir)
+        manifest = _shard_manifest(
+            full, id_col, token_col, "shard", "pack_id", "pack_offset"
+        )
+        state = full.groupBy(
+            F.col("shard").cast("long").alias("shard")
+        ).agg(
+            F.max("pack_id").alias("max_pack"),
+            F.max("batch_id").cast("long").alias("last_batch_id"),
+        )
+        state = state.unionByName(
+            _state_sentinel(spark, max([b] + batch_ids))
+        )
+
     stage_man = f"{out_dir}/__stage_manifest"
     fsutil.delete_dir(spark, stage_man)
-    manifest = _shard_manifest(
-        spark.read.parquet(data_dir),
-        id_col, token_col, "shard", "pack_id", "pack_offset",
-    )
     manifest.coalesce(1).write.mode("overwrite").parquet(stage_man)
+    state.coalesce(1).write.mode("overwrite").parquet(f"{stage_man}/_state")
     fsutil.replace_dir(spark, stage_man, man_dir)
     return spark.read.parquet(man_dir)
+
+
+def _state_sentinel(spark, watermark: int) -> DataFrame:
+    """One ``shard = -1`` watermark row for the state table. Per-shard
+    ``last_batch_id`` alone can't record a batch that touched NO shard
+    (an empty batch still writes its ``batch_id=N`` directory), and a
+    watermark stuck below the directory listing would trap every later
+    append in the recovery path — the sentinel always carries the true
+    high-water mark. It joins nothing (no shard is -1) and the
+    watermark probe takes ``max(last_batch_id)`` over all rows."""
+    return spark.createDataFrame(
+        [(-1, None, int(watermark))],
+        "shard long, max_pack long, last_batch_id long",
+    )
+
+
+def _merged_manifest_and_state(
+    spark,
+    man_dir: str,
+    state_dir: str,
+    batch_data_dir: str,
+    batch_schema: str,
+    batch_id: int,
+    id_col: str,
+    token_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Steady-state manifest update: merge the stored manifest (+ state)
+    with the just-written batch's delta-manifest, computed from the
+    batch directory READ BACK (the manifest certifies disk, never the
+    input frame). Every aggregate is mergeable — see
+    :func:`append_packed_shards` for the ``n_packs`` boundary-overlap
+    argument. Cost: two ≤``shards``-row reads plus one scan of the
+    batch's own files."""
+    delta = (
+        spark.read.schema(batch_schema)
+        .parquet(batch_data_dir)
+        .groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_d"),
+            F.countDistinct(F.col("pack_id")).alias("n_packs_d"),
+            F.sum(F.col(token_col)).cast("long").alias("n_tokens_d"),
+            F.bit_xor(
+                _row_sig(id_col, token_col, "pack_id", "pack_offset")
+            ).alias("hash_d"),
+            F.max("pack_id").alias("max_pack_d"),
+            F.min("pack_id").alias("min_pack_d"),
+        )
+    )
+    old = (
+        spark.read.parquet(man_dir)
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs", "n_packs", "n_tokens", "content_hash",
+        )
+        .join(
+            spark.read.parquet(state_dir).select(
+                F.col("shard").cast("long").alias("shard"),
+                "max_pack", "last_batch_id",
+            ),
+            "shard",
+            "left",
+        )
+    )
+    m = old.join(delta, "shard", "full_outer")
+    # the batch's lowest pack in a shard coincides with the store's
+    # highest iff it continues a partially-filled pack; -1 sentinel on a
+    # missing state row (structurally impossible — manifest and state
+    # swap together — but never subtract on corrupt input)
+    overlap = F.when(
+        F.col("n_packs").isNotNull()
+        & F.col("n_packs_d").isNotNull()
+        & (F.col("min_pack_d") == F.coalesce(F.col("max_pack"), F.lit(-1))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    zero = F.lit(0).cast("long")
+    manifest = m.select(
+        F.col("shard"),
+        (F.coalesce(F.col("n_docs"), zero)
+         + F.coalesce(F.col("n_docs_d"), zero)).alias("n_docs"),
+        (F.coalesce(F.col("n_packs"), zero)
+         + F.coalesce(F.col("n_packs_d"), zero) - overlap).alias("n_packs"),
+        (F.coalesce(F.col("n_tokens"), zero)
+         + F.coalesce(F.col("n_tokens_d"), zero)).alias("n_tokens"),
+        F.coalesce(F.col("content_hash"), zero).bitwiseXOR(
+            F.coalesce(F.col("hash_d"), zero)
+        ).alias("content_hash"),
+    )
+    state = m.select(
+        F.col("shard"),
+        F.coalesce(F.col("max_pack_d"), F.col("max_pack")).alias("max_pack"),
+        F.when(
+            F.col("n_docs_d").isNotNull(), F.lit(int(batch_id)).cast("long")
+        ).otherwise(F.col("last_batch_id")).alias("last_batch_id"),
+    ).unionByName(_state_sentinel(spark, batch_id))
+    return manifest, state
