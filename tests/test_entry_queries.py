@@ -63,3 +63,42 @@ def test_operators_md_in_sync():
     ), "totals drifted — rerun tools/dump_operators.py"
     for name in list(QUERIES) + list(PYTEST_QUERIES):
         assert f"`{name}`" in text, f"{name} missing — rerun tools/dump_operators.py"
+
+
+def test_registry_rotations_name_live_successors():
+    """Every row demoted from the driver tier carries a 'slot ceded
+    to <name>' note, and every such note must name a query that still
+    EXISTS — a renamed or deleted successor would silently break the
+    audit trail the rotation convention exists for (VERDICT r10 ask
+    #8). Checked both ways: 'ceded to X' (the demoted row names who
+    took its slot) and 'ceded by X' (the promoted row names who paid
+    for it)."""
+    import inspect
+    import re
+
+    from wwwision_importservice_spark import entry_queries as eq
+
+    src = inspect.getsource(eq)
+    all_names = set(eq.QUERIES) | set(eq.PYTEST_QUERIES)
+    refs = re.findall(r"ceded (?:to|by)\s+(?:the\s+)?(\w+)", src)
+    named = [r for r in refs if not r.startswith("fake")]  # prose like
+    # 'ceded by the fake-window ...' describes a deleted twin, allowed
+    assert named, "rotation notes vanished — the convention is load-bearing"
+    missing = sorted({r for r in named if r not in all_names})
+    assert not missing, f"rotation notes reference unknown queries: {missing}"
+    # every 'ceded to X' successor must still exist; additionally the
+    # rows driver=False-registered with a ceded note must themselves be
+    # in the pytest tier (a demoted row that fell out of BOTH registries
+    # would lose its oracle entirely)
+    for m in re.finditer(
+        r'_register\(\s*\n?\s*"(\w+)",[^)]*?driver=False[^)]*?ceded to\s+(\w+)',
+        src,
+        re.DOTALL,
+    ):
+        demoted, successor = m.group(1), m.group(2)
+        assert demoted in eq.PYTEST_QUERIES, (
+            f"{demoted} demoted but not in the pytest tier"
+        )
+        assert successor in all_names, (
+            f"{demoted} names unknown successor {successor}"
+        )

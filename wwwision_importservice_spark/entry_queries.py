@@ -53,6 +53,7 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x6_incremental_curation",  # PROMOTED r11 (VERDICT r10 ask #2)
     "x4_jpeg_decode",  # NEW r10 (baseline JPEG per VERDICT r9 ask #8)
     "x6_bpe_pack",  # NEW r10 (tokenizer-true packing per VERDICT r9 ask #3)
     "x6_curation_pipeline",  # PROMOTED r10 (VERDICT r9 ask #2)
@@ -78,7 +79,6 @@ _CHECK_FIRST = [
     "o3_quarantine",
     "s3b_sessionize",
     "x3_ann_lsh_topk",
-    "x3_ann_ivf_topk",
     "s3_window_session",
     "sink_e2e_state",
     "m1_regex_mapping",
@@ -2269,7 +2269,14 @@ SELECT q_id, c_id, score, rank FROM (
 """
 
 
-@_register("x3_ann_ivf_topk", _IVF_TOPK_SQL)
+@_register(
+    "x3_ann_ivf_topk",
+    _IVF_TOPK_SQL,
+    driver=False,  # long-green since r7; slot ceded to
+    # x6_incremental_curation (r11) — x3_ann_ivf_persisted keeps the
+    # IDENTICAL oracle under the driver hash, so the IVF search path
+    # stays driver-covered through the persisted-index lifecycle row
+)
 def x3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 — IVF-flat ANN: every 125th vector is a centroid (cell),
     corpus sharded by nearest centroid, queries probe their 3 nearest
@@ -5345,7 +5352,15 @@ FROM (
 """
 
 
-@_register("x6_incremental_curation", _INC_CURATION_SQL, driver=False)
+@_register(
+    "x6_incremental_curation",
+    _INC_CURATION_SQL,
+    # PROMOTED to the driver 50 in r11 (VERDICT r10 ask #2): the
+    # production-shape incremental composition row, promoted in the
+    # same round its append stage was rebuilt O(batch) — the new merge
+    # protocol sits under the hard driver hash from day one. Slot
+    # ceded by x3_ann_ivf_topk.
+)
 def x6_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6/S5 — the incremental curation loop end to end (VERDICT r9 ask
     #4): two crawl batches (even doc_ids, then odd) each flow through
