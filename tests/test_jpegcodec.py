@@ -140,10 +140,15 @@ def test_odd_dimensions_crop():
 def test_rejects_non_baseline_and_malformed():
     arr = _block_gray(1, 1)
     blob = bytearray(encode_jpeg(arr, quality=50, subsampling="444"))
-    # flip SOF0 -> SOF2 (progressive): loud, named rejection
+    # flip SOF0 -> SOF9 (arithmetic sequential): loud, named rejection
+    # (SOF2 progressive is SUPPORTED since r11; a baseline-shaped scan
+    # under a progressive header is spec-invalid and also rejected)
     i = bytes(blob).index(b"\xff\xc0")
-    blob[i + 1] = 0xC2
+    blob[i + 1] = 0xC9
     with pytest.raises(ImageDecodeError, match="non-baseline"):
+        decode_jpeg(bytes(blob))
+    blob[i + 1] = 0xC2  # progressive header, baseline Ss/Se scan
+    with pytest.raises(ImageDecodeError, match="DC scan with nonzero Se"):
         decode_jpeg(bytes(blob))
     with pytest.raises(ImageDecodeError, match="SOI"):
         decode_jpeg(b"not a jpeg")
@@ -406,3 +411,124 @@ def test_encoder_rejects_oversized_and_empty_dims():
         encode_jpeg(np.zeros((8, 70000, 3), dtype=np.uint8))
     with pytest.raises(ValueError, match="must be positive"):
         encode_jpeg(np.zeros((0, 8, 3), dtype=np.uint8))
+
+
+# --- progressive (SOF2, r11 — VERDICT r10 ask #4) -----------------------------
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_progressive_block_gray_roundtrip_exact(sub):
+    """The exact even-gray q50 construction survives the progressive
+    scan script too: DC successive approximation (Al=1 + refinement)
+    splits the even DC values losslessly, and every AC scan is pure
+    EOBs — encode→decode is byte-exact through SOF2."""
+    arr = _block_gray(4, 6)
+    for acsa in (False, True):
+        blob = encode_jpeg(arr, quality=50, subsampling=sub,
+                           progressive=True, ac_successive=acsa)
+        assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob.split(
+            b"\xff\xda"
+        )[0]
+        np.testing.assert_array_equal(decode_jpeg(blob), arr)
+
+
+def test_progressive_grayscale_and_restart_roundtrip_exact():
+    arr = _block_gray(3, 3, seed=11)
+    blob = encode_jpeg(arr, quality=50, grayscale=True, progressive=True)
+    np.testing.assert_array_equal(decode_jpeg(blob), arr)
+    blob = encode_jpeg(arr, quality=50, subsampling="420",
+                       progressive=True, restart_interval=2,
+                       ac_successive=True)
+    assert b"\xff\xdd" in blob  # DRI present
+    np.testing.assert_array_equal(decode_jpeg(blob), arr)
+
+
+def test_progressive_decodes_bit_identical_to_baseline():
+    """The structural pin: progressive carries the SAME quantized
+    coefficients as baseline, reordered — so decode(progressive) ==
+    decode(baseline) to the byte, across subsamplings, qualities, odd
+    dimensions, restart intervals, and both AC scan scripts (spectral
+    selection only, and AC successive approximation whose refinement
+    scans drive the G.1.2.3 correction-bit decoder)."""
+    rng = np.random.RandomState(1)
+    for trial in range(24):
+        hh, ww = int(rng.randint(8, 60)), int(rng.randint(8, 60))
+        sub = ["444", "422", "420"][trial % 3]
+        q = [10, 30, 50, 75, 90, 95][trial % 6]
+        ri = [0, 0, 3][trial % 3]
+        img = rng.randint(0, 256, (hh, ww, 3), dtype=np.uint8)
+        base = decode_jpeg(
+            encode_jpeg(img, quality=q, subsampling=sub, restart_interval=ri)
+        )
+        for acsa in (False, True):
+            prog = decode_jpeg(encode_jpeg(
+                img, quality=q, subsampling=sub, restart_interval=ri,
+                progressive=True, ac_successive=acsa,
+            ))
+            np.testing.assert_array_equal(
+                prog, base, err_msg=f"{trial} {sub} q{q} ri{ri} acsa{acsa}"
+            )
+
+
+def test_progressive_entropy_bytes_hand_pinned():
+    """One 8x8 constant-gray (130) block at q50/444, progressive:
+    every scan's entropy bytes hand-derived from the published Annex K
+    codes — the anchor that encoder and decoder can't share a mirrored
+    scan-script bug. Quantized DCs are (1, 0, 0) (see the baseline
+    hand-pin), so:
+      DC first (Al=1): values >>1 are all 0 → three cat-0 codes
+        '00 00 00' + '11' pad = 0x03
+      DC refine (Al=0): raw bits 1,0,0 + '11111' pad = 0x9F
+      AC luma: EOB '1010' + '1111' pad = 0xAF
+      AC chroma x2: EOB '00' + '111111' pad = 0x3F"""
+    arr = np.full((8, 8, 3), 130, dtype=np.uint8)
+    blob = encode_jpeg(arr, quality=50, subsampling="444", progressive=True)
+    # collect (per SOS) the entropy bytes between the SOS body and the
+    # next marker
+    scans = []
+    i = 0
+    while True:
+        j = blob.find(b"\xff\xda", i)
+        if j < 0:
+            break
+        (seglen,) = struct.unpack_from(">H", blob, j + 2)
+        ent_start = j + 2 + seglen
+        k = ent_start
+        while k + 1 < len(blob) and not (
+            blob[k] == 0xFF and blob[k + 1] != 0x00
+        ):
+            k += 1
+        scans.append(blob[ent_start:k])
+        i = k
+    assert scans == [b"\x03", b"\x9f", b"\xaf", b"\x3f", b"\x3f"]
+    np.testing.assert_array_equal(decode_jpeg(blob), arr)
+
+
+def test_progressive_mutation_fuzz_error_contract():
+    """The codec-family fuzz contract extended to progressive streams
+    (both scan scripts): mutations decode or raise ImageDecodeError,
+    never escape types."""
+    import random
+
+    from conftest import mutate_blob
+
+    rng = random.Random(777)
+    npr = np.random.RandomState(9)
+    img = npr.randint(0, 256, (24, 24, 3), dtype=np.uint8)
+    bases = [
+        encode_jpeg(_block_gray(3, 3), quality=50, subsampling="420",
+                    progressive=True),
+        encode_jpeg(img, quality=75, subsampling="420", progressive=True,
+                    ac_successive=True),
+    ]
+    escapes = []
+    for base in bases:
+        for _ in range(200):
+            blob = mutate_blob(rng, base)
+            try:
+                decode_image(blob)
+            except ImageDecodeError:
+                pass
+            except Exception as exc:  # noqa: BLE001 — the assertion itself
+                escapes.append((type(exc).__name__, str(exc)[:60]))
+    assert not escapes, escapes[:5]

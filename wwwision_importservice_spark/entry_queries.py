@@ -4786,6 +4786,108 @@ def x4_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(kernel, schema=out_schema)
 
 
+@_register(
+    "x4_jpeg_progressive",
+    # Same md5-arithmetic prediction as x4_jpeg_decode — the exact
+    # even-gray q50 construction round-trips through the PROGRESSIVE
+    # process too (DC successive approximation splits even DC values
+    # losslessly; every AC scan is pure EOB runs) — so a real SOF2
+    # multi-scan decode sits under a byte-exact oracle. doc_id % 3
+    # picks the scan script: AC successive approximation (refinement
+    # scans through the G.1.2.3 correction-bit decoder) vs spectral
+    # selection only.
+    """
+SELECT doc_id,
+       CAST(8 * bw AS INT) AS width,
+       CAST(8 * bh AS INT) AS height,
+       'jpeg' AS format,
+       CASE WHEN doc_id % 2 = 0 THEN '444' ELSE '420' END AS subsampling,
+       doc_id % 3 = 0 AS ac_sa,
+       sha256(array_to_string(list_transform(range(0, (8*bw)*(8*bh)), i ->
+         repeat(printf('%02x',
+                gs[((i // (8*bw)) // 8) * bw + ((i % (8*bw)) // 8) + 1]), 3)),
+         '')) AS pixel_sha
+FROM (
+  SELECT doc_id, bw, bh,
+         list_transform(range(0, bw*bh), k ->
+           (CAST('0x' || substr(mh, 2*k+1, 2) AS INT) % 128) * 2) AS gs
+  FROM (
+    SELECT doc_id, mh, 2 + b % 3 AS bw, 2 + (b // 3) % 3 AS bh
+    FROM (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mh,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS b
+      FROM documents)
+  )
+)
+""",
+    driver=False,  # pytest tier: x4_jpeg_decode holds the family's
+    # driver slot; this row extends the same oracle to SOF2 (r11,
+    # VERDICT r10 ask #4)
+)
+def x4_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — REAL progressive-JPEG (SOF2) decode under the same
+    byte-exact oracle as ``x4_jpeg_decode`` (r11, VERDICT r10 ask #4):
+    each document's even-gray canvas is encoded as an actual multi-scan
+    progressive file (interleaved DC first scan at Al=1 → DC refinement
+    → per-component AC scans; one doc in three uses AC successive
+    approximation) and decoded through the Annex-G scan accumulator +
+    shared IDCT. Scale shape identical to x4_jpeg_decode: one Arrow
+    pass, no shuffle."""
+    from wwwision_importservice_spark.operators.multimodal import _codec_importer
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
+    import_codec = _codec_importer("jpegcodec")
+    out_schema = (
+        "doc_id long, width int, height int, format string, "
+        "subsampling string, ac_sa boolean, pixel_sha string"
+    )
+
+    def kernel(it):
+        import hashlib as _hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        codec = import_codec()
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mh = _hashlib.md5(str(did).encode()).hexdigest()
+                b = int(mh[:15], 16)
+                bw, bh = 2 + b % 3, 2 + (b // 3) % 3
+                gs = [
+                    (int(mh[2 * k : 2 * k + 2], 16) % 128) * 2
+                    for k in range(bw * bh)
+                ]
+                grid = np.array(gs, np.uint8).reshape(bh, bw)
+                img = np.repeat(np.repeat(grid, 8, 0), 8, 1)
+                arr = np.repeat(img[:, :, None], 3, 2)
+                sub = "444" if did % 2 == 0 else "420"
+                ac_sa = did % 3 == 0
+                blob = codec.encode_jpeg(
+                    arr, quality=50, subsampling=sub,
+                    progressive=True, ac_successive=ac_sa,
+                )
+                dec = codec.decode_jpeg(blob)
+                rows.append(
+                    (
+                        did, dec.shape[1], dec.shape[0], "jpeg", sub, ac_sa,
+                        _hashlib.sha256(dec.tobytes().hex().encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "format",
+                    "subsampling", "ac_sa", "pixel_sha",
+                ],
+            )
+
+    return docs.mapInPandas(kernel, schema=out_schema)
+
+
 # --------------------------------------------------------------------------- #
 # Streaming window operators, oracle-checked in batch mode (the SAME
 # tumbling/sliding/session code path serves readStream frames; SURVEY §2.8)

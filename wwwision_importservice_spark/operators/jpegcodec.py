@@ -1,29 +1,39 @@
-"""Baseline JPEG codec (ITU-T T.81 / ISO 10918-1), pure stdlib + NumPy.
+"""JPEG codec (ITU-T T.81 / ISO 10918-1), pure stdlib + NumPy.
 
 Closes the last real-world image-format gap behind the optional Pillow
-lane (VERDICT r9 ask #8): baseline sequential DCT JPEGs — the format of
-essentially every web-crawl photo — decode for real in-sandbox. Scope
-is the baseline process exactly:
+lane (VERDICT r9 ask #8; progressive added r11 per r10 ask #4):
+baseline sequential AND progressive DCT JPEGs — the formats of
+essentially every web-crawl photo — decode for real in-sandbox. Scope:
 
-- SOF0 (baseline sequential, 8-bit) only; progressive (SOF2),
-  extended/arithmetic/lossless SOFs are rejected loudly by marker.
+- SOF0/SOF1 (Huffman sequential, 8-bit) and SOF2 (progressive, Annex G:
+  spectral selection + successive approximation, DC and AC refinement
+  scans, EOBn run codes); arithmetic/lossless/hierarchical SOFs are
+  rejected loudly by marker.
 - Huffman entropy coding with 0xFF00 byte unstuffing and RSTn restart
-  markers (DRI honored; DC predictors reset at restarts).
-- 1-component (grayscale) and 3-component (YCbCr) interleaved scans,
-  any sampling factors up to 4 (4:4:4, 4:2:2, 4:2:0 in the wild);
-  chroma upsampling is sample replication (nearest), the spec's
-  suggested simple filter.
+  markers (DRI honored; DC predictors and EOB runs reset at restarts).
+- 1-component (grayscale) and 3-component (YCbCr) scans, any sampling
+  factors up to 4 (4:4:4, 4:2:2, 4:2:0 in the wild); chroma upsampling
+  is sample replication (nearest), the spec's suggested simple filter.
 - Dequantize → dezigzag → 8x8 IDCT (separable orthonormal DCT matrix,
   float64) → level shift → BT.601 YCbCr→RGB (JFIF full-range).
+  Progressive accumulates scans into an int64 coefficient store and
+  runs the identical IDCT at EOI — baseline and progressive decodes of
+  equal coefficients are equal to the byte (the matmul association is
+  deliberately shared; see _quantize_blocks/_finalize_progressive).
 
 The encoder emits baseline 4:4:4, 4:2:2 or 4:2:0 with the Annex K
-example quantization (IJG quality scaling) and Huffman tables — it
+example quantization (IJG quality scaling) and Huffman tables, and with
+``progressive=True`` a real SOF2 scan script (interleaved DC at Al=1 →
+DC refinement → per-component AC scans, optionally with AC successive
+approximation) — it
 exists so the decode path can be pinned: for block-constant GRAY images with EVEN
 sample values at quality 50, encode→decode is EXACT (the DC quantizer
 16 divides 8·(v-128); every AC and chroma coefficient is exactly zero),
 which gives the x4 family a cross-engine md5-arithmetic oracle over a
-genuinely lossy format. General-image fidelity is pinned by
-error-bound round-trip tests instead (JPEG is lossy by design).
+genuinely lossy format — through BOTH processes. General-image fidelity
+is pinned by error-bound round-trip tests plus the differential pin
+that progressive and baseline encodes of the same input decode
+bit-identically (same coefficients, reordered scans).
 
 Threat model (same as :mod:`imagecodec`): header dimensions are
 attacker-controlled, so the frame surface is capped by
@@ -266,6 +276,8 @@ def encode_jpeg(
     subsampling: str = "420",
     grayscale: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
+    ac_successive: bool = False,
 ) -> bytes:
     """(H, W, 3) uint8 RGB → baseline JFIF bytes (Annex K tables, IJG
     quality scaling, ``'444'``, ``'422'`` or ``'420'`` chroma). Lossy in
@@ -273,7 +285,13 @@ def encode_jpeg(
     50 (see module docstring — the property the oracle row rests on).
     ``grayscale=True`` writes a 1-component scan from the luma plane;
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs (exercises the decoder's restart resync path)."""
+    MCUs (exercises the decoder's restart resync path).
+    ``progressive=True`` (r11) emits SOF2 with a real multi-scan
+    script — interleaved DC first scan at Al=1, a DC refinement scan
+    restoring bit 0, then one full-band AC scan per component — the
+    same coefficients as the baseline stream, reordered, so
+    decode(progressive) == decode(baseline) bit for bit and the exact
+    even-gray q50 construction round-trips through BOTH paths."""
     if subsampling not in _SUBSAMPLING:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     arr = np.asarray(arr, dtype=np.uint8)
@@ -320,6 +338,12 @@ def encode_jpeg(
         cb = pad_to(cb, 8, 8)
         cr = pad_to(cr, 8, 8)
     y = pad_to(y, 8 * sv, 8 * sh)
+
+    if progressive:
+        return _encode_progressive(
+            y, cb, cr, luma_q, chroma_q, grayscale, sh, sv, h, w,
+            restart_interval, ac_sa=ac_successive,
+        )
 
     dc_l_enc, _ = _canonical_codes(*_DC_LUMA)
     ac_l_enc, _ = _canonical_codes(*_AC_LUMA)
@@ -390,6 +414,260 @@ def encode_jpeg(
         b"\xff\xd8" + app0 + tables + dri
         + sof + sos + bytes(wtr.out) + b"\xff\xd9"
     )
+
+
+def _quantize_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize a padded 8-multiple plane to (bh, bw, 64)
+    zigzag-order int64 coefficients — the progressive encoder computes
+    every block up front because each scan revisits all of them."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    b = (
+        plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).astype(np.float64)
+        - 128.0
+    )
+    # batched matmul in the SAME association as _encode_block's
+    # (C @ b) @ C.T — bit-identical float64, so baseline and
+    # progressive encodes quantize to the SAME coefficients even at
+    # exact-.5 rounding boundaries (einsum's own contraction order
+    # diverged there by one quantum)
+    coef = np.matmul(np.matmul(_C, b), _C.T)
+    qz = np.round(coef / q.reshape(8, 8)).astype(np.int64)
+    return qz.reshape(bh, bw, 64)[:, :, ZIGZAG]
+
+
+def _encode_block_ac_refine(wtr, zz, ss, se, al, ac_enc) -> None:
+    """AC refinement-scan emission for one block (T.81 G.1.2.3),
+    mirroring the decoder's consumption order exactly: newly nonzero
+    coefficients (history zero at Al+1 precision, bit one at Al) are
+    run-coded with s=1 plus a sign bit, correction bits for passed
+    nonzero-history coefficients follow each code in positional order,
+    ZRL advances over 16 zero-history positions, and a terminal EOB
+    carries the remaining correction bits. No cross-block EOB runs
+    (every EOB is a run of one — spec-valid, simpler)."""
+    shift = al + 1
+
+    def hist(j):  # magnitude the decoder already holds before this scan
+        return abs(int(zz[j])) >> shift
+
+    def corrbit(j):
+        return (abs(int(zz[j])) >> al) & 1
+
+    k = ss
+    newpos = [j for j in range(ss, se + 1) if hist(j) == 0 and corrbit(j)]
+    for np_k in newpos:
+        zh = [j for j in range(k, np_k) if hist(j) == 0]
+        r = len(zh)
+        while r > 15:
+            boundary = zh[15]  # the 16th zero-history position
+            code, ln = ac_enc[0xF0]  # ZRL
+            wtr.write(code, ln)
+            for j in range(k, boundary):
+                if hist(j) != 0:
+                    wtr.write(corrbit(j), 1)
+            k = boundary + 1
+            zh = zh[16:]
+            r -= 16
+        code, ln = ac_enc[(r << 4) | 1]
+        wtr.write(code, ln)
+        wtr.write(1 if int(zz[np_k]) > 0 else 0, 1)
+        for j in range(k, np_k):
+            if hist(j) != 0:
+                wtr.write(corrbit(j), 1)
+        k = np_k + 1
+    if k <= se:
+        code, ln = ac_enc[0x00]  # EOB: run of one block
+        wtr.write(code, ln)
+        for j in range(k, se + 1):
+            if hist(j) != 0:
+                wtr.write(corrbit(j), 1)
+
+
+def _encode_progressive(
+    y, cb, cr, luma_q, chroma_q, grayscale, sh, sv, h, w, restart_interval,
+    ac_sa=False,
+) -> bytes:
+    """SOF2 progressive emission (T.81 Annex G): interleaved DC first
+    scan at Al=1, DC refinement scan restoring bit 0 (successive
+    approximation), then per-component AC scans (spectral selection,
+    non-interleaved as the spec requires) — full-band Ss=1..63 at Al=0
+    by default, or with ``ac_sa`` a first scan at Al=1 plus a
+    refinement scan at Al=0 (AC successive approximation, exercising
+    the decoder's G.1.2.3 correction-bit path). The final coefficients
+    are identical to the baseline stream's — only the scan order
+    differs — so progressive and baseline decodes of the same input are
+    bit-identical, the differential pin the tests use."""
+    dc_l_enc, _ = _canonical_codes(*_DC_LUMA)
+    ac_l_enc, _ = _canonical_codes(*_AC_LUMA)
+    dc_c_enc, _ = _canonical_codes(*_DC_CHROMA)
+    ac_c_enc, _ = _canonical_codes(*_AC_CHROMA)
+    # (comp id, plane, q, dc_enc, ac_enc, h, v, Td, Ta)
+    if grayscale:
+        comps = [(1, y, luma_q, dc_l_enc, ac_l_enc, 1, 1, 0, 0)]
+    else:
+        comps = [
+            (1, y, luma_q, dc_l_enc, ac_l_enc, sh, sv, 0, 0),
+            (2, cb, chroma_q, dc_c_enc, ac_c_enc, 1, 1, 1, 1),
+            (3, cr, chroma_q, dc_c_enc, ac_c_enc, 1, 1, 1, 1),
+        ]
+    qb = [_quantize_blocks(c[1], c[2]) for c in comps]
+    n = len(comps)
+    mcuy, mcux = y.shape[0] // (8 * sv), y.shape[1] // (8 * sh)
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for ci, c in enumerate(comps):
+                    hc, vc = c[5], c[6]
+                    for by in range(vc):
+                        for bx in range(hc):
+                            blocks.append((ci, my * vc + by, mx * hc + bx))
+                yield blocks
+
+    def rst_marker(wtr, state):
+        wtr.flush()
+        wtr.out += bytes([0xFF, 0xD0 + state["rst"]])
+        state["rst"] = (state["rst"] + 1) % 8
+
+    # scan 1: DC first, all components interleaved, Ah=0 Al=1 — values
+    # arrive point-transformed (arithmetic >> Al, matching G.1.2.1)
+    wtr = _BitWriter()
+    pred = [0] * n
+    state = {"rst": 0}
+    cnt = 0
+    for blocks in mcu_blocks():
+        if restart_interval and cnt and cnt % restart_interval == 0:
+            rst_marker(wtr, state)
+            pred = [0] * n
+        for ci, byi, bxi in blocks:
+            v = int(qb[ci][byi, bxi, 0]) >> 1
+            size, bits = _magnitude(v - pred[ci])
+            pred[ci] = v
+            code, ln = comps[ci][3][size]
+            wtr.write(code, ln)
+            wtr.write(bits, size)
+        cnt += 1
+    wtr.flush()
+    dc_first = bytes(wtr.out)
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block, no
+    # Huffman (G.1.2.1: the bit is simply appended)
+    wtr = _BitWriter()
+    state = {"rst": 0}
+    cnt = 0
+    for blocks in mcu_blocks():
+        if restart_interval and cnt and cnt % restart_interval == 0:
+            rst_marker(wtr, state)
+        for ci, byi, bxi in blocks:
+            wtr.write(int(qb[ci][byi, bxi, 0]) & 1, 1)
+        cnt += 1
+    wtr.flush()
+    dc_refine = bytes(wtr.out)
+
+    # AC scans: per component, non-interleaved raster over the
+    # component's OWN grid (which can be narrower than the MCU-padded
+    # store on odd dimensions — padding blocks keep only their DC,
+    # which is cropped away at decode)
+    hmax = max(c[5] for c in comps)
+    vmax = max(c[6] for c in comps)
+
+    def emit_ac_first(wtr, zz, al_):
+        # run/size coding of the point-transformed band (G.1.2.2);
+        # per-block EOB (an EOB run of one)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            v = (abs(v) >> al_) * (1 if v > 0 else -1)  # trunc toward 0
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]  # ZRL
+                wtr.write(code, ln)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, ln = ac_enc[(run << 4) | size]
+            wtr.write(code, ln)
+            wtr.write(bits, size)
+            run = 0
+        if run:
+            code, ln = ac_enc[0x00]  # EOB
+            wtr.write(code, ln)
+
+    ac_scans = []
+    for ci, c in enumerate(comps):
+        cid, _, _, _, ac_enc, hc, vc, _, ta = c
+        bw_ni = -(-(-(-w * hc // hmax)) // 8)
+        bh_ni = -(-(-(-h * vc // vmax)) // 8)
+        passes = (
+            [("first", 0, 1), ("refine", 1, 0)] if ac_sa
+            else [("first", 0, 0)]
+        )
+        for kind, ah_, al_ in passes:
+            wtr = _BitWriter()
+            state = {"rst": 0}
+            cnt = 0
+            for byi in range(bh_ni):
+                for bxi in range(bw_ni):
+                    if restart_interval and cnt and cnt % restart_interval == 0:
+                        rst_marker(wtr, state)
+                    zz = qb[ci][byi, bxi]
+                    if kind == "first":
+                        emit_ac_first(wtr, zz, al_)
+                    else:
+                        _encode_block_ac_refine(wtr, zz, 1, 63, al_, ac_enc)
+                    cnt += 1
+            wtr.flush()
+            ac_scans.append((cid, ta, ah_, al_, bytes(wtr.out)))
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(v) for v in table[ZIGZAG]))
+
+    def dht(cls: int, tid: int, spec: tuple) -> bytes:
+        bits_, vals = spec
+        return seg(
+            0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits_) + bytes(vals)
+        )
+
+    def sos(specs, ss_, se_, ah_, al_) -> bytes:
+        body = bytes([len(specs)])
+        for cid, td, ta in specs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss_, se_, (ah_ << 4) | al_])
+        return seg(0xFFDA, body)
+
+    if grayscale:
+        sof = seg(
+            0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+        )
+        tables = dqt(0, luma_q) + dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
+        dc_specs = [(1, 0, 0)]
+    else:
+        sof = seg(
+            0xFFC2,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, (sh << 4) | sv, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        tables = (
+            dqt(0, luma_q) + dqt(1, chroma_q)
+            + dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
+            + dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
+        )
+        dc_specs = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval else b""
+    )
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out = b"\xff\xd8" + app0 + tables + dri + sof
+    out += sos(dc_specs, 0, 0, 0, 1) + dc_first
+    out += sos(dc_specs, 0, 0, 1, 0) + dc_refine
+    for cid, ta, ah_, al_, blob in ac_scans:
+        out += sos([(cid, 0, ta)], 1, 63, ah_, al_) + blob
+    return out + b"\xff\xd9"
 
 
 # --------------------------------------------------------------------------
@@ -491,6 +769,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     comps: list[dict] = []
+    progressive = False
+    geom: dict | None = None
+    store: list[np.ndarray] | None = None
+    scans_done = 0
+    saw_eoi = False
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -502,7 +785,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if pos + 4 > len(data):
             break  # fill bytes ran to EOF → the no-SOS error below
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI: ends a progressive file; else no-scan
+            saw_eoi = True
             break
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + seglen]
@@ -550,7 +834,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     )
                 (huff_ac if cls else huff_dc)[tid] = dec
                 p += 17 + total
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both Huffman sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             if len(body) < 6:
                 raise ImageDecodeError("JPEG: truncated SOF header")
             prec, fh, fw, nf = struct.unpack_from(">BHHB", body, 0)
@@ -578,11 +863,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ImageDecodeError(f"JPEG: bad sampling {hs}x{vs}")
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             frame = (fw, fh, nf)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ImageDecodeError(
                 f"JPEG: non-baseline SOF 0x{marker:02x} unsupported "
-                "(progressive/arithmetic/lossless out of scope)"
+                "(arithmetic/lossless/hierarchical out of scope)"
             )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -594,22 +879,46 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if not body:
                 raise ImageDecodeError("JPEG: truncated SOS")
             ns = body[0]
-            if ns != frame[2]:
-                raise ImageDecodeError(
-                    "JPEG: non-interleaved multi-scan files unsupported"
-                )
             if len(body) < 1 + 2 * ns + 3:
                 raise ImageDecodeError("JPEG: truncated SOS component list")
             scan_sel = {}
+            scan_ids = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 scan_sel[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(
-                data, nxt, frame, comps, scan_sel, qt, huff_dc, huff_ac,
+                scan_ids.append(cs)
+            if not progressive:
+                if ns != frame[2]:
+                    raise ImageDecodeError(
+                        "JPEG: non-interleaved multi-scan files unsupported"
+                    )
+                return _decode_scan(
+                    data, nxt, frame, comps, scan_sel, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if geom is None:
+                geom, store = _progressive_init(frame, comps)
+            pos = _progressive_scan(
+                data, nxt, comps, geom, store, scan_ids, scan_sel,
+                ss, se, ahal >> 4, ahal & 0x0F, huff_dc, huff_ac,
                 restart_interval,
             )
+            scans_done += 1
+            continue
         # APPn / COM / others: skipped
         pos = nxt
+    if progressive and scans_done:
+        # the marker loop needs 4 lookahead bytes (marker + length) but
+        # EOI is bare 2 — accept it at the tail directly
+        if not saw_eoi and not (
+            pos + 2 <= len(data)
+            and data[pos] == 0xFF
+            and data[pos + 1] == 0xD9
+        ):
+            raise ImageDecodeError("JPEG: truncated progressive stream")
+        return _finalize_progressive(frame, comps, geom, store, qt)
     raise ImageDecodeError("JPEG: no scan data (missing SOS)")
 
 
@@ -695,7 +1004,13 @@ def _decode_scan(
                         planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
             mcu_count += 1
 
-    # crop + upsample (sample replication) to full resolution
+    return _planes_to_rgb(planes, comps, fw, fh, nf, hmax, vmax)
+
+
+def _planes_to_rgb(planes, comps, fw, fh, nf, hmax, vmax) -> np.ndarray:
+    """Shared decode tail (baseline and progressive): crop + upsample
+    (sample replication) to full resolution, then the in-place BT.601
+    conversion whose byte budget MAX_JPEG_PIXELS is priced against."""
     out = []
     for c, plane in zip(comps, planes):
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -737,3 +1052,256 @@ def _decode_scan(
     np.round(tmp, out=tmp)
     rgb[:, :, 2] = np.clip(tmp, 0, 255, out=tmp)
     return rgb
+
+
+# --------------------------------------------------------------------------
+# progressive decoding (T.81 Annex G, spectral selection + successive
+# approximation; r11, VERDICT r10 ask #4)
+
+
+def _progressive_init(frame, comps):
+    """Geometry + the per-component coefficient store a progressive
+    file accumulates scans into. Stores are MCU-padded (interleaved DC
+    scans address the full padded grid) and int64 in zigzag order —
+    int64 because a crafted DC scan can walk the predictor up to
+    ~2^11 x block-count before the point-transform shift, which
+    overflows int32 on large frames; the honest cost is ~8 bytes per
+    sample on top of the float planes (≈ 770 MB extra at the shared
+    64M-px ceiling, still inside the documented per-image budget)."""
+    fw, fh, _ = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise ImageDecodeError(
+                f"JPEG: non-integral sampling ratio {c['h']}x{c['v']} "
+                f"vs max {hmax}x{vmax} unsupported"
+            )
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    geom = {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy, "ni": []}
+    store = []
+    for c in comps:
+        # non-interleaved grid: ceil(component samples / 8) per axis
+        # (T.81 A.2.2) — smaller than the padded grid when the frame
+        # doesn't fill its last MCU column/row
+        cw = -(-fw * c["h"] // hmax)
+        ch = -(-fh * c["v"] // vmax)
+        geom["ni"].append((-(-ch // 8), -(-cw // 8)))
+        store.append(
+            np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        )
+    return geom, store
+
+
+def _progressive_scan(
+    data, pos, comps, geom, store, scan_ids, scan_sel,
+    ss, se, ah, al, huff_dc, huff_ac, restart_interval,
+):
+    """Decode ONE progressive scan into the coefficient store and
+    return the stream position of the next marker. DC scans (Ss=0) may
+    interleave components; AC scans are single-component over the
+    non-interleaved grid (T.81 G.2). First scans (Ah=0) Huffman-decode
+    point-transformed values; refinement scans append one bit per
+    coefficient (DC) or run the Annex G.1.2.3 correction-bit algorithm
+    (AC)."""
+    if al > 13 or ah > 13:
+        raise ImageDecodeError("JPEG: successive approximation out of range")
+    if ah and ah != al + 1:
+        raise ImageDecodeError("JPEG: refinement scan with Ah != Al + 1")
+    if ss > 63 or se > 63:
+        raise ImageDecodeError("JPEG: bad spectral selection")
+    idx = {c["id"]: i for i, c in enumerate(comps)}
+    members = []
+    for cid in scan_ids:
+        if cid not in idx:
+            raise ImageDecodeError(
+                f"JPEG: scan component {cid} not in frame"
+            )
+        ci = idx[cid]
+        td, ta = scan_sel[cid]
+        if ss == 0:
+            table = huff_dc.get(td) if ah == 0 else None
+            if ah == 0 and table is None:
+                raise ImageDecodeError("JPEG: missing Huffman table")
+        else:
+            table = huff_ac.get(ta)
+            if table is None:
+                raise ImageDecodeError("JPEG: missing Huffman table")
+        members.append((ci, comps[ci], table))
+
+    if ss == 0:
+        if se != 0:
+            raise ImageDecodeError("JPEG: DC scan with nonzero Se")
+    else:
+        if len(members) != 1:
+            raise ImageDecodeError(
+                "JPEG: progressive AC scans must be single-component"
+            )
+        if ss > se:
+            raise ImageDecodeError("JPEG: bad spectral selection")
+
+    def units():
+        # one yielded list per restart unit: an MCU (interleaved) or a
+        # single block (non-interleaved), T.81 G.2 / A.2
+        if len(members) > 1:
+            for my in range(geom["mcuy"]):
+                for mx in range(geom["mcux"]):
+                    blocks = []
+                    for ci, c, tbl in members:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blocks.append(
+                                    (ci, my * c["v"] + by, mx * c["h"] + bx,
+                                     tbl)
+                                )
+                    yield blocks
+        else:
+            ci, c, tbl = members[0]
+            bh, bw = geom["ni"][ci]
+            for byi in range(bh):
+                for bxi in range(bw):
+                    yield [(ci, byi, bxi, tbl)]
+
+    rdr = _BitReader(data, pos)
+    pred = {ci: 0 for ci, _, _ in members}
+    eobrun = 0
+    unit_count = 0
+    for blocks in units():
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            rdr.sync_restart()
+            pred = {ci: 0 for ci, _, _ in members}
+            eobrun = 0
+        for ci, byi, bxi, tbl in blocks:
+            zz = store[ci][byi, bxi]
+            if ss == 0:
+                if ah == 0:
+                    size = rdr.decode_huffman(tbl)
+                    pred[ci] += _extend(rdr.receive(size), size)
+                    zz[0] = pred[ci] << al
+                elif rdr.read_bit():
+                    zz[0] = int(zz[0]) | (1 << al)
+            elif ah == 0:
+                eobrun = _ac_first(rdr, zz, ss, se, al, tbl, eobrun)
+            else:
+                eobrun = _ac_refine(rdr, zz, ss, se, al, tbl, eobrun)
+        unit_count += 1
+
+    # the reader prefetches whole bytes, so rdr.pos may sit a few
+    # entropy/pad bytes before the next marker — scan forward to it
+    # (unstuffed 0xFF + non-zero, non-RSTn IS a marker by definition;
+    # spurious trailing RSTn are skipped as scan debris)
+    p = rdr.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            break
+        p += 1
+    return p
+
+
+def _ac_first(rdr, zz, ss, se, al, ac, eobrun):
+    """AC first scan for one block (T.81 G.1.2.2): baseline RLE plus
+    EOBn end-of-band run codes; values arrive point-transformed."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rdr.decode_huffman(ac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rdr.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ImageDecodeError("JPEG: AC run past spectral band")
+        zz[k] = _extend(rdr.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(rdr, zz, ss, se, al, ac, eobrun):
+    """AC refinement for one block (T.81 G.1.2.3): each
+    nonzero-history coefficient passed over consumes one correction
+    bit; newly nonzero coefficients arrive as ±1 << Al placed after a
+    zero-history run."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rdr.decode_huffman(ac)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.receive(r)
+                    break
+                val = 0  # ZRL: pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ImageDecodeError(
+                        "JPEG: bad AC refinement magnitude"
+                    )
+                val = p1 if rdr.read_bit() else m1
+            while k <= se:
+                cur = int(zz[k])
+                if cur != 0:
+                    if rdr.read_bit() and (cur & p1) == 0:
+                        zz[k] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            cur = int(zz[k])
+            if cur != 0:
+                if rdr.read_bit() and (cur & p1) == 0:
+                    zz[k] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finalize_progressive(frame, comps, geom, store, qt):
+    """All scans consumed: dequantize + IDCT the coefficient store and
+    hand off to the shared crop/upsample/convert tail. The IDCT runs
+    one block-row stripe at a time so the float64 temp stays at
+    8 x plane-width, never a second full-plane allocation."""
+    fw, fh, nf = frame
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise ImageDecodeError(f"JPEG: missing quant table {c['tq']}")
+        q = qt[c["tq"]].reshape(8, 8).astype(np.float64)
+        zzs = store[ci]
+        bh, bw = zzs.shape[:2]
+        nat = np.zeros_like(zzs)
+        nat[:, :, ZIGZAG] = zzs
+        plane = np.empty((bh * 8, bw * 8), dtype=np.float32)
+        for row in range(bh):
+            m = nat[row].reshape(bw, 8, 8).astype(np.float64) * q
+            # batched matmul in the SAME association as the baseline
+            # per-block (C.T @ M) @ C — bit-identical float64 results,
+            # so progressive and baseline decodes of equal coefficients
+            # are equal to the byte (einsum picks its own contraction
+            # order and rounds differently at 0.5 boundaries)
+            blocks = np.matmul(np.matmul(_C.T, m), _C) + 128.0
+            plane[row * 8 : row * 8 + 8] = (
+                blocks.transpose(1, 0, 2).reshape(8, bw * 8)
+            )
+        planes.append(plane)
+    hmax, vmax = geom["hmax"], geom["vmax"]
+    return _planes_to_rgb(planes, comps, fw, fh, nf, hmax, vmax)
