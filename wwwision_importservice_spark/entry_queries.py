@@ -4888,6 +4888,98 @@ def x4_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(kernel, schema=out_schema)
 
 
+@_register(
+    "x4_flac_decode",
+    # FLAC is LOSSLESS, so unlike the JPEG rows no construction trick is
+    # needed: decode(encode(x)) == x for ANY samples, and the oracle
+    # simply re-derives the synthesized sample bytes from md5 string
+    # arithmetic. The Spark side still runs the full entropy pipeline —
+    # fixed/LPC prediction, Rice residuals, stereo decorrelation
+    # (mid/side for even ids, left/side for odd), CRC-8/CRC-16 and the
+    # STREAMINFO sample-MD5 gate — over real compressed bytes.
+    f"""
+SELECT doc_id,
+       CAST(n AS INT) AS n_frames,
+       CAST(2 AS INT) AS channels,
+       CAST(8000 AS INT) AS sample_rate,
+       CASE WHEN doc_id % 2 = 0 THEN 'mid_side' ELSE 'left_side' END AS stereo,
+       sha256(substr(repeat(md5(CAST(doc_id AS VARCHAR)), 30), 1, 8 * n))
+         AS sample_sha
+FROM (
+  SELECT doc_id, 40 + {_H60("CAST(doc_id AS VARCHAR)")} % 80 AS n
+  FROM documents
+)
+""",
+    driver=False,  # pytest tier: x4_jpeg_decode + x4_image_decode hold
+    # the codec family's driver slots; this row pins the audio twin
+    # (r11 — closes the compressed-audio scope gap noted in r10's
+    # "What's missing")
+)
+def x4_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — REAL compressed-audio (FLAC) decode under a byte-exact
+    oracle (``operators/flaccodec.py``, r11): per document, 40-119
+    stereo int16 frames (the doc-id's md5 digest bytes cycled) are
+    encoded to an actual FLAC stream — fixed/LPC prediction, Rice
+    residuals, mid/side decorrelation for even ids and left/side for
+    odd, 32-frame blocks so multi-frame sync/CRC paths run — then
+    decoded back through the pure-stdlib codec, which also verifies the
+    STREAMINFO MD5 over the recovered samples. Losslessness makes the
+    round-trip exact, so the oracle recomputes each stream's
+    content-address from md5 arithmetic alone.
+
+    Scale shape: ONE Arrow ``mapInPandas`` pass over a doc_id
+    projection — per-file CPU, no shuffle, no driver participation
+    (same plan family as x4_jpeg_decode)."""
+    from wwwision_importservice_spark.operators.multimodal import _codec_importer
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
+    import_codec = _codec_importer("flaccodec")
+    out_schema = (
+        "doc_id long, n_frames int, channels int, sample_rate int, "
+        "stereo string, sample_sha string"
+    )
+
+    def kernel(it):
+        import hashlib as _hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        codec = import_codec()
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mh = _hashlib.md5(str(did).encode()).hexdigest()
+                n = 40 + int(mh[:15], 16) % 80
+                samples = np.frombuffer(
+                    bytes.fromhex((mh * 30)[: 8 * n]), dtype="<i2"
+                ).reshape(n, 2)
+                stereo = "mid_side" if did % 2 == 0 else "left_side"
+                blob = codec.encode_flac(
+                    samples.astype(np.int64), 8000,
+                    stereo=stereo, block_size=32,
+                )
+                dec, rate = codec.decode_flac(blob)
+                rows.append(
+                    (
+                        did, len(dec), dec.shape[1], rate, stereo,
+                        _hashlib.sha256(
+                            dec.astype("<i2").tobytes().hex().encode()
+                        ).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "channels", "sample_rate",
+                    "stereo", "sample_sha",
+                ],
+            )
+
+    return docs.mapInPandas(kernel, schema=out_schema)
+
+
 # --------------------------------------------------------------------------- #
 # Streaming window operators, oracle-checked in batch mode (the SAME
 # tumbling/sliding/session code path serves readStream frames; SURVEY §2.8)

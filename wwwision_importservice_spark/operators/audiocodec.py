@@ -9,9 +9,12 @@ as caller-supplied metadata. ``decode_wav`` walks the chunk list
 ``((n_frames, channels) int16, sample_rate)``; ``encode_wav`` emits the
 minimal 44-byte-header canonical file.
 
-Compressed codecs (MP3/AAC/FLAC) stay out of scope — those genuinely
-need third-party libraries; payloads that aren't RIFF PCM fall to the
-callers' fake/strict policy exactly like non-BMP/PPM/PNG images.
+FLAC (lossless compression) is real since r11 — see
+:mod:`~wwwision_importservice_spark.operators.flaccodec`. Perceptual
+codecs (MP3/AAC) stay out of scope: their decode is bit-inexact across
+implementations (no byte-exact oracle is possible) and genuinely needs
+third-party libraries; such payloads fall to the callers' fake/strict
+policy exactly like non-BMP/PPM/PNG/GIF/JPEG images.
 
 Layout follows the public RIFF/WAVE spec (format tag 1 = PCM, 3 =
 IEEE float rejected loudly). Little-endian throughout, like the spec.
