@@ -5638,3 +5638,85 @@ def test_audio_windows_wav_real_decode(spark):
     )
     with pytest.raises(Exception, match="RIFF"):
         audio_windows_wav(bad, "doc_id").collect()
+
+
+# --------------------------------------------------------------------------- #
+# X2n — n-gram decontamination (r11)
+# --------------------------------------------------------------------------- #
+
+def _ngram_model(text: str, n: int) -> set:
+    """Naive string-gram model of hashed_word_shingles semantics: word
+    n-grams, whole text as the single gram for docs shorter than n
+    (padded hash chains only ever match other equal short texts)."""
+    words = text.split(" ")
+    if len(words) < n:
+        return {text}
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def test_ngram_decontaminate_matches_naive_model(spark):
+    from wwwision_importservice_spark.operators.dedup import ngram_decontaminate
+
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "a completely different document about spark engines"),
+        (3, "padding words here the quick brown fox jumps over the lazy dog today and more trailing text"),
+        (4, "short doc"),
+        (5, "short doc"),  # verbatim copy of a short eval item
+        (6, "the quick brown fox walks under the lazy dog today"),  # 1 word off
+        (7, "spark engines are a completely different document about nothing"),
+    ]
+    evalset = [(100, "the quick brown fox jumps over the lazy dog today"),
+               (101, "short doc")]
+    n = 5
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    ref = spark.createDataFrame(evalset, ["doc_id", "text"])
+
+    ref_grams = set().union(*(_ngram_model(t, n) for _, t in evalset))
+    expect = {i for i, t in corpus if not (_ngram_model(t, n) & ref_grams)}
+
+    got = {r["doc_id"] for r in
+           ngram_decontaminate(docs, ref, "doc_id", "text", n=n).collect()}
+    assert got == expect
+    # the interesting cases, asserted explicitly so the model can't
+    # silently agree on the wrong thing: exact eval text (1) and
+    # fragment overlap inside a longer doc (3) caught; short docs 4/5
+    # are verbatim copies of eval 101, caught via the whole-text gram;
+    # the 1-word-off paraphrase (6) and unrelated docs (2, 7) survive
+    assert got == {2, 6, 7}
+
+
+def test_ngram_contamination_report_counts_distinct_hits(spark):
+    from wwwision_importservice_spark.operators.dedup import (
+        ngram_contamination_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"),  # grams with n=3: abc bcd cde def efg
+         (2, "x y z w v u t")],
+        ["doc_id", "text"],
+    )
+    ref = spark.createDataFrame([(9, "a b c d e")], ["doc_id", "text"])
+    # shared 3-grams: abc, bcd, cde -> 3 distinct hits for doc 1
+    rows = {r["doc_id"]: r["n_hits"] for r in
+            ngram_contamination_report(docs, ref, "doc_id", "text", n=3).collect()}
+    assert rows == {1: 3}
+
+
+def test_ngram_decontaminate_plan_broadcast_semi_no_corpus_distinct(spark, sf_dir):
+    """Scale pins: the eval gram set BROADCASTS into a LeftSemi hash
+    join (corpus side stays map-side), and the corpus gram pass has no
+    per-document distinct — the only aggregate before the final anti
+    join groups the (small) contaminated id set."""
+    from test_plans import plan_of, tree_of
+
+    from wwwision_importservice_spark.entry_queries import PYTEST_QUERIES
+
+    df = PYTEST_QUERIES["x2_ngram_decontaminate"](spark, sf_dir)
+    tree = tree_of(plan_of(spark, df))
+    assert "BroadcastHashJoin" in tree and "LeftSemi" in tree, tree
+    # corpus side of the semi join must not shuffle: every Exchange in
+    # the plan belongs to the contaminated-id distinct or the final
+    # anti join, never to a (doc_id, shingle) distinct — which would
+    # show up as an extra exchange hashpartitioning on shingle
+    assert "hashpartitioning(shingle" not in tree, tree

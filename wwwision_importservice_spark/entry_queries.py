@@ -1486,6 +1486,24 @@ def _shingles_sql(where: str = "1=1") -> str:
 
 _SHINGLES_SQL = _shingles_sql()
 
+
+def _shingles_n_from(src: str, n: int) -> str:
+    """Arbitrary-``n`` variant of :func:`_shingles_from` (the n=3
+    fragment above keeps its literal form — legacy oracles hash through
+    it): the same per-word 28-bit md5 base and rolling polynomial,
+    chain length ``n``, short docs collapsing to one whole-text gram."""
+    acc = "COALESCE(wh[i], 0)"
+    for k in range(1, n):
+        acc = f"(({acc}) * {_SHINGLE_P} + COALESCE(wh[i+{k}], 0)) % {_SHINGLE_M}"
+    return f"""
+  SELECT DISTINCT doc_id, {acc} AS shingle
+  FROM (SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              x -> CAST(('0x' || substr(md5(x), 1, 7)) AS BIGINT)) AS wh
+        FROM {src}),
+       unnest(range(1, greatest(len(wh) - {n - 1}, 1) + 1)) AS u(i)
+"""
+
 # affine universal-hash permutations over the shingle hash
 def _minhash_from(src: str) -> str:
     return "SELECT doc_id, " + ", ".join(
@@ -1582,6 +1600,49 @@ def x2_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     evalset = docs.filter(F.col("doc_id") % 7 == 0)
     bloom = build_bloom_filter(evalset, "text", fpp=0.25)
     return bloom_verified_anti_join(docs, bloom, evalset, "text").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@_register(
+    "x2_ngram_decontaminate",
+    # GPT-3-style 13-gram overlap decontamination, restated in SQL:
+    # a training doc survives iff NONE of its word 13-grams (rolling-
+    # polynomial hashes, whole text as one gram when shorter) appears
+    # anywhere in the eval slice (doc_id % 97 == 0). Eval members drop
+    # themselves through their own grams — no special-casing.
+    f"""
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM ({_shingles_n_from("documents", 13)})
+  WHERE shingle IN (
+    SELECT shingle FROM ({_shingles_n_from("documents WHERE doc_id % 97 = 0", 13)})
+  )
+)
+""",
+    driver=False,  # pytest tier: x2_decontaminate holds the driver
+    # slot for decontamination; this row pins the n-gram overlap form
+    # (r11 — the fragment-level filter the exact-key form can't express)
+)
+def x2_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2n — N-GRAM decontamination
+    (``operators/dedup.py:ngram_decontaminate``): docs whose
+    ``doc_id % 97 == 0`` play the eval set; the training corpus drops
+    every doc sharing ANY word 13-gram with it — the standard LLM
+    train/test overlap filter (fragment-level, vs x2_decontaminate's
+    whole-document key). N-grams are the same rolling-polynomial long
+    hashes the MinHash pipeline shingles with, so no gram strings ever
+    materialize.
+
+    Scale shape: corpus grams are ONE map pass (no per-doc distinct —
+    membership doesn't need it), the eval gram set broadcasts, the
+    semi-join is map-side; only contaminated ids shuffle."""
+    from wwwision_importservice_spark.operators.dedup import ngram_decontaminate
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    return ngram_decontaminate(docs, evalset, "doc_id", "text", n=13).select(
         "doc_id", "lang", "source"
     )
 

@@ -88,7 +88,8 @@ _SHINGLE_M = 2147483647  # 2^31 - 1
 
 
 def hashed_word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document as LONG hashes:
     ``(id, shingle: long)`` — no shingle strings are ever materialized.
@@ -100,6 +101,11 @@ def hashed_word_shingles(
     long — the difference between shuffling strings and shuffling longs
     at 100 TB. Jaccard over hashed shingle sets equals string-set
     Jaccard up to hash collisions (~2^-28 per word pair).
+
+    ``distinct=False`` skips the per-document dedup — the (id, shingle)
+    distinct is a full-corpus shuffle, and consumers that only test
+    shingle MEMBERSHIP (the decontamination semi-join) are unchanged by
+    duplicates, so they keep the explode map-side.
 
     Missing trailing words in short documents hash as 0 (both engines).
     """
@@ -116,13 +122,11 @@ def hashed_word_shingles(
     hashed = df.select(F.col(id_col), word_hashes.alias("__wh"))
     count = F.greatest(F.size(F.col("__wh")) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(1), count)
-    return (
-        hashed.select(
-            F.col(id_col),
-            F.explode(F.transform(idx, shingle_hash)).alias("shingle"),
-        )
-        .distinct()
+    out = hashed.select(
+        F.col(id_col),
+        F.explode(F.transform(idx, shingle_hash)).alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 def _md5_long(col) -> F.Column:
@@ -1349,6 +1353,92 @@ def bloom_verified_anti_join(
         (F.col(col) == F.col("__ref_key")) & F.col("__maybe"),
         "left_anti",
     ).drop("__maybe")
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """N-GRAM decontamination: drop every training document that shares
+    ANY word ``n``-gram with the reference (eval/test) corpus — the
+    standard 13-gram overlap filter for LLM training sets, as opposed
+    to :func:`bloom_verified_anti_join`'s whole-document exact-key
+    form. Documents shorter than ``n`` words participate via their
+    whole text as a single gram (the :func:`hashed_word_shingles`
+    convention), so tiny eval items still decontaminate verbatim
+    copies.
+
+    Scale shape (the part that matters at 100 TB): the corpus side is
+    ONE map pass — word-hash, rolling-polynomial n-grams, explode,
+    WITHOUT the per-document distinct (duplicates can't change
+    semi-join membership, so the full-corpus (id, shingle) shuffle is
+    skipped; ``hashed_word_shingles(distinct=False)``). The reference
+    side — small by the operator's contract, it's an eval set — is
+    distinct-ed and BROADCAST, making the semi-join map-side. The only
+    shuffles are the distinct over contaminated ids (bounded by the
+    contamination rate, not the corpus) and the final anti-join, which
+    AQE converts to broadcast when the contaminated set is small.
+    N-grams travel as fixed-width longs end to end; no gram strings
+    are materialized on either side."""
+    ref_text_col = text_col if ref_text_col is None else ref_text_col
+    ref_grams = (
+        hashed_word_shingles(
+            ref.select(
+                F.lit(0).alias("__refid"), F.col(ref_text_col).alias("__reftext")
+            ),
+            "__refid", "__reftext", n=n,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    doc_grams = hashed_word_shingles(
+        docs.select(id_col, text_col), id_col, text_col, n=n, distinct=False
+    )
+    contaminated = (
+        doc_grams.join(F.broadcast(ref_grams), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(contaminated, id_col, "left_anti")
+
+
+def ngram_contamination_report(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """The audit feed for :func:`ngram_decontaminate`: per contaminated
+    document, how many DISTINCT n-grams it shares with the reference
+    (``(id, n_hits)``) — what a curation run logs next to its drop
+    counts. Same broadcast-semi shape; the per-document distinct IS
+    needed here (hit counting), so this is the costlier query and
+    exists for audits, not the hot path."""
+    ref_text_col = text_col if ref_text_col is None else ref_text_col
+    ref_grams = (
+        hashed_word_shingles(
+            ref.select(
+                F.lit(0).alias("__refid"), F.col(ref_text_col).alias("__reftext")
+            ),
+            "__refid", "__reftext", n=n,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    doc_grams = hashed_word_shingles(
+        docs.select(id_col, text_col), id_col, text_col, n=n
+    )
+    return (
+        doc_grams.join(F.broadcast(ref_grams), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
 
 
 def save_bloom_filter(spark, bloom: BloomFilter, path: str) -> None:
