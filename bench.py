@@ -179,6 +179,13 @@ HEADLINE = [
     # IDCT per block, the heaviest per-byte codec work in the family —
     # same one-Arrow-pass shape as x4_image_decode)
     "x4_jpeg_decode",
+    # joined round 11: FLAC encode→decode (Rice entropy + stereo
+    # decorrelation, the audio twin of x4_jpeg_decode's Arrow-pass
+    # shape) and 13-gram decontamination (map-side gram explode +
+    # broadcast semi-join — the shape whose only shuffle is the
+    # contaminated-id distinct)
+    "x4_flac_decode",
+    "x2_ngram_decontaminate",
 ]
 
 

@@ -1273,13 +1273,17 @@ def test_ann_recall_floors(spark):
     sf0.01. Floors sit below the observed values (LSH 0.64, IVF 0.88 on
     a near-isotropic synthetic corpus — the hardest regime for LSH) so
     a recall regression in the bucketing/probing logic fails loudly."""
-    from wwwision_importservice_spark.entry_queries import QUERIES
+    from wwwision_importservice_spark.entry_queries import (
+        PYTEST_QUERIES,
+        QUERIES,
+    )
 
+    ALL = {**QUERIES, **PYTEST_QUERIES}  # tier rotations must not break this
     sf = SF001_DIR
 
     def topsets(name):
         by_q = {}
-        for r in QUERIES[name](spark, sf).collect():
+        for r in ALL[name](spark, sf).collect():
             by_q.setdefault(r["q_id"], set()).add(r["c_id"])
         return by_q
 
@@ -1305,7 +1309,13 @@ def test_embedding_near_dup_pair_recall_floor(spark):
     beneath it."""
     from pyspark.sql import functions as F
 
-    from wwwision_importservice_spark.entry_queries import QUERIES, load
+    from wwwision_importservice_spark.entry_queries import (
+        PYTEST_QUERIES,
+        QUERIES,
+        load,
+    )
+
+    ALL = {**QUERIES, **PYTEST_QUERIES}
     from wwwision_importservice_spark.operators.similarity import cosine_scores
 
     sf = SF001_DIR
@@ -1336,7 +1346,13 @@ def test_planted_near_dup_sharp_separation(spark):
     0.55 by measurement). Measured here: recall 1.0 @ sf0.01."""
     from pyspark.sql import functions as F
 
-    from wwwision_importservice_spark.entry_queries import QUERIES, load
+    from wwwision_importservice_spark.entry_queries import (
+        PYTEST_QUERIES,
+        QUERIES,
+        load,
+    )
+
+    ALL = {**QUERIES, **PYTEST_QUERIES}
 
     sf = SF001_DIR
     emb = load(spark, sf, "embeddings")
@@ -1344,7 +1360,7 @@ def test_planted_near_dup_sharp_separation(spark):
         (r["vec_id"], r["vec_id"] + 1_000_000)
         for r in emb.filter(F.col("vec_id") % 5 == 0).collect()
     }
-    rows = QUERIES["x2_planted_near_dup"](spark, sf).collect()
+    rows = ALL["x2_planted_near_dup"](spark, sf).collect()
     got = {(r["id_a"], r["id_b"]) for r in rows}
     # precision: every emitted pair IS a planted twin pair (background
     # max cosine is ~0.51, far under the 0.9 threshold)
@@ -5710,9 +5726,10 @@ def test_ngram_decontaminate_plan_broadcast_semi_no_corpus_distinct(spark, sf_di
     join groups the (small) contaminated id set."""
     from test_plans import plan_of, tree_of
 
-    from wwwision_importservice_spark.entry_queries import PYTEST_QUERIES
+    from wwwision_importservice_spark.entry_queries import PYTEST_QUERIES, QUERIES
 
-    df = PYTEST_QUERIES["x2_ngram_decontaminate"](spark, sf_dir)
+    ALL = {**QUERIES, **PYTEST_QUERIES}
+    df = ALL["x2_ngram_decontaminate"](spark, sf_dir)
     tree = tree_of(plan_of(spark, df))
     assert "BroadcastHashJoin" in tree and "LeftSemi" in tree, tree
     # corpus side of the semi join must not shuffle: every Exchange in

@@ -53,6 +53,8 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x4_flac_decode",  # NEW r11 (real FLAC decode, compressed-audio gap)
+    "x2_ngram_decontaminate",  # NEW r11 (13-gram train/test overlap filter)
     "x6_incremental_curation",  # PROMOTED r11 (VERDICT r10 ask #2)
     "x4_jpeg_decode",  # NEW r10 (baseline JPEG per VERDICT r9 ask #8)
     "x6_bpe_pack",  # NEW r10 (tokenizer-true packing per VERDICT r9 ask #3)
@@ -69,7 +71,6 @@ _CHECK_FIRST = [
     "g1_pagerank",  # NEW r7
     "ts_gapfill_locf",  # NEW r7
     "x2_incremental_lsh_compact",  # NEW r7
-    "x2_planted_near_dup",  # NEW r6
     "s5_neardup_gate",  # NEW r6
     "dq_check_suite",
     "sink_scd2_history",
@@ -78,7 +79,6 @@ _CHECK_FIRST = [
     "j7_incremental_sync",
     "o3_quarantine",
     "s3b_sessionize",
-    "x3_ann_lsh_topk",
     "s3_window_session",
     "sink_e2e_state",
     "m1_regex_mapping",
@@ -1621,9 +1621,9 @@ WHERE d.doc_id NOT IN (
   )
 )
 """,
-    driver=False,  # pytest tier: x2_decontaminate holds the driver
-    # slot for decontamination; this row pins the n-gram overlap form
-    # (r11 — the fragment-level filter the exact-key form can't express)
+    # DRIVER row (r11, slot ceded by x2_planted_near_dup): the n-gram
+    # overlap form — the fragment-level filter x2_decontaminate's
+    # exact-key form can't express — under the hard driver hash
 )
 def x2_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2n — N-GRAM decontamination
@@ -1887,6 +1887,10 @@ SELECT q_id, c_id, score, rank FROM (
   )
 ) WHERE rank <= 5
 """,
+    driver=False,  # demoted r11 (driver-green r07-r10, slot ceded to
+    # x4_flac_decode): ANN stays driver-covered by x3_ann_ivf_persisted
+    # + x3_cosine_topk; this multi-probe variant keeps the identical
+    # oracle here and its recall floor in test_extensions.py
 )
 def x3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 — ANN variant: sign-LSH bucketing with MULTI-PROBE (the query
@@ -2254,6 +2258,11 @@ SELECT id_a, id_b, cosine FROM (
        AND l.vec_id < r.vec_id
 ) WHERE cosine >= 0.9
 """,
+    driver=False,  # demoted r11 (driver-green r06-r10, slot ceded to
+    # x2_ngram_decontaminate): the planted-pair recall construction
+    # keeps its oracle here; near-dup stays driver-covered by
+    # x2_minhash_lsh_pairs + x2_embedding_near_dup, and this row stays
+    # a bench headline entry
 )
 def x2_planted_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — embedding near-dup on a PLANTED-twin corpus: the
@@ -4971,10 +4980,10 @@ FROM (
   FROM documents
 )
 """,
-    driver=False,  # pytest tier: x4_jpeg_decode + x4_image_decode hold
-    # the codec family's driver slots; this row pins the audio twin
-    # (r11 — closes the compressed-audio scope gap noted in r10's
-    # "What's missing")
+    # DRIVER row (r11, slot ceded by x3_ann_lsh_topk): closes the
+    # compressed-audio scope gap noted in r10's "What's missing" —
+    # real entropy-coded audio under the hard driver hash next to
+    # x4_jpeg_decode and x4_image_decode
 )
 def x4_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — REAL compressed-audio (FLAC) decode under a byte-exact
