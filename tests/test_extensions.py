@@ -5737,3 +5737,68 @@ def test_ngram_decontaminate_plan_broadcast_semi_no_corpus_distinct(spark, sf_di
     # anti join, never to a (doc_id, shingle) distinct — which would
     # show up as an extra exchange hashpartitioning on shingle
     assert "hashpartitioning(shingle" not in tree, tree
+
+
+# --------------------------------------------------------------------------- #
+# X3 — semantic decontamination (r11)
+# --------------------------------------------------------------------------- #
+
+def test_semantic_decontaminate_matches_naive_model(spark):
+    """Small-corpus differential vs a pure-Python model of the SAME
+    candidate rule (8-bit sign buckets, hamming <= 1, cosine >= 0.9):
+    paraphrase twins of eval items drop, orthogonal rows survive, and
+    the blocking rule itself — not just the happy path — is what the
+    model replicates."""
+    import numpy as np
+
+    from wwwision_importservice_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(12, 16))
+    rows, eval_rows = [], []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # paraphrases of eval items 0 and 1 (tiny perturbation, cos ~1)
+    rows.append((100, [float(x) for x in base[0] + 0.01]))
+    rows.append((101, [float(x) for x in base[1] * 1.05]))
+    eval_rows = [(0, [float(x) for x in base[0]]), (1, [float(x) for x in base[1]])]
+
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    evalset = spark.createDataFrame(eval_rows, ["vec_id", "embedding"])
+    got = {r["vec_id"] for r in
+           semantic_decontaminate(corpus, evalset, "vec_id", "embedding",
+                                  threshold=0.9, bits=8).collect()}
+
+    def bucket(v, bits=8):
+        return sum((1 << i) for i in range(bits) if v[i] > 0)
+
+    def model_drop(v):
+        for _, e in eval_rows:
+            e = np.array(e)
+            ham = bin(bucket(v) ^ bucket(e)).count("1")
+            cos = round(float(v @ e / (np.linalg.norm(v) * np.linalg.norm(e))), 6)
+            if ham <= 1 and cos >= 0.9:
+                return True
+        return False
+
+    expect = {i for i, v in rows if not model_drop(np.array(v))}
+    assert got == expect
+    assert {100, 101} & got == set()  # both paraphrases caught
+    assert 0 not in got and 1 not in got  # eval selves caught
+
+
+def test_semantic_decontaminate_plan_broadcast_eval_no_corpus_shuffle(spark, sf_dir):
+    """Scale pins: the eval bucket table BROADCASTS (corpus side of the
+    candidate join stays map-side) and no exchange partitions the
+    corpus on the bucket key — the only aggregate groups contaminated
+    ids."""
+    from test_plans import plan_of, tree_of
+
+    from wwwision_importservice_spark.entry_queries import PYTEST_QUERIES, QUERIES
+
+    ALL = {**QUERIES, **PYTEST_QUERIES}
+    tree = tree_of(plan_of(spark, ALL["x3_semantic_decontaminate"](spark, sf_dir)))
+    assert "BroadcastHashJoin" in tree, tree
+    assert "hashpartitioning(__bkt" not in tree, tree

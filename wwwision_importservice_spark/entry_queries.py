@@ -2299,6 +2299,68 @@ def x2_planted_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id_a"), F.col("id_b"), F.col("cosine"))
 
 
+@_register(
+    "x3_semantic_decontaminate",
+    # the trio's third form, declaratively: a corpus row (original OR
+    # planted twin) survives iff no eval embedding within the bucket
+    # candidate rule (8-bit sign buckets differing by <= 1 bit — the
+    # eval side probes hamming-1) has cosine >= 0.9 to it. Eval items
+    # remove themselves at cosine 1.0; their planted twins (cos >= 0.92)
+    # go whenever the bucket rule admits the pair — recall < 1 by
+    # construction, the SAME rule on both sides, so the hash pins the
+    # blocking exactly, not just the happy path.
+    f"""
+SELECT c.vec_id
+FROM ({_PLANTED_CORPUS}) c
+WHERE NOT EXISTS (
+  SELECT 1 FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0) e
+  WHERE bit_count(xor({_bucket_expr('c', 8)}, {_bucket_expr('e', 8)})) <= 1
+    AND round(list_cosine_similarity(c.embedding, e.embedding::DOUBLE[]), 6)
+        >= 0.9
+)
+""",
+    driver=False,  # pytest tier: the trio's exact form
+    # (x2_decontaminate) and n-gram form (x2_ngram_decontaminate) hold
+    # driver slots; this row pins the embedding form (r11)
+)
+def x3_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — SEMANTIC decontamination
+    (``operators/similarity.py:semantic_decontaminate``): the planted
+    corpus (originals + every-5th twins) is the training set, originals
+    with ``vec_id % 25 == 0`` the eval set; every corpus row with
+    cosine ≥ 0.9 to an eval item under the hamming-1 sign-LSH candidate
+    rule is dropped — eval members remove themselves AND their
+    paraphrase twins, the case exact-key and n-gram decontamination
+    both miss.
+
+    Scale shape: eval buckets (replicated hamming-1) broadcast; the
+    corpus takes ONE map pass — bucket, broadcast join, per-candidate
+    cosine — and only contaminated ids shuffle."""
+    from wwwision_importservice_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    orig = emb.select("vec_id", dbl.alias("embedding"))
+    twins = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double")
+            + (
+                F.lit(1.2).cast("double") * x.cast("double") * x.cast("double")
+                - F.lit(0.01875).cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    corpus = orig.unionByName(twins)
+    evalset = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
+    return semantic_decontaminate(
+        corpus, evalset, "vec_id", "embedding", threshold=0.9, bits=8
+    ).select("vec_id")
+
+
 _IVF_CENT_SQL = "SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id % 125 = 0"
 
 _IVF_CORPUS_CELLS = f"""

@@ -370,6 +370,62 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    vector_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 8,
+) -> DataFrame:
+    """SEMANTIC decontamination: drop every corpus row whose embedding
+    cosine to ANY eval item is ≥ ``threshold`` — the third member of
+    the decontamination trio (exact key: ``dedup.bloom_verified_anti_
+    join``; 13-gram overlap: ``dedup.ngram_decontaminate``; this one
+    catches paraphrases neither lexical form can see).
+
+    Candidates are sign-LSH blocked: the EVAL side (small by the
+    operator's contract) is replicated into its own bucket plus every
+    hamming-1 neighbor and BROADCAST, so a corpus row meets an eval
+    item iff their ``bits``-bit sign buckets differ by ≤ 1 bit —
+    recall < 1 by construction, like every LSH operator here; measure
+    per corpus and raise ``bits``' probe radius by replicating further
+    if the eval set's paraphrase distance demands it.
+
+    Scale shape (mirrors ``ngram_decontaminate``): the corpus is ONE
+    map pass — bucket + broadcast hash join + per-candidate cosine,
+    no corpus shuffle, no pair materialization beyond the (corpus row,
+    eval item) candidates the buckets admit (expected |C|·|E|·(bits+1)
+    / 2^bits). Only contaminated ids shuffle for the distinct; the
+    anti-join AQE-broadcasts when the contaminated set is small."""
+    evec = evalset.select(
+        _as_double(F.col(vector_col)).alias("__ev")
+    ).withColumn("__en", _norm(F.col("__ev")))
+    b0 = sign_bucket(F.col("__ev"), bits)
+    ebkt = evec.select(
+        F.explode(
+            F.array(b0, *[b0.bitwiseXOR(F.lit(1 << i)) for i in range(bits)])
+        ).alias("__bkt"),
+        "__ev",
+        "__en",
+    )
+    cvec = (
+        corpus.select(F.col(id_col), _as_double(F.col(vector_col)).alias("__cv"))
+        .withColumn("__cn", _norm(F.col("__cv")))
+        .withColumn("__bkt", sign_bucket(F.col("__cv"), bits))
+    )
+    cos = F.round(
+        _dot(F.col("__cv"), F.col("__ev")) / (F.col("__cn") * F.col("__en")), 6
+    )
+    contaminated = (
+        cvec.join(F.broadcast(ebkt), "__bkt")
+        .filter(cos >= F.lit(threshold))
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 def assign_cells(
     df: DataFrame,
     centroids: DataFrame,
