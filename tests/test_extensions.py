@@ -5802,3 +5802,46 @@ def test_semantic_decontaminate_plan_broadcast_eval_no_corpus_shuffle(spark, sf_
     tree = tree_of(plan_of(spark, ALL["x3_semantic_decontaminate"](spark, sf_dir)))
     assert "BroadcastHashJoin" in tree, tree
     assert "hashpartitioning(__bkt" not in tree, tree
+
+
+def test_audio_windows_any_dispatch_and_error_contract(spark):
+    """audio_windows_any: identical signals through WAV and FLAC yield
+    identical window hashes (the dispatch decodes both losslessly);
+    unknown magic and >16-bit FLAC raise AudioDecodeError through the
+    Arrow pass rather than silently truncating."""
+    import numpy as np
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from wwwision_importservice_spark.operators.audiocodec import encode_wav
+    from wwwision_importservice_spark.operators.flaccodec import encode_flac
+    from wwwision_importservice_spark.operators.multimodal import (
+        audio_windows_any,
+    )
+
+    sig = np.frombuffer(b"\x01\x02\x03\x04" * 50, dtype="<i2")
+    blobs = spark.createDataFrame(
+        [(1, bytearray(encode_wav(sig, 8000))),
+         (2, bytearray(encode_flac(sig.astype(np.int64), 8000, block_size=25)))],
+        ["doc_id", "blob"],
+    )
+    rows = audio_windows_any(blobs, "doc_id", window_s=0.005).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["window_index"], r["window_sha"], r["container"])
+        )
+    assert {c for _, _, c in by_doc[1]} == {"wav"}
+    assert {c for _, _, c in by_doc[2]} == {"flac"}
+    assert [h for _, h, _ in sorted(by_doc[1])] == [
+        h for _, h, _ in sorted(by_doc[2])
+    ]
+
+    bad = spark.createDataFrame([(3, bytearray(b"MP3?" + b"\x00" * 64))],
+                                ["doc_id", "blob"])
+    with pytest.raises(PythonException, match="unrecognized audio magic"):
+        audio_windows_any(bad, "doc_id").collect()
+
+    deep = encode_flac(np.array([100000, -100000, 5], np.int64), 8000, bps=24)
+    deep_df = spark.createDataFrame([(4, bytearray(deep))], ["doc_id", "blob"])
+    with pytest.raises(PythonException, match="exceed int16"):
+        audio_windows_any(deep_df, "doc_id").collect()

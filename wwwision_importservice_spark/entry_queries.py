@@ -5112,6 +5112,78 @@ def x4_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(kernel, schema=out_schema)
 
 
+@_register(
+    "x4_audio_sniff_windows",
+    # mixed-container corpus under ONE oracle: every doc carries the
+    # SAME md5-derived mono int16 signal, packaged as RIFF WAV for even
+    # ids and FLAC (rice-coded, 32-frame blocks) for odd — so identical
+    # window hashes across containers prove the sniff-dispatch decodes
+    # both losslessly, and the container column pins which codec ran.
+    f"""
+SELECT doc_id,
+       CAST(i AS INT) AS window_index,
+       CAST(5 * i AS BIGINT) AS start_ms,
+       CAST(least(40, n - 40 * i) AS INT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS container,
+       sha256(substr(repeat(md5(CAST(doc_id AS VARCHAR)), 18),
+                     1 + 160 * i, least(160, 4 * n - 160 * i))) AS window_sha
+FROM (
+  SELECT doc_id, 40 + {_H60("CAST(doc_id AS VARCHAR)")} % 100 AS n
+  FROM documents
+), unnest(range(0, CAST(ceil(n / 40.0) AS BIGINT))) AS t(i)
+""",
+    driver=False,  # pytest tier: x4_flac_decode carries the FLAC
+    # driver slot; this row pins the mixed-corpus dispatch surface (r11)
+)
+def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — mixed-container audio windowing
+    (``operators/multimodal.py:audio_windows_any``): per document the
+    same md5-derived int16 signal is packaged as a real WAV (even ids)
+    or a real rice-coded FLAC (odd ids); the kernel sniffs each blob's
+    magic, decodes through the matching pure codec, and windows at
+    5 ms — identical window hashes across containers under one md5-
+    arithmetic oracle prove the dispatch, and the ``container`` column
+    pins which codec ran. One Arrow pass, no shuffle."""
+    from wwwision_importservice_spark.operators.multimodal import (
+        _codec_importer,
+        audio_windows_any,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
+    import_wav = _codec_importer("audiocodec")
+    import_flac = _codec_importer("flaccodec")
+
+    def synth(it):
+        import hashlib as _hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        wavc = import_wav()
+        flacc = import_flac()
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mh = _hashlib.md5(str(did).encode()).hexdigest()
+                n = 40 + int(mh[:15], 16) % 100
+                samples = np.frombuffer(
+                    bytes.fromhex((mh * 18)[: 4 * n]), dtype="<i2"
+                )
+                if did % 2 == 0:
+                    blob = wavc.encode_wav(samples, 8000)
+                else:
+                    blob = flacc.encode_flac(
+                        samples.astype(np.int64), 8000, block_size=32
+                    )
+                rows.append((did, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    blobs = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return audio_windows_any(blobs, "doc_id", window_s=0.005)
+
+
 # --------------------------------------------------------------------------- #
 # Streaming window operators, oracle-checked in batch mode (the SAME
 # tumbling/sliding/session code path serves readStream frames; SURVEY §2.8)

@@ -482,6 +482,87 @@ def audio_windows_wav(
     return df.select(id_col, blob_col).mapInPandas(batches, schema=out_schema)
 
 
+def audio_windows_any(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str = "blob",
+    window_s: float = 0.005,
+) -> DataFrame:
+    """Mixed-container audio windowing (r11): per blob, sniff the magic
+    — ``RIFF…WAVE`` → :mod:`~wwwision_importservice_spark.operators.
+    audiocodec`, ``fLaC`` → :mod:`~wwwision_importservice_spark.
+    operators.flaccodec` — decode with the matching pure codec, and
+    emit the SAME window contract as :func:`audio_windows_wav` plus a
+    ``container`` column, so a crawl's mixed audio needs no pre-split
+    by format. FLAC streams must carry ≤16-bit samples (the window
+    content-address is int16-LE hex across the family); deeper streams
+    raise ``AudioDecodeError`` rather than silently truncating.
+
+    Scale shape identical to the per-format kernels: one Arrow
+    ``mapInPandas`` pass, per-file CPU, no shuffle, hash-only output
+    rows."""
+    out_schema = (
+        f"{id_col} long, window_index int, start_ms long, n_samples int, "
+        "sample_rate int, container string, window_sha string"
+    )
+    import_wav = _codec_importer("audiocodec")
+    import_flac = _codec_importer("flaccodec")
+    win_s = float(window_s)
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        wavc = import_wav()
+        flacc = import_flac()
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(blob)
+                if wavc.sniff_wav(data):
+                    arr, sr = wavc.decode_wav(data)
+                    container = "wav"
+                elif flacc.sniff_flac(data):
+                    arr, sr = flacc.decode_flac(data)
+                    if arr.size and (arr.max() > 32767 or arr.min() < -32768):
+                        raise wavc.AudioDecodeError(
+                            "FLAC samples exceed int16; the window "
+                            "content-address is 16-bit — filter by depth first"
+                        )
+                    container = "flac"
+                else:
+                    raise wavc.AudioDecodeError(
+                        f"unrecognized audio magic {data[:4]!r}"
+                    )
+                wlen = max(1, int(round(sr * win_s)))
+                n = arr.shape[0]
+                for i in range(max(1, -(-n // wlen))):
+                    win = arr[i * wlen : (i + 1) * wlen]
+                    rows.append(
+                        (
+                            rid,
+                            i,
+                            i * wlen * 1000 // sr,
+                            win.shape[0],
+                            sr,
+                            container,
+                            _hashlib.sha256(
+                                win.astype("<i2").tobytes().hex().encode()
+                            ).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "window_index", "start_ms", "n_samples",
+                    "sample_rate", "container", "window_sha",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema=out_schema)
+
+
 def sample_frames_png_stream(
     df: DataFrame,
     id_col: str,
