@@ -119,8 +119,13 @@ def test_topk_truncates_before_shuffle(spark, sf_dir):
 
 
 def test_ivf_centroid_join_broadcasts(spark, sf_dir):
-    """X3 IVF: both cell assignments broadcast the centroid table."""
-    tree = tree_of(plan_of(spark, QUERIES["x3_ann_ivf_topk"](spark, sf_dir)))
+    """X3 IVF: both cell assignments broadcast the centroid table.
+    Looked up through the merged registry so tier rotations (the row
+    went pytest-tier in the r10→r11 window) can't break the pin."""
+    from wwwision_importservice_spark.entry_queries import PYTEST_QUERIES
+
+    ALL = {**QUERIES, **PYTEST_QUERIES}
+    tree = tree_of(plan_of(spark, ALL["x3_ann_ivf_topk"](spark, sf_dir)))
     assert tree.count("BroadcastNestedLoopJoin") >= 2, tree
 
 
