@@ -5,9 +5,13 @@ repo's operators over the driver testdata:
 
     raw documents
       → exact dedup            (X1: drop byte-identical bodies)
-      → decontamination        (X2: drop every doc whose text appears in
-                                the eval set — exact semantics at Bloom
-                                cost via bloom_verified_anti_join)
+      → decontamination trio   (X2/X3: exact-key at Bloom cost via
+                                bloom_verified_anti_join; 13-gram
+                                overlap via ngram_decontaminate; and —
+                                when an embedding side-table is given —
+                                semantic near-matches via
+                                semantic_contaminated_ids, catching the
+                                paraphrases the lexical forms miss)
       → near-dup canonicals    (X2: MinHash-LSH → connected components,
                                 keep one doc per cluster)
       → span dedup             (X2: strip corpus-wide repeated 4-word
@@ -68,6 +72,10 @@ from wwwision_importservice_spark.operators.dedup import (  # noqa: E402
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures_inline,
+    ngram_decontaminate,
+)
+from wwwision_importservice_spark.operators.similarity import (  # noqa: E402
+    semantic_contaminated_ids,
 )
 from wwwision_importservice_spark.operators.bpe import (  # noqa: E402
     bpe_encode,
@@ -112,9 +120,20 @@ def curate(
     budgets=None,
     total_budget=4000,
     bpe_merges=None,
+    eval_ngram_n=None,
+    embeddings_df=None,
+    semantic_threshold=0.9,
 ):
     """``eval_df`` (optional): documents-shaped frame whose TEXTS are
-    scrubbed from the corpus (benchmark decontamination). ``dsir_target``
+    scrubbed from the corpus (benchmark decontamination).
+    ``eval_ngram_n`` (optional, needs ``eval_df``): additionally drop
+    docs sharing any word n-gram with the eval set — the GPT-3-style
+    fragment-level filter the exact-key form can't express.
+    ``embeddings_df`` (optional, needs ``eval_df``): an embedding side
+    table keyed ``(vec_id == doc_id, embedding)``; docs whose vector
+    has cosine ≥ ``semantic_threshold`` to any eval doc's vector under
+    the sign-LSH candidate rule are dropped too — the paraphrase case
+    neither lexical form catches. ``dsir_target``
     (optional): documents-shaped trusted corpus; when given, the
     language-gated corpus is importance-resampled down to ``dsir_k``
     docs whose hashed-n-gram profile matches it before mixing.
@@ -139,6 +158,26 @@ def curate(
     if eval_df is not None:
         bloom = build_bloom_filter(eval_df, "text", fpp=0.01)
         deduped = bloom_verified_anti_join(deduped, bloom, eval_df, "text")
+        # X2n — fragment-level: any shared word n-gram disqualifies
+        if eval_ngram_n is not None:
+            deduped = ngram_decontaminate(
+                deduped, eval_df, "doc_id", "text", n=eval_ngram_n
+            )
+        # X3 — semantic: embedding near-matches to eval items (vectors
+        # live in a side table keyed by the doc id, so the contaminated
+        # ID SET anti-joins the document frame directly — docs without
+        # a vector are unaffected)
+        if embeddings_df is not None:
+            eval_vecs = embeddings_df.join(
+                eval_df.select(F.col("doc_id").alias("vec_id")),
+                "vec_id",
+                "left_semi",
+            )
+            sem_ids = semantic_contaminated_ids(
+                embeddings_df, eval_vecs, "vec_id", "embedding",
+                threshold=semantic_threshold,
+            ).withColumnRenamed("vec_id", "doc_id")
+            deduped = deduped.join(sem_ids, "doc_id", "left_anti")
 
     # X2 — near-dup canonicals: LSH pairs → components → keep cluster min
     sig = minhash_signatures_inline(deduped, "doc_id", "text", n=3, num_hashes=16)

@@ -1942,6 +1942,7 @@ def test_corpus_pipeline_example_runs(spark, sf_dir, tmp_path):
     spec.loader.exec_module(mod)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     eval_df = docs.filter(F.col("doc_id") % 97 == 0)
     budgets = {"src0": 1200, "src1": 1200, "src2": 800, "src3": 800}
     packed = mod.curate(
@@ -1951,6 +1952,8 @@ def test_corpus_pipeline_example_runs(spark, sf_dir, tmp_path):
         dsir_target=docs.filter(F.col("lang") == "en"),
         dsir_k=420,
         budgets=budgets,
+        eval_ngram_n=13,
+        embeddings_df=emb,
     )
     rows = packed.select(
         "doc_id", "source", "detected_lang", "split", "n_tokens"
@@ -1962,7 +1965,15 @@ def test_corpus_pipeline_example_runs(spark, sf_dir, tmp_path):
     contaminated = {
         r["doc_id"] for r in docs.collect() if r["text"] in eval_texts
     }
-    assert not (kept_ids & contaminated)  # decontamination held
+    assert not (kept_ids & contaminated)  # exact decontamination held
+    # the 13-gram stage held too: a doc sharing ANY 13-gram with the
+    # eval texts (the string-gram model mirrors the hashed semantics)
+    eval_grams = set().union(*(_ngram_model(t, 13) for t in eval_texts))
+    gram_contaminated = {
+        r["doc_id"] for r in docs.collect()
+        if _ngram_model(r["text"], 13) & eval_grams
+    }
+    assert not (kept_ids & gram_contaminated)
     # the language gate ran: nothing undetermined survives
     assert all(r["detected_lang"] != "und" for r in rows)
     by_src = {}

@@ -398,6 +398,25 @@ def semantic_decontaminate(
     eval item) candidates the buckets admit (expected |C|·|E|·(bits+1)
     / 2^bits). Only contaminated ids shuffle for the distinct; the
     anti-join AQE-broadcasts when the contaminated set is small."""
+    contaminated = semantic_contaminated_ids(
+        corpus, evalset, id_col, vector_col, threshold, bits
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
+def semantic_contaminated_ids(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    id_col: str,
+    vector_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 8,
+) -> DataFrame:
+    """The distinct ids :func:`semantic_decontaminate` would drop —
+    exposed separately so pipelines whose embeddings live in a SIDE
+    table (vectors keyed by the doc id, not a column of the corpus
+    frame) can anti-join the id set against the document frame without
+    round-tripping through the vector frame twice."""
     evec = evalset.select(
         _as_double(F.col(vector_col)).alias("__ev")
     ).withColumn("__en", _norm(F.col("__ev")))
@@ -417,13 +436,12 @@ def semantic_decontaminate(
     cos = F.round(
         _dot(F.col("__cv"), F.col("__ev")) / (F.col("__cn") * F.col("__en")), 6
     )
-    contaminated = (
+    return (
         cvec.join(F.broadcast(ebkt), "__bkt")
         .filter(cos >= F.lit(threshold))
         .select(id_col)
         .distinct()
     )
-    return corpus.join(contaminated, id_col, "left_anti")
 
 
 def assign_cells(
