@@ -5866,3 +5866,36 @@ def test_audio_windows_any_dispatch_and_error_contract(spark):
     deep_df = spark.createDataFrame([(4, bytearray(deep))], ["doc_id", "blob"])
     with pytest.raises(PythonException, match="exceed int16"):
         audio_windows_any(deep_df, "doc_id").collect()
+
+
+def test_multimodal_sizing_file_sample_bounded_and_unbiased(spark, tmp_path, monkeypatch):
+    """File-backed corpora (r11 review catch): the sizing sample must
+    not materialize the blob column corpus-wide — a per-row hash filter
+    is not pushable to parquet. Instead a CLUSTER sample reads whole
+    files chosen by md5-rank over the path list. 20 size-stratified
+    files (small blobs in the first files, large in the last — the
+    crawl shape): the md5-ranked file choice is position-independent,
+    so the estimate tracks the cross-file mean, not the head files."""
+    from wwwision_importservice_spark.operators import multimodal as mm
+
+    # 500 -> k = 10 of 20 files sampled. Parquet part names carry UUIDs,
+    # so the md5 rank is effectively a fresh random subset per run: with
+    # 10 of 20 files the worst plausible split (2 small / 8 large or
+    # vice versa) still lands inside the asserted range, and an
+    # all-one-half draw is ~5e-6.
+    monkeypatch.setattr(mm, "_SIZING_SAMPLE_ROWS", 500)
+    src = str(tmp_path / "blobs")
+    for f in range(20):
+        size = 10 if f < 10 else 1000  # head files tiny, tail files big
+        rows = [(f * 50 + i, bytearray(b"x" * size)) for i in range(50)]
+        spark.createDataFrame(rows, "doc_id long, blob binary").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    blobs = spark.read.parquet(src)
+    # true mean 505 bytes; 5050 bytes/part -> 10 rows/part -> 100 parts.
+    # A head-files-only sample would estimate 10 bytes -> 505 rows/part
+    # -> 1 partition.
+    meta = mm.decode_metadata(blobs, "doc_id", target_partition_bytes=5050)
+    nparts = meta.rdd.getNumPartitions()
+    assert 40 <= nparts <= 250, f"biased sizing: {nparts} partitions"
+    assert meta.count() == 1000

@@ -314,3 +314,26 @@ def test_flac_decode_throughput_regression():
     took = time.perf_counter() - start
     assert np.array_equal(out[:, 0], sig)
     assert took < 10.0, f"decode took {took:.1f}s for 100k samples"
+
+
+def test_flac_high_and_off_table_sample_rates_roundtrip():
+    """r11 review catches: rates above 65535 Hz must NOT be masked into
+    the 16-bit frame-header field — code 14 (daHz) or the 20-bit
+    STREAMINFO (code 0) carry them exactly."""
+    sig = _signal(300)
+    for rate in [100_000, 192_001, 655_350, 12345, 1_000_000]:
+        out, got = decode_flac(encode_flac(sig, rate))
+        assert got == rate, (rate, got)
+        assert np.array_equal(out[:, 0], sig)
+
+
+def test_flac_forced_escape_width_validated():
+    """force_escape_bits too narrow for the residuals raises instead of
+    silently masking them into a corrupt (but CRC-valid) stream."""
+    sig = _signal(512)  # order-2 residuals of +/-3000-range need ~15 bits
+    with pytest.raises(ValueError, match="escape width"):
+        encode_flac(sig, 8000, method="fixed2", force_escape_bits=8)
+    out, _ = decode_flac(
+        encode_flac(sig, 8000, method="fixed2", force_escape_bits=16)
+    )
+    assert np.array_equal(out[:, 0], sig)

@@ -532,3 +532,22 @@ def test_progressive_mutation_fuzz_error_contract():
             except Exception as exc:  # noqa: BLE001 — the assertion itself
                 escapes.append((type(exc).__name__, str(exc)[:60]))
     assert not escapes, escapes[:5]
+
+
+def test_sos_zero_components_rejected_typed():
+    """Regression (r11 review catch): SOS with ns=0 under a progressive
+    header reached units() with an empty member list and raised a bare
+    IndexError — outside the fake/strict policy's typed contract. Both
+    process types must reject it as ImageDecodeError."""
+    import numpy as np
+
+    for progressive in (False, True):
+        blob = bytearray(encode_jpeg(
+            np.full((8, 8, 3), 130, np.uint8), quality=50,
+            progressive=progressive,
+        ))
+        i = blob.find(b"\xff\xda")
+        assert i > 0
+        blob[i + 4] = 0  # Ns byte
+        with pytest.raises(ImageDecodeError, match="component count"):
+            decode_jpeg(bytes(blob))

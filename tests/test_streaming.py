@@ -1620,3 +1620,39 @@ def test_stats_hook_chains_with_near_dup_gate(spark, tmp_path):
     q = sketch_quantile_values(
         merged_quantiles(spark, store, spec), [1.0]).collect()[0]
     assert q["n_rows"] == 5
+
+
+def test_near_dup_gate_stats_with_compaction_does_not_crash(spark, tmp_path):
+    """Regression (r11 review catch): stats= and compact_every= together
+    crashed every compaction batch — the stats block's index.count()
+    ran AFTER compact_index had replaced the files its resolved listing
+    pointed at (FILE_NOT_EXIST), and foreachBatch's retry re-compacted
+    into the same crash, wedging the stream. Stats now close before
+    compaction and carry a ``compacted`` flag."""
+    from wwwision_importservice_spark.streaming.neardup import near_dup_gate
+
+    stats: dict = {}
+    gate = near_dup_gate(
+        str(tmp_path / "idx"),
+        lambda df, bid: df.collect(),
+        n=3,
+        compact_every=2,
+        stats=stats,
+    )
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a completely different second document about query engines",
+        "yet another third document with novel words throughout it",
+        "and a fourth one to force a second compaction window here",
+    ]
+    for b, t in enumerate(texts):
+        gate(
+            spark.createDataFrame([(b, t)], "doc_id long, text string"), b
+        )  # batches 1 and 3 fire compaction; pre-fix both crashed
+    batches = stats["batches"]
+    assert [e["batch_id"] for e in batches] == [0, 1, 2, 3]
+    assert [e["compacted"] for e in batches] == [False, True, False, True]
+    assert all(e["index_rows"] >= 0 and e["secs"] > 0 for e in batches)
+    # index_rows is the PRE-batch index size: batch 0 bootstraps at 0
+    assert batches[0]["index_rows"] == 0
+    assert batches[1]["index_rows"] > 0

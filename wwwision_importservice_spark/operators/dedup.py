@@ -1385,12 +1385,16 @@ def ngram_decontaminate(
     N-grams travel as fixed-width longs end to end; no gram strings
     are materialized on either side."""
     ref_text_col = text_col if ref_text_col is None else ref_text_col
+    # distinct=False on the shingle pass: the per-(id, shingle) distinct
+    # would duplicate the .distinct() below over the same set (one
+    # redundant shuffle per call — r11 review catch); one aggregate
+    # dedups the gram set directly
     ref_grams = (
         hashed_word_shingles(
             ref.select(
                 F.lit(0).alias("__refid"), F.col(ref_text_col).alias("__reftext")
             ),
-            "__refid", "__reftext", n=n,
+            "__refid", "__reftext", n=n, distinct=False,
         )
         .select("shingle")
         .distinct()
@@ -1421,12 +1425,16 @@ def ngram_contamination_report(
     needed here (hit counting), so this is the costlier query and
     exists for audits, not the hot path."""
     ref_text_col = text_col if ref_text_col is None else ref_text_col
+    # distinct=False on the shingle pass: the per-(id, shingle) distinct
+    # would duplicate the .distinct() below over the same set (one
+    # redundant shuffle per call — r11 review catch); one aggregate
+    # dedups the gram set directly
     ref_grams = (
         hashed_word_shingles(
             ref.select(
                 F.lit(0).alias("__refid"), F.col(ref_text_col).alias("__reftext")
             ),
-            "__refid", "__reftext", n=n,
+            "__refid", "__reftext", n=n, distinct=False,
         )
         .select("shingle")
         .distinct()

@@ -657,6 +657,13 @@ def _write_residual(
         part = resid[idx : idx + cnt]
         idx += cnt
         if force_escape_bits is not None:
+            lo = -(1 << (force_escape_bits - 1))
+            hi = (1 << (force_escape_bits - 1)) - 1
+            if len(part) and (part.min() < lo or part.max() > hi):
+                raise ValueError(
+                    f"residuals do not fit the forced {force_escape_bits}-bit "
+                    "escape width — _BitWriter would silently mask them"
+                )
             bw.write((1 << pbits) - 1, pbits)
             bw.write(force_escape_bits, 5)
             for v in part.tolist():
@@ -811,6 +818,19 @@ def encode_flac(
     sr_code = next(
         (c for c, r in _SAMPLE_RATES.items() if r == sample_rate), None
     )
+    if sr_code is None:
+        # off-table rates: 16-bit Hz (code 13) when they fit, 16-bit
+        # daHz (code 14) for multiples of 10, else defer to the 20-bit
+        # STREAMINFO field (code 0) — code 13 with a >65535 rate would
+        # silently mask to 16 bits (r11 review catch)
+        if sample_rate <= 0xFFFF:
+            sr_code, sr_field = 13, sample_rate
+        elif sample_rate % 10 == 0 and sample_rate // 10 <= 0xFFFF:
+            sr_code, sr_field = 14, sample_rate // 10
+        else:
+            sr_code, sr_field = 0, None
+    else:
+        sr_field = None
     for frame_no, start in enumerate(range(0, n, block_size)):
         blk = arr[start : start + block_size]
         bs = len(blk)
@@ -822,7 +842,7 @@ def encode_flac(
             (c for c, v in _BLOCK_SIZES.items() if v == bs), 7 if bs > 256 else 6
         )
         bw.write(bs_code, 4)
-        bw.write(sr_code if sr_code is not None else 13, 4)
+        bw.write(sr_code, 4)
         if stereo == "independent":
             ch_code = channels - 1
         else:
@@ -836,8 +856,8 @@ def encode_flac(
             bw.write(bs - 1, 8)
         elif bs_code == 7:
             bw.write(bs - 1, 16)
-        if sr_code is None:
-            bw.write(sample_rate, 16)
+        if sr_field is not None:
+            bw.write(sr_field, 16)
         bw.align()
         hdr = bw.getvalue()
         bw2 = _BitWriter()

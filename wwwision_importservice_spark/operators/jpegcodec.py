@@ -879,6 +879,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if not body:
                 raise ImageDecodeError("JPEG: truncated SOS")
             ns = body[0]
+            if not 1 <= ns <= 4:
+                # T.81 B.2.3: 1 <= Ns <= 4. ns=0 would reach the
+                # progressive units() with an empty member list and die
+                # on a bare IndexError instead of the typed error the
+                # fake/strict policy catches (r11 review catch).
+                raise ImageDecodeError(f"JPEG: invalid SOS component count {ns}")
             if len(body) < 1 + 2 * ns + 3:
                 raise ImageDecodeError("JPEG: truncated SOS component list")
             scan_sel = {}

