@@ -551,3 +551,23 @@ def test_sos_zero_components_rejected_typed():
         blob[i + 4] = 0  # Ns byte
         with pytest.raises(ImageDecodeError, match="component count"):
             decode_jpeg(bytes(blob))
+
+
+def test_progressive_decode_bytes_per_pixel_budget():
+    """Progressive necessarily holds the whole int64 coefficient store
+    across scans (24 B/px at 4:4:4) on top of the shared finalize tail
+    — measured 44.2 B/px with the dezigzag done stripe-at-a-time
+    inside the IDCT loop (r11 review catch: a whole-plane dezigzag
+    temp doubled the store, +24 B/px → ~68, measured). Pin at 52 B/px
+    so a reintroduced full-plane transient fails loudly."""
+    import tracemalloc
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (256, 256, 3), dtype=np.uint8)
+    blob = encode_jpeg(arr, quality=75, subsampling="444", progressive=True)
+    decode_jpeg(blob)  # warm numpy internals out of the trace
+    tracemalloc.start()
+    decode_jpeg(blob)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 256 * 256 * 52, f"peak {peak} = {peak/65536:.1f} B/px"

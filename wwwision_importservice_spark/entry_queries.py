@@ -3459,13 +3459,18 @@ def x6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     # r11: budgets are TOKENIZER-TRUE — counts come from the frozen
-    # PINNED_MERGES BPE encode (one Arrow pass over the canon slice),
-    # matching examples/corpus_pipeline.py's BPE-true budgets; the
-    # oracle re-derives the same counts via the replace-chain fragment
+    # PINNED_MERGES BPE encode, matching examples/corpus_pipeline.py's
+    # BPE-true budgets; the oracle re-derives the same counts via the
+    # replace-chain fragment. The encode runs over the PICKED docs only
+    # (r11 review catch): the Arrow replace-chain is the chain's
+    # heaviest per-row stage and Catalyst cannot prune through
+    # mapInPandas, so tokenizing all of canon just to inner-join down
+    # to 150 rows paid the whole slice for nothing — per-doc counts are
+    # intrinsic, so semi-joining first changes no value.
+    picked_docs = canon.join(picked, "doc_id", "left_semi")
     counted = (
-        canon.join(picked, "doc_id", "left_semi")
-        .join(
-            bpe_token_count(canon, _BPE_MERGES, "doc_id").select(
+        picked_docs.join(
+            bpe_token_count(picked_docs, _BPE_MERGES, "doc_id").select(
                 "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_tokens")
             ),
             "doc_id",

@@ -1294,11 +1294,15 @@ def _finalize_progressive(frame, comps, geom, store, qt):
         q = qt[c["tq"]].reshape(8, 8).astype(np.float64)
         zzs = store[ci]
         bh, bw = zzs.shape[:2]
-        nat = np.zeros_like(zzs)
-        nat[:, :, ZIGZAG] = zzs
         plane = np.empty((bh * 8, bw * 8), dtype=np.float32)
         for row in range(bh):
-            m = nat[row].reshape(bw, 8, 8).astype(np.float64) * q
+            # dezigzag INSIDE the stripe loop (r11 review catch): a
+            # whole-plane `nat` would be a second full int64 store —
+            # ~another 770 MB transient at the 64M-px ceiling — exactly
+            # what the stripe-at-a-time rationale above exists to avoid
+            nat_row = np.zeros_like(zzs[row])
+            nat_row[:, ZIGZAG] = zzs[row]
+            m = nat_row.reshape(bw, 8, 8).astype(np.float64) * q
             # batched matmul in the SAME association as the baseline
             # per-block (C.T @ M) @ C — bit-identical float64 results,
             # so progressive and baseline decodes of equal coefficients
