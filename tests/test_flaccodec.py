@@ -290,7 +290,7 @@ def test_flac_mutation_fuzz_error_contract():
     base = encode_flac(_signal(400), 8000, block_size=200)
     rng = random.Random(0xF1AC)
     outcomes = {"ok": 0, "rejected": 0}
-    for _ in range(300):
+    for _ in range(1000):  # image-family depth (r11; was 300)
         blob = mutate_blob(rng, base)
         try:
             out, rate = decode_flac(bytes(blob))
@@ -300,7 +300,7 @@ def test_flac_mutation_fuzz_error_contract():
             outcomes["rejected"] += 1
     # CRC-8 + CRC-16 + MD5 should catch essentially every mutation that
     # touches frame bytes; mutations in skippable regions may survive
-    assert outcomes["rejected"] > 200, outcomes
+    assert outcomes["rejected"] > 700, outcomes
 
 
 def test_flac_decode_throughput_regression():
