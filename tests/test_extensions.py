@@ -5899,3 +5899,43 @@ def test_multimodal_sizing_file_sample_bounded_and_unbiased(spark, tmp_path, mon
     nparts = meta.rdd.getNumPartitions()
     assert 40 <= nparts <= 250, f"biased sizing: {nparts} partitions"
     assert meta.count() == 1000
+
+
+def test_media_metadata_kinds_and_policy(spark):
+    """media_metadata edges: animated GIF reports its real frame count,
+    unknown magic takes the fake/strict policy, and the payload
+    content-address is container-independent (same samples through WAV
+    and FLAC hash identically)."""
+    import numpy as np
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from wwwision_importservice_spark.operators.audiocodec import encode_wav
+    from wwwision_importservice_spark.operators.flaccodec import encode_flac
+    from wwwision_importservice_spark.operators.imagecodec import encode_gif
+    from wwwision_importservice_spark.operators.multimodal import media_metadata
+
+    sig = np.frombuffer(b"\x07\x01\x05\x03" * 60, dtype="<i2")
+    frames = [np.full((4, 5, 3), 40 * i, np.uint8) for i in range(3)]
+    rows = [
+        (1, bytearray(encode_wav(sig, 8000))),
+        (2, bytearray(encode_flac(sig.astype(np.int64), 8000))),
+        (3, bytearray(encode_gif(frames))),
+        (4, bytearray(b"??unknown-magic??" + b"\x00" * 32)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "blob"])
+    got = {r["doc_id"]: r.asDict() for r in media_metadata(df, "doc_id").collect()}
+    assert got[1]["kind"] == "audio" and got[1]["format"] == "wav"
+    assert got[2]["format"] == "flac" and got[2]["channels"] == 1
+    assert got[1]["payload_sha"] == got[2]["payload_sha"]  # container-free
+    assert got[1]["n_frames"] == got[2]["n_frames"] == len(sig)
+    assert got[3]["kind"] == "image" and got[3]["format"] == "gif"
+    assert got[3]["n_frames"] == 3 and got[3]["width"] == 5
+    assert got[3]["sample_rate"] is None
+    assert got[4]["kind"] == "unknown" and got[4]["format"] == "fake"
+    assert got[4]["n_bytes"] == len(rows[3][1])
+
+    with pytest.raises(PythonException, match="unrecognized media magic"):
+        media_metadata(
+            spark.createDataFrame([rows[3]], ["doc_id", "blob"]),
+            "doc_id", strict=True,
+        ).collect()

@@ -1647,6 +1647,38 @@ def x2_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x2_ngram_contamination_report",
+    # the audit feed for the driver row above: per contaminated doc,
+    # how many DISTINCT 13-grams it shares with the eval slice (the
+    # shingle fragment already emits DISTINCT (doc_id, shingle), so
+    # count(*) counts distinct shared grams)
+    f"""
+SELECT ds.doc_id, count(*) AS n_hits
+FROM ({_shingles_n_from("documents", 13)}) ds
+WHERE ds.shingle IN (
+  SELECT shingle FROM ({_shingles_n_from("documents WHERE doc_id % 97 = 0", 13)})
+)
+GROUP BY ds.doc_id
+""",
+    driver=False,  # pytest tier: the drop row x2_ngram_decontaminate
+    # holds the driver slot; this row pins what a curation run LOGS
+    # about the drops (r11)
+)
+def x2_ngram_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2n audit — per-document distinct shared-gram counts
+    (``operators/dedup.py:ngram_contamination_report``) under the same
+    eval slice as ``x2_ngram_decontaminate``; same broadcast-semi
+    shape, plus the per-doc distinct that hit counting needs."""
+    from wwwision_importservice_spark.operators.dedup import (
+        ngram_contamination_report,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True)
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    return ngram_contamination_report(docs, evalset, "doc_id", "text", n=13)
+
+
 @_register("x2_minhash_lsh_pairs", _PAIRS_SQL)
 def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — near-duplicate candidate pairs via MinHash (16 md5-seeded
@@ -5187,6 +5219,124 @@ def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = docs.mapInPandas(synth, schema="doc_id long, blob binary")
     return audio_windows_any(blobs, "doc_id", window_s=0.005)
+
+
+@_register(
+    "x4_media_metadata",
+    # one mixed-modality corpus, four real containers, ONE oracle:
+    # doc_id % 4 picks PNG (md5-cycled 4x3 pixels), exact-gray q50
+    # baseline JPEG, mono WAV, or mono FLAC — the WAV and FLAC docs
+    # carry the SAME md5-derived sample series, so their payload_sha
+    # CASE arms are literally identical, pinning the cross-container
+    # content-address. Every numeric field and both payload families
+    # derive from md5 string arithmetic.
+    f"""
+SELECT doc_id,
+       CASE WHEN m < 2 THEN 'image' ELSE 'audio' END AS kind,
+       CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+              WHEN 2 THEN 'wav' ELSE 'flac' END AS format,
+       CAST(CASE m WHEN 0 THEN 4 WHEN 1 THEN 8 * bw END AS INT) AS width,
+       CAST(CASE m WHEN 0 THEN 3 WHEN 1 THEN 8 * bh END AS INT) AS height,
+       CAST(CASE WHEN m < 2 THEN 1 ELSE n END AS INT) AS n_frames,
+       CAST(CASE WHEN m >= 2 THEN 8000 END AS INT) AS sample_rate,
+       CAST(CASE WHEN m >= 2 THEN 1 END AS INT) AS channels,
+       CASE m
+         WHEN 0 THEN sha256(substr(repeat(mh, 3), 1, 72))
+         WHEN 1 THEN sha256(array_to_string(
+           list_transform(range(0, (8*bw)*(8*bh)), i ->
+             repeat(printf('%02x',
+                    gs[((i // (8*bw)) // 8) * bw + ((i % (8*bw)) // 8) + 1]),
+                    3)), ''))
+         ELSE sha256(substr(repeat(mh, 18), 1, 4 * n))
+       END AS payload_sha
+FROM (
+  SELECT doc_id, mh, doc_id % 4 AS m,
+         40 + b % 100 AS n, 2 + b % 3 AS bw, 2 + (b // 3) % 3 AS bh,
+         list_transform(range(0, (2 + b % 3) * (2 + (b // 3) % 3)), k ->
+           (CAST('0x' || substr(mh, 2*k+1, 2) AS INT) % 128) * 2) AS gs
+  FROM (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mh,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS b
+    FROM documents)
+)
+""",
+    driver=False,  # pytest tier (r11): the per-modality driver rows
+    # pin each codec; this row pins the unified sniff surface a mixed
+    # crawl routes on
+)
+def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — unified mixed-modality metadata
+    (``operators/multimodal.py:media_metadata``): one corpus whose
+    blobs are real PNG, baseline-JPEG, WAV, or FLAC files by
+    ``doc_id % 4``; the kernel sniffs each magic, decodes through the
+    matching pure codec, and emits one typed row — image dims, audio
+    frame/rate/channel counts, and a decoded-payload content-address
+    that is container-independent (the WAV and FLAC docs share one
+    sample series and must hash identically). The n_bytes column is
+    excluded from the oracle (compressed container sizes aren't SQL-
+    derivable); everything else is md5 arithmetic. One Arrow pass, no
+    shuffle."""
+    from wwwision_importservice_spark.operators.multimodal import (
+        _codec_importer,
+        media_metadata,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
+    import_img = _codec_importer()
+    import_jpeg = _codec_importer("jpegcodec")
+    import_wav = _codec_importer("audiocodec")
+    import_flac = _codec_importer("flaccodec")
+
+    def synth(it):
+        import hashlib as _hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        img = import_img()
+        jp = import_jpeg()
+        wavc = import_wav()
+        flacc = import_flac()
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mh = _hashlib.md5(str(did).encode()).hexdigest()
+                b = int(mh[:15], 16)
+                m = did % 4
+                if m == 0:
+                    px = np.frombuffer(
+                        bytes.fromhex((mh * 3)[:72]), dtype=np.uint8
+                    ).reshape(3, 4, 3)
+                    blob = img.encode_png(px)
+                elif m == 1:
+                    bw, bh = 2 + b % 3, 2 + (b // 3) % 3
+                    gs = [
+                        (int(mh[2 * k : 2 * k + 2], 16) % 128) * 2
+                        for k in range(bw * bh)
+                    ]
+                    grid = np.array(gs, np.uint8).reshape(bh, bw)
+                    arr = np.repeat(
+                        np.repeat(grid, 8, 0), 8, 1
+                    )[:, :, None].repeat(3, 2)
+                    blob = jp.encode_jpeg(arr, quality=50, subsampling="444")
+                else:
+                    n = 40 + b % 100
+                    samples = np.frombuffer(
+                        bytes.fromhex((mh * 18)[: 4 * n]), dtype="<i2"
+                    )
+                    if m == 2:
+                        blob = wavc.encode_wav(samples, 8000)
+                    else:
+                        blob = flacc.encode_flac(
+                            samples.astype(np.int64), 8000, block_size=32
+                        )
+                rows.append((did, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    blobs = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    return media_metadata(blobs, "doc_id").drop("n_bytes")
 
 
 # --------------------------------------------------------------------------- #

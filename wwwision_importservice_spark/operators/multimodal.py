@@ -445,6 +445,113 @@ def audio_windows(
     )
 
 
+MEDIA_METADATA_SCHEMA = (
+    "kind string, format string, width int, height int, n_frames int, "
+    "sample_rate int, channels int, n_bytes long, payload_sha string"
+)
+
+
+def media_metadata(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str = "blob",
+    strict: bool = False,
+) -> DataFrame:
+    """Unified MIXED-MODALITY metadata (r11): one Arrow pass that
+    sniffs each blob's magic — the five image containers
+    (BMP/PPM/PNG/GIF/JPEG incl. progressive) through the pure image
+    codecs, RIFF-WAV and FLAC through the audio codecs — decodes it
+    for real, and emits one typed row:
+
+    ``(id, kind, format, width, height, n_frames, sample_rate,
+    channels, n_bytes, payload_sha)``
+
+    Image rows carry width/height (+ the real frame count for animated
+    GIFs); audio rows carry n_frames/sample_rate/channels; the unused
+    fields are NULL. ``payload_sha`` content-addresses the DECODED
+    payload (RGB bytes / int16-LE samples, hex-sha256 — the same
+    convention as every x4 oracle row), so two containers of the same
+    underlying media hash identically. Unrecognized payloads follow
+    the image family's fake/strict policy: ``kind='unknown'`` with the
+    blob's own hex-sha256, or a typed error in strict mode.
+
+    Scale shape: one ``mapInPandas`` pass, per-file CPU, no shuffle —
+    the one scan a mixed crawl runs before routing by ``kind``."""
+    out_schema = f"{id_col} long, {MEDIA_METADATA_SCHEMA}"
+    import_img = _codec_importer()
+    import_wav = _codec_importer("audiocodec")
+    import_flac = _codec_importer("flaccodec")
+    be_strict = bool(strict)
+
+    def batches(it: Iterator) -> Iterator:
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        img = import_img()
+        wavc = import_wav()
+        flacc = import_flac()
+
+        def hex_sha(b: bytes) -> str:
+            return _hashlib.sha256(b.hex().encode()).hexdigest()
+
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(blob)
+                rid = int(rid)
+                if img.sniff_format(data) is not None:
+                    arr, fmt = img.decode_image(data)
+                    nf = len(img.decode_gif(data)) if fmt == "gif" else 1
+                    rows.append(
+                        (rid, "image", fmt, arr.shape[1], arr.shape[0], nf,
+                         None, None, len(data), hex_sha(arr.tobytes()))
+                    )
+                elif wavc.sniff_wav(data) or flacc.sniff_flac(data):
+                    if wavc.sniff_wav(data):
+                        arr, sr = wavc.decode_wav(data)
+                        fmt = "wav"
+                    else:
+                        arr, sr = flacc.decode_flac(data)
+                        fmt = "flac"
+                        if arr.size and (
+                            arr.max() > 32767 or arr.min() < -32768
+                        ):
+                            raise wavc.AudioDecodeError(
+                                "FLAC samples exceed int16; the payload "
+                                "content-address is 16-bit"
+                            )
+                    rows.append(
+                        (rid, "audio", fmt, None, None, arr.shape[0], sr,
+                         arr.shape[1], len(data),
+                         hex_sha(arr.astype("<i2").tobytes()))
+                    )
+                elif be_strict:
+                    raise img.ImageDecodeError(
+                        f"unrecognized media magic {data[:8]!r} (strict mode)"
+                    )
+                else:
+                    rows.append(
+                        (rid, "unknown", "fake", None, None, None, None,
+                         None, len(data), hex_sha(data))
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "kind", "format", "width", "height", "n_frames",
+                    "sample_rate", "channels", "n_bytes", "payload_sha",
+                ],
+            )
+            # nullable Int32: plain None in an int column degrades the
+            # dtype to float64 and Arrow refuses the NaN→int cast
+            yield out.astype(
+                {c: "Int32" for c in
+                 ("width", "height", "n_frames", "sample_rate", "channels")}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, schema=out_schema)
+
+
 def _make_window_emitter(win_s: float):
     """THE window-emission convention, one definition (r11 review
     catch: :func:`audio_windows_wav` and :func:`audio_windows_any` had
