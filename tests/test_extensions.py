@@ -5939,3 +5939,91 @@ def test_media_metadata_kinds_and_policy(spark):
             spark.createDataFrame([rows[3]], ["doc_id", "blob"]),
             "doc_id", strict=True,
         ).collect()
+
+
+def test_append_empty_first_batch_does_not_wedge_store(spark, tmp_path):
+    """Regression (r11 review catch): an empty FIRST batch left
+    data/batch_id=0 holding only _SUCCESS, and every later read of the
+    store (retry or follow-up batch) died on parquet schema inference —
+    the store was unusable until manually deleted. All store reads now
+    carry explicit schemas."""
+    from wwwision_importservice_spark.operators.packing import (
+        append_packed_shards,
+        verify_shards,
+    )
+
+    out = str(tmp_path / "store")
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    append_packed_shards(empty, out, 0, budget=64, shards=4)
+    # the store must accept a real batch afterwards
+    batch = spark.createDataFrame(
+        [(i, 10) for i in range(20)], "doc_id long, n_tokens long"
+    )
+    append_packed_shards(batch, out, 1, budget=64, shards=4)
+    v = verify_shards(spark, out)
+    assert v.count() > 0 and all(r["ok"] for r in v.collect())
+
+
+def test_write_packed_shards_empty_corpus_yields_empty_manifest(spark, tmp_path):
+    """A legitimately empty packed frame writes an empty (but valid)
+    store instead of crashing on staged-read schema inference."""
+    from wwwision_importservice_spark.operators.packing import (
+        verify_shards,
+        write_packed_shards,
+    )
+
+    out = str(tmp_path / "store")
+    empty = spark.createDataFrame(
+        [], "doc_id long, n_tokens long, shard long, pack_id long, "
+            "pack_offset long"
+    )
+    manifest = write_packed_shards(empty, out)
+    assert manifest.count() == 0
+    assert verify_shards(spark, out).count() == 0
+
+
+def test_verify_shards_missing_side_reports_not_raises(spark, tmp_path):
+    """The crash window between the two swaps leaves new-data with an
+    old/absent manifest — verify_shards must FLAG it (ok=false rows),
+    not raise (r11 review catch)."""
+    import shutil
+
+    from wwwision_importservice_spark.operators.packing import (
+        verify_shards,
+        write_packed_shards,
+    )
+
+    out = str(tmp_path / "store")
+    packed = spark.createDataFrame(
+        [(i, 10, i % 2, 0, (i // 2) * 10) for i in range(8)],
+        "doc_id long, n_tokens long, shard long, pack_id long, pack_offset long",
+    )
+    write_packed_shards(packed, out)
+    shutil.rmtree(out + "/manifest")  # the data-swapped / manifest-lost window
+    rows = verify_shards(spark, out).collect()
+    assert rows and all(not r["ok"] for r in rows)
+    shutil.rmtree(out + "/data")  # and the lost-data shape on a fresh store
+    write_packed_shards(packed, out)
+    shutil.rmtree(out + "/data")
+    rows = verify_shards(spark, out).collect()
+    assert rows and all(not r["ok"] for r in rows)
+
+
+def test_packers_validate_capacity_and_id_type(spark):
+    """budget=0 floor-divides into NULL pack ids under non-ANSI SQL and
+    a string id crashed pack_token_spans with a bare ValueError — both
+    now raise loudly (r11 review catches)."""
+    from wwwision_importservice_spark.operators.packing import (
+        append_packed_shards,
+        pack_token_spans,
+    )
+    from wwwision_importservice_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="budget >= 1"):
+        pack_sequences(df, "doc_id", "n_tokens", budget=0)
+    with pytest.raises(ValueError, match="budget >= 1"):
+        append_packed_shards(df, "/tmp/unused", 0, budget=0)
+    strs = spark.createDataFrame([("a", 10)], "doc_id string, n_tokens long")
+    with pytest.raises(TypeError, match="greedy_pack_bins"):
+        pack_token_spans(strs, "doc_id", "n_tokens", seq_len=8)

@@ -1656,3 +1656,68 @@ def test_near_dup_gate_stats_with_compaction_does_not_crash(spark, tmp_path):
     # index_rows is the PRE-batch index size: batch 0 bootstraps at 0
     assert batches[0]["index_rows"] == 0
     assert batches[1]["index_rows"] > 0
+
+
+def test_near_dup_gate_retry_completes_partial_band_rows(spark, tmp_path):
+    """Regression (r11 review catch): a retried half-applied batch's
+    docs are excluded from survivors, so only survivor bucket rows were
+    appended and a doc whose previous append committed only SOME band
+    files kept partial band coverage forever — a later near-dup
+    colliding only in an unwritten band would be silently admitted.
+    The gate now replays the missing (id, band, sig) rows."""
+    from wwwision_importservice_spark.operators.dedup import (
+        lsh_index,
+        minhash_signatures_inline,
+    )
+    from wwwision_importservice_spark.streaming.neardup import near_dup_gate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm windowsill and birds sing in the tall green trees"
+    )
+    idx = str(tmp_path / "idx")
+    df0 = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    sig = minhash_signatures_inline(df0, "doc_id", "text", n=3, num_hashes=16)
+    # the half-applied shape: only band 0's file committed
+    (
+        lsh_index(sig, "doc_id", num_hashes=16, bands=4)
+        .filter(F.col("band") == 0)
+        .withColumn("batch_id", F.lit(0).cast("long"))
+        .write.partitionBy("band").parquet(idx)
+    )
+
+    admitted: list = []
+    gate = near_dup_gate(
+        idx,
+        lambda df, bid: admitted.extend(r["doc_id"] for r in df.collect()),
+        n=3,
+    )
+    batch = spark.createDataFrame(
+        [(0, base), (5, "a completely unrelated fresh document about engines")],
+        "doc_id long, text string",
+    )
+    gate(batch, 1)
+    assert admitted == [5]  # re-sent doc suppressed, fresh doc admitted
+    back = spark.read.option("mergeSchema", "true").parquet(idx)
+    by_doc = {
+        did: {r["band"] for r in rows}
+        for did, rows in [
+            (0, back.filter(F.col("doc_id") == 0).collect()),
+            (5, back.filter(F.col("doc_id") == 5).collect()),
+        ]
+    }
+    assert by_doc[0] == {0, 1, 2, 3}, by_doc  # pre-fix: {0}
+    assert by_doc[5] == {0, 1, 2, 3}
+    # and no duplicate rows were appended for the band that existed
+    band0 = back.filter((F.col("doc_id") == 0) & (F.col("band") == 0))
+    assert band0.count() == band0.dropDuplicates(["doc_id", "band", "sig"]).count()
+
+
+def test_near_dup_gate_ttl_requires_compaction_cadence(spark, tmp_path):
+    """ttl_batches without compact_every would silently never evict —
+    the gate now rejects the combination at construction."""
+    from wwwision_importservice_spark.streaming.neardup import near_dup_gate
+
+    with pytest.raises(ValueError, match="compact_every"):
+        near_dup_gate(str(tmp_path / "idx"), lambda df, bid: None,
+                      ttl_batches=100)

@@ -250,5 +250,12 @@ def release_writer(
             f"{writer_id!r} — refusing to release another writer's claim"
         )
     fs, p = _fs_and_path(spark, marker)
-    fs.delete(p, False)
+    if not fs.delete(p, False):
+        # every other fsutil mutation checks the Hadoop boolean and
+        # raises (r11 review catch): returning True with the marker
+        # still on disk would let the operator repoint a new pipeline
+        # at a dir that is in fact still claimed
+        raise RuntimeError(
+            f"failed to delete writer marker {marker!r} — claim NOT released"
+        )
     return True

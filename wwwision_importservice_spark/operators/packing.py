@@ -103,7 +103,19 @@ def pack_token_spans(
             f"seq_id long, {id_col} {id_type}, doc_tok_start long, "
             "doc_tok_end long, seq_tok_start long",
         )
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    try:
+        lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    except (TypeError, ValueError):
+        # loud, typed, and early (r11 review catch): the range-bucket
+        # arithmetic needs a NUMERIC id domain; a string id crashed here
+        # with a bare ValueError mid-driver. greedy_pack_bins handles
+        # arbitrary id types (xxhash64 bucketing) — point callers there.
+        raise TypeError(
+            f"pack_token_spans requires a numeric {id_col!r} for its "
+            "range buckets (got "
+            f"{df.schema[id_col].dataType.simpleString()}); use "
+            "greedy_pack_bins for non-numeric ids"
+        ) from None
     span = max(hi - lo + 1, 1)
     # bucket arithmetic runs ENTIRELY in doubles: both (id - lo) and
     # (id-lo)*n_buckets overflow long for hash-sized id domains (e.g.
@@ -387,7 +399,13 @@ def write_packed_shards(
         .partitionBy(shard_col)
         .parquet(stage_data)
     )
-    staged = spark.read.parquet(stage_data)
+    # explicit schema (r11 review catch): an EMPTY corpus stages only a
+    # _SUCCESS marker and schema inference would raise — a legitimately
+    # empty input must yield an empty manifest, not a crash
+    staged_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in packed.schema.fields
+    )
+    staged = spark.read.schema(staged_schema).parquet(stage_data)
     manifest = _shard_manifest(
         staged, id_col, token_col, shard_col, pack_col, offset_col
     )
@@ -418,17 +436,36 @@ def verify_shards(
 
     fsutil.recover_dir(spark, f"{out_dir}/data")
     fsutil.recover_dir(spark, f"{out_dir}/manifest")
-    actual = _shard_manifest(
-        spark.read.parquet(f"{out_dir}/data"),
-        id_col, token_col, shard_col, pack_col, offset_col,
-    ).select(
+    # a wholly-missing (or file-less) side must surface as ok=false
+    # rows through the full-outer join, not raise (r11 review catch) —
+    # the crash window between the two swaps leaves exactly
+    # new-data + old/absent-manifest, and this function is the tool
+    # documented to FLAG that state
+    man_schema = (
+        f"{shard_col} long, n_docs long, n_packs long, "
+        "n_tokens long, content_hash long"
+    )
+    try:
+        actual_src = spark.read.parquet(f"{out_dir}/data")
+    except Exception:
+        actual_src = None
+    if actual_src is not None:
+        actual = _shard_manifest(
+            actual_src, id_col, token_col, shard_col, pack_col, offset_col
+        )
+    else:
+        actual = spark.createDataFrame([], man_schema)
+    actual = actual.select(
         shard_col,
         F.col("n_docs").alias("actual_n_docs"),
         F.col("n_packs").alias("actual_n_packs"),
         F.col("n_tokens").alias("actual_n_tokens"),
         F.col("content_hash").alias("actual_hash"),
     )
-    stored = spark.read.parquet(f"{out_dir}/manifest")
+    try:
+        stored = spark.read.schema(man_schema).parquet(f"{out_dir}/manifest")
+    except Exception:
+        stored = spark.createDataFrame([], man_schema)
     joined = stored.join(actual, shard_col, "full_outer")
     ok = (
         (F.col("n_docs") == F.col("actual_n_docs"))
@@ -508,6 +545,11 @@ def append_packed_shards(
     from wwwision_importservice_spark import fsutil
     from wwwision_importservice_spark.operators.sampling import hash_bucket
 
+    if budget < 1:
+        # budget=0 would floor-divide by zero into NULL pack ids and
+        # write a nonsense store with no error (r11 review catch); the
+        # sibling packers validate their capacity args the same way
+        raise ValueError(f"append_packed_shards requires budget >= 1, got {budget}")
     spark = batch.sparkSession
     b = int(batch_id)
     data_dir = f"{out_dir}/data"
@@ -560,11 +602,20 @@ def append_packed_shards(
             # corruption surfaces HERE): recompute from data instead of
             # failing every retry identically
             fast = False
+    # explicit schema for every data_dir read below (r11 review catch):
+    # an empty FIRST batch leaves data/batch_id=0/ holding only a
+    # _SUCCESS marker, and schema inference over a file-less store
+    # raises — permanently wedging every retry and follow-up batch
+    id_type = batch.schema[id_col].dataType.simpleString()
+    data_schema = (
+        f"{id_col} {id_type}, {token_col} long, pack_id long, "
+        "pack_offset long, shard long, batch_id long"
+    )
     if not fast and batch_ids:
         # recovery / replay: re-derive from strictly-older batches on
         # disk, pruned to two columns (the r10 behavior, now exceptional)
         cursors = (
-            spark.read.parquet(data_dir)
+            spark.read.schema(data_schema).parquet(data_dir)
             .filter(F.col("batch_id") < b)
             .groupBy(F.col("shard").cast("long").alias("shard"))
             .agg(F.sum(token_col).cast("long").alias("_base"))
@@ -598,7 +649,6 @@ def append_packed_shards(
         .parquet(f"{data_dir}/batch_id={b}")
     )
 
-    id_type = batch.schema[id_col].dataType.simpleString()
     if fast:
         manifest, state = _merged_manifest_and_state(
             spark, man_dir, state_dir,
@@ -610,7 +660,7 @@ def append_packed_shards(
             b, id_col, token_col,
         )
     else:
-        full = spark.read.parquet(data_dir)
+        full = spark.read.schema(data_schema).parquet(data_dir)
         manifest = _shard_manifest(
             full, id_col, token_col, "shard", "pack_id", "pack_offset"
         )

@@ -549,6 +549,10 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
+    if budget < 1:
+        # budget=0 floor-divides by zero into NULL pack ids with no
+        # error under non-ANSI SQL (r11 review catch)
+        raise ValueError(f"pack_sequences requires budget >= 1, got {budget}")
     shard = hash_bucket(F.col(id_col), shards)
     w = (
         Window.partitionBy(shard_col)

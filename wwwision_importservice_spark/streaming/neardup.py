@@ -129,6 +129,14 @@ def near_dup_gate(
     correct here: both uses live inside one ``foreachBatch``
     invocation, and an executor loss simply retries the batch.
     """
+    if ttl_batches is not None and not compact_every:
+        # eviction only runs inside the compaction pass — a TTL with no
+        # compaction cadence would silently never evict anything (r11
+        # review catch): the configured dedup horizon must not be a no-op
+        raise ValueError(
+            "ttl_batches requires compact_every (eviction happens during "
+            "compaction)"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
@@ -215,8 +223,28 @@ def near_dup_gate(
         # index append: the survivors' bucket rows, filtered from the
         # checkpointed batch bucket frame — no second shingling pass
         survivor_ids = F.broadcast(survivors.select(id_col))
+        # ALSO complete the rows of re-sent half-applied docs (r11
+        # review catch): a retried doc whose previous append committed
+        # only some band files is excluded from survivors, so without
+        # this its missing band rows would never be written and a later
+        # near-dup colliding only in an unwritten band would be
+        # silently admitted. Identical text → identical bucket keys, so
+        # every existing row of a re-sent doc is inside the pruned
+        # idx_hit frame and the anti-join appends exactly the missing
+        # (id, band, sig) rows. (Replayed rows carry THIS batch's
+        # stamp; under ttl_batches that only makes them live longer —
+        # the conservative direction for dedup.)
+        replay_rows = (
+            buckets.join(F.broadcast(indexed_ids), id_col, "left_semi")
+            .join(
+                idx_hit.select(id_col, "band", "sig"),
+                [id_col, "band", "sig"],
+                "left_anti",
+            )
+        )
         (
             buckets.join(survivor_ids, id_col, "left_semi")
+            .unionByName(replay_rows)
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
             # land each append as ONE sig-sorted file per band — the
             # bucket rows are thin (id, band, sig), so this range
