@@ -6027,3 +6027,67 @@ def test_packers_validate_capacity_and_id_type(spark):
     strs = spark.createDataFrame([("a", 10)], "doc_id string, n_tokens long")
     with pytest.raises(TypeError, match="greedy_pack_bins"):
         pack_token_spans(strs, "doc_id", "n_tokens", seq_len=8)
+
+
+def test_lsh_config_validation_and_minhash_ceiling(spark):
+    """Silent LSH misconfigurations now fail loudly (r11 review
+    catches): bands that don't divide num_hashes constant-bucketed or
+    silently truncated the signature, and num_hashes beyond the pinned
+    64-permutation table raised a bare IndexError."""
+    from wwwision_importservice_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        minhash_signatures_inline,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d"), (2, "e f g h")],
+                                 ["doc_id", "text"])
+    sig = minhash_signatures_inline(docs, "doc_id", "text", n=3, num_hashes=16)
+    for bad_bands in (0, 5, 32):
+        with pytest.raises(ValueError, match="divide"):
+            lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=bad_bands)
+    with pytest.raises(ValueError, match="permutation"):
+        minhash_signatures_inline(docs, "doc_id", "text", num_hashes=128)
+    shingles = spark.createDataFrame([(1, 7)], ["id", "shingle"])
+    with pytest.raises(ValueError, match="permutation"):
+        minhash_signatures(shingles, "id", num_hashes=65)
+
+
+def test_compact_index_respects_writer_claim(spark, tmp_path):
+    """compact_index joins the single-writer protocol (r11 review
+    catch): compacting a dir another pipeline has claimed raises unless
+    the caller proves ownership with that pipeline's writer_id."""
+    from wwwision_importservice_spark.fsutil import claim_writer
+    from wwwision_importservice_spark.operators.dedup import (
+        compact_index,
+        lsh_index,
+        minhash_signatures_inline,
+    )
+
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    sig = minhash_signatures_inline(docs, "doc_id", "text", n=3, num_hashes=16)
+    lsh_index(sig, "doc_id", 16, 4).write.partitionBy("band").parquet(idx)
+    claim_writer(spark, idx, "pipeline-A")
+    with pytest.raises(RuntimeError, match="claimed"):
+        compact_index(spark, idx, "doc_id", n_bands=4)
+    compact_index(spark, idx, "doc_id", n_bands=4, writer_id="pipeline-A")
+
+
+def test_build_ivf_index_empty_corpus_fails_fast(spark, tmp_path, sf_dir):
+    """An empty corpus used to crash mid-staging on schema inference;
+    it now raises a clear error before anything is written."""
+    from wwwision_importservice_spark.entry_queries import load
+    from wwwision_importservice_spark.operators.annindex import build_ivf_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        build_ivf_index(
+            emb.filter(F.lit(False)), cents, str(tmp_path / "ivf"),
+            corpus_id="vec_id",
+        )
+    import os
+    assert not os.path.exists(str(tmp_path / "ivf") + "__building")

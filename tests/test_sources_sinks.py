@@ -1071,3 +1071,71 @@ def test_recluster_recovers_append_degraded_pruning(spark, tmp_path):
 
     assert not path_exists(spark, path + "__replaced")
     assert not path_exists(spark, path + "__reclustering")
+
+
+def test_dbapi_paramstyle_whitelist():
+    """Numeric/named paramstyles can't take positional placeholders —
+    rejected at construction instead of failing on every row at
+    execute time (r11 review catch)."""
+    for bad in ("numeric", "named", "nonsense"):
+        with pytest.raises(ValueError, match="paramstyle"):
+            DbapiTarget(connection_factory=lambda: None, table="t",
+                        paramstyle=bad)
+    for ok, ph in [("qmark", "?"), ("format", "%s"), ("pyformat", "%s")]:
+        t = DbapiTarget(connection_factory=lambda: None, table="t",
+                        paramstyle=ok)
+        assert t.placeholder == ph
+
+
+def test_dbapi_replay_probe_content_compare(tmp_path):
+    """The at-least-once INSERT replay predicate: identical stored row
+    -> True (our prior attempt's commit); same id with different
+    content -> False (genuine conflict, stays quarantined); absent ->
+    False."""
+    from wwwision_importservice_spark.sinks.dbapi import _make_replay_probe
+
+    db = str(tmp_path / "probe.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE r (id TEXT PRIMARY KEY, title TEXT, v INTEGER)")
+    conn.execute("INSERT INTO r VALUES ('a', 't', 1)")
+    conn.commit()
+    probe = _make_replay_probe("r", "id", "?", ["id", "title", "v"])
+    cur = conn.cursor()
+    assert probe(conn, cur, ("a", "t", 1)) is True
+    assert probe(conn, cur, ("a", "DIFFERENT", 1)) is False
+    assert probe(conn, cur, ("missing", "t", 1)) is False
+    conn.close()
+
+
+def test_dbapi_error_samples_and_unmatched(spark, tmp_path):
+    """New ApplyStats surfaces (r11 review catches): quarantined rows
+    carry up to 5 (statement, params, error) samples, and UPDATEs that
+    matched zero target rows count in `unmatched` instead of being
+    silently reported as applied."""
+    db = str(tmp_path / "stats.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE records (id TEXT PRIMARY KEY, title TEXT, "
+        "version INTEGER, hidden INTEGER DEFAULT 0)"
+    )
+    conn.execute("INSERT INTO records VALUES ('dup', 'seeded', 0, 0)")
+    conn.commit()
+    conn.close()
+    target = DbapiTarget(
+        connection_factory=functools.partial(sqlite3.connect, db),
+        table="records",
+        id_column="id",
+        version_column="version",
+        hidden_column="hidden",
+        write_partitions=1,
+    )
+    stats = target.apply(
+        spark, make_cdc(spark, [("dup", 1, "clash", "add")])
+    )
+    assert stats.errors == 1
+    assert stats.error_samples and "dup" in stats.error_samples[0]
+    # update aimed at a row that does not exist in the target
+    stats2 = target.apply(
+        spark, make_cdc(spark, [("ghost", 2, "u", "update")])
+    )
+    assert stats2.unmatched == 1

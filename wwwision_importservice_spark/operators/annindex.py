@@ -93,6 +93,16 @@ def build_ivf_index(
     # a trailing slash would make the stage a CHILD of the live index
     index_dir = index_dir.rstrip("/")
     claim_writer(spark, index_dir, writer_id)
+    if corpus.limit(1).count() == 0:
+        # fail fast and clearly (r11 review catch): an empty corpus
+        # used to crash mid-staging on parquet schema inference over a
+        # file-less cells dir, with an error naming neither the input
+        # nor the cause — and an index of zero vectors is almost
+        # certainly a broken upstream filter, not an intent
+        raise ValueError(
+            "build_ivf_index: corpus is empty — refusing to build an "
+            "index of zero vectors"
+        )
     stage = f"{index_dir}__building"
     delete_dir(spark, stage)  # leftover from an aborted earlier build
     (
@@ -255,8 +265,13 @@ def ivf_search(
         scored = q_side.join(cells, centroid_id).select(
             F.col(query_id),
             F.col(corpus_id),
+            # nullif like the flat path: a zero-norm vector (failed
+            # encoder output) must sink to the bottom as NULL, not rank
+            # FIRST as Inf/NaN (r11 review catch)
             F.round(
-                adc_dot(m, n_codes) / (F.col("__qn") * F.col("norm")), 6
+                adc_dot(m, n_codes)
+                / F.nullif(F.col("__qn") * F.col("norm"), F.lit(0.0)),
+                6,
             ).alias("score"),
         )
         if rerank_corpus is None:
@@ -284,7 +299,7 @@ def ivf_search(
                 F.col(corpus_id),
                 F.round(
                     _dot(F.col("__qv"), F.col("__cv"))
-                    / (F.col("__qn") * F.col("__cn")),
+                    / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
                     6,
                 ).alias("score"),
             )

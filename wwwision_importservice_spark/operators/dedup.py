@@ -145,6 +145,17 @@ _MINHASH_A = [2 * i + 1 for i in range(1, 65)]  # 3, 5, 7, ... odd
 _MINHASH_B = [i * i + 1 for i in range(1, 65)]  # 2, 5, 10, ...
 
 
+def _check_num_hashes(num_hashes: int) -> None:
+    """The affine permutation family is a FIXED 64-entry table (both
+    engines must agree on it for the oracles); asking for more raised a
+    bare IndexError at plan time (r11 review catch)."""
+    if not 1 <= num_hashes <= len(_MINHASH_A):
+        raise ValueError(
+            f"num_hashes must be in [1, {len(_MINHASH_A)}] (the pinned "
+            f"permutation table), got {num_hashes}"
+        )
+
+
 def _base_hash(col) -> F.Column:
     """28-bit base hash: first 7 md5 nibbles as a long."""
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
@@ -167,6 +178,7 @@ def minhash_signatures(
     # pre-hashed (long) shingles feed the affine family directly; string
     # shingles get a base md5 first — materialized as a column so the
     # md5 runs once per row (16 inline copies would rely on codegen CSE)
+    _check_num_hashes(num_hashes)
     if dict(shingle_df.dtypes).get("shingle") == "bigint":
         hashed = shingle_df.withColumn("__h", F.col("shingle"))
     else:
@@ -188,6 +200,15 @@ def _band_buckets(
     signature splits into ``bands`` row-groups, each md5-compressed into
     one bucket key. Shared by the batch pair expansion and the
     incremental index path."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands:
+        # silent misconfiguration is the worst failure mode here (r11
+        # review catch): bands > num_hashes made every band signature
+        # the constant md5('') — all docs in ONE bucket, which the
+        # heavy-bucket ceiling then silently DROPS, disabling dedup;
+        # a non-dividing bands silently ignored trailing hash columns
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -222,6 +243,7 @@ def compact_index(
     files_per_band: int = 1,
     n_bands: int | None = None,
     stats: dict | None = None,
+    writer_id: str | None = None,
 ) -> None:
     """Rewrite a persisted LSH index directory compactly: merge the
     per-append small files into ``files_per_band`` sig-sorted files per
@@ -256,8 +278,14 @@ def compact_index(
     files give tight parquet min-max footers so incremental lookups
     skip row groups, restoring the layout :func:`lsh_index` documents.
     """
-    from wwwision_importservice_spark.fsutil import recover_dir
+    from wwwision_importservice_spark.fsutil import claim_writer, recover_dir
 
+    # single-writer guard, same protocol as every other persisted-state
+    # writer (r11 review catch: the delete+rename swap below assumes
+    # exclusion — compacting a dir a streaming gate has claimed must be
+    # a loud error unless the caller proves ownership by passing that
+    # gate's writer_id; claim_writer(None) raises on any claimed dir)
+    claim_writer(spark, index_dir, writer_id)
     # self-heal an interrupted earlier swap so direct callers (not just
     # the streaming gate, which probes recover_dir itself) never read a
     # mid-swap-missing index as an empty corpus
@@ -972,6 +1000,7 @@ def minhash_signatures_inline(
     The exploded variants remain for consumers that need the shingle
     SETS themselves (exact Jaccard, contamination).
     """
+    _check_num_hashes(num_hashes)
     words = F.split(F.col(text_col), " ")
     word_hashes = F.transform(words, lambda w: _base_hash(w))
 

@@ -27,6 +27,10 @@ class ApplyStats:
     updated: int = 0
     removed: int = 0
     errors: int = 0
+    #: UPDATE/DELETE statements that matched zero rows (driver reported
+    #: a reliable rowcount shortfall): the record drifted out-of-band
+    #: between current_state() and apply() and will re-diff next run
+    unmatched: int = 0
     error_samples: list[str] = field(default_factory=list)
 
 

@@ -11,10 +11,29 @@ The Python analogue of the reference's Doctrine-DBAL target
 - W8 batching     → ``batch_size`` rows per executemany flush (the
   reference's ``MAXIMUM_BATCH_SIZE = 1000``),
 - O3 isolation    → a failed batch retries row-by-row; bad rows are
-  counted + sampled, good rows still land (the reference continues on
-  per-record \\Error and aborts on \\Exception — here connection-level
-  failures abort, row-level failures quarantine),
+  counted + sampled (``ApplyStats.error_samples`` carries up to
+  ``_MAX_ERROR_SAMPLES`` ``(statement, params, error)`` examples), good
+  rows still land. Connection-level failures ABORT rather than
+  quarantine: when every row of a chunk fails AND the connection no
+  longer answers a ``SELECT 1`` probe, the partition raises so the
+  sync fails loudly instead of mislabeling its contents as quarantined
+  rows (r11 review catch; the reference continues on per-record
+  \\Error and aborts on \\Exception),
 - W4 removeAll    → single ``DELETE FROM`` returning the count.
+
+Delivery semantics are AT-LEAST-ONCE per Spark task: a task retry
+(executor loss, speculation) re-runs a partition whose chunks may have
+already committed. Re-applied UPDATE/DELETEs are naturally idempotent;
+re-applied INSERTs are detected ON RETRY ATTEMPTS ONLY
+(``TaskContext.attemptNumber() > 0``) by comparing the stored row's
+CONTENT to what was being written — an identical row counts toward
+``added`` (the failed attempt's accumulator adds were discarded, its
+commits were not), a same-id row with different values stays a
+quarantined conflict, and first attempts keep the reference's
+duplicate-add-is-an-error semantics untouched. UPDATE/DELETE chunks whose driver reports a
+reliable rowcount shortfall count the difference in
+``ApplyStats.unmatched`` (the target row drifted out-of-band; the next
+run's diff re-converges it).
 
 Distribution model: writes run **executor-side** via
 ``DataFrame.foreachPartition`` — each partition opens its own connection
@@ -30,6 +49,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,6 +59,53 @@ from wwwision_importservice_spark.record import ID_COL, VERSION_COL
 from wwwision_importservice_spark.sinks.base import ApplyStats, DataTarget
 
 MAXIMUM_BATCH_SIZE = 1000  # ContentRepositoryTarget.php:43-45
+
+#: positional-placeholder paramstyles this sink can generate SQL for;
+#: numeric/named styles would need per-parameter naming and are
+#: rejected at construction (r11 review catch: mapping them to '%s'
+#: produced SQL that failed on every row at execute time)
+_PARAMSTYLES = {"qmark": "?", "format": "%s", "pyformat": "%s"}
+
+_MAX_ERROR_SAMPLES = 5
+
+
+def _make_replay_probe(table: str, id_col: str, ph: str, insert_cols: list[str]):
+    """Factory for the at-least-once INSERT replay predicate: True iff
+    the target already holds EXACTLY the row an INSERT was about to
+    write. Content, not just id, is compared: a same-id row with
+    different values is a genuine conflict (out-of-band drift,
+    duplicate feed) and must stay quarantined — the o3 chaos test
+    pre-seeds exactly that shape. Returns a NESTED function so
+    cloudpickle ships it by value into the self-contained
+    foreachPartition closure (the _make_image_decoder convention), and
+    the factory itself is unit-testable against a plain connection."""
+    sql = (
+        f"SELECT {', '.join(insert_cols)} FROM {table} WHERE {id_col} = {ph}"
+    )
+
+    def probe(conn, cur, row: tuple) -> bool:
+        try:
+            cur.execute(sql, (row[0],))
+            got = cur.fetchone()
+        except Exception:
+            conn.rollback()
+            return False
+        return got is not None and tuple(got) == tuple(row)
+
+    return probe
+
+
+class _ErrorSamples(AccumulatorParam):
+    """AccumulatorParam collecting a bounded list of quarantine
+    examples executor-side (module-level so it pickles by reference)."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        del a[_MAX_ERROR_SAMPLES:]
+        return a
 
 
 class DbapiTarget(DataTarget):
@@ -64,7 +131,13 @@ class DbapiTarget(DataTarget):
         self.id_prefix = id_prefix
         self.batch_size = batch_size
         self.write_partitions = write_partitions
-        self.placeholder = "?" if paramstyle == "qmark" else "%s"
+        if paramstyle not in _PARAMSTYLES:
+            raise ValueError(
+                f"unsupported paramstyle {paramstyle!r}: this sink generates "
+                f"positional placeholders ({sorted(_PARAMSTYLES)}); numeric/"
+                "named styles would fail on every statement at execute time"
+            )
+        self.placeholder = _PARAMSTYLES[paramstyle]
 
     # ------------------------------------------------------------------ #
     def current_state(self, spark: SparkSession) -> DataFrame:
@@ -152,6 +225,8 @@ class DbapiTarget(DataTarget):
         add_acc = sc.accumulator(0)
         upd_acc = sc.accumulator(0)
         rem_acc = sc.accumulator(0)
+        unmatched_acc = sc.accumulator(0)
+        sample_acc = sc.accumulator([], _ErrorSamples())
 
         has_ver = ver_col is not None
         ct_col = CHANGE_TYPE_COL
@@ -160,7 +235,13 @@ class DbapiTarget(DataTarget):
         # Self-contained closure (plain-value captures only): cloudpickle
         # ships it by value so executors don't need this package on their
         # sys.path.
+        replay_probe = _make_replay_probe(table, id_col, ph, insert_cols)
+
         def write_partition(rows_iter) -> None:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            is_retry_attempt = ctx is not None and ctx.attemptNumber() > 0
             conn = factory()
             try:
                 cur = conn.cursor()
@@ -169,23 +250,80 @@ class DbapiTarget(DataTarget):
                     for i in range(0, len(rows), size):
                         yield rows[i : i + size]
 
-                def run_batch(sql: str, params: list[tuple], acc) -> None:
+                def track_shortfall(n_rows: int) -> None:
+                    # UPDATE/DELETE matching zero rows: the driver's
+                    # rowcount (when reliable, i.e. >= 0) reveals how
+                    # many statements wrote nothing — out-of-band drift
+                    # the next diff re-converges; surfaced, not hidden
+                    rc = cur.rowcount
+                    if rc is not None and 0 <= rc < n_rows:
+                        unmatched_acc.add(n_rows - rc)
+
+                def run_batch(
+                    sql: str, params: list[tuple], acc,
+                    is_insert: bool = False, counts_matter: bool = False,
+                ) -> None:
                     for chunk in chunks(params, batch):
                         try:
                             cur.executemany(sql, chunk)
+                            if counts_matter:
+                                track_shortfall(len(chunk))
                             conn.commit()
                             acc.add(len(chunk))
                         except Exception:
                             # O3: retry row-by-row, quarantine bad rows
                             conn.rollback()
+                            chunk_errors = 0
+                            last_exc: Exception | None = None
                             for row in chunk:
                                 try:
                                     cur.execute(sql, row)
+                                    if counts_matter:
+                                        track_shortfall(1)
                                     conn.commit()
                                     acc.add(1)
-                                except Exception:
+                                except Exception as exc:
                                     conn.rollback()
+                                    if (
+                                        is_insert
+                                        and is_retry_attempt
+                                        and replay_probe(conn, cur, row)
+                                    ):
+                                        # at-least-once replay: a prior
+                                        # attempt of THIS task committed
+                                        # this exact row (its accumulator
+                                        # adds were discarded, its commit
+                                        # was not) — correct accounting is
+                                        # "added", not "error". Gated on
+                                        # attemptNumber so FIRST attempts
+                                        # keep duplicate-add-is-an-error.
+                                        acc.add(1)
+                                        continue
+                                    chunk_errors += 1
+                                    last_exc = exc
                                     err_acc.add(1)
+                                    sample_acc.add(
+                                        [f"{sql} :: {row!r} :: {exc!r}"[:500]]
+                                    )
+                            if chunk and chunk_errors == len(chunk):
+                                # every row failed: bad rows, or a dead
+                                # connection? A liveness probe decides —
+                                # genuinely-bad whole chunks (all rows
+                                # violate a constraint) stay quarantined,
+                                # but a connection that no longer answers
+                                # ABORTS the partition instead of
+                                # mislabeling its entire contents as
+                                # quarantined rows
+                                try:
+                                    cur.execute("SELECT 1")
+                                    cur.fetchone()
+                                except Exception:
+                                    raise RuntimeError(
+                                        f"entire chunk of {len(chunk)} rows "
+                                        "failed and the connection no longer "
+                                        "answers — connection-level failure, "
+                                        "aborting partition"
+                                    ) from last_exc
 
                 inserts: list[tuple] = []
                 updates: list[tuple] = []
@@ -202,17 +340,19 @@ class DbapiTarget(DataTarget):
                     else:
                         removes.append((wid,))
                     if len(inserts) >= batch:
-                        run_batch(insert_sql, inserts, add_acc)
+                        run_batch(insert_sql, inserts, add_acc, is_insert=True)
                         inserts = []
                     if len(updates) >= batch:
-                        run_batch(update_sql, updates, upd_acc)
+                        run_batch(update_sql, updates, upd_acc,
+                                  counts_matter=True)
                         updates = []
                     if len(removes) >= batch:
-                        run_batch(remove_sql, removes, rem_acc)
+                        run_batch(remove_sql, removes, rem_acc,
+                                  counts_matter=True)
                         removes = []
-                run_batch(insert_sql, inserts, add_acc)
-                run_batch(update_sql, updates, upd_acc)
-                run_batch(remove_sql, removes, rem_acc)
+                run_batch(insert_sql, inserts, add_acc, is_insert=True)
+                run_batch(update_sql, updates, upd_acc, counts_matter=True)
+                run_batch(remove_sql, removes, rem_acc, counts_matter=True)
             finally:
                 conn.close()
 
@@ -222,6 +362,8 @@ class DbapiTarget(DataTarget):
             updated=upd_acc.value,
             removed=rem_acc.value,
             errors=err_acc.value,
+            unmatched=unmatched_acc.value,
+            error_samples=list(sample_acc.value),
         )
 
     def remove_all(self, spark: SparkSession) -> int:

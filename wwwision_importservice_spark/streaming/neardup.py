@@ -293,6 +293,7 @@ def near_dup_gate(
                     batch_id - ttl_batches if ttl_batches is not None else None
                 ),
                 n_bands=bands,  # known banding: skip the sizing job
+                writer_id=writer_id,  # prove ownership of our own claim
             )
 
     return process
