@@ -267,3 +267,88 @@ def test_date_create_with_timezone(spark):
     row = mapper.apply(df).collect()[0]
     assert row["utc_instant"].hour == 10
     assert row["naive"].hour == 12
+
+
+def test_eel_variadic_helpers_and_arity_guard(spark):
+    """r11 review catches: str.format silently DROPPED surplus helper
+    arguments (Math.min(1,2,3) rendered least(1,2)); min/max/concat are
+    now genuinely variadic and fixed-arity helpers raise."""
+    from wwwision_importservice_spark.functions.eel import (
+        EelTranslationError,
+        translate_eel,
+    )
+
+    assert translate_eel("${Math.min(1, 2, 3)}") == "least(1, 2, 3)"
+    assert translate_eel("${Math.max(record.a, record.b, 0)}") == (
+        "greatest(`a`, `b`, 0)"
+    )
+    assert "concat(`a`, `b`, `c`)" == translate_eel(
+        "${Array.concat(record.a, record.b, record.c)}"
+    )
+    with pytest.raises(EelTranslationError, match="takes 2"):
+        translate_eel("${Math.pow(1, 2, 3)}")
+    # evaluated end to end: three-way min really takes the third operand
+    row = spark.sql(f"SELECT {translate_eel('${Math.min(3, 2, 1)}')} AS v").first()
+    assert row["v"] == 1
+
+
+def test_eel_substr_negative_offsets(spark):
+    """PHP substr counts negative starts from the end; the blanket
+    1-based shift broke that by one (r11 review catch)."""
+    from wwwision_importservice_spark.functions.eel import translate_eel
+
+    sql = translate_eel('${String.substr("hello", -2)}')
+    assert spark.sql(f"SELECT {sql} AS v").first()["v"] == "lo"
+    sql = translate_eel('${String.substr("hello", 1, 3)}')
+    assert spark.sql(f"SELECT {sql} AS v").first()["v"] == "ell"
+    # dynamic start takes the CASE form and agrees with PHP on both signs
+    df = spark.createDataFrame([("hello", -2), ("hello", 1)], ["s", "k"])
+    sql = translate_eel("${String.substr(record.s, record.k)}")
+    got = [r["v"] for r in df.selectExpr(f"{sql} AS v").collect()]
+    assert got == ["lo", "ello"]
+
+
+def test_eel_date_format_maps_php_codes(spark):
+    """Date.format takes PHP DateTime codes; passing them to Java
+    unmapped silently produced week-year/minute garbage (r11 review
+    catch). Literal formats map code-for-code; unknown codes raise."""
+    from wwwision_importservice_spark.functions.eel import (
+        EelTranslationError,
+        translate_eel,
+    )
+
+    sql = translate_eel('${Date.format(record.ts, "Y-m-d H:i:s")}')
+    assert "date_format(`ts`, 'yyyy-MM-dd HH:mm:ss')" == sql
+    df = spark.sql("SELECT timestamp'2026-08-16 10:42:07' AS ts")
+    assert df.selectExpr(f"{sql} AS v").first()["v"] == "2026-08-16 10:42:07"
+    with pytest.raises(EelTranslationError, match="unsupported PHP"):
+        translate_eel('${Date.format(record.ts, "Q")}')
+    with pytest.raises(EelTranslationError, match="literal format"):
+        translate_eel("${Date.format(record.ts, record.fmt)}")
+
+
+def test_eel_ternary_inside_group_elements(spark):
+    """A ternary inside an array literal or helper argument list binds
+    within its own element — it used to swallow the following elements
+    into the ELSE or skip rewriting entirely (r11 review catch)."""
+    from wwwision_importservice_spark.functions.eel import translate_eel
+
+    sql = translate_eel("${[record.a ? 1 : 2, 5]}")
+    df = spark.createDataFrame([(True,), (False,)], ["a"])
+    got = [r["v"] for r in df.selectExpr(f"{sql} AS v").collect()]
+    assert got == [[1, 5], [2, 5]]
+    sql = translate_eel("${Math.min(record.a ? 1 : 9, 5)}")
+    got = [r["v"] for r in df.selectExpr(f"{sql} AS v").collect()]
+    assert got == [1, 5]
+
+
+def test_eel_plus_chain_literal_fold(spark):
+    """Eel evaluates 1 + 2 + \"x\" left-to-right as '3x'; converting
+    the whole chain to || gave '12x' (r11 review catch). Leading
+    numeric literals keep arithmetic +."""
+    from wwwision_importservice_spark.functions.eel import translate_eel
+
+    sql = translate_eel('${1 + 2 + "x"}')
+    assert spark.sql(f"SELECT {sql} AS v").first()["v"] == "3x"
+    sql = translate_eel('${"x" + 1 + 2}')  # string first: all concat
+    assert spark.sql(f"SELECT {sql} AS v").first()["v"] == "x12"

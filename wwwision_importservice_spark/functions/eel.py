@@ -54,10 +54,71 @@ def _lcfirst(args: list[str]) -> str:
 
 
 def _substr(args: list[str]) -> str:
-    # Eel String.substr is 0-based; Spark substring is 1-based.
+    # Eel String.substr is 0-based; Spark substring is 1-based — but a
+    # NEGATIVE start counts from the end in BOTH (PHP mb_substr and
+    # Spark agree), so the +1 shift applies only to non-negative starts
+    # (r11 review catch: blanket +1 made substr(s, -2) return one
+    # character instead of two). Literal ints resolve at translation
+    # time; dynamic starts get the CASE.
+    start = args[1].strip()
+    m = re.fullmatch(r"-?\d+", start)
+    if m:
+        shifted = str(int(start) + 1) if int(start) >= 0 else start
+    else:
+        shifted = f"(CASE WHEN ({start}) >= 0 THEN ({start}) + 1 ELSE ({start}) END)"
     if len(args) == 3:
-        return f"substring({args[0]}, ({args[1]}) + 1, {args[2]})"
-    return f"substring({args[0]}, ({args[1]}) + 1, 2147483647)"
+        return f"substring({args[0]}, {shifted}, {args[2]})"
+    return f"substring({args[0]}, {shifted}, 2147483647)"
+
+
+#: PHP DateTime::format codes -> Spark (Java) datetime pattern letters.
+#: Only codes with an exact Java equivalent appear; anything else is a
+#: loud EelTranslationError rather than silently-wrong output.
+_PHP_DATE_CODES = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "n": "M", "d": "dd", "j": "d",
+    "H": "HH", "G": "H", "h": "hh", "g": "h", "i": "mm", "s": "ss",
+    "A": "a", "a": "a", "D": "EEE", "l": "EEEE", "M": "MMM", "F": "MMMM",
+    "N": "u", "u": "SSSSSS", "v": "SSS", "P": "xxx", "O": "xx", "T": "zzz",
+    "e": "VV", "W": "ww",
+}
+
+
+def _date_format(args: list[str], literals: list[str]) -> str:
+    """Neos ``Date.format(date, format)`` takes PHP ``DateTime::format``
+    codes; Spark's ``date_format`` takes Java patterns — passing the
+    string through unmapped silently produced garbage (r11 review
+    catch: ``Y-m-d`` reads as week-year/minute/day in Java). Literal
+    formats are mapped code-for-code at translation time; backslash
+    escapes become Java quoted literals; unmapped letters raise."""
+    m = re.fullmatch(r"\x00(\d+)\x00", args[1].strip())
+    if m is None:
+        raise EelTranslationError(
+            "Date.format requires a literal format string (PHP format "
+            "codes are mapped to Spark's Java patterns at translation time)"
+        )
+    idx = int(m.group(1))
+    php = literals[idx][1:-1]
+    out = []
+    i = 0
+    while i < len(php):
+        c = php[i]
+        if c == "\\" and i + 1 < len(php):
+            out.append(f"'{php[i + 1]}'")
+            i += 2
+            continue
+        if c in _PHP_DATE_CODES:
+            out.append(_PHP_DATE_CODES[c])
+        elif c.isalpha():
+            raise EelTranslationError(
+                f"Date.format: unsupported PHP format code {c!r}"
+            )
+        elif c == "'":
+            out.append("''")
+        else:
+            out.append(c)
+        i += 1
+    literals[idx] = "'" + "".join(out) + "'"
+    return f"date_format({args[0]}, {args[1]})"
 
 
 def _indexof(args: list[str]) -> str:
@@ -203,8 +264,10 @@ _HELPERS: dict[str, str | Callable[[list[str]], str]] = {
     "Math.floor": "floor({0})",
     "Math.ceil": "ceiling({0})",
     "Math.abs": "abs({0})",
-    "Math.min": "least({0}, {1})",
-    "Math.max": "greatest({0}, {1})",
+    # variadic like their Eel counterparts (r11 review catch: the
+    # str.format templates silently DROPPED surplus arguments)
+    "Math.min": lambda args: args[0] if len(args) == 1 else f"least({', '.join(args)})",
+    "Math.max": lambda args: args[0] if len(args) == 1 else f"greatest({', '.join(args)})",
     "Math.pow": "power({0}, {1})",
     "Math.sqrt": "sqrt({0})",
     "Math.random": "rand()",
@@ -213,7 +276,7 @@ _HELPERS: dict[str, str | Callable[[list[str]], str]] = {
     "Math.sign": "sign({0})",
     "Math.trunc": "cast({0} as bigint)",
     "Date.now": "current_timestamp()",
-    "Date.format": "date_format({0}, {1})",
+    "Date.format": lambda args, literals: _date_format(args, literals),
     "Date.parse": "to_timestamp({0})",
     "Date.year": "year({0})",
     "Date.month": "month({0})",
@@ -235,7 +298,7 @@ _HELPERS: dict[str, str | Callable[[list[str]], str]] = {
     "Array.length": "size({0})",
     "Array.first": "element_at({0}, 1)",
     "Array.last": "element_at({0}, -1)",
-    "Array.concat": "concat({0}, {1})",
+    "Array.concat": lambda args: f"concat({', '.join(args)})",
     "Array.indexOf": "(array_position({0}, {1}) - 1)",
     "Array.push": "array_append({0}, {1})",
     "Array.slice": _array_slice,
@@ -340,6 +403,16 @@ def _translate_helpers(expr: str, literals: list[str]) -> str:
             else:
                 rendered = template(args)
         else:
+            idxs = {int(m) for m in re.findall(r"{(\d+)}", template)}
+            expected = (max(idxs) + 1) if idxs else 0
+            if len(args) != expected:
+                # str.format silently IGNORES surplus positional args
+                # (r11 review catch: Math.min(1,2,3) rendered
+                # least(1, 2), dropping an operand with no error)
+                raise EelTranslationError(
+                    f'Eel helper "{name}" takes {expected} argument(s), '
+                    f"got {len(args)}"
+                )
             rendered = template.format(*args)
         expr = expr[:begin] + rendered + expr[end:]
 
@@ -467,7 +540,23 @@ def _rewrite_plus_concat(expr: str) -> str:
                     start = i + 1
             parts.append(seg[start:])
             if len(parts) > 1 and any(is_stringy(p) for p in parts):
-                pieces[k] = " " + " || ".join(p.strip() for p in parts) + " "
+                # left-to-right fold (r11 review catch): Eel evaluates
+                # 1 + 2 + "x" as (1+2)+"x" = '3x'; converting the WHOLE
+                # chain to || gave '12x'. Consecutive NUMERIC-LITERAL
+                # operands before the first stringy one keep arithmetic
+                # + — their types are statically known, unlike columns.
+                k2 = 0
+                while k2 < len(parts) and re.fullmatch(
+                    r"\s*-?\d+(\.\d+)?\s*", parts[k2]
+                ):
+                    k2 += 1
+                head = [p.strip() for p in parts[:k2]]
+                rest = [p.strip() for p in parts[k2:]]
+                if len(head) >= 2:
+                    chain = ["(" + " + ".join(head) + ")"] + rest
+                else:
+                    chain = head + rest
+                pieces[k] = " " + " || ".join(chain) + " "
         return "".join(pieces)
 
     result = rewrite(expr)
@@ -487,19 +576,44 @@ def _rewrite_ternary(expr: str) -> str:
     right-chained ``c1 ? x : c2 ? y : z`` resolves; a *bare* nested
     ternary in the then-branch needs parentheses (as in Eel style)."""
     if "?" in expr:
-        # rewrite inside top-level parenthesized groups first
+        # rewrite inside top-level parenthesized AND bracketed groups
+        # first (r11 review catch: a ternary inside an array literal —
+        # [cond ? a : b, c] — was skipped entirely because the
+        # top-level split counts '[' as depth, yielding unparseable SQL)
         out: list[str] = []
         depth, last, start = 0, 0, 0
+        opener = "("
         for i, c in enumerate(expr):
-            if c == "(":
+            if c in "([":
                 if depth == 0:
                     out.append(expr[last:i])
                     start = i + 1
+                    opener = c
                 depth += 1
-            elif c == ")":
+            elif c in ")]":
                 depth -= 1
                 if depth == 0:
-                    out.append("(" + _rewrite_ternary(expr[start:i]) + ")")
+                    closer = ")" if opener == "(" else "]"
+                    # comma-split BEFORE recursing: the group may be an
+                    # argument/element list, and a ternary binds within
+                    # its own element — rewriting the whole body would
+                    # swallow the following elements into the ELSE
+                    body = expr[start:i]
+                    parts, d2, st = [], 0, 0
+                    for j, c2 in enumerate(body):
+                        if c2 in "([":
+                            d2 += 1
+                        elif c2 in ")]":
+                            d2 -= 1
+                        elif c2 == "," and d2 == 0:
+                            parts.append(body[st:j])
+                            st = j + 1
+                    parts.append(body[st:])
+                    out.append(
+                        opener
+                        + ", ".join(_rewrite_ternary(p2) for p2 in parts)
+                        + closer
+                    )
                     last = i + 1
         out.append(expr[last:])
         expr = "".join(out)
