@@ -6091,3 +6091,78 @@ def test_build_ivf_index_empty_corpus_fails_fast(spark, tmp_path, sf_dir):
         )
     import os
     assert not os.path.exists(str(tmp_path / "ivf") + "__building")
+
+
+def test_cosine_zero_norm_vectors_sink_not_rank_first(spark):
+    """r11 review catch: a zero-norm embedding (failed encoder output)
+    divided to Inf/NaN, which Spark's desc sort ranks ABOVE every real
+    score — the garbage row won top-1 for every query. All cosine paths
+    now null/neg-inf it to the bottom."""
+    import math
+
+    from wwwision_importservice_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blocked,
+        embedding_near_dup_pairs,
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),
+         (2, [0.9, 0.1, 0.0, 0.0]),
+         (3, [0.0, 0.0, 0.0, 0.0])],  # the zero-norm garbage row
+        ["c_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0])], ["q_id", "embedding"]
+    )
+    for fn in (cosine_topk, cosine_topk_blocked):
+        rows = (
+            fn(queries, corpus, k=2, max_pairs=0).collect()
+            if fn is cosine_topk
+            else fn(queries, corpus, k=2).collect()
+        )
+        by_rank = {r["rank"]: r["c_id"] for r in rows}
+        assert by_rank[1] == 1 and by_rank[2] == 2, rows
+        assert all(
+            r["score"] is None or math.isfinite(r["score"]) or r["score"] < 0
+            for r in rows
+        )
+    # pair/decontamination paths: the zero row produces NO pair / no drop
+    pc = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.999, 0.0, 0.0, 0.0]),
+         (3, [0.0, 0.0, 0.0, 0.0])],  # 1 and 2 share a sign bucket
+        ["id", "embedding"],
+    )
+    pairs = embedding_near_dup_pairs(pc, "id", threshold=0.9, bits=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    ev = spark.createDataFrame([(9, [0.0, 0.0, 0.0, 0.0])], ["id", "embedding"])
+    kept = semantic_decontaminate(pc, ev, "id", "embedding", threshold=0.9,
+                                  bits=4)
+    assert kept.count() == 3  # a zero-norm EVAL row contaminates nothing
+
+
+def test_cosine_topk_blocked_string_ids_and_empty_queries(spark):
+    """r11 review catch: the blocked kernel hardcoded long ids and
+    crashed on empty query sets; it now derives id types from the input
+    schemas and returns an empty frame for zero queries."""
+    from wwwision_importservice_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_blocked,
+    )
+
+    corpus = spark.createDataFrame(
+        [("docA", [1.0, 0.0]), ("docB", [0.5, 0.5])], ["c_id", "embedding"]
+    )
+    queries = spark.createDataFrame([("q1", [1.0, 0.0])], ["q_id", "embedding"])
+    got = sorted(
+        (r["q_id"], r["c_id"], r["rank"])
+        for r in cosine_topk_blocked(queries, corpus, k=2).collect()
+    )
+    want = sorted(
+        (r["q_id"], r["c_id"], r["rank"])
+        for r in cosine_topk(queries, corpus, k=2, max_pairs=0).collect()
+    )
+    assert got == want and got[0][0] == "q1"
+    empty_q = queries.filter(F.lit(False))
+    assert cosine_topk_blocked(empty_q, corpus, k=2).count() == 0

@@ -4062,7 +4062,8 @@ def x2_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x5_freq_score",
     """
 SELECT e.doc_id, count(*) AS n_tokens,
-       CAST(sum(v.cnt) AS DOUBLE) / (count(*) * any_value(t.total)) AS freq_score
+       CAST(sum(v.cnt) AS DOUBLE)
+         / (CAST(count(*) AS DOUBLE) * any_value(t.total)) AS freq_score
 FROM (
   SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
   FROM documents

@@ -71,7 +71,12 @@ def cosine_scores(
         F.col(corpus_id),
         _as_double(F.col(vector_col)).alias("__cv"),
     ).withColumn("__cn", _norm(F.col("__cv")))
-    score = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    # nullif: a zero-norm vector (failed encoder output / padding row)
+    # must score NULL and sink in desc ordering, not Inf/NaN-rank first
+    # (r11 review catch — the LSH/IVF siblings already guard this)
+    score = _dot(F.col("__qv"), F.col("__cv")) / F.nullif(
+        F.col("__qn") * F.col("__cn"), F.lit(0.0)
+    )
     if round_to is not None:
         score = F.round(score, round_to)
     return q.crossJoin(c).select(
@@ -185,7 +190,19 @@ def cosine_topk_blocked(
     vec = vector_col
     cid = corpus_id
 
-    out_schema = f"{query_id} long, {cid} long, score double"
+    # id types from the INPUT schemas, not hardcoded longs (r11 review
+    # catch: string ids — accepted by every sibling operator — crashed
+    # the kernel's int64 casts)
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    cid_type = corpus.schema[corpus_id].dataType.simpleString()
+    out_schema = f"{query_id} {qid_type}, {cid} {cid_type}, score double"
+
+    if not q_rows:
+        return (
+            corpus.sparkSession.createDataFrame([], out_schema)
+            .withColumn("rank", F.lit(1).cast("int"))
+            .limit(0)
+        )
 
     def score_batches(it):
         import numpy as np
@@ -193,7 +210,7 @@ def cosine_topk_blocked(
 
         Q = np.asarray(q_mat, dtype=np.float64)
         qn = np.sqrt((Q * Q).sum(axis=1))
-        qid_arr = np.asarray(q_ids, dtype=np.int64)
+        qid_arr = np.asarray(q_ids)
         for pdf in it:
             if not len(pdf):
                 continue
@@ -201,8 +218,14 @@ def cosine_topk_blocked(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec]]
             )
             cn = np.sqrt((V * V).sum(axis=1))
-            cids = pdf[cid].to_numpy(dtype=np.int64)
-            S = (Q @ V.T) / np.outer(qn, cn)
+            cids = pdf[cid].to_numpy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (Q @ V.T) / np.outer(qn, cn)
+            # zero-norm rows (failed encoder output) divide to NaN,
+            # which Spark's desc sort ranks ABOVE every real score —
+            # exclude them like the expression paths' nullif does
+            # (r11 review catch)
+            S = np.where(np.isfinite(S), S, -np.inf)
             R = np.round(S, 6)  # selection key — final F.round decides
             keep = k + 8  # margin for np-vs-Spark rounding boundary ties
             rows_q, rows_c, rows_s = [], [], []
@@ -360,7 +383,8 @@ def embedding_near_dup_pairs(
         F.col("__n").alias("__nb"),
     )
     cos = F.round(
-        _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+        _dot(F.col("__va"), F.col("__vb"))
+        / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)), 6
     )
     return (
         cand.join(a, "id_a")
@@ -434,7 +458,8 @@ def semantic_contaminated_ids(
         .withColumn("__bkt", sign_bucket(F.col("__cv"), bits))
     )
     cos = F.round(
-        _dot(F.col("__cv"), F.col("__ev")) / (F.col("__cn") * F.col("__en")), 6
+        _dot(F.col("__cv"), F.col("__ev"))
+        / F.nullif(F.col("__cn") * F.col("__en"), F.lit(0.0)), 6
     )
     return (
         cvec.join(F.broadcast(ebkt), "__bkt")
@@ -731,7 +756,8 @@ def cosine_topk_quantized(
         F.col(query_id),
         F.col(corpus_id),
         F.round(
-            _dot(F.col("__qv"), deq) / (F.col("__qn") * _norm(deq)), 6
+            _dot(F.col("__qv"), deq)
+            / F.nullif(F.col("__qn") * _norm(deq), F.lit(0.0)), 6
         ).alias("score"),
     )
     return topk(scored, k, query_id, corpus_id)
@@ -899,7 +925,8 @@ def cosine_topk_pq(
         F.col(query_id),
         F.col(corpus_id),
         F.round(
-            adc_dot(m, n_codes) / (F.col("__qn") * F.col("norm")), 6
+            adc_dot(m, n_codes)
+            / F.nullif(F.col("__qn") * F.col("norm"), F.lit(0.0)), 6
         ).alias("score"),
     )
     return topk(scored, k, query_id, corpus_id)
@@ -1030,7 +1057,7 @@ def cosine_topk_pq_rerank(
             F.col(corpus_id),
             F.round(
                 _dot(F.col("__qv"), F.col("__cv"))
-                / (F.col("__qn") * F.col("__cn")),
+                / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0)),
                 6,
             ).alias("score"),
         )

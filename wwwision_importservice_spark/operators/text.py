@@ -56,6 +56,31 @@ def punct_ratio(text: Column) -> Column:
     return punct / F.greatest(F.length(text), F.lit(1))
 
 
+def quality_score_expr(n_tokens, sw_ratio, p_ratio):
+    """THE composite quality score, one definition (r11 review catch:
+    the identical expression was copy-pasted into text_stats,
+    quality_condition, and annotate_documents — a weight tweak had to
+    land three times or the stats/filter/annotate paths silently
+    disagreed). ``least(n_tokens/64, 1)·0.5 + stopword_ratio·0.3 +
+    (1 − punct_ratio)·0.2``."""
+    return (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * F.lit(0.5)
+        + sw_ratio * F.lit(0.3)
+        + (F.lit(1.0) - p_ratio) * F.lit(0.2)
+    )
+
+
+def normalized_text_expr(text):
+    """Lowercase, strip non-alphanumerics, collapse whitespace — the
+    normalization both :func:`fingerprint` and
+    :func:`annotate_documents` key on (one definition, same reason)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Quality-scoring feature frame: lengths, token stats, ratios, and a
     composite quality score (length-normalized, punctuation-penalized,
@@ -73,11 +98,7 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ) / F.greatest(n_tokens, F.lit(1))
     sw_ratio = stopword_ratio(text, LANG_MARKERS["en"])
     p_ratio = punct_ratio(text)
-    quality = (
-        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * F.lit(0.5)
-        + sw_ratio * F.lit(0.3)
-        + (F.lit(1.0) - p_ratio) * F.lit(0.2)
-    )
+    quality = quality_score_expr(n_tokens, sw_ratio, p_ratio)
     return df.select(
         F.col(id_col),
         F.length(text).alias("n_chars"),
@@ -104,11 +125,7 @@ def quality_condition(
     n_tokens = F.size(tokens(text))
     sw_ratio = stopword_ratio(text, LANG_MARKERS["en"])
     p_ratio = punct_ratio(text)
-    quality = (
-        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * F.lit(0.5)
-        + sw_ratio * F.lit(0.3)
-        + (F.lit(1.0) - p_ratio) * F.lit(0.2)
-    )
+    quality = quality_score_expr(n_tokens, sw_ratio, p_ratio)
     cond = (
         (quality >= min_score)
         & (n_tokens >= min_tokens)
@@ -195,13 +212,7 @@ def fingerprint(
     """Document fingerprint: md5 of the normalized text (lowercase,
     punctuation stripped, whitespace collapsed) — the key for
     normalized-exact dup clustering."""
-    normalized = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
-            " +",
-            " ",
-        )
-    )
+    normalized = normalized_text_expr(F.col(text_col))
     return df.select(
         F.col(id_col),
         F.md5(normalized).alias("fingerprint"),
@@ -475,7 +486,13 @@ def corpus_frequency_score(
         F.col("n_tokens"),
         (
             F.col("__freq_sum").cast("double")
-            / (F.col("n_tokens") * F.col("__total"))
+            # n_tokens cast to double BEFORE the multiply (r11 review
+            # catch): at the advertised corpus scale (~2e13 total
+            # tokens) a megatoken document pushes the long×long product
+            # past Long.MAX — ANSI aborts, non-ANSI silently wraps
+            # negative. The double product is exact for every plausible
+            # magnitude (< 2^53) and matches the oracle's CAST.
+            / (F.col("n_tokens").cast("double") * F.col("__total"))
         ).alias("freq_score"),
     )
 
@@ -498,16 +515,8 @@ def annotate_documents(
     n_tokens = F.size(toks)
     sw_ratio = stopword_ratio(text, LANG_MARKERS["en"])
     p_ratio = punct_ratio(text)
-    quality = (
-        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * F.lit(0.5)
-        + sw_ratio * F.lit(0.3)
-        + (F.lit(1.0) - p_ratio) * F.lit(0.2)
-    )
-    normalized = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(text), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
+    quality = quality_score_expr(n_tokens, sw_ratio, p_ratio)
+    normalized = normalized_text_expr(text)
     return df.select(
         *df.columns,
         F.length(text).alias("ann_n_chars"),
