@@ -6166,3 +6166,33 @@ def test_cosine_topk_blocked_string_ids_and_empty_queries(spark):
     assert got == want and got[0][0] == "q1"
     empty_q = queries.filter(F.lit(False))
     assert cosine_topk_blocked(empty_q, corpus, k=2).count() == 0
+
+
+def test_compact_store_empty_family_does_not_brick(spark, tmp_path):
+    """Regression (r11 review catch): compacting a family whose merged
+    summary is EMPTY (all appended batches zero-row — e.g. all-NULL
+    values early in a stream) wrote a partitioned dir with no parquet
+    files, and every subsequent read of the family died on schema
+    inference until a non-empty batch landed. Compaction now skips
+    empty families; the store stays readable and a later real batch
+    flows through."""
+    from wwwision_importservice_spark.operators.sketchstore import (
+        SketchStoreSpec,
+        append_batch,
+        compact_store,
+        merged_quantiles,
+    )
+
+    store = str(tmp_path / "stats")
+    spec = SketchStoreSpec(group_cols=("g",), value_col="v", k=64)
+    empty = spark.createDataFrame([], "g string, v double")
+    append_batch(empty, store, 0, spec)
+    compact_store(spark, store, spec)  # pre-fix: bricked the family here
+    assert merged_quantiles(spark, store, spec).count() == 0
+    real = spark.createDataFrame(
+        [("a", float(i)) for i in range(20)], "g string, v double"
+    )
+    append_batch(real, store, 1, spec)
+    compact_store(spark, store, spec)
+    merged = merged_quantiles(spark, store, spec)
+    assert merged.count() > 0

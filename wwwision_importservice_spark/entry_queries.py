@@ -6301,9 +6301,11 @@ SELECT q.source, q.p50_len, q.p90_len, q.max_len, q.n_docs,
        h.top_tok, h.top_tok_c
 FROM (
   SELECT source,
-         CAST(min(CASE WHEN rk >= ceiling(0.5 * n) THEN len END) AS BIGINT)
+         CAST(min(CASE WHEN rk >= ceiling(CAST('0.5' AS DECIMAL(22,10)) * n)
+                   THEN len END) AS BIGINT)
            AS p50_len,
-         CAST(min(CASE WHEN rk >= ceiling(0.9 * n) THEN len END) AS BIGINT)
+         CAST(min(CASE WHEN rk >= ceiling(CAST('0.9' AS DECIMAL(22,10)) * n)
+                   THEN len END) AS BIGINT)
            AS p90_len,
          CAST(max(len) AS BIGINT) AS max_len,
          CAST(max(n) AS BIGINT) AS n_docs

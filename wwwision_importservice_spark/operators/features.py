@@ -84,7 +84,14 @@ def hashing_tf_vectors(
     IVF, semantic dedup), closing the text→vector loop without any
     external model. Built from :func:`hashed_tf` by folding the sparse
     rows into a map and reading it out along ``sequence(0, n-1)`` —
-    densification cost is O(n_features) per doc, after the aggregate."""
+    densification cost is O(n_features) per doc, after the aggregate.
+
+    Contract note (r11 review): a document with ZERO tokens (empty /
+    whitespace / NULL text) emits NO row — it has no hashed_tf rows to
+    fold, so downstream id-joins exclude it from scoring and dedup
+    decisions rather than seeing an all-zeros vector. Filter empty
+    docs out explicitly (the quality gate already does) or union a
+    zero-vector frame if every id must appear."""
     value = F.col("l2_tf") if l2 else F.col("tf").cast("double")
     sparse = hashed_tf(df, id_col, text_col, n_features).select(
         F.col(id_col), F.col("bucket"), value.alias("__v")
@@ -240,7 +247,14 @@ def heavy_hitters(
         raise ValueError(f"counters ({counters}) must be >= k ({k})")
     groups = list(group_cols or [])
 
-    summaries = _mg_partition_summaries(df, item_col, groups, counters)
+    # lineage barrier (r11 review catch): `totals` and `merged` both
+    # re-derive from this frame under DIFFERENT exchanges, so without a
+    # cut the corpus-wide mapInPandas fold — the operator's entire cost
+    # — executes twice per action. The summary is partitions×counters
+    # rows, pennies to checkpoint.
+    summaries = _mg_partition_summaries(
+        df, item_col, groups, counters
+    ).localCheckpoint(eager=False)
     # one row per (partition, group) → per-group N; tiny frame
     totals = (
         summaries.select(*groups, "_pid", "_part_rows")
@@ -635,7 +649,15 @@ def sketch_quantile_values(
         F.min(
             F.when(
                 F.col("__cw")
-                >= F.ceil(F.lit(float(q)) * F.col("__W")).cast("long"),
+                # EXACT rank arithmetic (r11 review catch): double
+                # ceil(q*W) rounds past the integer rank whenever the
+                # nearest-double of q lands epsilon above (ceil(0.07
+                # * 100) = 8, not the textbook 7). Decimal-from-string
+                # keeps q exact; decimal x long stays exact.
+                >= F.ceil(
+                    F.lit(str(float(q))).cast("decimal(22,10)")
+                    * F.col("__W")
+                ).cast("long"),
                 F.col("value"),
             )
         ).alias(f"q_{str(q).replace('.', '_')}")

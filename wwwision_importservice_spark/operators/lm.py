@@ -11,8 +11,11 @@ Design (same exactness strategy as :mod:`operators/retrieval`'s BM25):
 
 - **Training = counting.** The model is two count tables —
   ``c(w1,w2)`` and its margin ``c(w1)`` — plus the vocab size ``V``.
-  All LONG, order-independent, engine-exact, map-side-combinable: a
-  100 TB corpus trains in one explode + two hash aggregates, and two
+  All LONG, order-independent, engine-exact, map-side-combinable: the
+  bigram/context tables come from one explode + two hash aggregates,
+  the vocab from a SECOND corpus explode (single-token docs carry no
+  bigram, so the vocab cannot derive from the bigram table — two
+  corpus scans total, stated honestly per the r11 review), and two
   epochs never disagree.
 - **Probabilities are rational.** ``p(w2|w1) = (c12 + k) / (c1 + k·V)``
   — with counts exact, the per-bigram probability is one double

@@ -37,6 +37,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Column  # noqa: F401 — nested helper annotations
 from pyspark.sql import functions as F
 
 
@@ -56,23 +57,49 @@ def query_term_stats(
     Emits one row per (doc, term) with tf > 0:
     ``(id, term, tf, dl, df, n_docs, total_tokens)`` — all LONG.
 
-    Plan: one corpus scan; dl/totals come from the same tokenization;
-    the term filter cuts the explode to query terms before the tf
-    aggregate; df (docs-per-term) and the corpus totals are
-    Zipf-or-smaller and broadcast back.
+    Plan: genuinely ONE corpus scan (r11 review catch — the earlier
+    explode+filter form re-tokenized the whole corpus a second time for
+    the totals aggregate): a single projection computes per-doc
+    ``(dl, tf per query term)`` as pure array expressions — per-term
+    ``size(filter(tokens, = t))``, |terms|·|tokens| comparisons, cheap
+    for query-sized term lists and NO shuffle of exploded token rows —
+    and that narrow frame is localCheckpoint'd so the totals aggregate
+    and the per-term unpivot both read the materialized rows instead of
+    re-running the scan. df (docs-per-term) and the corpus totals are
+    tiny and broadcast back.
     """
     terms = [t.lower() for t in terms]
     toks = _tokens(F.col(text_col))
-    base = df.select(
-        F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
-    ).filter(F.col("term").isin(terms))
-    tf = base.groupBy(id_col, "dl", "term").agg(
-        F.count(F.lit(1)).alias("tf")
+
+    def _eq(term: str):
+        # MUST stay a ONE-argument lambda: F.filter dispatches on lambda
+        # arity, and a default-arg second parameter would be bound to
+        # the array INDEX (the text.py marker_filter convention)
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(t))).alias(f"__tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = df.select(
+        F.col(id_col), F.size(toks).alias("dl"), *tf_cols
+    ).localCheckpoint(eager=False)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(t).alias("term"), F.col(f"__tf_{i}").alias("tf")
+        )
+        for i, t in enumerate(terms)
+    ])
+    tf = (
+        per_doc.select(F.col(id_col), F.col("dl"), F.explode(pairs).alias("p"))
+        .select(F.col(id_col), "dl", F.col("p.term").alias("term"),
+                F.col("p.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    totals = df.agg(
+    totals = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(_tokens(F.col(text_col)))).alias("total_tokens"),
+        F.sum("dl").alias("total_tokens"),
     )
     return (
         tf.join(F.broadcast(dfreq), "term")

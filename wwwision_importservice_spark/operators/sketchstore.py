@@ -145,24 +145,38 @@ def append_batch(
             return True
         return False
 
-    if spec.item_col is not None and not below_watermark("heads"):
-        (
-            heavy_hitter_summary(df, spec.item_col, groups, spec.counters)
-            .write.mode("overwrite")
-            .parquet(f"{store_dir}/heads/batch_id={b}")
-        )
-    if spec.value_col is not None and not below_watermark("quantiles"):
-        (
-            quantile_sketch(df, spec.value_col, groups, spec.k)
-            .write.mode("overwrite")
-            .parquet(f"{store_dir}/quantiles/batch_id={b}")
-        )
-    if spec.distinct_col is not None and not below_watermark("distincts"):
-        (
-            distinct_sketches(df, groups, spec.distinct_col, spec.lg_k)
-            .write.mode("overwrite")
-            .parquet(f"{store_dir}/distincts/batch_id={b}")
-        )
+    # a spec tracking several families triggers up to three independent
+    # write actions over the same batch frame; persisting it keeps an
+    # expensive upstream source/transform (the stats_hook docstring's
+    # token explode, say) from recomputing per family (r11 review catch)
+    n_families = sum(
+        c is not None
+        for c in (spec.item_col, spec.value_col, spec.distinct_col)
+    )
+    if n_families > 1:
+        df = df.persist()
+    try:
+        if spec.item_col is not None and not below_watermark("heads"):
+            (
+                heavy_hitter_summary(df, spec.item_col, groups, spec.counters)
+                .write.mode("overwrite")
+                .parquet(f"{store_dir}/heads/batch_id={b}")
+            )
+        if spec.value_col is not None and not below_watermark("quantiles"):
+            (
+                quantile_sketch(df, spec.value_col, groups, spec.k)
+                .write.mode("overwrite")
+                .parquet(f"{store_dir}/quantiles/batch_id={b}")
+            )
+        if spec.distinct_col is not None and not below_watermark("distincts"):
+            (
+                distinct_sketches(df, groups, spec.distinct_col, spec.lg_k)
+                .write.mode("overwrite")
+                .parquet(f"{store_dir}/distincts/batch_id={b}")
+            )
+    finally:
+        if n_families > 1:
+            df.unpersist()
 
 
 def _read_kind(
@@ -341,6 +355,17 @@ def compact_store(
             int(hi) if hi is not None else -1,
         )
         merged = merges[kind](spark, store_dir, spec)
+        if merged.limit(1).count() == 0:
+            # an EMPTY merged summary (all appended batches zero-row,
+            # e.g. all-NULL values early in a stream) must not compact:
+            # the partitioned write of zero rows emits NO parquet files
+            # (dynamic partition dirs come from row values), and after
+            # the swap every subsequent read of the family dir dies on
+            # schema inference — the store is bricked until a non-empty
+            # batch lands (r11 review catch). Compaction is an
+            # optimization; skipping it for an empty family is always
+            # correct.
+            continue
         # sibling staging dir: same filesystem, so the swap's renames
         # are atomic moves (the compact_index convention). The folded
         # slice keeps the batch-keyed layout (partition dir -1) so
