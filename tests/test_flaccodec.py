@@ -70,8 +70,11 @@ def test_flac_layout_pinned_bytes():
     assert blob[4] == 0x80  # last-metadata flag | STREAMINFO type 0
     assert blob[5:8] == (34).to_bytes(3, "big")
     si = blob[8:42]
-    assert int.from_bytes(si[0:2], "big") == 2  # min block size
-    assert int.from_bytes(si[2:4], "big") == 2  # max block size
+    # declared min/max block clamp to the spec's 16-sample floor even
+    # though the single (last) frame really is 2 samples — sub-16
+    # declarations are nonconformant per RFC 9639 (r12 advisor catch)
+    assert int.from_bytes(si[0:2], "big") == 16  # min block size
+    assert int.from_bytes(si[2:4], "big") == 16  # max block size
     rate_ch_bps = int.from_bytes(si[10:14], "big")
     assert rate_ch_bps >> 12 == 8000  # 20-bit sample rate
     assert (rate_ch_bps >> 9) & 0x7 == 0  # channels - 1
@@ -337,3 +340,45 @@ def test_flac_forced_escape_width_validated():
         encode_flac(sig, 8000, method="fixed2", force_escape_bits=16)
     )
     assert np.array_equal(out[:, 0], sig)
+
+
+def test_flac_lpc_magnitude_bound_typed_error():
+    """Crafted max-magnitude coefficients with shift 0 used to grow
+    samples as unbounded Python bigints and abort with a bare
+    OverflowError at the int64 conversion (r12 advisor catch) — the
+    restore loop now raises the module's typed error as soon as a
+    sample exceeds the bps-derived bound, wasting only its own bytes."""
+    from wwwision_importservice_spark.operators.flaccodec import _restore_lpc
+
+    warmup = np.array([30000], dtype=np.int64)
+    resid = np.zeros(4096, dtype=np.int64)
+    start = time.perf_counter()
+    with pytest.raises(AudioDecodeError, match="magnitude"):
+        _restore_lpc(warmup, resid, [1 << 14], 0, 16)
+    assert time.perf_counter() - start < 1.0  # no bignum burn
+    # a legitimate stream's samples stay far under the bound
+    sig = _signal(1000)
+    out, _ = decode_flac(encode_flac(sig, 8000, method="lpc"))
+    assert np.array_equal(out[:, 0], sig)
+
+
+def test_flac_streaminfo_block_bounds_from_emitted_frames():
+    """Declared min/max block derive from the actual emitted frame
+    sizes — the shorter last frame is exempt per spec — and clamp to
+    the 16-sample floor (r12 advisor catch: max_block = block_size even
+    when the only frame was shorter, and min_block could dip under 16)."""
+    def si_blocks(blob):
+        return (int.from_bytes(blob[8:10], "big"),
+                int.from_bytes(blob[10:12], "big"))
+
+    # multi-frame with a short last frame: both bounds = full frame size
+    blob = encode_flac(_signal(130), 8000, block_size=50)
+    assert si_blocks(blob) == (50, 50)
+    # single frame shorter than the requested block: bounds = that frame
+    blob = encode_flac(_signal(30), 8000, block_size=4096)
+    assert si_blocks(blob) == (30, 30)
+    # tiny input clamps to the spec's 16-sample floor, still decodes
+    blob = encode_flac(_signal(5), 8000, block_size=4096)
+    assert si_blocks(blob) == (16, 16)
+    out, _ = decode_flac(blob)
+    assert out.shape[0] == 5

@@ -523,7 +523,9 @@ def test_progressive_mutation_fuzz_error_contract():
     ]
     escapes = []
     for base in bases:
-        for _ in range(200):
+        for _ in range(500):  # image-family 1000-case depth across the
+            # two scan scripts (r12 — the SOF2 accumulator/refinement
+            # state machine gets the same fuzz budget as baseline)
             blob = mutate_blob(rng, base)
             try:
                 decode_image(blob)

@@ -327,6 +327,35 @@ def test_eel_date_format_maps_php_codes(spark):
         translate_eel("${Date.format(record.ts, record.fmt)}")
 
 
+def test_eel_date_format_expression_codes(spark):
+    """PHP N (ISO day-of-week), W (ISO week, zero-padded) and lowercase
+    a (am/pm) have no Spark-accepted Java pattern — 'u'/'ww' throw
+    INCONSISTENT_BEHAVIOR_CROSS_VERSION at execution time and Java 'a'
+    emits uppercase (r12 advisor catch). They translate as non-pattern
+    expressions stitched with concat; pure pattern runs stay a single
+    date_format."""
+    from wwwision_importservice_spark.functions.eel import translate_eel
+
+    # 2026-08-16 is a Sunday (ISO N=7), ISO week 33; 2024-01-01 is a
+    # Monday (N=1) in ISO week 01 — the zero-pad case PHP's date('W')
+    # produces and 'ww' would only match by accident.
+    df = spark.sql(
+        "SELECT timestamp'2026-08-16 15:42:07' AS ts "
+        "UNION ALL SELECT timestamp'2024-01-01 03:05:00'"
+    )
+    sql = translate_eel('${Date.format(record.ts, "N")}')
+    assert sorted(r["v"] for r in df.selectExpr(f"{sql} AS v").collect()) == ["1", "7"]
+    sql = translate_eel('${Date.format(record.ts, "W")}')
+    assert sorted(r["v"] for r in df.selectExpr(f"{sql} AS v").collect()) == ["01", "33"]
+    sql = translate_eel('${Date.format(record.ts, "g:i a")}')
+    got = sorted(r["v"] for r in df.selectExpr(f"{sql} AS v").collect())
+    assert got == ["3:05 am", "3:42 pm"]
+    # mixed pattern + expression codes compose in order
+    sql = translate_eel('${Date.format(record.ts, "Y-W-N")}')
+    got = sorted(r["v"] for r in df.selectExpr(f"{sql} AS v").collect())
+    assert got == ["2024-01-1", "2026-33-7"]
+
+
 def test_eel_ternary_inside_group_elements(spark):
     """A ternary inside an array literal or helper argument list binds
     within its own element — it used to swallow the following elements

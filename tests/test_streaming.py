@@ -1721,3 +1721,47 @@ def test_near_dup_gate_ttl_requires_compaction_cadence(spark, tmp_path):
     with pytest.raises(ValueError, match="compact_every"):
         near_dup_gate(str(tmp_path / "idx"), lambda df, bid: None,
                       ttl_batches=100)
+
+
+def test_lifecycle_job_budgets_pinned(spark, tmp_path):
+    """Per-step Spark-JOB budgets for the persisted-index lifecycle
+    (r12, VERDICT r11 ask #1): compaction with a caller-supplied schema
+    and known banding is THREE jobs (scan→dedup exchange, band
+    repartition exchange, write — no mergeSchema all-footers job, no
+    range-sampling job), and a gate micro-batch incl. the band-replay
+    append stays under a fixed budget — crash-safety work that sneaks
+    extra ACTIONS into the hot loop fails here instead of surfacing as
+    unexplained bench drift. Budgets count AQE stage-jobs, which track
+    plan structure, not data size."""
+    from wwwision_importservice_spark.operators.dedup import compact_index
+    from wwwision_importservice_spark.streaming.neardup import near_dup_gate
+
+    sc = spark.sparkContext
+    docs = spark.createDataFrame(
+        [(i, f"doc text number {i} with shared tail words") for i in range(120)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "index")
+    gate = near_dup_gate(idx, lambda df, bid: df.count(),
+                         n=3, num_hashes=16, bands=4)
+
+    def jobs(name, fn):
+        sc.setJobGroup(name, name)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(name))
+
+    b0 = jobs("ljb_b0", lambda: gate(docs.filter("doc_id % 2 = 0"), 0))
+    # batch 1 runs the full steady-state path: index read, prune,
+    # pair join, survivor checkpoints, admit, band-replay anti-join,
+    # append — measured 24-26 jobs; the pin catches a NEW action
+    b1 = jobs("ljb_b1", lambda: gate(docs.filter("doc_id % 2 = 1"), 1))
+    assert b0 <= 30 and b1 <= 30, (b0, b1)
+    c = jobs("ljb_c", lambda: compact_index(
+        spark, idx, "doc_id", n_bands=4,
+        schema="doc_id long, band int, sig string, batch_id long"))
+    assert c <= 3, f"compact_index ran {c} jobs; budget is 3"
+    # and the compacted index still gates (sanity, not a budget)
+    gate(docs.filter("doc_id % 3 = 0"), 2)

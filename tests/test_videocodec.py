@@ -1,0 +1,190 @@
+"""ISO-BMFF box-walk codec tests (operators/videocodec.py, r12):
+layout pins, v0/v1 roundtrips, bomb caps, and the codec-family mutation
+fuzz contract."""
+import random
+import struct
+import time
+
+import pytest
+
+from wwwision_importservice_spark.operators.videocodec import (
+    MAX_BOXES,
+    MAX_BOX_DEPTH,
+    VideoDecodeError,
+    encode_mp4,
+    mdat_payload,
+    parse_mp4,
+    sniff_mp4,
+)
+
+
+def test_mp4_layout_pinned_bytes():
+    """Hand-derived header layout: ftyp is the first box (sniff magic),
+    sizes are u32 BE + fourcc, tkhd carries 16.16 dims, stsd the codec
+    fourcc — all offsets restated independently here so the encoder and
+    walker can't drift together."""
+    blob = encode_mp4(320, 240, 1500, payload=b"pay", codec="avc1")
+    assert sniff_mp4(blob)
+    # ftyp: size 20, brand isom, minor 0, compat isom
+    assert blob[:20] == struct.pack(">I", 20) + b"ftyp" + b"isom" + b"\x00" * 4 + b"isom"
+    # moov follows; its declared size spans to the mdat box
+    (moov_size,) = struct.unpack_from(">I", blob, 20)
+    assert blob[24:28] == b"moov"
+    mdat_at = 20 + moov_size
+    (mdat_size,) = struct.unpack_from(">I", blob, mdat_at)
+    assert blob[mdat_at + 4 : mdat_at + 8] == b"mdat"
+    assert mdat_size == 8 + 3
+    assert blob[mdat_at + 8 :] == b"pay"
+    # mvhd v0: timescale at body+12, duration at body+16 (after
+    # version/flags + creation + modification)
+    mvhd_body = 28 + 8 + 4  # moov body + mvhd header + ver/flags
+    timescale, duration = struct.unpack_from(">II", blob, mvhd_body + 8)
+    assert (timescale, duration) == (1000, 1500)
+    # tkhd 16.16 dims sit in the last 8 bytes of the tkhd box
+    tkhd_at = blob.index(b"tkhd") - 4
+    (tkhd_size,) = struct.unpack_from(">I", blob, tkhd_at)
+    w16, h16 = struct.unpack_from(">II", blob, tkhd_at + tkhd_size - 8)
+    assert (w16 >> 16, h16 >> 16) == (320, 240)
+    # stsd's first sample entry fourcc is the codec
+    stsd_at = blob.index(b"stsd") - 4
+    assert blob[stsd_at + 20 : stsd_at + 24] == b"avc1"
+    meta = parse_mp4(blob)
+    assert meta == {
+        "format": "mp4", "major_brand": "isom", "width": 320,
+        "height": 240, "duration_ms": 1500, "codec": "avc1",
+        "mdat_spans": [(mdat_at + 8, len(blob))],
+    }
+    assert mdat_payload(blob) == b"pay"
+
+
+@pytest.mark.parametrize("version", [0, 1])
+@pytest.mark.parametrize("timescale", [1000, 90000, 600])
+def test_mp4_roundtrip_versions_and_timescales(version, timescale):
+    """v0 (u32 times) and v1 (u64 times) mvhd/tkhd both roundtrip; the
+    duration survives the ms→timescale→ms floor for every timescale
+    that divides 1000 into it exactly, and the floor is deterministic
+    otherwise."""
+    blob = encode_mp4(
+        1920, 1080, 123456, payload=b"z" * 17, codec="hvc1",
+        timescale=timescale, version=version,
+    )
+    meta = parse_mp4(blob)
+    assert (meta["width"], meta["height"]) == (1920, 1080)
+    assert meta["codec"] == "hvc1"
+    expect = (123456 * timescale // 1000) * 1000 // timescale
+    assert meta["duration_ms"] == expect
+    assert mdat_payload(blob) == b"z" * 17
+
+
+def test_mp4_multiple_mdat_spans_concatenate():
+    base = encode_mp4(64, 48, 100, payload=b"first", codec="avc1")
+    blob = base + struct.pack(">I", 8 + 6) + b"mdat" + b"second"
+    assert mdat_payload(blob) == b"firstsecond"
+
+
+def test_mp4_audio_only_track_reports_codec_null_dims():
+    """An hdlr of 'soun' (built by patching the fixture's handler) is
+    not a video track: codec still reported, dims stay NULL."""
+    blob = bytearray(encode_mp4(64, 48, 100, codec="mp4a"))
+    at = bytes(blob).index(b"vide")
+    blob[at : at + 4] = b"soun"
+    meta = parse_mp4(bytes(blob))
+    assert meta["codec"] == "mp4a"
+    assert meta["width"] is None and meta["height"] is None
+    assert meta["duration_ms"] == 100  # mvhd is track-independent
+
+
+def test_mp4_zero_timescale_reports_null_duration():
+    blob = bytearray(encode_mp4(64, 48, 100))
+    mvhd_body = 28 + 8 + 4
+    struct.pack_into(">I", blob, mvhd_body + 8, 0)  # timescale := 0
+    assert parse_mp4(bytes(blob))["duration_ms"] is None
+
+
+def test_mp4_largesize_and_size_zero_boxes():
+    """size==1 promotes to a u64 largesize; size==0 runs to the end of
+    the enclosing container — both per ISO 14496-12 §4.2."""
+    base = encode_mp4(64, 48, 100, payload=b"")
+    large = (
+        base
+        + struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + 4) + b"big!"
+    )
+    assert mdat_payload(large) == b"big!"
+    to_end = base + struct.pack(">I", 0) + b"mdat" + b"tail-bytes"
+    assert mdat_payload(to_end) == b"tail-bytes"
+
+
+def test_mp4_bomb_caps_and_typed_errors():
+    from wwwision_importservice_spark.operators.videocodec import _walk
+
+    base = encode_mp4(64, 48, 100)
+    # depth cap: parse_mp4's recursion is structural (moov→trak→mdia→
+    # minf→stbl, fixed ≤6), so the guard is defense-in-depth for any
+    # future recursive walker — pinned directly on _walk
+    with pytest.raises(VideoDecodeError, match="nesting"):
+        list(_walk(b"\x00" * 16, 0, 16, MAX_BOX_DEPTH + 1, [0]))
+    # box-count bomb: a flat run of minimal boxes past MAX_BOXES —
+    # must reject by COUNT in bounded time, cost ∝ its own bytes
+    flat = base[:20] + (struct.pack(">I", 8) + b"free") * (MAX_BOXES + 10)
+    start = time.perf_counter()
+    with pytest.raises(VideoDecodeError, match="boxes"):
+        parse_mp4(flat)
+    assert time.perf_counter() - start < 2.0
+    # declared size past the container
+    with pytest.raises(VideoDecodeError, match="past its container"):
+        parse_mp4(base[:20] + struct.pack(">I", 999) + b"mdat")
+    # size < header
+    with pytest.raises(VideoDecodeError, match="< header"):
+        parse_mp4(base[:20] + struct.pack(">I", 4) + b"mdat")
+    # truncated header
+    with pytest.raises(VideoDecodeError, match="truncated"):
+        parse_mp4(base[:20] + b"\x00\x00")
+    # not BMFF at all
+    with pytest.raises(VideoDecodeError, match="ftyp"):
+        parse_mp4(b"RIFFxxxxWAVE")
+
+
+def test_mp4_encoder_input_contract():
+    with pytest.raises(ValueError, match="dims"):
+        encode_mp4(0, 48, 100)
+    with pytest.raises(ValueError, match="dims"):
+        encode_mp4(64, 1 << 16, 100)
+    with pytest.raises(ValueError, match="duration"):
+        encode_mp4(64, 48, -1)
+    with pytest.raises(ValueError, match="timescale"):
+        encode_mp4(64, 48, 100, timescale=0)
+    with pytest.raises(ValueError, match="fourcc"):
+        encode_mp4(64, 48, 100, codec="toolong")
+    with pytest.raises(ValueError, match="version"):
+        encode_mp4(64, 48, 100, version=2)
+
+
+def test_mp4_mutation_fuzz_error_contract():
+    """Codec-family fuzz (conftest.mutate_blob): every mutation either
+    parses to a metadata dict or raises VideoDecodeError — no other
+    exception type, no hang. Seeds cover both mvhd/tkhd versions."""
+    from conftest import mutate_blob
+
+    rng = random.Random(0xB0CE5)
+    bases = [
+        encode_mp4(640, 360, 2500, payload=b"p" * 40, codec="avc1"),
+        encode_mp4(320, 200, 987, payload=b"q" * 9, codec="hvc1",
+                   version=1, timescale=90000),
+    ]
+    outcomes = {"ok": 0, "rejected": 0}
+    for base in bases:
+        for _ in range(500):
+            blob = bytes(mutate_blob(rng, base))
+            if not sniff_mp4(blob):
+                continue  # out of this codec's contract; media_metadata
+                # routes non-ftyp bytes to other codecs or 'unknown'
+            try:
+                meta = parse_mp4(blob)
+                assert isinstance(meta, dict)
+                mdat_payload(blob, meta)
+                outcomes["ok"] += 1
+            except VideoDecodeError:
+                outcomes["rejected"] += 1
+    # the walk is tolerant of payload-byte mutations (most of the file)
+    # but must reject structural damage; both outcomes must occur
+    assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes

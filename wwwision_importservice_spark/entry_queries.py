@@ -2234,6 +2234,13 @@ SELECT id_a, id_b, cosine FROM (
        AND l.vec_id < r.vec_id
 ) WHERE cosine >= 0.3
 """,
+    driver=False,  # demoted r12 (driver-green r04-r11, slot ceded to
+    # x3_semantic_decontaminate — VERDICT r11 ask #6): the sign-LSH
+    # blocking this row pins now sits under the driver hash via the
+    # promoted decontamination row (same bucket rule, hamming-probed,
+    # plus the cosine-verify stage); this corpus' near-isotropic
+    # recall grid keeps its oracle here and the row stays a bench
+    # headline entry
 )
 def x2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — embedding-cosine near-duplicate pairs (cosine ≥ 0.3),
@@ -2351,9 +2358,12 @@ WHERE NOT EXISTS (
         >= 0.9
 )
 """,
-    driver=False,  # pytest tier: the trio's exact form
-    # (x2_decontaminate) and n-gram form (x2_ngram_decontaminate) hold
-    # driver slots; this row pins the embedding form (r11)
+    # DRIVER since r12 (slot ceded by x2_embedding_near_dup — VERDICT
+    # r11 ask #6): completes the decontamination trio under the hard
+    # driver hash (exact-key x2_decontaminate + 13-gram
+    # x2_ngram_decontaminate already are), and its planted-twin oracle
+    # states the blocking rule declaratively so the hash pins the
+    # candidate generation itself, not just the happy path
 )
 def x3_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 — SEMANTIC decontamination
@@ -5224,34 +5234,50 @@ def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "x4_media_metadata",
-    # one mixed-modality corpus, four real containers, ONE oracle:
-    # doc_id % 4 picks PNG (md5-cycled 4x3 pixels), exact-gray q50
-    # baseline JPEG, mono WAV, or mono FLAC — the WAV and FLAC docs
-    # carry the SAME md5-derived sample series, so their payload_sha
-    # CASE arms are literally identical, pinning the cross-container
-    # content-address. Every numeric field and both payload families
-    # derive from md5 string arithmetic.
+    # one mixed-modality corpus, six real container lanes, ONE oracle:
+    # doc_id % 6 picks PNG (md5-cycled 4x3 pixels), exact-gray q50
+    # baseline JPEG, mono WAV, mono FLAC, the SAME gray grid as a
+    # PROGRESSIVE (SOF2) JPEG (r12), or an ISO-BMFF MP4 (r12 — box-walk
+    # metadata, no frame decode). The WAV and FLAC docs carry the SAME
+    # md5-derived sample series, so their payload_sha CASE arms are
+    # literally identical, pinning the cross-container content-address;
+    # the baseline and progressive JPEG arms share one pixel-sha
+    # expression, so the hash pins that the sniff-dispatch path decodes
+    # SOF2 to the identical pixels; the video arm's dims/duration/codec
+    # restate the constructed box arithmetic and its payload_sha
+    # addresses the mdat bytes. Every numeric field and all payload
+    # families derive from md5 string arithmetic.
     f"""
 SELECT doc_id,
-       CASE WHEN m < 2 THEN 'image' ELSE 'audio' END AS kind,
-       CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-              WHEN 2 THEN 'wav' ELSE 'flac' END AS format,
-       CAST(CASE m WHEN 0 THEN 4 WHEN 1 THEN 8 * bw END AS INT) AS width,
-       CAST(CASE m WHEN 0 THEN 3 WHEN 1 THEN 8 * bh END AS INT) AS height,
-       CAST(CASE WHEN m < 2 THEN 1 ELSE n END AS INT) AS n_frames,
-       CAST(CASE WHEN m >= 2 THEN 8000 END AS INT) AS sample_rate,
-       CAST(CASE WHEN m >= 2 THEN 1 END AS INT) AS channels,
-       CASE m
-         WHEN 0 THEN sha256(substr(repeat(mh, 3), 1, 72))
-         WHEN 1 THEN sha256(array_to_string(
+       CASE WHEN m IN (2, 3) THEN 'audio' WHEN m = 5 THEN 'video'
+            ELSE 'image' END AS kind,
+       CASE m WHEN 0 THEN 'png' WHEN 2 THEN 'wav' WHEN 3 THEN 'flac'
+              WHEN 5 THEN 'mp4' ELSE 'jpeg' END AS format,
+       CAST(CASE WHEN m = 0 THEN 4 WHEN m IN (1, 4) THEN 8 * bw
+                 WHEN m = 5 THEN 16 + b % 100 END AS INT) AS width,
+       CAST(CASE WHEN m = 0 THEN 3 WHEN m IN (1, 4) THEN 8 * bh
+                 WHEN m = 5 THEN 16 + (b // 7) % 100 END AS INT) AS height,
+       CAST(CASE WHEN m IN (2, 3) THEN n WHEN m = 5 THEN NULL
+                 ELSE 1 END AS INT) AS n_frames,
+       CAST(CASE WHEN m IN (2, 3) THEN 8000 END AS INT) AS sample_rate,
+       CAST(CASE WHEN m IN (2, 3) THEN 1 END AS INT) AS channels,
+       CAST(CASE WHEN m IN (2, 3) THEN 16 END AS INT) AS bits_per_sample,
+       CAST(CASE WHEN m = 5 THEN 500 + b % 10000 END AS BIGINT)
+         AS duration_ms,
+       CASE WHEN m = 5 THEN (CASE WHEN b % 2 = 0 THEN 'avc1'
+                                  ELSE 'hvc1' END) END AS codec,
+       CASE
+         WHEN m = 0 THEN sha256(substr(repeat(mh, 3), 1, 72))
+         WHEN m IN (1, 4) THEN sha256(array_to_string(
            list_transform(range(0, (8*bw)*(8*bh)), i ->
              repeat(printf('%02x',
                     gs[((i // (8*bw)) // 8) * bw + ((i % (8*bw)) // 8) + 1]),
                     3)), ''))
+         WHEN m = 5 THEN sha256(substr(repeat(mh, 2), 1, 48))
          ELSE sha256(substr(repeat(mh, 18), 1, 4 * n))
        END AS payload_sha
 FROM (
-  SELECT doc_id, mh, doc_id % 4 AS m,
+  SELECT doc_id, mh, b, doc_id % 6 AS m,
          40 + b % 100 AS n, 2 + b % 3 AS bw, 2 + (b // 3) % 3 AS bh,
          list_transform(range(0, (2 + b % 3) * (2 + (b // 3) % 3)), k ->
            (CAST('0x' || substr(mh, 2*k+1, 2) AS INT) % 128) * 2) AS gs
@@ -5269,15 +5295,20 @@ FROM (
 def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — unified mixed-modality metadata
     (``operators/multimodal.py:media_metadata``): one corpus whose
-    blobs are real PNG, baseline-JPEG, WAV, or FLAC files by
-    ``doc_id % 4``; the kernel sniffs each magic, decodes through the
-    matching pure codec, and emits one typed row — image dims, audio
-    frame/rate/channel counts, and a decoded-payload content-address
-    that is container-independent (the WAV and FLAC docs share one
-    sample series and must hash identically). The n_bytes column is
-    excluded from the oracle (compressed container sizes aren't SQL-
-    derivable); everything else is md5 arithmetic. One Arrow pass, no
-    shuffle."""
+    blobs are real PNG, baseline-JPEG, WAV, FLAC, progressive-JPEG
+    (SOF2, r12), or ISO-BMFF MP4 (r12) files by ``doc_id % 6``; the
+    kernel sniffs each magic, decodes through the matching pure codec
+    (video: ``operators/videocodec.py`` box walk, no frame decode), and
+    emits one typed row — image dims, audio frame/rate/channel/bit-depth
+    counts, video dims/duration/codec, and a decoded-payload
+    content-address that is container-independent (the WAV and FLAC
+    docs share one sample series and must hash identically; the
+    baseline and progressive JPEG docs of one id-class share one pixel
+    formula, proving SOF2 through the SNIFF path, not only the
+    dedicated x4_jpeg_progressive row; the video hash addresses the
+    mdat payload, not the mux). The n_bytes column is excluded from the
+    oracle (compressed container sizes aren't SQL-derivable);
+    everything else is md5 arithmetic. One Arrow pass, no shuffle."""
     from wwwision_importservice_spark.operators.multimodal import (
         _codec_importer,
         media_metadata,
@@ -5288,6 +5319,7 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     import_jpeg = _codec_importer("jpegcodec")
     import_wav = _codec_importer("audiocodec")
     import_flac = _codec_importer("flaccodec")
+    import_vid = _codec_importer("videocodec")
 
     def synth(it):
         import hashlib as _hashlib
@@ -5299,19 +5331,27 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         jp = import_jpeg()
         wavc = import_wav()
         flacc = import_flac()
+        vidc = import_vid()
         for pdf in it:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 mh = _hashlib.md5(str(did).encode()).hexdigest()
                 b = int(mh[:15], 16)
-                m = did % 4
-                if m == 0:
+                m = did % 6
+                if m == 5:
+                    blob = vidc.encode_mp4(
+                        16 + b % 100, 16 + (b // 7) % 100,
+                        500 + b % 10000,
+                        payload=bytes.fromhex((mh * 2)[:48]),
+                        codec="avc1" if b % 2 == 0 else "hvc1",
+                    )
+                elif m == 0:
                     px = np.frombuffer(
                         bytes.fromhex((mh * 3)[:72]), dtype=np.uint8
                     ).reshape(3, 4, 3)
                     blob = img.encode_png(px)
-                elif m == 1:
+                elif m in (1, 4):
                     bw, bh = 2 + b % 3, 2 + (b // 3) % 3
                     gs = [
                         (int(mh[2 * k : 2 * k + 2], 16) % 128) * 2
@@ -5321,7 +5361,10 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                     arr = np.repeat(
                         np.repeat(grid, 8, 0), 8, 1
                     )[:, :, None].repeat(3, 2)
-                    blob = jp.encode_jpeg(arr, quality=50, subsampling="444")
+                    blob = jp.encode_jpeg(
+                        arr, quality=50, subsampling="444",
+                        progressive=(m == 4),
+                    )
                 else:
                     n = 40 + b % 100
                     samples = np.frombuffer(
@@ -5612,19 +5655,26 @@ def x2_incremental_lsh_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         return minhash_signatures_inline(d, "doc_id", "text", n=3, num_hashes=16)
 
     index_dir = tempfile.mkdtemp(prefix="x2_inc_lsh_compact_") + "/index"
+    idx_schema = "doc_id long, band int, sig string, batch_id long"
     for batch_id, residue in ((0, 0), (1, 2)):
         (
             lsh_index(sig(docs.filter(F.col("doc_id") % 4 == residue)),
                       "doc_id", 16, 4)
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
             # one sig-sorted file per band per append (not one per task
-            # per band): the next reader opens bands files, not 32×bands
-            .repartitionByRange(4, F.col("band"), F.col("sig"))
+            # per band): the next reader opens bands files, not 32×bands.
+            # Hash on band, not repartitionByRange — same layout
+            # (partitionBy splits by value), one fewer sampling job per
+            # append (r12, VERDICT r11 ask #1)
+            .repartition(4, F.col("band"))
             .sortWithinPartitions("band", "sig")
             .write.mode("append").partitionBy("band").parquet(index_dir)
         )
-    compact_index(spark, index_dir, "doc_id", n_bands=4)
-    idx = spark.read.parquet(index_dir)
+    # explicit schema both here and inside compact_index: this query
+    # owns the index layout, so neither read needs an inference or
+    # mergeSchema footer job (r12)
+    compact_index(spark, index_dir, "doc_id", n_bands=4, schema=idx_schema)
+    idx = spark.read.schema(idx_schema).parquet(index_dir)
     return incremental_lsh_pairs(
         sig(docs.filter(F.col("doc_id") % 2 == 1)), idx, "doc_id", 16, 4
     )

@@ -77,9 +77,24 @@ def _substr(args: list[str]) -> str:
 _PHP_DATE_CODES = {
     "Y": "yyyy", "y": "yy", "m": "MM", "n": "M", "d": "dd", "j": "d",
     "H": "HH", "G": "H", "h": "hh", "g": "h", "i": "mm", "s": "ss",
-    "A": "a", "a": "a", "D": "EEE", "l": "EEEE", "M": "MMM", "F": "MMMM",
-    "N": "u", "u": "SSSSSS", "v": "SSS", "P": "xxx", "O": "xx", "T": "zzz",
-    "e": "VV", "W": "ww",
+    "A": "a", "D": "EEE", "l": "EEEE", "M": "MMM", "F": "MMMM",
+    "u": "SSSSSS", "v": "SSS", "P": "xxx", "O": "xx", "T": "zzz",
+    "e": "VV",
+}
+
+#: PHP codes with NO exact Java-pattern equivalent, translated as
+#: non-pattern expressions instead (r12, per advisor verification that
+#: Spark's proleptic datetime dialect rejects 'u'/'ww' at execution
+#: time and Java 'a' emits uppercase AM/PM where PHP 'a' is lowercase):
+#:   N — ISO-8601 day of week (1=Mon..7=Sun) from dayofweek() (1=Sun..7=Sat)
+#:   W — ISO-8601 week number, zero-padded to 2 like PHP's date('W')
+#:   a — lowercase am/pm via lower(date_format(.., 'a'))
+#: Each takes (date_expr, new_literal) and returns a STRING-typed SQL
+#: fragment; _date_format stitches fragments and pattern runs with concat.
+_PHP_DATE_EXPRS = {
+    "N": lambda x, lit: f"cast(((dayofweek({x}) + 5) % 7) + 1 as string)",
+    "W": lambda x, lit: f"lpad(cast(weekofyear({x}) as string), 2, '0')",
+    "a": lambda x, lit: f"lower(date_format({x}, {lit('a')}))",
 }
 
 
@@ -98,27 +113,54 @@ def _date_format(args: list[str], literals: list[str]) -> str:
         )
     idx = int(m.group(1))
     php = literals[idx][1:-1]
-    out = []
+
+    def new_lit(text: str) -> str:
+        literals.append("'" + text + "'")
+        return f"\x00{len(literals) - 1}\x00"
+
+    # Segments: runs of Java pattern letters, interleaved with the
+    # expression-translated codes (N/W/a) that have no pattern form.
+    segments: list[tuple[str, str]] = []
+
+    def add_pat(s: str) -> None:
+        if segments and segments[-1][0] == "pat":
+            segments[-1] = ("pat", segments[-1][1] + s)
+        else:
+            segments.append(("pat", s))
+
     i = 0
     while i < len(php):
         c = php[i]
         if c == "\\" and i + 1 < len(php):
-            out.append(f"'{php[i + 1]}'")
+            add_pat(f"'{php[i + 1]}'")
             i += 2
             continue
-        if c in _PHP_DATE_CODES:
-            out.append(_PHP_DATE_CODES[c])
+        if c in _PHP_DATE_EXPRS:
+            segments.append(("expr", _PHP_DATE_EXPRS[c](args[0], new_lit)))
+        elif c in _PHP_DATE_CODES:
+            add_pat(_PHP_DATE_CODES[c])
         elif c.isalpha():
             raise EelTranslationError(
                 f"Date.format: unsupported PHP format code {c!r}"
             )
         elif c == "'":
-            out.append("''")
+            add_pat("''")
         else:
-            out.append(c)
+            add_pat(c)
         i += 1
-    literals[idx] = "'" + "".join(out) + "'"
-    return f"date_format({args[0]}, {args[1]})"
+    if not segments:
+        literals[idx] = "''"
+        return args[1]
+    if len(segments) == 1 and segments[0][0] == "pat":
+        literals[idx] = "'" + segments[0][1] + "'"
+        return f"date_format({args[0]}, {args[1]})"
+    parts = [
+        f"date_format({args[0]}, {new_lit(val)})" if kind == "pat" else val
+        for kind, val in segments
+    ]
+    if len(parts) == 1:
+        return parts[0]
+    return f"concat({', '.join(parts)})"
 
 
 def _indexof(args: list[str]) -> str:

@@ -263,6 +263,15 @@ def sniff_flac(data: bytes) -> bool:
     return data[:4] == b"fLaC"
 
 
+def flac_streaminfo(data: bytes) -> dict:
+    """Public STREAMINFO accessor: the validated header dict
+    (``min_block/max_block/sample_rate/channels/bps/total_samples/md5``)
+    without decoding any frames — the metadata lane
+    (``multimodal.media_metadata``) needs the declared bit depth to
+    pick the content-address sample width (r12)."""
+    return _parse_streaminfo(data)[0]
+
+
 def _parse_streaminfo(data: bytes) -> tuple[dict, int]:
     """Walk metadata blocks; return (streaminfo dict, frame start pos)."""
     if not sniff_flac(data):
@@ -410,22 +419,36 @@ def _restore_fixed(warmup: np.ndarray, resid: np.ndarray, order: int) -> np.ndar
 
 
 def _restore_lpc(
-    warmup: np.ndarray, resid: np.ndarray, coefs: list[int], shift: int
+    warmup: np.ndarray, resid: np.ndarray, coefs: list[int], shift: int,
+    bps: int,
 ) -> np.ndarray:
     """LPC restore: s[i] = r[i] + (sum_j c[j]*s[i-1-j]) >> shift.
 
     The arithmetic right shift makes this inherently sequential (a
     nonlinear floor divides each step) — scalar loop over Python ints,
     bounded by block size (<= 65535) per subframe.
+
+    A valid stream's samples fit ``bps`` bits, so any intermediate value
+    past ``1 << (bps + 16)`` proves the subframe malformed — crafted
+    max-magnitude coefficients with shift 0 otherwise grow samples as
+    unbounded Python bigints, burning bignum CPU and escaping as a bare
+    OverflowError at the int64 conversion instead of the typed error the
+    module threat model promises (r12 advisor catch).
     """
     order = len(coefs)
+    ceiling = 1 << (bps + 16)
     hist = [int(x) for x in warmup]
     out = list(hist)
     for r in resid.tolist():
         acc = 0
         for j, c in enumerate(coefs):
             acc += c * out[-1 - j]
-        out.append(r + (acc >> shift))
+        s = r + (acc >> shift)
+        if s > ceiling or s < -ceiling:
+            raise AudioDecodeError(
+                f"LPC sample magnitude exceeds {bps}-bit stream bound"
+            )
+        out.append(s)
     return np.array(out, dtype=np.int64)
 
 
@@ -470,7 +493,7 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
             raise AudioDecodeError("negative LPC shift")
         coefs = [br.read_signed(prec) for _ in range(order)]
         resid = _decode_residual(br, block_size, order)
-        samples = _restore_lpc(warmup, resid, coefs, shift)
+        samples = _restore_lpc(warmup, resid, coefs, shift, bps)
     else:
         raise AudioDecodeError(f"reserved subframe type {stype}")
     if wasted:
@@ -801,9 +824,19 @@ def encode_flac(
         raise ValueError(f"sample rate {sample_rate} out of STREAMINFO range")
 
     md5 = hashlib.md5(_samples_le_bytes(arr, bps // 8)).digest()
+    # STREAMINFO min/max block derive from the ACTUAL emitted frame
+    # sizes — every frame is `block_size` samples except a shorter last
+    # frame, which the spec exempts from both bounds — clamped to the
+    # spec's 16-sample floor. Declaring max_block = block_size when the
+    # only frame is shorter, or a sub-16 min_block for tiny inputs, is
+    # flagged nonconformant by external FLAC tools even though the
+    # in-repo decoder ignores both fields (r12 advisor catch; RFC 9639).
+    full_frame = block_size if n >= block_size else n
+    min_block = max(16, full_frame)
+    max_block = max(16, full_frame)
     si_bits = (
-        (min(block_size, n) << 256)
-        | (block_size << 240)
+        (min_block << 256)
+        | (max_block << 240)
         | (sample_rate << 172)
         | ((channels - 1) << 169)
         | ((bps - 1) << 164)

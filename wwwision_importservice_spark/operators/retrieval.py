@@ -68,7 +68,12 @@ def query_term_stats(
     re-running the scan. df (docs-per-term) and the corpus totals are
     tiny and broadcast back.
     """
-    terms = [t.lower() for t in terms]
+    # Dedupe AFTER lowercasing: one tf column is built per entry, so
+    # ['Foo', 'foo'] collapsing to the same term would emit duplicate
+    # (doc, term) rows and double df — the pre-r11 explode+groupBy form
+    # was idempotent to duplicates and this form must stay so (r12
+    # advisor catch). dict.fromkeys keeps first-seen order.
+    terms = list(dict.fromkeys(t.lower() for t in terms))
     toks = _tokens(F.col(text_col))
 
     def _eq(term: str):
