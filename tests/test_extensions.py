@@ -5938,7 +5938,10 @@ def test_media_metadata_kinds_and_policy(spark):
 
     sig = np.frombuffer(b"\x07\x01\x05\x03" * 60, dtype="<i2")
     frames = [np.full((4, 5, 3), 40 * i, np.uint8) for i in range(3)]
-    from wwwision_importservice_spark.operators.videocodec import encode_mp4
+    from wwwision_importservice_spark.operators.videocodec import (
+        encode_mp4,
+        encode_webm,
+    )
 
     deep = np.array([1 << 20, -(1 << 20), 12345], dtype=np.int64)
     truncated_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8  # magic, no chunks
@@ -5952,6 +5955,8 @@ def test_media_metadata_kinds_and_policy(spark):
         (6, bytearray(truncated_png)),
         (7, bytearray(mp4)),
         (8, bytearray(mp4[:40])),  # ftyp magic intact, moov truncated
+        (9, bytearray(encode_webm(426, 240, 1250, payload=b"w",
+                                  codec="V_VP9"))),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "blob"])
     got = {r["doc_id"]: r.asDict() for r in media_metadata(df, "doc_id").collect()}
@@ -5987,6 +5992,10 @@ def test_media_metadata_kinds_and_policy(spark):
         b"vid-payload".hex().encode()
     ).hexdigest()
     assert got[8]["kind"] == "corrupt" and got[8]["format"] == "mp4"
+    # Matroska/WebM through the same lane: EBML walk, Cluster-address
+    assert got[9]["kind"] == "video" and got[9]["format"] == "webm"
+    assert got[9]["width"] == 426 and got[9]["duration_ms"] == 1250
+    assert got[9]["codec"] == "V_VP9"
 
     with pytest.raises(PythonException, match="unrecognized media magic"):
         media_metadata(

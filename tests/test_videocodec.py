@@ -52,7 +52,7 @@ def test_mp4_layout_pinned_bytes():
     assert meta == {
         "format": "mp4", "major_brand": "isom", "width": 320,
         "height": 240, "duration_ms": 1500, "codec": "avc1",
-        "mdat_spans": [(mdat_at + 8, len(blob))],
+        "has_video": True, "mdat_spans": [(mdat_at + 8, len(blob))],
     }
     assert mdat_payload(blob) == b"pay"
 
@@ -187,4 +187,133 @@ def test_mp4_mutation_fuzz_error_contract():
                 outcomes["rejected"] += 1
     # the walk is tolerant of payload-byte mutations (most of the file)
     # but must reject structural damage; both outcomes must occur
+    assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
+
+
+# --------------------------------------------------------------------------
+# Matroska / WebM (EBML walk)
+
+
+def test_webm_roundtrip_and_layout():
+    from wwwision_importservice_spark.operators.videocodec import (
+        encode_webm,
+        media_payload,
+        parse_webm,
+        sniff_webm,
+    )
+
+    blob = encode_webm(1280, 720, 4321, payload=b"frame-bytes", codec="V_VP9")
+    assert sniff_webm(blob) and blob[:4] == b"\x1a\x45\xdf\xa3"
+    meta = parse_webm(blob)
+    assert meta["format"] == "webm" and meta["has_video"]
+    assert (meta["width"], meta["height"]) == (1280, 720)
+    assert meta["duration_ms"] == 4321 and meta["codec"] == "V_VP9"
+    # payload address covers the Cluster body (Timestamp + SimpleBlock
+    # header + frame bytes) — this mux's media region, documented
+    assert len(meta["payload_spans"]) == 1
+    s, e = meta["payload_spans"][0]
+    assert blob[s:e].endswith(b"frame-bytes")
+    assert media_payload(blob, meta) == blob[s:e]
+    # matroska doctype reports through format
+    mkv = encode_webm(64, 48, 10, doctype="matroska", codec="V_AV1")
+    assert parse_webm(mkv)["format"] == "matroska"
+
+
+def test_webm_audio_only_routes_as_audio_in_media_row():
+    """A TrackType=2 (audio) only file reports codec with NULL dims and
+    has_video=False; _media_row routes it kind='audio' — same policy as
+    an M4A through the ISO-BMFF lane."""
+    import hashlib
+
+    from wwwision_importservice_spark.operators import (
+        audiocodec as wavc,
+        flaccodec as flacc,
+        imagecodec as img,
+        videocodec as vidc,
+    )
+    from wwwision_importservice_spark.operators.multimodal import _media_row
+
+    blob = bytearray(vidc.encode_webm(64, 48, 777, codec="A_OPUS"))
+    # flip TrackType video->audio (0x83 id, size 0x81, value 0x01)
+    at = bytes(blob).index(b"\x83\x81\x01")
+    blob[at + 2] = 2
+    meta = vidc.parse_webm(bytes(blob))
+    assert not meta["has_video"] and meta["codec"] == "A_OPUS"
+    assert meta["width"] is None and meta["height"] is None
+
+    def hex_sha(b):
+        return hashlib.sha256(b.hex().encode()).hexdigest()
+
+    row = _media_row(9, bytes(blob), img, wavc, flacc, vidc, False, hex_sha)
+    assert row[1] == "audio" and row[2] == "webm" and row[10] == "A_OPUS"
+    # and the ISO-BMFF twin of the same policy
+    m4a = bytearray(vidc.encode_mp4(64, 48, 500, codec="mp4a"))
+    at = bytes(m4a).index(b"vide")
+    m4a[at : at + 4] = b"soun"
+    row = _media_row(10, bytes(m4a), img, wavc, flacc, vidc, False, hex_sha)
+    assert row[1] == "audio" and row[2] == "mp4" and row[10] == "mp4a"
+
+
+def test_webm_bomb_caps_and_typed_errors():
+    import struct as _s
+
+    from wwwision_importservice_spark.operators.videocodec import (
+        MAX_EBML_ELEMENTS,
+        VideoDecodeError,
+        encode_webm,
+        parse_webm,
+    )
+
+    base = encode_webm(64, 48, 100)
+    # element-count bomb: a flat run of tiny elements inside Segment
+    flood = b"\xec\x80" * (MAX_EBML_ELEMENTS + 10)  # Void, size 0
+    seg = b"\x18\x53\x80\x67" + bytes([0x01]) + len(flood).to_bytes(7, "big")
+    start = time.perf_counter()
+    with pytest.raises(VideoDecodeError, match="elements"):
+        parse_webm(base[: base.index(b"\x18\x53\x80\x67")] + seg + flood)
+    assert time.perf_counter() - start < 2.0
+    # size past container
+    with pytest.raises(VideoDecodeError, match="past its container"):
+        parse_webm(base[:-3])
+    # zero TimestampScale
+    blob = bytearray(base)
+    at = bytes(blob).index(b"\x2a\xd7\xb1")
+    blob[at + 4 : at + 7] = b"\x00\x00\x00"
+    with pytest.raises(VideoDecodeError, match="TimestampScale"):
+        parse_webm(bytes(blob))
+    # not EBML
+    with pytest.raises(VideoDecodeError, match="EBML"):
+        parse_webm(b"RIFFxxxxWAVE" + b"\x00" * 8)
+    # encoder contract
+    with pytest.raises(ValueError, match="dims"):
+        encode_webm(0, 48, 100)
+    with pytest.raises(ValueError, match="duration"):
+        encode_webm(64, 48, -5)
+    _ = _s  # silence unused when asserts are trimmed
+
+
+def test_webm_mutation_fuzz_error_contract():
+    from conftest import mutate_blob
+
+    from wwwision_importservice_spark.operators.videocodec import (
+        VideoDecodeError,
+        encode_webm,
+        media_payload,
+        parse_webm,
+        sniff_webm,
+    )
+
+    rng = random.Random(0xEB31)
+    base = encode_webm(640, 360, 2500, payload=b"p" * 64, codec="V_VP9")
+    outcomes = {"ok": 0, "rejected": 0}
+    for _ in range(1000):
+        blob = bytes(mutate_blob(rng, base))
+        if not sniff_webm(blob):
+            continue
+        try:
+            meta = parse_webm(blob)
+            media_payload(blob, meta)
+            outcomes["ok"] += 1
+        except VideoDecodeError:
+            outcomes["rejected"] += 1
     assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes

@@ -467,11 +467,13 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha):
       no longer aborts the whole Arrow pass mid-crawl (r12 judge
       catch; ``audio_windows_any`` keeps its documented 16-bit window
       contract).
-    - Video containers (ISO-BMFF — MP4/MOV, r12 VERDICT ask #2) walk
-      the box tree only (``operators/videocodec.py``): dims, duration,
-      and codec fourcc with NO frame decode, content-addressed by the
-      ``mdat`` payload bytes (two muxes of one payload hash
-      identically; the container bytes wouldn't).
+    - Video containers (ISO-BMFF — MP4/MOV — and Matroska/WebM, r12
+      VERDICT ask #2) walk the container tree only
+      (``operators/videocodec.py``): dims, duration, and codec with NO
+      frame decode, content-addressed by the media payload region
+      (``mdat`` bytes / Cluster bodies). A container whose only tracks
+      are audio (M4A, audio-only WebM) routes as ``kind='audio'`` with
+      its codec and NULL sample fields.
     - Non-strict mode quarantines recognized-magic-but-corrupt blobs
       as ``kind='corrupt'`` rows (format = the sniffed container, sha
       = the blob's own bytes) instead of letting the typed decode
@@ -482,7 +484,9 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha):
         "wav" if wavc.sniff_wav(data) else
         "flac" if flacc.sniff_flac(data) else None
     )
-    video = fmt is None and audio is None and vidc.sniff_mp4(data)
+    video = fmt is None and audio is None and (
+        vidc.sniff_mp4(data) or vidc.sniff_webm(data)
+    )
     try:
         if fmt is not None:
             if fmt == "gif":
@@ -507,17 +511,21 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha):
                     arr.shape[1], bps, None, None, len(data),
                     hex_sha(arr.astype(dt).tobytes()))
         if video:
-            meta = vidc.parse_mp4(data)
-            return (rid, "video", meta["format"], meta["width"],
+            meta = (vidc.parse_mp4(data) if vidc.sniff_mp4(data)
+                    else vidc.parse_webm(data))
+            kind = "video" if meta["has_video"] else "audio"
+            return (rid, kind, meta["format"], meta["width"],
                     meta["height"], None, None, None, None,
                     meta["duration_ms"], meta["codec"], len(data),
-                    hex_sha(vidc.mdat_payload(data, meta)))
+                    hex_sha(vidc.media_payload(data, meta)))
     except (img.ImageDecodeError, wavc.AudioDecodeError,
             vidc.VideoDecodeError):
         if strict:
             raise
-        return (rid, "corrupt", fmt or audio or "mp4", None, None, None,
-                None, None, None, None, None, len(data), hex_sha(data))
+        container = "mp4" if vidc.sniff_mp4(data) else "webm"
+        return (rid, "corrupt", fmt or audio or container, None, None,
+                None, None, None, None, None, None, len(data),
+                hex_sha(data))
     if strict:
         raise img.ImageDecodeError(
             f"unrecognized media magic {data[:8]!r} (strict mode)"

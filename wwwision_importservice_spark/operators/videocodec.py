@@ -174,20 +174,22 @@ def parse_mp4(data: bytes) -> dict:
 
     ``{"format": "mp4", "major_brand": str, "width": int|None,
     "height": int|None, "duration_ms": int|None, "codec": str|None,
-    "mdat_spans": [(start, end), ...]}``
+    "has_video": bool, "mdat_spans": [(start, end), ...]}``
 
     Width/height/codec come from the FIRST track whose ``hdlr`` is
     ``vide`` (falling back to the first track when no handler says so —
-    audio-only M4A then reports codec with NULL dims). ``mdat_spans``
-    locate the media payload for content-addressing; the walk never
-    reads payload bytes itself.
+    audio-only M4A then reports codec with NULL dims and
+    ``has_video=False``, which ``media_metadata`` routes as
+    ``kind='audio'``). ``mdat_spans`` locate the media payload for
+    content-addressing; the walk never reads payload bytes itself.
     """
     if not sniff_mp4(data):
         raise VideoDecodeError("not an ISO-BMFF stream (no ftyp box)")
     counter = [0]
     out: dict = {
         "format": "mp4", "major_brand": "", "width": None, "height": None,
-        "duration_ms": None, "codec": None, "mdat_spans": [],
+        "duration_ms": None, "codec": None, "has_video": False,
+        "mdat_spans": [],
     }
     picked_video = False
 
@@ -219,6 +221,7 @@ def parse_mp4(data: bytes) -> dict:
             if is_video and dims is not None:
                 out["width"], out["height"] = dims
             picked_video = is_video
+            out["has_video"] = is_video
 
     for fourcc, body, box_end, depth in _walk(
         data, 0, len(data), 0, counter
@@ -335,6 +338,252 @@ def mdat_payload(data: bytes, meta: dict | None = None) -> bytes:
     return b"".join(data[s:e] for s, e in spans)
 
 
+# --------------------------------------------------------------------------
+# Matroska / WebM (EBML) — the other container real crawls are full of.
+# Same posture as the ISO-BMFF walk: metadata only (Info duration,
+# Tracks video dims + codec id), no block decode, bomb-capped, typed
+# errors. IDs per the Matroska spec (RFC 9559) / EBML (RFC 8794).
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+# element IDs, raw (marker bits kept, the EBML convention)
+_ID_SEGMENT = 0x18538067
+_ID_INFO = 0x1549A966
+_ID_TS_SCALE = 0x2AD7B1
+_ID_DURATION = 0x4489
+_ID_TRACKS = 0x1654AE6B
+_ID_TRACK_ENTRY = 0xAE
+_ID_TRACK_TYPE = 0x83
+_ID_CODEC_ID = 0x86
+_ID_VIDEO = 0xE0
+_ID_PIXEL_W = 0xB0
+_ID_PIXEL_H = 0xBA
+_ID_CLUSTER = 0x1F43B675
+_ID_DOCTYPE = 0x4282
+
+#: EBML element budget — a metadata walk that sees more is a crafted
+#: size chain, same rationale as MAX_BOXES.
+MAX_EBML_ELEMENTS = 4096
+
+
+def sniff_webm(data: bytes) -> bool:
+    """EBML magic (Matroska and WebM both start with the EBML header)."""
+    return data[:4] == _EBML_MAGIC
+
+
+def _vint(data: bytes, pos: int, end: int, keep_marker: bool) -> tuple[int, int]:
+    """EBML variable-length integer at ``pos``: element IDs keep the
+    length-marker bit (the spec's raw-ID convention), sizes strip it."""
+    if pos >= end:
+        raise VideoDecodeError("truncated EBML varint")
+    first = data[pos]
+    if first == 0:
+        raise VideoDecodeError("invalid EBML varint (zero lead byte)")
+    length = 9 - first.bit_length()
+    if pos + length > end:
+        raise VideoDecodeError("EBML varint runs past its container")
+    val = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        val = (val << 8) | data[pos + i]
+    return val, pos + length
+
+
+_EBML_UNKNOWN = object()
+
+
+def _ebml_walk(data: bytes, start: int, end: int, counter: list[int]):
+    """Yield ``(element_id, body_start, body_end)`` for the elements in
+    ``data[start:end]``. An all-ones (unknown) size — legal on Segment
+    and Cluster — runs to the end of the enclosing range."""
+    pos = start
+    while pos < end:
+        counter[0] += 1
+        if counter[0] > MAX_EBML_ELEMENTS:
+            raise VideoDecodeError(f"more than {MAX_EBML_ELEMENTS} EBML elements")
+        eid, pos = _vint(data, pos, end, keep_marker=True)
+        if pos >= end:
+            raise VideoDecodeError("EBML element without a size field")
+        size_len = 9 - data[pos].bit_length() if data[pos] else 0
+        size, body = _vint(data, pos, end, keep_marker=False)
+        unknown = size == (1 << (7 * size_len)) - 1 if size_len else False
+        body_end = end if unknown else body + size
+        if body_end > end or body_end < body:
+            raise VideoDecodeError("EBML element declares size past its container")
+        yield eid, body, body_end
+        pos = body_end
+
+
+def _ebml_uint(data: bytes, start: int, end: int) -> int:
+    if end - start > 8:
+        raise VideoDecodeError("EBML uint wider than 8 bytes")
+    return int.from_bytes(data[start:end], "big")
+
+
+def _ebml_float(data: bytes, start: int, end: int) -> float:
+    width = end - start
+    if width == 4:
+        return struct.unpack(">f", data[start:end])[0]
+    if width == 8:
+        return struct.unpack(">d", data[start:end])[0]
+    raise VideoDecodeError(f"EBML float of width {width}")
+
+
+def parse_webm(data: bytes) -> dict:
+    """Matroska/WebM bytes → the same metadata dict shape as
+    :func:`parse_mp4`:
+
+    ``{"format": doctype ('webm'/'matroska'), "width", "height",
+    "duration_ms", "codec", "has_video", "payload_spans"}``
+
+    ``duration_ms`` = Info.Duration (float, TimestampScale units) ×
+    TimestampScale (ns, default 10^6) / 10^6, floored — exact for the
+    constructed-fixture convention (integer-valued Duration at the
+    default scale). ``payload_spans`` are the raw Cluster bodies: unlike
+    the lossless audio lanes, Matroska payload equality across muxes is
+    NOT a goal (block headers interleave with frame bytes), so the
+    content-address covers this mux's media region, documented as such.
+    """
+    if not sniff_webm(data):
+        raise VideoDecodeError("not an EBML stream (no EBML magic)")
+    counter = [0]
+    out: dict = {
+        "format": "webm", "width": None, "height": None,
+        "duration_ms": None, "codec": None, "has_video": False,
+        "payload_spans": [],
+    }
+    ts_scale = 1_000_000  # spec default: 1 ms per unit
+    duration_units: float | None = None
+    picked_video = False
+
+    def walk_track_entry(start: int, end: int) -> None:
+        nonlocal picked_video
+        ttype = codec = dims_w = dims_h = None
+        for eid, b, e in _ebml_walk(data, start, end, counter):
+            if eid == _ID_TRACK_TYPE:
+                ttype = _ebml_uint(data, b, e)
+            elif eid == _ID_CODEC_ID:
+                try:
+                    codec = data[b:e].decode("ascii")
+                except UnicodeDecodeError as exc:
+                    raise VideoDecodeError("non-ASCII CodecID") from exc
+            elif eid == _ID_VIDEO:
+                for eid2, b2, e2 in _ebml_walk(data, b, e, counter):
+                    if eid2 == _ID_PIXEL_W:
+                        dims_w = _ebml_uint(data, b2, e2)
+                    elif eid2 == _ID_PIXEL_H:
+                        dims_h = _ebml_uint(data, b2, e2)
+        is_video = ttype == 1
+        if picked_video:
+            return
+        if is_video or out["codec"] is None:
+            out["codec"] = codec
+            if is_video:
+                out["width"], out["height"] = dims_w, dims_h
+            picked_video = is_video
+            out["has_video"] = is_video
+
+    for eid, body, body_end in _ebml_walk(data, 0, len(data), counter):
+        if eid == 0x1A45DFA3:  # EBML header
+            for eid2, b, e in _ebml_walk(data, body, body_end, counter):
+                if eid2 == _ID_DOCTYPE:
+                    try:
+                        out["format"] = data[b:e].rstrip(b"\x00").decode("ascii")
+                    except UnicodeDecodeError as exc:
+                        raise VideoDecodeError("non-ASCII DocType") from exc
+        elif eid == _ID_SEGMENT:
+            for eid2, b, e in _ebml_walk(data, body, body_end, counter):
+                if eid2 == _ID_INFO:
+                    for eid3, b3, e3 in _ebml_walk(data, b, e, counter):
+                        if eid3 == _ID_TS_SCALE:
+                            ts_scale = _ebml_uint(data, b3, e3)
+                            if ts_scale == 0:
+                                raise VideoDecodeError("zero TimestampScale")
+                        elif eid3 == _ID_DURATION:
+                            duration_units = _ebml_float(data, b3, e3)
+                elif eid2 == _ID_TRACKS:
+                    for eid3, b3, e3 in _ebml_walk(data, b, e, counter):
+                        if eid3 == _ID_TRACK_ENTRY:
+                            walk_track_entry(b3, e3)
+                elif eid2 == _ID_CLUSTER:
+                    out["payload_spans"].append((b, e))
+    if duration_units is not None:
+        if not (duration_units >= 0 and duration_units < 2**53):
+            raise VideoDecodeError("Duration out of range")
+        out["duration_ms"] = int(duration_units * ts_scale / 1_000_000)
+    return out
+
+
+def _ebml_id_bytes(eid: int) -> bytes:
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _ebml_size_bytes(n: int) -> bytes:
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:  # all-ones is reserved (unknown)
+            return (n | (1 << (7 * length))).to_bytes(length, "big")
+    raise ValueError(f"EBML size {n} too large")
+
+
+def _ebml(eid: int, body: bytes) -> bytes:
+    return _ebml_id_bytes(eid) + _ebml_size_bytes(len(body)) + body
+
+
+def encode_webm(
+    width: int,
+    height: int,
+    duration_ms: int,
+    payload: bytes = b"",
+    codec: str = "V_VP9",
+    doctype: str = "webm",
+) -> bytes:
+    """Minimal conformant Matroska/WebM file for fixtures: EBML header
+    (DocType), Segment(Info(TimestampScale=10^6, Duration float8),
+    Tracks(video TrackEntry with dims + CodecID), one Cluster whose body
+    is ``Timestamp 0`` + a track-1 SimpleBlock carrying ``payload``).
+    Trusted-but-validated inputs, the family's encoder contract."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"dims {width}x{height} must be positive")
+    if duration_ms < 0:
+        raise ValueError("negative duration")
+    header = _ebml(0x1A45DFA3, b"".join([
+        _ebml(0x4286, b"\x01"),          # EBMLVersion
+        _ebml(0x42F7, b"\x01"),          # EBMLReadVersion
+        _ebml(0x42F2, b"\x04"),          # EBMLMaxIDLength
+        _ebml(0x42F3, b"\x08"),          # EBMLMaxSizeLength
+        _ebml(_ID_DOCTYPE, doctype.encode("ascii")),
+        _ebml(0x4287, b"\x04"),          # DocTypeVersion
+        _ebml(0x4285, b"\x02"),          # DocTypeReadVersion
+    ]))
+    info = _ebml(_ID_INFO, b"".join([
+        _ebml(_ID_TS_SCALE, (1_000_000).to_bytes(3, "big")),
+        _ebml(_ID_DURATION, struct.pack(">d", float(duration_ms))),
+    ]))
+    track = _ebml(_ID_TRACK_ENTRY, b"".join([
+        _ebml(0xD7, b"\x01"),            # TrackNumber
+        _ebml(0x73C5, b"\x01"),          # TrackUID
+        _ebml(_ID_TRACK_TYPE, b"\x01"),  # video
+        _ebml(_ID_CODEC_ID, codec.encode("ascii")),
+        _ebml(_ID_VIDEO, b"".join([
+            _ebml(_ID_PIXEL_W, width.to_bytes(2, "big")),
+            _ebml(_ID_PIXEL_H, height.to_bytes(2, "big")),
+        ])),
+    ]))
+    tracks = _ebml(_ID_TRACKS, track)
+    # SimpleBlock: track varint (0x81 = track 1) + i16 ts + flags
+    block = _ebml(0xA3, b"\x81\x00\x00\x00" + payload)
+    cluster = _ebml(_ID_CLUSTER, _ebml(0xE7, b"\x00") + block)
+    segment = _ebml(_ID_SEGMENT, info + tracks + cluster)
+    return header + segment
+
+
+def media_payload(data: bytes, meta: dict) -> bytes:
+    """Container-appropriate payload bytes for content-addressing:
+    ``mdat`` payload for ISO-BMFF (:func:`mdat_payload`), raw Cluster
+    bodies for Matroska."""
+    spans = meta.get("mdat_spans", meta.get("payload_spans", []))
+    return b"".join(data[s:e] for s, e in spans)
+
+
 # re-exported so multimodal's catch-list stays one import wide
 __all__ = [
     "AudioDecodeError",
@@ -343,4 +592,8 @@ __all__ = [
     "parse_mp4",
     "encode_mp4",
     "mdat_payload",
+    "sniff_webm",
+    "parse_webm",
+    "encode_webm",
+    "media_payload",
 ]
