@@ -1330,7 +1330,7 @@ def test_embedding_near_dup_pair_recall_floor(spark):
     }
     got = {
         (r["id_a"], r["id_b"])
-        for r in QUERIES["x2_embedding_near_dup"](spark, sf).collect()
+        for r in ALL["x2_embedding_near_dup"](spark, sf).collect()
     }
     assert got <= truth  # blocked pairs are always true pairs
     recall = len(got & truth) / len(truth)

@@ -40,6 +40,16 @@ def test_mp4_layout_pinned_bytes():
     mvhd_body = 28 + 8 + 4  # moov body + mvhd header + ver/flags
     timescale, duration = struct.unpack_from(">II", blob, mvhd_body + 8)
     assert (timescale, duration) == (1000, 1500)
+    # spec box lengths (ISO 14496-12 §8.2.2): mvhd v0 = 108, v1 = 120 —
+    # the first cut wrote 2 extra reserved bytes (caught in self-review)
+    (mvhd_size,) = struct.unpack_from(">I", blob, 28)
+    assert mvhd_size == 108
+    from wwwision_importservice_spark.operators.videocodec import (
+        encode_mp4 as _enc,
+    )
+    v1 = _enc(320, 240, 1500, version=1)
+    (v1_size,) = struct.unpack_from(">I", v1, v1.index(b"mvhd") - 4)
+    assert v1_size == 120
     # tkhd 16.16 dims sit in the last 8 bytes of the tkhd box
     tkhd_at = blob.index(b"tkhd") - 4
     (tkhd_size,) = struct.unpack_from(">I", blob, tkhd_at)

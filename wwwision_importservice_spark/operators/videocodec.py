@@ -281,7 +281,7 @@ def encode_mp4(
     if version == 0:
         mvhd = _full(b"mvhd", 0, struct.pack(
             ">IIII", 0, 0, timescale, duration
-        ) + struct.pack(">iI", 0x00010000, 0x01000000) + b"\x00" * 10
+        ) + struct.pack(">iI", 0x00010000, 0x01000000) + b"\x00" * 8
             + _IDENTITY_MATRIX + b"\x00" * 24 + struct.pack(">I", 2))
         tkhd = _full(b"tkhd", 0, struct.pack(
             ">IIIII", 0, 0, 1, 0, duration
@@ -291,7 +291,7 @@ def encode_mp4(
     else:
         mvhd = _full(b"mvhd", 1, struct.pack(
             ">QQIQ", 0, 0, timescale, duration
-        ) + struct.pack(">iI", 0x00010000, 0x01000000) + b"\x00" * 10
+        ) + struct.pack(">iI", 0x00010000, 0x01000000) + b"\x00" * 8
             + _IDENTITY_MATRIX + b"\x00" * 24 + struct.pack(">I", 2))
         tkhd = _full(b"tkhd", 1, struct.pack(
             ">QQIIQ", 0, 0, 1, 0, duration
