@@ -5234,38 +5234,49 @@ def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "x4_media_metadata",
-    # one mixed-modality corpus, six real container lanes, ONE oracle:
-    # doc_id % 6 picks PNG (md5-cycled 4x3 pixels), exact-gray q50
-    # baseline JPEG, mono WAV, mono FLAC, the SAME gray grid as a
-    # PROGRESSIVE (SOF2) JPEG (r12), or an ISO-BMFF MP4 (r12 — box-walk
-    # metadata, no frame decode). The WAV and FLAC docs carry the SAME
-    # md5-derived sample series, so their payload_sha CASE arms are
-    # literally identical, pinning the cross-container content-address;
-    # the baseline and progressive JPEG arms share one pixel-sha
-    # expression, so the hash pins that the sniff-dispatch path decodes
-    # SOF2 to the identical pixels; the video arm's dims/duration/codec
-    # restate the constructed box arithmetic and its payload_sha
-    # addresses the mdat bytes. Every numeric field and all payload
-    # families derive from md5 string arithmetic.
+    # one mixed-modality corpus, SEVEN real container lanes, ONE
+    # oracle: doc_id % 7 picks PNG (md5-cycled 4x3 pixels), exact-gray
+    # q50 baseline JPEG, mono WAV, mono FLAC, the SAME gray grid as a
+    # PROGRESSIVE (SOF2) JPEG (r12), an ISO-BMFF MP4, or a Matroska
+    # WebM (both r12 — container-walk metadata, no frame decode). The
+    # WAV and FLAC docs carry the SAME md5-derived sample series, so
+    # their payload_sha CASE arms are literally identical, pinning the
+    # cross-container content-address; the baseline and progressive
+    # JPEG arms share one pixel-sha expression, so the hash pins that
+    # the sniff-dispatch path decodes SOF2 to the identical pixels; the
+    # MP4 and WebM arms share the dims/duration formulas (restating the
+    # constructed box/EBML arithmetic) and differ only in codec family
+    # and payload address — mdat bytes for MP4, the Cluster body for
+    # WebM, whose constructed form is a CONSTANT element prefix
+    # (Timestamp 0 + track-1 SimpleBlock header, hex
+    # 'e78100a39c81000000') followed by the payload hex, so even the
+    # EBML framing sits under the hash. WebM duration is float-typed in
+    # the container but integer-valued at the default TimestampScale,
+    # where x*10^6/10^6 is IEEE-exact — both engines recover the exact
+    # integer. Every numeric field and all payload families derive from
+    # md5 string arithmetic.
     f"""
 SELECT doc_id,
-       CASE WHEN m IN (2, 3) THEN 'audio' WHEN m = 5 THEN 'video'
+       CASE WHEN m IN (2, 3) THEN 'audio' WHEN m IN (5, 6) THEN 'video'
             ELSE 'image' END AS kind,
        CASE m WHEN 0 THEN 'png' WHEN 2 THEN 'wav' WHEN 3 THEN 'flac'
-              WHEN 5 THEN 'mp4' ELSE 'jpeg' END AS format,
+              WHEN 5 THEN 'mp4' WHEN 6 THEN 'webm' ELSE 'jpeg' END AS format,
        CAST(CASE WHEN m = 0 THEN 4 WHEN m IN (1, 4) THEN 8 * bw
-                 WHEN m = 5 THEN 16 + b % 100 END AS INT) AS width,
+                 WHEN m IN (5, 6) THEN 16 + b % 100 END AS INT) AS width,
        CAST(CASE WHEN m = 0 THEN 3 WHEN m IN (1, 4) THEN 8 * bh
-                 WHEN m = 5 THEN 16 + (b // 7) % 100 END AS INT) AS height,
-       CAST(CASE WHEN m IN (2, 3) THEN n WHEN m = 5 THEN NULL
+                 WHEN m IN (5, 6) THEN 16 + (b // 7) % 100 END AS INT)
+         AS height,
+       CAST(CASE WHEN m IN (2, 3) THEN n WHEN m IN (5, 6) THEN NULL
                  ELSE 1 END AS INT) AS n_frames,
        CAST(CASE WHEN m IN (2, 3) THEN 8000 END AS INT) AS sample_rate,
        CAST(CASE WHEN m IN (2, 3) THEN 1 END AS INT) AS channels,
        CAST(CASE WHEN m IN (2, 3) THEN 16 END AS INT) AS bits_per_sample,
-       CAST(CASE WHEN m = 5 THEN 500 + b % 10000 END AS BIGINT)
+       CAST(CASE WHEN m IN (5, 6) THEN 500 + b % 10000 END AS BIGINT)
          AS duration_ms,
        CASE WHEN m = 5 THEN (CASE WHEN b % 2 = 0 THEN 'avc1'
-                                  ELSE 'hvc1' END) END AS codec,
+                                  ELSE 'hvc1' END)
+            WHEN m = 6 THEN (CASE WHEN b % 2 = 0 THEN 'V_VP9'
+                                  ELSE 'V_AV1' END) END AS codec,
        CASE
          WHEN m = 0 THEN sha256(substr(repeat(mh, 3), 1, 72))
          WHEN m IN (1, 4) THEN sha256(array_to_string(
@@ -5274,10 +5285,12 @@ SELECT doc_id,
                     gs[((i // (8*bw)) // 8) * bw + ((i % (8*bw)) // 8) + 1]),
                     3)), ''))
          WHEN m = 5 THEN sha256(substr(repeat(mh, 2), 1, 48))
+         WHEN m = 6 THEN sha256('e78100a39c81000000' ||
+                                substr(repeat(mh, 2), 1, 48))
          ELSE sha256(substr(repeat(mh, 18), 1, 4 * n))
        END AS payload_sha
 FROM (
-  SELECT doc_id, mh, b, doc_id % 6 AS m,
+  SELECT doc_id, mh, b, doc_id % 7 AS m,
          40 + b % 100 AS n, 2 + b % 3 AS bw, 2 + (b // 3) % 3 AS bh,
          list_transform(range(0, (2 + b % 3) * (2 + (b // 3) % 3)), k ->
            (CAST('0x' || substr(mh, 2*k+1, 2) AS INT) % 128) * 2) AS gs
@@ -5296,19 +5309,22 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — unified mixed-modality metadata
     (``operators/multimodal.py:media_metadata``): one corpus whose
     blobs are real PNG, baseline-JPEG, WAV, FLAC, progressive-JPEG
-    (SOF2, r12), or ISO-BMFF MP4 (r12) files by ``doc_id % 6``; the
-    kernel sniffs each magic, decodes through the matching pure codec
-    (video: ``operators/videocodec.py`` box walk, no frame decode), and
-    emits one typed row — image dims, audio frame/rate/channel/bit-depth
-    counts, video dims/duration/codec, and a decoded-payload
-    content-address that is container-independent (the WAV and FLAC
-    docs share one sample series and must hash identically; the
-    baseline and progressive JPEG docs of one id-class share one pixel
-    formula, proving SOF2 through the SNIFF path, not only the
-    dedicated x4_jpeg_progressive row; the video hash addresses the
-    mdat payload, not the mux). The n_bytes column is excluded from the
-    oracle (compressed container sizes aren't SQL-derivable);
-    everything else is md5 arithmetic. One Arrow pass, no shuffle."""
+    (SOF2, r12), ISO-BMFF MP4, or Matroska WebM (both r12) files by
+    ``doc_id % 7``; the kernel sniffs each magic, decodes through the
+    matching pure codec (video: ``operators/videocodec.py`` box/EBML
+    walk, no frame decode), and emits one typed row — image dims, audio
+    frame/rate/channel/bit-depth counts, video dims/duration/codec, and
+    a decoded-payload content-address that is container-independent
+    (the WAV and FLAC docs share one sample series and must hash
+    identically; the baseline and progressive JPEG docs of one id-class
+    share one pixel formula, proving SOF2 through the SNIFF path, not
+    only the dedicated x4_jpeg_progressive row; the MP4 hash addresses
+    the mdat payload and the WebM hash the Cluster body, whose
+    constructed form is a constant EBML prefix + the payload hex — so
+    the EBML framing itself sits under the hash). The n_bytes column is
+    excluded from the oracle (compressed container sizes aren't
+    SQL-derivable); everything else is md5 arithmetic. One Arrow pass,
+    no shuffle."""
     from wwwision_importservice_spark.operators.multimodal import (
         _codec_importer,
         media_metadata,
@@ -5338,13 +5354,20 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 did = int(did)
                 mh = _hashlib.md5(str(did).encode()).hexdigest()
                 b = int(mh[:15], 16)
-                m = did % 6
+                m = did % 7
                 if m == 5:
                     blob = vidc.encode_mp4(
                         16 + b % 100, 16 + (b // 7) % 100,
                         500 + b % 10000,
                         payload=bytes.fromhex((mh * 2)[:48]),
                         codec="avc1" if b % 2 == 0 else "hvc1",
+                    )
+                elif m == 6:
+                    blob = vidc.encode_webm(
+                        16 + b % 100, 16 + (b // 7) % 100,
+                        500 + b % 10000,
+                        payload=bytes.fromhex((mh * 2)[:48]),
+                        codec="V_VP9" if b % 2 == 0 else "V_AV1",
                     )
                 elif m == 0:
                     px = np.frombuffer(

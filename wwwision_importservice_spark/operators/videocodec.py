@@ -1,4 +1,5 @@
-"""Pure-stdlib ISO-BMFF (MP4/MOV) container METADATA codec.
+"""Pure-stdlib video-container METADATA codecs: ISO-BMFF (MP4/MOV)
+box walk and Matroska/WebM EBML walk.
 
 The video lane of the multimodal family (r12, VERDICT r11 ask #2): real
 crawls are full of MP4/WebM blobs, and ``media_metadata`` previously
