@@ -327,3 +327,58 @@ def test_webm_mutation_fuzz_error_contract():
         except VideoDecodeError:
             outcomes["rejected"] += 1
     assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
+
+
+def test_mp4_fragmented_duration_sources():
+    """CMAF/DASH files write mvhd duration 0 and declare the real
+    length in mvex/mehd or per-segment sidx indexes (r12): precedence
+    is nonzero mvhd > mehd (movie timescale) > sidx subsegment sum."""
+    for frag in ("mehd", "sidx"):
+        blob = encode_mp4(640, 360, 12345, payload=b"pp", codec="avc1",
+                          fragmented=frag)
+        meta = parse_mp4(blob)
+        assert meta["duration_ms"] == 12345, frag
+        assert (meta["width"], meta["height"]) == (640, 360)
+        assert mdat_payload(blob, meta) == b"pp"
+        # the mvhd itself really declares empty (fragmented shape)
+        mvhd_body = blob.index(b"mvhd") + 4 + 4
+        ts, dur = struct.unpack_from(">II", blob, mvhd_body + 8)
+        assert dur == 0 and ts == 1000
+    # sidx sums MULTIPLE references (odd split exercises the remainder)
+    blob = encode_mp4(64, 48, 101, fragmented="sidx")
+    assert parse_mp4(blob)["duration_ms"] == 101
+    # a nonzero mvhd wins over a trailing sidx: append a sidx declaring
+    # a different total to a progressive (non-fragmented) file
+    base = encode_mp4(64, 48, 500)
+    extra = encode_mp4(64, 48, 999, fragmented="sidx")
+    sidx_box_at = extra.index(b"sidx") - 4
+    (sz,) = struct.unpack_from(">I", extra, sidx_box_at)
+    blob = base + extra[sidx_box_at : sidx_box_at + sz]
+    assert parse_mp4(blob)["duration_ms"] == 500
+    with pytest.raises(ValueError, match="fragmented"):
+        encode_mp4(64, 48, 100, fragmented="moof")
+
+
+def test_mp4_fragmented_mutation_fuzz():
+    """The mehd/sidx/moof parsers are new attack surface — fuzz from a
+    fragmented seed under the same typed-error contract."""
+    from conftest import mutate_blob
+
+    rng = random.Random(0xF4A6)
+    bases = [
+        encode_mp4(320, 200, 4444, payload=b"f" * 21, fragmented="sidx"),
+        encode_mp4(320, 200, 4444, payload=b"f" * 9, fragmented="mehd"),
+    ]
+    outcomes = {"ok": 0, "rejected": 0}
+    for base in bases:
+        for _ in range(500):
+            blob = bytes(mutate_blob(rng, base))
+            if not sniff_mp4(blob):
+                continue
+            try:
+                meta = parse_mp4(blob)
+                mdat_payload(blob, meta)
+                outcomes["ok"] += 1
+            except VideoDecodeError:
+                outcomes["rejected"] += 1
+    assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes

@@ -110,10 +110,11 @@ def _full_box(data: bytes, start: int, end: int) -> tuple[int, int]:
     return data[start], start + 4
 
 
-def _mvhd(data: bytes, start: int, end: int) -> int | None:
-    """Movie duration in ms (None when timescale is 0 — declared-empty
-    movies exist in the wild and a ZeroDivision here would crash the
-    crawl pass)."""
+def _mvhd(data: bytes, start: int, end: int) -> tuple[int | None, int | None]:
+    """``(timescale, duration_ms)`` — duration None when timescale is 0
+    (declared-empty movies exist in the wild and a ZeroDivision here
+    would crash the crawl pass). The timescale is returned separately
+    because ``mehd``'s fragment_duration is expressed in it."""
     version, pos = _full_box(data, start, end)
     if version == 0:
         need, fmt, skip = 16, ">II", 8  # creation+modification u32 each
@@ -125,8 +126,48 @@ def _mvhd(data: bytes, start: int, end: int) -> int | None:
         raise VideoDecodeError("truncated mvhd")
     timescale, duration = struct.unpack_from(fmt, data, pos + skip)
     if timescale == 0:
+        return None, None
+    return timescale, duration * 1000 // timescale
+
+
+def _mehd(data: bytes, start: int, end: int) -> int:
+    """``mvex/mehd`` fragment_duration (in the MOVIE timescale) — the
+    whole-presentation duration a fragmented file declares while its
+    ``mvhd`` duration is 0 (ISO 14496-12 §8.8.2)."""
+    version, pos = _full_box(data, start, end)
+    if version == 0:
+        if pos + 4 > end:
+            raise VideoDecodeError("truncated mehd")
+        return struct.unpack_from(">I", data, pos)[0]
+    if version == 1:
+        if pos + 8 > end:
+            raise VideoDecodeError("truncated mehd")
+        return struct.unpack_from(">Q", data, pos)[0]
+    raise VideoDecodeError(f"mehd version {version}")
+
+
+def _sidx_duration_ms(data: bytes, start: int, end: int) -> int | None:
+    """Segment-index total: sum of subsegment_durations over the sidx's
+    OWN timescale (ISO 14496-12 §8.16.3) — the duration source for
+    DASH/CMAF segments that carry neither mvhd nor mehd durations."""
+    version, pos = _full_box(data, start, end)
+    if pos + 8 > end:
+        raise VideoDecodeError("truncated sidx")
+    timescale = struct.unpack_from(">I", data, pos + 4)[0]
+    pos += 8
+    pos += 8 if version == 0 else 16  # earliest_pts + first_offset
+    if pos + 4 > end:
+        raise VideoDecodeError("truncated sidx reference count")
+    count = struct.unpack_from(">HH", data, pos)[1]  # reserved, count
+    pos += 4
+    if pos + 12 * count > end:
+        raise VideoDecodeError("sidx references overrun box")
+    if timescale == 0:
         return None
-    return duration * 1000 // timescale
+    total = 0
+    for i in range(count):
+        total += struct.unpack_from(">I", data, pos + 12 * i + 4)[0]
+    return total * 1000 // timescale
 
 
 def _tkhd(data: bytes, start: int, end: int) -> tuple[int, int]:
@@ -193,6 +234,7 @@ def parse_mp4(data: bytes) -> dict:
         "mdat_spans": [],
     }
     picked_video = False
+    movie_timescale = mvhd_ms = mehd_units = sidx_total = None
 
     def walk_trak(body: int, box_end: int, depth: int) -> None:
         nonlocal picked_video
@@ -236,12 +278,35 @@ def parse_mp4(data: bytes) -> dict:
                 raise VideoDecodeError("non-ASCII major brand") from exc
         elif fourcc == b"mdat":
             out["mdat_spans"].append((body, box_end))
+        elif fourcc == b"sidx":
+            sidx_ms = _sidx_duration_ms(data, body, box_end)
+            if sidx_ms is not None:
+                sidx_total = (sidx_total or 0) + sidx_ms
         elif fourcc == b"moov":
             for fc, b, e, d in _walk(data, body, box_end, depth + 1, counter):
                 if fc == b"mvhd":
-                    out["duration_ms"] = _mvhd(data, b, e)
+                    movie_timescale, mvhd_ms = _mvhd(data, b, e)
+                elif fc == b"mvex":
+                    for fc2, b2, e2, _d2 in _walk(
+                        data, b, e, d + 1, counter
+                    ):
+                        if fc2 == b"mehd":
+                            mehd_units = _mehd(data, b2, e2)
                 elif fc == b"trak":
                     walk_trak(b, e, d)
+    # Duration precedence for fragmented files (CMAF/DASH write mvhd
+    # duration 0 and declare the real length in mvex/mehd, or only in
+    # per-segment sidx indexes): a nonzero mvhd wins; else mehd (movie
+    # timescale); else the sidx subsegment sum; else whatever mvhd said
+    # (0 or absent).
+    if mvhd_ms:
+        out["duration_ms"] = mvhd_ms
+    elif mehd_units is not None and movie_timescale:
+        out["duration_ms"] = mehd_units * 1000 // movie_timescale
+    elif sidx_total is not None:
+        out["duration_ms"] = sidx_total
+    else:
+        out["duration_ms"] = mvhd_ms
     return out
 
 
@@ -261,14 +326,21 @@ def encode_mp4(
     codec: str = "avc1",
     timescale: int = 1000,
     version: int = 0,
+    fragmented: str | None = None,
 ) -> bytes:
     """Minimal-but-conformant ISO-BMFF file for the fixture/oracle
     playbook (the WAV/BMP pattern: construct the container bytes, then
     restate the box arithmetic in SQL). One video track; ``payload``
     lands in ``mdat`` verbatim (no frame encoding — the metadata lane
     never decodes frames). ``version`` selects v0/v1 mvhd+tkhd so tests
-    cover both time-field widths. Inputs are trusted but validated
-    loudly, the family's encoder contract."""
+    cover both time-field widths.
+
+    ``fragmented`` builds the CMAF/DASH shape real crawls carry —
+    ``mvhd`` duration 0, the real length declared elsewhere:
+    ``'mehd'`` puts it in ``moov/mvex/mehd`` (movie timescale),
+    ``'sidx'`` in a two-reference segment index (own timescale), plus a
+    minimal ``moof`` before the ``mdat``. Inputs are trusted but
+    validated loudly, the family's encoder contract."""
     if not 0 < width < (1 << 16) or not 0 < height < (1 << 16):
         raise ValueError(f"dims {width}x{height} out of 16.16 range")
     if duration_ms < 0 or timescale <= 0:
@@ -277,7 +349,11 @@ def encode_mp4(
         raise ValueError(f"codec fourcc must be 4 chars, got {codec!r}")
     if version not in (0, 1):
         raise ValueError(f"mvhd/tkhd version {version}")
+    if fragmented not in (None, "mehd", "sidx"):
+        raise ValueError(f"fragmented must be None|'mehd'|'sidx', got {fragmented!r}")
     duration = duration_ms * timescale // 1000
+    if fragmented:
+        real_duration, duration = duration, 0  # mvhd/tkhd declare empty
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
     if version == 0:
         mvhd = _full(b"mvhd", 0, struct.pack(
@@ -319,9 +395,29 @@ def encode_mp4(
     minf = _box(b"minf", stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)
-    moov = _box(b"moov", mvhd + trak)
+    if fragmented == "mehd":
+        mvex = _box(b"mvex", _full(b"mehd", 0, struct.pack(">I", real_duration))
+                    + _full(b"trex", 0, struct.pack(">IIIII", 1, 1, 0, 0, 0)))
+        moov = _box(b"moov", mvhd + mvex + trak)
+    else:
+        moov = _box(b"moov", mvhd + trak)
     mdat = _box(b"mdat", payload)
-    return ftyp + moov + mdat
+    if fragmented is None:
+        return ftyp + moov + mdat
+    pre_mdat = b""
+    if fragmented == "sidx":
+        # two references splitting the duration (floor + remainder), so
+        # the parser's SUM is exercised, not just a single entry
+        half = real_duration // 2
+        refs = b"".join(
+            struct.pack(">III", 0, d, 0x90000000)
+            for d in (half, real_duration - half)
+        )
+        pre_mdat = _full(b"sidx", 0, struct.pack(
+            ">II", 1, timescale) + struct.pack(">II", 0, 0)
+            + struct.pack(">HH", 0, 2) + refs)
+    moof = _box(b"moof", _full(b"mfhd", 0, struct.pack(">I", 1)))
+    return ftyp + moov + pre_mdat + moof + mdat
 
 
 _IDENTITY_MATRIX = struct.pack(
