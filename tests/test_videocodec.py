@@ -62,7 +62,8 @@ def test_mp4_layout_pinned_bytes():
     assert meta == {
         "format": "mp4", "major_brand": "isom", "width": 320,
         "height": 240, "duration_ms": 1500, "codec": "avc1",
-        "has_video": True, "mdat_spans": [(mdat_at + 8, len(blob))],
+        "has_video": True, "n_frames": None,
+        "mdat_spans": [(mdat_at + 8, len(blob))],
     }
     assert mdat_payload(blob) == b"pay"
 
@@ -382,3 +383,35 @@ def test_mp4_fragmented_mutation_fuzz():
             except VideoDecodeError:
                 outcomes["rejected"] += 1
     assert outcomes["ok"] > 0 and outcomes["rejected"] > 0, outcomes
+
+
+def test_mp4_stts_frame_count_and_mandatory_sample_tables():
+    """stbl carries the spec-mandatory stts/stsc/stsz/stco (§8.5.1);
+    n_frames reports the stts sample total for the video track and
+    stays None when the table is empty (the fragmented convention —
+    samples live in unparsed moof/trun runs)."""
+    blob = encode_mp4(64, 48, 900, n_frames=27)
+    for fourcc in (b"stts", b"stsc", b"stsz", b"stco"):
+        assert fourcc in blob
+    meta = parse_mp4(blob)
+    assert meta["n_frames"] == 27
+    # empty stts -> None, not 0
+    assert parse_mp4(encode_mp4(64, 48, 900))["n_frames"] is None
+    assert parse_mp4(encode_mp4(64, 48, 900, fragmented="sidx"))["n_frames"] is None
+    # multi-entry stts sums runs: append a second (count, delta) entry
+    raw = bytearray(encode_mp4(64, 48, 900, n_frames=5))
+    at = bytes(raw).index(b"stts") - 4
+    (sz,) = struct.unpack_from(">I", raw, at)
+    entry2 = struct.pack(">II", 7, 33)
+    patched = (bytes(raw[:at]) + struct.pack(">I", sz + 8) + bytes(raw[at + 4 : at + 12])
+               + struct.pack(">I", 2) + bytes(raw[at + 16 : at + sz]) + entry2
+               + bytes(raw[at + sz :]))
+    # fix the enclosing chain (stbl/minf/mdia/trak/moov) sizes
+    out = bytearray(patched)
+    for parent in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+        p_at = bytes(out).index(parent) - 4
+        (p_sz,) = struct.unpack_from(">I", out, p_at)
+        struct.pack_into(">I", out, p_at, p_sz + 8)
+    assert parse_mp4(bytes(out))["n_frames"] == 12
+    with pytest.raises(ValueError, match="n_frames"):
+        encode_mp4(64, 48, 900, n_frames=-1)

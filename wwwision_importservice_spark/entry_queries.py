@@ -5266,8 +5266,8 @@ SELECT doc_id,
        CAST(CASE WHEN m = 0 THEN 3 WHEN m IN (1, 4) THEN 8 * bh
                  WHEN m IN (5, 6) THEN 16 + (b // 7) % 100 END AS INT)
          AS height,
-       CAST(CASE WHEN m IN (2, 3) THEN n WHEN m IN (5, 6) THEN NULL
-                 ELSE 1 END AS INT) AS n_frames,
+       CAST(CASE WHEN m IN (2, 3) THEN n WHEN m = 5 THEN 1 + b % 30
+                 WHEN m = 6 THEN NULL ELSE 1 END AS INT) AS n_frames,
        CAST(CASE WHEN m IN (2, 3) THEN 8000 END AS INT) AS sample_rate,
        CAST(CASE WHEN m IN (2, 3) THEN 1 END AS INT) AS channels,
        CAST(CASE WHEN m IN (2, 3) THEN 16 END AS INT) AS bits_per_sample,
@@ -5361,6 +5361,7 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                         500 + b % 10000,
                         payload=bytes.fromhex((mh * 2)[:48]),
                         codec="avc1" if b % 2 == 0 else "hvc1",
+                        n_frames=1 + b % 30,  # stts under the hash (r12)
                     )
                 elif m == 6:
                     blob = vidc.encode_webm(

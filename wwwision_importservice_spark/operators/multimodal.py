@@ -515,8 +515,8 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha):
                     else vidc.parse_webm(data))
             kind = "video" if meta["has_video"] else "audio"
             return (rid, kind, meta["format"], meta["width"],
-                    meta["height"], None, None, None, None,
-                    meta["duration_ms"], meta["codec"], len(data),
+                    meta["height"], meta.get("n_frames"), None, None,
+                    None, meta["duration_ms"], meta["codec"], len(data),
                     hex_sha(vidc.media_payload(data, meta)))
     except (img.ImageDecodeError, wavc.AudioDecodeError,
             vidc.VideoDecodeError):

@@ -193,6 +193,22 @@ def _hdlr(data: bytes, start: int, end: int) -> bytes:
     return data[pos + 4 : pos + 8]  # skip pre_defined
 
 
+def _stts_samples(data: bytes, start: int, end: int) -> int:
+    """Total sample (frame) count: sum of ``sample_count`` over the
+    time-to-sample entries (ISO 14496-12 §8.6.1.2) — the real frame
+    count the metadata lane reports for video, no decode needed."""
+    _, pos = _full_box(data, start, end)
+    if pos + 4 > end:
+        raise VideoDecodeError("truncated stts")
+    (count,) = struct.unpack_from(">I", data, pos)
+    pos += 4
+    if pos + 8 * count > end:
+        raise VideoDecodeError("stts entries overrun box")
+    return sum(
+        struct.unpack_from(">I", data, pos + 8 * i)[0] for i in range(count)
+    )
+
+
 def _stsd_codec(data: bytes, start: int, end: int) -> str | None:
     _, pos = _full_box(data, start, end)
     if pos + 4 > end:
@@ -216,7 +232,11 @@ def parse_mp4(data: bytes) -> dict:
 
     ``{"format": "mp4", "major_brand": str, "width": int|None,
     "height": int|None, "duration_ms": int|None, "codec": str|None,
-    "has_video": bool, "mdat_spans": [(start, end), ...]}``
+    "has_video": bool, "n_frames": int|None,
+    "mdat_spans": [(start, end), ...]}``
+
+    ``n_frames`` is the video track's stts sample total (None for
+    fragmented files, whose samples live in unparsed moof/trun runs).
 
     Width/height/codec come from the FIRST track whose ``hdlr`` is
     ``vide`` (falling back to the first track when no handler says so —
@@ -231,14 +251,14 @@ def parse_mp4(data: bytes) -> dict:
     out: dict = {
         "format": "mp4", "major_brand": "", "width": None, "height": None,
         "duration_ms": None, "codec": None, "has_video": False,
-        "mdat_spans": [],
+        "n_frames": None, "mdat_spans": [],
     }
     picked_video = False
     movie_timescale = mvhd_ms = mehd_units = sidx_total = None
 
     def walk_trak(body: int, box_end: int, depth: int) -> None:
         nonlocal picked_video
-        dims = handler = codec = None
+        dims = handler = codec = n_samples = None
         for fc, b, e, d in _walk(data, body, box_end, depth + 1, counter):
             if fc == b"tkhd":
                 dims = _tkhd(data, b, e)
@@ -256,6 +276,8 @@ def parse_mp4(data: bytes) -> dict:
                                 ):
                                     if fc4 == b"stsd":
                                         codec = _stsd_codec(data, b4, e4)
+                                    elif fc4 == b"stts":
+                                        n_samples = _stts_samples(data, b4, e4)
         is_video = handler == b"vide"
         if picked_video:
             return
@@ -263,6 +285,10 @@ def parse_mp4(data: bytes) -> dict:
             out["codec"] = codec
             if is_video and dims is not None:
                 out["width"], out["height"] = dims
+            # frame count from the time-to-sample table; fragmented
+            # files carry their samples in moof/trun (not parsed), so a
+            # zero/absent stts reports None rather than a false 0
+            out["n_frames"] = n_samples if (is_video and n_samples) else None
             picked_video = is_video
             out["has_video"] = is_video
 
@@ -327,6 +353,7 @@ def encode_mp4(
     timescale: int = 1000,
     version: int = 0,
     fragmented: str | None = None,
+    n_frames: int = 0,
 ) -> bytes:
     """Minimal-but-conformant ISO-BMFF file for the fixture/oracle
     playbook (the WAV/BMP pattern: construct the container bytes, then
@@ -339,12 +366,16 @@ def encode_mp4(
     ``mvhd`` duration 0, the real length declared elsewhere:
     ``'mehd'`` puts it in ``moov/mvex/mehd`` (movie timescale),
     ``'sidx'`` in a two-reference segment index (own timescale), plus a
-    minimal ``moof`` before the ``mdat``. Inputs are trusted but
-    validated loudly, the family's encoder contract."""
+    minimal ``moof`` before the ``mdat``. ``n_frames > 0`` writes a
+    one-run ``stts`` declaring that sample count (0 = empty table, the
+    fragmented convention). Inputs are trusted but validated loudly,
+    the family's encoder contract."""
     if not 0 < width < (1 << 16) or not 0 < height < (1 << 16):
         raise ValueError(f"dims {width}x{height} out of 16.16 range")
     if duration_ms < 0 or timescale <= 0:
         raise ValueError("negative duration or non-positive timescale")
+    if n_frames < 0:
+        raise ValueError("negative n_frames")
     if len(codec) != 4:
         raise ValueError(f"codec fourcc must be 4 chars, got {codec!r}")
     if version not in (0, 1):
@@ -391,7 +422,18 @@ def encode_mp4(
     )
     stsd = _full(b"stsd", 0, struct.pack(">I", 1)
                  + _box(codec.encode("ascii"), entry))
-    stbl = _box(b"stbl", stsd)
+    # the sample tables the spec makes mandatory in every stbl
+    # (§8.5.1); stts carries the REAL frame count the walker reports
+    # (one run of n_frames samples, delta = duration/n when sensible)
+    if n_frames > 0:
+        delta = max(1, duration // n_frames)
+        stts = _full(b"stts", 0, struct.pack(">III", 1, n_frames, delta))
+    else:
+        stts = _full(b"stts", 0, struct.pack(">I", 0))
+    stsc = _full(b"stsc", 0, struct.pack(">I", 0))
+    stsz = _full(b"stsz", 0, struct.pack(">III", 0, 0, 0))
+    stco = _full(b"stco", 0, struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
     minf = _box(b"minf", stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)
