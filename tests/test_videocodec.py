@@ -63,6 +63,7 @@ def test_mp4_layout_pinned_bytes():
         "format": "mp4", "major_brand": "isom", "width": 320,
         "height": 240, "duration_ms": 1500, "codec": "avc1",
         "has_video": True, "n_frames": None,
+        "sample_rate": None, "channels": None,
         "mdat_spans": [(mdat_at + 8, len(blob))],
     }
     assert mdat_payload(blob) == b"pay"
@@ -231,9 +232,9 @@ def test_webm_roundtrip_and_layout():
 
 
 def test_webm_audio_only_routes_as_audio_in_media_row():
-    """A TrackType=2 (audio) only file reports codec with NULL dims and
-    has_video=False; _media_row routes it kind='audio' — same policy as
-    an M4A through the ISO-BMFF lane."""
+    """An audio-only container reports codec + sample_rate/channels
+    (Matroska Audio element / ISO-BMFF AudioSampleEntry, r12) with NULL
+    dims and has_video=False; _media_row routes it kind='audio'."""
     import hashlib
 
     from wwwision_importservice_spark.operators import (
@@ -244,25 +245,39 @@ def test_webm_audio_only_routes_as_audio_in_media_row():
     )
     from wwwision_importservice_spark.operators.multimodal import _media_row
 
-    blob = bytearray(vidc.encode_webm(64, 48, 777, codec="A_OPUS"))
-    # flip TrackType video->audio (0x83 id, size 0x81, value 0x01)
-    at = bytes(blob).index(b"\x83\x81\x01")
-    blob[at + 2] = 2
-    meta = vidc.parse_webm(bytes(blob))
+    blob = vidc.encode_webm(64, 48, 777, codec="A_OPUS", track="audio",
+                            channels=2, sample_rate_hz=48000)
+    meta = vidc.parse_webm(blob)
     assert not meta["has_video"] and meta["codec"] == "A_OPUS"
     assert meta["width"] is None and meta["height"] is None
+    assert (meta["sample_rate"], meta["channels"]) == (48000, 2)
 
     def hex_sha(b):
         return hashlib.sha256(b.hex().encode()).hexdigest()
 
-    row = _media_row(9, bytes(blob), img, wavc, flacc, vidc, False, hex_sha)
+    row = _media_row(9, blob, img, wavc, flacc, vidc, False, hex_sha)
     assert row[1] == "audio" and row[2] == "webm" and row[10] == "A_OPUS"
-    # and the ISO-BMFF twin of the same policy
-    m4a = bytearray(vidc.encode_mp4(64, 48, 500, codec="mp4a"))
-    at = bytes(m4a).index(b"vide")
-    m4a[at : at + 4] = b"soun"
-    row = _media_row(10, bytes(m4a), img, wavc, flacc, vidc, False, hex_sha)
+    assert (row[6], row[7]) == (48000, 2)  # sample_rate, channels
+    # and the ISO-BMFF twin of the same policy (M4A shape)
+    m4a = vidc.encode_mp4(64, 48, 500, codec="mp4a", track="audio",
+                          channels=1, sample_rate_hz=16000)
+    meta = vidc.parse_mp4(m4a)
+    assert (meta["sample_rate"], meta["channels"]) == (16000, 1)
+    row = _media_row(10, m4a, img, wavc, flacc, vidc, False, hex_sha)
     assert row[1] == "audio" and row[2] == "mp4" and row[10] == "mp4a"
+    assert (row[6], row[7]) == (16000, 1)
+    # the legacy patched-handler path (no audio entry fields present in
+    # a VisualSampleEntry... they parse as garbage-guarded None/values;
+    # the routing itself must still hold)
+    patched = bytearray(vidc.encode_mp4(64, 48, 500, codec="mp4a"))
+    at = bytes(patched).index(b"vide")
+    patched[at : at + 4] = b"soun"
+    row = _media_row(11, bytes(patched), img, wavc, flacc, vidc, False,
+                     hex_sha)
+    assert row[1] == "audio" and row[2] == "mp4"
+    # video files keep NULL sample fields
+    v = vidc.parse_mp4(vidc.encode_mp4(64, 48, 500))
+    assert v["sample_rate"] is None and v["channels"] is None
 
 
 def test_webm_bomb_caps_and_typed_errors():

@@ -515,7 +515,8 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha):
                     else vidc.parse_webm(data))
             kind = "video" if meta["has_video"] else "audio"
             return (rid, kind, meta["format"], meta["width"],
-                    meta["height"], meta.get("n_frames"), None, None,
+                    meta["height"], meta.get("n_frames"),
+                    meta.get("sample_rate"), meta.get("channels"),
                     None, meta["duration_ms"], meta["codec"], len(data),
                     hex_sha(vidc.media_payload(data, meta)))
     except (img.ImageDecodeError, wavc.AudioDecodeError,

@@ -209,7 +209,11 @@ def _stts_samples(data: bytes, start: int, end: int) -> int:
     )
 
 
-def _stsd_codec(data: bytes, start: int, end: int) -> str | None:
+def _stsd_entry(
+    data: bytes, start: int, end: int
+) -> tuple[str, int, int] | None:
+    """First stsd sample entry: ``(fourcc, body_start, body_end)`` —
+    the caller interprets the body by the track's handler type."""
     _, pos = _full_box(data, start, end)
     if pos + 4 > end:
         raise VideoDecodeError("truncated stsd")
@@ -222,9 +226,26 @@ def _stsd_codec(data: bytes, start: int, end: int) -> str | None:
     if entry_size < 8 or pos + 4 + entry_size > end:
         raise VideoDecodeError("stsd sample entry overruns box")
     try:
-        return data[pos + 8 : pos + 12].decode("ascii")
+        fourcc = data[pos + 8 : pos + 12].decode("ascii")
     except UnicodeDecodeError as exc:
         raise VideoDecodeError("non-ASCII sample-entry fourcc") from exc
+    return fourcc, pos + 12, pos + 4 + entry_size
+
+
+def _audio_entry_fields(
+    data: bytes, body: int, body_end: int
+) -> tuple[int | None, int | None]:
+    """AudioSampleEntry (ISO 14496-12 §12.2.3) ``(channels,
+    sample_rate)``: after the 8-byte reserved/data_ref_index prefix and
+    8 reserved bytes sit channelcount(u16), samplesize(u16),
+    pre_defined(u16), reserved(u16), samplerate(16.16). Entries too
+    short for the fixed layout report (None, None) rather than erroring
+    — stsd bodies for exotic codecs vary and the walk is metadata-only."""
+    if body + 28 > body_end:
+        return None, None
+    channels = struct.unpack_from(">H", data, body + 16)[0]
+    rate = struct.unpack_from(">I", data, body + 24)[0] >> 16
+    return channels or None, rate or None
 
 
 def parse_mp4(data: bytes) -> dict:
@@ -237,6 +258,8 @@ def parse_mp4(data: bytes) -> dict:
 
     ``n_frames`` is the video track's stts sample total (None for
     fragmented files, whose samples live in unparsed moof/trun runs).
+    Audio-only files (M4A) additionally carry ``sample_rate``/
+    ``channels`` from the AudioSampleEntry (r12).
 
     Width/height/codec come from the FIRST track whose ``hdlr`` is
     ``vide`` (falling back to the first track when no handler says so —
@@ -251,14 +274,15 @@ def parse_mp4(data: bytes) -> dict:
     out: dict = {
         "format": "mp4", "major_brand": "", "width": None, "height": None,
         "duration_ms": None, "codec": None, "has_video": False,
-        "n_frames": None, "mdat_spans": [],
+        "n_frames": None, "sample_rate": None, "channels": None,
+        "mdat_spans": [],
     }
     picked_video = False
     movie_timescale = mvhd_ms = mehd_units = sidx_total = None
 
     def walk_trak(body: int, box_end: int, depth: int) -> None:
         nonlocal picked_video
-        dims = handler = codec = n_samples = None
+        dims = handler = entry = n_samples = None
         for fc, b, e, d in _walk(data, body, box_end, depth + 1, counter):
             if fc == b"tkhd":
                 dims = _tkhd(data, b, e)
@@ -275,20 +299,24 @@ def parse_mp4(data: bytes) -> dict:
                                     data, b3, e3, d3 + 1, counter
                                 ):
                                     if fc4 == b"stsd":
-                                        codec = _stsd_codec(data, b4, e4)
+                                        entry = _stsd_entry(data, b4, e4)
                                     elif fc4 == b"stts":
                                         n_samples = _stts_samples(data, b4, e4)
         is_video = handler == b"vide"
         if picked_video:
             return
         if is_video or out["codec"] is None:
-            out["codec"] = codec
+            out["codec"] = entry[0] if entry else None
             if is_video and dims is not None:
                 out["width"], out["height"] = dims
             # frame count from the time-to-sample table; fragmented
             # files carry their samples in moof/trun (not parsed), so a
             # zero/absent stts reports None rather than a false 0
             out["n_frames"] = n_samples if (is_video and n_samples) else None
+            if handler == b"soun" and entry is not None:
+                out["channels"], out["sample_rate"] = _audio_entry_fields(
+                    data, entry[1], entry[2]
+                )
             picked_video = is_video
             out["has_video"] = is_video
 
@@ -354,6 +382,9 @@ def encode_mp4(
     version: int = 0,
     fragmented: str | None = None,
     n_frames: int = 0,
+    track: str = "video",
+    channels: int = 2,
+    sample_rate_hz: int = 44100,
 ) -> bytes:
     """Minimal-but-conformant ISO-BMFF file for the fixture/oracle
     playbook (the WAV/BMP pattern: construct the container bytes, then
@@ -376,6 +407,12 @@ def encode_mp4(
         raise ValueError("negative duration or non-positive timescale")
     if n_frames < 0:
         raise ValueError("negative n_frames")
+    if track not in ("video", "audio"):
+        raise ValueError(f"track must be 'video'|'audio', got {track!r}")
+    if track == "audio" and not (
+        0 < channels < 1 << 16 and 0 < sample_rate_hz < 1 << 16
+    ):
+        raise ValueError("channels/sample_rate_hz out of AudioSampleEntry range")
     if len(codec) != 4:
         raise ValueError(f"codec fourcc must be 4 chars, got {codec!r}")
     if version not in (0, 1):
@@ -409,17 +446,27 @@ def encode_mp4(
     mdhd = _full(b"mdhd", 0, struct.pack(
         ">IIII", 0, 0, timescale, duration
     ) + struct.pack(">HH", 0x55C4, 0))  # 'und' language, pre_defined
-    hdlr = _full(b"hdlr", 0, struct.pack(">I", 0) + b"vide"
+    handler = b"vide" if track == "video" else b"soun"
+    hdlr = _full(b"hdlr", 0, struct.pack(">I", 0) + handler
                  + b"\x00" * 12 + b"graft\x00")
     # VisualSampleEntry (14496-12 §12.1.3): 6 reserved + data_ref_index,
     # 16 pre_defined/reserved, width/height u16, 72dpi fixed, frame
     # count 1, 32-byte compressorname, depth 24, pre_defined -1
-    entry = (
-        struct.pack(">6xH", 1) + b"\x00" * 16
-        + struct.pack(">HH", width, height)
-        + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
-        + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
-    )
+    if track == "video":
+        entry = (
+            struct.pack(">6xH", 1) + b"\x00" * 16
+            + struct.pack(">HH", width, height)
+            + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+            + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+        )
+    else:
+        # AudioSampleEntry (§12.2.3): 8 reserved, channelcount,
+        # samplesize 16, pre_defined, reserved, samplerate 16.16
+        entry = (
+            struct.pack(">6xH", 1) + b"\x00" * 8
+            + struct.pack(">HHHH", channels, 16, 0, 0)
+            + struct.pack(">I", sample_rate_hz << 16)
+        )
     stsd = _full(b"stsd", 0, struct.pack(">I", 1)
                  + _box(codec.encode("ascii"), entry))
     # the sample tables the spec makes mandatory in every stbl
@@ -497,6 +544,9 @@ _ID_CODEC_ID = 0x86
 _ID_VIDEO = 0xE0
 _ID_PIXEL_W = 0xB0
 _ID_PIXEL_H = 0xBA
+_ID_AUDIO = 0xE1
+_ID_SAMPLING_FREQ = 0xB5
+_ID_CHANNELS = 0x9F
 _ID_CLUSTER = 0x1F43B675
 _ID_DOCTYPE = 0x4282
 
@@ -588,6 +638,7 @@ def parse_webm(data: bytes) -> dict:
     out: dict = {
         "format": "webm", "width": None, "height": None,
         "duration_ms": None, "codec": None, "has_video": False,
+        "sample_rate": None, "channels": None,
         "payload_spans": [],
     }
     ts_scale = 1_000_000  # spec default: 1 ms per unit
@@ -596,7 +647,7 @@ def parse_webm(data: bytes) -> dict:
 
     def walk_track_entry(start: int, end: int) -> None:
         nonlocal picked_video
-        ttype = codec = dims_w = dims_h = None
+        ttype = codec = dims_w = dims_h = freq = chans = None
         for eid, b, e in _ebml_walk(data, start, end, counter):
             if eid == _ID_TRACK_TYPE:
                 ttype = _ebml_uint(data, b, e)
@@ -611,6 +662,15 @@ def parse_webm(data: bytes) -> dict:
                         dims_w = _ebml_uint(data, b2, e2)
                     elif eid2 == _ID_PIXEL_H:
                         dims_h = _ebml_uint(data, b2, e2)
+            elif eid == _ID_AUDIO:
+                for eid2, b2, e2 in _ebml_walk(data, b, e, counter):
+                    if eid2 == _ID_SAMPLING_FREQ:
+                        f = _ebml_float(data, b2, e2)
+                        if not (0 < f < 2**31):
+                            raise VideoDecodeError("SamplingFrequency out of range")
+                        freq = int(f)
+                    elif eid2 == _ID_CHANNELS:
+                        chans = _ebml_uint(data, b2, e2)
         is_video = ttype == 1
         if picked_video:
             return
@@ -618,6 +678,8 @@ def parse_webm(data: bytes) -> dict:
             out["codec"] = codec
             if is_video:
                 out["width"], out["height"] = dims_w, dims_h
+            elif ttype == 2:
+                out["sample_rate"], out["channels"] = freq, chans
             picked_video = is_video
             out["has_video"] = is_video
 
@@ -674,6 +736,9 @@ def encode_webm(
     payload: bytes = b"",
     codec: str = "V_VP9",
     doctype: str = "webm",
+    track: str = "video",
+    channels: int = 2,
+    sample_rate_hz: int = 48000,
 ) -> bytes:
     """Minimal conformant Matroska/WebM file for fixtures: EBML header
     (DocType), Segment(Info(TimestampScale=10^6, Duration float8),
@@ -697,17 +762,30 @@ def encode_webm(
         _ebml(_ID_TS_SCALE, (1_000_000).to_bytes(3, "big")),
         _ebml(_ID_DURATION, struct.pack(">d", float(duration_ms))),
     ]))
-    track = _ebml(_ID_TRACK_ENTRY, b"".join([
-        _ebml(0xD7, b"\x01"),            # TrackNumber
-        _ebml(0x73C5, b"\x01"),          # TrackUID
-        _ebml(_ID_TRACK_TYPE, b"\x01"),  # video
-        _ebml(_ID_CODEC_ID, codec.encode("ascii")),
-        _ebml(_ID_VIDEO, b"".join([
+    if track not in ("video", "audio"):
+        raise ValueError(f"track must be 'video'|'audio', got {track!r}")
+    if track == "video":
+        media = _ebml(_ID_VIDEO, b"".join([
             _ebml(_ID_PIXEL_W, width.to_bytes(2, "big")),
             _ebml(_ID_PIXEL_H, height.to_bytes(2, "big")),
-        ])),
+        ]))
+        ttype = b"\x01"
+    else:
+        if not (0 < channels < 256 and 0 < sample_rate_hz < 2**31):
+            raise ValueError("channels/sample_rate_hz out of range")
+        media = _ebml(_ID_AUDIO, b"".join([
+            _ebml(_ID_SAMPLING_FREQ, struct.pack(">d", float(sample_rate_hz))),
+            _ebml(_ID_CHANNELS, bytes([channels])),
+        ]))
+        ttype = b"\x02"
+    entry = _ebml(_ID_TRACK_ENTRY, b"".join([
+        _ebml(0xD7, b"\x01"),            # TrackNumber
+        _ebml(0x73C5, b"\x01"),          # TrackUID
+        _ebml(_ID_TRACK_TYPE, ttype),
+        _ebml(_ID_CODEC_ID, codec.encode("ascii")),
+        media,
     ]))
-    tracks = _ebml(_ID_TRACKS, track)
+    tracks = _ebml(_ID_TRACKS, entry)
     # SimpleBlock: track varint (0x81 = track 1) + i16 ts + flags
     block = _ebml(0xA3, b"\x81\x00\x00\x00" + payload)
     cluster = _ebml(_ID_CLUSTER, _ebml(0xE7, b"\x00") + block)
