@@ -430,3 +430,35 @@ def test_mp4_stts_frame_count_and_mandatory_sample_tables():
     assert parse_mp4(bytes(out))["n_frames"] == 12
     with pytest.raises(ValueError, match="n_frames"):
         encode_mp4(64, 48, 900, n_frames=-1)
+
+
+def test_webm_block_frame_counting():
+    """n_frames header-hops the video track's cluster blocks: lacing
+    flags carry frame_count-1 (RFC 9559 §10), BlockGroup/Block counts
+    like SimpleBlock, and other tracks' blocks are excluded."""
+    from wwwision_importservice_spark.operators.videocodec import (
+        _ebml,
+        encode_webm,
+        parse_webm,
+    )
+
+    blob = encode_webm(64, 48, 900, payload=b"xy", n_frames=5)
+    assert parse_webm(blob)["n_frames"] == 5
+    # append a second cluster holding: an EBML-laced block with 3
+    # frames (lacing bits 0b11 -> frame_count-1 byte = 2), a track-2
+    # block (ignored), and a BlockGroup/Block (counted)
+    laced = _ebml(0xA3, b"\x81\x00\x00\x06\x02" + b"fff")
+    other_track = _ebml(0xA3, b"\x82\x00\x00\x00" + b"zz")
+    grouped = _ebml(0xA0, _ebml(0xA1, b"\x81\x00\x00\x00" + b"g"))
+    cluster2 = _ebml(0x1F43B675, _ebml(0xE7, b"\x01") + laced
+                     + other_track + grouped)
+    # rebuild the Segment with the extra cluster (the original 1-byte
+    # size vint can't hold the grown body)
+    seg_at = blob.index(b"\x18\x53\x80\x67")
+    size_pos = seg_at + 4
+    length = 9 - blob[size_pos].bit_length()
+    seg_body = blob[size_pos + length :]
+    patched = blob[:seg_at] + _ebml(0x18538067, seg_body + cluster2)
+    meta = parse_webm(patched)
+    # 5 original + 3 laced + 1 grouped; the track-2 block is excluded
+    assert meta["n_frames"] == 9

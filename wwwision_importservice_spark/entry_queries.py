@@ -5267,7 +5267,7 @@ SELECT doc_id,
                  WHEN m IN (5, 6) THEN 16 + (b // 7) % 100 END AS INT)
          AS height,
        CAST(CASE WHEN m IN (2, 3) THEN n WHEN m = 5 THEN 1 + b % 30
-                 WHEN m = 6 THEN NULL ELSE 1 END AS INT) AS n_frames,
+                 WHEN m = 6 THEN 1 + b % 9 ELSE 1 END AS INT) AS n_frames,
        CAST(CASE WHEN m IN (2, 3) THEN 8000 END AS INT) AS sample_rate,
        CAST(CASE WHEN m IN (2, 3) THEN 1 END AS INT) AS channels,
        CAST(CASE WHEN m IN (2, 3) THEN 16 END AS INT) AS bits_per_sample,
@@ -5286,7 +5286,8 @@ SELECT doc_id,
                     3)), ''))
          WHEN m = 5 THEN sha256(substr(repeat(mh, 2), 1, 48))
          WHEN m = 6 THEN sha256('e78100a39c81000000' ||
-                                substr(repeat(mh, 2), 1, 48))
+                                substr(repeat(mh, 2), 1, 48) ||
+                                repeat('a38481000000', b % 9))
          ELSE sha256(substr(repeat(mh, 18), 1, 4 * n))
        END AS payload_sha
 FROM (
@@ -5369,6 +5370,9 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                         500 + b % 10000,
                         payload=bytes.fromhex((mh * 2)[:48]),
                         codec="V_VP9" if b % 2 == 0 else "V_AV1",
+                        n_frames=1 + b % 9,  # block counting under the
+                        # hash: extra frames are constant-framing empty
+                        # SimpleBlocks the oracle restates as hex
                     )
                 elif m == 0:
                     px = np.frombuffer(

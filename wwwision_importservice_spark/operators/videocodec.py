@@ -549,6 +549,15 @@ _ID_SAMPLING_FREQ = 0xB5
 _ID_CHANNELS = 0x9F
 _ID_CLUSTER = 0x1F43B675
 _ID_DOCTYPE = 0x4282
+_ID_TRACK_NUM = 0xD7
+_ID_SIMPLE_BLOCK = 0xA3
+_ID_BLOCK_GROUP = 0xA0
+_ID_BLOCK = 0xA1
+
+#: Dedicated budget for the block-count walk: one element per block,
+#: cost linear in the file's own bytes (the threat-model bound); a file
+#: with more blocks reports n_frames=None (unknown), never an error.
+MAX_BLOCK_WALK = 1 << 20
 
 #: EBML element budget — a metadata walk that sees more is a crafted
 #: size chain, same rationale as MAX_BOXES.
@@ -617,6 +626,50 @@ def _ebml_float(data: bytes, start: int, end: int) -> float:
     raise VideoDecodeError(f"EBML float of width {width}")
 
 
+def _block_info(data: bytes, start: int, end: int) -> tuple[int, int]:
+    """(track_number, frame_count) of a (Simple)Block: track vint, i16
+    timestamp, flags; lacing != 0 carries a frame_count-1 byte (RFC
+    9559 §10). Content bytes are never read."""
+    track, pos = _vint(data, start, end, keep_marker=False)
+    if pos + 3 > end:
+        raise VideoDecodeError("truncated block header")
+    lacing = (data[pos + 2] >> 1) & 0x3
+    if lacing == 0:
+        return track, 1
+    if pos + 4 > end:
+        raise VideoDecodeError("truncated laced block header")
+    return track, data[pos + 3] + 1
+
+
+def _count_track_frames(data: bytes, spans, track_num: int) -> int | None:
+    """Total frames the given track carries across the Cluster spans —
+    header-hopping only (one element per block, content skipped).
+    Returns None past MAX_BLOCK_WALK blocks: unknown beats an error for
+    a pure observability field."""
+    # start the shared-cap counter negative so the effective budget is
+    # MAX_BLOCK_WALK (the walk raises past MAX_EBML_ELEMENTS)
+    budget_counter = [MAX_EBML_ELEMENTS - MAX_BLOCK_WALK]
+    total = 0
+    try:
+        for s, e in spans:
+            for eid, b, e2 in _ebml_walk(data, s, e, budget_counter):
+                if eid == _ID_SIMPLE_BLOCK:
+                    t, fr = _block_info(data, b, e2)
+                    if t == track_num:
+                        total += fr
+                elif eid == _ID_BLOCK_GROUP:
+                    for eid2, b2, e3 in _ebml_walk(data, b, e2, budget_counter):
+                        if eid2 == _ID_BLOCK:
+                            t, fr = _block_info(data, b2, e3)
+                            if t == track_num:
+                                total += fr
+    except VideoDecodeError as exc:
+        if "elements" in str(exc):
+            return None  # block-walk budget exhausted: unknown
+        raise
+    return total
+
+
 def parse_webm(data: bytes) -> dict:
     """Matroska/WebM bytes → the same metadata dict shape as
     :func:`parse_mp4`:
@@ -638,18 +691,21 @@ def parse_webm(data: bytes) -> dict:
     out: dict = {
         "format": "webm", "width": None, "height": None,
         "duration_ms": None, "codec": None, "has_video": False,
-        "sample_rate": None, "channels": None,
+        "n_frames": None, "sample_rate": None, "channels": None,
         "payload_spans": [],
     }
     ts_scale = 1_000_000  # spec default: 1 ms per unit
     duration_units: float | None = None
     picked_video = False
+    video_track_num: int | None = None
 
     def walk_track_entry(start: int, end: int) -> None:
-        nonlocal picked_video
-        ttype = codec = dims_w = dims_h = freq = chans = None
+        nonlocal picked_video, video_track_num
+        ttype = codec = dims_w = dims_h = freq = chans = tnum = None
         for eid, b, e in _ebml_walk(data, start, end, counter):
-            if eid == _ID_TRACK_TYPE:
+            if eid == _ID_TRACK_NUM:
+                tnum = _ebml_uint(data, b, e)
+            elif eid == _ID_TRACK_TYPE:
                 ttype = _ebml_uint(data, b, e)
             elif eid == _ID_CODEC_ID:
                 try:
@@ -678,6 +734,7 @@ def parse_webm(data: bytes) -> dict:
             out["codec"] = codec
             if is_video:
                 out["width"], out["height"] = dims_w, dims_h
+                video_track_num = tnum
             elif ttype == 2:
                 out["sample_rate"], out["channels"] = freq, chans
             picked_video = is_video
@@ -711,6 +768,13 @@ def parse_webm(data: bytes) -> dict:
         if not (duration_units >= 0 and duration_units < 2**53):
             raise VideoDecodeError("Duration out of range")
         out["duration_ms"] = int(duration_units * ts_scale / 1_000_000)
+    if out["has_video"] and video_track_num is not None:
+        # REAL frame count: header-hop the cluster blocks of the video
+        # track (lacing-aware, content never read); None past the
+        # block-walk budget or when no block was found (fragless empty)
+        frames = _count_track_frames(data, out["payload_spans"],
+                                     video_track_num)
+        out["n_frames"] = frames if frames else None
     return out
 
 
@@ -739,6 +803,7 @@ def encode_webm(
     track: str = "video",
     channels: int = 2,
     sample_rate_hz: int = 48000,
+    n_frames: int = 1,
 ) -> bytes:
     """Minimal conformant Matroska/WebM file for fixtures: EBML header
     (DocType), Segment(Info(TimestampScale=10^6, Duration float8),
@@ -786,9 +851,14 @@ def encode_webm(
         media,
     ]))
     tracks = _ebml(_ID_TRACKS, entry)
-    # SimpleBlock: track varint (0x81 = track 1) + i16 ts + flags
+    if n_frames < 1:
+        raise ValueError("n_frames must be >= 1")
+    # SimpleBlock: track varint (0x81 = track 1) + i16 ts + flags; the
+    # payload rides the first block, further frames are empty blocks so
+    # the Cluster bytes stay SQL-restatable (constant framing hex)
     block = _ebml(0xA3, b"\x81\x00\x00\x00" + payload)
-    cluster = _ebml(_ID_CLUSTER, _ebml(0xE7, b"\x00") + block)
+    extra = _ebml(0xA3, b"\x81\x00\x00\x00") * (n_frames - 1)
+    cluster = _ebml(_ID_CLUSTER, _ebml(0xE7, b"\x00") + block + extra)
     segment = _ebml(_ID_SEGMENT, info + tracks + cluster)
     return header + segment
 
