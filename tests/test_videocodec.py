@@ -462,3 +462,177 @@ def test_webm_block_frame_counting():
     meta = parse_webm(patched)
     # 5 original + 3 laced + 1 grouped; the track-2 block is excluded
     assert meta["n_frames"] == 9
+
+
+# --------------------------------------------------------------------------
+# r13: mux-order independence, fragmented trun counts, unknown-duration
+# sentinel, streamed (unknown-size) clusters, typed block-walk budget
+
+
+def test_mp4_two_track_reporting_is_mux_order_independent():
+    """An A/V file reports the video track's dims/codec AND the first
+    audio track's rate/channels in BOTH trak orders (r12 advisor catch:
+    audio-first used to leak partial fields, video-first reported
+    NULLs)."""
+    for audio_first in (False, True):
+        blob = encode_mp4(640, 360, 2500, payload=b"av", codec="avc1",
+                          n_frames=12, with_audio=True,
+                          audio_first=audio_first, audio_codec="mp4a",
+                          channels=2, sample_rate_hz=44100)
+        meta = parse_mp4(blob)
+        assert meta["has_video"], audio_first
+        assert (meta["width"], meta["height"]) == (640, 360)
+        assert meta["codec"] == "avc1"
+        assert meta["n_frames"] == 12
+        assert (meta["sample_rate"], meta["channels"]) == (44100, 2)
+        assert mdat_payload(blob, meta) == b"av"
+    with pytest.raises(ValueError, match="with_audio"):
+        encode_mp4(64, 48, 100, track="audio", with_audio=True)
+
+
+def test_webm_two_track_reporting_is_mux_order_independent():
+    from wwwision_importservice_spark.operators.videocodec import (
+        encode_webm,
+        parse_webm,
+    )
+
+    for audio_first in (False, True):
+        blob = encode_webm(1280, 720, 4321, payload=b"f", codec="V_VP9",
+                           n_frames=3, with_audio=True,
+                           audio_first=audio_first, audio_codec="A_OPUS",
+                           channels=6, sample_rate_hz=48000)
+        meta = parse_webm(blob)
+        assert meta["has_video"], audio_first
+        assert (meta["width"], meta["height"]) == (1280, 720)
+        assert meta["codec"] == "V_VP9"
+        assert meta["n_frames"] == 3  # blocks are track-1 (video) only
+        assert (meta["sample_rate"], meta["channels"]) == (48000, 6)
+    with pytest.raises(ValueError, match="with_audio"):
+        encode_webm(64, 48, 100, track="audio", with_audio=True)
+
+
+def test_media_row_av_file_reports_both_lanes():
+    """media_metadata's video row for an A/V mux carries dims + codec +
+    the audio track's rate/channels (r13 contract)."""
+    import hashlib
+
+    from wwwision_importservice_spark.operators import (
+        audiocodec as wavc,
+        flaccodec as flacc,
+        imagecodec as img,
+        videocodec as vidc,
+    )
+    from wwwision_importservice_spark.operators.multimodal import _media_row
+
+    def hex_sha(b):
+        return hashlib.sha256(b.hex().encode()).hexdigest()
+
+    for audio_first in (False, True):
+        blob = vidc.encode_mp4(320, 200, 999, payload=b"x" * 9,
+                               with_audio=True, audio_first=audio_first)
+        row = _media_row(1, blob, img, wavc, flacc, vidc, True, hex_sha)
+        assert row[1] == "video" and row[2] == "mp4"
+        assert (row[3], row[4]) == (320, 200)  # width, height
+        assert (row[6], row[7]) == (44100, 2)  # sample_rate, channels
+
+
+def test_mp4_fragmented_trun_frame_counts():
+    """Fragmented files report real n_frames from the moof/traf/trun
+    sample_count sum (tfhd-keyed to the video track), with the stts
+    staying empty — the CMAF convention (r12 VERDICT ask #5)."""
+    for frag in ("mehd", "sidx"):
+        blob = encode_mp4(640, 360, 12345, payload=b"pp", codec="avc1",
+                          fragmented=frag, n_frames=25)
+        meta = parse_mp4(blob)
+        assert meta["n_frames"] == 25, frag       # 12+13 across two truns
+        assert meta["duration_ms"] == 12345, frag
+        # the stts really is empty (the count does NOT come from it)
+        at = blob.index(b"stts") + 4 + 4
+        assert struct.unpack_from(">I", blob, at)[0] == 0
+    # single-sample run exercises the one-trun path
+    blob = encode_mp4(64, 48, 100, fragmented="mehd", n_frames=1)
+    assert parse_mp4(blob)["n_frames"] == 1
+    # a trun keyed to a NON-video track_ID is excluded
+    raw = bytearray(encode_mp4(64, 48, 100, fragmented="mehd", n_frames=7))
+    at = bytes(raw).index(b"tfhd") + 4 + 4
+    struct.pack_into(">I", raw, at, 9)  # track_ID := 9 (no such track)
+    assert parse_mp4(bytes(raw))["n_frames"] is None
+
+
+def test_mp4_unknown_duration_sentinel_falls_through():
+    """An all-ones mvhd duration is the ISO-BMFF 'unknown' sentinel
+    (14496-12 §8.2.2), not a real length: it must report None — or let
+    the mehd/sidx fallbacks take over — instead of a bogus enormous
+    duration (r12 advisor catch)."""
+    # v0 sentinel, no fallback -> None
+    raw = bytearray(encode_mp4(64, 48, 500))
+    mvhd_body = 28 + 8 + 4
+    struct.pack_into(">I", raw, mvhd_body + 12, 0xFFFFFFFF)
+    assert parse_mp4(bytes(raw))["duration_ms"] is None
+    # v1 sentinel -> None
+    raw = bytearray(encode_mp4(64, 48, 500, version=1))
+    at = bytes(raw).index(b"mvhd") + 4 + 4  # body after ver/flags
+    struct.pack_into(">Q", raw, at + 20, (1 << 64) - 1)  # after 8+8+4
+    assert parse_mp4(bytes(raw))["duration_ms"] is None
+    # sentinel + mehd -> the mehd duration wins (fragmented real-world
+    # files commonly write the sentinel)
+    raw = bytearray(encode_mp4(64, 48, 12345, fragmented="mehd"))
+    struct.pack_into(">I", raw, mvhd_body + 12, 0xFFFFFFFF)
+    assert parse_mp4(bytes(raw))["duration_ms"] == 12345
+
+
+def test_webm_streamed_unknown_size_cluster_counts_all_blocks():
+    """An unknown-size Cluster (the live/streamed shape) spans to the
+    Segment end; later clusters nest INSIDE that span and their blocks
+    must still count (r12 advisor catch: the walk now recurses into
+    nested Cluster elements)."""
+    from wwwision_importservice_spark.operators.videocodec import (
+        encode_webm,
+        parse_webm,
+    )
+
+    blob = encode_webm(64, 48, 900, payload=b"xy", n_frames=5,
+                       streamed=True)
+    meta = parse_webm(blob)
+    # one span (cluster 2's framing sits inside cluster 1's span)...
+    assert len(meta["payload_spans"]) == 1
+    # ...but every block in both clusters is counted exactly once
+    assert meta["n_frames"] == 5
+    # n_frames=1 -> the second cluster is empty, still counts right
+    one = encode_webm(64, 48, 900, payload=b"z", streamed=True)
+    assert parse_webm(one)["n_frames"] == 1
+    # non-streamed twin agrees
+    assert parse_webm(encode_webm(64, 48, 900, payload=b"xy",
+                                  n_frames=5))["n_frames"] == 5
+
+
+def test_webm_block_walk_budget_is_typed(monkeypatch):
+    """Budget exhaustion in the block walk is a TYPED soft path
+    (EbmlBudgetExceeded -> n_frames=None); structural corruption in a
+    cluster stays a hard VideoDecodeError (r12 advisor catch: the old
+    message-substring match would flip on a reword)."""
+    from wwwision_importservice_spark.operators import videocodec as vidc
+    from wwwision_importservice_spark.operators.videocodec import (
+        EbmlBudgetExceeded,
+        VideoDecodeError,
+        _ebml,
+        encode_webm,
+        parse_webm,
+    )
+
+    assert issubclass(EbmlBudgetExceeded, VideoDecodeError)
+    blob = encode_webm(64, 48, 900, n_frames=10)
+    assert parse_webm(blob)["n_frames"] == 10
+    # shrink the block-walk budget below the element count -> None
+    monkeypatch.setattr(vidc, "MAX_BLOCK_WALK", 4)
+    assert parse_webm(blob)["n_frames"] is None
+    monkeypatch.undo()
+    # a truncated block HEADER inside a cluster is structural: hard error
+    bad = _ebml(0x1F43B675, _ebml(0xE7, b"\x00") + _ebml(0xA3, b"\x81\x00"))
+    seg_at = blob.index(b"\x18\x53\x80\x67")
+    size_pos = seg_at + 4
+    length = 9 - blob[size_pos].bit_length()
+    seg_body = blob[size_pos + length:]
+    patched = blob[:seg_at] + _ebml(0x18538067, seg_body + bad)
+    with pytest.raises(VideoDecodeError, match="truncated block"):
+        parse_webm(patched)

@@ -473,7 +473,10 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha):
       frame decode, content-addressed by the media payload region
       (``mdat`` bytes / Cluster bodies). A container whose only tracks
       are audio (M4A, audio-only WebM) routes as ``kind='audio'`` with
-      its codec and NULL sample fields.
+      its codec; an A/V mux routes as ``kind='video'`` carrying the
+      video dims AND the first audio track's ``sample_rate``/
+      ``channels``, in either trak order (r13 — the codec layer's
+      mux-order-independence contract).
     - Non-strict mode quarantines recognized-magic-but-corrupt blobs
       as ``kind='corrupt'`` rows (format = the sniffed container, sha
       = the blob's own bytes) instead of letting the typed decode

@@ -51,6 +51,15 @@ class VideoDecodeError(ValueError):
     """Malformed/hostile ISO-BMFF input (typed, like Image/Audio)."""
 
 
+class EbmlBudgetExceeded(VideoDecodeError):
+    """EBML element budget exhausted mid-walk. A dedicated type (r12
+    advisor catch): the block-count walk treats budget exhaustion as a
+    soft ``n_frames=None`` while every structural error stays hard — a
+    substring match on the message would flip silently if the message
+    were ever reworded. Still a :class:`VideoDecodeError`, so metadata
+    walks that hit the bomb cap keep rejecting loudly."""
+
+
 #: Walk bomb caps: a box tree deeper than this is not a real mux (files
 #: in the wild nest ~5: moov/trak/mdia/minf/stbl/stsd), and more boxes
 #: than this in a METADATA walk means a crafted size chain.
@@ -113,8 +122,12 @@ def _full_box(data: bytes, start: int, end: int) -> tuple[int, int]:
 def _mvhd(data: bytes, start: int, end: int) -> tuple[int | None, int | None]:
     """``(timescale, duration_ms)`` — duration None when timescale is 0
     (declared-empty movies exist in the wild and a ZeroDivision here
-    would crash the crawl pass). The timescale is returned separately
-    because ``mehd``'s fragment_duration is expressed in it."""
+    would crash the crawl pass) or when it is the all-ones "unknown
+    duration" sentinel (ISO 14496-12 §8.2.2: fragmented real-world
+    files commonly write 0xFFFFFFFF / 2^64-1; the mehd/sidx fallbacks
+    take over — r12 advisor catch). The timescale is returned
+    separately because ``mehd``'s fragment_duration is expressed in
+    it."""
     version, pos = _full_box(data, start, end)
     if version == 0:
         need, fmt, skip = 16, ">II", 8  # creation+modification u32 each
@@ -125,8 +138,9 @@ def _mvhd(data: bytes, start: int, end: int) -> tuple[int | None, int | None]:
     if pos + need > end:
         raise VideoDecodeError("truncated mvhd")
     timescale, duration = struct.unpack_from(fmt, data, pos + skip)
-    if timescale == 0:
-        return None, None
+    unknown = (1 << (32 if version == 0 else 64)) - 1
+    if timescale == 0 or duration == unknown:
+        return timescale or None, None
     return timescale, duration * 1000 // timescale
 
 
@@ -170,20 +184,25 @@ def _sidx_duration_ms(data: bytes, start: int, end: int) -> int | None:
     return total * 1000 // timescale
 
 
-def _tkhd(data: bytes, start: int, end: int) -> tuple[int, int]:
-    """Track presentation (width, height): integer part of the 16.16
-    fixed-point fields at the END of the tkhd body."""
+def _tkhd(data: bytes, start: int, end: int) -> tuple[int, int, int]:
+    """``(track_id, width, height)``: the track_ID after the creation/
+    modification times, and the integer part of the 16.16 fixed-point
+    dims at the END of the tkhd body. track_ID keys the moof/tfhd/trun
+    sample runs back to this track (fragmented n_frames, r13)."""
     version, pos = _full_box(data, start, end)
     if version == 0:
+        id_off = pos + 8   # after creation+modification (u32 each)
         off = pos + 20 + 8 + 8 + 36  # times/ids + reserved + layer.. + matrix
     elif version == 1:
+        id_off = pos + 16  # ... u64 each
         off = pos + 32 + 8 + 8 + 36
     else:
         raise VideoDecodeError(f"tkhd version {version}")
     if off + 8 > end:
         raise VideoDecodeError("truncated tkhd")
+    (track_id,) = struct.unpack_from(">I", data, id_off)
     w_fixed, h_fixed = struct.unpack_from(">II", data, off)
-    return w_fixed >> 16, h_fixed >> 16
+    return track_id, w_fixed >> 16, h_fixed >> 16
 
 
 def _hdlr(data: bytes, start: int, end: int) -> bytes:
@@ -207,6 +226,26 @@ def _stts_samples(data: bytes, start: int, end: int) -> int:
     return sum(
         struct.unpack_from(">I", data, pos + 8 * i)[0] for i in range(count)
     )
+
+
+def _tfhd_track_id(data: bytes, start: int, end: int) -> int:
+    """``moof/traf/tfhd`` track_ID — always the first field after the
+    FullBox header regardless of the tf_flags-gated optionals that
+    follow (ISO 14496-12 §8.8.7)."""
+    _, pos = _full_box(data, start, end)
+    if pos + 4 > end:
+        raise VideoDecodeError("truncated tfhd")
+    return struct.unpack_from(">I", data, pos)[0]
+
+
+def _trun_sample_count(data: bytes, start: int, end: int) -> int:
+    """``moof/traf/trun`` sample_count — first field after the FullBox
+    header (ISO 14496-12 §8.8.8); the per-sample arrays that follow are
+    tr_flags-gated and never read (the metadata lane only counts)."""
+    _, pos = _full_box(data, start, end)
+    if pos + 4 > end:
+        raise VideoDecodeError("truncated trun")
+    return struct.unpack_from(">I", data, pos)[0]
 
 
 def _stsd_entry(
@@ -256,16 +295,21 @@ def parse_mp4(data: bytes) -> dict:
     "has_video": bool, "n_frames": int|None,
     "mdat_spans": [(start, end), ...]}``
 
-    ``n_frames`` is the video track's stts sample total (None for
-    fragmented files, whose samples live in unparsed moof/trun runs).
-    Audio-only files (M4A) additionally carry ``sample_rate``/
-    ``channels`` from the AudioSampleEntry (r12).
+    ``n_frames`` is the video track's stts sample total; fragmented
+    files (empty stts) fall back to the sum of ``moof/traf/trun``
+    sample_counts whose ``tfhd`` track_ID matches the video track
+    (r13) — None only when neither table carries samples.
 
-    Width/height/codec come from the FIRST track whose ``hdlr`` is
-    ``vide`` (falling back to the first track when no handler says so —
-    audio-only M4A then reports codec with NULL dims and
-    ``has_video=False``, which ``media_metadata`` routes as
-    ``kind='audio'``). ``mdat_spans`` locate the media payload for
+    Width/height/codec/n_frames come from the FIRST track whose
+    ``hdlr`` is ``vide`` (falling back to the first track for codec
+    when no handler says so). ``sample_rate``/``channels`` come from
+    the FIRST ``soun`` track's AudioSampleEntry REGARDLESS of mux
+    order (r13, advisor catch: the old pick-loop leaked the audio
+    fields only when the audio trak happened to precede the video
+    trak) — so an A/V file reports the video dims AND its audio
+    track's rate/channels, and audio-only M4A reports codec with NULL
+    dims and ``has_video=False``, which ``media_metadata`` routes as
+    ``kind='audio'``. ``mdat_spans`` locate the media payload for
     content-addressing; the walk never reads payload bytes itself.
     """
     if not sniff_mp4(data):
@@ -277,19 +321,21 @@ def parse_mp4(data: bytes) -> dict:
         "n_frames": None, "sample_rate": None, "channels": None,
         "mdat_spans": [],
     }
-    picked_video = False
+    tracks: list[dict] = []  # file order
+    trun_by_track: dict[int, int] = {}
     movie_timescale = mvhd_ms = mehd_units = sidx_total = None
 
     def walk_trak(body: int, box_end: int, depth: int) -> None:
-        nonlocal picked_video
-        dims = handler = entry = n_samples = None
+        info: dict = {"handler": None, "track_id": None, "dims": None,
+                      "entry": None, "n_samples": None}
         for fc, b, e, d in _walk(data, body, box_end, depth + 1, counter):
             if fc == b"tkhd":
-                dims = _tkhd(data, b, e)
+                tid, w, h = _tkhd(data, b, e)
+                info["track_id"], info["dims"] = tid, (w, h)
             elif fc == b"mdia":
                 for fc2, b2, e2, d2 in _walk(data, b, e, d + 1, counter):
                     if fc2 == b"hdlr":
-                        handler = _hdlr(data, b2, e2)
+                        info["handler"] = _hdlr(data, b2, e2)
                     elif fc2 == b"minf":
                         for fc3, b3, e3, d3 in _walk(
                             data, b2, e2, d2 + 1, counter
@@ -299,26 +345,12 @@ def parse_mp4(data: bytes) -> dict:
                                     data, b3, e3, d3 + 1, counter
                                 ):
                                     if fc4 == b"stsd":
-                                        entry = _stsd_entry(data, b4, e4)
+                                        info["entry"] = _stsd_entry(data, b4, e4)
                                     elif fc4 == b"stts":
-                                        n_samples = _stts_samples(data, b4, e4)
-        is_video = handler == b"vide"
-        if picked_video:
-            return
-        if is_video or out["codec"] is None:
-            out["codec"] = entry[0] if entry else None
-            if is_video and dims is not None:
-                out["width"], out["height"] = dims
-            # frame count from the time-to-sample table; fragmented
-            # files carry their samples in moof/trun (not parsed), so a
-            # zero/absent stts reports None rather than a false 0
-            out["n_frames"] = n_samples if (is_video and n_samples) else None
-            if handler == b"soun" and entry is not None:
-                out["channels"], out["sample_rate"] = _audio_entry_fields(
-                    data, entry[1], entry[2]
-                )
-            picked_video = is_video
-            out["has_video"] = is_video
+                                        info["n_samples"] = _stts_samples(
+                                            data, b4, e4
+                                        )
+        tracks.append(info)
 
     for fourcc, body, box_end, depth in _walk(
         data, 0, len(data), 0, counter
@@ -336,6 +368,22 @@ def parse_mp4(data: bytes) -> dict:
             sidx_ms = _sidx_duration_ms(data, body, box_end)
             if sidx_ms is not None:
                 sidx_total = (sidx_total or 0) + sidx_ms
+        elif fourcc == b"moof":
+            # fragmented sample runs: per-track trun sample_count sums,
+            # keyed by the traf's tfhd track_ID (ISO 14496-12 §8.8)
+            for fc, b, e, d in _walk(data, body, box_end, depth + 1, counter):
+                if fc == b"traf":
+                    tid = None
+                    runs = 0
+                    for fc2, b2, e2, _d2 in _walk(
+                        data, b, e, d + 1, counter
+                    ):
+                        if fc2 == b"tfhd":
+                            tid = _tfhd_track_id(data, b2, e2)
+                        elif fc2 == b"trun":
+                            runs += _trun_sample_count(data, b2, e2)
+                    if tid is not None and runs:
+                        trun_by_track[tid] = trun_by_track.get(tid, 0) + runs
         elif fourcc == b"moov":
             for fc, b, e, d in _walk(data, body, box_end, depth + 1, counter):
                 if fc == b"mvhd":
@@ -348,6 +396,25 @@ def parse_mp4(data: bytes) -> dict:
                             mehd_units = _mehd(data, b2, e2)
                 elif fc == b"trak":
                     walk_trak(b, e, d)
+
+    video = next((t for t in tracks if t["handler"] == b"vide"), None)
+    audio = next((t for t in tracks if t["handler"] == b"soun"), None)
+    pick = video or (tracks[0] if tracks else None)
+    if pick is not None and pick["entry"] is not None:
+        out["codec"] = pick["entry"][0]
+    if video is not None:
+        out["has_video"] = True
+        if video["dims"] is not None:
+            out["width"], out["height"] = video["dims"]
+        # frame count: the time-to-sample table when it carries samples,
+        # else the fragmented moof/trun sum for this track_ID (r13);
+        # zero/absent both ways reports None rather than a false 0
+        n = video["n_samples"] or trun_by_track.get(video["track_id"])
+        out["n_frames"] = n or None
+    if audio is not None and audio["entry"] is not None:
+        out["channels"], out["sample_rate"] = _audio_entry_fields(
+            data, audio["entry"][1], audio["entry"][2]
+        )
     # Duration precedence for fragmented files (CMAF/DASH write mvhd
     # duration 0 and declare the real length in mvex/mehd, or only in
     # per-segment sidx indexes): a nonzero mvhd wins; else mehd (movie
@@ -385,22 +452,33 @@ def encode_mp4(
     track: str = "video",
     channels: int = 2,
     sample_rate_hz: int = 44100,
+    with_audio: bool = False,
+    audio_first: bool = False,
+    audio_codec: str = "mp4a",
 ) -> bytes:
     """Minimal-but-conformant ISO-BMFF file for the fixture/oracle
     playbook (the WAV/BMP pattern: construct the container bytes, then
-    restate the box arithmetic in SQL). One video track; ``payload``
-    lands in ``mdat`` verbatim (no frame encoding — the metadata lane
-    never decodes frames). ``version`` selects v0/v1 mvhd+tkhd so tests
-    cover both time-field widths.
+    restate the box arithmetic in SQL). ``payload`` lands in ``mdat``
+    verbatim (no frame encoding — the metadata lane never decodes
+    frames). ``version`` selects v0/v1 mvhd+tkhd so tests cover both
+    time-field widths.
+
+    ``with_audio`` adds a second, audio trak (track_ID 2,
+    ``audio_codec``/``channels``/``sample_rate_hz``) to a video file —
+    the A/V mux shape; ``audio_first`` writes it BEFORE the video trak
+    so both track orders are pinnable (r13, the mux-order-independence
+    fixture).
 
     ``fragmented`` builds the CMAF/DASH shape real crawls carry —
     ``mvhd`` duration 0, the real length declared elsewhere:
     ``'mehd'`` puts it in ``moov/mvex/mehd`` (movie timescale),
     ``'sidx'`` in a two-reference segment index (own timescale), plus a
     minimal ``moof`` before the ``mdat``. ``n_frames > 0`` writes a
-    one-run ``stts`` declaring that sample count (0 = empty table, the
-    fragmented convention). Inputs are trusted but validated loudly,
-    the family's encoder contract."""
+    one-run ``stts`` declaring that sample count — except when
+    fragmented, where the stts stays empty (the real-world convention)
+    and the count goes into a ``moof/traf`` ``tfhd(track_ID=1)`` +
+    ``trun(sample_count)`` run instead (r13). Inputs are trusted but
+    validated loudly, the family's encoder contract."""
     if not 0 < width < (1 << 16) or not 0 < height < (1 << 16):
         raise ValueError(f"dims {width}x{height} out of 16.16 range")
     if duration_ms < 0 or timescale <= 0:
@@ -409,81 +487,98 @@ def encode_mp4(
         raise ValueError("negative n_frames")
     if track not in ("video", "audio"):
         raise ValueError(f"track must be 'video'|'audio', got {track!r}")
-    if track == "audio" and not (
+    if (track == "audio" or with_audio) and not (
         0 < channels < 1 << 16 and 0 < sample_rate_hz < 1 << 16
     ):
         raise ValueError("channels/sample_rate_hz out of AudioSampleEntry range")
-    if len(codec) != 4:
+    if with_audio and track != "video":
+        raise ValueError("with_audio adds an audio trak to a video file")
+    if len(codec) != 4 or (with_audio and len(audio_codec) != 4):
         raise ValueError(f"codec fourcc must be 4 chars, got {codec!r}")
     if version not in (0, 1):
         raise ValueError(f"mvhd/tkhd version {version}")
     if fragmented not in (None, "mehd", "sidx"):
         raise ValueError(f"fragmented must be None|'mehd'|'sidx', got {fragmented!r}")
     duration = duration_ms * timescale // 1000
+    frag_frames = 0
     if fragmented:
         real_duration, duration = duration, 0  # mvhd/tkhd declare empty
+        frag_frames, n_frames = n_frames, 0  # samples ride moof/trun
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
     if version == 0:
         mvhd = _full(b"mvhd", 0, struct.pack(
             ">IIII", 0, 0, timescale, duration
         ) + struct.pack(">iI", 0x00010000, 0x01000000) + b"\x00" * 8
             + _IDENTITY_MATRIX + b"\x00" * 24 + struct.pack(">I", 2))
-        tkhd = _full(b"tkhd", 0, struct.pack(
-            ">IIIII", 0, 0, 1, 0, duration
-        ) + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
-            + _IDENTITY_MATRIX
-            + struct.pack(">II", width << 16, height << 16))
     else:
         mvhd = _full(b"mvhd", 1, struct.pack(
             ">QQIQ", 0, 0, timescale, duration
         ) + struct.pack(">iI", 0x00010000, 0x01000000) + b"\x00" * 8
             + _IDENTITY_MATRIX + b"\x00" * 24 + struct.pack(">I", 2))
-        tkhd = _full(b"tkhd", 1, struct.pack(
-            ">QQIIQ", 0, 0, 1, 0, duration
-        ) + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
-            + _IDENTITY_MATRIX
-            + struct.pack(">II", width << 16, height << 16))
-    mdhd = _full(b"mdhd", 0, struct.pack(
-        ">IIII", 0, 0, timescale, duration
-    ) + struct.pack(">HH", 0x55C4, 0))  # 'und' language, pre_defined
-    handler = b"vide" if track == "video" else b"soun"
-    hdlr = _full(b"hdlr", 0, struct.pack(">I", 0) + handler
-                 + b"\x00" * 12 + b"graft\x00")
-    # VisualSampleEntry (14496-12 §12.1.3): 6 reserved + data_ref_index,
-    # 16 pre_defined/reserved, width/height u16, 72dpi fixed, frame
-    # count 1, 32-byte compressorname, depth 24, pre_defined -1
-    if track == "video":
-        entry = (
-            struct.pack(">6xH", 1) + b"\x00" * 16
-            + struct.pack(">HH", width, height)
-            + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
-            + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
-        )
-    else:
-        # AudioSampleEntry (§12.2.3): 8 reserved, channelcount,
-        # samplesize 16, pre_defined, reserved, samplerate 16.16
-        entry = (
-            struct.pack(">6xH", 1) + b"\x00" * 8
-            + struct.pack(">HHHH", channels, 16, 0, 0)
-            + struct.pack(">I", sample_rate_hz << 16)
-        )
-    stsd = _full(b"stsd", 0, struct.pack(">I", 1)
-                 + _box(codec.encode("ascii"), entry))
-    # the sample tables the spec makes mandatory in every stbl
-    # (§8.5.1); stts carries the REAL frame count the walker reports
-    # (one run of n_frames samples, delta = duration/n when sensible)
-    if n_frames > 0:
-        delta = max(1, duration // n_frames)
-        stts = _full(b"stts", 0, struct.pack(">III", 1, n_frames, delta))
-    else:
-        stts = _full(b"stts", 0, struct.pack(">I", 0))
-    stsc = _full(b"stsc", 0, struct.pack(">I", 0))
-    stsz = _full(b"stsz", 0, struct.pack(">III", 0, 0, 0))
-    stco = _full(b"stco", 0, struct.pack(">I", 0))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
-    minf = _box(b"minf", stbl)
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    trak = _box(b"trak", tkhd + mdia)
+
+    def build_trak(tid: int, kind: str, fourcc: str, frames: int,
+                   w: int, h: int) -> bytes:
+        if version == 0:
+            tkhd = _full(b"tkhd", 0, struct.pack(
+                ">IIIII", 0, 0, tid, 0, duration
+            ) + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+                + _IDENTITY_MATRIX
+                + struct.pack(">II", w << 16, h << 16))
+        else:
+            tkhd = _full(b"tkhd", 1, struct.pack(
+                ">QQIIQ", 0, 0, tid, 0, duration
+            ) + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+                + _IDENTITY_MATRIX
+                + struct.pack(">II", w << 16, h << 16))
+        mdhd = _full(b"mdhd", 0, struct.pack(
+            ">IIII", 0, 0, timescale, duration
+        ) + struct.pack(">HH", 0x55C4, 0))  # 'und' language, pre_defined
+        handler = b"vide" if kind == "video" else b"soun"
+        hdlr = _full(b"hdlr", 0, struct.pack(">I", 0) + handler
+                     + b"\x00" * 12 + b"graft\x00")
+        # VisualSampleEntry (14496-12 §12.1.3): 6 reserved +
+        # data_ref_index, 16 pre_defined/reserved, width/height u16,
+        # 72dpi fixed, frame count 1, 32-byte compressorname, depth 24,
+        # pre_defined -1
+        if kind == "video":
+            entry = (
+                struct.pack(">6xH", 1) + b"\x00" * 16
+                + struct.pack(">HH", w, h)
+                + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+                + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+            )
+        else:
+            # AudioSampleEntry (§12.2.3): 8 reserved, channelcount,
+            # samplesize 16, pre_defined, reserved, samplerate 16.16
+            entry = (
+                struct.pack(">6xH", 1) + b"\x00" * 8
+                + struct.pack(">HHHH", channels, 16, 0, 0)
+                + struct.pack(">I", sample_rate_hz << 16)
+            )
+        stsd = _full(b"stsd", 0, struct.pack(">I", 1)
+                     + _box(fourcc.encode("ascii"), entry))
+        # the sample tables the spec makes mandatory in every stbl
+        # (§8.5.1); stts carries the REAL frame count the walker reports
+        # (one run of frames samples, delta = duration/n when sensible)
+        if frames > 0:
+            delta = max(1, duration // frames)
+            stts = _full(b"stts", 0, struct.pack(">III", 1, frames, delta))
+        else:
+            stts = _full(b"stts", 0, struct.pack(">I", 0))
+        stsc = _full(b"stsc", 0, struct.pack(">I", 0))
+        stsz = _full(b"stsz", 0, struct.pack(">III", 0, 0, 0))
+        stco = _full(b"stco", 0, struct.pack(">I", 0))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        return _box(b"trak", tkhd + mdia)
+
+    trak = build_trak(1, track, codec, n_frames, width, height)
+    if with_audio:
+        # audio traks carry 0x0 tkhd dims (the real-mux convention);
+        # audio_first swaps the trak ORDER, track_IDs stay 1=video 2=audio
+        audio_trak = build_trak(2, "audio", audio_codec, 0, 0, 0)
+        trak = audio_trak + trak if audio_first else trak + audio_trak
     if fragmented == "mehd":
         mvex = _box(b"mvex", _full(b"mehd", 0, struct.pack(">I", real_duration))
                     + _full(b"trex", 0, struct.pack(">IIIII", 1, 1, 0, 0, 0)))
@@ -505,7 +600,18 @@ def encode_mp4(
         pre_mdat = _full(b"sidx", 0, struct.pack(
             ">II", 1, timescale) + struct.pack(">II", 0, 0)
             + struct.pack(">HH", 0, 2) + refs)
-    moof = _box(b"moof", _full(b"mfhd", 0, struct.pack(">I", 1)))
+    moof_body = _full(b"mfhd", 0, struct.pack(">I", 1))
+    if frag_frames > 0:
+        # CMAF-shaped sample run: tfhd names the video track, two truns
+        # split the count (floor + remainder) so the parser's SUM over
+        # multiple truns is exercised
+        half = frag_frames // 2
+        runs = [half, frag_frames - half] if half else [frag_frames]
+        traf = _full(b"tfhd", 0, struct.pack(">I", 1)) + b"".join(
+            _full(b"trun", 0, struct.pack(">I", n)) for n in runs if n
+        )
+        moof_body += _box(b"traf", traf)
+    moof = _box(b"moof", moof_body)
     return ftyp + moov + pre_mdat + moof + mdat
 
 
@@ -597,7 +703,9 @@ def _ebml_walk(data: bytes, start: int, end: int, counter: list[int]):
     while pos < end:
         counter[0] += 1
         if counter[0] > MAX_EBML_ELEMENTS:
-            raise VideoDecodeError(f"more than {MAX_EBML_ELEMENTS} EBML elements")
+            raise EbmlBudgetExceeded(
+                f"more than {MAX_EBML_ELEMENTS} EBML elements"
+            )
         eid, pos = _vint(data, pos, end, keep_marker=True)
         if pos >= end:
             raise VideoDecodeError("EBML element without a size field")
@@ -644,14 +752,24 @@ def _block_info(data: bytes, start: int, end: int) -> tuple[int, int]:
 def _count_track_frames(data: bytes, spans, track_num: int) -> int | None:
     """Total frames the given track carries across the Cluster spans —
     header-hopping only (one element per block, content skipped).
-    Returns None past MAX_BLOCK_WALK blocks: unknown beats an error for
-    a pure observability field."""
+    Returns None past MAX_BLOCK_WALK blocks (:class:`EbmlBudgetExceeded`,
+    the typed soft path — r12 advisor catch: a message-substring match
+    would flip on a reword): unknown beats an error for a pure
+    observability field; structural errors stay hard.
+
+    An unknown-size Cluster (the normal live/streamed shape) spans to
+    the end of the Segment, so LATER clusters sit inside its span as
+    nested elements — the walk pushes nested ``Cluster`` elements onto
+    the work list instead of skipping them (r12 advisor catch), so
+    multi-cluster streamed files count every block exactly once."""
     # start the shared-cap counter negative so the effective budget is
     # MAX_BLOCK_WALK (the walk raises past MAX_EBML_ELEMENTS)
     budget_counter = [MAX_EBML_ELEMENTS - MAX_BLOCK_WALK]
     total = 0
+    stack = list(spans)
     try:
-        for s, e in spans:
+        while stack:
+            s, e = stack.pop()
             for eid, b, e2 in _ebml_walk(data, s, e, budget_counter):
                 if eid == _ID_SIMPLE_BLOCK:
                     t, fr = _block_info(data, b, e2)
@@ -663,10 +781,10 @@ def _count_track_frames(data: bytes, spans, track_num: int) -> int | None:
                             t, fr = _block_info(data, b2, e3)
                             if t == track_num:
                                 total += fr
-    except VideoDecodeError as exc:
-        if "elements" in str(exc):
-            return None  # block-walk budget exhausted: unknown
-        raise
+                elif eid == _ID_CLUSTER:
+                    stack.append((b, e2))
+    except EbmlBudgetExceeded:
+        return None  # block-walk budget exhausted: unknown
     return total
 
 
@@ -680,10 +798,17 @@ def parse_webm(data: bytes) -> dict:
     ``duration_ms`` = Info.Duration (float, TimestampScale units) ×
     TimestampScale (ns, default 10^6) / 10^6, floored — exact for the
     constructed-fixture convention (integer-valued Duration at the
-    default scale). ``payload_spans`` are the raw Cluster bodies: unlike
-    the lossless audio lanes, Matroska payload equality across muxes is
-    NOT a goal (block headers interleave with frame bytes), so the
-    content-address covers this mux's media region, documented as such.
+    default scale). Dims/codec/n_frames come from the first video
+    TrackEntry; ``sample_rate``/``channels`` from the first AUDIO
+    TrackEntry regardless of mux order (r13, the same contract as
+    :func:`parse_mp4`). ``payload_spans`` are the raw Cluster bodies:
+    unlike the lossless audio lanes, Matroska payload equality across
+    muxes is NOT a goal (block headers interleave with frame bytes), so
+    the content-address covers this mux's media region, documented as
+    such — an unknown-size Cluster's span runs to the Segment end and
+    therefore covers later clusters' framing bytes too (the streamed
+    shape; frame COUNTING still visits each block exactly once via the
+    nested-cluster walk).
     """
     if not sniff_webm(data):
         raise VideoDecodeError("not an EBML stream (no EBML magic)")
@@ -696,49 +821,39 @@ def parse_webm(data: bytes) -> dict:
     }
     ts_scale = 1_000_000  # spec default: 1 ms per unit
     duration_units: float | None = None
-    picked_video = False
-    video_track_num: int | None = None
+    entries: list[dict] = []  # TrackEntry dicts in file order
 
     def walk_track_entry(start: int, end: int) -> None:
-        nonlocal picked_video, video_track_num
-        ttype = codec = dims_w = dims_h = freq = chans = tnum = None
+        info: dict = {"type": None, "codec": None, "dims": (None, None),
+                      "freq": None, "chans": None, "num": None}
         for eid, b, e in _ebml_walk(data, start, end, counter):
             if eid == _ID_TRACK_NUM:
-                tnum = _ebml_uint(data, b, e)
+                info["num"] = _ebml_uint(data, b, e)
             elif eid == _ID_TRACK_TYPE:
-                ttype = _ebml_uint(data, b, e)
+                info["type"] = _ebml_uint(data, b, e)
             elif eid == _ID_CODEC_ID:
                 try:
-                    codec = data[b:e].decode("ascii")
+                    info["codec"] = data[b:e].decode("ascii")
                 except UnicodeDecodeError as exc:
                     raise VideoDecodeError("non-ASCII CodecID") from exc
             elif eid == _ID_VIDEO:
+                dims_w = dims_h = None
                 for eid2, b2, e2 in _ebml_walk(data, b, e, counter):
                     if eid2 == _ID_PIXEL_W:
                         dims_w = _ebml_uint(data, b2, e2)
                     elif eid2 == _ID_PIXEL_H:
                         dims_h = _ebml_uint(data, b2, e2)
+                info["dims"] = (dims_w, dims_h)
             elif eid == _ID_AUDIO:
                 for eid2, b2, e2 in _ebml_walk(data, b, e, counter):
                     if eid2 == _ID_SAMPLING_FREQ:
                         f = _ebml_float(data, b2, e2)
                         if not (0 < f < 2**31):
                             raise VideoDecodeError("SamplingFrequency out of range")
-                        freq = int(f)
+                        info["freq"] = int(f)
                     elif eid2 == _ID_CHANNELS:
-                        chans = _ebml_uint(data, b2, e2)
-        is_video = ttype == 1
-        if picked_video:
-            return
-        if is_video or out["codec"] is None:
-            out["codec"] = codec
-            if is_video:
-                out["width"], out["height"] = dims_w, dims_h
-                video_track_num = tnum
-            elif ttype == 2:
-                out["sample_rate"], out["channels"] = freq, chans
-            picked_video = is_video
-            out["has_video"] = is_video
+                        info["chans"] = _ebml_uint(data, b2, e2)
+        entries.append(info)
 
     for eid, body, body_end in _ebml_walk(data, 0, len(data), counter):
         if eid == 0x1A45DFA3:  # EBML header
@@ -768,13 +883,28 @@ def parse_webm(data: bytes) -> dict:
         if not (duration_units >= 0 and duration_units < 2**53):
             raise VideoDecodeError("Duration out of range")
         out["duration_ms"] = int(duration_units * ts_scale / 1_000_000)
-    if out["has_video"] and video_track_num is not None:
-        # REAL frame count: header-hop the cluster blocks of the video
-        # track (lacing-aware, content never read); None past the
-        # block-walk budget or when no block was found (fragless empty)
-        frames = _count_track_frames(data, out["payload_spans"],
-                                     video_track_num)
-        out["n_frames"] = frames if frames else None
+    # first-video-track wins dims/codec/frame-count; the first AUDIO
+    # track's rate/channels report regardless of mux order (r13,
+    # advisor catch — the old pick-loop only surfaced them when the
+    # audio TrackEntry came first); codec falls back to the first track
+    # when no track declares type video
+    video = next((t for t in entries if t["type"] == 1), None)
+    audio = next((t for t in entries if t["type"] == 2), None)
+    pick = video or (entries[0] if entries else None)
+    if pick is not None:
+        out["codec"] = pick["codec"]
+    if audio is not None:
+        out["sample_rate"], out["channels"] = audio["freq"], audio["chans"]
+    if video is not None:
+        out["has_video"] = True
+        out["width"], out["height"] = video["dims"]
+        if video["num"] is not None:
+            # REAL frame count: header-hop the cluster blocks of the
+            # video track (lacing-aware, content never read); None past
+            # the block-walk budget or when no block was found
+            frames = _count_track_frames(data, out["payload_spans"],
+                                         video["num"])
+            out["n_frames"] = frames if frames else None
     return out
 
 
@@ -804,16 +934,31 @@ def encode_webm(
     channels: int = 2,
     sample_rate_hz: int = 48000,
     n_frames: int = 1,
+    with_audio: bool = False,
+    audio_first: bool = False,
+    audio_codec: str = "A_OPUS",
+    streamed: bool = False,
 ) -> bytes:
     """Minimal conformant Matroska/WebM file for fixtures: EBML header
     (DocType), Segment(Info(TimestampScale=10^6, Duration float8),
     Tracks(video TrackEntry with dims + CodecID), one Cluster whose body
     is ``Timestamp 0`` + a track-1 SimpleBlock carrying ``payload``).
-    Trusted-but-validated inputs, the family's encoder contract."""
+
+    ``with_audio`` adds a second, audio TrackEntry (TrackNumber 2,
+    ``audio_codec``/``channels``/``sample_rate_hz``); ``audio_first``
+    writes it BEFORE the video entry so both mux orders are pinnable
+    (r13). ``streamed`` writes the live/streamed shape: the first
+    Cluster declares the UNKNOWN (all-ones) size — legal per RFC 8794
+    §6.2 — and the frames split across TWO clusters, so the later
+    cluster nests inside the first's span and the block walk must
+    recurse (r12 advisor catch). Trusted-but-validated inputs, the
+    family's encoder contract."""
     if width <= 0 or height <= 0:
         raise ValueError(f"dims {width}x{height} must be positive")
     if duration_ms < 0:
         raise ValueError("negative duration")
+    if with_audio and track != "video":
+        raise ValueError("with_audio adds an audio entry to a video file")
     header = _ebml(0x1A45DFA3, b"".join([
         _ebml(0x4286, b"\x01"),          # EBMLVersion
         _ebml(0x42F7, b"\x01"),          # EBMLReadVersion
@@ -843,13 +988,26 @@ def encode_webm(
             _ebml(_ID_CHANNELS, bytes([channels])),
         ]))
         ttype = b"\x02"
-    entry = _ebml(_ID_TRACK_ENTRY, b"".join([
-        _ebml(0xD7, b"\x01"),            # TrackNumber
-        _ebml(0x73C5, b"\x01"),          # TrackUID
-        _ebml(_ID_TRACK_TYPE, ttype),
-        _ebml(_ID_CODEC_ID, codec.encode("ascii")),
-        media,
-    ]))
+    def build_entry(num: int, ttype_b: bytes, codec_str: str,
+                    media_b: bytes) -> bytes:
+        return _ebml(_ID_TRACK_ENTRY, b"".join([
+            _ebml(0xD7, bytes([num])),       # TrackNumber
+            _ebml(0x73C5, bytes([num])),     # TrackUID
+            _ebml(_ID_TRACK_TYPE, ttype_b),
+            _ebml(_ID_CODEC_ID, codec_str.encode("ascii")),
+            media_b,
+        ]))
+
+    entry = build_entry(1, ttype, codec, media)
+    if with_audio:
+        if not (0 < channels < 256 and 0 < sample_rate_hz < 2**31):
+            raise ValueError("channels/sample_rate_hz out of range")
+        audio_media = _ebml(_ID_AUDIO, b"".join([
+            _ebml(_ID_SAMPLING_FREQ, struct.pack(">d", float(sample_rate_hz))),
+            _ebml(_ID_CHANNELS, bytes([channels])),
+        ]))
+        audio_entry = build_entry(2, b"\x02", audio_codec, audio_media)
+        entry = audio_entry + entry if audio_first else entry + audio_entry
     tracks = _ebml(_ID_TRACKS, entry)
     if n_frames < 1:
         raise ValueError("n_frames must be >= 1")
@@ -857,8 +1015,19 @@ def encode_webm(
     # payload rides the first block, further frames are empty blocks so
     # the Cluster bytes stay SQL-restatable (constant framing hex)
     block = _ebml(0xA3, b"\x81\x00\x00\x00" + payload)
-    extra = _ebml(0xA3, b"\x81\x00\x00\x00") * (n_frames - 1)
-    cluster = _ebml(_ID_CLUSTER, _ebml(0xE7, b"\x00") + block + extra)
+    extra_one = _ebml(0xA3, b"\x81\x00\x00\x00")
+    if streamed:
+        # live shape: cluster 1 carries the payload block + half the
+        # extras under an UNKNOWN (all-ones) size, cluster 2 the rest —
+        # cluster 2's framing sits INSIDE cluster 1's declared span
+        half = (n_frames - 1) // 2
+        body1 = _ebml(0xE7, b"\x00") + block + extra_one * half
+        body2 = _ebml(0xE7, b"\x01") + extra_one * (n_frames - 1 - half)
+        cluster = (_ebml_id_bytes(_ID_CLUSTER) + b"\xff" + body1
+                   + _ebml(_ID_CLUSTER, body2))
+    else:
+        extra = extra_one * (n_frames - 1)
+        cluster = _ebml(_ID_CLUSTER, _ebml(0xE7, b"\x00") + block + extra)
     segment = _ebml(_ID_SEGMENT, info + tracks + cluster)
     return header + segment
 
@@ -875,6 +1044,7 @@ def media_payload(data: bytes, meta: dict) -> bytes:
 __all__ = [
     "AudioDecodeError",
     "VideoDecodeError",
+    "EbmlBudgetExceeded",
     "sniff_mp4",
     "parse_mp4",
     "encode_mp4",
