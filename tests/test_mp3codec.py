@@ -1,0 +1,349 @@
+"""MPEG-audio / ADTS header-walk codec tests (operators/mp3codec.py,
+r13): hand-derived layout pins, table roundtrips, Xing/Info, ID3 tags,
+truncation tolerance, soft budget, and the family mutation-fuzz
+contract."""
+import random
+import struct
+import time
+
+import pytest
+
+from wwwision_importservice_spark.operators.mp3codec import (
+    MAX_AUDIO_FRAMES,
+    Mp3DecodeError,
+    encode_adts,
+    encode_mp3,
+    parse_adts,
+    parse_mp3,
+    sniff_adts,
+    sniff_mp3,
+)
+
+
+def test_mp3_layout_pinned_bytes():
+    """Hand-derived MPEG1 Layer III header (ISO 11172-3 §2.4.1): sync
+    0xFFE, version 11, layer 01, protection 1; 128 kbps is bitrate
+    index 9, 44100 Hz index 0; mono is mode 11. Frame length =
+    144 × bitrate / rate — all offsets restated independently so the
+    encoder and walker can't drift together."""
+    blob = encode_mp3(44100, 128, n_frames=3, channels=1, payload=b"pay")
+    assert blob[:4] == bytes([0xFF, 0xFB, 0x90, 0xC0])
+    size = 144 * 128000 // 44100
+    assert size == 417 and len(blob) == 3 * size
+    assert blob[4:7] == b"pay" and blob[7:size] == b"\x00" * (size - 7)
+    assert blob[size : size + 4] == blob[:4]  # frame 2 header
+    assert sniff_mp3(blob)
+    meta = parse_mp3(blob)
+    assert meta == {
+        "format": "mp3", "version": "1", "layer": 3, "sample_rate": 44100,
+        "channels": 1, "bitrate_kbps": 128, "vbr": False, "n_frames": 3,
+        "duration_ms": 3 * 1152 * 1000 // 44100,  # = 78
+        "frames_span": (0, 3 * size),
+    }
+    # stereo 192 kbps @ 48000: index 11 / index 1, mode 00
+    st = encode_mp3(48000, 192, n_frames=1, channels=2)
+    assert st[:4] == bytes([0xFF, 0xFB, 0xB4, 0x00])
+    assert len(st) == 144 * 192000 // 48000 == 576
+    assert parse_mp3(st)["channels"] == 2
+
+
+@pytest.mark.parametrize("version,layer,rate,kbps,spf", [
+    ("1", 3, 44100, 128, 1152),
+    ("1", 3, 32000, 320, 1152),
+    ("1", 2, 48000, 384, 1152),
+    ("1", 1, 44100, 448, 384),
+    ("2", 3, 22050, 64, 576),
+    ("2", 2, 16000, 160, 1152),
+    ("2.5", 3, 8000, 8, 576),
+])
+def test_mp3_roundtrip_across_tables(version, layer, rate, kbps, spf):
+    blob = encode_mp3(rate, kbps, n_frames=7, channels=2,
+                      version=version, layer=layer)
+    meta = parse_mp3(blob)
+    assert (meta["version"], meta["layer"]) == (version, layer)
+    assert (meta["sample_rate"], meta["bitrate_kbps"]) == (rate, kbps)
+    assert meta["n_frames"] == 7
+    assert meta["duration_ms"] == 7 * spf * 1000 // rate
+    assert sniff_mp3(blob)
+
+
+def test_mp3_xing_and_info_tags():
+    """The Xing/Info tag frame is metadata, not media: excluded from
+    n_frames/duration; 'Xing' marks VBR (nominal bitrate suppressed),
+    'Info' marks CBR (bitrate kept)."""
+    vbr = encode_mp3(44100, 128, n_frames=9, channels=1, xing="Xing")
+    meta = parse_mp3(vbr)
+    assert meta["n_frames"] == 9 and meta["vbr"]
+    assert meta["bitrate_kbps"] is None
+    assert meta["duration_ms"] == 9 * 1152 * 1000 // 44100
+    # the tag sits after MPEG1-mono side info (17 bytes)
+    assert vbr[4 + 17 : 4 + 21] == b"Xing"
+    assert struct.unpack_from(">II", vbr, 4 + 21) == (1, 9)
+    cbr = encode_mp3(44100, 128, n_frames=9, channels=1, xing="Info")
+    meta = parse_mp3(cbr)
+    assert meta["n_frames"] == 9 and not meta["vbr"]
+    assert meta["bitrate_kbps"] == 128
+    # stereo side info is 32 bytes
+    st = encode_mp3(44100, 128, n_frames=2, channels=2, xing="Xing")
+    assert st[4 + 32 : 4 + 36] == b"Xing"
+    assert parse_mp3(st)["n_frames"] == 2
+
+
+def test_mp3_id3v2_skip_and_id3v1_trailer():
+    """ID3v2 prefix (syncsafe size) is skipped; an ID3v1 'TAG' trailer
+    ends the walk; frames_span excludes BOTH — same audio re-tagged
+    content-addresses identically."""
+    bare = encode_mp3(44100, 128, n_frames=4, channels=1, payload=b"zz")
+    tagged = encode_mp3(44100, 128, n_frames=4, channels=1, payload=b"zz",
+                        id3=b"\x00" * 300)
+    assert tagged[:3] == b"ID3" and sniff_mp3(tagged)
+    m_bare, m_tag = parse_mp3(bare), parse_mp3(tagged)
+    s0, e0 = m_bare["frames_span"]
+    s1, e1 = m_tag["frames_span"]
+    assert bare[s0:e0] == tagged[s1:e1]
+    assert m_tag["n_frames"] == 4 and s1 == 310
+    # ID3v1 trailer: 128 bytes starting 'TAG' after the last frame
+    trailer = bare + b"TAG" + b"\x00" * 125
+    m = parse_mp3(trailer)
+    assert m["n_frames"] == 4 and m["frames_span"] == (s0, e0)
+    # malformed ID3v2: non-syncsafe size byte, declared size past EOF
+    with pytest.raises(Mp3DecodeError, match="syncsafe"):
+        parse_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x80" + bare)
+    with pytest.raises(Mp3DecodeError, match="overruns"):
+        parse_mp3(b"ID3\x04\x00\x00\x00\x00\x7f\x7f" + b"\x00" * 4)
+    assert not sniff_mp3(b"ID3\x04\x00\x00\x00\x00\x7f\x7f")
+
+
+def test_mp3_truncation_and_garbage_tolerance():
+    """Crawl bytes are routinely cut off: a truncated FINAL frame is
+    not counted (no error); trailing garbage ends the region; a
+    mid-stream rate change (one sync byte in noise) also ends it."""
+    blob = encode_mp3(44100, 128, n_frames=5, channels=1)
+    cut = blob[:-30]
+    m = parse_mp3(cut)
+    assert m["n_frames"] == 4 and m["frames_span"] == (0, 417 * 4)
+    garbage = blob + b"\x01\x02\x03"
+    assert parse_mp3(garbage)["n_frames"] == 5
+    # a different-samplerate frame appended: not a continuation
+    other = encode_mp3(32000, 128, n_frames=1, channels=1)
+    assert parse_mp3(blob + other)["n_frames"] == 5
+    # no sync at all
+    with pytest.raises(Mp3DecodeError, match="frame sync"):
+        parse_mp3(b"\x00" * 64)
+    assert not sniff_mp3(b"\x00" * 64)
+    # single-frame file: sniff accepts exact-EOF termination
+    one = encode_mp3(44100, 128, n_frames=1, channels=1)
+    assert sniff_mp3(one) and parse_mp3(one)["n_frames"] == 1
+    # free-format (bitrate index 0) is not walkable: first-frame error
+    ff = bytearray(one)
+    ff[2] = 0x00  # bitrate index 0, rate index 0
+    with pytest.raises(Mp3DecodeError, match="frame sync"):
+        parse_mp3(bytes(ff))
+
+
+def test_mp3_budget_soft_path(monkeypatch):
+    """Past MAX_AUDIO_FRAMES the walk reports n_frames=None (unknown
+    beats an error for observability fields) — unless a Xing tag
+    already told us the count, which is then trusted."""
+    from wwwision_importservice_spark.operators import mp3codec
+
+    blob = encode_mp3(44100, 128, n_frames=6, channels=1)
+    monkeypatch.setattr(mp3codec, "MAX_AUDIO_FRAMES", 3)
+    m = parse_mp3(blob)
+    assert m["n_frames"] is None and m["duration_ms"] is None
+    assert m["sample_rate"] == 44100  # header fields still real
+    tagged = encode_mp3(44100, 128, n_frames=6, channels=1, xing="Info")
+    assert parse_mp3(tagged)["n_frames"] == 6  # the tag's count
+    monkeypatch.undo()
+    assert parse_mp3(blob)["n_frames"] == 6
+    assert MAX_AUDIO_FRAMES >= 1 << 20
+
+
+def test_mp3_encoder_input_contract():
+    with pytest.raises(ValueError, match="version"):
+        encode_mp3(44100, 128, 1, version="3")
+    with pytest.raises(ValueError, match="sample_rate"):
+        encode_mp3(8000, 128, 1)  # 8000 is MPEG2.5, not MPEG1
+    with pytest.raises(ValueError, match="bitrate"):
+        encode_mp3(44100, 127, 1)
+    with pytest.raises(ValueError, match="channels"):
+        encode_mp3(44100, 128, 1, channels=3)
+    with pytest.raises(ValueError, match="n_frames"):
+        encode_mp3(44100, 128, 0)
+    with pytest.raises(ValueError, match="xing"):
+        encode_mp3(44100, 128, 1, xing="VBRI")
+    with pytest.raises(ValueError, match="payload"):
+        encode_mp3(44100, 128, 1, payload=b"x" * 414)  # body is 413
+
+
+def test_mp3_mutation_fuzz_error_contract():
+    """Family fuzz: every mutation either parses to a dict or raises
+    Mp3DecodeError — no other exception, no hang. The header walk is
+    tolerant by design (truncation ends the region), so 'ok' dominates;
+    the ID3 path supplies the rejections."""
+    from conftest import mutate_blob
+
+    rng = random.Random(0x3313)
+    bases = [
+        encode_mp3(44100, 128, n_frames=8, channels=2, payload=b"p" * 64,
+                   xing="Xing"),
+        encode_mp3(22050, 64, n_frames=5, channels=1, version="2",
+                   id3=b"\x00" * 40),
+    ]
+    outcomes = {"ok": 0, "rejected": 0}
+    start = time.perf_counter()
+    for base in bases:
+        for _ in range(500):
+            blob = bytes(mutate_blob(rng, base))
+            if not sniff_mp3(blob):
+                continue
+            try:
+                meta = parse_mp3(blob)
+                assert isinstance(meta, dict)
+                outcomes["ok"] += 1
+            except Mp3DecodeError:
+                outcomes["rejected"] += 1
+    assert outcomes["ok"] > 0, outcomes
+    assert time.perf_counter() - start < 20.0
+
+
+# --------------------------------------------------------------------------
+# ADTS (AAC)
+
+
+def test_adts_layout_pinned_bytes():
+    """Hand-derived ADTS header (ISO 13818-7 §6.2): sync 0xFFF, MPEG-4
+    ID, layer 00, no CRC; AAC-LC is profile 01, 44100 Hz is index 4;
+    13-bit frame_length spans bytes 3-5."""
+    blob = encode_adts(44100, n_frames=2, channels=1, payload=b"0123456789")
+    fl = 7 + 10
+    assert blob[:7] == bytes([0xFF, 0xF1, 0x50, 0x40, fl >> 3,
+                              ((fl & 7) << 5) | 0x1F, 0xFC])
+    assert len(blob) == 2 * fl and blob[7:17] == b"0123456789"
+    assert sniff_adts(blob)
+    meta = parse_adts(blob)
+    assert meta == {
+        "format": "aac", "profile": "aac-lc", "sample_rate": 44100,
+        "channels": 1, "n_frames": 2,
+        "duration_ms": 2 * 1024 * 1000 // 44100,
+        "frames_span": (0, 2 * fl),
+    }
+
+
+@pytest.mark.parametrize("rate,chans,profile", [
+    (96000, 2, "aac-main"), (48000, 6, "aac-lc"),
+    (22050, 1, "aac-ssr"), (8000, 7, "aac-ltp"),
+])
+def test_adts_roundtrip_across_tables(rate, chans, profile):
+    blob = encode_adts(rate, n_frames=5, channels=chans,
+                       payload=b"q" * 23, profile=profile)
+    meta = parse_adts(blob)
+    assert (meta["sample_rate"], meta["channels"]) == (rate, chans)
+    assert meta["profile"] == profile and meta["n_frames"] == 5
+    assert meta["duration_ms"] == 5 * 1024 * 1000 // rate
+
+
+def test_adts_truncation_budget_and_errors(monkeypatch):
+    from wwwision_importservice_spark.operators import mp3codec
+
+    blob = encode_adts(44100, n_frames=4, channels=2, payload=b"x" * 9)
+    cut = blob[:-5]
+    assert parse_adts(cut)["n_frames"] == 3
+    assert parse_adts(blob + b"junk")["n_frames"] == 4
+    monkeypatch.setattr(mp3codec, "MAX_AUDIO_FRAMES", 2)
+    m = parse_adts(blob)
+    assert m["n_frames"] is None and m["duration_ms"] is None
+    monkeypatch.undo()
+    with pytest.raises(Mp3DecodeError, match="ADTS"):
+        parse_adts(b"\x00" * 32)
+    # channel config 0 (program config element) reports None channels
+    pce = bytearray(encode_adts(44100, n_frames=2, channels=1))
+    pce[2] &= 0xFE
+    pce[3] &= 0x3F
+    fixed = bytes(pce)
+    assert parse_adts(fixed)["channels"] is None
+    # encoder contract
+    with pytest.raises(ValueError, match="sample_rate"):
+        encode_adts(44056, 1)
+    with pytest.raises(ValueError, match="profile"):
+        encode_adts(44100, 1, profile="he-aac")
+    with pytest.raises(ValueError, match="channels"):
+        encode_adts(44100, 1, channels=8)
+    with pytest.raises(ValueError, match="frame_length"):
+        encode_adts(44100, 1, payload=b"x" * 8186)
+
+
+def test_adts_and_mp3_sniffs_are_disjoint():
+    """ADTS layer bits are 00 where MPEG-audio requires nonzero — the
+    sniffs can't claim each other's bytes (media_metadata dispatches on
+    exactly one)."""
+    mp3 = encode_mp3(44100, 128, n_frames=2, channels=1)
+    aac = encode_adts(44100, n_frames=2, channels=1, payload=b"y" * 8)
+    assert sniff_mp3(mp3) and not sniff_adts(mp3)
+    assert sniff_adts(aac) and not sniff_mp3(aac)
+
+
+def test_adts_mutation_fuzz_error_contract():
+    from conftest import mutate_blob
+
+    rng = random.Random(0xADB5)
+    base = encode_adts(48000, n_frames=6, channels=2, payload=b"f" * 31)
+    outcomes = {"ok": 0, "rejected": 0}
+    for _ in range(1000):
+        blob = bytes(mutate_blob(rng, base))
+        if not sniff_adts(blob):
+            continue
+        try:
+            meta = parse_adts(blob)
+            assert isinstance(meta, dict)
+            outcomes["ok"] += 1
+        except Mp3DecodeError:
+            outcomes["rejected"] += 1
+    assert outcomes["ok"] > 0, outcomes
+
+
+def test_media_row_routes_mp3_and_adts():
+    """media_metadata's per-blob policy routes MP3/ADTS bytes as
+    kind='audio' with real header fields (r13 — previously the web's
+    most common audio formats fell to kind='unknown'), content-
+    addressed by the frame region so re-tagging doesn't change the
+    hash; corrupt ID3 quarantines as kind='corrupt' in non-strict
+    mode."""
+    import hashlib
+
+    from wwwision_importservice_spark.operators import (
+        audiocodec as wavc,
+        flaccodec as flacc,
+        imagecodec as img,
+        mp3codec as mp3c,
+        videocodec as vidc,
+    )
+    from wwwision_importservice_spark.operators.multimodal import _media_row
+
+    def hex_sha(b):
+        return hashlib.sha256(b.hex().encode()).hexdigest()
+
+    mp3 = encode_mp3(44100, 128, n_frames=5, channels=2, payload=b"m" * 50,
+                     xing="Info")
+    row = _media_row(1, mp3, img, wavc, flacc, vidc, False, hex_sha, mp3c)
+    assert row[1] == "audio" and row[2] == "mp3"
+    assert (row[5], row[6], row[7]) == (5, 44100, 2)  # frames, rate, ch
+    assert row[9] == 5 * 1152 * 1000 // 44100 and row[10] == "mpeg1-l3"
+    # the lazy-default arg path (driver-side unit callers) agrees
+    assert _media_row(1, mp3, img, wavc, flacc, vidc, False, hex_sha) == row
+    # re-tagged twin hashes identically (ID3 excluded from the address)
+    tagged = encode_mp3(44100, 128, n_frames=5, channels=2,
+                        payload=b"m" * 50, xing="Info", id3=b"\x00" * 64)
+    row_t = _media_row(2, tagged, img, wavc, flacc, vidc, False, hex_sha,
+                       mp3c)
+    assert row_t[12] == row[12] and row_t[11] == len(tagged)
+    aac = encode_adts(48000, n_frames=3, channels=6, payload=b"a" * 17)
+    row = _media_row(3, aac, img, wavc, flacc, vidc, False, hex_sha, mp3c)
+    assert row[1] == "audio" and row[2] == "aac" and row[10] == "aac-lc"
+    assert (row[5], row[6], row[7]) == (3, 48000, 6)
+    assert row[9] == 3 * 1024 * 1000 // 48000
+    # corrupt: valid two-frame sniff, malformed ID3v2 size -> quarantine
+    bad = b"ID3\x04\x00\x00\x00\x00\x00\x80" + mp3
+    assert not sniff_mp3(bad)  # ID3 precedes the sync; routed unknown
+    row = _media_row(4, bad, img, wavc, flacc, vidc, False, hex_sha, mp3c)
+    assert row[1] == "unknown"

@@ -452,7 +452,8 @@ MEDIA_METADATA_SCHEMA = (
 )
 
 
-def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha):
+def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
+               mp3c=None):
     """One blob → one :data:`MEDIA_METADATA_SCHEMA` tuple. Module-level
     (not a closure) so the GIF single-decode and corrupt-blob policies
     are unit-testable without a Spark pass.
@@ -477,11 +478,22 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha):
       video dims AND the first audio track's ``sample_rate``/
       ``channels``, in either trak order (r13 — the codec layer's
       mux-order-independence contract).
+    - MPEG-audio (MP3) and ADTS-AAC blobs (r13, the web's most common
+      audio bytes) route as ``kind='audio'`` through the
+      ``operators/mp3codec.py`` HEADER walk — frame counts, rate,
+      channels, and exact duration with NO sample decode (the same
+      no-decode posture as the video lane), content-addressed by the
+      frame region so the same audio re-tagged (ID3v2/ID3v1) hashes
+      identically. ``codec`` carries the family ("mpeg1-l3" /
+      "aac-lc").
     - Non-strict mode quarantines recognized-magic-but-corrupt blobs
       as ``kind='corrupt'`` rows (format = the sniffed container, sha
       = the blob's own bytes) instead of letting the typed decode
       error kill the job — matching ``decode_metadata``'s fallback
       convention (r12 advisor catch); strict mode re-raises."""
+    if mp3c is None:  # driver-side unit callers; the Arrow pass
+        # always passes the worker-imported module explicitly
+        from wwwision_importservice_spark.operators import mp3codec as mp3c
     fmt = img.sniff_format(data)
     audio = None if fmt is not None else (
         "wav" if wavc.sniff_wav(data) else
@@ -489,6 +501,10 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha):
     )
     video = fmt is None and audio is None and (
         vidc.sniff_mp4(data) or vidc.sniff_webm(data)
+    )
+    stream = None if (fmt is not None or audio is not None or video) else (
+        "aac" if mp3c.sniff_adts(data) else
+        "mp3" if mp3c.sniff_mp3(data) else None
     )
     try:
         if fmt is not None:
@@ -522,11 +538,21 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha):
                     meta.get("sample_rate"), meta.get("channels"),
                     None, meta["duration_ms"], meta["codec"], len(data),
                     hex_sha(vidc.media_payload(data, meta)))
+        if stream is not None:
+            meta = (mp3c.parse_adts(data) if stream == "aac"
+                    else mp3c.parse_mp3(data))
+            codec = (meta["profile"] if stream == "aac"
+                     else f"mpeg{meta['version']}-l{meta['layer']}")
+            s, e = meta["frames_span"]
+            return (rid, "audio", meta["format"], None, None,
+                    meta["n_frames"], meta["sample_rate"],
+                    meta["channels"], None, meta["duration_ms"], codec,
+                    len(data), hex_sha(data[s:e]))
     except (img.ImageDecodeError, wavc.AudioDecodeError,
             vidc.VideoDecodeError):
         if strict:
             raise
-        container = "mp4" if vidc.sniff_mp4(data) else "webm"
+        container = stream or ("mp4" if vidc.sniff_mp4(data) else "webm")
         return (rid, "corrupt", fmt or audio or container, None, None,
                 None, None, None, None, None, None, len(data),
                 hex_sha(data))
@@ -548,9 +574,10 @@ def media_metadata(
     Arrow pass that sniffs each blob's magic — the five image
     containers (BMP/PPM/PNG/GIF/JPEG incl. progressive) through the
     pure image codecs, RIFF-WAV and FLAC through the audio codecs,
-    ISO-BMFF (MP4/MOV) through the box walker — decodes it for real
-    (video: container walk only, no frame decode), and emits one typed
-    row:
+    ISO-BMFF (MP4/MOV) and Matroska/WebM through the container walkers,
+    MPEG-audio (MP3) and ADTS-AAC through the frame-header walk (r13) —
+    decodes it for real (video/MP3/AAC: header walk only, no
+    frame/sample decode), and emits one typed row:
 
     ``(id, kind, format, width, height, n_frames, sample_rate,
     channels, bits_per_sample, duration_ms, codec, n_bytes,
@@ -578,6 +605,7 @@ def media_metadata(
     import_wav = _codec_importer("audiocodec")
     import_flac = _codec_importer("flaccodec")
     import_vid = _codec_importer("videocodec")
+    import_mp3 = _codec_importer("mp3codec")
     be_strict = bool(strict)
 
     def batches(it: Iterator) -> Iterator:
@@ -589,6 +617,7 @@ def media_metadata(
         wavc = import_wav()
         flacc = import_flac()
         vidc = import_vid()
+        mp3c = import_mp3()
 
         def hex_sha(b: bytes) -> str:
             return _hashlib.sha256(b.hex().encode()).hexdigest()
@@ -596,7 +625,7 @@ def media_metadata(
         for pdf in it:
             rows = [
                 _media_row(int(rid), bytes(blob), img, wavc, flacc, vidc,
-                           be_strict, hex_sha)
+                           be_strict, hex_sha, mp3c)
                 for rid, blob in zip(pdf[id_col], pdf[blob_col])
             ]
             out = pd.DataFrame(
