@@ -53,6 +53,8 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
+    "x4_media_metadata",  # PROMOTED r13 (VERDICT r12 ask #3; now NINE
+    # lanes incl. the new MP3/ADTS header-walk arms)
     "x4_flac_decode",  # NEW r11 (real FLAC decode, compressed-audio gap)
     "x2_ngram_decontaminate",  # NEW r11 (13-gram train/test overlap filter)
     "x6_incremental_curation",  # PROMOTED r11 (VERDICT r10 ask #2)
@@ -322,7 +324,17 @@ def j2_added(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _only(spark, sf_dir, "add")
 
 
-@_register("j3_updated", _cdc_sql(with_hidden=False, only="update"))
+@_register(
+    "j3_updated",
+    _cdc_sql(with_hidden=False, only="update"),
+    driver=False,  # demoted r13 (driver-green r01-r12, slot ceded to
+    # x4_media_metadata): like j1/j2 before it (r5), this is a pure
+    # change_type filter of j4_changeset's CDC frame — j4 stays
+    # driver-checked and its rows carry the same four-branch update
+    # predicate, so driver-side value coverage of the update class is
+    # unchanged; the predicate branches keep their dedicated oracle
+    # here and in j3_force_updates (both pytest tier)
+)
 def j3_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — versioned inner join with the four-branch update predicate."""
     return _only(spark, sf_dir, "update")
@@ -5234,11 +5246,17 @@ def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "x4_media_metadata",
-    # one mixed-modality corpus, SEVEN real container lanes, ONE
-    # oracle: doc_id % 7 picks PNG (md5-cycled 4x3 pixels), exact-gray
+    # one mixed-modality corpus, NINE real container lanes, ONE
+    # oracle: doc_id % 9 picks PNG (md5-cycled 4x3 pixels), exact-gray
     # q50 baseline JPEG, mono WAV, mono FLAC, the SAME gray grid as a
-    # PROGRESSIVE (SOF2) JPEG (r12), an ISO-BMFF MP4, or a Matroska
-    # WebM (both r12 — container-walk metadata, no frame decode). The
+    # PROGRESSIVE (SOF2) JPEG (r12), an ISO-BMFF MP4, a Matroska
+    # WebM (both r12 — container-walk metadata, no frame decode), a
+    # Xing/Info-tagged MPEG1-L3 MP3, or an ADTS AAC-LC stream (both
+    # r13 — frame-HEADER walks, every byte of the frame region
+    # restated in SQL: header arithmetic from the bitrate/sample-rate
+    # tables + md5-hex bodies, so the sniff routing, the tag-frame
+    # exclusion, and the frame-region content address all sit under
+    # the hash). The
     # WAV and FLAC docs carry the SAME md5-derived sample series, so
     # their payload_sha CASE arms are literally identical, pinning the
     # cross-container content-address; the baseline and progressive
@@ -5257,26 +5275,36 @@ def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 string arithmetic.
     f"""
 SELECT doc_id,
-       CASE WHEN m IN (2, 3) THEN 'audio' WHEN m IN (5, 6) THEN 'video'
+       CASE WHEN m IN (2, 3, 7, 8) THEN 'audio'
+            WHEN m IN (5, 6) THEN 'video'
             ELSE 'image' END AS kind,
        CASE m WHEN 0 THEN 'png' WHEN 2 THEN 'wav' WHEN 3 THEN 'flac'
-              WHEN 5 THEN 'mp4' WHEN 6 THEN 'webm' ELSE 'jpeg' END AS format,
+              WHEN 5 THEN 'mp4' WHEN 6 THEN 'webm' WHEN 7 THEN 'mp3'
+              WHEN 8 THEN 'aac' ELSE 'jpeg' END AS format,
        CAST(CASE WHEN m = 0 THEN 4 WHEN m IN (1, 4) THEN 8 * bw
                  WHEN m IN (5, 6) THEN 16 + b % 100 END AS INT) AS width,
        CAST(CASE WHEN m = 0 THEN 3 WHEN m IN (1, 4) THEN 8 * bh
                  WHEN m IN (5, 6) THEN 16 + (b // 7) % 100 END AS INT)
          AS height,
        CAST(CASE WHEN m IN (2, 3) THEN n WHEN m = 5 THEN 1 + b % 30
-                 WHEN m = 6 THEN 1 + b % 9 ELSE 1 END AS INT) AS n_frames,
-       CAST(CASE WHEN m IN (2, 3) THEN 8000 END AS INT) AS sample_rate,
-       CAST(CASE WHEN m IN (2, 3) THEN 1 END AS INT) AS channels,
+                 WHEN m = 6 THEN 1 + b % 9 WHEN m = 7 THEN mp3_n
+                 WHEN m = 8 THEN aac_n ELSE 1 END AS INT) AS n_frames,
+       CAST(CASE WHEN m IN (2, 3) THEN 8000 WHEN m = 7 THEN mp3_sr
+                 WHEN m = 8 THEN aac_sr END AS INT) AS sample_rate,
+       CAST(CASE WHEN m IN (2, 3) THEN 1
+                 WHEN m = 7 THEN 1 + (b // 9) % 2
+                 WHEN m = 8 THEN 1 + b % 6 END AS INT) AS channels,
        CAST(CASE WHEN m IN (2, 3) THEN 16 END AS INT) AS bits_per_sample,
-       CAST(CASE WHEN m IN (5, 6) THEN 500 + b % 10000 END AS BIGINT)
-         AS duration_ms,
+       CAST(CASE WHEN m IN (5, 6) THEN 500 + b % 10000
+                 WHEN m = 7 THEN mp3_n * 1152 * 1000 // mp3_sr
+                 WHEN m = 8 THEN aac_n * 1024 * 1000 // aac_sr
+            END AS BIGINT) AS duration_ms,
        CASE WHEN m = 5 THEN (CASE WHEN b % 2 = 0 THEN 'avc1'
                                   ELSE 'hvc1' END)
             WHEN m = 6 THEN (CASE WHEN b % 2 = 0 THEN 'V_VP9'
-                                  ELSE 'V_AV1' END) END AS codec,
+                                  ELSE 'V_AV1' END)
+            WHEN m = 7 THEN 'mpeg1-l3'
+            WHEN m = 8 THEN 'aac-lc' END AS codec,
        CASE
          WHEN m = 0 THEN sha256(substr(repeat(mh, 3), 1, 72))
          WHEN m IN (1, 4) THEN sha256(array_to_string(
@@ -5288,32 +5316,75 @@ SELECT doc_id,
          WHEN m = 6 THEN sha256('e78100a39c81000000' ||
                                 substr(repeat(mh, 2), 1, 48) ||
                                 repeat('a38481000000', b % 9))
+         -- MP3: the frame region is the Xing/Info tag frame (header +
+         -- side-info zeros + tag fourcc + flags=1 + frame count + zero
+         -- fill) followed by mp3_n identical media frames (header +
+         -- md5 body sliced to the table-derived length) — pure header
+         -- arithmetic, restated byte for byte
+         WHEN m = 7 THEN sha256(
+           mp3_hdr || repeat('00', mp3_side) ||
+           (CASE WHEN b % 2 = 0 THEN '58696e67' ELSE '496e666f' END) ||
+           '00000001' || printf('%08x', mp3_n) ||
+           repeat('00', mp3_fsize - 4 - mp3_side - 12) ||
+           repeat(mp3_hdr || substr(repeat(mh, 54), 1,
+                                    2 * (mp3_fsize - 4)), mp3_n))
+         -- ADTS: aac_n identical frames of 7-byte header (sync,
+         -- MPEG-4 id, AAC-LC profile, sampling index, channel config,
+         -- 13-bit frame_length, all-ones fullness) + md5 payload
+         WHEN m = 8 THEN sha256(repeat(
+           'fff1' ||
+           printf('%02x', 64 + (3 + b % 3) * 4 + (1 + b % 6) // 4) ||
+           printf('%02x', ((1 + b % 6) % 4) * 64) ||
+           printf('%02x', aac_fl // 8) ||
+           printf('%02x', (aac_fl % 8) * 32 + 31) || 'fc' ||
+           substr(repeat(mh, 4), 1, 2 * (aac_fl - 7)), aac_n))
          ELSE sha256(substr(repeat(mh, 18), 1, 4 * n))
        END AS payload_sha
 FROM (
-  SELECT doc_id, mh, b, doc_id % 7 AS m,
-         40 + b % 100 AS n, 2 + b % 3 AS bw, 2 + (b // 3) % 3 AS bh,
-         list_transform(range(0, (2 + b % 3) * (2 + (b // 3) % 3)), k ->
-           (CAST('0x' || substr(mh, 2*k+1, 2) AS INT) % 128) * 2) AS gs
+  SELECT *,
+         144 * mp3_kbps * 1000 // mp3_sr AS mp3_fsize,
+         'fffb' || printf('%02x', (9 + (b // 3) % 3) * 16 + (b % 3) * 4)
+          || (CASE WHEN (b // 9) % 2 = 0 THEN 'c0' ELSE '00' END)
+           AS mp3_hdr,
+         CASE WHEN (b // 9) % 2 = 0 THEN 17 ELSE 32 END AS mp3_side,
+         17 + b % 40 AS aac_fl
   FROM (
-    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mh,
-           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                AS BIGINT) AS b
-    FROM documents)
+    SELECT doc_id, mh, b, doc_id % 9 AS m,
+           40 + b % 100 AS n, 2 + b % 3 AS bw, 2 + (b // 3) % 3 AS bh,
+           list_transform(range(0, (2 + b % 3) * (2 + (b // 3) % 3)), k ->
+             (CAST('0x' || substr(mh, 2*k+1, 2) AS INT) % 128) * 2) AS gs,
+           list_extract([44100, 48000, 32000], 1 + b % 3) AS mp3_sr,
+           list_extract([128, 160, 192], 1 + (b // 3) % 3) AS mp3_kbps,
+           1 + b % 12 AS mp3_n,
+           list_extract([48000, 44100, 32000], 1 + b % 3) AS aac_sr,
+           1 + (b // 5) % 9 AS aac_n
+    FROM (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mh,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS b
+      FROM documents)
+  )
 )
 """,
-    driver=False,  # pytest tier (r11): the per-modality driver rows
-    # pin each codec; this row pins the unified sniff surface a mixed
-    # crawl routes on
+    # DRIVER row since r13 (VERDICT r12 ask #3; slot ceded by
+    # j3_updated): the nine-lane sniff-dispatch pass is the multimodal
+    # surface's composition proof — the per-modality driver rows pin
+    # each codec in isolation, this row pins the routing a mixed crawl
+    # actually runs. Deliberately NOT a bench headline: ~95% of its
+    # wall time is the fixture synthesizing eight container encodings
+    # per doc, cost the operator never pays on real data (bench.py
+    # documents the exclusion).
 )
 def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 — unified mixed-modality metadata
     (``operators/multimodal.py:media_metadata``): one corpus whose
     blobs are real PNG, baseline-JPEG, WAV, FLAC, progressive-JPEG
-    (SOF2, r12), ISO-BMFF MP4, or Matroska WebM (both r12) files by
-    ``doc_id % 7``; the kernel sniffs each magic, decodes through the
-    matching pure codec (video: ``operators/videocodec.py`` box/EBML
-    walk, no frame decode), and emits one typed row — image dims, audio
+    (SOF2, r12), ISO-BMFF MP4, Matroska WebM (both r12), MPEG1-L3 MP3,
+    or ADTS AAC-LC (both r13) files by ``doc_id % 9``; the kernel
+    sniffs each magic, decodes through the matching pure codec (video:
+    ``operators/videocodec.py`` box/EBML walk; MP3/AAC:
+    ``operators/mp3codec.py`` frame-header walk — no frame/sample
+    decode), and emits one typed row — image dims, audio
     frame/rate/channel/bit-depth counts, video dims/duration/codec, and
     a decoded-payload content-address that is container-independent
     (the WAV and FLAC docs share one sample series and must hash
@@ -5337,6 +5408,7 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     import_wav = _codec_importer("audiocodec")
     import_flac = _codec_importer("flaccodec")
     import_vid = _codec_importer("videocodec")
+    import_mp3 = _codec_importer("mp3codec")
 
     def synth(it):
         import hashlib as _hashlib
@@ -5349,14 +5421,39 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         wavc = import_wav()
         flacc = import_flac()
         vidc = import_vid()
+        mp3c = import_mp3()
         for pdf in it:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 mh = _hashlib.md5(str(did).encode()).hexdigest()
                 b = int(mh[:15], 16)
-                m = did % 7
-                if m == 5:
+                m = did % 9
+                if m == 7:
+                    # MPEG1 Layer III: rate/bitrate from the header
+                    # tables, a Xing (even b) or Info (odd) tag frame,
+                    # per-frame body = md5 hex sliced to the EXACT
+                    # table-derived frame length (no encoder padding,
+                    # so the oracle restates every byte)
+                    sr = (44100, 48000, 32000)[b % 3]
+                    kbps = (128, 160, 192)[(b // 3) % 3]
+                    size = 144 * kbps * 1000 // sr
+                    blob = mp3c.encode_mp3(
+                        sr, kbps, n_frames=1 + b % 12,
+                        channels=1 + (b // 9) % 2,
+                        payload=bytes.fromhex((mh * 54)[: 2 * (size - 4)]),
+                        xing="Xing" if b % 2 == 0 else "Info",
+                    )
+                elif m == 8:
+                    # ADTS AAC-LC: sampling index 3..5, channel config
+                    # 1..6, md5-hex frame payloads
+                    blob = mp3c.encode_adts(
+                        (48000, 44100, 32000)[b % 3],
+                        n_frames=1 + (b // 5) % 9,
+                        channels=1 + b % 6,
+                        payload=bytes.fromhex((mh * 4)[: 2 * (10 + b % 40)]),
+                    )
+                elif m == 5:
                     blob = vidc.encode_mp4(
                         16 + b % 100, 16 + (b // 7) % 100,
                         500 + b % 10000,
