@@ -356,6 +356,99 @@ def test_eel_date_format_expression_codes(spark):
     assert got == ["2024-01-1", "2026-33-7"]
 
 
+def test_eel_date_format_escaped_literals(spark):
+    """PHP backslash escapes (``\\T``) and literal quotes must survive
+    the trip through BOTH quoting layers — the Java pattern's '…'
+    quoting AND the single-quoted SQL literal it ships inside. The
+    pre-r13 code emitted raw quotes into the SQL literal, producing
+    unparseable SQL for any escaped letter (latent since r11; caught
+    while adding the composite c/r formats, which hit the same bug)."""
+    from wwwision_importservice_spark.functions.eel import translate_eel
+
+    df = spark.sql("SELECT timestamp'2026-08-16 15:42:07' AS ts")
+
+    def run(php):
+        sql = translate_eel('${Date.format(record.ts, "' + php + '")}')
+        return df.selectExpr(f"{sql} AS v").first()["v"]
+
+    assert run("Y\\TH") == "2026T15"  # PHP "Y\TH": literal T
+    assert run("g\\oi") == "3o42"  # escaped letter that IS a PHP code
+    assert run("g'i") == "3'42"  # bare quote char in the format
+    assert run("\\'") == "'"  # escaped quote
+    """r13 ladder extension (VERDICT r12 ask #7): U (epoch seconds), z
+    (PHP 0-based day-of-year vs Java's 1-based D — the trap), t (days
+    in month), L (leap year 1/0), S (ordinal suffix, 11/12/13 all
+    'th'), and the composite c (ISO-8601) / r (RFC 2822) formats. All
+    pinned end-to-end on real timestamps."""
+    from wwwision_importservice_spark.functions.eel import translate_eel
+
+    # 2026-08-16: day-of-year 228 (PHP z=227), Aug has 31 days, not a
+    # leap year. 2024-02-29: leap year, Feb has 29 days, z=59.
+    df = spark.sql(
+        "SELECT timestamp'2026-08-16 15:42:07' AS ts "
+        "UNION ALL SELECT timestamp'2024-02-29 03:05:00'"
+    )
+    for code, expected in [
+        ("z", ["227", "59"]),
+        ("t", ["31", "29"]),
+        ("L", ["0", "1"]),
+        ("S", ["th", "th"]),  # 16th, 29th
+    ]:
+        sql = translate_eel(f'${{Date.format(record.ts, "{code}")}}')
+        got = [r["v"] for r in df.selectExpr(f"{sql} AS v").collect()]
+        assert sorted(got) == sorted(expected), (code, got)
+
+    # U agrees with the session timezone's epoch arithmetic
+    from datetime import datetime
+    from zoneinfo import ZoneInfo
+
+    tz = ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+    sql = translate_eel('${Date.format(record.ts, "U")}')
+    got = sorted(int(r["v"]) for r in df.selectExpr(f"{sql} AS v").collect())
+    expected = sorted(
+        int(datetime(*parts, tzinfo=tz).timestamp())
+        for parts in [(2026, 8, 16, 15, 42, 7), (2024, 2, 29, 3, 5, 0)]
+    )
+    assert got == expected
+
+    # the S sweep: every suffix class, including the 11/12/13 override
+    days = spark.sql(
+        "SELECT explode(sequence(1, 31)) AS d"
+    ).selectExpr("make_timestamp(2026, 1, d, 12, 0, 0) AS ts", "d")
+    sql = translate_eel('${Date.format(record.ts, "jS")}')
+    got = {r["d"]: r["v"] for r in days.selectExpr("d", f"{sql} AS v").collect()}
+    assert got[1] == "1st" and got[2] == "2nd" and got[3] == "3rd"
+    assert got[11] == "11th" and got[12] == "12th" and got[13] == "13th"
+    assert got[21] == "21st" and got[22] == "22nd" and got[23] == "23rd"
+    assert got[4] == "4th" and got[30] == "30th" and got[31] == "31st"
+
+    # composite formats: c and r are single date_format patterns
+    def _off(dt_parts, fmt):
+        off = datetime(*dt_parts, tzinfo=tz).utcoffset()
+        total = int(off.total_seconds())
+        sign = "+" if total >= 0 else "-"
+        total = abs(total)
+        return f"{sign}{total // 3600:02d}{fmt}{(total % 3600) // 60:02d}"
+
+    sql = translate_eel('${Date.format(record.ts, "c")}')
+    assert sql.count("date_format") == 1
+    got = sorted(r["v"] for r in df.selectExpr(f"{sql} AS v").collect())
+    assert got == sorted(
+        [
+            f"2026-08-16T15:42:07{_off((2026, 8, 16, 15, 42, 7), ':')}",
+            f"2024-02-29T03:05:00{_off((2024, 2, 29, 3, 5, 0), ':')}",
+        ]
+    )
+    sql = translate_eel('${Date.format(record.ts, "r")}')
+    got = sorted(r["v"] for r in df.selectExpr(f"{sql} AS v").collect())
+    assert got == sorted(
+        [
+            f"Sun, 16 Aug 2026 15:42:07 {_off((2026, 8, 16, 15, 42, 7), '')}",
+            f"Thu, 29 Feb 2024 03:05:00 {_off((2024, 2, 29, 3, 5, 0), '')}",
+        ]
+    )
+
+
 def test_eel_ternary_inside_group_elements(spark):
     """A ternary inside an array literal or helper argument list binds
     within its own element — it used to swallow the following elements

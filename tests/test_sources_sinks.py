@@ -1139,3 +1139,143 @@ def test_dbapi_error_samples_and_unmatched(spark, tmp_path):
         spark, make_cdc(spark, [("ghost", 2, "u", "update")])
     )
     assert stats2.unmatched == 1
+
+
+# --------------------------------------------------------------------- #
+# Live JDBC round-trip (probe-gated: embedded Apache Derby — r13,
+# VERDICT r12 ask #8). The Spark distribution bundles derby*.jar for
+# the Hive metastore, so this runs for real in most deployments; where
+# the jar is absent the probe skips, the Kafka/TWS pattern.
+# --------------------------------------------------------------------- #
+
+def _derby_props(spark):
+    from wwwision_importservice_spark.sources.jdbc import (
+        DERBY_EMBEDDED_DRIVER,
+        jdbc_driver_available,
+    )
+
+    if not jdbc_driver_available(spark, DERBY_EMBEDDED_DRIVER):
+        pytest.skip("no embedded Derby jar on the Spark classpath")
+    return {"driver": DERBY_EMBEDDED_DRIVER}
+
+
+def test_jdbc_source_live_derby(spark, tmp_path):
+    """S3 executed against a live JDBC endpoint: full scan, lazy pruned
+    scan (S4's narrow read), partitioned parallel read, and the setup
+    preflight — all over embedded Derby."""
+    from wwwision_importservice_spark.sources.jdbc import JdbcSource
+
+    props = _derby_props(spark)
+    url = f"jdbc:derby:{tmp_path}/srcdb;create=true"
+    spark.createDataFrame(
+        [(1, 3, "alpha"), (2, 1, "beta"), (3, 2, "gamma"), (4, 1, "delta")],
+        "id int, version int, title string",
+    ).write.option(
+        "createTableColumnTypes", "id INT, version INT, title VARCHAR(64)"
+    ).jdbc(url, "feed", properties=props)
+
+    src = JdbcSource(url, "feed", properties=props)
+    rows = {(r["id"], r["version"], r["title"]) for r in src.load(spark).collect()}
+    assert rows == {(1, 3, "alpha"), (2, 1, "beta"), (3, 2, "gamma"), (4, 1, "delta")}
+
+    lazy = JdbcSource(
+        url, "feed", properties=props,
+        lazy_loading=True, id_column="id", version_column="version",
+    )
+    pruned = lazy.load(spark)
+    # the narrow scan carries ONLY id+version (the projection reaches
+    # the JDBC SELECT via Catalyst pushdown)
+    assert pruned.columns == ["id", "version"]
+    assert {(r["id"], r["version"]) for r in pruned.collect()} == {
+        (1, 3), (2, 1), (3, 2), (4, 1)
+    }
+    assert set(lazy.load_full(spark).columns) == {"id", "version", "title"}
+
+    part = JdbcSource(
+        url, "feed", properties=props,
+        partition_column="id", num_partitions=2, lower_bound=1, upper_bound=5,
+    )
+    pdf = part.load(spark)
+    assert pdf.rdd.getNumPartitions() == 2
+    assert {r["id"] for r in pdf.collect()} == {1, 2, 3, 4}
+
+    result = src.setup(spark)
+    assert not result.has_errors
+    assert any("reachable" in m.text for m in result.messages)
+    missing = JdbcSource(url, "no_such_table", properties=props)
+    assert missing.setup(spark).has_errors
+
+
+def test_jdbc_sink_live_derby_end_to_end(spark, tmp_path):
+    """Source → diff → sink against live Derby: the changeset's adds
+    land through the native batched appender (W1/W8), current_state
+    reads the narrow projection back, and update/delete without a
+    DBAPI connection_factory raise the documented guidance instead of
+    silently no-opping."""
+    from wwwision_importservice_spark.operators.diff import compute_changes
+    from wwwision_importservice_spark.record import RecordFrame
+    from wwwision_importservice_spark.sinks.jdbc import JdbcTarget
+    from wwwision_importservice_spark.sources.jdbc import JdbcSource
+
+    props = _derby_props(spark)
+    url = f"jdbc:derby:{tmp_path}/syncdb;create=true"
+    # target state: one pre-existing record
+    spark.createDataFrame(
+        [("a", "old-title", 1)], "id string, title string, version long"
+    ).write.option(
+        "createTableColumnTypes",
+        "id VARCHAR(64), title VARCHAR(64), version BIGINT",
+    ).jdbc(url, "records", properties=props)
+    # source feed: same record (same version) + two new ones
+    spark.createDataFrame(
+        [("a", "old-title", 1), ("b", "brand-new", 1), ("c", "also-new", 2)],
+        "id string, title string, version long",
+    ).write.option(
+        "createTableColumnTypes",
+        "id VARCHAR(64), title VARCHAR(64), version BIGINT",
+    ).jdbc(url, "feed", properties=props)
+
+    source = JdbcSource(url, "feed", properties=props)
+    records = RecordFrame.from_raw(
+        source.load(spark), "id", version_attribute="version"
+    ).df
+    target = JdbcTarget(
+        url, "records", properties=props,
+        id_column="id", version_column="version",
+    )
+    cdc = compute_changes(
+        records, target.current_state(spark),
+        local_id_col="id", local_version_col="version",
+    )
+    assert {(r["_id"], r["change_type"]) for r in cdc.collect()} == {
+        ("b", "add"), ("c", "add")
+    }
+    stats = target.apply(spark, cdc)
+    assert stats.added == 2 and stats.errors == 0
+    state = {
+        r["id"]: r["version"] for r in target.current_state(spark).collect()
+    }
+    assert state == {"a": 1, "b": 1, "c": 2}
+
+    # a second diff is now a no-op — the sync converged
+    cdc2 = compute_changes(
+        records, target.current_state(spark),
+        local_id_col="id", local_version_col="version",
+    )
+    assert cdc2.isEmpty()
+
+    # updates/deletes need the DBAPI path; without a connection_factory
+    # the target must refuse loudly (no native UPDATE/DELETE over JDBC)
+    bumped = RecordFrame.from_raw(
+        spark.createDataFrame(
+            [("a", "new-title", 2)], "id string, title string, version long"
+        ),
+        "id", version_attribute="version",
+    ).df
+    upd = compute_changes(
+        bumped, target.current_state(spark),
+        local_id_col="id", local_version_col="version", skip_removed=True,
+    )
+    assert {r["change_type"] for r in upd.collect()} == {"update"}
+    with pytest.raises(ConfigurationError, match="connection_factory"):
+        target.apply(spark, upd)

@@ -5,8 +5,10 @@ with ``batchsize`` — W8); updates/removes have no DataFrame-native path,
 so they reuse the DBAPI executemany machinery when a ``connection_factory``
 is provided, else raise with guidance.
 
-No JDBC driver jar ships in this container, so this target is exercised
-structurally; DbapiTarget covers the relational round-trip in tests.
+Live coverage (r13): the embedded-Derby jar bundled with the Spark
+distribution backs a probe-gated end-to-end test (source → diff →
+native-appender adds); DbapiTarget covers the full
+insert/update/delete round-trip via sqlite.
 """
 
 from __future__ import annotations

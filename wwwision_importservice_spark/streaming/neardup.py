@@ -35,7 +35,7 @@ from __future__ import annotations
 import time
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from wwwision_importservice_spark.fsutil import (
@@ -94,10 +94,11 @@ def near_dup_gate(
 
     ``stats``: opt-in per-batch observability — pass a dict and each
     batch appends ``{"batch_id", "secs", "rows_in", "survivors"}`` to
-    ``stats["batches"]`` (``rows_in`` costs one extra source count;
-    ``survivors`` is free — the frame is already materialized). The
-    bench reads this to report steady-state per-batch cost instead of
-    a whole-run blur.
+    ``stats["batches"]``. ``rows_in`` and ``survivors`` are
+    ``observe()`` metrics riding the survivors checkpoint action —
+    zero extra jobs (r13; previously two dedicated ``count()`` jobs
+    per batch). The bench reads this to report steady-state per-batch
+    cost instead of a whole-run blur.
 
     ``writer_id`` (a stable pipeline identity — the stream's checkpoint
     path is the natural choice): claims ``index_dir`` via
@@ -207,30 +208,71 @@ def near_dup_gate(
         )
         # batch-relevant ids present in the index (should be none under
         # exactly-once batches, but a retried half-applied batch
-        # re-sends ids) — tiny: ∝ touched-bucket width, not corpus size
-        indexed_ids = idx_hit.select(F.col(id_col)).distinct()
-        # drop: pairs with an indexed doc (either side) or with a
-        # smaller-id batch doc
-        dropped_vs_index = (
-            pairs.join(indexed_ids, pairs.id_a == indexed_ids[id_col], "left_semi")
-            .select(F.col("id_b").alias(id_col))
-            .unionByName(
-                pairs.join(
-                    indexed_ids, pairs.id_b == indexed_ids[id_col], "left_semi"
-                ).select(F.col("id_a").alias(id_col))
+        # re-sends ids) — tiny: ∝ touched-bucket width, not corpus size.
+        # NOT distinct-ed (r13): every consumer tolerates duplicate ids —
+        # the ``ib`` left join only null-probes (duplicates multiply
+        # ``dropped`` rows ≤ bands×, harmless to an anti join), the
+        # anti-union membership term is a semi-style use, and the replay
+        # semi join ignores multiplicity — while the distinct cost TWO
+        # exchange stage-jobs per batch (the expression is inlined into
+        # both the survivors and the append plans).
+        indexed_ids = idx_hit.select(F.col(id_col))
+        # drop rule, evaluated in ONE pass over pairs (r13, VERDICT r12
+        # ask #2 — the previous three-join formulation re-inlined the
+        # whole un-checkpointed pair pipeline into the survivors plan
+        # three times, and each replica spawned its own AQE stage jobs):
+        # pairs satisfy id_a < id_b with at least one side in the batch,
+        # so the decision needs only "is id_b indexed?" —
+        #   id_b indexed  -> drop id_a (an indexed doc beats any batch doc)
+        #   id_b free     -> drop id_b (covers both "id_a indexed" and
+        #                    the within-batch keep-the-min rule)
+        # The one case the old formula dropped that this one doesn't —
+        # id_b when BOTH sides are indexed (a doubly-replayed pair) — is
+        # subsumed by the indexed_ids membership term below: any batch
+        # doc whose id is already indexed is excluded regardless of
+        # pairs. Survivor sets are identical (pinned by the replay and
+        # within-batch chain tests).
+        ib = indexed_ids.withColumnRenamed(id_col, "__idx_b")
+        dropped = (
+            pairs.join(F.broadcast(ib), pairs.id_b == F.col("__idx_b"), "left")
+            .select(
+                F.when(F.col("__idx_b").isNotNull(), F.col("id_a"))
+                .otherwise(F.col("id_b"))
+                .alias(id_col)
             )
         )
-        dropped_in_batch = pairs.join(
-            indexed_ids,
-            (pairs.id_a == indexed_ids[id_col]) | (pairs.id_b == indexed_ids[id_col]),
-            "left_anti",
-        ).select(F.col("id_b").alias(id_col))
-        dropped = dropped_vs_index.unionByName(dropped_in_batch).distinct()
-        survivors = (
-            batch_df.join(dropped, id_col, "left_anti")
-            .join(indexed_ids, id_col, "left_anti")  # retry of a half-applied batch
-            .localCheckpoint(eager=True)
+        # no .distinct() on dropped and ONE anti join instead of two:
+        # left-anti tolerates duplicate right-side keys, and unioning the
+        # retry-membership ids into the same right side removes a second
+        # join (and its broadcast-build job) from the hot loop (r13)
+        obs_batch = obs_surv = None
+        gated = batch_df
+        if stats is not None:
+            # fold the per-batch counters into the action that already
+            # runs (r13, VERDICT r12 ask #2): rows_in and survivors ride
+            # the survivors checkpoint as observe() metrics instead of
+            # spending two dedicated count() jobs per batch. rows_in
+            # observes batch_df BELOW the anti join, so the metric still
+            # counts every input row; obs.get is read after the eager
+            # checkpoint, whose action fires both CollectMetrics nodes.
+            # names are unique per INVOCATION (not just per batch_id):
+            # observations match listener events by name, and a retried
+            # batch re-registering the same name could cross-talk with
+            # the failed attempt's still-registered listener
+            tag = f"{batch_id}_{time.monotonic_ns()}"
+            obs_batch = Observation(f"gate_rows_in_{tag}")
+            obs_surv = Observation(f"gate_survivors_{tag}")
+            gated = batch_df.observe(
+                obs_batch, F.count(F.lit(1)).alias("rows_in")
+            )
+        survivors_plan = gated.join(
+            dropped.unionByName(indexed_ids), id_col, "left_anti"
         )
+        if obs_surv is not None:
+            survivors_plan = survivors_plan.observe(
+                obs_surv, F.count(F.lit(1)).alias("survivors")
+            )
+        survivors = survivors_plan.localCheckpoint(eager=True)
         admit(survivors, batch_id)
         # index append: the survivors' bucket rows, filtered from the
         # checkpointed batch bucket frame — no second shingling pass
@@ -293,8 +335,17 @@ def near_dup_gate(
                 {
                     "batch_id": batch_id,
                     "secs": round(time.monotonic() - t0, 4),
-                    "rows_in": batch_df.count(),
-                    "survivors": survivors.count(),
+                    # rows_in/survivors come from the observe() metrics
+                    # that rode the survivors checkpoint — zero extra
+                    # jobs (r13; obs.get blocks until the metric is
+                    # published, which the eager checkpoint guaranteed
+                    # before admit ran). index_rows stays a count():
+                    # under parquet a statistics aggregate, and an
+                    # observe on the pruning scan would undercount
+                    # whenever runtime pruning skips files (an empty
+                    # batch prunes everything).
+                    "rows_in": obs_batch.get["rows_in"],
+                    "survivors": obs_surv.get["survivors"],
                     "index_rows": index.count(),
                     # file count of the index THIS batch read (captured at
                     # read time above) — a compaction's layout change
