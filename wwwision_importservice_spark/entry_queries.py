@@ -53,8 +53,8 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
-    "x4_media_metadata",  # PROMOTED r13 (VERDICT r12 ask #3; now NINE
-    # lanes incl. the new MP3/ADTS header-walk arms)
+    "x4_media_metadata",  # PROMOTED r13 (VERDICT r12 ask #3; now TEN
+    # lanes incl. the new MP3/ADTS header-walk and Ogg page-walk arms)
     "x4_flac_decode",  # NEW r11 (real FLAC decode, compressed-audio gap)
     "x2_ngram_decontaminate",  # NEW r11 (13-gram train/test overlap filter)
     "x6_incremental_curation",  # PROMOTED r11 (VERDICT r10 ask #2)
@@ -5246,17 +5246,23 @@ def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "x4_media_metadata",
-    # one mixed-modality corpus, NINE real container lanes, ONE
-    # oracle: doc_id % 9 picks PNG (md5-cycled 4x3 pixels), exact-gray
+    # one mixed-modality corpus, TEN real container lanes, ONE
+    # oracle: doc_id % 10 picks PNG (md5-cycled 4x3 pixels), exact-gray
     # q50 baseline JPEG, mono WAV, mono FLAC, the SAME gray grid as a
     # PROGRESSIVE (SOF2) JPEG (r12), an ISO-BMFF MP4, a Matroska
     # WebM (both r12 — container-walk metadata, no frame decode), a
-    # Xing/Info-tagged MPEG1-L3 MP3, or an ADTS AAC-LC stream (both
+    # Xing/Info-tagged MPEG1-L3 MP3, an ADTS AAC-LC stream (both
     # r13 — frame-HEADER walks, every byte of the frame region
     # restated in SQL: header arithmetic from the bitrate/sample-rate
     # tables + md5-hex bodies, so the sniff routing, the tag-frame
     # exclusion, and the frame-region content address all sit under
-    # the hash). The
+    # the hash), or an Ogg Opus/Vorbis stream (r13 — RFC 3533 page
+    # walk; the content address is the CONCATENATED media-packet
+    # payloads, so the fixture's b-varied pagination — continued
+    # packets included — provably cannot move the hash, and the Opus
+    # arm's granule is chosen as pre_skip + 48·ms so the 48 kHz
+    # granule arithmetic lands on an exact integer the SQL restates).
+    # The
     # WAV and FLAC docs carry the SAME md5-derived sample series, so
     # their payload_sha CASE arms are literally identical, pinning the
     # cross-container content-address; the baseline and progressive
@@ -5275,12 +5281,13 @@ def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 string arithmetic.
     f"""
 SELECT doc_id,
-       CASE WHEN m IN (2, 3, 7, 8) THEN 'audio'
+       CASE WHEN m IN (2, 3, 7, 8, 9) THEN 'audio'
             WHEN m IN (5, 6) THEN 'video'
             ELSE 'image' END AS kind,
        CASE m WHEN 0 THEN 'png' WHEN 2 THEN 'wav' WHEN 3 THEN 'flac'
               WHEN 5 THEN 'mp4' WHEN 6 THEN 'webm' WHEN 7 THEN 'mp3'
-              WHEN 8 THEN 'aac' ELSE 'jpeg' END AS format,
+              WHEN 8 THEN 'aac' WHEN 9 THEN 'ogg'
+              ELSE 'jpeg' END AS format,
        CAST(CASE WHEN m = 0 THEN 4 WHEN m IN (1, 4) THEN 8 * bw
                  WHEN m IN (5, 6) THEN 16 + b % 100 END AS INT) AS width,
        CAST(CASE WHEN m = 0 THEN 3 WHEN m IN (1, 4) THEN 8 * bh
@@ -5288,23 +5295,36 @@ SELECT doc_id,
          AS height,
        CAST(CASE WHEN m IN (2, 3) THEN n WHEN m = 5 THEN 1 + b % 30
                  WHEN m = 6 THEN 1 + b % 9 WHEN m = 7 THEN mp3_n
-                 WHEN m = 8 THEN aac_n ELSE 1 END AS INT) AS n_frames,
+                 WHEN m = 8 THEN aac_n WHEN m = 9 THEN ogg_p
+                 ELSE 1 END AS INT) AS n_frames,
        CAST(CASE WHEN m IN (2, 3) THEN 8000 WHEN m = 7 THEN mp3_sr
-                 WHEN m = 8 THEN aac_sr END AS INT) AS sample_rate,
+                 WHEN m = 8 THEN aac_sr
+                 WHEN m = 9 THEN ogg_sr END AS INT) AS sample_rate,
        CAST(CASE WHEN m IN (2, 3) THEN 1
                  WHEN m = 7 THEN 1 + (b // 9) % 2
-                 WHEN m = 8 THEN 1 + b % 6 END AS INT) AS channels,
+                 WHEN m = 8 THEN 1 + b % 6
+                 WHEN m = 9 THEN (CASE WHEN b % 2 = 0 THEN 1 + b % 2
+                                       ELSE 1 + b % 4 END)
+            END AS INT) AS channels,
        CAST(CASE WHEN m IN (2, 3) THEN 16 END AS INT) AS bits_per_sample,
        CAST(CASE WHEN m IN (5, 6) THEN 500 + b % 10000
                  WHEN m = 7 THEN mp3_n * 1152 * 1000 // mp3_sr
                  WHEN m = 8 THEN aac_n * 1024 * 1000 // aac_sr
+                 -- Opus: granule constructed as pre_skip + 48*ms so
+                 -- (granule - pre_skip)*1000 // 48000 == ms exactly;
+                 -- Vorbis: PCM granule over the stream rate
+                 WHEN m = 9 THEN (CASE WHEN b % 2 = 0 THEN 500 + b % 10000
+                                       ELSE (b % 100000) * 1000 // ogg_sr
+                                  END)
             END AS BIGINT) AS duration_ms,
        CASE WHEN m = 5 THEN (CASE WHEN b % 2 = 0 THEN 'avc1'
                                   ELSE 'hvc1' END)
             WHEN m = 6 THEN (CASE WHEN b % 2 = 0 THEN 'V_VP9'
                                   ELSE 'V_AV1' END)
             WHEN m = 7 THEN 'mpeg1-l3'
-            WHEN m = 8 THEN 'aac-lc' END AS codec,
+            WHEN m = 8 THEN 'aac-lc'
+            WHEN m = 9 THEN (CASE WHEN b % 2 = 0 THEN 'opus'
+                                  ELSE 'vorbis' END) END AS codec,
        CASE
          WHEN m = 0 THEN sha256(substr(repeat(mh, 3), 1, 72))
          WHEN m IN (1, 4) THEN sha256(array_to_string(
@@ -5338,6 +5358,11 @@ SELECT doc_id,
            printf('%02x', aac_fl // 8) ||
            printf('%02x', (aac_fl % 8) * 32 + 31) || 'fc' ||
            substr(repeat(mh, 4), 1, 2 * (aac_fl - 7)), aac_n))
+         -- Ogg: the content address is the CONCATENATED media-packet
+         -- payloads (ogg_p packets × ogg_l bytes of md5 hex) — page
+         -- framing, lacing, CRCs, and the b-varied pagination are all
+         -- provably outside the hash
+         WHEN m = 9 THEN sha256(substr(repeat(mh, 17), 1, 2 * ogg_p * ogg_l))
          ELSE sha256(substr(repeat(mh, 18), 1, 4 * n))
        END AS payload_sha
 FROM (
@@ -5349,7 +5374,7 @@ FROM (
          CASE WHEN (b // 9) % 2 = 0 THEN 17 ELSE 32 END AS mp3_side,
          17 + b % 40 AS aac_fl
   FROM (
-    SELECT doc_id, mh, b, doc_id % 9 AS m,
+    SELECT doc_id, mh, b, doc_id % 10 AS m,
            40 + b % 100 AS n, 2 + b % 3 AS bw, 2 + (b // 3) % 3 AS bh,
            list_transform(range(0, (2 + b % 3) * (2 + (b // 3) % 3)), k ->
              (CAST('0x' || substr(mh, 2*k+1, 2) AS INT) % 128) * 2) AS gs,
@@ -5357,7 +5382,12 @@ FROM (
            list_extract([128, 160, 192], 1 + (b // 3) % 3) AS mp3_kbps,
            1 + b % 12 AS mp3_n,
            list_extract([48000, 44100, 32000], 1 + b % 3) AS aac_sr,
-           1 + (b // 5) % 9 AS aac_n
+           1 + (b // 5) % 9 AS aac_n,
+           CASE WHEN b % 2 = 0
+                THEN list_extract([48000, 24000, 16000], 1 + b % 3)
+                ELSE list_extract([44100, 32000, 22050], 1 + b % 3)
+           END AS ogg_sr,
+           1 + (b // 4) % 8 AS ogg_p, 10 + b % 25 AS ogg_l
     FROM (
       SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mh,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
@@ -5380,11 +5410,12 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/multimodal.py:media_metadata``): one corpus whose
     blobs are real PNG, baseline-JPEG, WAV, FLAC, progressive-JPEG
     (SOF2, r12), ISO-BMFF MP4, Matroska WebM (both r12), MPEG1-L3 MP3,
-    or ADTS AAC-LC (both r13) files by ``doc_id % 9``; the kernel
-    sniffs each magic, decodes through the matching pure codec (video:
-    ``operators/videocodec.py`` box/EBML walk; MP3/AAC:
-    ``operators/mp3codec.py`` frame-header walk — no frame/sample
-    decode), and emits one typed row — image dims, audio
+    ADTS AAC-LC, or Ogg Opus/Vorbis (all r13) files by ``doc_id % 10``;
+    the kernel sniffs each magic, decodes through the matching pure
+    codec (video: ``operators/videocodec.py`` box/EBML walk; MP3/AAC:
+    ``operators/mp3codec.py`` frame-header walk; Ogg:
+    ``operators/oggcodec.py`` page walk — no frame/sample decode), and
+    emits one typed row — image dims, audio
     frame/rate/channel/bit-depth counts, video dims/duration/codec, and
     a decoded-payload content-address that is container-independent
     (the WAV and FLAC docs share one sample series and must hash
@@ -5409,6 +5440,7 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     import_flac = _codec_importer("flaccodec")
     import_vid = _codec_importer("videocodec")
     import_mp3 = _codec_importer("mp3codec")
+    import_ogg = _codec_importer("oggcodec")
 
     def synth(it):
         import hashlib as _hashlib
@@ -5422,14 +5454,43 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         flacc = import_flac()
         vidc = import_vid()
         mp3c = import_mp3()
+        oggc = import_ogg()
         for pdf in it:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 mh = _hashlib.md5(str(did).encode()).hexdigest()
                 b = int(mh[:15], 16)
-                m = did % 9
-                if m == 7:
+                m = did % 10
+                if m == 9:
+                    # Ogg: p equal-length md5-hex packets (the oracle
+                    # restates the CONCATENATION — packet boundaries
+                    # and the b-varied pagination are outside the
+                    # hash); Opus granule = pre_skip + 48*ms so the
+                    # 48 kHz arithmetic is exact, Vorbis granule is a
+                    # PCM position over the stream rate
+                    p, length = 1 + (b // 4) % 8, 10 + b % 25
+                    hx = (mh * 17)[: 2 * p * length]
+                    pkts = [
+                        bytes.fromhex(hx[2 * length * i : 2 * length * (i + 1)])
+                        for i in range(p)
+                    ]
+                    if b % 2 == 0:
+                        ms, ps = 500 + b % 10000, b % 1000
+                        blob = oggc.encode_ogg(
+                            "opus", (48000, 24000, 16000)[b % 3],
+                            1 + b % 2, pkts,
+                            granule_end=ps + 48 * ms, pre_skip=ps,
+                            max_page_segments=1 + b % 5,
+                        )
+                    else:
+                        blob = oggc.encode_ogg(
+                            "vorbis", (44100, 32000, 22050)[b % 3],
+                            1 + b % 4, pkts,
+                            granule_end=b % 100000,
+                            max_page_segments=1 + b % 5,
+                        )
+                elif m == 7:
                     # MPEG1 Layer III: rate/bitrate from the header
                     # tables, a Xing (even b) or Info (odd) tag frame,
                     # per-frame body = md5 hex sliced to the EXACT

@@ -453,7 +453,7 @@ MEDIA_METADATA_SCHEMA = (
 
 
 def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
-               mp3c=None):
+               mp3c=None, oggc=None):
     """One blob → one :data:`MEDIA_METADATA_SCHEMA` tuple. Module-level
     (not a closure) so the GIF single-decode and corrupt-blob policies
     are unit-testable without a Spark pass.
@@ -486,6 +486,13 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
       frame region so the same audio re-tagged (ID3v2/ID3v1) hashes
       identically. ``codec`` carries the family ("mpeg1-l3" /
       "aac-lc").
+    - Ogg containers (r13 — Opus, the web's voice codec, and legacy
+      Vorbis) route as ``kind='audio'`` through the
+      ``operators/oggcodec.py`` page walk: rate/channels from the
+      identification header, packet counts from the lacing tables,
+      duration from granule arithmetic (Opus at 48 kHz minus
+      pre-skip), content-addressed by the concatenated media-packet
+      payloads so the same audio RE-PAGINATED hashes identically.
     - Non-strict mode quarantines recognized-magic-but-corrupt blobs
       as ``kind='corrupt'`` rows (format = the sniffed container, sha
       = the blob's own bytes) instead of letting the typed decode
@@ -494,6 +501,8 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
     if mp3c is None:  # driver-side unit callers; the Arrow pass
         # always passes the worker-imported module explicitly
         from wwwision_importservice_spark.operators import mp3codec as mp3c
+    if oggc is None:
+        from wwwision_importservice_spark.operators import oggcodec as oggc
     fmt = img.sniff_format(data)
     audio = None if fmt is not None else (
         "wav" if wavc.sniff_wav(data) else
@@ -504,7 +513,8 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
     )
     stream = None if (fmt is not None or audio is not None or video) else (
         "aac" if mp3c.sniff_adts(data) else
-        "mp3" if mp3c.sniff_mp3(data) else None
+        "mp3" if mp3c.sniff_mp3(data) else
+        "ogg" if oggc.sniff_ogg(data) else None
     )
     try:
         if fmt is not None:
@@ -538,6 +548,15 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
                     meta.get("sample_rate"), meta.get("channels"),
                     None, meta["duration_ms"], meta["codec"], len(data),
                     hex_sha(vidc.media_payload(data, meta)))
+        if stream == "ogg":
+            # Ogg page walk (r13, the MP3 playbook's next lane): the
+            # content address is the concatenated media-PACKET payloads,
+            # so the same audio re-paginated/re-muxed hashes identically
+            meta = oggc.parse_ogg(data)
+            return (rid, "audio", "ogg", None, None, meta["n_frames"],
+                    meta["sample_rate"], meta["channels"], None,
+                    meta["duration_ms"], meta["codec"], len(data),
+                    hex_sha(oggc.media_payload(data, meta)))
         if stream is not None:
             meta = (mp3c.parse_adts(data) if stream == "aac"
                     else mp3c.parse_mp3(data))
@@ -575,9 +594,10 @@ def media_metadata(
     containers (BMP/PPM/PNG/GIF/JPEG incl. progressive) through the
     pure image codecs, RIFF-WAV and FLAC through the audio codecs,
     ISO-BMFF (MP4/MOV) and Matroska/WebM through the container walkers,
-    MPEG-audio (MP3) and ADTS-AAC through the frame-header walk (r13) —
-    decodes it for real (video/MP3/AAC: header walk only, no
-    frame/sample decode), and emits one typed row:
+    MPEG-audio (MP3) and ADTS-AAC through the frame-header walk, Ogg
+    (Opus/Vorbis) through the page walk (all r13) — decodes it for
+    real (video/MP3/AAC/Ogg: header walk only, no frame/sample
+    decode), and emits one typed row:
 
     ``(id, kind, format, width, height, n_frames, sample_rate,
     channels, bits_per_sample, duration_ms, codec, n_bytes,
@@ -606,6 +626,7 @@ def media_metadata(
     import_flac = _codec_importer("flaccodec")
     import_vid = _codec_importer("videocodec")
     import_mp3 = _codec_importer("mp3codec")
+    import_ogg = _codec_importer("oggcodec")
     be_strict = bool(strict)
 
     def batches(it: Iterator) -> Iterator:
@@ -618,6 +639,7 @@ def media_metadata(
         flacc = import_flac()
         vidc = import_vid()
         mp3c = import_mp3()
+        oggc = import_ogg()
 
         def hex_sha(b: bytes) -> str:
             return _hashlib.sha256(b.hex().encode()).hexdigest()
@@ -625,7 +647,7 @@ def media_metadata(
         for pdf in it:
             rows = [
                 _media_row(int(rid), bytes(blob), img, wavc, flacc, vidc,
-                           be_strict, hex_sha, mp3c)
+                           be_strict, hex_sha, mp3c, oggc)
                 for rid, blob in zip(pdf[id_col], pdf[blob_col])
             ]
             out = pd.DataFrame(
