@@ -636,3 +636,184 @@ def test_webm_block_walk_budget_is_typed(monkeypatch):
     patched = blob[:seg_at] + _ebml(0x18538067, seg_body + bad)
     with pytest.raises(VideoDecodeError, match="truncated block"):
         parse_webm(patched)
+
+
+# --------------------------------------------------------------------------
+# HEIF / AVIF image items (r13) — the misrouting fix: image-item
+# ISO-BMFF (every iPhone HEIC, web AVIF) previously fell through the
+# empty track walk as kind='audio' format='mp4' all-NULL.
+
+def _heif_imports():
+    from wwwision_importservice_spark.operators.videocodec import (
+        encode_heif,
+        parse_heif,
+        sniff_heif,
+    )
+    return encode_heif, parse_heif, sniff_heif
+
+
+def test_heif_roundtrip_and_decoy_resolution():
+    """The PRIMARY item's ispe wins through pitm→ipma→ipco, not
+    whichever ispe is first: the encoder writes the decoy thumbnails'
+    half-size properties BEFORE the primary's in ipco, so a
+    first-ispe-wins parser reports wrong dims here."""
+    encode_heif, parse_heif, sniff_heif = _heif_imports()
+    blob = encode_heif(640, 480, codec="av01", payload=b"coded" * 10,
+                       extra_items=3)
+    assert sniff_heif(blob)
+    meta = parse_heif(blob)
+    assert (meta["width"], meta["height"]) == (640, 480)
+    assert meta["codec"] == "av01" and meta["format"] == "avif"
+    assert meta["n_frames"] == 1 and not meta["animated"]
+    assert mdat_payload(blob, meta) == b"coded" * 10
+    # no decoys: same report
+    plain = parse_heif(encode_heif(640, 480, codec="av01",
+                                   payload=b"coded" * 10))
+    assert (plain["width"], plain["height"], plain["codec"]) == \
+        (640, 480, "av01")
+
+
+def test_heif_brands_and_sequences():
+    encode_heif, parse_heif, sniff_heif = _heif_imports()
+    heic = encode_heif(4032, 3024, codec="hvc1")
+    m = parse_heif(heic)
+    assert m["format"] == "heic" and m["codec"] == "hvc1"
+    assert m["major_brand"] == "heic"
+    # sequence brand: animated, frame count honestly unknown (None, the
+    # trak carries it) rather than a false 1
+    avis = encode_heif(64, 64, codec="av01", brand="avis")
+    m2 = parse_heif(avis)
+    assert m2["animated"] and m2["n_frames"] is None
+    assert m2["format"] == "avif"
+    # compatible-brand detection: major mif1, codec brand in compat list
+    mif = encode_heif(32, 32, codec="hvc1", brand="mif1")
+    assert sniff_heif(mif) and parse_heif(mif)["format"] == "heif"
+    # plain movie brands must not sniff as heif (order-based dispatch)
+    movie = encode_mp4(64, 48, 1000, payload=b"x" * 8, codec="avc1",
+                       n_frames=2)
+    assert not sniff_heif(movie) and sniff_mp4(movie)
+
+
+def test_heif_fallbacks_without_pitm_and_metadata_items():
+    """Minimal encoders omit pitm/ipma: the first IMAGE item and first
+    ispe drive the report, and metadata item types (Exif/mime) never
+    do."""
+    from wwwision_importservice_spark.operators.videocodec import (
+        _box,
+        _full,
+        parse_heif,
+    )
+
+    hdlr = _full(b"hdlr", 0, b"\x00" * 4 + b"pict" + b"\x00" * 13)
+    infes = (
+        _box(b"infe", bytes([2, 0, 0, 0]) + struct.pack(">HH", 1, 0)
+             + b"Exif" + b"\x00")
+        + _box(b"infe", bytes([2, 0, 0, 0]) + struct.pack(">HH", 2, 0)
+               + b"av01" + b"\x00")
+    )
+    iinf = _full(b"iinf", 0, struct.pack(">H", 2) + infes)
+    ipco = _box(b"ipco", _full(b"ispe", 0, struct.pack(">II", 100, 50)))
+    iprp = _box(b"iprp", ipco)
+    meta = _box(b"meta", bytes(4) + hdlr + iinf + iprp)
+    ftyp = _box(b"ftyp", b"avif" + struct.pack(">I", 0) + b"avifmif1")
+    blob = ftyp + meta + _box(b"mdat", b"p")
+    m = parse_heif(blob)
+    assert m["codec"] == "av01"  # Exif item skipped
+    assert (m["width"], m["height"]) == (100, 50)
+
+
+def test_heif_error_contract():
+    from wwwision_importservice_spark.operators.videocodec import (
+        _box,
+        _full,
+        parse_heif,
+    )
+
+    encode_heif, _parse, sniff_heif = _heif_imports()
+    with pytest.raises(VideoDecodeError, match="image brand"):
+        parse_heif(encode_mp4(32, 32, 100, payload=b"x"))
+    # meta whose handler is not 'pict'
+    hdlr = _full(b"hdlr", 0, b"\x00" * 4 + b"vide" + b"\x00" * 13)
+    ftyp = _box(b"ftyp", b"avif" + struct.pack(">I", 0) + b"avif")
+    blob = ftyp + _box(b"meta", bytes(4) + hdlr)
+    with pytest.raises(VideoDecodeError, match="pict"):
+        parse_heif(blob)
+    # truncated pitm / ispe
+    good = encode_heif(10, 10, codec="av01", payload=b"z")
+    pitm_at = good.index(b"pitm")
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, pitm_at - 4, 8 + 4)  # body ends after flags
+    with pytest.raises(VideoDecodeError):
+        parse_heif(bytes(bad))
+    # encoder contract
+    with pytest.raises(ValueError, match="positive"):
+        encode_heif(0, 5)
+    with pytest.raises(ValueError, match="fourcc"):
+        encode_heif(5, 5, codec="toolong")
+    with pytest.raises(ValueError, match="image brand"):
+        encode_heif(5, 5, brand="isom")
+    with pytest.raises(ValueError, match="0..126"):
+        encode_heif(5, 5, extra_items=127)
+
+
+def test_heif_mutation_fuzz_error_contract():
+    """Family fuzz: every mutation either parses to a dict or raises
+    VideoDecodeError — no other exception, no hang."""
+    from conftest import mutate_blob
+
+    encode_heif, parse_heif, sniff_heif = _heif_imports()
+    rng = random.Random(0x43E1F)
+    bases = [
+        encode_heif(320, 200, codec="av01", payload=b"q" * 40,
+                    extra_items=2),
+        encode_heif(64, 64, codec="hvc1", payload=b"h" * 16),
+    ]
+    outcomes = {"ok": 0, "rejected": 0}
+    start = time.perf_counter()
+    for base in bases:
+        for _ in range(500):
+            blob = bytes(mutate_blob(rng, base))
+            if not sniff_heif(blob):
+                continue
+            try:
+                meta = parse_heif(blob)
+                assert isinstance(meta, dict)
+                outcomes["ok"] += 1
+            except VideoDecodeError:
+                outcomes["rejected"] += 1
+    assert outcomes["ok"] > 0, outcomes
+    assert time.perf_counter() - start < 20.0
+
+
+def test_media_row_routes_heif_not_audio():
+    """THE regression pin: AVIF/HEIC bytes route as kind='image' with
+    real dims/codec — before r13 they fell through the track walk as
+    kind='audio' format='mp4' with every field NULL. Corrupt meta
+    quarantines; strict raises."""
+    import hashlib
+
+    from wwwision_importservice_spark.operators import (
+        audiocodec as wavc,
+        flaccodec as flacc,
+        imagecodec as img,
+        videocodec as vidc,
+    )
+    from wwwision_importservice_spark.operators.multimodal import _media_row
+
+    def hex_sha(b):
+        return hashlib.sha256(b.hex().encode()).hexdigest()
+
+    encode_heif, _parse, _sniff = _heif_imports()
+    blob = encode_heif(1920, 1080, codec="av01", payload=b"payload" * 5,
+                       extra_items=1)
+    row = _media_row(1, blob, img, wavc, flacc, vidc, False, hex_sha)
+    assert row[1] == "image" and row[2] == "avif"
+    assert (row[3], row[4], row[5]) == (1920, 1080, 1)
+    assert row[10] == "av01"
+    assert row[12] == hex_sha(b"payload" * 5)  # coded-payload address
+    # corrupt: truncate inside meta -> quarantine as heif, not a crash
+    bad = blob[: blob.index(b"ispe") + 6]
+    row_c = _media_row(2, bad, img, wavc, flacc, vidc, False, hex_sha)
+    assert row_c[1] == "corrupt" and row_c[2] == "heif"
+    with pytest.raises(VideoDecodeError):
+        _media_row(2, bad, img, wavc, flacc, vidc, True, hex_sha)

@@ -5246,8 +5246,8 @@ def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "x4_media_metadata",
-    # one mixed-modality corpus, TEN real container lanes, ONE
-    # oracle: doc_id % 10 picks PNG (md5-cycled 4x3 pixels), exact-gray
+    # one mixed-modality corpus, ELEVEN real container lanes, ONE
+    # oracle: doc_id % 11 picks PNG (md5-cycled 4x3 pixels), exact-gray
     # q50 baseline JPEG, mono WAV, mono FLAC, the SAME gray grid as a
     # PROGRESSIVE (SOF2) JPEG (r12), an ISO-BMFF MP4, a Matroska
     # WebM (both r12 — container-walk metadata, no frame decode), a
@@ -5261,8 +5261,12 @@ def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # payloads, so the fixture's b-varied pagination — continued
     # packets included — provably cannot move the hash, and the Opus
     # arm's granule is chosen as pre_skip + 48·ms so the 48 kHz
-    # granule arithmetic lands on an exact integer the SQL restates).
-    # The
+    # granule arithmetic lands on an exact integer the SQL restates),
+    # or an AVIF/HEIC image-item file (r13 — the meta-box walk: dims
+    # come from the PRIMARY item's ispe resolved through pitm/ipma,
+    # with b%4 half-size decoy thumbnail items ahead of it in ipco, so
+    # a first-ispe-wins parser fails the hash; content address = the
+    # coded mdat payload). The
     # WAV and FLAC docs carry the SAME md5-derived sample series, so
     # their payload_sha CASE arms are literally identical, pinning the
     # cross-container content-address; the baseline and progressive
@@ -5287,11 +5291,15 @@ SELECT doc_id,
        CASE m WHEN 0 THEN 'png' WHEN 2 THEN 'wav' WHEN 3 THEN 'flac'
               WHEN 5 THEN 'mp4' WHEN 6 THEN 'webm' WHEN 7 THEN 'mp3'
               WHEN 8 THEN 'aac' WHEN 9 THEN 'ogg'
+              WHEN 10 THEN (CASE WHEN b % 2 = 0 THEN 'avif'
+                                 ELSE 'heic' END)
               ELSE 'jpeg' END AS format,
        CAST(CASE WHEN m = 0 THEN 4 WHEN m IN (1, 4) THEN 8 * bw
-                 WHEN m IN (5, 6) THEN 16 + b % 100 END AS INT) AS width,
+                 WHEN m IN (5, 6) THEN 16 + b % 100
+                 WHEN m = 10 THEN 16 + b % 4000 END AS INT) AS width,
        CAST(CASE WHEN m = 0 THEN 3 WHEN m IN (1, 4) THEN 8 * bh
-                 WHEN m IN (5, 6) THEN 16 + (b // 7) % 100 END AS INT)
+                 WHEN m IN (5, 6) THEN 16 + (b // 7) % 100
+                 WHEN m = 10 THEN 16 + (b // 7) % 4000 END AS INT)
          AS height,
        CAST(CASE WHEN m IN (2, 3) THEN n WHEN m = 5 THEN 1 + b % 30
                  WHEN m = 6 THEN 1 + b % 9 WHEN m = 7 THEN mp3_n
@@ -5324,7 +5332,9 @@ SELECT doc_id,
             WHEN m = 7 THEN 'mpeg1-l3'
             WHEN m = 8 THEN 'aac-lc'
             WHEN m = 9 THEN (CASE WHEN b % 2 = 0 THEN 'opus'
-                                  ELSE 'vorbis' END) END AS codec,
+                                  ELSE 'vorbis' END)
+            WHEN m = 10 THEN (CASE WHEN b % 2 = 0 THEN 'av01'
+                                   ELSE 'hvc1' END) END AS codec,
        CASE
          WHEN m = 0 THEN sha256(substr(repeat(mh, 3), 1, 72))
          WHEN m IN (1, 4) THEN sha256(array_to_string(
@@ -5363,6 +5373,10 @@ SELECT doc_id,
          -- framing, lacing, CRCs, and the b-varied pagination are all
          -- provably outside the hash
          WHEN m = 9 THEN sha256(substr(repeat(mh, 17), 1, 2 * ogg_p * ogg_l))
+         -- AVIF/HEIC: the coded item payload in mdat (md5 hex bytes);
+         -- the meta-box framing, decoy thumbnail properties, and iloc
+         -- offsets are all outside the hash
+         WHEN m = 10 THEN sha256(substr(repeat(mh, 4), 1, 2 * (20 + b % 40)))
          ELSE sha256(substr(repeat(mh, 18), 1, 4 * n))
        END AS payload_sha
 FROM (
@@ -5374,7 +5388,7 @@ FROM (
          CASE WHEN (b // 9) % 2 = 0 THEN 17 ELSE 32 END AS mp3_side,
          17 + b % 40 AS aac_fl
   FROM (
-    SELECT doc_id, mh, b, doc_id % 10 AS m,
+    SELECT doc_id, mh, b, doc_id % 11 AS m,
            40 + b % 100 AS n, 2 + b % 3 AS bw, 2 + (b // 3) % 3 AS bh,
            list_transform(range(0, (2 + b % 3) * (2 + (b // 3) % 3)), k ->
              (CAST('0x' || substr(mh, 2*k+1, 2) AS INT) % 128) * 2) AS gs,
@@ -5410,12 +5424,14 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/multimodal.py:media_metadata``): one corpus whose
     blobs are real PNG, baseline-JPEG, WAV, FLAC, progressive-JPEG
     (SOF2, r12), ISO-BMFF MP4, Matroska WebM (both r12), MPEG1-L3 MP3,
-    ADTS AAC-LC, or Ogg Opus/Vorbis (all r13) files by ``doc_id % 10``;
-    the kernel sniffs each magic, decodes through the matching pure
-    codec (video: ``operators/videocodec.py`` box/EBML walk; MP3/AAC:
-    ``operators/mp3codec.py`` frame-header walk; Ogg:
-    ``operators/oggcodec.py`` page walk — no frame/sample decode), and
-    emits one typed row — image dims, audio
+    ADTS AAC-LC, Ogg Opus/Vorbis, or AVIF/HEIC image items (all r13)
+    files by ``doc_id % 11``; the kernel sniffs each magic, decodes
+    through the matching pure codec (video: ``operators/videocodec.py``
+    box/EBML walk; MP3/AAC: ``operators/mp3codec.py`` frame-header
+    walk; Ogg: ``operators/oggcodec.py`` page walk; AVIF/HEIC: the
+    meta-box item walk with decoy thumbnails proving pitm/ipma
+    resolution — no frame/sample decode), and emits one typed row —
+    image dims, audio
     frame/rate/channel/bit-depth counts, video dims/duration/codec, and
     a decoded-payload content-address that is container-independent
     (the WAV and FLAC docs share one sample series and must hash
@@ -5461,8 +5477,19 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 did = int(did)
                 mh = _hashlib.md5(str(did).encode()).hexdigest()
                 b = int(mh[:15], 16)
-                m = did % 10
-                if m == 9:
+                m = did % 11
+                if m == 10:
+                    # AVIF/HEIC image item: dims via the primary item's
+                    # ispe with b%4 half-size DECOY thumbnail items
+                    # ahead of it in ipco — pitm/ipma resolution sits
+                    # under the driver hash; payload = coded md5 bytes
+                    blob = vidc.encode_heif(
+                        16 + b % 4000, 16 + (b // 7) % 4000,
+                        codec="av01" if b % 2 == 0 else "hvc1",
+                        payload=bytes.fromhex((mh * 4)[: 2 * (20 + b % 40)]),
+                        extra_items=b % 4,
+                    )
+                elif m == 9:
                     # Ogg: p equal-length md5-hex packets (the oracle
                     # restates the CONCATENATION — packet boundaries
                     # and the b-varied pagination are outside the

@@ -508,7 +508,13 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
         "wav" if wavc.sniff_wav(data) else
         "flac" if flacc.sniff_flac(data) else None
     )
-    video = fmt is None and audio is None and (
+    # HEIF/AVIF before the movie check: image-item files are ISO-BMFF
+    # too (sniff_mp4 matches them), but their picture lives in a meta
+    # box, not a trak — before r13 every iPhone photo (HEIC) and web
+    # AVIF fell through the empty track walk as kind='audio' with
+    # all-NULL fields
+    heif = fmt is None and audio is None and vidc.sniff_heif(data)
+    video = fmt is None and audio is None and not heif and (
         vidc.sniff_mp4(data) or vidc.sniff_webm(data)
     )
     stream = None if (fmt is not None or audio is not None or video) else (
@@ -539,6 +545,17 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
             return (rid, "audio", audio, None, None, arr.shape[0], sr,
                     arr.shape[1], bps, None, None, len(data),
                     hex_sha(arr.astype(dt).tobytes()))
+        if heif:
+            # image-ITEM container: dims/codec from the meta-box walk;
+            # the content address is the coded item payload (mdat
+            # spans) — decoding av01/hvc1 bitstreams is out of scope,
+            # so unlike the plain-image lanes the hash addresses the
+            # CODED payload, the video-lane convention
+            meta = vidc.parse_heif(data)
+            return (rid, "image", meta["format"], meta["width"],
+                    meta["height"], meta["n_frames"], None, None, None,
+                    None, meta["codec"], len(data),
+                    hex_sha(vidc.mdat_payload(data, meta)))
         if video:
             meta = (vidc.parse_mp4(data) if vidc.sniff_mp4(data)
                     else vidc.parse_webm(data))
@@ -571,7 +588,9 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
             vidc.VideoDecodeError):
         if strict:
             raise
-        container = stream or ("mp4" if vidc.sniff_mp4(data) else "webm")
+        container = stream or (
+            "heif" if heif else "mp4" if vidc.sniff_mp4(data) else "webm"
+        )
         return (rid, "corrupt", fmt or audio or container, None, None,
                 None, None, None, None, None, None, len(data),
                 hex_sha(data))

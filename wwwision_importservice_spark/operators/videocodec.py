@@ -631,6 +631,280 @@ def mdat_payload(data: bytes, meta: dict | None = None) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# HEIF / AVIF — ISO-BMFF *image-item* files (ISO/IEC 23008-12): the
+# picture is an untimed ITEM inside a top-level `meta` box, not a trak,
+# so the track walk above sees an empty movie. Before r13 every iPhone
+# photo (HEIC) and modern web AVIF routed as kind='audio' format='mp4'
+# with all-NULL fields — the misrouting class this family exists to
+# prevent. Same posture as the rest of the file: box arithmetic only
+# (ispe dims, infe item types, ipma/ipco associations), no bitstream
+# decode, bomb-capped via the shared _walk counters, typed errors.
+
+#: ftyp brands that mark an image-item file → reported format family.
+#: Sequence brands (avis/msf1) are animated variants of the same
+#: containers (ISO 23008-12 §10).
+_HEIF_BRAND_FORMAT = {
+    b"avif": "avif", b"avis": "avif",
+    b"heic": "heic", b"heix": "heic", b"hevc": "heic", b"hevx": "heic",
+    b"mif1": "heif", b"msf1": "heif",
+}
+_HEIF_SEQUENCE_BRANDS = {b"avis", b"msf1", b"hevc", b"hevx"}
+
+
+def _ftyp_brands(data: bytes) -> list[bytes]:
+    """Major + compatible brands from a leading ftyp box, or [] when
+    the prefix is not a well-formed ftyp (sniff convention: malformed
+    means 'not this format', never an exception)."""
+    if len(data) < 16 or data[4:8] != b"ftyp":
+        return []
+    (size,) = struct.unpack_from(">I", data, 0)
+    if size < 16 or size > len(data) or size % 4:
+        return []
+    return [data[8:12]] + [
+        data[off : off + 4] for off in range(16, size, 4)
+    ]
+
+
+def sniff_heif(data: bytes) -> bool:
+    """Image-item ISO-BMFF magic: any ftyp brand (major OR compatible —
+    real encoders commonly write major ``mif1`` with the codec brand in
+    the compatible list) is a HEIF/AVIF image brand. Disjoint from
+    :func:`sniff_mp4` routing by ORDER, not by bytes — ``media_metadata``
+    checks this first, so plain movies (brands isom/mp42/...) still
+    reach the track walk."""
+    return any(b in _HEIF_BRAND_FORMAT for b in _ftyp_brands(data))
+
+
+def parse_heif(data: bytes) -> dict:
+    """HEIF/AVIF bytes → metadata dict:
+
+    ``{"format": "avif"|"heic"|"heif", "major_brand": str,
+    "width": int|None, "height": int|None, "codec": str|None,
+    "n_frames": int|None, "animated": bool,
+    "mdat_spans": [(start, end), ...]}``
+
+    The PRIMARY item (``pitm``) drives the report: its ``infe``
+    item_type is the codec (``av01``/``hvc1``/...), and its ``ispe``
+    property — resolved through the ``ipma`` association table into the
+    ordered ``ipco`` property list (ISO 14496-12 §8.11.14) — carries
+    the dims, so a file with thumbnail/alpha auxiliary items reports
+    the full-resolution image, not whichever ispe happens first. Files
+    without pitm/ipma (minimal single-item encoders) fall back to the
+    first image item and the first ispe. ``n_frames`` is 1 for still
+    images and None for sequence brands (avis/msf1 — the frame count
+    lives in a trak the still-image walk does not parse; None beats a
+    false 1). ``mdat_spans`` locate the coded payload for
+    content-addressing (:func:`mdat_payload` accepts this dict), the
+    video-lane convention — item payloads are codec bitstreams, so
+    unlike plain images the address is the CODED payload, not decoded
+    pixels."""
+    brands = _ftyp_brands(data)
+    fmt = next(
+        (_HEIF_BRAND_FORMAT[b] for b in brands if b in _HEIF_BRAND_FORMAT),
+        None,
+    )
+    if fmt is None:
+        raise VideoDecodeError("no HEIF/AVIF image brand in ftyp")
+    counter = [0]
+    out: dict = {
+        "format": fmt, "major_brand": brands[0].decode("latin-1"),
+        "width": None, "height": None, "codec": None,
+        "n_frames": None if any(
+            b in _HEIF_SEQUENCE_BRANDS for b in brands
+        ) else 1,
+        "animated": any(b in _HEIF_SEQUENCE_BRANDS for b in brands),
+        "mdat_spans": [],
+    }
+    pitm_id: int | None = None
+    items: list[tuple[int, str]] = []  # (item_id, item_type) file order
+    ipco_props: list[tuple[bytes, int, int]] = []
+    ipma: dict[int, list[int]] = {}  # item_id -> 1-based ipco indices
+    for fourcc, body, box_end, depth in _walk(data, 0, len(data), 0, counter):
+        if fourcc == b"mdat":
+            out["mdat_spans"].append((body, box_end))
+        elif fourcc == b"meta":
+            version, pos = _full_box(data, body, box_end)
+            for fc, b, e, d in _walk(data, pos, box_end, depth + 1, counter):
+                if fc == b"hdlr":
+                    if _hdlr(data, b, e) != b"pict":
+                        raise VideoDecodeError(
+                            "meta handler is not 'pict' (not an image-item "
+                            "meta box)"
+                        )
+                elif fc == b"pitm":
+                    v, p = _full_box(data, b, e)
+                    width = 2 if v == 0 else 4
+                    if p + width > e:
+                        raise VideoDecodeError("truncated pitm")
+                    pitm_id = int.from_bytes(data[p : p + width], "big")
+                elif fc == b"iinf":
+                    v, p = _full_box(data, b, e)
+                    p += 2 if v == 0 else 4  # entry_count (walk finds them)
+                    for fc2, b2, e2, _d2 in _walk(data, p, e, d + 1, counter):
+                        if fc2 != b"infe":
+                            continue
+                        v2, p2 = _full_box(data, b2, e2)
+                        if v2 < 2:
+                            # pre-HEIF infe (no item_type field): skip —
+                            # image items require version >= 2 (23008-12)
+                            continue
+                        idw = 2 if v2 == 2 else 4
+                        if p2 + idw + 2 + 4 > e2:
+                            raise VideoDecodeError("truncated infe")
+                        iid = int.from_bytes(data[p2 : p2 + idw], "big")
+                        itype = data[p2 + idw + 2 : p2 + idw + 6]
+                        items.append((iid, itype.decode("latin-1")))
+                elif fc == b"iprp":
+                    for fc2, b2, e2, d2 in _walk(data, b, e, d + 1, counter):
+                        if fc2 == b"ipco":
+                            ipco_props = [
+                                (fc3, b3, e3)
+                                for fc3, b3, e3, _ in _walk(
+                                    data, b2, e2, d2 + 1, counter
+                                )
+                            ]
+                        elif fc2 == b"ipma":
+                            v2, p2 = _full_box(data, b2, e2)
+                            flags = int.from_bytes(data[b2 + 1 : b2 + 4], "big")
+                            if p2 + 4 > e2:
+                                raise VideoDecodeError("truncated ipma")
+                            (n_entries,) = struct.unpack_from(">I", data, p2)
+                            p2 += 4
+                            for _i in range(n_entries):
+                                idw = 2 if v2 < 1 else 4
+                                if p2 + idw + 1 > e2:
+                                    raise VideoDecodeError("truncated ipma")
+                                iid = int.from_bytes(
+                                    data[p2 : p2 + idw], "big"
+                                )
+                                p2 += idw
+                                n_assoc = data[p2]
+                                p2 += 1
+                                aw = 2 if flags & 1 else 1
+                                if p2 + n_assoc * aw > e2:
+                                    raise VideoDecodeError("truncated ipma")
+                                idxs = []
+                                for _j in range(n_assoc):
+                                    raw = int.from_bytes(
+                                        data[p2 : p2 + aw], "big"
+                                    )
+                                    p2 += aw
+                                    # high bit = essential; rest = 1-based
+                                    # ipco index (0 = none)
+                                    idx = raw & (0x7FFF if aw == 2 else 0x7F)
+                                    if idx:
+                                        idxs.append(idx)
+                                ipma[iid] = idxs
+    # metadata-only item types never drive the report
+    image_items = [
+        (iid, t) for iid, t in items if t not in ("mime", "Exif", "uri ")
+    ]
+    primary = next(
+        ((iid, t) for iid, t in image_items if iid == pitm_id),
+        image_items[0] if image_items else None,
+    )
+    if primary is not None:
+        out["codec"] = primary[1]
+        assoc = ipma.get(primary[0])
+        candidates = (
+            [ipco_props[i - 1] for i in assoc if 0 < i <= len(ipco_props)]
+            if assoc is not None
+            else ipco_props
+        )
+        for fc, b, e in candidates:
+            if fc == b"ispe":
+                _v, p = _full_box(data, b, e)
+                if p + 8 > e:
+                    raise VideoDecodeError("truncated ispe")
+                out["width"], out["height"] = struct.unpack_from(
+                    ">II", data, p
+                )
+                break
+    return out
+
+
+def encode_heif(
+    width: int,
+    height: int,
+    codec: str = "av01",
+    payload: bytes = b"",
+    brand: str | None = None,
+    extra_items: int = 0,
+) -> bytes:
+    """Minimal conformant HEIF/AVIF still image for the fixture/oracle
+    playbook: ftyp (brand + mif1 compatible), a ``pict`` meta box with
+    pitm → infe(v2, ``codec``) → ipco(ispe) + ipma association, an iloc
+    whose 4-byte extent points at the real mdat payload offset, and the
+    payload itself in mdat. ``brand`` defaults to ``avif`` for av01 and
+    ``heic`` otherwise. ``extra_items`` appends that many decoy
+    thumbnail items (half-size ispe properties, own ipma rows) BEFORE
+    the primary's property in ipco — a file where "first ispe wins"
+    reports the wrong dims, pinning the pitm/ipma resolution. Trusted-
+    but-validated inputs, the family's encoder contract."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    if len(codec) != 4:
+        raise ValueError(f"codec must be a fourcc, got {codec!r}")
+    if not 0 <= extra_items <= 126:
+        # the v0 ipma association index is 7 bits; 0x80|idx would
+        # silently alias past 127
+        raise ValueError("extra_items must be 0..126")
+    brand = brand or ("avif" if codec == "av01" else "heic")
+    if brand.encode() not in _HEIF_BRAND_FORMAT:
+        raise ValueError(f"brand {brand!r} is not an image brand")
+    primary_id = extra_items + 1  # decoys first: order must not matter
+    ftyp = _box(
+        b"ftyp", brand.encode() + struct.pack(">I", 0)
+        + brand.encode() + b"mif1"
+    )
+
+    def build_meta(mdat_offset: int) -> bytes:
+        hdlr = _full(b"hdlr", 0, b"\x00" * 4 + b"pict" + b"\x00" * 13)
+        pitm = _full(b"pitm", 0, struct.pack(">H", primary_id))
+        infes = b"".join(
+            _box(b"infe", bytes([2, 0, 0, 0])
+                 + struct.pack(">HH", iid, 0) + codec.encode() + b"\x00")
+            for iid in range(1, extra_items + 2)
+        )
+        iinf = _full(
+            b"iinf", 0, struct.pack(">H", extra_items + 1) + infes
+        )
+        # ipco: decoy half-size ispe properties FIRST, primary's last
+        props = [
+            _full(b"ispe", 0, struct.pack(
+                ">II", max(width // 2, 1), max(height // 2, 1)
+            ))
+            for _ in range(extra_items)
+        ] + [_full(b"ispe", 0, struct.pack(">II", width, height))]
+        ipco = _box(b"ipco", b"".join(props))
+        assoc_rows = b"".join(
+            struct.pack(">HB", iid, 1) + bytes([0x80 | idx])
+            for idx, iid in enumerate(range(1, extra_items + 2), start=1)
+        )
+        ipma = _full(
+            b"ipma", 0, struct.pack(">I", extra_items + 1) + assoc_rows
+        )
+        iprp = _box(b"iprp", ipco + ipma)
+        iloc = _full(
+            b"iloc", 0,
+            bytes([0x44, 0x00])  # offset_size=4, length_size=4, base=0
+            + struct.pack(">H", 1)  # item_count
+            + struct.pack(">HHH", primary_id, 0, 1)  # id, dref, extents
+            + struct.pack(">II", mdat_offset, len(payload)),
+        )
+        return _box(
+            b"meta",
+            bytes([0, 0, 0, 0]) + hdlr + pitm + iinf + iprp + iloc,
+        )
+
+    # two-pass: iloc's extent offset is absolute, but its own width is
+    # fixed (4 bytes), so the meta size is offset-independent
+    meta_size = len(build_meta(0))
+    mdat_offset = len(ftyp) + meta_size + 8
+    return ftyp + build_meta(mdat_offset) + _box(b"mdat", payload)
+
+
+# --------------------------------------------------------------------------
 # Matroska / WebM (EBML) — the other container real crawls are full of.
 # Same posture as the ISO-BMFF walk: metadata only (Info duration,
 # Tracks video dims + codec id), no block decode, bomb-capped, typed
@@ -1049,6 +1323,9 @@ __all__ = [
     "parse_mp4",
     "encode_mp4",
     "mdat_payload",
+    "sniff_heif",
+    "parse_heif",
+    "encode_heif",
     "sniff_webm",
     "parse_webm",
     "encode_webm",
