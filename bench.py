@@ -186,12 +186,13 @@ HEADLINE = [
     # contaminated-id distinct)
     "x4_flac_decode",
     "x2_ngram_decontaminate",
-    # NOT headlined: x4_media_metadata (the r12 six-container routing
-    # pass) measured 12.3s at sf0.1 of which ~95% is the FIXTURE
-    # synthesizing six real container encodings per doc — benching it
-    # would blur the round-over-round total with encode cost the
-    # operator never pays on real data; its correctness runs in the
-    # oracle tier and the codecs' own rows stay headlined.
+    # NOT headlined: x4_media_metadata (the eleven-container routing
+    # pass, a DRIVER row since r13) measured 12.3s at sf0.1 of which
+    # ~95% is the FIXTURE synthesizing a real container encoding per
+    # doc — benching it would blur the round-over-round total with
+    # encode cost the operator never pays on real data; its
+    # correctness runs under the driver hash and the codecs' own rows
+    # stay headlined.
 ]
 
 
