@@ -5246,8 +5246,8 @@ def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "x4_media_metadata",
-    # one mixed-modality corpus, ELEVEN real container lanes, ONE
-    # oracle: doc_id % 11 picks PNG (md5-cycled 4x3 pixels), exact-gray
+    # one mixed-modality corpus, TWELVE real container lanes, ONE
+    # oracle: doc_id % 12 picks PNG (md5-cycled 4x3 pixels), exact-gray
     # q50 baseline JPEG, mono WAV, mono FLAC, the SAME gray grid as a
     # PROGRESSIVE (SOF2) JPEG (r12), an ISO-BMFF MP4, a Matroska
     # WebM (both r12 — container-walk metadata, no frame decode), a
@@ -5262,11 +5262,15 @@ def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # packets included — provably cannot move the hash, and the Opus
     # arm's granule is chosen as pre_skip + 48·ms so the 48 kHz
     # granule arithmetic lands on an exact integer the SQL restates),
-    # or an AVIF/HEIC image-item file (r13 — the meta-box walk: dims
+    # an AVIF/HEIC image-item file (r13 — the meta-box walk: dims
     # come from the PRIMARY item's ispe resolved through pitm/ipma,
     # with b%4 half-size decoy thumbnail items ahead of it in ipco, so
     # a first-ispe-wins parser fails the hash; content address = the
-    # coded mdat payload). The
+    # coded mdat payload), or a WebP (r13 — VP8/VP8L header arithmetic:
+    # the lossy arm restates the 3-byte frame tag + 9d012a start code +
+    # u16le dims, the lossless arm the 0x2F signature + the LSB-packed
+    # 14+14+1-bit dims/alpha field; a b-varied VP8X extended wrap sits
+    # under the hash because the address is the coded bitstream). The
     # WAV and FLAC docs carry the SAME md5-derived sample series, so
     # their payload_sha CASE arms are literally identical, pinning the
     # cross-container content-address; the baseline and progressive
@@ -5293,13 +5297,16 @@ SELECT doc_id,
               WHEN 8 THEN 'aac' WHEN 9 THEN 'ogg'
               WHEN 10 THEN (CASE WHEN b % 2 = 0 THEN 'avif'
                                  ELSE 'heic' END)
+              WHEN 11 THEN 'webp'
               ELSE 'jpeg' END AS format,
        CAST(CASE WHEN m = 0 THEN 4 WHEN m IN (1, 4) THEN 8 * bw
                  WHEN m IN (5, 6) THEN 16 + b % 100
-                 WHEN m = 10 THEN 16 + b % 4000 END AS INT) AS width,
+                 WHEN m = 10 THEN 16 + b % 4000
+                 WHEN m = 11 THEN wp_w END AS INT) AS width,
        CAST(CASE WHEN m = 0 THEN 3 WHEN m IN (1, 4) THEN 8 * bh
                  WHEN m IN (5, 6) THEN 16 + (b // 7) % 100
-                 WHEN m = 10 THEN 16 + (b // 7) % 4000 END AS INT)
+                 WHEN m = 10 THEN 16 + (b // 7) % 4000
+                 WHEN m = 11 THEN wp_h END AS INT)
          AS height,
        CAST(CASE WHEN m IN (2, 3) THEN n WHEN m = 5 THEN 1 + b % 30
                  WHEN m = 6 THEN 1 + b % 9 WHEN m = 7 THEN mp3_n
@@ -5334,7 +5341,9 @@ SELECT doc_id,
             WHEN m = 9 THEN (CASE WHEN b % 2 = 0 THEN 'opus'
                                   ELSE 'vorbis' END)
             WHEN m = 10 THEN (CASE WHEN b % 2 = 0 THEN 'av01'
-                                   ELSE 'hvc1' END) END AS codec,
+                                   ELSE 'hvc1' END)
+            WHEN m = 11 THEN (CASE WHEN b % 2 = 0 THEN 'vp8'
+                                   ELSE 'vp8l' END) END AS codec,
        CASE
          WHEN m = 0 THEN sha256(substr(repeat(mh, 3), 1, 72))
          WHEN m IN (1, 4) THEN sha256(array_to_string(
@@ -5377,6 +5386,24 @@ SELECT doc_id,
          -- the meta-box framing, decoy thumbnail properties, and iloc
          -- offsets are all outside the hash
          WHEN m = 10 THEN sha256(substr(repeat(mh, 4), 1, 2 * (20 + b % 40)))
+         -- WebP: the coded-bitstream region. Lossy = 3-byte LE frame
+         -- tag ((L<<5)|0x10) + 9d012a start code + u16le dims; lossless
+         -- = 0x2F + the LSB-packed (w-1)|(h-1)<<14|alpha<<28 u32le;
+         -- then the md5 payload. The b-varied VP8X extended wrap is
+         -- provably outside the hash.
+         WHEN m = 11 THEN sha256(
+           (CASE WHEN b % 2 = 0 THEN
+              printf('%02x%02x%02x', (wp_l * 32 + 16) % 256,
+                     (wp_l * 32 + 16) // 256 % 256,
+                     (wp_l * 32 + 16) // 65536 % 256)
+              || '9d012a'
+              || printf('%02x%02x', wp_w % 256, wp_w // 256)
+              || printf('%02x%02x', wp_h % 256, wp_h // 256)
+            ELSE
+              '2f' || printf('%02x%02x%02x%02x', wp_pk % 256,
+                             wp_pk // 256 % 256, wp_pk // 65536 % 256,
+                             wp_pk // 16777216 % 256)
+            END) || substr(repeat(mh, 4), 1, 2 * wp_l))
          ELSE sha256(substr(repeat(mh, 18), 1, 4 * n))
        END AS payload_sha
 FROM (
@@ -5386,9 +5413,11 @@ FROM (
           || (CASE WHEN (b // 9) % 2 = 0 THEN 'c0' ELSE '00' END)
            AS mp3_hdr,
          CASE WHEN (b // 9) % 2 = 0 THEN 17 ELSE 32 END AS mp3_side,
-         17 + b % 40 AS aac_fl
+         17 + b % 40 AS aac_fl,
+         (wp_w - 1) + (wp_h - 1) * 16384 +
+           (CASE WHEN (b // 5) % 2 = 1 THEN 268435456 ELSE 0 END) AS wp_pk
   FROM (
-    SELECT doc_id, mh, b, doc_id % 11 AS m,
+    SELECT doc_id, mh, b, doc_id % 12 AS m,
            40 + b % 100 AS n, 2 + b % 3 AS bw, 2 + (b // 3) % 3 AS bh,
            list_transform(range(0, (2 + b % 3) * (2 + (b // 3) % 3)), k ->
              (CAST('0x' || substr(mh, 2*k+1, 2) AS INT) % 128) * 2) AS gs,
@@ -5401,7 +5430,9 @@ FROM (
                 THEN list_extract([48000, 24000, 16000], 1 + b % 3)
                 ELSE list_extract([44100, 32000, 22050], 1 + b % 3)
            END AS ogg_sr,
-           1 + (b // 4) % 8 AS ogg_p, 10 + b % 25 AS ogg_l
+           1 + (b // 4) % 8 AS ogg_p, 10 + b % 25 AS ogg_l,
+           1 + b % 4096 AS wp_w, 1 + (b // 7) % 4096 AS wp_h,
+           20 + b % 40 AS wp_l
     FROM (
       SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mh,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
@@ -5424,14 +5455,16 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/multimodal.py:media_metadata``): one corpus whose
     blobs are real PNG, baseline-JPEG, WAV, FLAC, progressive-JPEG
     (SOF2, r12), ISO-BMFF MP4, Matroska WebM (both r12), MPEG1-L3 MP3,
-    ADTS AAC-LC, Ogg Opus/Vorbis, or AVIF/HEIC image items (all r13)
-    files by ``doc_id % 11``; the kernel sniffs each magic, decodes
-    through the matching pure codec (video: ``operators/videocodec.py``
-    box/EBML walk; MP3/AAC: ``operators/mp3codec.py`` frame-header
-    walk; Ogg: ``operators/oggcodec.py`` page walk; AVIF/HEIC: the
-    meta-box item walk with decoy thumbnails proving pitm/ipma
-    resolution — no frame/sample decode), and emits one typed row —
-    image dims, audio
+    ADTS AAC-LC, Ogg Opus/Vorbis, AVIF/HEIC image items, or WebP (all
+    r13) files by ``doc_id % 12``; the kernel sniffs each magic,
+    decodes through the matching pure codec (video:
+    ``operators/videocodec.py`` box/EBML walk; MP3/AAC:
+    ``operators/mp3codec.py`` frame-header walk; Ogg:
+    ``operators/oggcodec.py`` page walk; AVIF/HEIC: the meta-box item
+    walk with decoy thumbnails proving pitm/ipma resolution; WebP:
+    ``operators/webpcodec.py`` RIFF/VP8/VP8L headers with a b-varied
+    VP8X wrap under the hash — no frame/sample decode), and emits one
+    typed row — image dims, audio
     frame/rate/channel/bit-depth counts, video dims/duration/codec, and
     a decoded-payload content-address that is container-independent
     (the WAV and FLAC docs share one sample series and must hash
@@ -5457,6 +5490,7 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     import_vid = _codec_importer("videocodec")
     import_mp3 = _codec_importer("mp3codec")
     import_ogg = _codec_importer("oggcodec")
+    import_webp = _codec_importer("webpcodec")
 
     def synth(it):
         import hashlib as _hashlib
@@ -5471,14 +5505,28 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         vidc = import_vid()
         mp3c = import_mp3()
         oggc = import_ogg()
+        webpc = import_webp()
         for pdf in it:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 mh = _hashlib.md5(str(did).encode()).hexdigest()
                 b = int(mh[:15], 16)
-                m = did % 11
-                if m == 10:
+                m = did % 12
+                if m == 11:
+                    # WebP: lossy (even b) restates the frame tag +
+                    # start code + u16le dims; lossless (odd b) the
+                    # 0x2F + LSB-packed dims/alpha field; a b-varied
+                    # VP8X extended wrap proves the coded-bitstream
+                    # address ignores re-containerization
+                    blob = webpc.encode_webp(
+                        1 + b % 4096, 1 + (b // 7) % 4096,
+                        codec="vp8" if b % 2 == 0 else "vp8l",
+                        payload=bytes.fromhex((mh * 4)[: 2 * (20 + b % 40)]),
+                        alpha=(b % 2 == 1) and ((b // 5) % 2 == 1),
+                        extended=((b // 3) % 2 == 1),
+                    )
+                elif m == 10:
                     # AVIF/HEIC image item: dims via the primary item's
                     # ispe with b%4 half-size DECOY thumbnail items
                     # ahead of it in ipco — pitm/ipma resolution sits

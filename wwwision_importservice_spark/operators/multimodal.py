@@ -453,7 +453,7 @@ MEDIA_METADATA_SCHEMA = (
 
 
 def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
-               mp3c=None, oggc=None):
+               mp3c=None, oggc=None, webpc=None):
     """One blob → one :data:`MEDIA_METADATA_SCHEMA` tuple. Module-level
     (not a closure) so the GIF single-decode and corrupt-blob policies
     are unit-testable without a Spark pass.
@@ -486,6 +486,12 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
       frame region so the same audio re-tagged (ID3v2/ID3v1) hashes
       identically. ``codec`` carries the family ("mpeg1-l3" /
       "aac-lc").
+    - WebP blobs (r13 — the most common modern web image format,
+      previously kind='unknown') route as ``kind='image'`` through the
+      ``operators/webpcodec.py`` RIFF/VP8/VP8L/VP8X header walk: real
+      dims, alpha/animation flags, ANMF frame counts, no pixel decode;
+      content-addressed by the coded bitstream so re-containerized
+      twins hash identically.
     - Ogg containers (r13 — Opus, the web's voice codec, and legacy
       Vorbis) route as ``kind='audio'`` through the
       ``operators/oggcodec.py`` page walk: rate/channels from the
@@ -503,8 +509,11 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
         from wwwision_importservice_spark.operators import mp3codec as mp3c
     if oggc is None:
         from wwwision_importservice_spark.operators import oggcodec as oggc
+    if webpc is None:
+        from wwwision_importservice_spark.operators import webpcodec as webpc
     fmt = img.sniff_format(data)
-    audio = None if fmt is not None else (
+    webp = fmt is None and webpc.sniff_webp(data)
+    audio = None if (fmt is not None or webp) else (
         "wav" if wavc.sniff_wav(data) else
         "flac" if flacc.sniff_flac(data) else None
     )
@@ -513,11 +522,12 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
     # box, not a trak — before r13 every iPhone photo (HEIC) and web
     # AVIF fell through the empty track walk as kind='audio' with
     # all-NULL fields
-    heif = fmt is None and audio is None and vidc.sniff_heif(data)
-    video = fmt is None and audio is None and not heif and (
+    heif = fmt is None and not webp and audio is None and vidc.sniff_heif(data)
+    video = fmt is None and not webp and audio is None and not heif and (
         vidc.sniff_mp4(data) or vidc.sniff_webm(data)
     )
-    stream = None if (fmt is not None or audio is not None or video) else (
+    stream = None if (fmt is not None or webp or audio is not None
+                      or video) else (
         "aac" if mp3c.sniff_adts(data) else
         "mp3" if mp3c.sniff_mp3(data) else
         "ogg" if oggc.sniff_ogg(data) else None
@@ -545,6 +555,17 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
             return (rid, "audio", audio, None, None, arr.shape[0], sr,
                     arr.shape[1], bps, None, None, len(data),
                     hex_sha(arr.astype(dt).tobytes()))
+        if webp:
+            # WebP (r13): RIFF chunk walk + VP8/VP8L/VP8X header
+            # arithmetic only — dims, alpha, animation frame counts
+            # with NO pixel decode; content address = the coded
+            # bitstream bytes, so the same image re-containerized
+            # (VP8X shell, new metadata chunks) hashes identically
+            meta = webpc.parse_webp(data)
+            return (rid, "image", "webp", meta["width"], meta["height"],
+                    meta["n_frames"], None, None, None, None,
+                    meta["codec"], len(data),
+                    hex_sha(webpc.media_payload(data, meta)))
         if heif:
             # image-ITEM container: dims/codec from the meta-box walk;
             # the content address is the coded item payload (mdat
@@ -589,7 +610,8 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
         if strict:
             raise
         container = stream or (
-            "heif" if heif else "mp4" if vidc.sniff_mp4(data) else "webm"
+            "webp" if webp else "heif" if heif
+            else "mp4" if vidc.sniff_mp4(data) else "webm"
         )
         return (rid, "corrupt", fmt or audio or container, None, None,
                 None, None, None, None, None, None, len(data),
@@ -646,6 +668,7 @@ def media_metadata(
     import_vid = _codec_importer("videocodec")
     import_mp3 = _codec_importer("mp3codec")
     import_ogg = _codec_importer("oggcodec")
+    import_webp = _codec_importer("webpcodec")
     be_strict = bool(strict)
 
     def batches(it: Iterator) -> Iterator:
@@ -659,6 +682,7 @@ def media_metadata(
         vidc = import_vid()
         mp3c = import_mp3()
         oggc = import_ogg()
+        webpc = import_webp()
 
         def hex_sha(b: bytes) -> str:
             return _hashlib.sha256(b.hex().encode()).hexdigest()
@@ -666,7 +690,7 @@ def media_metadata(
         for pdf in it:
             rows = [
                 _media_row(int(rid), bytes(blob), img, wavc, flacc, vidc,
-                           be_strict, hex_sha, mp3c, oggc)
+                           be_strict, hex_sha, mp3c, oggc, webpc)
                 for rid, blob in zip(pdf[id_col], pdf[blob_col])
             ]
             out = pd.DataFrame(
