@@ -340,3 +340,35 @@ def test_media_row_routes_ogg():
     with pytest.raises(OggDecodeError):
         _media_row(3, bytes(bad), img, wavc, flacc, vidc, True, hex_sha,
                    mp3c, oggc)
+
+
+def test_ogg_flac_mapping():
+    """Ogg-FLAC (the xiph mapping): the identification packet wraps a
+    NATIVE fLaC signature + STREAMINFO, granules are PCM positions at
+    the stream rate, and the declared header-packet count excludes
+    the media packets from n_frames."""
+    pkts = [b"flacframe-%d" % i for i in range(4)]
+    blob = encode_ogg("flac", 96000, 2, pkts, granule_end=96000 * 3)
+    assert sniff_ogg(blob)
+    meta = parse_ogg(blob)
+    assert meta["codec"] == "flac"
+    assert meta["sample_rate"] == 96000 and meta["channels"] == 2
+    assert meta["n_frames"] == 4 and meta["duration_ms"] == 3000
+    assert media_payload(blob, meta) == b"".join(pkts)
+    # malformed: zero rate in STREAMINFO
+    bad = bytearray(blob)
+    at = bad.index(b"fLaC") + 4 + 4  # STREAMINFO body start
+    bad[at + 10] = bad[at + 11] = 0
+    bad[at + 12] &= 0x0F
+    with pytest.raises(OggDecodeError, match="zero rate"):
+        parse_ogg(bytes(bad))
+    # malformed: wrong mapping version
+    ver = bytearray(blob)
+    ver[28 + 5] = 9  # packet offset 5 inside the BOS page body
+    with pytest.raises(OggDecodeError, match="mapping version"):
+        parse_ogg(bytes(ver))
+    # encoder contract
+    with pytest.raises(ValueError, match="pre_skip"):
+        encode_ogg("flac", 48000, 1, [b"x"], granule_end=1, pre_skip=5)
+    with pytest.raises(ValueError, match="caps"):
+        encode_ogg("flac", 48000, 9, [b"x"], granule_end=1)

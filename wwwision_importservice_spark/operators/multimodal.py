@@ -492,8 +492,9 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
       dims, alpha/animation flags, ANMF frame counts, no pixel decode;
       content-addressed by the coded bitstream so re-containerized
       twins hash identically.
-    - Ogg containers (r13 — Opus, the web's voice codec, and legacy
-      Vorbis) route as ``kind='audio'`` through the
+    - Ogg containers (r13 — Opus, the web's voice codec, legacy
+      Vorbis, and the Ogg-FLAC mapping) route as ``kind='audio'``
+      through the
       ``operators/oggcodec.py`` page walk: rate/channels from the
       identification header, packet counts from the lacing tables,
       duration from granule arithmetic (Opus at 48 kHz minus

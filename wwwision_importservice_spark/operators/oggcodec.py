@@ -142,6 +142,36 @@ def _ident_from_first_packet(pkt: bytes) -> dict:
             "n_header_packets": 2,  # OpusHead + OpusTags (§5)
             "granule_rate": 48000,  # granules ALWAYS at 48 kHz (§4)
         }
+    if pkt[:5] == b"\x7fFLAC":
+        # Ogg-FLAC mapping (xiph.org/flac/ogg_mapping): 0x7F 'FLAC',
+        # major/minor mapping version, a 2-byte BE count of header
+        # packets AFTER this one (0 = unknown), then the NATIVE fLaC
+        # signature + STREAMINFO block verbatim
+        if len(pkt) < 51:  # 9 + 'fLaC' + 4-byte block header + 34 body
+            raise OggDecodeError("truncated Ogg-FLAC identification packet")
+        if pkt[5] != 1:
+            raise OggDecodeError(
+                f"unsupported Ogg-FLAC mapping version {pkt[5]}"
+            )
+        (hdr_count,) = struct.unpack_from(">H", pkt, 7)
+        if pkt[9:13] != b"fLaC":
+            raise OggDecodeError("Ogg-FLAC packet missing fLaC signature")
+        body = pkt[17:51]  # STREAMINFO body (RFC 9639 §8.2 layout)
+        rate = body[10] << 12 | body[11] << 4 | body[12] >> 4
+        channels = ((body[12] >> 1) & 7) + 1
+        if rate == 0:
+            raise OggDecodeError("Ogg-FLAC STREAMINFO declares zero rate")
+        return {
+            "codec": "flac",
+            "channels": channels,
+            "sample_rate": rate,
+            "pre_skip": 0,
+            # +1 for this packet; a 0 (unknown) count assumes only the
+            # MANDATORY VorbisComment follows — the spec minimum; real
+            # encoders write the true count
+            "n_header_packets": 1 + (hdr_count or 1),
+            "granule_rate": rate,  # granules are PCM positions
+        }
     if pkt[:7] == b"\x01vorbis":
         # Vorbis I §4.2.2: version(4LE) channels(1) rate(4LE)
         # bitrate max/nominal/min(3×4LE) blocksizes(1) framing(1)
@@ -167,9 +197,9 @@ def _ident_from_first_packet(pkt: bytes) -> dict:
 def parse_ogg(data: bytes) -> dict:
     """Ogg bytes → metadata dict:
 
-    ``{"format": "ogg", "codec": "opus"|"vorbis"|None, "sample_rate":
-    int|None, "channels": int|None, "pre_skip": int, "n_frames":
-    int|None, "duration_ms": int|None, "payload_regions":
+    ``{"format": "ogg", "codec": "opus"|"vorbis"|"flac"|None,
+    "sample_rate": int|None, "channels": int|None, "pre_skip": int,
+    "n_frames": int|None, "duration_ms": int|None, "payload_regions":
     [(start, end), ...]}``
 
     The walk follows the FIRST logical stream (the first page's BOS
@@ -291,8 +321,10 @@ def encode_ogg(
     sentinel when no packet completes on the page; the final page
     carries ``granule_end`` and EOS. Real RFC 3533 CRCs throughout.
     Trusted-but-validated inputs, the family's encoder contract."""
-    if codec not in ("opus", "vorbis"):
-        raise ValueError(f"codec must be 'opus'|'vorbis', got {codec!r}")
+    if codec not in ("opus", "vorbis", "flac"):
+        raise ValueError(
+            f"codec must be 'opus'|'vorbis'|'flac', got {codec!r}"
+        )
     if not 0 < channels < 256:
         raise ValueError(f"channels must be 1..255, got {channels}")
     if sample_rate <= 0 or granule_end < 0 or pre_skip < 0:
@@ -303,6 +335,25 @@ def encode_ogg(
         head = (b"OpusHead" + bytes([1, channels])
                 + struct.pack("<HIhB", pre_skip, sample_rate, 0, 0))
         headers = [head, b"OpusTags" + struct.pack("<II", 0, 0)]
+    elif codec == "flac":
+        if pre_skip:
+            raise ValueError("pre_skip is an Opus field (RFC 7845)")
+        if channels > 8 or sample_rate >= 1 << 20:
+            raise ValueError("FLAC caps: channels<=8, rate<2^20")
+        # STREAMINFO body: min/max block, min/max frame, then the
+        # packed rate(20)/channels-1(3)/bps-1(5)/total(36) bits + md5
+        si = (struct.pack(">HH", 16, 16) + b"\x00" * 6
+              + bytes([
+                  sample_rate >> 12, (sample_rate >> 4) & 0xFF,
+                  ((sample_rate & 0xF) << 4) | ((channels - 1) << 1)
+                  | ((16 - 1) >> 4),
+                  ((16 - 1) & 0xF) << 4,
+              ]) + b"\x00" * 20)
+        head = (b"\x7fFLAC" + bytes([1, 0]) + struct.pack(">H", 1)
+                + b"fLaC" + bytes([0]) + len(si).to_bytes(3, "big") + si)
+        # the mandatory VorbisComment, as a native metadata block
+        vc = struct.pack("<II", 0, 0)
+        headers = [head, bytes([0x84]) + len(vc).to_bytes(3, "big") + vc]
     else:
         if pre_skip:
             raise ValueError("pre_skip is an Opus field (RFC 7845)")
