@@ -375,6 +375,16 @@ def test_eel_date_format_escaped_literals(spark):
     assert run("g\\oi") == "3o42"  # escaped letter that IS a PHP code
     assert run("g'i") == "3'42"  # bare quote char in the format
     assert run("\\'") == "'"  # escaped quote
+    # Adjacent escapes — the common PHP idiom ("\a\t", "\o\f") — must
+    # merge into ONE quoted run: per-char runs render the '' between
+    # them as a literal quote inside a single Java quoted section
+    # ("a't" instead of "at"; r13 advisor catch, verified live).
+    assert run("d-m-Y \\a\\t H:i") == "16-08-2026 at 15:42"
+    assert run("\\t\\h\\e jS") == "the 16th"
+    assert run("\\a'\\t") == "a't"  # escape + literal quote + escape: one run
+
+
+def test_eel_date_format_ladder_codes(spark):
     """r13 ladder extension (VERDICT r12 ask #7): U (epoch seconds), z
     (PHP 0-based day-of-year vs Java's 1-based D — the trap), t (days
     in month), L (leap year 1/0), S (ordinal suffix, 11/12/13 all

@@ -347,3 +347,39 @@ def test_media_row_routes_mp3_and_adts():
     assert not sniff_mp3(bad)  # ID3 precedes the sync; routed unknown
     row = _media_row(4, bad, img, wavc, flacc, vidc, False, hex_sha, mp3c)
     assert row[1] == "unknown"
+
+
+def test_media_row_single_frame_plus_garbage_routes_unknown():
+    """The sniff_mp3 chain contract, pinned (r13 VERDICT ask #6): a
+    single MPEG frame followed by trailing garbage routes to
+    kind='unknown' BY DESIGN — sniffing requires a second chained
+    header or an exact-EOF/ID3v1 landing, because a lone 12-bit sync
+    false-positives on random bytes. Single-frame files with garbage
+    tails are vanishingly rare; the trade is deliberate."""
+    import hashlib
+
+    from wwwision_importservice_spark.operators import (
+        audiocodec as wavc,
+        flaccodec as flacc,
+        imagecodec as img,
+        mp3codec as mp3c,
+        videocodec as vidc,
+    )
+    from wwwision_importservice_spark.operators.multimodal import _media_row
+
+    def hex_sha(b):
+        return hashlib.sha256(b.hex().encode()).hexdigest()
+
+    one = encode_mp3(44100, 128, n_frames=1, channels=1)
+    assert sniff_mp3(one)  # exact-EOF landing: accepted
+    garbled = one + b"\x99\x7f\x00"
+    assert not sniff_mp3(garbled)
+    row = _media_row(9, garbled, img, wavc, flacc, vidc, False, hex_sha,
+                     mp3c)
+    assert row[1] == "unknown" and row[12] == hex_sha(garbled)
+    # an ID3v1 trailer IS a valid landing: same bytes, accepted
+    trailed = one + b"TAG" + b"\x00" * 125
+    assert sniff_mp3(trailed)
+    row_t = _media_row(10, trailed, img, wavc, flacc, vidc, False, hex_sha,
+                       mp3c)
+    assert row_t[1] == "audio" and row_t[5] == 1

@@ -372,3 +372,20 @@ def test_ogg_flac_mapping():
         encode_ogg("flac", 48000, 1, [b"x"], granule_end=1, pre_skip=5)
     with pytest.raises(ValueError, match="caps"):
         encode_ogg("flac", 48000, 9, [b"x"], granule_end=1)
+
+
+def test_ogg_header_only_stream_counts_zero_not_none():
+    """A structurally valid stream with ZERO completed media packets
+    (headers only) reports n_frames == 0 — a real count. None is
+    reserved for the MAX_OGG_PAGES budget-exhausted soft path (r13
+    advisor catch: `media_packets or None` collapsed the two, making a
+    header-only stream indistinguishable from a bomb)."""
+    blob = encode_ogg("opus", 48000, 1, [b"pkt"], granule_end=960)
+    # cut at the third page boundary: BOS + comment header survive,
+    # the media page does not (the walk tolerates truncation)
+    third = blob.index(b"OggS", blob.index(b"OggS", 4) + 4)
+    headers_only = blob[:third]
+    meta = parse_ogg(headers_only)
+    assert meta["codec"] == "opus"
+    assert meta["n_frames"] == 0 and meta["n_frames"] is not None
+    assert media_payload(headers_only, meta) == b""

@@ -53,8 +53,9 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
-    "x4_media_metadata",  # PROMOTED r13 (VERDICT r12 ask #3; now TEN
-    # lanes incl. the new MP3/ADTS header-walk and Ogg page-walk arms)
+    "x4_media_metadata",  # PROMOTED r13 (VERDICT r12 ask #3; TWELVE
+    # lanes as of r13 — doc_id % 12 — incl. the MP3/ADTS header-walk,
+    # Ogg page-walk, HEIF and WebP arms)
     "x4_flac_decode",  # NEW r11 (real FLAC decode, compressed-audio gap)
     "x2_ngram_decontaminate",  # NEW r11 (13-gram train/test overlap filter)
     "x6_incremental_curation",  # PROMOTED r11 (VERDICT r10 ask #2)

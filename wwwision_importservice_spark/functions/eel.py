@@ -160,18 +160,45 @@ def _date_format(args: list[str], literals: list[str]) -> str:
         else:
             segments.append(("pat", s))
 
+    # Escaped chars (\T) and literal quotes accumulate here and flush
+    # as ONE Java quoted run. Per-char runs broke on the common PHP
+    # adjacent-escape idiom ("\a\t"): Java's quote scan is GREEDY —
+    # the first ' opens a section and '' inside it is an escaped
+    # quote, so the '' between two adjacent runs reads as a quote
+    # INSIDE one section, rendering "a't" (r13 advisor catch,
+    # verified live). The run's quotes are SQL-DOUBLED because the
+    # pattern ships inside a single-quoted SQL literal: delimiters ''
+    # each, and a literal quote inside the run needs four
+    # (SQL '''' -> Java '' -> one '). The same formula covers
+    # quote-only runs: Java ''''…'' (a section of escaped quotes).
+    #
+    # NB: `php` is the SQL-escaped literal body, so one SOURCE quote
+    # arrives as the two-char sequence '' — consume both as one.
+    litbuf: list[str] = []
+
+    def flush_lit() -> None:
+        if litbuf:
+            add_pat("''" + "".join(litbuf).replace("'", "''''") + "''")
+            litbuf.clear()
+
     i = 0
-    while i < len(php):
+    n = len(php)
+    while i < n:
         c = php[i]
-        if c == "\\" and i + 1 < len(php):
-            # the quoted-literal quotes are DOUBLED: this pattern text
-            # lands inside a single-quoted SQL literal, so emitting raw
-            # '…' here produced unparseable SQL (r13 fix — pinned in
-            # test_eel_date_format_escaped_literals). An escaped quote
-            # itself needs four: SQL '''' -> Java pattern '' -> one '.
-            add_pat("''''" if php[i + 1] == "'" else f"''{php[i + 1]}''")
-            i += 2
+        if c == "\\" and i + 1 < n:
+            if php[i + 1] == "'":
+                litbuf.append("'")
+                # skip the \ plus BOTH chars of the SQL-doubled quote
+                i += 3 if i + 2 < n and php[i + 2] == "'" else 2
+            else:
+                litbuf.append(php[i + 1])
+                i += 2
             continue
+        if c == "'":
+            litbuf.append("'")
+            i += 2 if i + 1 < n and php[i + 1] == "'" else 1
+            continue
+        flush_lit()
         if c in _PHP_DATE_EXPRS:
             segments.append(("expr", _PHP_DATE_EXPRS[c](args[0], new_lit)))
         elif c in _PHP_DATE_CODES:
@@ -180,14 +207,10 @@ def _date_format(args: list[str], literals: list[str]) -> str:
             raise EelTranslationError(
                 f"Date.format: unsupported PHP format code {c!r}"
             )
-        elif c == "'":
-            # SQL-doubled twice over (see the backslash branch): the
-            # Java pattern needs '' for one literal quote, and the SQL
-            # literal doubles each of those
-            add_pat("''''")
         else:
             add_pat(c)
         i += 1
+    flush_lit()
     if not segments:
         literals[idx] = "''"
         return args[1]

@@ -658,7 +658,11 @@ def media_metadata(
     with the blob's own hex-sha256, or a typed error in strict mode);
     recognized-but-corrupt payloads quarantine as ``kind='corrupt'``
     rows in non-strict mode instead of killing the pass. Per-blob
-    policy: :func:`_media_row`.
+    policy: :func:`_media_row`. MP3 sniffing requires a second chained
+    frame header (or exact-EOF/ID3v1 landing), so a single-frame
+    stream with trailing garbage routes to ``kind='unknown'`` by
+    design — the alternative is random bytes false-positiving on one
+    12-bit sync.
 
     Scale shape: one ``mapInPandas`` pass, per-file CPU, no shuffle —
     the one scan a mixed crawl runs before routing by ``kind``."""

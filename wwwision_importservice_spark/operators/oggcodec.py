@@ -279,7 +279,10 @@ def parse_ogg(data: bytes) -> dict:
         "sample_rate": ident["sample_rate"],
         "channels": ident["channels"],
         "pre_skip": ident["pre_skip"],
-        "n_frames": media_packets or None,
+        # 0 is a real count (header-only stream); None is reserved for
+        # the MAX_OGG_PAGES budget-exhausted soft path (r13 advisor
+        # catch: `or None` collapsed the two)
+        "n_frames": media_packets,
         "duration_ms": duration_ms,
         "payload_regions": regions,
     }

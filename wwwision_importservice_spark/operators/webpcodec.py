@@ -267,7 +267,10 @@ def encode_webp(
         )
         chunks += vp8x
         if anim_frames:
-            chunks += chunk(b"ANIM", struct.pack("<IHH", 0, 0, 0))
+            # RFC 9649 §2.5.2: background color u32 + loop count u16 —
+            # 6 bytes, not 8 (r13 advisor catch; own parser skips ANIM
+            # so only external decoders would have noticed)
+            chunks += chunk(b"ANIM", struct.pack("<IH", 0, 0))
             frame_hdr = (
                 (0).to_bytes(3, "little") + (0).to_bytes(3, "little")
                 + (width - 1).to_bytes(3, "little")
