@@ -77,6 +77,27 @@ def load_digests(path: str) -> dict[str, str]:
     )
 
 
+def warn_if_noisy(path: str) -> None:
+    """Print a loud note when the artifact was captured under load
+    (bench.py's top-level ``noisy`` flag, r14): its timings are
+    weather-inflated and should be discounted — the digests this tool
+    compares remain authoritative."""
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return
+    noisy = data.get("noisy")
+    if noisy is None:
+        for key in ("tail", "stdout"):
+            blob = data.get(key)
+            if isinstance(blob, str) and '"noisy": true' in blob:
+                noisy = True
+    if noisy:
+        print(f"# WARNING: {path} was captured under load (noisy=true) — "
+              "discount its timings; plan digests are unaffected")
+
+
 def diff_maps(old: dict[str, str], new: dict[str, str], old_name: str, new_name: str) -> int:
     changed = sorted(q for q in old.keys() & new.keys() if old[q] != new[q])
     same = sorted(q for q in old.keys() & new.keys() if old[q] == new[q])
@@ -100,6 +121,8 @@ def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[2] != "--live":
         old = load_digests(sys.argv[1])
         new = load_digests(sys.argv[2])
+        warn_if_noisy(sys.argv[1])
+        warn_if_noisy(sys.argv[2])
         raise SystemExit(diff_maps(old, new, sys.argv[1], sys.argv[2]))
 
     if len(sys.argv) >= 3 and sys.argv[2] == "--live":
@@ -116,6 +139,7 @@ def main() -> None:
             else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         )
         artifact = load_digests(sys.argv[1])
+        warn_if_noisy(sys.argv[1])
         spark = get_spark("diff-bench-plans")
         rc = 0
         for name in HEADLINE:
