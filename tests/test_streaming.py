@@ -1778,3 +1778,76 @@ def test_lifecycle_job_budgets_pinned(spark, tmp_path):
     assert c <= 3, f"compact_index ran {c} jobs; budget is 3"
     # and the compacted index still gates (sanity, not a budget)
     gate(docs.filter("doc_id % 3 = 0"), 2)
+
+
+def test_gate_nochange_fast_path_and_index_cache(spark, tmp_path):
+    """r14 (VERDICT r13 ask #5): the high-batch-rate steady state is
+    "this batch admitted nothing and replayed nothing" — then (a) no
+    append commit lands at all (previously an empty write rewrote
+    _SUCCESS every batch), (b) the NEXT batch reuses the cached index
+    read keyed on the _SUCCESS commit token, and (c) the job budget
+    DROPS below the fresh-batch pin (measured 20 fresh-write / 18
+    first-no-change / 16 cached-no-change with stats). Invalidation is
+    pinned behaviorally: after a batch that admits (a real append),
+    the gate still drops near-dups of the newly admitted docs — a
+    stale cached index would re-admit them."""
+    from wwwision_importservice_spark.fsutil import success_marker_token
+    from wwwision_importservice_spark.streaming.neardup import (
+        _INDEX_READ_CACHE,
+        near_dup_gate,
+    )
+
+    sc = spark.sparkContext
+    idx = str(tmp_path / "index")
+    admitted: list[int] = []
+    stats: dict = {}
+    gate = near_dup_gate(
+        idx, lambda df, bid: admitted.extend(r["doc_id"] for r in df.collect()),
+        n=3, num_hashes=16, bands=4, stats=stats,
+    )
+    docs = spark.createDataFrame(
+        [(i, f"doc text number {i} with shared tail words") for i in range(60)],
+        "doc_id long, text string",
+    )
+
+    def jobs(name, fn):
+        sc.setJobGroup(name, name)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(name))
+
+    jobs("gc_b0", lambda: gate(docs, 0))
+    n0 = len(admitted)
+    assert n0 > 0
+    token_after_write = success_marker_token(spark, idx)
+    assert token_after_write is not None
+    # all-dup batch: nothing admitted, nothing replayed -> NO commit
+    b1 = jobs("gc_b1", lambda: gate(docs, 1))
+    assert len(admitted) == n0
+    assert success_marker_token(spark, idx) == token_after_write
+    assert idx in _INDEX_READ_CACHE  # b1's fresh read populated it
+    # cached no-change batch: index_rows reused, budget drops below the
+    # fresh-batch ceiling (measured 16; headroom +1)
+    b2 = jobs("gc_b2", lambda: gate(docs, 2))
+    assert b2 <= 17, (b1, b2)
+    assert b2 <= b1, (b1, b2)
+    assert stats["batches"][1]["index_rows"] == stats["batches"][2]["index_rows"]
+    assert stats["batches"][2]["survivors"] == 0
+    # a batch that admits: commit lands, cache invalidated...
+    fresh = spark.createDataFrame(
+        [(100 + i, f"completely different corpus entry {i} about engines")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    gate(fresh, 3)
+    assert idx not in _INDEX_READ_CACHE
+    assert success_marker_token(spark, idx) != token_after_write
+    n3 = len(admitted)
+    assert n3 > n0
+    # ...and the NEXT batch gates against the POST-append index: exact
+    # re-sends of the just-admitted docs are suppressed (a stale cache
+    # would re-admit them)
+    gate(fresh, 4)
+    assert len(admitted) == n3

@@ -53,9 +53,9 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
-    "x4_media_metadata",  # PROMOTED r13 (VERDICT r12 ask #3; TWELVE
-    # lanes as of r13 — doc_id % 12 — incl. the MP3/ADTS header-walk,
-    # Ogg page-walk, HEIF and WebP arms)
+    "x4_media_metadata",  # PROMOTED r13 (VERDICT r12 ask #3; FOURTEEN
+    # lanes as of r14 — doc_id % 14 — incl. the MP3/ADTS header-walk,
+    # Ogg page-walk, HEIF, WebP, TIFF IFD-walk, and AVI RIFF-walk arms)
     "x4_flac_decode",  # NEW r11 (real FLAC decode, compressed-audio gap)
     "x2_ngram_decontaminate",  # NEW r11 (13-gram train/test overlap filter)
     "x6_incremental_curation",  # PROMOTED r11 (VERDICT r10 ask #2)
@@ -5247,8 +5247,8 @@ def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "x4_media_metadata",
-    # one mixed-modality corpus, TWELVE real container lanes, ONE
-    # oracle: doc_id % 12 picks PNG (md5-cycled 4x3 pixels), exact-gray
+    # one mixed-modality corpus, FOURTEEN real container lanes, ONE
+    # oracle: doc_id % 14 picks PNG (md5-cycled 4x3 pixels), exact-gray
     # q50 baseline JPEG, mono WAV, mono FLAC, the SAME gray grid as a
     # PROGRESSIVE (SOF2) JPEG (r12), an ISO-BMFF MP4, a Matroska
     # WebM (both r12 — container-walk metadata, no frame decode), a
@@ -5271,7 +5271,12 @@ def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the lossy arm restates the 3-byte frame tag + 9d012a start code +
     # u16le dims, the lossless arm the 0x2F signature + the LSB-packed
     # 14+14+1-bit dims/alpha field; a b-varied VP8X extended wrap sits
-    # under the hash because the address is the coded bitstream). The
+    # under the hash because the address is the coded bitstream), or a
+    # TIFF (r14 — the endian-aware IFD walk: dims/bit-depth/compression
+    # from the primary IFD, the IFD-chain page count in n_frames; the
+    # content address is the concatenated strip payloads, and the
+    # fixture b-varies endianness, IFD placement, and strip splits so
+    # every re-bake axis is provably outside the hash). The
     # WAV and FLAC docs carry the SAME md5-derived sample series, so
     # their payload_sha CASE arms are literally identical, pinning the
     # cross-container content-address; the baseline and progressive
@@ -5291,7 +5296,7 @@ def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 SELECT doc_id,
        CASE WHEN m IN (2, 3, 7, 8, 9) THEN 'audio'
-            WHEN m IN (5, 6) THEN 'video'
+            WHEN m IN (5, 6, 13) THEN 'video'
             ELSE 'image' END AS kind,
        CASE m WHEN 0 THEN 'png' WHEN 2 THEN 'wav' WHEN 3 THEN 'flac'
               WHEN 5 THEN 'mp4' WHEN 6 THEN 'webm' WHEN 7 THEN 'mp3'
@@ -5299,30 +5304,47 @@ SELECT doc_id,
               WHEN 10 THEN (CASE WHEN b % 2 = 0 THEN 'avif'
                                  ELSE 'heic' END)
               WHEN 11 THEN 'webp'
+              WHEN 12 THEN 'tiff'
+              WHEN 13 THEN 'avi'
               ELSE 'jpeg' END AS format,
        CAST(CASE WHEN m = 0 THEN 4 WHEN m IN (1, 4) THEN 8 * bw
                  WHEN m IN (5, 6) THEN 16 + b % 100
                  WHEN m = 10 THEN 16 + b % 4000
-                 WHEN m = 11 THEN wp_w END AS INT) AS width,
+                 WHEN m = 11 THEN wp_w
+                 WHEN m = 12 THEN 16 + b % 30000
+                 WHEN m = 13 THEN 16 + b % 1920 END AS INT) AS width,
        CAST(CASE WHEN m = 0 THEN 3 WHEN m IN (1, 4) THEN 8 * bh
                  WHEN m IN (5, 6) THEN 16 + (b // 7) % 100
                  WHEN m = 10 THEN 16 + (b // 7) % 4000
-                 WHEN m = 11 THEN wp_h END AS INT)
+                 WHEN m = 11 THEN wp_h
+                 WHEN m = 12 THEN 16 + (b // 7) % 30000
+                 WHEN m = 13 THEN 16 + (b // 7) % 1080 END AS INT)
          AS height,
        CAST(CASE WHEN m IN (2, 3) THEN n WHEN m = 5 THEN 1 + b % 30
                  WHEN m = 6 THEN 1 + b % 9 WHEN m = 7 THEN mp3_n
                  WHEN m = 8 THEN aac_n WHEN m = 9 THEN ogg_p
+                 WHEN m = 12 THEN tf_p WHEN m = 13 THEN av_f
                  ELSE 1 END AS INT) AS n_frames,
        CAST(CASE WHEN m IN (2, 3) THEN 8000 WHEN m = 7 THEN mp3_sr
                  WHEN m = 8 THEN aac_sr
-                 WHEN m = 9 THEN ogg_sr END AS INT) AS sample_rate,
+                 WHEN m = 9 THEN ogg_sr
+                 -- AVI: first auds stream's WAVEFORMATEX; video-only
+                 -- files (b % 3 = 0) report NULL
+                 WHEN m = 13 AND b % 3 <> 0
+                   THEN list_extract([8000, 11025, 22050], 1 + b % 3)
+            END AS INT) AS sample_rate,
        CAST(CASE WHEN m IN (2, 3) THEN 1
                  WHEN m = 7 THEN 1 + (b // 9) % 2
                  WHEN m = 8 THEN 1 + b % 6
                  WHEN m = 9 THEN (CASE WHEN b % 2 = 0 THEN 1 + b % 2
                                        ELSE 1 + b % 4 END)
+                 WHEN m = 13 AND b % 3 <> 0 THEN 1 + b % 2
             END AS INT) AS channels,
-       CAST(CASE WHEN m IN (2, 3) THEN 16 END AS INT) AS bits_per_sample,
+       CAST(CASE WHEN m IN (2, 3) THEN 16
+                 -- TIFF: bit depth is an IMAGE field here (tag 258),
+                 -- the one image lane that populates this column
+                 WHEN m = 12 THEN list_extract([1, 8, 16], 1 + b % 3)
+            END AS INT) AS bits_per_sample,
        CAST(CASE WHEN m IN (5, 6) THEN 500 + b % 10000
                  WHEN m = 7 THEN mp3_n * 1152 * 1000 // mp3_sr
                  WHEN m = 8 THEN aac_n * 1024 * 1000 // aac_sr
@@ -5332,6 +5354,9 @@ SELECT doc_id,
                  WHEN m = 9 THEN (CASE WHEN b % 2 = 0 THEN 500 + b % 10000
                                        ELSE (b % 100000) * 1000 // ogg_sr
                                   END)
+                 -- AVI: frames * µs_per_frame // 1000, with the
+                 -- fixture's µs = 1000*(10 + b%90) so it is exact
+                 WHEN m = 13 THEN av_f * (10 + b % 90)
             END AS BIGINT) AS duration_ms,
        CASE WHEN m = 5 THEN (CASE WHEN b % 2 = 0 THEN 'avc1'
                                   ELSE 'hvc1' END)
@@ -5344,7 +5369,12 @@ SELECT doc_id,
             WHEN m = 10 THEN (CASE WHEN b % 2 = 0 THEN 'av01'
                                    ELSE 'hvc1' END)
             WHEN m = 11 THEN (CASE WHEN b % 2 = 0 THEN 'vp8'
-                                   ELSE 'vp8l' END) END AS codec,
+                                   ELSE 'vp8l' END)
+            WHEN m = 12 THEN list_extract(
+              ['raw', 'lzw', 'ccitt-g4', 'packbits', 'deflate'],
+              1 + b % 5)
+            WHEN m = 13 THEN list_extract(['mjpg', 'xvid', 'dib'],
+                                          1 + b % 3) END AS codec,
        CASE
          WHEN m = 0 THEN sha256(substr(repeat(mh, 3), 1, 72))
          WHEN m IN (1, 4) THEN sha256(array_to_string(
@@ -5405,6 +5435,16 @@ SELECT doc_id,
                              wp_pk // 256 % 256, wp_pk // 65536 % 256,
                              wp_pk // 16777216 % 256)
             END) || substr(repeat(mh, 4), 1, 2 * wp_l))
+         -- TIFF: the concatenated strip payload bytes (md5 hex); the
+         -- b-varied endianness, IFD placement, strip splits, and page
+         -- chaining are all provably outside the hash
+         WHEN m = 12 THEN sha256(substr(repeat(mh, 15), 1, 2 * tf_l * tf_p))
+         -- AVI: the demux-invariant per-stream concatenation (video
+         -- bytes then audio bytes, one contiguous md5 stream) — the
+         -- b-varied interleave ratio, audio chunking, JUNK pad, and
+         -- idx1 index are all provably outside the hash
+         WHEN m = 13 THEN sha256(substr(repeat(mh, 25), 1,
+           2 * (av_vl + (CASE WHEN b % 3 <> 0 THEN av_al ELSE 0 END))))
          ELSE sha256(substr(repeat(mh, 18), 1, 4 * n))
        END AS payload_sha
 FROM (
@@ -5418,7 +5458,7 @@ FROM (
          (wp_w - 1) + (wp_h - 1) * 16384 +
            (CASE WHEN (b // 5) % 2 = 1 THEN 268435456 ELSE 0 END) AS wp_pk
   FROM (
-    SELECT doc_id, mh, b, doc_id % 12 AS m,
+    SELECT doc_id, mh, b, doc_id % 14 AS m,
            40 + b % 100 AS n, 2 + b % 3 AS bw, 2 + (b // 3) % 3 AS bh,
            list_transform(range(0, (2 + b % 3) * (2 + (b // 3) % 3)), k ->
              (CAST('0x' || substr(mh, 2*k+1, 2) AS INT) % 128) * 2) AS gs,
@@ -5433,7 +5473,10 @@ FROM (
            END AS ogg_sr,
            1 + (b // 4) % 8 AS ogg_p, 10 + b % 25 AS ogg_l,
            1 + b % 4096 AS wp_w, 1 + (b // 7) % 4096 AS wp_h,
-           20 + b % 40 AS wp_l
+           20 + b % 40 AS wp_l,
+           1 + (b // 4) % 4 AS tf_p, 20 + b % 40 AS tf_l,
+           1 + b % 24 AS av_f, 30 + b % 200 AS av_vl,
+           20 + b % 100 AS av_al
     FROM (
       SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mh,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
@@ -5443,11 +5486,11 @@ FROM (
 )
 """,
     # DRIVER row since r13 (VERDICT r12 ask #3; slot ceded by
-    # j3_updated): the nine-lane sniff-dispatch pass is the multimodal
+    # j3_updated): the fourteen-lane sniff-dispatch pass is the multimodal
     # surface's composition proof — the per-modality driver rows pin
     # each codec in isolation, this row pins the routing a mixed crawl
     # actually runs. Deliberately NOT a bench headline: ~95% of its
-    # wall time is the fixture synthesizing eight container encodings
+    # wall time is the fixture synthesizing fourteen container encodings
     # per doc, cost the operator never pays on real data (bench.py
     # documents the exclusion).
 )
@@ -5456,8 +5499,10 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/multimodal.py:media_metadata``): one corpus whose
     blobs are real PNG, baseline-JPEG, WAV, FLAC, progressive-JPEG
     (SOF2, r12), ISO-BMFF MP4, Matroska WebM (both r12), MPEG1-L3 MP3,
-    ADTS AAC-LC, Ogg Opus/Vorbis, AVIF/HEIC image items, or WebP (all
-    r13) files by ``doc_id % 12``; the kernel sniffs each magic,
+    ADTS AAC-LC, Ogg Opus/Vorbis, AVIF/HEIC image items, WebP (all
+    r13), TIFF, or legacy AVI (both r14) files by ``doc_id % 14``; the
+    kernel sniffs
+    each magic,
     decodes through the matching pure codec (video:
     ``operators/videocodec.py`` box/EBML walk; MP3/AAC:
     ``operators/mp3codec.py`` frame-header walk; Ogg:
@@ -5492,6 +5537,8 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     import_mp3 = _codec_importer("mp3codec")
     import_ogg = _codec_importer("oggcodec")
     import_webp = _codec_importer("webpcodec")
+    import_tiff = _codec_importer("tiffcodec")
+    import_avi = _codec_importer("avicodec")
 
     def synth(it):
         import hashlib as _hashlib
@@ -5507,14 +5554,64 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         mp3c = import_mp3()
         oggc = import_ogg()
         webpc = import_webp()
+        tiffc = import_tiff()
+        avic = import_avi()
         for pdf in it:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 mh = _hashlib.md5(str(did).encode()).hexdigest()
                 b = int(mh[:15], 16)
-                m = did % 12
-                if m == 11:
+                m = did % 14
+                if m == 13:
+                    # AVI (r14): header fields restated in the oracle
+                    # from avih/strh/strf; the content address is the
+                    # demux-invariant per-stream concatenation (one
+                    # contiguous md5 stream: video slice then audio
+                    # slice), and b varies the interleave ratio, audio
+                    # chunking, JUNK pad, and idx1 presence so every
+                    # re-mux axis sits under the hash; b%3==0 files are
+                    # video-only (NULL rate/channels)
+                    av_f, av_vl, av_al = (1 + b % 24, 30 + b % 200,
+                                          20 + b % 100)
+                    has_audio = b % 3 != 0
+                    total = av_vl + (av_al if has_audio else 0)
+                    full = bytes.fromhex((mh * 25)[: 2 * total])
+                    blob = avic.encode_avi(
+                        16 + b % 1920, 16 + (b // 7) % 1080,
+                        av_f, 1000 * (10 + b % 90),
+                        video_payload=full[:av_vl],
+                        codec=("MJPG", "XVID", "DIB ")[b % 3],
+                        audio_payload=(full[av_vl:] if has_audio
+                                       else None),
+                        sample_rate=(8000, 11025, 22050)[b % 3],
+                        channels=1 + b % 2,
+                        interleave=b % 4,
+                        audio_chunks=1 + b % 3,
+                        junk=(b // 3) % 2 == 1,
+                        with_idx1=(b // 5) % 2 == 1,
+                    )
+                elif m == 12:
+                    # TIFF (r14): dims/bits/compression restated in the
+                    # oracle from the primary IFD; the content address
+                    # is the concatenated strip payloads, and b varies
+                    # endianness, IFD placement, strip splits, and the
+                    # page count so every re-bake axis sits under the
+                    # hash (pages multiply the payload, so tf_p is BOTH
+                    # n_frames and a hash input)
+                    tf_p, tf_l = 1 + (b // 4) % 4, 20 + b % 40
+                    blob = tiffc.encode_tiff(
+                        16 + b % 30000, 16 + (b // 7) % 30000,
+                        payload=bytes.fromhex((mh * 15)[: 2 * tf_l * tf_p]),
+                        compression=("raw", "lzw", "ccitt-g4", "packbits",
+                                     "deflate")[b % 5],
+                        bits=(1, 8, 16)[b % 3],
+                        pages=tf_p,
+                        strips=1 + b % 3,
+                        endian="<" if b % 2 == 0 else ">",
+                        ifd_first=(b // 3) % 2 == 1,
+                    )
+                elif m == 11:
                     # WebP: lossy (even b) restates the frame tag +
                     # start code + u16le dims; lossless (odd b) the
                     # 0x2F + LSB-packed dims/alpha field; a b-varied

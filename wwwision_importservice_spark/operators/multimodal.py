@@ -453,7 +453,7 @@ MEDIA_METADATA_SCHEMA = (
 
 
 def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
-               mp3c=None, oggc=None, webpc=None):
+               mp3c=None, oggc=None, webpc=None, tiffc=None, avic=None):
     """One blob → one :data:`MEDIA_METADATA_SCHEMA` tuple. Module-level
     (not a closure) so the GIF single-decode and corrupt-blob policies
     are unit-testable without a Spark pass.
@@ -512,9 +512,14 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
         from wwwision_importservice_spark.operators import oggcodec as oggc
     if webpc is None:
         from wwwision_importservice_spark.operators import webpcodec as webpc
+    if tiffc is None:
+        from wwwision_importservice_spark.operators import tiffcodec as tiffc
+    if avic is None:
+        from wwwision_importservice_spark.operators import avicodec as avic
     fmt = img.sniff_format(data)
     webp = fmt is None and webpc.sniff_webp(data)
-    audio = None if (fmt is not None or webp) else (
+    tiff = fmt is None and not webp and tiffc.sniff_tiff(data)
+    audio = None if (fmt is not None or webp or tiff) else (
         "wav" if wavc.sniff_wav(data) else
         "flac" if flacc.sniff_flac(data) else None
     )
@@ -523,12 +528,15 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
     # box, not a trak — before r13 every iPhone photo (HEIC) and web
     # AVIF fell through the empty track walk as kind='audio' with
     # all-NULL fields
-    heif = fmt is None and not webp and audio is None and vidc.sniff_heif(data)
-    video = fmt is None and not webp and audio is None and not heif and (
-        vidc.sniff_mp4(data) or vidc.sniff_webm(data)
-    )
-    stream = None if (fmt is not None or webp or audio is not None
-                      or video) else (
+    heif = (fmt is None and not webp and not tiff and audio is None
+            and vidc.sniff_heif(data))
+    avi = (fmt is None and not webp and not tiff and audio is None
+           and not heif and avic.sniff_avi(data))
+    video = (fmt is None and not webp and not tiff and audio is None
+             and not heif and not avi
+             and (vidc.sniff_mp4(data) or vidc.sniff_webm(data)))
+    stream = None if (fmt is not None or webp or tiff or audio is not None
+                      or avi or video) else (
         "aac" if mp3c.sniff_adts(data) else
         "mp3" if mp3c.sniff_mp3(data) else
         "ogg" if oggc.sniff_ogg(data) else None
@@ -567,6 +575,19 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
                     meta["n_frames"], None, None, None, None,
                     meta["codec"], len(data),
                     hex_sha(webpc.media_payload(data, meta)))
+        if tiff:
+            # TIFF (r14 — the scanned-document staple): endian-aware
+            # IFD entry walk only, NO raster decode; dims/bit-depth/
+            # compression family from the primary IFD, n_frames = the
+            # IFD chain length (multi-page scans); content address =
+            # the concatenated strip/tile payload bytes, so the same
+            # image RE-BAKED (IFD moved, strips re-split, entries
+            # re-packed) hashes identically
+            meta = tiffc.parse_tiff(data)
+            return (rid, "image", "tiff", meta["width"], meta["height"],
+                    meta["n_pages"], None, None, meta["bits_per_sample"],
+                    None, meta["codec"], len(data),
+                    hex_sha(tiffc.media_payload(data, meta)))
         if heif:
             # image-ITEM container: dims/codec from the meta-box walk;
             # the content address is the coded item payload (mdat
@@ -578,6 +599,21 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
                     meta["height"], meta["n_frames"], None, None, None,
                     None, meta["codec"], len(data),
                     hex_sha(vidc.mdat_payload(data, meta)))
+        if avi:
+            # legacy AVI (r14 — archived/long-tail video crawls): RIFF
+            # chunk walk + avih/strh/strf arithmetic only, NO frame
+            # decode; dims/frames/duration from the main header, codec
+            # from the vids fccHandler, rate/channels from the auds
+            # WAVEFORMATEX; content address = per-stream concatenated
+            # movi chunk bodies, so the same A/V re-interleaved or
+            # re-indexed hashes identically (demux-invariant)
+            meta = avic.parse_avi(data)
+            kind = "video" if meta["has_video"] else "audio"
+            return (rid, kind, "avi", meta["width"], meta["height"],
+                    meta["n_frames"], meta["sample_rate"],
+                    meta["channels"], None, meta["duration_ms"],
+                    meta["codec"], len(data),
+                    hex_sha(avic.media_payload(data, meta)))
         if video:
             meta = (vidc.parse_mp4(data) if vidc.sniff_mp4(data)
                     else vidc.parse_webm(data))
@@ -611,7 +647,8 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
         if strict:
             raise
         container = stream or (
-            "webp" if webp else "heif" if heif
+            "webp" if webp else "tiff" if tiff else "heif" if heif
+            else "avi" if avi
             else "mp4" if vidc.sniff_mp4(data) else "webm"
         )
         return (rid, "corrupt", fmt or audio or container, None, None,
@@ -637,9 +674,12 @@ def media_metadata(
     pure image codecs, RIFF-WAV and FLAC through the audio codecs,
     ISO-BMFF (MP4/MOV) and Matroska/WebM through the container walkers,
     MPEG-audio (MP3) and ADTS-AAC through the frame-header walk, Ogg
-    (Opus/Vorbis) through the page walk (all r13) — decodes it for
-    real (video/MP3/AAC/Ogg: header walk only, no frame/sample
-    decode), and emits one typed row:
+    (Opus/Vorbis) through the page walk (all r13), TIFF through the
+    endian-aware IFD walk, and legacy AVI through the RIFF
+    avih/strh/strf walk (both r14 — the scanned-document and archive-
+    video staples) — decodes it for real (video/MP3/AAC/Ogg/TIFF/AVI:
+    header walk only, no frame/sample/raster decode), and emits one
+    typed row:
 
     ``(id, kind, format, width, height, n_frames, sample_rate,
     channels, bits_per_sample, duration_ms, codec, n_bytes,
@@ -674,6 +714,8 @@ def media_metadata(
     import_mp3 = _codec_importer("mp3codec")
     import_ogg = _codec_importer("oggcodec")
     import_webp = _codec_importer("webpcodec")
+    import_tiff = _codec_importer("tiffcodec")
+    import_avi = _codec_importer("avicodec")
     be_strict = bool(strict)
 
     def batches(it: Iterator) -> Iterator:
@@ -688,6 +730,8 @@ def media_metadata(
         mp3c = import_mp3()
         oggc = import_ogg()
         webpc = import_webp()
+        tiffc = import_tiff()
+        avic = import_avi()
 
         def hex_sha(b: bytes) -> str:
             return _hashlib.sha256(b.hex().encode()).hexdigest()
@@ -695,7 +739,8 @@ def media_metadata(
         for pdf in it:
             rows = [
                 _media_row(int(rid), bytes(blob), img, wavc, flacc, vidc,
-                           be_strict, hex_sha, mp3c, oggc, webpc)
+                           be_strict, hex_sha, mp3c, oggc, webpc, tiffc,
+                           avic)
                 for rid, blob in zip(pdf[id_col], pdf[blob_col])
             ]
             out = pd.DataFrame(
