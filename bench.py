@@ -214,7 +214,7 @@ HEADLINE = [
     # contaminated-id distinct)
     "x4_flac_decode",
     "x2_ngram_decontaminate",
-    # NOT headlined: x4_media_metadata (the fourteen-container routing
+    # NOT headlined: x4_media_metadata (the fifteen-container routing
     # pass, a DRIVER row since r13) measured 12.3s at sf0.1 of which
     # ~95% is the FIXTURE synthesizing a real container encoding per
     # doc — benching it would blur the round-over-round total with

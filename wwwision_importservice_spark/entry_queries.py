@@ -53,9 +53,10 @@ PYTEST_ORACLES: dict[str, str] = {}
 # (new this round / never yet driver-verified) at the front so a future
 # over-budget registration can only evict a long-green query, not a new one.
 _CHECK_FIRST = [
-    "x4_media_metadata",  # PROMOTED r13 (VERDICT r12 ask #3; FOURTEEN
-    # lanes as of r14 — doc_id % 14 — incl. the MP3/ADTS header-walk,
-    # Ogg page-walk, HEIF, WebP, TIFF IFD-walk, and AVI RIFF-walk arms)
+    "x4_media_metadata",  # PROMOTED r13 (VERDICT r12 ask #3; FIFTEEN
+    # lanes as of r14 — doc_id % 15 — incl. the MP3/ADTS header-walk,
+    # Ogg page-walk, HEIF, WebP, TIFF IFD-walk, AVI RIFF-walk, and FLV
+    # tag-walk arms)
     "x4_flac_decode",  # NEW r11 (real FLAC decode, compressed-audio gap)
     "x2_ngram_decontaminate",  # NEW r11 (13-gram train/test overlap filter)
     "x6_incremental_curation",  # PROMOTED r11 (VERDICT r10 ask #2)
@@ -5247,8 +5248,8 @@ def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "x4_media_metadata",
-    # one mixed-modality corpus, FOURTEEN real container lanes, ONE
-    # oracle: doc_id % 14 picks PNG (md5-cycled 4x3 pixels), exact-gray
+    # one mixed-modality corpus, FIFTEEN real container lanes, ONE
+    # oracle: doc_id % 15 picks PNG (md5-cycled 4x3 pixels), exact-gray
     # q50 baseline JPEG, mono WAV, mono FLAC, the SAME gray grid as a
     # PROGRESSIVE (SOF2) JPEG (r12), an ISO-BMFF MP4, a Matroska
     # WebM (both r12 — container-walk metadata, no frame decode), a
@@ -5296,7 +5297,7 @@ def x4_audio_sniff_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 SELECT doc_id,
        CASE WHEN m IN (2, 3, 7, 8, 9) THEN 'audio'
-            WHEN m IN (5, 6, 13) THEN 'video'
+            WHEN m IN (5, 6, 13, 14) THEN 'video'
             ELSE 'image' END AS kind,
        CASE m WHEN 0 THEN 'png' WHEN 2 THEN 'wav' WHEN 3 THEN 'flac'
               WHEN 5 THEN 'mp4' WHEN 6 THEN 'webm' WHEN 7 THEN 'mp3'
@@ -5306,24 +5307,27 @@ SELECT doc_id,
               WHEN 11 THEN 'webp'
               WHEN 12 THEN 'tiff'
               WHEN 13 THEN 'avi'
+              WHEN 14 THEN 'flv'
               ELSE 'jpeg' END AS format,
        CAST(CASE WHEN m = 0 THEN 4 WHEN m IN (1, 4) THEN 8 * bw
                  WHEN m IN (5, 6) THEN 16 + b % 100
                  WHEN m = 10 THEN 16 + b % 4000
                  WHEN m = 11 THEN wp_w
                  WHEN m = 12 THEN 16 + b % 30000
-                 WHEN m = 13 THEN 16 + b % 1920 END AS INT) AS width,
+                 WHEN m IN (13, 14) THEN 16 + b % 1920 END AS INT)
+         AS width,
        CAST(CASE WHEN m = 0 THEN 3 WHEN m IN (1, 4) THEN 8 * bh
                  WHEN m IN (5, 6) THEN 16 + (b // 7) % 100
                  WHEN m = 10 THEN 16 + (b // 7) % 4000
                  WHEN m = 11 THEN wp_h
                  WHEN m = 12 THEN 16 + (b // 7) % 30000
-                 WHEN m = 13 THEN 16 + (b // 7) % 1080 END AS INT)
-         AS height,
+                 WHEN m IN (13, 14) THEN 16 + (b // 7) % 1080
+            END AS INT) AS height,
        CAST(CASE WHEN m IN (2, 3) THEN n WHEN m = 5 THEN 1 + b % 30
                  WHEN m = 6 THEN 1 + b % 9 WHEN m = 7 THEN mp3_n
                  WHEN m = 8 THEN aac_n WHEN m = 9 THEN ogg_p
                  WHEN m = 12 THEN tf_p WHEN m = 13 THEN av_f
+                 WHEN m = 14 THEN fl_f
                  ELSE 1 END AS INT) AS n_frames,
        CAST(CASE WHEN m IN (2, 3) THEN 8000 WHEN m = 7 THEN mp3_sr
                  WHEN m = 8 THEN aac_sr
@@ -5332,6 +5336,9 @@ SELECT doc_id,
                  -- files (b % 3 = 0) report NULL
                  WHEN m = 13 AND b % 3 <> 0
                    THEN list_extract([8000, 11025, 22050], 1 + b % 3)
+                 -- FLV: rate decoded from the audio tag header byte
+                 WHEN m = 14 AND b % 4 <> 0
+                   THEN list_extract([44100, 22050, 11025], 1 + b % 3)
             END AS INT) AS sample_rate,
        CAST(CASE WHEN m IN (2, 3) THEN 1
                  WHEN m = 7 THEN 1 + (b // 9) % 2
@@ -5339,6 +5346,7 @@ SELECT doc_id,
                  WHEN m = 9 THEN (CASE WHEN b % 2 = 0 THEN 1 + b % 2
                                        ELSE 1 + b % 4 END)
                  WHEN m = 13 AND b % 3 <> 0 THEN 1 + b % 2
+                 WHEN m = 14 AND b % 4 <> 0 THEN 1 + b % 2
             END AS INT) AS channels,
        CAST(CASE WHEN m IN (2, 3) THEN 16
                  -- TIFF: bit depth is an IMAGE field here (tag 258),
@@ -5357,6 +5365,9 @@ SELECT doc_id,
                  -- AVI: frames * µs_per_frame // 1000, with the
                  -- fixture's µs = 1000*(10 + b%90) so it is exact
                  WHEN m = 13 THEN av_f * (10 + b % 90)
+                 -- FLV: onMetaData duration (seconds f64) -> ms via
+                 -- round; d/1000.0 round-trips exactly for d < 2^40
+                 WHEN m = 14 THEN 500 + b % 20000
             END AS BIGINT) AS duration_ms,
        CASE WHEN m = 5 THEN (CASE WHEN b % 2 = 0 THEN 'avc1'
                                   ELSE 'hvc1' END)
@@ -5374,6 +5385,8 @@ SELECT doc_id,
               ['raw', 'lzw', 'ccitt-g4', 'packbits', 'deflate'],
               1 + b % 5)
             WHEN m = 13 THEN list_extract(['mjpg', 'xvid', 'dib'],
+                                          1 + b % 3)
+            WHEN m = 14 THEN list_extract(['avc', 'vp6', 'h263'],
                                           1 + b % 3) END AS codec,
        CASE
          WHEN m = 0 THEN sha256(substr(repeat(mh, 3), 1, 72))
@@ -5445,6 +5458,22 @@ SELECT doc_id,
          -- idx1 index are all provably outside the hash
          WHEN m = 13 THEN sha256(substr(repeat(mh, 25), 1,
            2 * (av_vl + (CASE WHEN b % 3 <> 0 THEN av_al ELSE 0 END))))
+         -- FLV: per-stream tag-body concatenation — every video tag
+         -- body is the 1-byte frame-type|codec-id header (keyframe
+         -- for tag 0) plus its md5 slice, every audio tag body the
+         -- 1-byte format|rate|size|channels header plus its slice;
+         -- interleave ratio and the rewritten onMetaData are outside
+         -- the hash
+         WHEN m = 14 THEN sha256(
+           array_to_string(list_transform(range(0, fl_f), i ->
+             (CASE WHEN i = 0 THEN fl_hk ELSE fl_hi END) ||
+             substr(repeat(mh, 42), 1 + 2 * fl_vl * i, 2 * fl_vl)), '')
+           || (CASE WHEN b % 4 <> 0 THEN
+                array_to_string(list_transform(range(0, fl_a), j ->
+                  fl_ha || substr(repeat(mh, 42),
+                                  1 + 2 * (fl_vl * fl_f + fl_al * j),
+                                  2 * fl_al)), '')
+               ELSE '' END))
          ELSE sha256(substr(repeat(mh, 18), 1, 4 * n))
        END AS payload_sha
 FROM (
@@ -5458,7 +5487,7 @@ FROM (
          (wp_w - 1) + (wp_h - 1) * 16384 +
            (CASE WHEN (b // 5) % 2 = 1 THEN 268435456 ELSE 0 END) AS wp_pk
   FROM (
-    SELECT doc_id, mh, b, doc_id % 14 AS m,
+    SELECT doc_id, mh, b, doc_id % 15 AS m,
            40 + b % 100 AS n, 2 + b % 3 AS bw, 2 + (b // 3) % 3 AS bh,
            list_transform(range(0, (2 + b % 3) * (2 + (b // 3) % 3)), k ->
              (CAST('0x' || substr(mh, 2*k+1, 2) AS INT) % 128) * 2) AS gs,
@@ -5476,7 +5505,16 @@ FROM (
            20 + b % 40 AS wp_l,
            1 + (b // 4) % 4 AS tf_p, 20 + b % 40 AS tf_l,
            1 + b % 24 AS av_f, 30 + b % 200 AS av_vl,
-           20 + b % 100 AS av_al
+           20 + b % 100 AS av_al,
+           1 + b % 20 AS fl_f, 6 + b % 24 AS fl_vl,
+           1 + b % 3 AS fl_a, 8 + b % 20 AS fl_al,
+           -- FLV tag header bytes: keyframe/inter frame-type nibble |
+           -- codec id (avc=7, vp6=4, h263=2); audio = fmt<<4 |
+           -- rate_idx<<2 | 16-bit | stereo-bit (aac@44.1k else mp3)
+           list_extract(['17', '14', '12'], 1 + b % 3) AS fl_hk,
+           list_extract(['27', '24', '22'], 1 + b % 3) AS fl_hi,
+           printf('%02x', list_extract([174, 42, 38], 1 + b % 3)
+                  + b % 2) AS fl_ha
     FROM (
       SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mh,
              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
@@ -5486,11 +5524,11 @@ FROM (
 )
 """,
     # DRIVER row since r13 (VERDICT r12 ask #3; slot ceded by
-    # j3_updated): the fourteen-lane sniff-dispatch pass is the multimodal
+    # j3_updated): the fifteen-lane sniff-dispatch pass is the multimodal
     # surface's composition proof — the per-modality driver rows pin
     # each codec in isolation, this row pins the routing a mixed crawl
     # actually runs. Deliberately NOT a bench headline: ~95% of its
-    # wall time is the fixture synthesizing fourteen container encodings
+    # wall time is the fixture synthesizing fifteen container encodings
     # per doc, cost the operator never pays on real data (bench.py
     # documents the exclusion).
 )
@@ -5500,8 +5538,8 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs are real PNG, baseline-JPEG, WAV, FLAC, progressive-JPEG
     (SOF2, r12), ISO-BMFF MP4, Matroska WebM (both r12), MPEG1-L3 MP3,
     ADTS AAC-LC, Ogg Opus/Vorbis, AVIF/HEIC image items, WebP (all
-    r13), TIFF, or legacy AVI (both r14) files by ``doc_id % 14``; the
-    kernel sniffs
+    r13), TIFF, legacy AVI, or Flash-era FLV (all r14) files by
+    ``doc_id % 15``; the kernel sniffs
     each magic,
     decodes through the matching pure codec (video:
     ``operators/videocodec.py`` box/EBML walk; MP3/AAC:
@@ -5539,6 +5577,7 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     import_webp = _codec_importer("webpcodec")
     import_tiff = _codec_importer("tiffcodec")
     import_avi = _codec_importer("avicodec")
+    import_flv = _codec_importer("flvcodec")
 
     def synth(it):
         import hashlib as _hashlib
@@ -5556,14 +5595,46 @@ def x4_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         webpc = import_webp()
         tiffc = import_tiff()
         avic = import_avi()
+        flvc = import_flv()
         for pdf in it:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
                 mh = _hashlib.md5(str(did).encode()).hexdigest()
                 b = int(mh[:15], 16)
-                m = did % 14
-                if m == 13:
+                m = did % 15
+                if m == 14:
+                    # FLV (r14): dims/duration land in onMetaData (the
+                    # AMF0 doubles the oracle restates as integers),
+                    # frames/codec/rate/channels in the tag headers;
+                    # the content address is the per-stream tag-body
+                    # concatenation over ONE contiguous md5 stream
+                    # (video slices then audio slices), with the
+                    # b-varied interleave and a padded metadata tag
+                    # provably outside the hash; b%4==0 files are
+                    # video-only
+                    fl_f, fl_vl = 1 + b % 20, 6 + b % 24
+                    fl_a, fl_al = 1 + b % 3, 8 + b % 20
+                    has_audio = b % 4 != 0
+                    total = fl_vl * fl_f + (fl_al * fl_a if has_audio
+                                            else 0)
+                    full = bytes.fromhex((mh * 42)[: 2 * total])
+                    frames = [full[fl_vl * i : fl_vl * (i + 1)]
+                              for i in range(fl_f)]
+                    base = fl_vl * fl_f
+                    chunks = ([full[base + fl_al * j : base + fl_al * (j + 1)]
+                               for j in range(fl_a)] if has_audio else None)
+                    blob = flvc.encode_flv(
+                        16 + b % 1920, 16 + (b // 7) % 1080,
+                        500 + b % 20000, frames,
+                        codec=("avc", "vp6", "h263")[b % 3],
+                        audio_chunks=chunks,
+                        sample_rate=(44100, 22050, 11025)[b % 3],
+                        channels=1 + b % 2,
+                        interleave=b % 3,
+                        extra_meta=(b // 3) % 2 == 1,
+                    )
+                elif m == 13:
                     # AVI (r14): header fields restated in the oracle
                     # from avih/strh/strf; the content address is the
                     # demux-invariant per-stream concatenation (one

@@ -453,7 +453,8 @@ MEDIA_METADATA_SCHEMA = (
 
 
 def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
-               mp3c=None, oggc=None, webpc=None, tiffc=None, avic=None):
+               mp3c=None, oggc=None, webpc=None, tiffc=None, avic=None,
+               flvc=None):
     """One blob → one :data:`MEDIA_METADATA_SCHEMA` tuple. Module-level
     (not a closure) so the GIF single-decode and corrupt-blob policies
     are unit-testable without a Spark pass.
@@ -516,6 +517,8 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
         from wwwision_importservice_spark.operators import tiffcodec as tiffc
     if avic is None:
         from wwwision_importservice_spark.operators import avicodec as avic
+    if flvc is None:
+        from wwwision_importservice_spark.operators import flvcodec as flvc
     fmt = img.sniff_format(data)
     webp = fmt is None and webpc.sniff_webp(data)
     tiff = fmt is None and not webp and tiffc.sniff_tiff(data)
@@ -532,11 +535,13 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
             and vidc.sniff_heif(data))
     avi = (fmt is None and not webp and not tiff and audio is None
            and not heif and avic.sniff_avi(data))
+    flv = (fmt is None and not webp and not tiff and audio is None
+           and not heif and not avi and flvc.sniff_flv(data))
     video = (fmt is None and not webp and not tiff and audio is None
-             and not heif and not avi
+             and not heif and not avi and not flv
              and (vidc.sniff_mp4(data) or vidc.sniff_webm(data)))
     stream = None if (fmt is not None or webp or tiff or audio is not None
-                      or avi or video) else (
+                      or avi or flv or video) else (
         "aac" if mp3c.sniff_adts(data) else
         "mp3" if mp3c.sniff_mp3(data) else
         "ogg" if oggc.sniff_ogg(data) else None
@@ -614,6 +619,20 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
                     meta["channels"], None, meta["duration_ms"],
                     meta["codec"], len(data),
                     hex_sha(avic.media_payload(data, meta)))
+        if flv:
+            # Flash-era FLV (r14, the AVI lane's sibling): tag walk +
+            # minimal AMF0 onMetaData read, NO frame decode; frames
+            # counted from video tags, rate/channels from the audio
+            # tag header byte, dims/duration from onMetaData (honest
+            # None when absent); content address = per-stream
+            # concatenated tag bodies (demux-invariant)
+            meta = flvc.parse_flv(data)
+            kind = "video" if meta["has_video"] else "audio"
+            return (rid, kind, "flv", meta["width"], meta["height"],
+                    meta["n_frames"], meta["sample_rate"],
+                    meta["channels"], None, meta["duration_ms"],
+                    meta["codec"], len(data),
+                    hex_sha(flvc.media_payload(data, meta)))
         if video:
             meta = (vidc.parse_mp4(data) if vidc.sniff_mp4(data)
                     else vidc.parse_webm(data))
@@ -648,7 +667,7 @@ def _media_row(rid, data, img, wavc, flacc, vidc, strict, hex_sha,
             raise
         container = stream or (
             "webp" if webp else "tiff" if tiff else "heif" if heif
-            else "avi" if avi
+            else "avi" if avi else "flv" if flv
             else "mp4" if vidc.sniff_mp4(data) else "webm"
         )
         return (rid, "corrupt", fmt or audio or container, None, None,
@@ -675,11 +694,11 @@ def media_metadata(
     ISO-BMFF (MP4/MOV) and Matroska/WebM through the container walkers,
     MPEG-audio (MP3) and ADTS-AAC through the frame-header walk, Ogg
     (Opus/Vorbis) through the page walk (all r13), TIFF through the
-    endian-aware IFD walk, and legacy AVI through the RIFF
-    avih/strh/strf walk (both r14 — the scanned-document and archive-
-    video staples) — decodes it for real (video/MP3/AAC/Ogg/TIFF/AVI:
-    header walk only, no frame/sample/raster decode), and emits one
-    typed row:
+    endian-aware IFD walk, legacy AVI through the RIFF avih/strh/strf
+    walk, and Flash-era FLV through the tag walk + AMF0 onMetaData
+    read (all r14 — the scanned-document and archive-video staples) —
+    decodes it for real (video/MP3/AAC/Ogg/TIFF/AVI/FLV: header walk
+    only, no frame/sample/raster decode), and emits one typed row:
 
     ``(id, kind, format, width, height, n_frames, sample_rate,
     channels, bits_per_sample, duration_ms, codec, n_bytes,
@@ -716,6 +735,7 @@ def media_metadata(
     import_webp = _codec_importer("webpcodec")
     import_tiff = _codec_importer("tiffcodec")
     import_avi = _codec_importer("avicodec")
+    import_flv = _codec_importer("flvcodec")
     be_strict = bool(strict)
 
     def batches(it: Iterator) -> Iterator:
@@ -732,6 +752,7 @@ def media_metadata(
         webpc = import_webp()
         tiffc = import_tiff()
         avic = import_avi()
+        flvc = import_flv()
 
         def hex_sha(b: bytes) -> str:
             return _hashlib.sha256(b.hex().encode()).hexdigest()
@@ -740,7 +761,7 @@ def media_metadata(
             rows = [
                 _media_row(int(rid), bytes(blob), img, wavc, flacc, vidc,
                            be_strict, hex_sha, mp3c, oggc, webpc, tiffc,
-                           avic)
+                           avic, flvc)
                 for rid, blob in zip(pdf[id_col], pdf[blob_col])
             ]
             out = pd.DataFrame(
