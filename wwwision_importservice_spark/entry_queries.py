@@ -7669,6 +7669,86 @@ def x11_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_records(blobs, "doc_id")
 
 
+@_register(
+    "x11_html_extract",
+    # the WARC lane's downstream stage: per doc a constructed HTML
+    # page (title, b%30 chars of script junk, 1+b%4 paragraphs of
+    # md5-hex words, b%3 anchor paragraphs) — the oracle restates the
+    # EXTRACTED text verbatim (paragraphs newline-separated, script
+    # dropped), the link counts, and the exact html_len arithmetic,
+    # so the extraction rules themselves sit under the hash
+    """
+SELECT doc_id,
+       array_to_string(list_transform(range(0, n_p), i ->
+         substr(repeat(mh, 6), 1 + 8 * i, 8)), chr(10))
+       || (CASE WHEN n_l > 0 THEN chr(10) ||
+             array_to_string(list_transform(range(0, n_l), j ->
+               substr(mh, 1 + 2 * j, 4)), chr(10))
+           ELSE '' END) AS text,
+       substr(mh, 1, 6) AS title,
+       CAST(n_l AS INT) AS n_links,
+       CAST(4 * n_l AS INT) AS link_text_len,
+       CAST(9 * n_p - 1 + 5 * n_l AS INT) AS text_len,
+       -- fixed markup 71 chars + 6 title + jl script junk
+       -- + 15/paragraph (<p>+8+</p>) + 27/anchor paragraph
+       CAST(71 + 6 + jl + 15 * n_p + 27 * n_l AS INT) AS html_len
+FROM (
+  SELECT doc_id, mh, 1 + b % 4 AS n_p, b % 3 AS n_l, b % 30 AS jl
+  FROM (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mh,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS b
+    FROM documents)
+)
+""",
+    driver=False,
+)
+def x11_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 — HTML → text extraction
+    (``operators/htmltext.py:html_extract``, r14): the curation step
+    between WARC ingestion and text analysis, under exactly-specified
+    rules (script/style/head dropped, entity decode, block elements →
+    newline boundaries, inline → space joins) so the EXTRACTED TEXT
+    itself is oracle-restatable — plus the integer signals
+    (link counts, text/html lengths) quality filters divide into link
+    density and text ratio. One Arrow pass, no shuffle."""
+    from wwwision_importservice_spark.operators.htmltext import html_extract
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
+
+    def synth(it):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mh = _hashlib.md5(str(did).encode()).hexdigest()
+                b = int(mh[:15], 16)
+                n_p, n_l, jl = 1 + b % 4, b % 3, b % 30
+                paras = "".join(
+                    f"<p>{(mh * 6)[8 * i : 8 * (i + 1)]}</p>"
+                    for i in range(n_p)
+                )
+                anchors = "".join(
+                    f'<p><a href="#">{mh[2 * j : 2 * j + 4]}</a></p>'
+                    for j in range(n_l)
+                )
+                page = (
+                    "<html><head><title>" + mh[:6]
+                    + "</title><script>" + (mh * 2)[:jl]
+                    + "</script></head><body>" + paras + anchors
+                    + "</body></html>"
+                )
+                rows.append((did, page))
+            yield pd.DataFrame(rows, columns=["doc_id", "html"])
+
+    pages = docs.mapInPandas(synth, schema="doc_id long, html string")
+    return html_extract(pages, "doc_id")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() — the SURVEY §7.2 end-to-end slice."""
     return j4_changeset(spark, sf_dir)
