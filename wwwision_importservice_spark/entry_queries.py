@@ -7749,6 +7749,113 @@ def x11_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract(pages, "doc_id")
 
 
+@_register(
+    "x11_crawl_pipeline",
+    # the composed crawl chain under ONE hash: WARC envelope →
+    # record split → HTTP status gate (only (b//7)%3==0 docs carry a
+    # 200) → HTML text extraction → integer quality verdict. The
+    # oracle restates the SURVIVING rows end-to-end from md5
+    # arithmetic — a fault at any stage (framing, status split,
+    # extraction rules, the keep inequality) moves the hash.
+    """
+SELECT doc_id,
+       substr(mh, 1, 6) AS title,
+       CAST(n_l AS INT) AS n_links,
+       CAST(9 * n_p - 1 + 5 * n_l AS INT) AS text_len,
+       CAST(4 * n_l AS INT) AS link_text_len,
+       CAST(CASE WHEN 9 * n_p - 1 + 5 * n_l >= 20
+                  AND 8 * n_l < 9 * n_p - 1 + 5 * n_l
+             THEN 1 ELSE 0 END AS INT) AS keep
+FROM (
+  SELECT doc_id, mh, b, 1 + b % 4 AS n_p, b % 3 AS n_l
+  FROM (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mh,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS b
+    FROM documents)
+)
+WHERE (b // 7) % 3 = 0
+""",
+    driver=False,
+)
+def x11_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 — the crawl-to-corpus chain composed end to end (r14):
+    per doc a WARC envelope (warcinfo + one HTTP response whose
+    status rotates by md5 arithmetic and whose body is the
+    constructed HTML page) flows through
+    ``warc_records(include_body=True)`` → the status-200 gate →
+    ``html_extract`` → the integer keep verdict (min length AND link
+    density < 1/2). Exactly the first mile of a production crawl
+    pipeline, with every stage's correctness composing under one
+    oracle hash. Two Arrow passes (record split, extraction), one
+    filter between — no shuffle anywhere."""
+    from wwwision_importservice_spark.operators.htmltext import html_extract
+    from wwwision_importservice_spark.operators.warc import (
+        encode_http_response,
+        encode_warc,
+        warc_records,
+    )
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
+
+    def synth(it):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mh = _hashlib.md5(str(did).encode()).hexdigest()
+                b = int(mh[:15], 16)
+                n_p, n_l, jl = 1 + b % 4, b % 3, b % 30
+                paras = "".join(
+                    f"<p>{(mh * 6)[8 * i : 8 * (i + 1)]}</p>"
+                    for i in range(n_p)
+                )
+                anchors = "".join(
+                    f'<p><a href="#">{mh[2 * j : 2 * j + 4]}</a></p>'
+                    for j in range(n_l)
+                )
+                page = (
+                    "<html><head><title>" + mh[:6]
+                    + "</title><script>" + (mh * 2)[:jl]
+                    + "</script></head><body>" + paras + anchors
+                    + "</body></html>"
+                )
+                status = (200, 301, 404)[(b // 7) % 3]
+                blob = encode_warc(
+                    [
+                        {"warc_type": "warcinfo",
+                         "payload": f"software: fixture-{mh}".encode()},
+                        {"warc_type": "response",
+                         "target_uri": f"http://example.com/{did}",
+                         "content_type": "application/http; "
+                                         "msgtype=response",
+                         "payload": encode_http_response(
+                             status, page.encode())},
+                    ],
+                    gzip_members=(b % 2 == 1),
+                )
+                rows.append((did, bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    blobs = docs.mapInPandas(synth, schema="doc_id long, blob binary")
+    recs = warc_records(blobs, "doc_id", include_body=True)
+    pages = (
+        recs.filter((F.col("warc_type") == "response")
+                    & (F.col("http_status") == 200))
+        .select("doc_id", F.col("body").cast("string").alias("html"))
+    )
+    ex = html_extract(pages, "doc_id", "html")
+    return ex.select(
+        "doc_id", "title", "n_links", "text_len", "link_text_len",
+        F.expr("CAST(text_len >= 20 AND 2 * link_text_len < text_len "
+               "AS INT)").alias("keep"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() — the SURVEY §7.2 end-to-end slice."""
     return j4_changeset(spark, sf_dir)

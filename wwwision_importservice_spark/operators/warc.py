@@ -203,12 +203,17 @@ def split_http_response(payload: bytes) -> tuple[int | None, dict, bytes]:
     return status, headers, payload[body:]
 
 
-def warc_records(df: DataFrame, id_col: str, blob_col: str = "blob") -> DataFrame:
+def warc_records(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str = "blob",
+    include_body: bool = False,
+) -> DataFrame:
     """One Arrow pass over ``(id, blob)`` WARC files → one typed row
     per record:
 
     ``(id, record_idx, warc_type, target_uri, date, content_type,
-    content_length, http_status, body_len, body_sha)``
+    content_length, http_status, body_len, body_sha[, body])``
 
     ``http_status``/``body_len``/``body_sha`` come from the HTTP split
     for ``response`` records (body = the web content curation wants);
@@ -216,15 +221,20 @@ def warc_records(df: DataFrame, id_col: str, blob_col: str = "blob") -> DataFram
     is the hex-sha256 of the body's hex form (the repo's md5-
     arithmetic oracle convention) — the same page re-enveloped
     (new record ids/dates, re-gzipped, reordered siblings) hashes
-    identically. Malformed files raise (strict: a corrupt crawl shard
-    should fail the task and be retried/quarantined at file level,
-    not silently drop records)."""
+    identically. ``include_body=True`` ships the body bytes too, for
+    the in-pipeline chain (WARC → HTML extract → quality) where the
+    next stage consumes the content rather than its address.
+    Malformed files raise (strict: a corrupt crawl shard should fail
+    the task and be retried/quarantined at file level, not silently
+    drop records)."""
     out_schema = (
         f"{id_col} long, record_idx int, warc_type string, "
         "target_uri string, date string, content_type string, "
         "content_length long, http_status int, body_len long, "
         "body_sha string"
     )
+    if include_body:
+        out_schema += ", body binary"
 
     def batches(it):
         import hashlib as _hashlib
@@ -232,6 +242,11 @@ def warc_records(df: DataFrame, id_col: str, blob_col: str = "blob") -> DataFram
         import pandas as pd
 
         rows = []
+        cols = [
+            id_col, "record_idx", "warc_type", "target_uri", "date",
+            "content_type", "content_length", "http_status",
+            "body_len", "body_sha",
+        ] + (["body"] if include_body else [])
         for pdf in it:
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
                 for i, rec in enumerate(parse_warc(bytes(blob))):
@@ -240,17 +255,16 @@ def warc_records(df: DataFrame, id_col: str, blob_col: str = "blob") -> DataFram
                         if rec["warc_type"] == "response"
                         else (None, {}, rec["payload"])
                     )
-                    rows.append((
+                    row = (
                         int(rid), i, rec["warc_type"], rec["target_uri"],
                         rec["date"], rec["content_type"],
                         rec["content_length"], status, len(body),
                         _hashlib.sha256(body.hex().encode()).hexdigest(),
-                    ))
-            out = pd.DataFrame(rows, columns=[
-                id_col, "record_idx", "warc_type", "target_uri", "date",
-                "content_type", "content_length", "http_status",
-                "body_len", "body_sha",
-            ])
+                    )
+                    if include_body:
+                        row += (bytearray(body),)
+                    rows.append(row)
+            out = pd.DataFrame(rows, columns=cols)
             rows = []
             yield out.astype({"http_status": "Int32"})
 
