@@ -7856,6 +7856,64 @@ def x11_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "x11_url_dedup",
+    # triples of docs spell the SAME page three messy ways (uppercase
+    # host+default port+trailing slash+unsorted query / tracking
+    # params+fragment / uppercase scheme+gclid+fragment); the oracle
+    # states the ONE canonical spelling per triple directly and
+    # counts the collision group — so every normalization rule
+    # (case, port, slash, fragment, tracking filter, parameter sort)
+    # sits under the hash, and a rule that over- or under-normalizes
+    # changes the group sizes too
+    """
+SELECT doc_id,
+       'http://www.site' || (g % 50) || '.com/p/' || g || '?a=1&b=2'
+         AS canon,
+       COUNT(*) OVER (PARTITION BY g) AS group_size
+FROM (SELECT doc_id, doc_id // 3 AS g FROM documents)
+""",
+    driver=False,
+)
+def x11_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 — URL canonicalization as the crawl dedup key
+    (``operators/urls.py:canonical_url``, r14): doc triples carry
+    three messy spellings of one page URL (mixed-case host/scheme,
+    default port, trailing slash, fragment, ``utm_``/``gclid``
+    tracking params, shuffled parameter order); the canonical column
+    collapses each triple, and the group count is the URL-dedup
+    multiplicity. The ENTIRE operator — messy construction included —
+    is Catalyst expressions (no UDF, no Arrow): one whole-stage-
+    codegen projection plus the one hash shuffle the dedup itself
+    is."""
+    from pyspark.sql import Window
+
+    from wwwision_importservice_spark.operators.urls import canonical_url
+
+    docs = load(spark, sf_dir, "documents", spread=True).select("doc_id")
+    g = F.expr("doc_id DIV 3")
+    site = F.concat(F.lit("site"), (g % 50).cast("string"))
+    pg = g.cast("string")
+    messy = (
+        F.when(F.expr("doc_id % 3 = 0"), F.concat(
+            F.lit("http://WWW."), site, F.lit(".COM:80/p/"), pg,
+            F.lit("/?b=2&a=1")))
+        .when(F.expr("doc_id % 3 = 1"), F.concat(
+            F.lit("http://www."), F.initcap(site), F.lit(".com/p/"), pg,
+            F.lit("?b=2&utm_source=feed&a=1#frag")))
+        .otherwise(F.concat(
+            F.lit("HTTP://www."), site, F.lit(".com/p/"), pg,
+            F.lit("?a=1&b=2&gclid=xyz#x")))
+    )
+    canon = canonical_url(messy)
+    return docs.select(
+        "doc_id",
+        canon.alias("canon"),
+        F.count(F.lit(1)).over(Window.partitionBy(canon))
+        .alias("group_size"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """entry() — the SURVEY §7.2 end-to-end slice."""
     return j4_changeset(spark, sf_dir)
