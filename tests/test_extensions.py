@@ -867,6 +867,71 @@ def test_embedding_near_dup_multiprobe_recall(spark, sf_dir):
     )
 
 
+def test_embedding_near_dup_canonical_bucket_matches_distinct(spark, sf_dir):
+    """r14 optimization pin: the canonical-shared-bucket emission (each
+    probed pair emitted exactly once, from the closed-form canonical
+    bucket of its two base buckets — no ``.distinct()`` shuffle) must
+    produce EXACTLY the declarative candidate rule's pair set:
+    every (id_a < id_b) whose ``bits``-bit sign buckets differ by ≤ 2
+    bits and whose cosine clears the threshold, each exactly once."""
+    from wwwision_importservice_spark.operators.similarity import sign_bucket
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for bits in (4, 6):
+        rows = embedding_near_dup_pairs(
+            emb, "vec_id", threshold=0.3, bits=bits, probe_hamming=1
+        ).collect()
+        got = [(r["id_a"], r["id_b"]) for r in rows]
+        assert len(set(got)) == len(got), "duplicate pair emitted"
+        # declarative twin: buckets differ by <= 2 bits AND cosine >= thr
+        l = emb.select(
+            F.col("vec_id").alias("id_a"),
+            sign_bucket(F.col("embedding"), bits).alias("ba"),
+            F.col("embedding").alias("ea"),
+        )
+        r = emb.select(
+            F.col("vec_id").alias("id_b"),
+            sign_bucket(F.col("embedding"), bits).alias("bb"),
+            F.col("embedding").alias("eb"),
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                F.transform("ea", lambda x: x.cast("double")),
+                F.transform("eb", lambda x: x.cast("double")),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        nrm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v * v,
+            )
+        )
+        want = {
+            (row["id_a"], row["id_b"])
+            for row in l.crossJoin(r)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.bit_count(
+                    F.col("ba").bitwiseXOR(F.col("bb")).cast("long")
+                ) <= 2
+            )
+            .withColumn(
+                "cos", F.round(dot / (nrm(F.col("ea")) * nrm(F.col("eb"))), 6)
+            )
+            .filter(F.col("cos") >= 0.3)
+            .select("id_a", "id_b")
+            .collect()
+        }
+        assert set(got) == want, (
+            f"bits={bits}: {len(set(got) - want)} extra, "
+            f"{len(want - set(got))} missing"
+        )
+
+
 def test_stratified_split_exact_per_stratum(spark, sf_dir):
     """Exact allocation: every stratum's train share is within one row
     of 80% — the property the plain hash split (proportional only in

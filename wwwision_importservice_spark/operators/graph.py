@@ -23,14 +23,19 @@ dangling_mass/N), d = damping_num/damping_den.
 Scale shape (per iteration): one shuffle of the rank frame on node to
 meet the edge frame's src, one hash aggregate on dst, and a 1-row
 dangling-mass aggregate broadcast back — O(E) rows moved per
-iteration, no collect of anything wider than that scalar.
+iteration, no collect of anything wider than that scalar. Out-degree
+rides the rank frame as a carried ``_deg`` column (r14): shares and
+dangling mass are FILTERS of that one frame, not joins against a
+separate degree table — the previous shape paid an extra inner join
+(shares) and an anti join (dangling) per iteration.
 
 **Materialization is mandatory, not optional.** An iterative
 dataflow that stays lazy replays its whole prefix on every reference:
 with K iterations the edge derivation would be recomputed O(3^K)
 times (each iteration references the previous ranks three ways —
 shares, dangling, and the final join). So the static frames (edges,
-nodes, out-degrees) are localCheckpoint'ed once up front, and the
+and the node state with folded out-degrees) are localCheckpoint'ed
+once up front, and the
 rank frame is localCheckpoint'ed every ``checkpoint_every``
 iterations (default 1 — every iteration, the standard Pregel/GraphX
 discipline). localCheckpoint stores blocks on executors: fast, but
@@ -88,23 +93,35 @@ def pagerank(
         .union(e.select(F.col("_dst").alias(node_col)))
         .distinct()
     )
+    # Out-degree is FOLDED INTO the node state once (r14 optimization —
+    # guide §2.4 "remove shuffles outright"): the previous shape joined
+    # the rank frame against a separate deg table TWICE per iteration
+    # (an inner join for shares and an anti join for dangling mass).
+    # With ``_deg`` carried as a column of the rank frame, shares and
+    # dangling become FILTERS of the one frame — two joins and their
+    # exchanges disappear from every iteration, at the cost of one long
+    # column riding the rank frame. Values are bit-identical: ``_deg``
+    # is the same count, the arithmetic is untouched (pinned by the
+    # pagerank_py differential tests).
+    nd = nodes.join(
+        e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")),
+        nodes[node_col] == F.col("_src"),
+        "left",
+    ).select(node_col, "_deg")
     if iterations > 0:
-        nodes = nodes.localCheckpoint()
+        nd = nd.localCheckpoint()
     # N is ONE scalar (metadata-scale collect, same class as the SCD2
     # run-seq reads): the node count parameterizes every per-row
     # expression below, so a literal beats threading a 1-row crossJoin
     # through K iterations of codegen.
-    n = nodes.count()
+    n = nd.count()
     if n == 0:
-        return nodes.withColumn(rank_col, F.lit(0).cast("long"))
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
-    if iterations > 0:
-        deg = deg.localCheckpoint()
+        return nd.select(node_col).withColumn(rank_col, F.lit(0).cast("long"))
 
-    ranks = nodes.withColumn(rank_col, F.lit(unit // n).cast("long"))
+    ranks = nd.withColumn(rank_col, F.lit(unit // n).cast("long"))
     for it in range(iterations):
         ranks = _pagerank_step(
-            e, nodes, deg, n, ranks,
+            e, nd, n, ranks,
             damping_num=damping_num, damping_den=damping_den, unit=unit,
             node_col=node_col, rank_col=rank_col,
         )
@@ -113,7 +130,7 @@ def pagerank(
             # dangling, final join): without this the plan triples per
             # iteration. Eager but local (no HDFS dir needed).
             ranks = ranks.localCheckpoint()
-    return ranks
+    return ranks.select(node_col, rank_col)
 
 
 def pagerank_converged(
@@ -152,43 +169,54 @@ def pagerank_converged(
         e.select(F.col("_src").alias(node_col))
         .union(e.select(F.col("_dst").alias(node_col)))
         .distinct()
-        .localCheckpoint()
     )
-    n = nodes.count()
+    # degree folded into the node state, same as pagerank() (r14)
+    nd = nodes.join(
+        e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")),
+        nodes[node_col] == F.col("_src"),
+        "left",
+    ).select(node_col, "_deg").localCheckpoint()
+    n = nd.count()
     if n == 0:
-        empty = nodes.withColumn(rank_col, F.lit(0).cast("long"))
+        empty = nd.select(node_col).withColumn(rank_col, F.lit(0).cast("long"))
         return empty, {"iterations": 0, "delta_u": 0, "converged": True}
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).localCheckpoint()
 
-    ranks = nodes.withColumn(rank_col, F.lit(unit // n).cast("long")).localCheckpoint()
+    ranks = nd.withColumn(rank_col, F.lit(unit // n).cast("long")).localCheckpoint()
     delta = None
     it = 0
     for it in range(1, max_iterations + 1):
         nxt = _pagerank_step(
-            e, nodes, deg, n, ranks, node_col=node_col, rank_col=rank_col, **{
+            e, nd, n, ranks, node_col=node_col, rank_col=rank_col, **{
                 k: v for k, v in kwargs.items()
                 if k in ("damping_num", "damping_den", "unit")
             }
         ).localCheckpoint()
         # ONE scalar per iteration; the step is already eager via its
         # localCheckpoint, so this adds no extra pass over the lineage
+        # (ranks and nxt both carry _deg — select before the join so
+        # the duplicate column can't ambiguate)
         delta = (
-            nxt.join(
-                ranks.withColumnRenamed(rank_col, "_prev"), on=node_col
+            nxt.select(node_col, rank_col).join(
+                ranks.select(
+                    node_col, F.col(rank_col).alias("_prev")
+                ), on=node_col
             )
             .agg(F.sum(F.abs(F.col(rank_col) - F.col("_prev"))).alias("d"))
             .collect()[0]["d"]
         )
         ranks = nxt
         if delta is not None and delta < tol_units:
-            return ranks, {"iterations": it, "delta_u": delta, "converged": True}
-    return ranks, {"iterations": it, "delta_u": delta, "converged": False}
+            return ranks.select(node_col, rank_col), {
+                "iterations": it, "delta_u": delta, "converged": True
+            }
+    return ranks.select(node_col, rank_col), {
+        "iterations": it, "delta_u": delta, "converged": False
+    }
 
 
 def _pagerank_step(
     e: DataFrame,
-    nodes: DataFrame,
-    deg: DataFrame,
+    nd: DataFrame,
     n: int,
     ranks: DataFrame,
     damping_num: int = 85,
@@ -199,22 +227,31 @@ def _pagerank_step(
 ) -> DataFrame:
     """One recurrence step over pre-materialized static frames — LAZY
     (callers decide when to checkpoint; both loops do, per their own
-    policy, because each step references its result three ways)."""
+    policy, because each step references its result three ways).
+
+    ``nd`` is the node state WITH out-degree (``(node, _deg)``, _deg
+    NULL for dangling nodes) and ``ranks`` carries the same ``_deg``
+    column — so shares and dangling mass are filters of the rank frame
+    instead of joins against a separate degree table (r14: two joins
+    per iteration removed; see :func:`pagerank`). Returns
+    ``(node, _deg, rank)`` so the next step can filter again."""
     base_u = (damping_den - damping_num) * unit // (damping_den * n)
-    shares = ranks.join(deg, ranks[node_col] == deg["_src"]).select(
-        F.col("_src"), F.expr(f"{rank_col} DIV _deg").alias("_share_u")
+    shares = ranks.filter(F.col("_deg").isNotNull()).select(
+        F.col(node_col).alias("_src"),
+        F.expr(f"{rank_col} DIV _deg").alias("_share_u"),
     )
     contrib = e.join(shares, on="_src").groupBy("_dst").agg(
         F.sum("_share_u").alias("_s")
     )
-    dangling = ranks.join(deg, ranks[node_col] == deg["_src"], "left_anti").agg(
+    dangling = ranks.filter(F.col("_deg").isNull()).agg(
         F.coalesce(F.sum(rank_col), F.lit(0)).alias("_dang")
     )
     out = (
-        nodes.join(contrib, nodes[node_col] == contrib["_dst"], "left")
+        nd.join(contrib, nd[node_col] == contrib["_dst"], "left")
         .crossJoin(F.broadcast(dangling))
         .select(
             F.col(node_col),
+            F.col("_deg"),
             F.expr(
                 f"CAST({base_u} + ({damping_num} * (coalesce(_s, 0)"
                 f" + _dang DIV {n})) DIV {damping_den} AS BIGINT)"

@@ -330,7 +330,22 @@ def embedding_near_dup_pairs(
     through collect_list would move 64 doubles per member where 1 long
     suffices, so vectors rejoin the deduped pair list afterwards (two
     id-key joins against the original frame) and the cosine is computed
-    once per surviving pair. Recall < 1 by construction; measure it per
+    once per surviving pair.
+
+    **No pair-dedup shuffle** (r14, guide §2.4): a probed pair meets in
+    up to 3 buckets, but which buckets is a CLOSED FORM of the two
+    members' base buckets (d = b0a⊕b0b, popcount(d) ≤ 2 by
+    co-occurrence: d=0 → shared = {b0a} plus every hamming-1 neighbor;
+    |d|=1 → {b0a, b0b}; |d|=2 with bits i,j → {b0a⊕i, b0a⊕j}), so each
+    pair is emitted ONLY from its canonical (minimum, with the d=0 case
+    canonically at b0a) shared bucket — exactly once, in-array, during
+    pair expansion. The previous shape deduped with ``.distinct()``: a
+    full shuffle of the ~2.2×-replicated candidate pair stream, the
+    operator's largest exchange at corpus scale. Pair sets are
+    identical (pinned by ``test_embedding_near_dup_canonical_bucket_
+    matches_distinct``).
+
+    Recall < 1 by construction; measure it per
     corpus — on a near-isotropic synthetic corpus the registered-query
     grid (tests/test_extensions.py) puts bits=6/probe=1 at 0.55 recall
     for 0.34 candidate volume, and real near-dup corpora (cos ≥ 0.9)
@@ -344,28 +359,76 @@ def embedding_near_dup_pairs(
                 *[bucket0.bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
             )
         )
+        keyed = df.select(
+            F.col(id_col), bucket0.alias("__b0"), buckets.alias("__bkt")
+        )
     else:
-        buckets = bucket0
-    keyed = df.select(F.col(id_col), buckets.alias("__bkt"))
+        # one bucket per vector → a pair can only meet once; no dedup
+        # filter needed at all
+        keyed = df.select(
+            F.col(id_col), bucket0.alias("__b0"), bucket0.alias("__bkt")
+        )
 
     grouped = (
         keyed.groupBy("__bkt")
-        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("__b0").alias("b0"))
+            ).alias("ids")
+        )
         .filter(F.size("ids") > 1)
     )
+
+    def _canonical_shared_bucket(b0a: Column, b0b: Column) -> Column:
+        d = b0a.bitwiseXOR(b0b)
+        low = d.bitwiseAND(-d)  # lowest set bit
+        return (
+            F.when(d == 0, b0a)
+            .when(d.bitwiseAND(d - 1) == 0, F.least(b0a, b0b))
+            .otherwise(
+                F.least(
+                    b0a.bitwiseXOR(low), b0a.bitwiseXOR(d.bitwiseXOR(low))
+                )
+            )
+        )
+
+    if probe_hamming >= 1:
+        def _partner(a):
+            return F.filter(
+                "ids",
+                lambda b: (b["id"] > a["id"])
+                & (_canonical_shared_bucket(a["b0"], b["b0"]) == F.col("__bkt")),
+            )
+    else:
+        def _partner(a):
+            return F.filter("ids", lambda b: b["id"] > a["id"])
+
     pairs_arr = F.flatten(
         F.transform(
             "ids",
             lambda a: F.transform(
-                F.filter("ids", lambda b: b > a),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                _partner(a),
+                lambda b: F.struct(a["id"].alias("id_a"), b["id"].alias("id_b")),
             ),
         )
+    )
+    # Spread the pair expansion AND the downstream cosine work (r14,
+    # measured via stage metrics): the aggregated bucket rows are FEW
+    # and tiny in bytes but each explodes into ~|bucket|²/2 candidate
+    # comparisons and then a per-pair dot product — AQE's partition
+    # coalescing is bytes-blind to that derived work and squashed the
+    # whole expansion + join + cosine pipeline into ONE task (4.3s of a
+    # 6.5s query on one core at sf0.1). A user repartition is exempt
+    # from AQE coalescing, so the expansion fans out over the session's
+    # parallelism; the exchange moves only the bucket-member arrays
+    # (KBs here; ∝ touched-bucket width at scale — the same rows the
+    # group-by already shuffled once).
+    grouped = grouped.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
     cand = (
         grouped.select(F.explode(pairs_arr).alias("p"))
         .select("p.id_a", "p.id_b")
-        .distinct()  # a pair can meet in several probed buckets
     )
 
     vecs = df.select(
@@ -386,9 +449,21 @@ def embedding_near_dup_pairs(
         _dot(F.col("__va"), F.col("__vb"))
         / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)), 6
     )
+    # MERGE-hinted re-attach joins (r14, measured via stage metrics):
+    # the static planner sees a tiny size estimate for the
+    # aggregate+explode candidate pipeline and BROADCAST it, streaming
+    # the single-partition vector scan — which serialized every
+    # per-pair dot product onto one core (4.3s of a 6.5s query inside
+    # one task at sf0.1). The shuffle-merge hint is also the only
+    # strategy that exists at corpus scale (candidate pairs ∝ corpus ×
+    # dup rate can never broadcast, and a vector side past the 10 MB
+    # auto threshold would plan SMJ anyway); with it the cosine work
+    # rides the join's shuffle partitions. sf0.1, warm best-of-3:
+    # 2.40s (r13 shape) → 1.38s, with the dot/cosine arithmetic and
+    # output rows bit-identical.
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        cand.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -177,6 +177,7 @@ def near_dup_gate(
         # no-admitted-duplicates invariant.
         token = success_marker_token(spark, index_dir)
         cached = _INDEX_READ_CACHE.get(index_dir)
+        bootstrap = False
         if (cached is not None and cached["spark"] is spark
                 and token is not None and cached["token"] == token):
             # no commit since the cached read: same files, same rows —
@@ -210,6 +211,7 @@ def near_dup_gate(
                 [], _INDEX_SCHEMA.format(id=id_col)
             )
             index_files = 0
+            bootstrap = True
         # Prune the index ONCE to the buckets this batch touches, and
         # reuse the pruned frame for the pair join AND every
         # id-membership check below. Any indexed id relevant to this
@@ -223,12 +225,26 @@ def near_dup_gate(
         # (documented above): ids are stable with immutable text; a
         # *mutated* re-send whose new text shares no bucket with its
         # old rows would be re-admitted rather than suppressed.
-        touched_keys = F.broadcast(buckets.select("band", "sig").distinct())
-        idx_hit = (
-            index.select(id_col, "band", "sig")
-            .join(touched_keys, ["band", "sig"], "left_semi")
-            .localCheckpoint(eager=True)
-        )
+        #
+        # The broadcast build is the RAW (band, sig) projection of the
+        # checkpointed bucket frame, NOT its distinct (r14): a left-semi
+        # probe is unchanged by duplicate build keys, while the distinct
+        # cost one shuffle exchange (and its AQE stage-job) per batch.
+        # Build size stays within the documented bound — bands × batch
+        # rows — dedup only shrank it when several batch docs shared a
+        # bucket.
+        if bootstrap:
+            # first batch ever: the index is the empty local relation —
+            # the semi-join prunes to empty by construction, so skip the
+            # join AND its materializing localCheckpoint job (r14)
+            idx_hit = index.select(id_col, "band", "sig")
+        else:
+            touched_keys = F.broadcast(buckets.select("band", "sig"))
+            idx_hit = (
+                index.select(id_col, "band", "sig")
+                .join(touched_keys, ["band", "sig"], "left_semi")
+                .localCheckpoint(eager=True)
+            )
         pairs = incremental_pairs_from_buckets(
             buckets,
             idx_hit,
@@ -299,8 +315,13 @@ def near_dup_gate(
             gated = batch_df.observe(
                 obs_batch, F.count(F.lit(1)).alias("rows_in")
             )
+        # the right side is bounded by pairs + touched-bucket width (∝
+        # batch size, never corpus size) — an explicit broadcast hint
+        # plans the anti join as a static BroadcastHashJoin instead of
+        # letting AQE shuffle both sides first and convert at runtime
+        # (two exchange stage-jobs per batch saved; r14)
         survivors_plan = gated.join(
-            dropped.unionByName(indexed_ids), id_col, "left_anti"
+            F.broadcast(dropped.unionByName(indexed_ids)), id_col, "left_anti"
         ).observe(obs_surv, F.count(F.lit(1)).alias("survivors"))
         survivors = survivors_plan.localCheckpoint(eager=True)
         n_surv = int(obs_surv.get["survivors"])
@@ -381,7 +402,10 @@ def near_dup_gate(
             # entry may have been created by this batch's fresh read
             # (rows=None) — fill it for the next batch.
             ent = _INDEX_READ_CACHE.get(index_dir)
-            if ent is not None and ent["frame"] is index:
+            if bootstrap:
+                # empty-by-construction local relation: no count job
+                idx_rows = 0
+            elif ent is not None and ent["frame"] is index:
                 if ent["rows"] is None:
                     ent["rows"] = index.count()
                 idx_rows = ent["rows"]
