@@ -305,6 +305,34 @@ def test_connected_components_closure_fastpath_equivalent(spark):
         assert fast == base, threshold
 
 
+def test_connected_components_pairs_distinct_equivalent(spark):
+    """r14 optimization pin: pairs_distinct=True (the LSH-pipeline
+    promise that each unordered pair appears once, skipping the
+    symmetrize-dedup shuffle) must produce identical labels to the
+    default, on BOTH strategies and with the closure fast path."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 12)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (5, 7), (8, 9)],
+        "id_a long, id_b long",
+    )
+    for threshold in (100_000, None):  # driver union-find / distributed
+        base = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                nodes, pairs, small_graph_threshold=threshold,
+                edges_within_nodes=True,
+            ).collect()
+        }
+        nodedup = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                nodes, pairs, small_graph_threshold=threshold,
+                edges_within_nodes=True, pairs_distinct=True,
+            ).collect()
+        }
+        assert nodedup == base, threshold
+
+
 def test_connected_components_doubling_round_count(spark):
     """Pointer doubling must converge a deep chain in O(log diameter)
     rounds — a 17-node path (diameter 16) needs <= 6 rounds, where

@@ -1995,6 +1995,7 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id",
         edges_within_nodes=True,
+        pairs_distinct=True,  # lsh_candidate_pairs emits id_a<id_b once
     )
     return out.select(F.col("id").alias("doc_id"), "cluster_id")
 
@@ -2212,6 +2213,7 @@ def x2_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = connected_components(
         docs.select("doc_id"), pairs, id_col="doc_id",
         edges_within_nodes=True,  # pairs derive from these same docs
+        pairs_distinct=True,  # lsh_candidate_pairs emits id_a<id_b once
     ).select(F.col("id").alias("doc_id"), "cluster_id")
 
     sized = docs.select("doc_id", F.length("text").alias("n_chars")).join(
@@ -2701,7 +2703,11 @@ def x5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and punctuation ratios, composite score)."""
     from wwwision_importservice_spark.operators.text import text_stats
 
-    docs = load(spark, sf_dir, "documents")
+    # spread=True (r14): the per-doc token/char statistics are
+    # expression-heavy per row, and the single-row-group fixture
+    # otherwise runs the whole pass on one core (measured 0.67→0.58s
+    # warm at sf0.1; per-doc output is partitioning-independent)
+    docs = load(spark, sf_dir, "documents", spread=True)
     return text_stats(docs, "doc_id", "text")
 
 
@@ -3501,7 +3507,8 @@ def x6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures_inline(decon, "doc_id", "text", n=3, num_hashes=16)
     pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
     clusters = connected_components(
-        decon.select("doc_id"), pairs, id_col="doc_id", edges_within_nodes=True
+        decon.select("doc_id"), pairs, id_col="doc_id", edges_within_nodes=True,
+        pairs_distinct=True,
     )
     canon = decon.join(
         clusters.filter(F.col("id") == F.col("cluster_id")).select(

@@ -602,6 +602,7 @@ def connected_components(
     small_graph_threshold: int | None = 100_000,
     max_collect_bytes: int = 64 << 20,
     edges_within_nodes: bool = False,
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """Cluster ids for a near-duplicate pair graph: every node gets
     ``cluster_id`` = the minimum id reachable through the pairs — the
@@ -662,14 +663,25 @@ def connected_components(
     stale or externally-sourced pair table leave it False so foreign
     ids can't conduct connectivity (equivalence of the two settings
     under closure is pinned in tests).
+
+    ``pairs_distinct`` (r14): caller's promise that ``pairs`` holds each
+    UNORDERED pair at most once with no self-pairs — true by
+    construction for every LSH pair operator here (they emit
+    ``id_a < id_b`` exactly once). Skips the symmetrize-dedup
+    ``.distinct()`` (one shuffle of the edge frame). Duplicate edges
+    would not change the labels on either strategy (min-propagation and
+    union-find are idempotent over edges); the distinct exists to bound
+    the edge frame and the driver collect, which the promise already
+    does. Equivalence pinned in tests.
     """
     raw_edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        .distinct()
     )
+    if not pairs_distinct:
+        raw_edges = raw_edges.distinct()
     all_nodes = nodes.select(F.col(id_col).alias("id"))
     if edges_within_nodes:
         # Caller guarantees closure: the node-induced subgraph IS the

@@ -148,6 +148,18 @@ def cosine_topk(
                 "(approximate, partition-pruned) — or raise max_pairs if "
                 "this pair count is genuinely intended"
             )
+    # Spread the query side before the cross join (r14, measured via
+    # stage metrics): each query row fans out to |C| scored pairs, so a
+    # query set sitting in fewer partitions than the session has cores
+    # (the 1-partition case for a small filter of a single-file scan)
+    # serializes the whole |Q|×|C| dot-product pass onto those few
+    # tasks — 0.48s of a 0.95s query inside ONE task at sf0.1. The
+    # repartition moves only |Q| small rows and is skipped whenever the
+    # scan already has enough splits (same scale-adaptive pattern as
+    # entry_queries.load(spread=True)).
+    parallelism = queries.sparkSession.sparkContext.defaultParallelism
+    if queries.rdd.getNumPartitions() < parallelism:
+        queries = queries.repartition(parallelism)
     c = F.broadcast(corpus) if broadcast_corpus else corpus
     scored = cosine_scores(queries, c, query_id, corpus_id, vector_col)
     return topk(scored, k, query_id, corpus_id)
