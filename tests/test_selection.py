@@ -241,6 +241,28 @@ def test_raw_model_rollup_equals_direct_fit(spark, corpus):
     assert rolled == direct
 
 
+def test_dsir_select_target_predicate_identical(spark, corpus):
+    """r14 optimization pin: the single-pass predicate form (both
+    models rolled up from ONE doc-counts pass) must be row-identical
+    to the two-frame form on the full output frame (ids, n_feats,
+    micro-nat weights, keys) — the count-additivity argument, checked
+    end to end. Also: predicate+target_df together must raise."""
+    two_frame = dsir_select(
+        corpus, corpus.filter(F.col("kind") == "alpha"), 25, buckets=512
+    )
+    one_pass = dsir_select(
+        corpus, None, 25, buckets=512,
+        target_predicate=F.col("kind") == "alpha",
+    )
+    a = sorted(tuple(r) for r in two_frame.collect())
+    b = sorted(tuple(r) for r in one_pass.collect())
+    assert a == b
+    with pytest.raises(ValueError, match="not both"):
+        dsir_select(
+            corpus, corpus, 5, target_predicate=F.col("kind") == "alpha"
+        )
+
+
 def test_selection_shifts_toward_target(spark, corpus):
     """Fitting the target on the alpha dialect must overwhelmingly
     select alpha docs from the 50/50 raw mix (the point of DSIR)."""

@@ -3796,7 +3796,14 @@ def x6_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wwwision_importservice_spark.operators.selection import dsir_select
 
     docs = load(spark, sf_dir, "documents", spread=True)
-    return dsir_select(docs, docs.filter(F.col("lang") == "en"), 100)
+    # target_predicate (r14): the trusted corpus is a predicate slice of
+    # the same frame, so both models roll up from ONE explode +
+    # feature-hash pass — the dedicated target fit scan (a second
+    # explode over the en slice) is gone. Bit-identical by count
+    # additivity (pinned in tests/test_selection.py).
+    return dsir_select(
+        docs, None, 100, target_predicate=F.col("lang") == "en"
+    )
 
 
 # Expected SCD2 history rebuilt in pure SQL: run 1 syncs the k%3!=0

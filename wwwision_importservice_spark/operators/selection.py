@@ -271,7 +271,7 @@ def dsir_resample(
 
 def dsir_select(
     raw_df: DataFrame,
-    target_df: DataFrame,
+    target_df: DataFrame | None,
     k: int,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -279,6 +279,7 @@ def dsir_select(
     ngram: int = 2,
     seed: int = 0,
     gumbel: bool = True,
+    target_predicate: Column | None = None,
 ) -> DataFrame:
     """The whole DSIR pipeline in one call: fit ``p_target`` on
     ``target_df`` and ``p_raw`` on ``raw_df``, weigh every raw doc,
@@ -297,11 +298,57 @@ def dsir_select(
     token-diversity, written once to executor-local disk right after
     the shuffle that produced them — in exchange for dropping a full
     text scan + explode + feature-hash pass; only the small trusted
-    ``target_df`` gets a dedicated fit scan."""
-    tgt = hashed_ngram_model(target_df, text_col, buckets, ngram)
-    doc = hashed_ngram_counts(
-        raw_df, id_col, text_col, buckets, ngram
-    ).localCheckpoint(eager=False)
+    ``target_df`` gets a dedicated fit scan.
+
+    ``target_predicate`` (r14): when the trusted corpus is a PREDICATE
+    SLICE of ``raw_df`` itself (the common in-corpus setup — "docs
+    whose lang/source/license marks them trusted"), pass the predicate
+    instead of a ``target_df`` (which must then be None) and the
+    target model is rolled up from the SAME single doc-counts pass
+    that already feeds scoring and ``p_raw`` — the dedicated target
+    fit scan (a second explode + feature-hash over the target slice)
+    disappears. Bit-identical to the two-frame form by count
+    additivity: ``model(filter(df, p)) == rollup(counts(df) where p)``
+    — pinned by ``test_dsir_select_target_predicate_identical``. The
+    predicate must be a row-level function of ``raw_df``'s columns
+    (evaluated once per doc before the explode)."""
+    if target_predicate is not None:
+        if target_df is not None:
+            raise ValueError(
+                "dsir_select: pass either target_df or target_predicate, "
+                "not both (the predicate form fits the target on "
+                "raw_df.filter(predicate) from the shared counts pass)"
+            )
+        feat = F.explode(_feature_array(F.col(text_col), ngram)).alias("__feat")
+        doc_t = (
+            raw_df.select(
+                F.col(id_col), target_predicate.alias("__tgt"), feat
+            )
+            .select(
+                F.col(id_col),
+                F.col("__tgt"),
+                hash_bucket(F.col("__feat"), buckets).alias("bucket"),
+            )
+            .groupBy(id_col, "bucket")
+            # __tgt is constant per doc (a row-level predicate), so max
+            # is just "the value", deterministically
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.max("__tgt").alias("__tgt"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        tgt = (
+            doc_t.filter(F.col("__tgt"))
+            .groupBy("bucket")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        doc = doc_t.drop("__tgt")
+    else:
+        tgt = hashed_ngram_model(target_df, text_col, buckets, ngram)
+        doc = hashed_ngram_counts(
+            raw_df, id_col, text_col, buckets, ngram
+        ).localCheckpoint(eager=False)
     raw = doc.groupBy("bucket").agg(F.sum("cnt").alias("c"))
     w = dsir_log_weights_from_counts(doc, tgt, raw, id_col, buckets)
     return dsir_resample(w, k, id_col, seed=seed, gumbel=gumbel)
