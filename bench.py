@@ -304,6 +304,16 @@ def main() -> None:
         timings[name] = round(min(runs), 4)
         medians[name] = round(statistics.median(runs), 4)
 
+    # Per-batch gate series: snapshot NOW, before the slope pass below
+    # re-runs s5 at SLOPE_DIR and overwrites LAST_GATE_STATS — the
+    # mid-build r14 slope addition silently made the committed artifact
+    # report the sf0.01 run's per-batch numbers (rows_in 250, not the
+    # headline scale's 2500). Measurement-bug fix, r14: the series must
+    # describe the SF_DIR run the headline number timed.
+    from wwwision_importservice_spark import entry_queries  # noqa: E402
+
+    s5_batches = entry_queries.LAST_GATE_STATS.get("batches")
+
     # Scaling slope (r14, VERDICT r13 ask #1 — see the SLOPE_DIR note
     # above): same queries, 10x-smaller data, best-of-SLOPE_RUNS. The
     # small-scale pass runs AFTER the headline timings so it cannot
@@ -334,9 +344,8 @@ def main() -> None:
     # Per-batch gate cost (round-7 judge ask): the s5 whole-run number is
     # a 2-micro-batch e2e with parquet round-trips — the per-batch split
     # is the steady-state cost a production crawl would pay per batch.
+    # (s5_batches was snapshotted before the slope pass above.)
     from wwwision_importservice_spark import entry_queries  # noqa: E402
-
-    s5_batches = entry_queries.LAST_GATE_STATS.get("batches")
 
     # Amortization curve (round-9 judge ask #5; widened r11 per r10 ask
     # #5): the SAME gate run as EIGHT micro-batches (doc_id % 8

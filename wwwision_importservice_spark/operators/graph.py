@@ -88,11 +88,6 @@ def pagerank(
         # materialize ONCE (see module docstring: lazy iteration replays
         # the edge derivation exponentially often)
         e = e.localCheckpoint()
-    nodes = (
-        e.select(F.col("_src").alias(node_col))
-        .union(e.select(F.col("_dst").alias(node_col)))
-        .distinct()
-    )
     # Out-degree is FOLDED INTO the node state once (r14 optimization —
     # guide §2.4 "remove shuffles outright"): the previous shape joined
     # the rank frame against a separate deg table TWICE per iteration
@@ -103,18 +98,33 @@ def pagerank(
     # column riding the rank frame. Values are bit-identical: ``_deg``
     # is the same count, the arithmetic is untouched (pinned by the
     # pagerank_py differential tests).
-    nd = nodes.join(
-        e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")),
-        nodes[node_col] == F.col("_src"),
-        "left",
-    ).select(node_col, "_deg")
+    #
+    # The node state itself is ONE aggregation over the tagged endpoint
+    # union (r14, second pass — guide §2.4 again): the previous
+    # union→distinct→groupBy(_src)→left-join shape shuffled the
+    # endpoint frame twice and joined, where summing a src-tag per
+    # endpoint computes the same (node, _deg) in a single exchange —
+    # ``nullif(sum, 0)`` restores the join's NULL for dangling nodes
+    # (a node with any out-edge has _deg > 0, so 0 ⇔ no out-edges).
+    nd = (
+        e.select(F.col("_src").alias(node_col), F.lit(1).alias("_out"))
+        .union(e.select(F.col("_dst").alias(node_col), F.lit(0).alias("_out")))
+        .groupBy(node_col)
+        .agg(F.nullif(F.sum("_out"), F.lit(0)).alias("_deg"))
+    )
+    # N is ONE scalar (metadata-scale, same class as the SCD2 run-seq
+    # reads): the node count parameterizes every per-row expression
+    # below, so a literal beats threading a 1-row crossJoin through K
+    # iterations of codegen. It rides the nd materialization as an
+    # observe() metric — no dedicated count job (r14).
     if iterations > 0:
-        nd = nd.localCheckpoint()
-    # N is ONE scalar (metadata-scale collect, same class as the SCD2
-    # run-seq reads): the node count parameterizes every per-row
-    # expression below, so a literal beats threading a 1-row crossJoin
-    # through K iterations of codegen.
-    n = nd.count()
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        nd = nd.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+        n = int(obs.get["n"])
+    else:
+        n = nd.count()
     if n == 0:
         return nd.select(node_col).withColumn(rank_col, F.lit(0).cast("long"))
 
@@ -165,18 +175,21 @@ def pagerank_converged(
     # unconditional-convergence loop must never re-derive edges per step
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     e = e.localCheckpoint()
-    nodes = (
-        e.select(F.col("_src").alias(node_col))
-        .union(e.select(F.col("_dst").alias(node_col)))
-        .distinct()
+    # degree folded into the node state via the single tagged-union
+    # aggregation, and n riding the checkpoint as an observe() metric —
+    # both same as pagerank() (r14)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    nd = (
+        e.select(F.col("_src").alias(node_col), F.lit(1).alias("_out"))
+        .union(e.select(F.col("_dst").alias(node_col), F.lit(0).alias("_out")))
+        .groupBy(node_col)
+        .agg(F.nullif(F.sum("_out"), F.lit(0)).alias("_deg"))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
-    # degree folded into the node state, same as pagerank() (r14)
-    nd = nodes.join(
-        e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")),
-        nodes[node_col] == F.col("_src"),
-        "left",
-    ).select(node_col, "_deg").localCheckpoint()
-    n = nd.count()
+    n = int(obs.get["n"])
     if n == 0:
         empty = nd.select(node_col).withColumn(rank_col, F.lit(0).cast("long"))
         return empty, {"iterations": 0, "delta_u": 0, "converged": True}
