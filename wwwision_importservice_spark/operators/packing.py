@@ -88,6 +88,19 @@ def pack_token_spans(
             F.col(id_col), F.col(n_tokens_col).cast("long").alias("__n")
         )
         .filter(F.col("__n") > 0)
+        # Materialize the thin (id, n_tokens) projection ONCE (r14,
+        # guide §2.4/§5): this frame is consumed three times below —
+        # the bounds scalar, the per-bucket totals, and the final span
+        # frame — and n_tokens_col is typically an EXPENSIVE derivation
+        # (tokenize + count over the text column); without the
+        # checkpoint each consumer re-ran the full upstream pass
+        # (measured 3× the tokenize cost for x6_sequence_pack). Two
+        # longs per doc: executor-local storage ∝ corpus row count,
+        # the same order as the shuffle this operator already pays.
+        # LAZY: the bounds .first() below materializes it — an eager
+        # checkpoint would spend a fourth driver action on a frame the
+        # very next line forces anyway (measured +0.3s at sf0.1).
+        .localCheckpoint(eager=False)
     )
     # deterministic range buckets over the id domain: ntile would need a
     # global window (the bottleneck we're avoiding), so bucket on the
