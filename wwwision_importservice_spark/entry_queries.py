@@ -3502,7 +3502,17 @@ def x6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # confirm join does real restore work — correctness can't depend on it)
     evalset = docs.filter(F.col("doc_id") % 97 == 0)
     bloom = build_bloom_filter(evalset, "text", fpp=0.25)
-    decon = bloom_verified_anti_join(deduped, bloom, evalset, "text")
+    # barrier (r15): decon feeds THREE consumers — the shingle/signature
+    # pass, the CC node set, and the canon semi-join (where it appears
+    # twice: once as the left side, once inside the isolated-nodes anti
+    # join) — and without it each re-ran the whole scan → exact-dedup
+    # shuffle → Bloom Arrow probe chain. Measured at sf0.1: the chain
+    # executes once instead of three times, 72 → 65 jobs for the whole
+    # composed query (the AQE rdd-conversion stages of the checkpoint
+    # itself account for the difference from the 13-job gross saving).
+    decon = bloom_verified_anti_join(
+        deduped, bloom, evalset, "text"
+    ).localCheckpoint(eager=False)
     # X2 — near-dup canonicals: cluster-min representative per component
     sig = minhash_signatures_inline(decon, "doc_id", "text", n=3, num_hashes=16)
     pairs = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
@@ -3517,9 +3527,17 @@ def x6_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "left_semi",
     ).localCheckpoint()  # barrier: DSIR + mixture + split each re-consume
-    # X6b — DSIR toward the trusted lang='en' slice of the RAW corpus
-    picked = dsir_select(canon, docs.filter(F.col("lang") == "en"), 150).select(
-        "doc_id"
+    # X6b — DSIR toward the trusted lang='en' slice of the RAW corpus.
+    # The picked id set is k=150 rows — checkpointing it keeps the DSIR
+    # scoring + top-k subtree out of the counted plan, where it was
+    # otherwise re-embedded (and re-executed) twice: once under
+    # picked_docs, once under the BPE pass over picked_docs (measured
+    # at sf0.1: the counted barrier drops 12 → 3 jobs; the scoring
+    # runs once) (r15).
+    picked = (
+        dsir_select(canon, docs.filter(F.col("lang") == "en"), 150)
+        .select("doc_id")
+        .localCheckpoint(eager=False)
     )
     # r11: budgets are TOKENIZER-TRUE — counts come from the frozen
     # PINNED_MERGES BPE encode, matching examples/corpus_pipeline.py's
@@ -7897,9 +7915,10 @@ def x11_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracking params, shuffled parameter order); the canonical column
     collapses each triple, and the group count is the URL-dedup
     multiplicity. The ENTIRE operator — messy construction included —
-    is Catalyst expressions (no UDF, no Arrow): one whole-stage-
-    codegen projection plus the one hash shuffle the dedup itself
-    is."""
+    is Catalyst expressions — no Python evaluation node (the
+    ``transform`` let-bindings are CodegenFallback, so the projection
+    evaluates interpreted, not whole-stage-codegen'd) — plus the one
+    hash shuffle the dedup itself is."""
     from pyspark.sql import Window
 
     from wwwision_importservice_spark.operators.urls import canonical_url

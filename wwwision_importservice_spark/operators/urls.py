@@ -87,9 +87,13 @@ def canonical_url(col: Column | str) -> Column:
     and their order are byte-identical to the naive inlined form (the
     lambda variables evaluate the very same subtrees, once), only the
     tree SIZE changes (linear instead of exponential in rule depth).
-    Each ``with_*`` lambda parameter is uniquely named: PySpark names
-    the JVM lambda variable after the Python parameter, and unique
-    names rule out inner-scope shadowing across the nested lambdas."""
+    Nested-lambda safety comes from Spark itself: the JVM side renames
+    every lambda variable with ``UnresolvedNamedLambdaVariable.
+    freshVarName`` (``x_1``, ``x_2``, ...) independently of the Python
+    parameter names (PySpark 4.x hardcodes ``argnames=['x','y','z']``
+    and ignores them), so inner-scope shadowing across the nested
+    lambdas cannot occur. The unique ``with_*`` parameter names below
+    are purely for readability."""
     u0 = F.col(col) if isinstance(col, str) else col
 
     def with_u(u: Column) -> Column:
