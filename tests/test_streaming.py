@@ -1846,7 +1846,12 @@ def test_gate_nochange_fast_path_and_index_cache(spark, tmp_path):
         "doc_id long, text string",
     )
     gate(fresh, 3)
-    assert idx not in _INDEX_READ_CACHE
+    # the frame entry is invalidated — what survives (r15) is at most a
+    # rows-carry entry (frame=None) parked under the POST-append token,
+    # which can never serve a stale file listing (the next batch must
+    # re-resolve the read) but spares it the index_rows count job
+    ent3 = _INDEX_READ_CACHE.get(idx)
+    assert ent3 is None or ent3["frame"] is None
     assert success_marker_token(spark, idx) != token_after_write
     n3 = len(admitted)
     assert n3 > n0
@@ -1855,3 +1860,8 @@ def test_gate_nochange_fast_path_and_index_cache(spark, tmp_path):
     # would re-admit them)
     gate(fresh, 4)
     assert len(admitted) == n3
+    # the rows-carry arithmetic must agree with the disk truth: batch 4
+    # read the post-batch-3 index and (having admitted and replayed
+    # nothing) appended nothing, so its carried index_rows IS the
+    # current on-disk row count
+    assert stats["batches"][4]["index_rows"] == spark.read.parquet(idx).count()

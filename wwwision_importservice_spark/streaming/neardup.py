@@ -177,9 +177,10 @@ def near_dup_gate(
         # no-admitted-duplicates invariant.
         token = success_marker_token(spark, index_dir)
         cached = _INDEX_READ_CACHE.get(index_dir)
+        cache_hit = (cached is not None and cached["spark"] is spark
+                     and token is not None and cached["token"] == token)
         bootstrap = False
-        if (cached is not None and cached["spark"] is spark
-                and token is not None and cached["token"] == token):
+        if cache_hit and cached["frame"] is not None:
             # no commit since the cached read: same files, same rows —
             # skip the listing resolution (and, in stats mode, reuse
             # the count)
@@ -204,7 +205,12 @@ def near_dup_gate(
             if token is not None:
                 _INDEX_READ_CACHE[index_dir] = {
                     "spark": spark, "token": token, "frame": index,
-                    "files": index_files, "rows": None,
+                    "files": index_files,
+                    # a rows-carry entry (frame=None, written by our own
+                    # append below) proves the row count under this same
+                    # token even though the frame must be re-resolved —
+                    # carry it so the stats block skips its count job
+                    "rows": cached["rows"] if cache_hit else None,
                 }
         else:
             index = spark.createDataFrame(
@@ -368,7 +374,20 @@ def near_dup_gate(
             append_rows = None
         else:
             append_rows = replay_rows
+        n_appended = None
         if append_rows is not None:
+            # in stats mode the appended row count rides the write
+            # action as an observe() metric (r15): combined with the
+            # pre-append index size it makes the NEXT batch's
+            # ``index_rows`` pure arithmetic (rows + appended), so the
+            # steady-state stats batch stops paying a dedicated
+            # ``index.count()`` job — see the rows-carry entry below
+            obs_app = None
+            if stats is not None:
+                obs_app = Observation(f"gate_appended_{tag}")
+                append_rows = append_rows.observe(
+                    obs_app, F.count(F.lit(1)).alias("appended")
+                )
             (
             append_rows
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
@@ -384,6 +403,8 @@ def near_dup_gate(
             .sortWithinPartitions("band", "sig")
             .write.mode("append").partitionBy("band").parquet(index_dir)
             )
+            if obs_app is not None:
+                n_appended = int(obs_app.get["appended"])
             # our own commit invalidates the cross-batch read cache —
             # the next batch re-reads (and re-caches under the new
             # _SUCCESS token)
@@ -409,8 +430,28 @@ def near_dup_gate(
                 if ent["rows"] is None:
                     ent["rows"] = index.count()
                 idx_rows = ent["rows"]
+            elif cache_hit and cached["rows"] is not None:
+                # rows-carry entry from our own previous append (the
+                # append pops the frame entry, so ent is gone) — the
+                # token still matches the state this batch read
+                idx_rows = cached["rows"]
             else:
                 idx_rows = index.count()
+            if n_appended is not None:
+                # rows-carry (r15): our own append is the only commit
+                # since the size above was established, so the NEXT
+                # batch's index size is pure arithmetic — park it under
+                # the post-append commit token and spare that batch its
+                # ``index.count()`` job. Crash-safe like the read cache:
+                # a retried/foreign commit changes the token and forces
+                # a fresh count; compaction (which can change the row
+                # count) pops the entry below.
+                new_token = success_marker_token(spark, index_dir)
+                if new_token is not None:
+                    _INDEX_READ_CACHE[index_dir] = {
+                        "spark": spark, "token": new_token, "frame": None,
+                        "files": None, "rows": idx_rows + n_appended,
+                    }
             # index_rows is the index size
             # THIS batch ran against (the read's file index was resolved
             # before the append) — under parquet a statistics aggregate,
