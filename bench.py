@@ -407,6 +407,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # the core count this run timed at: the driver benches at TWO
+        # counts (32 then 8), and an artifact that doesn't say which
+        # one it is gets misread — the r14-end committed BENCH_full.json
+        # was silently the 8-core scaling run, which shifted 30/38 plan
+        # digests (shuffle-partition counts live in Exchange nodes) and
+        # cost an adjudication (r15)
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0),
         "n_runs": N_RUNS,
         "loadavg_at_start": round(load_at_start, 2),
         "loadavg_at_end": load_at_end,
@@ -452,14 +459,30 @@ def main() -> None:
     full_path = os.path.join(repo_dir, "BENCH_full.json")
     try:
         with open(full_path) as fh:
-            existing_sf = json.load(fh).get("sf")
+            existing = json.load(fh)
+        existing_sf = existing.get("sf")
+        existing_cpus = existing.get("cpus")
     except (OSError, ValueError):
-        existing_sf = None
-    if existing_sf is not None and sf is not None and existing_sf != sf:
-        full_path = os.path.join(repo_dir, f"BENCH_full_sf{sf}.json")
+        existing_sf = existing_cpus = None
+    sf_differs = (existing_sf is not None and sf is not None
+                  and existing_sf != sf)
+    # the driver's scaling pass re-runs the bench at a lower core count
+    # AFTER the graded run — without this guard that pass overwrote the
+    # 32-core artifact (r14-end committed BENCH_full.json was silently
+    # the 8-core run; its Exchange partition counts shifted 30/38
+    # digests). Old artifacts without a "cpus" field can't be compared
+    # and are not protected.
+    cpus_differs = (existing_cpus not in (None, 0)
+                    and slim["cpus"] not in (None, 0)
+                    and existing_cpus != slim["cpus"])
+    if sf_differs or cpus_differs:
+        full_path = os.path.join(
+            repo_dir, f"BENCH_full_sf{sf}_c{slim['cpus']}.json"
+        )
         print(
-            f"# bench: BENCH_full.json holds an sf={existing_sf} run; "
-            f"this sf={sf} run written to {os.path.basename(full_path)}",
+            f"# bench: BENCH_full.json holds an sf={existing_sf}/"
+            f"cpus={existing_cpus} run; this sf={sf}/cpus={slim['cpus']} "
+            f"run written to {os.path.basename(full_path)}",
             file=sys.stderr,
         )
     with open(full_path, "w") as fh:
