@@ -198,25 +198,28 @@ def pagerank_converged(
     delta = None
     it = 0
     for it in range(1, max_iterations + 1):
-        nxt = _pagerank_step(
-            e, nd, n, ranks, node_col=node_col, rank_col=rank_col, **{
-                k: v for k, v in kwargs.items()
-                if k in ("damping_num", "damping_den", "unit")
-            }
-        ).localCheckpoint()
-        # ONE scalar per iteration; the step is already eager via its
-        # localCheckpoint, so this adds no extra pass over the lineage
-        # (ranks and nxt both carry _deg — select before the join so
-        # the duplicate column can't ambiguate)
-        delta = (
-            nxt.select(node_col, rank_col).join(
-                ranks.select(
-                    node_col, F.col(rank_col).alias("_prev")
-                ), on=node_col
+        # the step carries the input rank as _prev (left side of its
+        # contribution join is the rank frame itself), so the L1 delta
+        # rides the checkpoint action as an observe() metric — zero
+        # extra jobs and no per-iteration ranks-vs-next join (r15;
+        # previously one O(V) join + aggregate + collect per iteration)
+        obs_d = Observation()
+        nxt = (
+            _pagerank_step(
+                e, nd, n, ranks, node_col=node_col, rank_col=rank_col,
+                carry_prev=True, **{
+                    k: v for k, v in kwargs.items()
+                    if k in ("damping_num", "damping_den", "unit")
+                }
             )
-            .agg(F.sum(F.abs(F.col(rank_col) - F.col("_prev"))).alias("d"))
-            .collect()[0]["d"]
+            .observe(
+                obs_d,
+                F.sum(F.abs(F.col(rank_col) - F.col("_prev"))).alias("d"),
+            )
+            .drop("_prev")
+            .localCheckpoint()
         )
+        delta = obs_d.get["d"]
         ranks = nxt
         if delta is not None and delta < tol_units:
             return ranks.select(node_col, rank_col), {
@@ -237,6 +240,7 @@ def _pagerank_step(
     unit: int = UNIT,
     node_col: str = "node",
     rank_col: str = "rank_u",
+    carry_prev: bool = False,
 ) -> DataFrame:
     """One recurrence step over pre-materialized static frames — LAZY
     (callers decide when to checkpoint; both loops do, per their own
@@ -247,7 +251,14 @@ def _pagerank_step(
     column — so shares and dangling mass are filters of the rank frame
     instead of joins against a separate degree table (r14: two joins
     per iteration removed; see :func:`pagerank`). Returns
-    ``(node, _deg, rank)`` so the next step can filter again."""
+    ``(node, _deg, rank)`` so the next step can filter again.
+
+    ``carry_prev`` (r15): additionally return the INPUT rank as
+    ``_prev``, by making ``ranks`` (same node set and ``_deg`` as
+    ``nd``, by construction) the left side of the contribution join.
+    The convergence loop's L1 delta then rides the step's own
+    checkpoint as an ``observe()`` metric instead of costing a
+    dedicated ranks-vs-next join + aggregate job per iteration."""
     base_u = (damping_den - damping_num) * unit // (damping_den * n)
     shares = ranks.filter(F.col("_deg").isNotNull()).select(
         F.col(node_col).alias("_src"),
@@ -259,12 +270,17 @@ def _pagerank_step(
     dangling = ranks.filter(F.col("_deg").isNull()).agg(
         F.coalesce(F.sum(rank_col), F.lit(0)).alias("_dang")
     )
+    left = ranks if carry_prev else nd
+    carried = (
+        [F.col(rank_col).alias("_prev")] if carry_prev else []
+    )
     out = (
-        nd.join(contrib, nd[node_col] == contrib["_dst"], "left")
+        left.join(contrib, left[node_col] == contrib["_dst"], "left")
         .crossJoin(F.broadcast(dangling))
         .select(
             F.col(node_col),
             F.col("_deg"),
+            *carried,
             F.expr(
                 f"CAST({base_u} + ({damping_num} * (coalesce(_s, 0)"
                 f" + _dang DIV {n})) DIV {damping_den} AS BIGINT)"
