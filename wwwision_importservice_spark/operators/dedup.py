@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -829,25 +829,33 @@ def connected_components(
             hop = labels.select(
                 F.col("id").alias("__lid"), F.col("cluster_id").alias("__lmin")
             )
-            new_full = (
-                cand.join(hop, cand["cluster_id"] == hop["__lid"], "left")
-                .select(
-                    F.col("id"),
-                    F.least(
-                        F.col("cluster_id"),
-                        F.coalesce(F.col("__lmin"), F.col("cluster_id")),
-                    ).alias("cluster_id"),
-                    F.col("__prev"),
-                )
-                .localCheckpoint(eager=True)
+            new_plan = cand.join(
+                hop, cand["cluster_id"] == hop["__lid"], "left"
+            ).select(
+                F.col("id"),
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("__lmin"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+                F.col("__prev"),
             )
         else:
-            new_full = cand.localCheckpoint(eager=True)
-        # convergence check is a local filter on the checkpointed frame
-        # (the previous label rode along) — no new-vs-old join, one cheap
-        # follow-up job per round instead of a join + shuffle
+            new_plan = cand
+        # convergence metric rides the checkpoint action (r15; the same
+        # fold pagerank_converged uses): the changed-row count is an
+        # observe() aggregate on the frame being materialized anyway —
+        # no new-vs-old join, and no follow-up filter job per round
+        # (previously one isEmpty job per round on the checkpointed
+        # frame). An empty paired-node frame sums to NULL -> converged.
+        obs_chg = Observation()
+        new_full = new_plan.observe(
+            obs_chg,
+            F.sum(
+                (F.col("cluster_id") != F.col("__prev")).cast("int")
+            ).alias("changed"),
+        ).localCheckpoint(eager=True)
         labels = new_full.drop("__prev")
-        if new_full.filter(F.col("cluster_id") != F.col("__prev")).isEmpty():
+        if int(obs_chg.get["changed"] or 0) == 0:
             if stats is not None:
                 stats["iterations"] = rounds
             return labels.unionByName(isolated)
