@@ -447,13 +447,21 @@ def incremental_pairs_from_buckets(
     # tolerate decorated indexes (batch_id age stamps, future metadata)
     index = index.select(id_col, "band", "sig")
     if prune_index:
-        touched = new_b.select("band", "sig").distinct()
         # broadcast fits while bucket keys ≈ bands × batch docs (a crawl
         # batch); a corpus-sized BACKFILL batch overflows the driver —
         # pass broadcast_keys=False there and the semi join plans as a
         # shuffle (which a backfill would force anyway)
         if broadcast_keys:
-            touched = F.broadcast(touched)
+            # RAW keys, not their distinct (r15; the streaming gate made
+            # the same change in r14): a left-semi probe is unchanged by
+            # duplicate build keys, while the distinct cost an exchange +
+            # aggregate inside the broadcast build. The build stays
+            # bounded by bands × batch rows.
+            touched = F.broadcast(new_b.select("band", "sig"))
+        else:
+            # the shuffle path keeps the distinct: there the dedup pays
+            # for itself by shrinking the semi join's own shuffle
+            touched = new_b.select("band", "sig").distinct()
         idx_hit = index.join(touched, ["band", "sig"], "left_semi")
     else:
         idx_hit = index
