@@ -160,11 +160,16 @@ def near_dup_gate(
         sigs = minhash_signatures_inline(
             batch_df, id_col, text_col, n=n, num_hashes=num_hashes
         )
-        # the batch's ONLY signature computation: materialize the
-        # banded bucket rows once, reuse everywhere below
+        # the batch's ONLY signature computation: checkpoint the banded
+        # bucket rows once, reuse everywhere below. LAZY (r15): the
+        # bucket plan is exchange-free (scan → shingle → explode), so
+        # the AQE rdd conversion runs no stage jobs at construction and
+        # the persist happens inside the first consumer's job (the
+        # idx_hit broadcast build, or the survivors build on bootstrap)
+        # — one dedicated materialization job per batch removed.
         buckets = lsh_index(
             sigs, id_col, num_hashes=num_hashes, bands=bands
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # An interrupted compaction swap leaves the index under its
         # backup name — restore it BEFORE the existence probe, or the
         # probe reads "never written" and the batch admits duplicates.
