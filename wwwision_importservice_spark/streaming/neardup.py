@@ -125,12 +125,15 @@ def near_dup_gate(
 
     Plan shape (pinned in tests): ONE shingling/signature pass per
     micro-batch, and ONE read of the persisted index. The batch's
-    bucket rows are materialized with an eager ``localCheckpoint`` and
-    reused three times — the incremental pair join, the survivor
-    anti-joins, and the index append (a semi-join on survivor ids, NOT
-    a re-shingle of survivor text). The index is broadcast-semi-pruned
-    to the batch's bucket keys ONCE, checkpointed, and that pruned
-    frame backs both the pair join and every id-membership check — the
+    bucket rows are checkpointed (lazily since r15 — their plan is
+    exchange-free, so the persist rides the first consumer's job
+    instead of a dedicated materialization job) and reused three times
+    — the incremental pair join, the survivor anti-joins, and the
+    index append (a semi-join on survivor ids, NOT a re-shingle of
+    survivor text). The index is broadcast-semi-pruned to the batch's
+    bucket keys ONCE, checkpointed (lazily too, same r15 economics),
+    and that pruned frame backs both the pair join and every
+    id-membership check — the
     per-batch work after the single pruning scan is ∝ touched-bucket
     width, independent of corpus size (a full-index ``distinct`` per
     batch would shuffle the whole corpus's bucket table every batch).
@@ -254,7 +257,7 @@ def near_dup_gate(
             idx_hit = (
                 index.select(id_col, "band", "sig")
                 .join(touched_keys, ["band", "sig"], "left_semi")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
         pairs = incremental_pairs_from_buckets(
             buckets,
