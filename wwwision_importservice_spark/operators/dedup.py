@@ -696,7 +696,14 @@ def connected_components(
         # pair graph, and (edges being symmetrized) every pair id both
         # appears in nodes and keeps an edge.
         edges = raw_edges.localCheckpoint(eager=False)
-        edged = edges.select(F.col("src").alias("id")).distinct()
+        # NOT distinct-ed (r15): this frame's only uses are the isolated
+        # LEFT ANTI join below — unchanged by duplicate right-side keys —
+        # and the distributed path's initial labels, which re-dedup for
+        # themselves (edged_unique=False). The distinct was one exchange
+        # + aggregate over the edge frame on EVERY invocation, paid even
+        # when the driver fast path made the labels frame moot.
+        edged = edges.select(F.col("src").alias("id"))
+        edged_unique = False
     else:
         # Restrict to the NODE-INDUCED subgraph before anything else:
         # pairs referencing ids absent from `nodes` (a stale pair
@@ -747,6 +754,8 @@ def connected_components(
             "id",
             "left_semi",
         )
+        # unique by construction: a semi join of the (unique-id) corpus
+        edged_unique = True
     isolated = all_nodes.join(edged, "id", "left_anti").select(
         F.col("id"), F.col("id").alias("cluster_id")
     )
@@ -807,7 +816,10 @@ def connected_components(
             return labelled.unionByName(isolated)
     if stats is not None:
         stats["strategy"] = "distributed-rounds"
-    labels = edged.select(
+    # initial labels must be one row per paired node — the closure-path
+    # edged carries duplicates (see above), so dedup HERE, where the
+    # distributed rounds actually need it; the fast path never pays it
+    labels = (edged if edged_unique else edged.distinct()).select(
         F.col("id"), F.col("id").alias("cluster_id")
     ).localCheckpoint(eager=True)
 
